@@ -1,0 +1,267 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Analytics query suite — demonstrates the engine end-to-end and is
+  * what `Bench` times.
+  *
+  * Every query is written plan-first: filters and projections appear
+  * before joins/aggregations so Catalyst pushes them into the parquet
+  * scan; dimension tables are explicitly `broadcast()` (at 100 TB the
+  * fact tables shuffle on their join keys, dims never should); results
+  * end in a deterministic orderBy mirrored by the DuckDB oracle.
+  */
+object Analytics {
+
+  private val Sep1998 = "1998-09-01 00:00:00"
+
+  /** TPC-H Q1-style pricing summary: grouped aggregate with map-side
+    * partial aggregation. One shuffle on the (tiny) group key. */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.filter(col("l_shipdate") <= lit(Sep1998).cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1PricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 2) AS avg_qty,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style: customer ⨝ orders ⨝ lineitem, revenue per order,
+    * top 10. customer is the small side → broadcast; orders/lineitem
+    * co-shuffle on orderkey. */
+  def q3Revenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = t.orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3RevenueSql: String =
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY l_orderkey
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style star join: lineitem ⨝ orders ⨝ customer ⨝ supplier
+    * ⨝ nation ⨝ region; revenue per nation. All dims broadcast (they
+    * stay small at any SF); only the fact tables shuffle. */
+  def q5Region(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val nat = t.nation.join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    val li = t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val ord = t.orders.select("o_orderkey", "o_custkey")
+    val sup = t.supplier.select("s_suppkey", "s_nationkey")
+    val cust = t.customer.select("c_custkey", "c_nationkey")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  val q5RegionSql: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** TPC-H Q6-style: highly selective filter + single aggregate. The
+    * whole predicate pushes into the parquet scan. */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.filter(col("l_shipdate") >= lit("1994-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q6ForecastSql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Top-3 orders per customer by total price: one shuffle on the
+    * window partition key, rank inside. */
+  def qTopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir).orders
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  val qTopkPerGroupSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin
+
+  /** Running revenue per supplier ordered by ship date: rows-frame
+    * cumulative sum (deterministic tie-break on orderkey/linenumber). */
+  def qRunningWindow(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.filter(col("l_suppkey") <= 3)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(sum(col("l_quantity")).over(w), 2).as("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val qRunningWindowSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+      |FROM lineitem
+      |WHERE l_suppkey <= 3
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  /** Hierarchical ROLLUP aggregate over returnflag/linestatus. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Exact distinct counts (two-phase distinct aggregation). */
+  def qDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qDistinctSql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_orderkey) AS n_orders,
+      |  count(DISTINCT l_partkey) AS n_parts
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** HLL approximate distinct — sketch output is engine-specific, so
+    * the driver records a rows-only check (no oracleSql entry). The
+    * spec bounds relative error against the exact count instead. */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+  }
+
+  /** Skew-resistant salted join: same result as a plain join, but the
+    * fact side is salted into 8 sub-keys and the (broadcastable) dim
+    * side replicated 8×, so one hot key spreads over 8 reducers.
+    * With AQE skew-join this is usually automatic; shown explicitly as
+    * the hand-rolled pattern for non-AQE paths. */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val salts = 8
+    val li = t.lineitem.select("l_orderkey", "l_suppkey", "l_quantity")
+      .withColumn("salt", pmod(col("l_orderkey"), lit(salts)).cast("int"))
+    val sup = t.supplier.select("s_suppkey", "s_nationkey")
+      .crossJoin(spark.range(salts).select(col("id").cast("int").as("salt")))
+    li.join(broadcast(sup), Seq("salt")).filter(col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val qSaltedJoinSql: String =
+    """SELECT s_nationkey, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> q1Pricing,
+    "q3_revenue" -> q3Revenue,
+    "q5_region" -> q5Region,
+    "q6_forecast" -> q6Forecast,
+    "q_topk_per_group" -> qTopkPerGroup,
+    "q_running_window" -> qRunningWindow,
+    "q_rollup" -> qRollup,
+    "q_distinct" -> qDistinct,
+    "q_approx_distinct" -> qApproxDistinct,
+    "q_salted_join" -> qSaltedJoin,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing" -> q1PricingSql,
+    "q3_revenue" -> q3RevenueSql,
+    "q5_region" -> q5RegionSql,
+    "q6_forecast" -> q6ForecastSql,
+    "q_topk_per_group" -> qTopkPerGroupSql,
+    "q_running_window" -> qRunningWindowSql,
+    "q_rollup" -> qRollupSql,
+    "q_distinct" -> qDistinctSql,
+    "q_salted_join" -> qSaltedJoinSql,
+  )
+}

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet result (written by
+graft.Verify), runs the matching oracle SQL from oracle_sql.json in
+DuckDB over the source tables in <sfDir>, sorts columns by name and
+rows by all columns, and compares values exactly. Driver-side tooling
+only — not part of the library.
+"""
+import json, sys, glob, math
+import duckdb
+
+def norm(v):
+    if isinstance(v, float):
+        # exact compare, but normalize -0.0 and NaN representation
+        if math.isnan(v):
+            return "NaN"
+        return v + 0.0
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = n_rowsonly = 0
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = d.rstrip("/").split("/")[-1]
+        got_rel = con.sql(f"SELECT * FROM read_parquet('{d}*.parquet')")
+        got_cols = sorted(got_rel.columns)
+        got = con.sql(f"SELECT {', '.join(got_cols)} FROM got_rel ORDER BY ALL").fetchall()
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(got)} rows")
+            n_rowsonly += 1
+            continue
+        try:
+            exp_rel = con.sql(oracles[name])
+            exp_cols = sorted(exp_rel.columns)
+            exp = con.sql(f"SELECT {', '.join(exp_cols)} FROM exp_rel ORDER BY ALL").fetchall()
+        except Exception as e:
+            print(f"[FAIL] {name}: oracle SQL error: {e}")
+            n_bad += 1
+            continue
+        if got_cols != exp_cols:
+            print(f"[FAIL] {name}: columns differ: spark={got_cols} oracle={exp_cols}")
+            n_bad += 1
+            continue
+        g = [tuple(norm(v) for v in r) for r in got]
+        e = [tuple(norm(v) for v in r) for r in exp]
+        if g == e:
+            print(f"[ok] {name}: {len(g)} rows hash-match")
+            n_ok += 1
+        else:
+            n_bad += 1
+            print(f"[FAIL] {name}: {len(g)} spark rows vs {len(e)} oracle rows")
+            gs, es = set(g), set(e)
+            for r in list(gs - es)[:3]:
+                print(f"    spark-only:  {r}")
+            for r in list(es - gs)[:3]:
+                print(f"    oracle-only: {r}")
+            # near-miss float diagnosis
+            if len(g) == len(e):
+                for i, (rg, re_) in enumerate(zip(g, e)):
+                    if rg != re_:
+                        print(f"    first row diff at {i}: spark={rg} oracle={re_}")
+                        break
+    print(f"\n{n_ok} ok, {n_bad} FAIL, {n_rowsonly} rows-only")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
