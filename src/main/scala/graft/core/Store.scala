@@ -1,0 +1,91 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Spark-first re-expression of the reference `Store`
+  * (src/lib.rs:55-206): rows keyed by an autoincrement rowid
+  * (lib.rs:178-187), queried via ANDed conditions, with an
+  * add/remove-only mutation surface (README.md:31).
+  *
+  * A `Store` wraps an immutable DataFrame carrying a `__rowid` column;
+  * `insert`/`delete` return a new `Store` (persistent-data-structure
+  * style — the natural Spark shape for the reference's rowid
+  * discipline: deleted ids are never reused, later inserts keep
+  * counting up).
+  *
+  * Rowid assignment is the scale-sensitive part. A naive global
+  * `row_number()` window is a single-partition bottleneck, so
+  * [[Store.withRowIds]] range-repartitions by the ordering key, sorts
+  * within partitions, and dense-numbers with `zipWithIndex` (a count
+  * job for per-partition offsets, then a parallel map — no stage ever
+  * sees more than one partition). Deterministic for a unique ordering
+  * key, and holds at 10^12 rows where a global window would not.
+  */
+final class Store private (val data: DataFrame, orderCols: Seq[String]) {
+
+  /** All rows matching the ANDed conditions — `Store::find`
+    * (src/lib.rs:130-137). Index choice (lib.rs:98-120) is delegated
+    * to Catalyst: the same predicates drive parquet pushdown and
+    * pruning when the underlying data is laid out by
+    * [[graft.storage.IndexedStore]]. */
+  def find(conds: Condition*): DataFrame =
+    data.filter(Condition.all(conds))
+
+  /** Append a batch — `Store::insert` (src/lib.rs:178-187). New rows
+    * get rowids after all existing rows, ordered by the store's
+    * ordering key within the batch. */
+  def insert(batch: DataFrame): Store = {
+    val cols = data.columns.filter(_ != Store.RowId)
+    require(batch.columns.sorted.sameElements(cols.sorted),
+      s"batch columns ${batch.columns.mkString(",")} != store columns ${cols.mkString(",")}")
+    // Existing rowids are stable; the new batch continues from the
+    // current max. max() is a cheap full-column agg (parquet stats
+    // serve it at rest); the batch is then densely numbered by the
+    // same distributed scheme.
+    val next = data.agg(max(col(Store.RowId))).head.getLong(0) + 1L
+    val numbered = Store.withRowIds(batch.select(cols.map(col).toSeq: _*), orderCols)
+      .withColumn(Store.RowId, col(Store.RowId) + lit(next))
+    new Store(data.unionByName(numbered), orderCols)
+  }
+
+  /** Remove all rows matching the conditions — `Store::delete`
+    * (src/lib.rs:140-142). Surviving rows keep their rowids. */
+  def delete(conds: Condition*): Store =
+    new Store(data.filter(!Condition.all(conds)), orderCols)
+
+  /** `Store::delete_filter` (src/lib.rs:149-169): delete rows matching
+    * the conditions AND the extra row predicate. */
+  def deleteFilter(conds: Seq[Condition], f: Column): Store =
+    new Store(data.filter(!(Condition.all(conds) && f)), orderCols)
+
+  /** Row count, `find(&[]).count()` style. */
+  def count(): Long = data.count()
+}
+
+object Store {
+  val RowId = "__rowid"
+
+  /** Build a store from a batch, assigning rowids 0..n-1 by the given
+    * total ordering (the distributed dense-numbering described on the
+    * class). `orderCols` must be a unique key for determinism. */
+  def fromData(df: DataFrame, orderCols: Seq[String]): Store =
+    new Store(withRowIds(df, orderCols), orderCols)
+
+  /** Distributed deterministic dense numbering: ids follow the total
+    * order of `orderCols`, but no stage sees more than one partition
+    * of data. Implemented on the RDD because `zipWithIndex` pins one
+    * concrete partitioning for both its count job and the numbering
+    * map — a two-job DataFrame formulation (offsets job + window job)
+    * can see different range boundaries under AQE re-planning. */
+  private[graft] def withRowIds(df: DataFrame, orderCols: Seq[String]): DataFrame = {
+    val oc = orderCols.map(col)
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.repartitionByRange(parts, oc: _*).sortWithinPartitions(oc: _*)
+    val schema = sorted.schema.add(RowId, LongType, nullable = false)
+    val numbered = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(numbered, schema)
+  }
+}

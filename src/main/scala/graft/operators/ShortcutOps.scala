@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Condition, Store, Tables}
+
+/** The reference's own query surface, re-expressed through
+  * [[graft.core.Store]] / [[graft.core.Condition]] and checked against
+  * plain-SQL oracles. Each query mirrors a reference behavior
+  * (file:line cited on the members it exercises).
+  */
+object ShortcutOps {
+
+  private def customerStore(spark: SparkSession, dir: String): Store =
+    Store.fromData(Tables(spark, dir).customer, Seq("c_custkey"))
+
+  private def lineitemStore(spark: SparkSession, dir: String): Store =
+    Store.fromData(Tables(spark, dir).lineitem, Seq("l_orderkey", "l_linenumber"))
+
+  /** rowid = row_number over the store's build order, as SQL. */
+  private val custRowid =
+    "row_number() OVER (ORDER BY c_custkey) - 1 AS __rowid"
+  private val liRowid =
+    "row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS __rowid"
+
+  /** find(Equal(Const)) — reference src/cmp.rs:9-10 + src/lib.rs:130. */
+  def scFindEqConst(spark: SparkSession, dir: String): DataFrame =
+    customerStore(spark, dir)
+      .find(Condition.eq("c_mktsegment", "BUILDING"))
+      .select("__rowid", "c_custkey", "c_name", "c_mktsegment")
+      .orderBy("__rowid")
+
+  val scFindEqConstSql: String =
+    s"""SELECT __rowid, c_custkey, c_name, c_mktsegment
+       |FROM (SELECT *, $custRowid FROM customer) t
+       |WHERE c_mktsegment = 'BUILDING'
+       |ORDER BY __rowid""".stripMargin
+
+  /** find(Equal(Column)) — same-row column comparison, src/cmp.rs:14.
+    * The reference notes these can never use an index; here they stay
+    * a post-scan filter. */
+  def scFindEqCol(spark: SparkSession, dir: String): DataFrame =
+    lineitemStore(spark, dir)
+      .find(Condition.eqCol("l_quantity", "l_linenumber"))
+      .select("__rowid", "l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("__rowid")
+
+  val scFindEqColSql: String =
+    s"""SELECT __rowid, l_orderkey, l_linenumber, l_quantity
+       |FROM (SELECT *, $liRowid FROM lineitem) t
+       |WHERE l_quantity = l_linenumber
+       |ORDER BY __rowid""".stripMargin
+
+  /** find with multiple ANDed conditions — src/lib.rs:130-137 (the
+    * `is_a_match` closure re-checks every condition). */
+  def scFindAnd(spark: SparkSession, dir: String): DataFrame =
+    customerStore(spark, dir)
+      .find(Condition.eq("c_mktsegment", "BUILDING"),
+        Condition("c_acctbal", graft.core.Comparison.Greater(graft.core.Value.of(0.0), orEqual = false)))
+      .select("__rowid", "c_custkey", "c_acctbal")
+      .orderBy("__rowid")
+
+  val scFindAndSql: String =
+    s"""SELECT __rowid, c_custkey, c_acctbal
+       |FROM (SELECT *, $custRowid FROM customer) t
+       |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0.0
+       |ORDER BY __rowid""".stripMargin
+
+  /** RangeIndex.between with mixed bounds — src/idx.rs:132-134,
+    * `Bound::Excluded(10) .. Bound::Included(20)`. */
+  def scRangeBetween(spark: SparkSession, dir: String): DataFrame =
+    lineitemStore(spark, dir)
+      .find(Condition.between("l_quantity", 10.0, 20.0, minIncl = false, maxIncl = true))
+      .select("__rowid", "l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("__rowid")
+
+  val scRangeBetweenSql: String =
+    s"""SELECT __rowid, l_orderkey, l_linenumber, l_quantity
+       |FROM (SELECT *, $liRowid FROM lineitem) t
+       |WHERE l_quantity > 10.0 AND l_quantity <= 20.0
+       |ORDER BY __rowid""".stripMargin
+
+  /** Store.insert rowid discipline — src/lib.rs:178-187: a second
+    * batch continues numbering after the first. Build from customers
+    * with custkey ≤ 100, then insert the rest; ids must match
+    * row_number over (batch, custkey). */
+  def scInsert(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir).customer
+    val store = Store.fromData(cust.filter(col("c_custkey") <= 100), Seq("c_custkey"))
+      .insert(cust.filter(col("c_custkey") > 100))
+    store.data.select("__rowid", "c_custkey").orderBy("__rowid")
+  }
+
+  val scInsertSql: String =
+    """SELECT row_number() OVER (ORDER BY (c_custkey > 100), c_custkey) - 1 AS __rowid,
+      |  c_custkey
+      |FROM customer
+      |ORDER BY __rowid""".stripMargin
+
+  /** Store.delete — src/lib.rs:140-142: matching rows go away,
+    * survivors keep their rowids (deleted ids are never reused). */
+  def scDelete(spark: SparkSession, dir: String): DataFrame =
+    customerStore(spark, dir)
+      .delete(Condition.eq("c_mktsegment", "BUILDING"))
+      .data.select("__rowid", "c_custkey", "c_mktsegment")
+      .orderBy("__rowid")
+
+  val scDeleteSql: String =
+    s"""SELECT __rowid, c_custkey, c_mktsegment
+       |FROM (SELECT *, $custRowid FROM customer) t
+       |WHERE NOT (c_mktsegment = 'BUILDING')
+       |ORDER BY __rowid""".stripMargin
+
+  /** Store.delete_filter — src/lib.rs:149-169: conditions plus an
+    * arbitrary row predicate. */
+  def scDeleteFilter(spark: SparkSession, dir: String): DataFrame =
+    customerStore(spark, dir)
+      .deleteFilter(Seq(Condition.eq("c_mktsegment", "BUILDING")), col("c_acctbal") < 0.0)
+      .data.select("__rowid", "c_custkey", "c_mktsegment", "c_acctbal")
+      .orderBy("__rowid")
+
+  val scDeleteFilterSql: String =
+    s"""SELECT __rowid, c_custkey, c_mktsegment, c_acctbal
+       |FROM (SELECT *, $custRowid FROM customer) t
+       |WHERE NOT (c_mktsegment = 'BUILDING' AND c_acctbal < 0.0)
+       |ORDER BY __rowid""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sc_find_eq_const" -> scFindEqConst,
+    "sc_find_eq_col" -> scFindEqCol,
+    "sc_find_and" -> scFindAnd,
+    "sc_range_between" -> scRangeBetween,
+    "sc_insert" -> scInsert,
+    "sc_delete" -> scDelete,
+    "sc_delete_filter" -> scDeleteFilter,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "sc_find_eq_const" -> scFindEqConstSql,
+    "sc_find_eq_col" -> scFindEqColSql,
+    "sc_find_and" -> scFindAndSql,
+    "sc_range_between" -> scRangeBetweenSql,
+    "sc_insert" -> scInsertSql,
+    "sc_delete" -> scDeleteSql,
+    "sc_delete_filter" -> scDeleteFilterSql,
+  )
+}
