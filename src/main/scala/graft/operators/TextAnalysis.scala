@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table: token
+  * counting, quality scoring, language ID, fingerprinting. All are
+  * single-pass narrow transformations (no shuffle at all until the
+  * final presentation orderBy), so they scale embarrassingly — each
+  * 128 MB parquet split is processed independently.
+  */
+object TextAnalysis {
+
+  /** Shared SQL fragment: normalized text (must mirror
+    * [[TextFunctions.normText]] exactly). */
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Whitespace + word token counting. The "BPE-ish" count applies the
+    * classic subword heuristic (≈ chars/4 for alphanumeric runs)
+    * without an external vocab: total normalized chars divided by 4,
+    * plus one per word remainder — deterministic integer arithmetic
+    * only. */
+  def tTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val norm = normText(col("text"))
+    val w = split(norm, " ")
+    d.select(
+      col("doc_id"),
+      tokenCountWs(col("text")).as("ws_tokens"),
+      size(w).cast("long").as("word_tokens"),
+      aggregate(w, lit(0L), (acc, x) => acc + floor((length(x) + lit(3)) / lit(4)))
+        .as("bpeish_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val tTokenCountSql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+       |  len(w) AS word_tokens,
+       |  list_sum(list_transform(w, x -> (length(x) + 3) // 4))::BIGINT AS bpeish_tokens
+       |FROM (SELECT doc_id, text, string_split($normSql, ' ') AS w FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: doc length, alpha ratio, stopword ratio, mean
+    * word length, and a blended 0–1 score. All ratios are exact
+    * integer-over-integer divisions rounded to 4 places. */
+  def tQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val norm = normText(col("text"))
+    val w = split(norm, " ")
+    val nWords = size(w).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
+    val stopHits = Seq(" the ", " a ", " and ", " of ", " to ", " is ")
+      .map(m => markerCount(padded(col("text")), m)).reduce(_ + _)
+    val alphaRatio = round(nAlpha / nChars.cast("double"), 4)
+    val stopRatio = round(stopHits / nWords.cast("double"), 4)
+    val meanWordLen = round(length(norm).cast("double") / nWords, 4)
+    val score = round(
+      least(alphaRatio, lit(1.0)) * 0.4 +
+        least(stopRatio * 4, lit(1.0)) * 0.3 +
+        when(meanWordLen.between(3.0, 10.0), 0.3).otherwise(0.0), 4)
+    d.select(col("doc_id"), nChars.as("n_chars"), nWords.as("n_words"),
+        alphaRatio.as("alpha_ratio"), stopRatio.as("stop_ratio"),
+        meanWordLen.as("mean_word_len"), score.as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val tQualitySql: String = {
+    val stop = Seq("the", "a", "and", "of", "to", "is")
+      .map(m => s"(length(p) - length(replace(p, ' $m ', ''))) // ${m.length + 2}")
+      .mkString(" + ")
+    s"""SELECT doc_id, n_chars, n_words, alpha_ratio, stop_ratio, mean_word_len,
+       |  round(least(alpha_ratio, 1.0) * 0.4 +
+       |        least(stop_ratio * 4, 1.0) * 0.3 +
+       |        CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END, 4) AS quality
+       |FROM (
+       |  SELECT doc_id,
+       |    length(text)::BIGINT AS n_chars,
+       |    len(string_split(norm, ' '))::BIGINT AS n_words,
+       |    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT / length(text)::DOUBLE, 4) AS alpha_ratio,
+       |    round(($stop)::BIGINT / len(string_split(norm, ' '))::DOUBLE, 4) AS stop_ratio,
+       |    round(length(norm)::DOUBLE / len(string_split(norm, ' ')), 4) AS mean_word_len
+       |  FROM (SELECT doc_id, text, $normSql AS norm,
+       |        ' ' || $normSql || ' ' AS p FROM documents) raw) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Marker-word language ID (n-gram heuristic): per-language marker
+    * hit counts, argmax with fixed tie order, "und" when zero hits. */
+  def tLangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val scoreCols = langMarkers.map { case (l, _) =>
+      langScore(col("text"), l).as(s"score_$l")
+    }
+    d.select((col("doc_id") +: col("lang").as("labeled_lang") +: scoreCols :+
+        langId(col("text")).as("pred_lang")): _*)
+      .orderBy("doc_id")
+  }
+
+  val tLangIdSql: String = {
+    def scoreSql(lang: String): String = langMarkers.toMap.apply(lang)
+      .map(m => s"(length(p) - length(replace(p, '$m', ''))) // ${m.length}")
+      .mkString("(", " + ", ")")
+    val scores = langMarkers.map { case (l, _) => s"${scoreSql(l)} AS score_$l" }
+    val best = langMarkers.map(l => s"score_${l._1}").mkString("greatest(", ", ", ")")
+    val pick = langMarkers.reverse.foldLeft("'und'") { case (acc, (l, _)) =>
+      s"CASE WHEN score_$l = best AND best > 0 THEN '$l' ELSE $acc END"
+    }
+    s"""SELECT doc_id, labeled_lang, ${langMarkers.map(l => s"score_${l._1}").mkString(", ")},
+       |  $pick AS pred_lang
+       |FROM (
+       |  SELECT *, $best AS best FROM (
+       |    SELECT doc_id, lang AS labeled_lang, ${scores.mkString(", ")}
+       |    FROM (SELECT doc_id, lang, ' ' || $normSql || ' ' AS p FROM documents) raw) s) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprinting: full-content md5, a 32-bit numeric
+    * fingerprint, and a coarse locality fingerprint (md5 of the sorted
+    * distinct word set — order-insensitive, catches permuted docs). */
+  def tFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val norm = normText(col("text"))
+    val wordSet = array_sort(array_distinct(split(norm, " ")))
+    d.select(
+      col("doc_id"),
+      md5(norm).as("content_fp"),
+      md5_32(norm).as("content_fp32"),
+      md5(concat_ws(" ", wordSet)).as("wordset_fp"))
+      .orderBy("doc_id")
+  }
+
+  val tFingerprintSql: String =
+    s"""SELECT doc_id,
+       |  md5(norm) AS content_fp,
+       |  ('0x' || substr(md5(norm), 1, 8))::BIGINT AS content_fp32,
+       |  md5(array_to_string(list_sort(list_distinct(string_split(norm, ' '))), ' ')) AS wordset_fp
+       |FROM (SELECT doc_id, $normSql AS norm FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_token_count" -> tTokenCount,
+    "t_quality" -> tQuality,
+    "t_lang_id" -> tLangId,
+    "t_fingerprint" -> tFingerprint,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "t_token_count" -> tTokenCountSql,
+    "t_quality" -> tQualitySql,
+    "t_lang_id" -> tLangIdSql,
+    "t_fingerprint" -> tFingerprintSql,
+  )
+}

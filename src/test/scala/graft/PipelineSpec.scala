@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Semantics checks for the LLM-pipeline operators (the driver's
+  * DuckDB oracle checks value parity; these check properties). */
+class PipelineSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  test("dedup_exact: keeper is min id of its group and never a dup") {
+    val df = Dedup.dDedupExact(spark, sf).cache()
+    assert(df.filter(col("doc_id") === col("keeper_id") && col("is_dup")).count() == 0)
+    assert(df.filter(col("keeper_id") > col("doc_id")).count() == 0)
+  }
+
+  test("dedup_ngram: pairs are ordered, jaccard within (0,1]") {
+    val df = Dedup.dDedupNgram(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("id1") >= col("id2")).count() == 0)
+    assert(df.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
+  }
+
+  test("dedup_minhash: candidates are a subset of true near-dup pairs") {
+    val mh = Dedup.dDedupMinhash(spark, sf).select("id1", "id2")
+    val ng = Dedup.dDedupNgram(spark, sf).select("id1", "id2")
+    // LSH verification uses the same Jaccard τ, so minhash ⊆ ngram
+    assert(mh.join(ng, Seq("id1", "id2"), "left_anti").count() == 0)
+    assert(mh.count() > 0)
+  }
+
+  test("dedup_simhash: pairs symmetric-free and within hamming bound") {
+    val df = Dedup.dDedupSimhash(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("hamming") > Dedup.HammingK).count() == 0)
+  }
+
+  test("ann_lsh recall vs brute force is nontrivial") {
+    val brute = Similarity.sAnnBrute(spark, sf).select("query_id", "neighbor_id")
+    val lsh = Similarity.sAnnLsh(spark, sf).select("query_id", "neighbor_id")
+    val hits = lsh.join(brute, Seq("query_id", "neighbor_id")).count()
+    val total = brute.count()
+    // 8 hyperplanes over near-uniform vectors is a coarse filter;
+    // just require the plumbing to find *some* true neighbors.
+    assert(hits > 0, s"LSH found none of the $total true top-k neighbors")
+  }
+
+  test("lang_id predicts only known labels or 'und'") {
+    val langs = TextAnalysis.tLangId(spark, sf)
+      .select("pred_lang").distinct().as[String].collect().toSet
+    assert(langs.subsetOf(Set("en", "de", "fr", "es", "und")))
+  }
+
+  test("quality score is bounded in [0,1]") {
+    val df = TextAnalysis.tQuality(spark, sf)
+    assert(df.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
+  }
+}
