@@ -1,0 +1,90 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Multimodal column plumbing: media treated as opaque `binary`
+  * payloads with typed metadata, decoded batch-wise inside partitions.
+  *
+  * The decode step itself is a STUB — this container has no
+  * image/audio codecs — but it is a *deterministic* stub (features
+  * derived from the payload md5), so the full pipeline stays
+  * oracle-checkable end to end. Everything around the stub is the real
+  * production shape: binary column in, `mapPartitions` batch decode
+  * (the Scala analog of an Arrow-batched Python decode), typed
+  * feature schema out, narrow (shuffle-free) execution. A real decoder
+  * drops into [[decodeStub]] without touching the plumbing.
+  */
+object Multimodal {
+
+  /** Typed output schema of the decode stage. */
+  final case class DecodedMedia(
+      doc_id: Long,
+      n_bytes: Long,
+      fmt: String,
+      width: Long,
+      height: Long,
+      channels: Long,
+      payload_md5: String)
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  /** STUB decoder: a real implementation would parse the payload with
+    * a codec; this derives deterministic fake dimensions from the
+    * payload hash so values are reproducible in any engine. */
+  def decodeStub(docId: Long, payload: Array[Byte]): DecodedMedia = {
+    val hex = md5Hex(payload)
+    val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    DecodedMedia(
+      doc_id = docId,
+      n_bytes = payload.length.toLong,
+      fmt = "text/plain",
+      width = h % 640,
+      height = h % 480,
+      channels = 3L,
+      payload_md5 = hex)
+  }
+
+  /** Batch decode over a binary column: per-partition iteration (no
+    * per-row task overhead, no shuffle), binary payload in, typed
+    * features out. */
+  def decodeBatch(spark: SparkSession, payloads: DataFrame): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+  }
+
+  /** The registered query: documents' text re-encoded as the binary
+    * payload column (standing in for real media bytes), decoded to the
+    * typed feature schema. */
+  def mBinaryMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val payloads = d.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    decodeBatch(spark, payloads).toDF().orderBy("doc_id")
+  }
+
+  val mBinaryMetaSql: String =
+    """SELECT doc_id,
+      |  octet_length(encode(text))::BIGINT AS n_bytes,
+      |  'text/plain' AS fmt,
+      |  ('0x' || substr(md5(text), 1, 8))::BIGINT % 640 AS width,
+      |  ('0x' || substr(md5(text), 1, 8))::BIGINT % 480 AS height,
+      |  3::BIGINT AS channels,
+      |  md5(text) AS payload_md5
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_binary_meta" -> mBinaryMeta,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "m_binary_meta" -> mBinaryMetaSql,
+  )
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Event-time operators over the `events` table. Time arithmetic is
+  * done on the exact int64 nanosecond column (`ts_ns`, see
+  * [[graft.core.Tables.events]]) so the DuckDB oracle (epoch_ns)
+  * reproduces every boundary decision bit-for-bit.
+  */
+object Events {
+
+  /** 30 minutes in nanoseconds — the sessionization gap. */
+  val SessionGapNs: Long = 30L * 60 * 1000000000L
+
+  /** Gap-based sessionization: a new session starts when the gap to
+    * the previous event of the same user exceeds 30 min. One shuffle
+    * on user_id; both window passes share that partitioning. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val newSession = when(
+      col("ts_ns") - lag(col("ts_ns"), 1).over(byUser) > SessionGapNs, 1L)
+      .otherwise(when(lag(col("ts_ns"), 1).over(byUser).isNull, 1L).otherwise(0L))
+    e.select(col("user_id"), col("event_id"), col("ts_ns"),
+        newSession.as("new_session"))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .select("user_id", "event_id", "session_idx")
+      .orderBy("user_id", "event_id")
+  }
+
+  val qSessionizeSql: String =
+    s"""SELECT user_id, event_id, session_idx FROM (
+       |  SELECT user_id, event_id,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       |  FROM (
+       |    SELECT user_id, event_id, ts_ns,
+       |      CASE WHEN ts_ns - lag(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id)
+       |                > $SessionGapNs THEN 1
+       |           WHEN lag(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) IS NULL THEN 1
+       |           ELSE 0 END AS new_session
+       |    FROM (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns FROM events) raw) flagged) t
+       |ORDER BY user_id, event_id""".stripMargin
+
+  /** As-of join: for each event, the latest order of the same user
+    * (user_id = o_custkey) with order time ≤ event time; ties on the
+    * same millisecond resolve to the highest orderkey.
+    *
+    * Spark has no as-of join operator, so this is the scalable
+    * union-and-scan formulation: both sides union into one stream,
+    * one shuffle on the user key, and a running `last(order, ignore
+    * nulls)` window carries the most recent order forward into each
+    * event row. O(n log n) per user partition — no range join, no
+    * per-event subquery, and skew-safe under AQE. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val orderSide = t.orders.select(
+      col("o_custkey").as("user_id"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("t_ms"),
+      lit(0).as("kind"),
+      lit(null).cast("long").as("event_id"),
+      col("o_orderkey"))
+    val eventSide = t.events.select(
+      col("user_id"),
+      (col("ts_ns") / lit(1000000L)).cast("long").as("t_ms"),
+      lit(1).as("kind"),
+      col("event_id"),
+      lit(null).cast("long").as("o_orderkey"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_ms").asc_nulls_first, col("kind").asc_nulls_first,
+        col("o_orderkey").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    orderSide.unionByName(eventSide)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select("event_id", "user_id", "asof_orderkey")
+      .orderBy("event_id")
+  }
+
+  val qAsofJoinSql: String =
+    """SELECT event_id, user_id, asof_orderkey FROM (
+      |  SELECT user_id, kind, event_id,
+      |    last_value(o_orderkey IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY t_ms ASC NULLS FIRST, kind ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey
+      |  FROM (
+      |    SELECT o_custkey AS user_id, epoch_ms(o_orderdate) AS t_ms, 0 AS kind,
+      |      NULL::BIGINT AS event_id, o_orderkey
+      |    FROM orders
+      |    UNION ALL
+      |    SELECT user_id, epoch_ns(ts) // 1000000 AS t_ms, 1 AS kind,
+      |      event_id, NULL::BIGINT AS o_orderkey
+      |    FROM events) u) t
+      |WHERE kind = 1
+      |ORDER BY event_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> qSessionize,
+    "q_asof_join" -> qAsofJoin,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_sessionize" -> qSessionizeSql,
+    "q_asof_join" -> qAsofJoinSql,
+  )
+}

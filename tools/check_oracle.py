@@ -27,6 +27,10 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = n_rowsonly = 0
+    produced = {d.rstrip("/").split("/")[-1] for d in glob.glob(f"{out_dir}/*/")}
+    for name in sorted(set(oracles) - produced):
+        print(f"[FAIL] {name}: no output written (query threw in Verify)")
+        n_bad += 1
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = d.rstrip("/").split("/")[-1]
         got_rel = con.sql(f"SELECT * FROM read_parquet('{d}*.parquet')")
