@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.{Condition, Store, Tables}
+import graft.storage.{HashIndex, IndexedStore, RangeIndex}
+
+/** Driver-contract queries exercising the [[graft.storage.IndexedStore]]
+  * layout-index layer: each writes a store into a scratch directory,
+  * reads back through the index path, and must return exactly what the
+  * plain-SQL oracle computes on the raw table (index = access path,
+  * never semantics — the reference's superset + re-filter contract).
+  */
+object StorageOps {
+
+  private def scratch(name: String, dir: String): String = {
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    new java.io.File(sys.props("java.io.tmpdir"), s"graft_store_${name}_$sfTag").getPath
+  }
+
+  /** Equality probe through the hash-bucket layout
+    * (HashIndex::lookup, reference idx.rs:41-46). */
+  def scIndexHash(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("hash", dir)
+    val store = Store.fromData(Tables(spark, dir).customer, Seq("c_custkey"))
+    IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
+    IndexedStore.find(spark, path, Seq(Condition.eq("c_mktsegment", "BUILDING")))
+      .select("__rowid", "c_custkey", "c_name", "c_mktsegment")
+      .orderBy("__rowid")
+  }
+
+  /** Range probe through the sorted range-bucket layout
+    * (BTreeIndex::between, reference idx.rs:132-134). */
+  def scIndexBtree(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("btree", dir)
+    val store = Store.fromData(Tables(spark, dir).lineitem, Seq("l_orderkey", "l_linenumber"))
+    IndexedStore.write(store.data, path, RangeIndex("l_quantity", 8))
+    IndexedStore.find(spark, path,
+        Seq(Condition.between("l_quantity", 10.0, 20.0, minIncl = false, maxIncl = true)))
+      .select("__rowid", "l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("__rowid")
+  }
+
+  /** Estimate-driven index selection (reference lib.rs:98-120): two
+    * indexed columns in the conditions, the lower rows/ndv estimate is
+    * chosen; results are identical either way. */
+  def scIndexSelect(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("select", dir)
+    val store = Store.fromData(Tables(spark, dir).customer, Seq("c_custkey"))
+    IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8),
+      statsOnly = Seq(HashIndex("c_nationkey", 8)))
+    IndexedStore.find(spark, path, Seq(
+        Condition.eq("c_mktsegment", "BUILDING"),
+        Condition("c_acctbal", graft.core.Comparison.Greater(graft.core.Value.of(0.0), orEqual = false))))
+      .select("__rowid", "c_custkey", "c_acctbal")
+      .orderBy("__rowid")
+  }
+
+  private val custRowid =
+    "row_number() OVER (ORDER BY c_custkey) - 1 AS __rowid"
+  private val liRowid =
+    "row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS __rowid"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sc_index_hash" -> scIndexHash,
+    "sc_index_btree" -> scIndexBtree,
+    "sc_index_select" -> scIndexSelect,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "sc_index_hash" ->
+      s"""SELECT __rowid, c_custkey, c_name, c_mktsegment
+         |FROM (SELECT *, $custRowid FROM customer) t
+         |WHERE c_mktsegment = 'BUILDING'
+         |ORDER BY __rowid""".stripMargin,
+    "sc_index_btree" ->
+      s"""SELECT __rowid, l_orderkey, l_linenumber, l_quantity
+         |FROM (SELECT *, $liRowid FROM lineitem) t
+         |WHERE l_quantity > 10.0 AND l_quantity <= 20.0
+         |ORDER BY __rowid""".stripMargin,
+    "sc_index_select" ->
+      s"""SELECT __rowid, c_custkey, c_acctbal
+         |FROM (SELECT *, $custRowid FROM customer) t
+         |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0.0
+         |ORDER BY __rowid""".stripMargin,
+  )
+}

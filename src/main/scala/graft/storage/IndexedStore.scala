@@ -1,0 +1,255 @@
+package graft.storage
+
+import java.io.{File, FileInputStream, FileOutputStream}
+import java.util.Properties
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent, layout-indexed parquet storage — the Spark-native
+  * re-expression of the reference's index layer (src/idx.rs).
+  *
+  * The reference keeps in-heap `HashMap`/`BTreeMap` indices per column
+  * and picks one per query by lowest `estimate()` = rows ÷ distinct
+  * keys (idx.rs:71-78, lib.rs:98-120). At 100 TB an index cannot be a
+  * heap structure; it has to be *data layout*:
+  *
+  *  - [[HashIndex]] → directory-partitioned hash buckets
+  *    (`__bucket = pmod(hash(col), n)`): an equality probe
+  *    constant-folds to one bucket and partition pruning reads 1/n of
+  *    the files — the `HashIndex::lookup` analog (idx.rs:41-46).
+  *  - [[RangeIndex]] → quantile-bounded range buckets, rows sorted by
+  *    the key within each bucket: a `between` scan touches only the
+  *    overlapping buckets (directory pruning) and parquet row-group
+  *    min/max stats prune inside them — the `BTreeIndex::between`
+  *    analog (idx.rs:132-134).
+  *
+  * Statistics (row count + per-column approximate NDV) are persisted
+  * in a sidecar; [[IndexedStore.find]] picks the serving index exactly
+  * like the reference: among indexed filter columns whose index
+  * supports the op, lowest rows/ndv estimate wins, full scan as the
+  * fallback — and the chosen access path returns a *superset* that is
+  * always re-filtered by every condition (lib.rs:89-92 semantics).
+  *
+  * Mutation mirrors the reference's add/remove-only surface:
+  * [[append]] adds files in the existing layout; [[delete]] writes
+  * rowid tombstones that readers anti-join (broadcast — tombstones
+  * are small); [[compact]] folds tombstones into a rewrite. The
+  * physical layout serves ONE index; other indexed columns get
+  * stats-only entries that still participate in index *choice* (a
+  * probe on them falls back to a full scan, identical results).
+  */
+sealed trait IndexSpec {
+  def column: String
+}
+
+/** Equality-only hash layout (reference idx.rs:25-79). */
+final case class HashIndex(column: String, buckets: Int = 16) extends IndexSpec
+
+/** Range + equality layout (reference idx.rs:91-135); numeric keys. */
+final case class RangeIndex(column: String, partitions: Int = 16) extends IndexSpec
+
+object IndexedStore {
+  private val BucketCol = "__bucket"
+  private val StatsFile = "_graft_stats.properties"
+  private val TombstoneDir = "_graft_tombstones"
+  val RowId = graft.core.Store.RowId
+
+  /** Write `df` (which must carry a `__rowid` column, e.g. from
+    * [[graft.core.Store]]) under `path` laid out by `primary`;
+    * `statsOnly` columns get NDV statistics (and hence participate in
+    * index selection) without a physical layout. */
+  def write(df: DataFrame, path: String, primary: IndexSpec,
+      statsOnly: Seq[IndexSpec] = Nil): Unit = {
+    require(df.columns.contains(RowId), s"IndexedStore requires a $RowId column")
+    val props = new Properties()
+    val statCols = (primary +: statsOnly).map(_.column).distinct
+    val aggs = count(lit(1)).as("__rows") +:
+      statCols.map(c => approx_count_distinct(col(c)).as(s"__ndv_$c"))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    props.setProperty("rows", stats.getLong(0).toString)
+    statCols.zipWithIndex.foreach { case (c, i) =>
+      props.setProperty(s"ndv.$c", stats.getLong(i + 1).toString)
+    }
+    statsOnly.foreach {
+      case HashIndex(c, _)  => props.setProperty(s"kind.$c", "hash")
+      case RangeIndex(c, _) => props.setProperty(s"kind.$c", "range")
+    }
+    primary match {
+      case HashIndex(c, n) =>
+        props.setProperty("layout", s"hash:$c:$n")
+        props.setProperty(s"kind.$c", "hash")
+        df.withColumn(BucketCol, pmod(hash(col(c)), lit(n)))
+          .repartition(col(BucketCol))
+          .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
+      case RangeIndex(c, n) =>
+        val bounds = df.stat.approxQuantile(c, (1 until n).map(_.toDouble / n).toArray, 0.01)
+          .distinct.sorted
+        props.setProperty("layout", s"range:$c:${bounds.mkString(",")}")
+        props.setProperty(s"kind.$c", "range")
+        df.withColumn(BucketCol, rangeBucket(col(c), bounds))
+          .repartition(col(BucketCol))
+          .sortWithinPartitions(col(c))
+          .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
+    }
+    val out = new FileOutputStream(new File(path, StatsFile))
+    try props.store(out, "graft IndexedStore sidecar") finally out.close()
+  }
+
+  /** Bucket id = number of boundaries ≤ value (monotone in the key,
+    * so a range of keys maps to a contiguous bucket range). */
+  private def rangeBucket(c: Column, bounds: Array[Double]): Column =
+    bounds.foldLeft(lit(0)) { (acc, b) => acc + when(c >= b, 1).otherwise(0) }
+
+  private def loadProps(path: String): Properties = {
+    val props = new Properties()
+    val in = new FileInputStream(new File(path, StatsFile))
+    try props.load(in) finally in.close()
+    props
+  }
+
+  /** The reference's `estimate()`: expected rows per key
+    * (idx.rs:71-78). */
+  private def estimate(props: Properties, column: String): Long = {
+    val rows = props.getProperty("rows").toLong
+    val ndv = math.max(props.getProperty(s"ndv.$column", "1").toLong, 1L)
+    rows / ndv
+  }
+
+  /** Pick the index serving `conds`, mirroring `using_index`
+    * (lib.rs:98-120): among conditions over a column with an index
+    * that supports the operation, minimize `estimate()`; None means
+    * full scan. Exposed for tests. */
+  def chooseIndex(path: String, conds: Seq[graft.core.Condition]): Option[String] = {
+    val props = loadProps(path)
+    val supported = conds.filter { cond =>
+      val kind = Option(props.getProperty(s"kind.${cond.column}"))
+      kind match {
+        case Some("hash") => cond.cmp match {
+          // HashIndex serves equality against constants only
+          // (lib.rs:108-111 allows exactly Equal(Const)).
+          case graft.core.Comparison.Equal(graft.core.Value.Const(_)) => true
+          case _ => false
+        }
+        case Some("range") => cond.cmp match {
+          case graft.core.Comparison.Equal(graft.core.Value.Const(_)) => true
+          case _: graft.core.Comparison.Between => true
+          case graft.core.Comparison.Less(graft.core.Value.Const(_), _) => true
+          case graft.core.Comparison.Greater(graft.core.Value.Const(_), _) => true
+          case _ => false
+        }
+        case _ => false
+      }
+    }
+    supported.sortBy(c => estimate(props, c.column)).headOption.map(_.column)
+  }
+
+  /** Read rows matching the ANDed conditions through the best index.
+    * The index path yields a superset (bucket-pruned scan); every
+    * condition is always re-applied, exactly like the reference's
+    * post-filter (lib.rs:130-137). Tombstoned rowids are anti-joined
+    * out. */
+  def find(spark: SparkSession, path: String,
+      conds: Seq[graft.core.Condition]): DataFrame = {
+    val props = loadProps(path)
+    val layout = props.getProperty("layout").split(":", 3)
+    val chosen = chooseIndex(path, conds)
+    val base = spark.read.parquet(path)
+    val pruned = chosen match {
+      case Some(c) if c == layout(1) =>
+        layout(0) match {
+          case "hash" =>
+            val n = layout(2).toInt
+            val probes = conds.collect {
+              case graft.core.Condition(`c`, graft.core.Comparison.Equal(graft.core.Value.Const(v))) =>
+                pmod(hash(lit(v)), lit(n))
+            }
+            // equality probe → single bucket (constant-folded → pruned)
+            probes.foldLeft(base)((df, b) => df.filter(col(BucketCol) === b))
+          case "range" =>
+            val bounds = if (layout(2).isEmpty) Array.empty[Double]
+              else layout(2).split(",").map(_.toDouble)
+            val probes: Seq[Column] = conds.collect {
+              case graft.core.Condition(`c`, cmp) => cmp match {
+                case graft.core.Comparison.Equal(graft.core.Value.Const(v)) =>
+                  col(BucketCol) === rangeBucket(lit(v), bounds)
+                case graft.core.Comparison.Between(graft.core.Value.Const(lo), _, graft.core.Value.Const(hi), _) =>
+                  col(BucketCol).between(rangeBucket(lit(lo), bounds), rangeBucket(lit(hi), bounds))
+                case graft.core.Comparison.Less(graft.core.Value.Const(v), _) =>
+                  col(BucketCol) <= rangeBucket(lit(v), bounds)
+                case graft.core.Comparison.Greater(graft.core.Value.Const(v), _) =>
+                  col(BucketCol) >= rangeBucket(lit(v), bounds)
+                case _ => lit(true)
+              }
+            }
+            probes.foldLeft(base)((df, p) => df.filter(p))
+        }
+      case _ => base
+    }
+    val live = antiTombstone(spark, path, pruned)
+    live.filter(graft.core.Condition.all(conds)).drop(BucketCol)
+  }
+
+  private def antiTombstone(spark: SparkSession, path: String, df: DataFrame): DataFrame = {
+    val tdir = new File(path, TombstoneDir)
+    if (tdir.exists && tdir.listFiles().exists(_.getName.endsWith(".parquet"))) {
+      val ts = spark.read.parquet(tdir.getPath)
+      df.join(broadcast(ts), Seq(RowId), "left_anti")
+    } else df
+  }
+
+  /** Append a batch in the existing layout (reference insert,
+    * lib.rs:178-187: new rows are fed to the maintained index). Row
+    * count stats are refreshed; NDV goes stale until compact — the
+    * reference's estimate is a heuristic, staleness only affects
+    * index *choice*, never results. */
+  def append(df: DataFrame, path: String): Unit = {
+    val props = loadProps(path)
+    val layout = props.getProperty("layout").split(":", 3)
+    val out = layout(0) match {
+      case "hash" =>
+        df.withColumn(BucketCol, pmod(hash(col(layout(1))), lit(layout(2).toInt)))
+      case "range" =>
+        val bounds = if (layout(2).isEmpty) Array.empty[Double]
+          else layout(2).split(",").map(_.toDouble)
+        df.withColumn(BucketCol, rangeBucket(col(layout(1)), bounds))
+          .sortWithinPartitions(col(layout(1)))
+    }
+    out.write.mode("append").partitionBy(BucketCol).parquet(path)
+    props.setProperty("rows", (props.getProperty("rows").toLong + df.count()).toString)
+    val os = new FileOutputStream(new File(path, StatsFile))
+    try props.store(os, "graft IndexedStore sidecar") finally os.close()
+  }
+
+  /** Delete matching rows by tombstoning their rowids (reference
+    * delete, lib.rs:140-169, under the add/remove-only abstraction:
+    * no in-place rewrite; readers anti-join). */
+  def delete(spark: SparkSession, path: String,
+      conds: Seq[graft.core.Condition]): Unit = {
+    val victims = find(spark, path, conds).select(RowId)
+    victims.write.mode("append").parquet(new File(path, TombstoneDir).getPath)
+  }
+
+  /** Fold tombstones into a rewrite (the compaction every
+    * tombstone-based store eventually needs). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val props = loadProps(path)
+    val layout = props.getProperty("layout").split(":", 3)
+    val live = antiTombstone(spark, path, spark.read.parquet(path)).drop(BucketCol)
+    val spec: IndexSpec = layout(0) match {
+      case "hash" => HashIndex(layout(1), layout(2).toInt)
+      case "range" => RangeIndex(layout(1))
+    }
+    val tmp = path + ".compact"
+    write(live, tmp, spec)
+    val dst = new File(path)
+    deleteRecursively(dst)
+    if (!new File(tmp).renameTo(dst))
+      throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import graft.core.{Condition, Store, Tables}
+import graft.storage.{HashIndex, IndexedStore, RangeIndex}
+
+/** Layout-index behavior: pruning actually happens, selection follows
+  * the estimate heuristic, tombstones and compaction preserve
+  * results. */
+class StorageSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_storage_spec").toString + "/store"
+
+  private def numFilesRead(df: DataFrame): Long = {
+    df.collect()
+    def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case other => other +: other.children.flatMap(unwrap)
+    }
+    unwrap(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec => f.metrics("numFiles").value
+    }.sum
+  }
+
+  private def totalDataFiles(path: String): Long = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(path))
+      .count(f => f.getName.endsWith(".parquet") && !f.getPath.contains("_graft_tombstones"))
+  }
+
+  test("hash layout prunes buckets on equality probe") {
+    val path = tmp()
+    val store = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey"))
+    IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
+    val probe = IndexedStore.find(spark, path, Seq(Condition.eq("c_mktsegment", "BUILDING")))
+    val expected = store.data.filter(col("c_mktsegment") === "BUILDING")
+    assert(probe.select("c_custkey").except(expected.select("c_custkey")).count() == 0)
+    assert(probe.count() == expected.count())
+    val total = totalDataFiles(path)
+    val read = numFilesRead(probe)
+    assert(read < total, s"no pruning: read $read of $total files")
+  }
+
+  test("range layout prunes buckets on between probe") {
+    val path = tmp()
+    val store = Store.fromData(Tables(spark, sf).lineitem, Seq("l_orderkey", "l_linenumber"))
+    IndexedStore.write(store.data, path, RangeIndex("l_quantity", 8))
+    val probe = IndexedStore.find(spark, path,
+      Seq(Condition.between("l_quantity", 45.0, 50.0)))
+    val expected = store.data.filter(col("l_quantity").between(45.0, 50.0))
+    assert(probe.count() == expected.count())
+    val read = numFilesRead(probe)
+    val total = totalDataFiles(path)
+    assert(read < total, s"no pruning: read $read of $total files")
+  }
+
+  test("index selection follows lowest estimate (reference heuristic)") {
+    val path = tmp()
+    val store = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey"))
+    // c_custkey ndv = rows → estimate 1; c_mktsegment ndv 5 → rows/5
+    IndexedStore.write(store.data, path, HashIndex("c_custkey", 8),
+      statsOnly = Seq(HashIndex("c_mktsegment", 8)))
+    val both = Seq(Condition.eq("c_custkey", 7L), Condition.eq("c_mktsegment", "BUILDING"))
+    assert(IndexedStore.chooseIndex(path, both).contains("c_custkey"))
+    val only = Seq(Condition.eq("c_mktsegment", "BUILDING"))
+    assert(IndexedStore.chooseIndex(path, only).contains("c_mktsegment"))
+    // column-vs-column comparisons can never use an index (cmp.rs:12-14)
+    val colcol = Seq(Condition.eqCol("c_custkey", "c_nationkey"))
+    assert(IndexedStore.chooseIndex(path, colcol).isEmpty)
+  }
+
+  test("delete tombstones rows; compact folds them in") {
+    val path = tmp()
+    val store = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey"))
+    IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
+    val before = IndexedStore.find(spark, path, Nil).count()
+    IndexedStore.delete(spark, path, Seq(Condition.eq("c_mktsegment", "BUILDING")))
+    val after = IndexedStore.find(spark, path, Nil)
+    assert(after.filter(col("c_mktsegment") === "BUILDING").count() == 0)
+    val survivors = after.count()
+    assert(survivors < before)
+    IndexedStore.compact(spark, path)
+    assert(IndexedStore.find(spark, path, Nil).count() == survivors)
+    assert(!new java.io.File(path, "_graft_tombstones").exists)
+  }
+
+  test("append feeds the existing layout and stays queryable") {
+    val path = tmp()
+    val cust = Tables(spark, sf).customer
+    val store = Store.fromData(cust.filter(col("c_custkey") <= 100), Seq("c_custkey"))
+    IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
+    val grown = store.insert(cust.filter(col("c_custkey") > 100))
+    val batch = grown.data.join(store.data.select("__rowid"), Seq("__rowid"), "left_anti")
+    IndexedStore.append(batch, path)
+    val all = IndexedStore.find(spark, path, Seq(Condition.eq("c_mktsegment", "BUILDING")))
+    val expected = cust.filter(col("c_mktsegment") === "BUILDING").count()
+    assert(all.count() == expected)
+  }
+}
