@@ -36,16 +36,26 @@ object TextFunctions {
     ((length(c) - length(call_function("replace", c, lit(marker), lit("")))) /
       lit(marker.length)).cast("long")
 
-  /** Word n-gram shingles (distinct), joined by single spaces, over
-    * the normalized words. Empty array when the doc has < n words. */
-  def shingles(c: Column, n: Int): Column = {
-    val w = words(c)
+  /** Word n-gram shingles (distinct) from a MATERIALIZED word-array
+    * column, joined by single spaces. Empty array when the doc has
+    * < n words.
+    *
+    * `w` must be a plain column reference: an expression referenced
+    * inside a per-element lambda (`element_at(w, i)`) is re-evaluated
+    * on every access, so an inlined `split(regexp_replace(...))`
+    * turns shingling O(n²)-in-regex-calls per row (measured 40×
+    * slowdown). Project the words first. */
+  def shinglesFromWords(w: Column, n: Int): Column =
     array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(size(w) - n, lit(0))),
-          i => when(i + n <= size(w), concat_ws(" ", slice(w, i + 1, lit(n))))),
-        s => s.isNotNull))
-  }
+      transform(
+        when(size(w) >= n, sequence(lit(1), size(w) - (n - 1)))
+          .otherwise(array().cast("array<int>")),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
+
+  /** Convenience single-expression form — fine for small inputs and
+    * specs; bulk pipelines should project [[words]] first and use
+    * [[shinglesFromWords]]. */
+  def shingles(c: Column, n: Int): Column = shinglesFromWords(words(c), n)
 
   /** Marker words per language for the n-gram language-ID heuristic.
     * Deliberately tiny and literal: the oracle replays the exact same

@@ -1,0 +1,211 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the vector/hash hot loops.
+  *
+  * The higher-order-function formulations (`aggregate(zip_with(...))`)
+  * are semantically identical but evaluate one lambda call per
+  * element; these expressions run the same arithmetic — same IEEE op
+  * order, so results are bit-identical and the DuckDB oracles keep
+  * matching — as a tight loop with whole-stage codegen.
+  */
+
+/** Σ aᵢ·bᵢ in double precision, sequential element order. Null if
+  * either side is null; arrays must be equal length (min is used,
+  * matching zip_with-on-equal-lengths usage). Elements float or
+  * double. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val lGet = if (elemIsFloat(left)) s"(double) $x.getFloat(i)" else s"$x.getDouble(i)"
+      val rGet = if (elemIsFloat(right)) s"(double) $y.getFloat(i)" else s"$y.getDouble(i)"
+      s"""
+         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double acc = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  acc += ($lGet) * ($rGet);
+         |}
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Frequency-weighted 32-bit SimHash over an array<long> of word
+  * hashes, single pass: bit j set iff Σ ((h>>j & 1)*2 - 1) > 0.
+  * Exactly [[graft.operators.Dedup.simhashFromHashes]] semantics. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val sums = new Array[Long](32)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < 32) {
+        sums(j) += ((h >> j) & 1L) * 2L - 1L
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) {
+      if (sums(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      s"""
+         |long[] sums = new long[32];
+         |int n = $hs.numElements();
+         |for (int i = 0; i < n; i++) {
+         |  long h = $hs.getLong(i);
+         |  for (int j = 0; j < 32; j++) {
+         |    sums[j] += ((h >> j) & 1L) * 2L - 1L;
+         |  }
+         |}
+         |long out = 0L;
+         |for (int j = 0; j < 32; j++) {
+         |  if (sums[j] > 0) out |= (1L << j);
+         |}
+         |${ev.value} = out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature array over an array<long> of shingle hashes,
+  * single pass: sig[i] = min over shingles of ((2i+1)·h + b_i) mod P
+  * with b_i = (1000003·(i+1)) mod P — exactly the permutation family
+  * in [[graft.operators.Dedup]] (and its DuckDB oracle). Empty input
+  * yields sig[i] = P (the aggregate's init value). */
+case class MinHashSigs(child: Expression, numPerms: Int, p: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(numPerms)(p)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var k = 0
+      while (k < numPerms) {
+        val v = ((2L * k + 1L) * h + (1000003L * (k + 1)) % p) % p
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val arrCls = classOf[GenericArrayData].getName
+      s"""
+         |long[] sig = new long[$numPerms];
+         |java.util.Arrays.fill(sig, ${p}L);
+         |int n = $hs.numElements();
+         |for (int i = 0; i < n; i++) {
+         |  long h = $hs.getLong(i);
+         |  for (int k = 0; k < $numPerms; k++) {
+         |    long v = ((2L * k + 1L) * h + (1000003L * (k + 1)) % ${p}L) % ${p}L;
+         |    if (v < sig[k]) sig[k] = v;
+         |  }
+         |}
+         |${ev.value} = new $arrCls(sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct word n-gram shingles (first-occurrence order, words
+  * joined by single spaces) from an array<string> of words — exactly
+  * `array_distinct(transform(...concat_ws(element_at...)))` semantics
+  * but one pass per row. Beyond speed, this is immune to the
+  * CollapseProject hazard: a HOF formulation that references the
+  * word-array *expression* inside its lambda re-evaluates it per
+  * element once the optimizer collapses the projections. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val m = words.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i <= m - n) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](2 * n - 1)
+      var k = 0
+      while (k < n) {
+        parts(2 * k) = words.getUTF8String(i + k)
+        if (k < n - 1) parts(2 * k + 1) = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+        k += 1
+      }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concat(parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object VectorExpressions {
+  /** Column wrappers. */
+  def dotProduct(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+  def simhash32(hashes: Column): Column = column(SimHash32(expression(hashes)))
+  def minhashSigs(hashes: Column, numPerms: Int, p: Long): Column =
+    column(MinHashSigs(expression(hashes), numPerms, p))
+  def wordShingles(words: Column, n: Int): Column =
+    column(WordShingles(expression(words), n))
+}

@@ -59,10 +59,19 @@ object Dedup {
   // ---------------------------------------------------- n-gram Jaccard
 
   /** Distinct word-3-gram shingles per doc (docs with <3 words drop
-    * out — they cannot form a shingle). */
+    * out — they cannot form a shingle). The input is spread across the
+    * full core count first: a small single-file table otherwise runs
+    * the whole compute-heavy shingling pipeline in ONE task (at real
+    * scale the file count provides the parallelism; an explicit
+    * repartition makes the operator independent of input layout). */
   private def shingleSets(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir).documents
-    d.select(col("doc_id"), shingles(col("text"), 3).as("shing"))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val d = Tables(spark, dir).documents.repartition(parts)
+    // WordShingles is a single-pass custom expression: the HOF
+    // formulation re-evaluates the word-array expression per element
+    // when CollapseProject merges the projections (measured 40×).
+    d.select(col("doc_id"),
+        graft.functions.expr.VectorExpressions.wordShingles(words(col("text")), 3).as("shing"))
       .filter(size(col("shing")) > 0)
   }
 
@@ -72,22 +81,37 @@ object Dedup {
        |FROM (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents) t
        |WHERE len(w) >= 3""".stripMargin
 
+  /** Posting lists longer than this are "stop shingles" and don't
+    * generate candidates (a shingle shared by >64 docs carries no
+    * near-dup signal but costs O(df²) pairs — the classic prefix/df
+    * pruning that keeps the inverted index linear at corpus scale).
+    * Verification is exact, so precision is unaffected; a pair is
+    * missed only if ALL its shared shingles are stop shingles, which
+    * a τ≥0.3 near-dup pair essentially cannot achieve. */
+  val MaxShingleDf = 64
+
   /** n-gram Jaccard near-dup pairs via an inverted shingle index:
-    * explode (doc, shingle), self-join on shingle (bounded by posting
-    * lists, never all-pairs), count shared shingles per pair, then
-    * Jaccard = |∩| / (|A|+|B|-|∩|) ≥ τ. Integer-exact arithmetic. */
+    * explode (doc, shingle), drop stop shingles (df > cap), self-join
+    * on shingle for candidate ids (bounded posting lists, never
+    * all-pairs), then verify candidates with exact set Jaccard =
+    * |∩| / (|A|+|B|-|∩|) ≥ τ. Integer-exact arithmetic. */
   def dDedupNgram(spark: SparkSession, dir: String): DataFrame = {
     val sets = shingleSets(spark, dir)
-    val sizes = sets.select(col("doc_id"), size(col("shing")).as("n"))
     val posts = sets.select(col("doc_id"), explode(col("shing")).as("shingle"))
-    val pairs = posts.as("a").join(posts.as("b"), "shingle")
+    val rare = posts.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf)
+      .select("shingle")
+    val rarePosts = posts.join(rare, "shingle")
+    val cand = rarePosts.as("a").join(rarePosts.as("b"), "shingle")
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
-      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
-      .withColumn("jaccard", round(col("inter") / (col("n1") + col("n2") - col("inter")), 6))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    cand
+      .join(sets.select(col("doc_id").as("id1"), col("shing").as("s1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("shing").as("s2")), "id2")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("inter") / (size(col("s1")) + size(col("s2")) - col("inter")), 6))
       .filter(col("jaccard") >= JaccardTau)
       .select("id1", "id2", "inter", "jaccard")
       .orderBy("id1", "id2")
@@ -96,16 +120,20 @@ object Dedup {
   val dDedupNgramSql: String =
     s"""WITH sets AS ($shingleSetsSql),
        |posts AS (SELECT doc_id, unnest(shing) AS shingle FROM sets),
-       |pairs AS (
-       |  SELECT a.doc_id id1, b.doc_id id2, count(*) AS inter
-       |  FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT id1, id2, inter,
-       |  round(inter / (s1.n + s2.n - inter)::DOUBLE, 6) AS jaccard
-       |FROM pairs
-       |JOIN (SELECT doc_id, len(shing) n FROM sets) s1 ON id1 = s1.doc_id
-       |JOIN (SELECT doc_id, len(shing) n FROM sets) s2 ON id2 = s2.doc_id
-       |WHERE round(inter / (s1.n + s2.n - inter)::DOUBLE, 6) >= $JaccardTau
+       |rare AS (SELECT shingle FROM posts GROUP BY shingle HAVING count(*) <= $MaxShingleDf),
+       |rp AS (SELECT p.doc_id, p.shingle FROM posts p JOIN rare r ON p.shingle = r.shingle),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id id1, b.doc_id id2
+       |  FROM rp a JOIN rp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+       |SELECT id1, id2,
+       |  len(list_intersect(s1.shing, s2.shing))::BIGINT AS inter,
+       |  round(len(list_intersect(s1.shing, s2.shing)) /
+       |    (len(s1.shing) + len(s2.shing) - len(list_intersect(s1.shing, s2.shing)))::DOUBLE, 6) AS jaccard
+       |FROM cand
+       |JOIN sets s1 ON id1 = s1.doc_id
+       |JOIN sets s2 ON id2 = s2.doc_id
+       |WHERE round(len(list_intersect(s1.shing, s2.shing)) /
+       |    (len(s1.shing) + len(s2.shing) - len(list_intersect(s1.shing, s2.shing)))::DOUBLE, 6) >= $JaccardTau
        |ORDER BY id1, id2""".stripMargin
 
   // ------------------------------------------------------- MinHash LSH
@@ -115,11 +143,13 @@ object Dedup {
     * 16 perms, banded 4×4 for LSH. */
   private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
     val sets = shingleSets(spark, dir)
-    val hs = transform(col("shing"), s => md5_32(s))
-    val sigs = transform(sequence(lit(0), lit(NumPerms - 1)), i =>
-      aggregate(hs, lit(P),
-        (acc, h) => least(acc, ((lit(2L) * i + 1L) * h + (lit(1000003L) * (i + 1)) % P) % P)))
-    sets.select(col("doc_id"), col("shing"), sigs.as("sig"))
+    // Materialize the hash array first: referencing the transform
+    // expression inside each of the 16 aggregates would recompute
+    // every md5 16×.
+    val hashed = sets.select(col("doc_id"),
+      transform(col("shing"), s => md5_32(s)).as("hs"))
+    hashed.select(col("doc_id"),
+      graft.functions.expr.VectorExpressions.minhashSigs(col("hs"), NumPerms, P).as("sig"))
   }
 
   private val minhashSigsSql: String =
@@ -138,19 +168,32 @@ object Dedup {
     * paired — candidate generation is one explode + one shuffle. */
   def dDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSigs(spark, dir)
-    val bands = sigs.select(col("doc_id"), col("shing"),
-        explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
-          struct(b.as("band"),
-            md5(concat_ws("-",
-              transform(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)),
-                x => x.cast("string")))).as("key")))).as("bk"))
-      .select(col("doc_id"), col("shing"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // Candidate generation shuffles ids only; the (large) shingle
+    // arrays are joined back just for the verification of survivors.
+    // Band structs are built with a Scala-level loop: a lambda-internal
+    // slice(col("sig"), ...) would re-evaluate the signature expression
+    // per band element after projection collapse.
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("-",
+          (0 until RowsPerBand).map(r =>
+            element_at(col("sig"), b * RowsPerBand + r + 1).cast("string")): _*)).as("key"))
+    }
+    val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      // Materialization barrier: without it CollapseProject re-inlines
+      // the signature expression into both join sides and every band
+      // struct, recomputing the md5+minhash work many times over.
+      // (doc_id, band, key) is tiny — 4 rows per doc.
+      .cache()
     val cand = bands.as("a").join(bands.as("b"), Seq("band", "key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.shing").as("s1"), col("b.shing").as("s2"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .dropDuplicates("id1", "id2")
+    val sets = shingleSets(spark, dir)
     cand
+      .join(sets.select(col("doc_id").as("id1"), col("shing").as("s1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("shing").as("s2")), "id2")
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
       .withColumn("un", size(col("s1")) + size(col("s2")) - col("inter"))
       .withColumn("jaccard", round(col("inter") / col("un"), 6))
@@ -180,23 +223,35 @@ object Dedup {
 
   // ---------------------------------------------------------- SimHash
 
-  /** Frequency-weighted 32-bit SimHash over normalized words: bit j is
-    * set when Σ_words (±1 by bit j of the word hash) is positive. */
-  def simhash(text: Column): Column = {
-    val hs = transform(split(normText(text), " "), w => md5_32(w))
+  /** Frequency-weighted 32-bit SimHash from a pre-materialized word
+    * hash array: bit j is set when Σ_words (±1 by bit j of the word
+    * hash) is positive. */
+  def simhashFromHashes(hs: Column): Column =
     (0 until 32).map { j =>
       when(aggregate(hs, lit(0L),
         (acc, h) => acc + (shiftright(h, j) % 2L) * 2L - 1L) > 0, lit(1L << j))
         .otherwise(lit(0L))
     }.reduce(_ + _)
-  }
+
+  /** SimHash of a text column (materialize the word-hash array before
+    * calling [[simhashFromHashes]] in bulk pipelines — inlining it
+    * would recompute every md5 32×). */
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(split(normText(text), " "), w => md5_32(w)))
 
   /** SimHash near-dup pairs: 4 bands of 8 bits generate candidates
     * (pigeonhole-complete for hamming ≤ 3), verified with exact
     * bit_count(xor) ≤ k. */
   def dDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir).documents
-    val sims = d.select(col("doc_id"), simhash(col("text")).as("s"))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val d = Tables(spark, dir).documents.repartition(parts)
+    val hashed = d.select(col("doc_id"),
+      transform(split(normText(col("text")), " "), w => md5_32(w)).as("hs"))
+    // Cached: the 4-band union and both sides of the candidate join
+    // would otherwise recompute the word hashing per branch.
+    val sims = hashed.select(col("doc_id"),
+      graft.functions.expr.VectorExpressions.simhash32(col("hs")).as("s"))
+      .cache()
     // shiftright needs a literal bit count, so bands are a small union
     val banded = (0 until 4).map { b =>
       sims.select(col("doc_id"), col("s"), lit(b).as("band"),

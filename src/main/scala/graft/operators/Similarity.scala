@@ -21,14 +21,27 @@ import graft.functions.TextFunctions.md5_32
   */
 object Similarity {
 
-  /** cos(a,b) in double precision, sequential fold in element order —
-    * both engines evaluate the identical IEEE op sequence. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+  /** dot(a,b) in double precision, sequential element order — a custom
+    * codegen'd Catalyst expression (identical op sequence to the
+    * aggregate/zip_with formulation, ~10× less per-element overhead). */
+  def dot(x: Column, y: Column): Column =
+    graft.functions.expr.VectorExpressions.dotProduct(x, y)
+
+  /** cos(a,b) — for one-off use; pair pipelines should pre-normalize
+    * with [[withUnit]] so norms are computed once per vector, not
+    * three dot products per pair. */
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+
+  /** Adds `unitCol`: the vector scaled to unit L2 norm (double).
+    * Norm is materialized first so it's computed once per vector;
+    * downstream pair scoring is then a single dot product. Divergence
+    * from the cos() formulation is ~1 ulp — far below every decision
+    * boundary used here. */
+  def withUnit(df: DataFrame, vecCol: String, unitCol: String): DataFrame =
+    df.withColumn("__nrm", sqrt(dot(col(vecCol), col(vecCol))))
+      .withColumn(unitCol, transform(col(vecCol), x => x.cast("double") / col("__nrm")))
+      .drop("__nrm")
 
   val CosTau = 0.3
   val NumQueries = 5
@@ -40,11 +53,12 @@ object Similarity {
     * decision boundary has ≥6e-5 slack on this data, orders of
     * magnitude above any engine float divergence. */
   def dDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddings
-    val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
-    val b = e.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = withUnit(Tables(spark, dir).embeddings.repartition(parts), "embedding", "u")
+    val a = e.select(col("vec_id").as("id1"), col("u").as("u1"))
+    val b = e.select(col("vec_id").as("id2"), col("u").as("u2"))
     a.join(b, col("id1") < col("id2"))
-      .filter(cosine(col("v1"), col("v2")) >= CosTau)
+      .filter(dot(col("u1"), col("u2")) >= CosTau)
       .select("id1", "id2")
       .orderBy("id1", "id2")
   }
@@ -59,12 +73,13 @@ object Similarity {
     * query set (broadcast); rank by cosine. Ranking ties are broken on
     * (rounded score, neighbor id) so the order is engine-stable. */
   def sAnnBrute(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddings
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = withUnit(Tables(spark, dir).embeddings.repartition(parts), "embedding", "u")
     val queries = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .select(col("vec_id").as("query_id"), col("u").as("qv"))
+    val scored = e.select(col("vec_id").as("neighbor_id"), col("u").as("nv"))
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", round(cosine(col("qv"), col("nv")), 4))
+      .withColumn("score", round(dot(col("qv"), col("nv")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -106,7 +121,8 @@ object Similarity {
     * against the brute-force baseline), so rows-only — no SQL
     * oracle. */
   def sAnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddings
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = Tables(spark, dir).embeddings.repartition(parts)
     def bucketOf(v: Column, t: Int): Column =
       planes(t).zipWithIndex.map { case (plane, p) =>
         val dot = aggregate(
@@ -116,18 +132,18 @@ object Similarity {
       }.reduce(_ + _)
     val buckets = array((0 until NumTables).map(t =>
       struct(lit(t).as("t"), bucketOf(col("embedding"), t).as("bkt"))): _*)
-    val bucketed = e.select(col("vec_id"), col("embedding"),
-        explode(buckets).as("tb"))
-      .select(col("vec_id"), col("embedding"),
+    val bucketed = withUnit(e, "embedding", "u")
+      .select(col("vec_id"), col("u"), explode(buckets).as("tb"))
+      .select(col("vec_id"), col("u"),
         col("tb.t").as("t"), col("tb.bkt").as("bkt"))
     val queries = bucketed.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      .select(col("vec_id").as("query_id"), col("u").as("qv"),
         col("t"), col("bkt"))
     val cand = bucketed.join(broadcast(queries), Seq("t", "bkt"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("qv"), col("embedding"))
+      .select(col("query_id"), col("vec_id"), col("qv"), col("u"))
       .dropDuplicates("query_id", "vec_id")
-      .withColumn("score", round(cosine(col("qv"), col("embedding")), 4))
+      .withColumn("score", round(dot(col("qv"), col("u")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
     cand.withColumn("rk", row_number().over(w))
