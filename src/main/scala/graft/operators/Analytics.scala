@@ -240,8 +240,112 @@ object Analytics {
       |GROUP BY s_nationkey
       |ORDER BY s_nationkey""".stripMargin
 
+  /** Left-semi join (EXISTS): customers that placed a high-value
+    * order. Semi joins ship only the probe side through the shuffle —
+    * no row multiplication. */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val big = t.orders.filter(col("o_totalprice") > 300000.0).select("o_custkey")
+    t.customer.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val qSemiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no high-value
+    * order. */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val big = t.orders.filter(col("o_totalprice") > 300000.0).select("o_custkey")
+    t.customer.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  val qAntiJoinSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Set operations: custkeys appearing in BUILDING but not among
+    * high-balance customers (EXCEPT), plus the INTERSECT count. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir).customer
+    val building = cust.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val rich = cust.filter(col("c_acctbal") > 5000.0).select("c_custkey")
+    building.except(rich)
+      .withColumn("op", lit("except"))
+      .unionByName(building.intersect(rich).withColumn("op", lit("intersect")))
+      .orderBy("op", "c_custkey")
+  }
+
+  val qSetOpsSql: String =
+    """SELECT * FROM (
+      |  SELECT c_custkey, 'except' AS op FROM (
+      |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |    EXCEPT
+      |    SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0) e
+      |  UNION ALL
+      |  SELECT c_custkey, 'intersect' AS op FROM (
+      |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |    INTERSECT
+      |    SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0) i) t
+      |ORDER BY op, c_custkey""".stripMargin
+
+  /** Full CUBE over returnflag × linestatus. */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val qCubeSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Manual pivot: one column per market segment (engine-portable
+    * CASE formulation — semantics of DataFrame.pivot without relying
+    * on engine-specific pivot syntax). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val joined = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val aggCols = segs.map(s =>
+      round(sum(when(col("c_mktsegment") === s, col("o_totalprice"))), 2)
+        .as(s"sum_${s.toLowerCase}"))
+    joined.groupBy(col("o_orderpriority"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .orderBy("o_orderpriority")
+  }
+
+  val qPivotSql: String = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val cols = segs.map(s =>
+      s"round(sum(CASE WHEN c_mktsegment = '$s' THEN o_totalprice END), 2) AS sum_${s.toLowerCase}")
+    s"""SELECT o_orderpriority, ${cols.mkString(", ")}
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> q1Pricing,
+    "q_semi_join" -> qSemiJoin,
+    "q_anti_join" -> qAntiJoin,
+    "q_setops" -> qSetOps,
+    "q_cube" -> qCube,
+    "q_pivot" -> qPivot,
     "q3_revenue" -> q3Revenue,
     "q5_region" -> q5Region,
     "q6_forecast" -> q6Forecast,
@@ -255,6 +359,11 @@ object Analytics {
 
   def oracles: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
+    "q_semi_join" -> qSemiJoinSql,
+    "q_anti_join" -> qAntiJoinSql,
+    "q_setops" -> qSetOpsSql,
+    "q_cube" -> qCubeSql,
+    "q_pivot" -> qPivotSql,
     "q3_revenue" -> q3RevenueSql,
     "q5_region" -> q5RegionSql,
     "q6_forecast" -> q6ForecastSql,

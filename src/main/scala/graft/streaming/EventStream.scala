@@ -89,13 +89,87 @@ object EventStream {
        |FROM events
        |ORDER BY user_id, event_type, hour_bucket""".stripMargin
 
+  /** Input/state/output records for the stateful sessionizer. */
+  final case class Ev(user_id: Long, ts_ns: Long)
+  final case class OpenSession(start_ns: Long, end_ns: Long, n: Long)
+  /** Session bounds are emitted in MICROSECONDS: DuckDB truncates
+    * TIMESTAMP_NANOS parquet to µs on read, so µs is the finest
+    * engine-portable output granularity (gap decisions still use full
+    * nanoseconds internally). */
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long)
+
+  /** Stateful streaming sessionization via flatMapGroupsWithState:
+    * per user, a 30-min-gap session is CLOSED (and emitted) when a
+    * later event arrives past the gap; the trailing open session
+    * stays in state. Emit-on-break makes the final output — every
+    * session except each user's last — deterministic regardless of
+    * micro-batch boundaries, so it oracle-checks against the batch
+    * sessionization. */
+  def stSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gap = graft.operators.Events.SessionGapNs
+    val ds = eventStream(spark, dir).select(col("user_id"), col("ts_ns")).as[(Long, Long)]
+    val out = ds.map(t => Ev(t._1, t._2))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[Ev], state: GroupState[OpenSession]) =>
+          val sorted = events.toSeq.sortBy(_.ts_ns)
+          var open = state.getOption
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            open match {
+              case Some(s) if e.ts_ns - s.end_ns <= gap =>
+                open = Some(OpenSession(s.start_ns, e.ts_ns, s.n + 1))
+              case Some(s) =>
+                closed += SessionOut(uid, s.start_ns / 1000L, s.end_ns / 1000L, s.n)
+                open = Some(OpenSession(e.ts_ns, e.ts_ns, 1))
+              case None =>
+                open = Some(OpenSession(e.ts_ns, e.ts_ns, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+    runToTable(out.toDF(), "append")
+      .orderBy("user_id", "session_start_us")
+  }
+
+  val stSessionizeSql: String = {
+    val gap = graft.operators.Events.SessionGapNs
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts_ns,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       |  FROM (
+       |    SELECT user_id, event_id, ts_ns,
+       |      CASE WHEN ts_ns - lag(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id)
+       |                > $gap THEN 1
+       |           WHEN lag(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) IS NULL THEN 1
+       |           ELSE 0 END AS new_session
+       |    FROM (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns FROM events) raw) f),
+       |sess AS (
+       |  SELECT user_id, session_idx,
+       |    min(ts_ns) // 1000 AS session_start_us, max(ts_ns) // 1000 AS session_end_us,
+       |    count(*) AS n_events
+       |  FROM flagged GROUP BY user_id, session_idx)
+       |SELECT user_id, session_start_us, session_end_us, n_events FROM (
+       |  SELECT *, max(session_idx) OVER (PARTITION BY user_id) AS last_idx FROM sess) t
+       |WHERE session_idx < last_idx
+       |ORDER BY user_id, session_start_us""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_window_agg" -> stWindowAgg,
     "st_stream_dedup" -> stStreamDedup,
+    "st_sessionize" -> stSessionize,
   )
 
   def oracles: Map[String, String] = Map(
     "st_window_agg" -> stWindowAggSql,
     "st_stream_dedup" -> stStreamDedupSql,
+    "st_sessionize" -> stSessionizeSql,
   )
 }
