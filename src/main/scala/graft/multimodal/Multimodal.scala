@@ -80,11 +80,50 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Frame-sampling stride/length (in bytes of the payload). */
+  val FrameStride = 64
+  val FrameLen = 32
+
+  /** Frame sampling over the payload: every FrameStride bytes, take a
+    * FrameLen slice and emit (frame_idx, byte offset, length, md5) —
+    * the shape of sampling keyframes out of a video/audio payload.
+    * The test payload is ASCII text, so character slicing ≡ byte
+    * slicing and the DuckDB oracle replays it exactly; a real media
+    * payload would swap the slice for a codec-aware reader without
+    * touching the schema or distribution shape (explode is a narrow
+    * op — no shuffle). */
+  def mFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    d.select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          floor((length(col("text")) - 1) / FrameStride).cast("int"))).as("frame_idx"))
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        (col("frame_idx") * FrameStride).cast("long").as("frame_offset"),
+        length(substr(col("text"), col("frame_idx") * FrameStride + 1, lit(FrameLen)))
+          .cast("long").as("frame_bytes"),
+        md5(substr(col("text"), col("frame_idx") * FrameStride + 1, lit(FrameLen)))
+          .as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val mFrameSampleSql: String =
+    s"""SELECT doc_id, i AS frame_idx, i * $FrameStride AS frame_offset,
+       |  length(substr(text, (i * $FrameStride + 1)::BIGINT, $FrameLen))::BIGINT AS frame_bytes,
+       |  md5(substr(text, (i * $FrameStride + 1)::BIGINT, $FrameLen)) AS frame_md5
+       |FROM documents
+       |CROSS JOIN (SELECT unnest(range(256)) AS i) ii
+       |WHERE i <= (length(text) - 1) // $FrameStride
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_binary_meta" -> mBinaryMeta,
+    "m_frame_sample" -> mFrameSample,
   )
 
   def oracles: Map[String, String] = Map(
     "m_binary_meta" -> mBinaryMetaSql,
+    "m_frame_sample" -> mFrameSampleSql,
   )
 }

@@ -32,7 +32,9 @@ object TextAnalysis {
       tokenCountWs(col("text")).as("ws_tokens"),
       size(w).cast("long").as("word_tokens"),
       aggregate(w, lit(0L), (acc, x) => acc + floor((length(x) + lit(3)) / lit(4)))
-        .as("bpeish_tokens"))
+        .as("bpeish_tokens"),
+      regexp_count(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9 ]+")).cast("long")
+        .as("regex_tokens"))
       .orderBy("doc_id")
   }
 
@@ -40,7 +42,8 @@ object TextAnalysis {
     s"""SELECT doc_id,
        |  len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
        |  len(w) AS word_tokens,
-       |  list_sum(list_transform(w, x -> (length(x) + 3) // 4))::BIGINT AS bpeish_tokens
+       |  list_sum(list_transform(w, x -> (length(x) + 3) // 4))::BIGINT AS bpeish_tokens,
+       |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]+'))::BIGINT AS regex_tokens
        |FROM (SELECT doc_id, text, string_split($normSql, ' ') AS w FROM documents) t
        |ORDER BY doc_id""".stripMargin
 

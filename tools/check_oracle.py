@@ -35,7 +35,8 @@ def main(sf_dir, out_dir):
         name = d.rstrip("/").split("/")[-1]
         got_rel = con.sql(f"SELECT * FROM read_parquet('{d}*.parquet')")
         got_cols = sorted(got_rel.columns)
-        got = con.sql(f"SELECT {', '.join(got_cols)} FROM got_rel ORDER BY ALL").fetchall()
+        got_sel = ", ".join(f'"{c}"' for c in got_cols)
+        got = con.sql(f"SELECT {got_sel} FROM got_rel ORDER BY ALL").fetchall()
         if name not in oracles:
             print(f"[rows-only] {name}: {len(got)} rows")
             n_rowsonly += 1
@@ -43,7 +44,8 @@ def main(sf_dir, out_dir):
         try:
             exp_rel = con.sql(oracles[name])
             exp_cols = sorted(exp_rel.columns)
-            exp = con.sql(f"SELECT {', '.join(exp_cols)} FROM exp_rel ORDER BY ALL").fetchall()
+            exp_sel = ", ".join(f'"{c}"' for c in exp_cols)
+            exp = con.sql(f"SELECT {exp_sel} FROM exp_rel ORDER BY ALL").fetchall()
         except Exception as e:
             print(f"[FAIL] {name}: oracle SQL error: {e}")
             n_bad += 1
