@@ -339,8 +339,32 @@ object Analytics {
        |ORDER BY o_orderpriority""".stripMargin
   }
 
+  /** Exact interpolated quantiles per group (single-pass sort-based
+    * percentile; the approximate sketch path is q_approx_distinct's
+    * HLL sibling — at 100 TB you'd reach for approx_percentile, which
+    * is sketch-mergeable across partitions). */
+  def qQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
+        round(expr("percentile(l_quantity, 0.25)"), 2).as("q1_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val qQuantilesSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+      |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+      |  round(quantile_cont(l_quantity, 0.25), 2) AS q1_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> q1Pricing,
+    "q_quantiles" -> qQuantiles,
     "q_semi_join" -> qSemiJoin,
     "q_anti_join" -> qAntiJoin,
     "q_setops" -> qSetOps,
@@ -359,6 +383,7 @@ object Analytics {
 
   def oracles: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
+    "q_quantiles" -> qQuantilesSql,
     "q_semi_join" -> qSemiJoinSql,
     "q_anti_join" -> qAntiJoinSql,
     "q_setops" -> qSetOpsSql,

@@ -61,6 +61,20 @@ class StorageSpec extends SparkSpec {
     assert(read < total, s"no pruning: read $read of $total files")
   }
 
+  test("range layout serves one-sided probes (Less/Greater)") {
+    val path = tmp()
+    val store = Store.fromData(Tables(spark, sf).lineitem, Seq("l_orderkey", "l_linenumber"))
+    IndexedStore.write(store.data, path, RangeIndex("l_quantity", 8))
+    val less = IndexedStore.find(spark, path, Seq(graft.core.Condition("l_quantity",
+      graft.core.Comparison.Less(graft.core.Value.of(5.0), orEqual = false))))
+    val expectedLess = store.data.filter(col("l_quantity") < 5.0)
+    assert(less.count() == expectedLess.count())
+    assert(numFilesRead(less) < totalDataFiles(path))
+    val greater = IndexedStore.find(spark, path, Seq(graft.core.Condition("l_quantity",
+      graft.core.Comparison.Greater(graft.core.Value.of(45.0), orEqual = true))))
+    assert(greater.count() == store.data.filter(col("l_quantity") >= 45.0).count())
+  }
+
   test("index selection follows lowest estimate (reference heuristic)") {
     val path = tmp()
     val store = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey"))
