@@ -55,6 +55,20 @@ object StorageOps {
       .orderBy("__rowid")
   }
 
+  /** Equality probe through a SECONDARY posting index (primary layout
+    * on a different column): posting bucket → rowid set → semi-join
+    * base. The reference's one-index-per-column surface
+    * (lib.rs:195-205) as data files. */
+  def scIndexSecondary(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("secondary", dir)
+    val store = Store.fromData(Tables(spark, dir).customer, Seq("c_custkey"))
+    IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8),
+      secondary = Seq(HashIndex("c_nationkey", 8)))
+    IndexedStore.find(spark, path, Seq(Condition.eq("c_nationkey", 5)))
+      .select("__rowid", "c_custkey", "c_nationkey")
+      .orderBy("__rowid")
+  }
+
   private val custRowid =
     "row_number() OVER (ORDER BY c_custkey) - 1 AS __rowid"
   private val liRowid =
@@ -64,6 +78,7 @@ object StorageOps {
     "sc_index_hash" -> scIndexHash,
     "sc_index_btree" -> scIndexBtree,
     "sc_index_select" -> scIndexSelect,
+    "sc_index_secondary" -> scIndexSecondary,
   )
 
   def oracles: Map[String, String] = Map(
@@ -81,6 +96,11 @@ object StorageOps {
       s"""SELECT __rowid, c_custkey, c_acctbal
          |FROM (SELECT *, $custRowid FROM customer) t
          |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0.0
+         |ORDER BY __rowid""".stripMargin,
+    "sc_index_secondary" ->
+      s"""SELECT __rowid, c_custkey, c_nationkey
+         |FROM (SELECT *, $custRowid FROM customer) t
+         |WHERE c_nationkey = 5
          |ORDER BY __rowid""".stripMargin,
   )
 }

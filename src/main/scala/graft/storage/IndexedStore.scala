@@ -56,14 +56,20 @@ object IndexedStore {
   val RowId = graft.core.Store.RowId
 
   /** Write `df` (which must carry a `__rowid` column, e.g. from
-    * [[graft.core.Store]]) under `path` laid out by `primary`;
-    * `statsOnly` columns get NDV statistics (and hence participate in
-    * index selection) without a physical layout. */
+    * [[graft.core.Store]]) under `path` laid out by `primary`.
+    *
+    * `secondary` indexes become posting files ((key, rowid) parquet,
+    * hash-bucketed by key under `path/_graft_idx_<col>`): a probe on a
+    * secondary column reads one posting bucket and rowid-joins the
+    * base — the reference's "index per column, auto-maintained"
+    * surface (lib.rs:195-205), expressed as data instead of heap maps.
+    * `statsOnly` columns get NDV statistics (participating in index
+    * *choice*) without any structure. */
   def write(df: DataFrame, path: String, primary: IndexSpec,
-      statsOnly: Seq[IndexSpec] = Nil): Unit = {
+      statsOnly: Seq[IndexSpec] = Nil, secondary: Seq[HashIndex] = Nil): Unit = {
     require(df.columns.contains(RowId), s"IndexedStore requires a $RowId column")
     val props = new Properties()
-    val statCols = (primary +: statsOnly).map(_.column).distinct
+    val statCols = (primary +: statsOnly ++: secondary).map(_.column).distinct
     val aggs = count(lit(1)).as("__rows") +:
       statCols.map(c => approx_count_distinct(col(c)).as(s"__ndv_$c"))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
@@ -74,6 +80,10 @@ object IndexedStore {
     statsOnly.foreach {
       case HashIndex(c, _)  => props.setProperty(s"kind.$c", "hash")
       case RangeIndex(c, _) => props.setProperty(s"kind.$c", "range")
+    }
+    secondary.foreach { case HashIndex(c, n) =>
+      props.setProperty(s"kind.$c", "hash")
+      props.setProperty(s"sec.$c", n.toString)
     }
     primary match {
       case HashIndex(c, n) =>
@@ -92,6 +102,10 @@ object IndexedStore {
           .sortWithinPartitions(col(c))
           .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
     }
+    // Postings go AFTER the base write: overwrite mode clears `path`.
+    secondary.foreach { case HashIndex(c, n) =>
+      writePostings(df, path, c, n, overwrite = true)
+    }
     val out = new FileOutputStream(new File(path, StatsFile))
     try props.store(out, "graft IndexedStore sidecar") finally out.close()
   }
@@ -100,6 +114,19 @@ object IndexedStore {
     * so a range of keys maps to a contiguous bucket range). */
   private def rangeBucket(c: Column, bounds: Array[Double]): Column =
     bounds.foldLeft(lit(0)) { (acc, b) => acc + when(c >= b, 1).otherwise(0) }
+
+  private def postingDir(path: String, column: String): String =
+    new File(path, s"_graft_idx_$column").getPath
+
+  /** Posting files for a secondary hash index: (key, rowid),
+    * directory-partitioned by the key's hash bucket. */
+  private def writePostings(df: DataFrame, path: String, column: String,
+      buckets: Int, overwrite: Boolean): Unit =
+    df.select(col(column).as("__key"), col(RowId))
+      .withColumn(BucketCol, pmod(hash(col("__key")), lit(buckets)))
+      .repartition(col(BucketCol))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy(BucketCol).parquet(postingDir(path, column))
 
   private def loadProps(path: String): Properties = {
     val props = new Properties()
@@ -156,6 +183,23 @@ object IndexedStore {
     val chosen = chooseIndex(path, conds)
     val base = spark.read.parquet(path)
     val pruned = chosen match {
+      case Some(c) if c != layout(1) && props.getProperty(s"sec.$c") != null =>
+        // Secondary posting probe: one posting bucket → rowid set →
+        // broadcast semi-join against the base (posting lists for one
+        // key are estimate-sized, i.e. small by construction).
+        val n = props.getProperty(s"sec.$c").toInt
+        val probeVals = conds.collect {
+          case graft.core.Condition(`c`, graft.core.Comparison.Equal(graft.core.Value.Const(v))) => v
+        }
+        probeVals.headOption match {
+          case Some(v) =>
+            val rowids = spark.read.parquet(postingDir(path, c))
+              .filter(col(BucketCol) === pmod(hash(lit(v)), lit(n)))
+              .filter(col("__key") === lit(v))
+              .select(RowId).distinct()
+            base.join(broadcast(rowids), Seq(RowId), "left_semi")
+          case None => base
+        }
       case Some(c) if c == layout(1) =>
         layout(0) match {
           case "hash" =>
@@ -216,6 +260,11 @@ object IndexedStore {
           .sortWithinPartitions(col(layout(1)))
     }
     out.write.mode("append").partitionBy(BucketCol).parquet(path)
+    // Maintain every secondary posting index, mirroring the
+    // reference's on-insert index updates (lib.rs:178-187).
+    secondaryColumns(props).foreach { case (c, n) =>
+      writePostings(df, path, c, n, overwrite = false)
+    }
     props.setProperty("rows", (props.getProperty("rows").toLong + df.count()).toString)
     val os = new FileOutputStream(new File(path, StatsFile))
     try props.store(os, "graft IndexedStore sidecar") finally os.close()
@@ -230,8 +279,16 @@ object IndexedStore {
     victims.write.mode("append").parquet(new File(path, TombstoneDir).getPath)
   }
 
+  private def secondaryColumns(props: Properties): Seq[(String, Int)] = {
+    import scala.jdk.CollectionConverters._
+    props.stringPropertyNames().asScala.toSeq.sorted
+      .filter(_.startsWith("sec."))
+      .map(k => (k.stripPrefix("sec."), props.getProperty(k).toInt))
+  }
+
   /** Fold tombstones into a rewrite (the compaction every
-    * tombstone-based store eventually needs). */
+    * tombstone-based store eventually needs); secondary postings are
+    * rebuilt from the surviving rows. */
   def compact(spark: SparkSession, path: String): Unit = {
     val props = loadProps(path)
     val layout = props.getProperty("layout").split(":", 3)
@@ -241,7 +298,8 @@ object IndexedStore {
       case "range" => RangeIndex(layout(1))
     }
     val tmp = path + ".compact"
-    write(live, tmp, spec)
+    write(live, tmp, spec,
+      secondary = secondaryColumns(props).map { case (c, n) => HashIndex(c, n) })
     val dst = new File(path)
     deleteRecursively(dst)
     if (!new File(tmp).renameTo(dst))

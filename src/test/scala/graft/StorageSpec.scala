@@ -90,6 +90,34 @@ class StorageSpec extends SparkSpec {
     assert(IndexedStore.chooseIndex(path, colcol).isEmpty)
   }
 
+  test("secondary posting index serves probes and survives mutation") {
+    val path = tmp()
+    val cust = Tables(spark, sf).customer
+    val store = Store.fromData(cust.filter(col("c_custkey") <= 100), Seq("c_custkey"))
+    IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8),
+      secondary = Seq(HashIndex("c_nationkey", 8)))
+    // ndv(c_nationkey) > ndv(c_mktsegment) → lower estimate → chosen
+    val conds = Seq(Condition.eq("c_nationkey", 5),
+      Condition.eq("c_mktsegment", "BUILDING"))
+    assert(IndexedStore.chooseIndex(path, conds).contains("c_nationkey"))
+    val viaIdx = IndexedStore.find(spark, path, Seq(Condition.eq("c_nationkey", 5)))
+    val expected = store.data.filter(col("c_nationkey") === 5)
+    assert(viaIdx.count() == expected.count())
+    // append maintains postings (reference: insert feeds every index)
+    val grown = store.insert(cust.filter(col("c_custkey") > 100))
+    val batch = grown.data.join(store.data.select("__rowid"), Seq("__rowid"), "left_anti")
+    IndexedStore.append(batch, path)
+    val afterAppend = IndexedStore.find(spark, path, Seq(Condition.eq("c_nationkey", 5)))
+    assert(afterAppend.count() == cust.filter(col("c_nationkey") === 5).count())
+    // delete + compact rebuilds postings from survivors
+    IndexedStore.delete(spark, path, Seq(Condition.eq("c_nationkey", 5)))
+    assert(IndexedStore.find(spark, path, Seq(Condition.eq("c_nationkey", 5))).count() == 0)
+    IndexedStore.compact(spark, path)
+    assert(IndexedStore.find(spark, path, Seq(Condition.eq("c_nationkey", 5))).count() == 0)
+    val others = IndexedStore.find(spark, path, Seq(Condition.eq("c_nationkey", 6)))
+    assert(others.count() == cust.filter(col("c_nationkey") === 6).count())
+  }
+
   test("delete tombstones rows; compact folds them in") {
     val path = tmp()
     val store = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey"))
