@@ -55,6 +55,42 @@ object StorageOps {
       .orderBy("__rowid")
   }
 
+  /** Shuffle-free co-located join: both sides bucketed (and
+    * sort-bucketed) on the join key at write time, so the join plans
+    * with NO Exchange on either side — at 100 TB this turns the
+    * recurring fact-fact shuffle into a one-time write cost. The
+    * result (and its oracle) is an ordinary join; the plan shape is
+    * asserted in StorageSpec. */
+  def scBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("buckets", dir)
+    val t = Tables(spark, dir)
+    spark.sql("DROP TABLE IF EXISTS g_orders_b")
+    spark.sql("DROP TABLE IF EXISTS g_customer_b")
+    t.orders.write.mode("overwrite")
+      .option("path", s"$base/orders_b")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("g_orders_b")
+    t.customer.write.mode("overwrite")
+      .option("path", s"$base/customer_b")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("g_customer_b")
+    // the merge hint keeps this on the sort-merge path (a broadcast
+    // would win on these small test tables and bypass the bucketed
+    // layout this query demonstrates)
+    spark.table("g_orders_b").hint("merge")
+      .join(spark.table("g_customer_b"),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .groupBy(org.apache.spark.sql.functions.col("c_mktsegment"))
+      .agg(
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("o_totalprice")), 2).as("sum_price"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Equality probe through a SECONDARY posting index (primary layout
     * on a different column): posting bucket → rowid set → semi-join
     * base. The reference's one-index-per-column surface
@@ -79,6 +115,7 @@ object StorageOps {
     "sc_index_btree" -> scIndexBtree,
     "sc_index_select" -> scIndexSelect,
     "sc_index_secondary" -> scIndexSecondary,
+    "sc_bucketed_join" -> scBucketedJoin,
   )
 
   def oracles: Map[String, String] = Map(
@@ -102,5 +139,11 @@ object StorageOps {
          |FROM (SELECT *, $custRowid FROM customer) t
          |WHERE c_nationkey = 5
          |ORDER BY __rowid""".stripMargin,
+    "sc_bucketed_join" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS sum_price,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
   )
 }

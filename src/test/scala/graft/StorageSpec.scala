@@ -118,6 +118,19 @@ class StorageSpec extends SparkSpec {
     assert(others.count() == cust.filter(col("c_nationkey") === 6).count())
   }
 
+  test("bucketed co-located join plans without an exchange") {
+    val df = graft.operators.StorageOps.scBucketedJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the join itself must not shuffle either bucketed side: the only
+    // allowed exchange is the final single-partition orderBy/agg
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, s"expected a sort-merge join:\n${plan.take(1500)}")
+    val belowJoin = plan.substring(joinIdx)
+    assert(!belowJoin.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n${belowJoin.take(1500)}")
+    assert(df.count() > 0)
+  }
+
   test("delete tombstones rows; compact folds them in") {
     val path = tmp()
     val store = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey"))
