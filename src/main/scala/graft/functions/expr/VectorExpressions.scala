@@ -47,15 +47,21 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
-      val lGet = if (elemIsFloat(left)) s"(double) $x.getFloat(i)" else s"$x.getDouble(i)"
-      val rGet = if (elemIsFloat(right)) s"(double) $y.getFloat(i)" else s"$y.getDouble(i)"
+      // Fresh names: several DotProducts can share one codegen stage
+      // (e.g. the LSH sign tests) — fixed names would collide and kick
+      // the whole stage back to interpreted evaluation.
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val lGet = if (elemIsFloat(left)) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val rGet = if (elemIsFloat(right)) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += ($lGet) * ($rGet);
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ($lGet) * ($rGet);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -95,20 +101,23 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, hs => {
+      val sums = ctx.freshName("sums"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h"); val out = ctx.freshName("out")
       s"""
-         |long[] sums = new long[32];
-         |int n = $hs.numElements();
-         |for (int i = 0; i < n; i++) {
-         |  long h = $hs.getLong(i);
-         |  for (int j = 0; j < 32; j++) {
-         |    sums[j] += ((h >> j) & 1L) * 2L - 1L;
+         |long[] $sums = new long[32];
+         |int $n = $hs.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $hs.getLong($i);
+         |  for (int $j = 0; $j < 32; $j++) {
+         |    $sums[$j] += (($h >> $j) & 1L) * 2L - 1L;
          |  }
          |}
-         |long out = 0L;
-         |for (int j = 0; j < 32; j++) {
-         |  if (sums[j] > 0) out |= (1L << j);
+         |long $out = 0L;
+         |for (int $j = 0; $j < 32; $j++) {
+         |  if ($sums[$j] > 0) $out |= (1L << $j);
          |}
-         |${ev.value} = out;
+         |${ev.value} = $out;
        """.stripMargin
     })
 
@@ -146,18 +155,21 @@ case class MinHashSigs(child: Expression, numPerms: Int, p: Long)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, hs => {
       val arrCls = classOf[GenericArrayData].getName
+      val sig = ctx.freshName("sig"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i"); val k = ctx.freshName("k")
+      val h = ctx.freshName("h"); val v = ctx.freshName("v")
       s"""
-         |long[] sig = new long[$numPerms];
-         |java.util.Arrays.fill(sig, ${p}L);
-         |int n = $hs.numElements();
-         |for (int i = 0; i < n; i++) {
-         |  long h = $hs.getLong(i);
-         |  for (int k = 0; k < $numPerms; k++) {
-         |    long v = ((2L * k + 1L) * h + (1000003L * (k + 1)) % ${p}L) % ${p}L;
-         |    if (v < sig[k]) sig[k] = v;
+         |long[] $sig = new long[$numPerms];
+         |java.util.Arrays.fill($sig, ${p}L);
+         |int $n = $hs.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $hs.getLong($i);
+         |  for (int $k = 0; $k < $numPerms; $k++) {
+         |    long $v = ((2L * $k + 1L) * $h + (1000003L * ($k + 1)) % ${p}L) % ${p}L;
+         |    if ($v < $sig[$k]) $sig[$k] = $v;
          |  }
          |}
-         |${ev.value} = new $arrCls(sig);
+         |${ev.value} = new $arrCls($sig);
        """.stripMargin
     })
 

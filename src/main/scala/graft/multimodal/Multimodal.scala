@@ -113,7 +113,8 @@ object Multimodal {
        |  length(substr(text, (i * $FrameStride + 1)::BIGINT, $FrameLen))::BIGINT AS frame_bytes,
        |  md5(substr(text, (i * $FrameStride + 1)::BIGINT, $FrameLen)) AS frame_md5
        |FROM documents
-       |CROSS JOIN (SELECT unnest(range(256)) AS i) ii
+       |CROSS JOIN (SELECT unnest(range(
+       |    (SELECT (max(length(text)) - 1) // $FrameStride + 1 FROM documents))) AS i) ii
        |WHERE i <= (length(text) - 1) // $FrameStride
        |ORDER BY doc_id, frame_idx""".stripMargin
 

@@ -138,7 +138,7 @@ object Analytics {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     ord.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
       .orderBy(col("o_custkey"), col("rk"))
   }

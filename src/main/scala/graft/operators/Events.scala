@@ -32,11 +32,13 @@ object Events {
       .orderBy("user_id", "event_id")
   }
 
+  // DuckDB sum(INTEGER) yields HUGEINT; the driver's hash is dtype-sensitive,
+  // so every integer SUM in oracle SQL must be cast to ::BIGINT (SURVEY §6).
   val qSessionizeSql: String =
     s"""SELECT user_id, event_id, session_idx FROM (
        |  SELECT user_id, event_id,
-       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       |    (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_idx
        |  FROM (
        |    SELECT user_id, event_id, ts_ns,
        |      CASE WHEN ts_ns - lag(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id)
@@ -66,7 +68,7 @@ object Events {
       col("o_orderkey"))
     val eventSide = t.events.select(
       col("user_id"),
-      (col("ts_ns") / lit(1000000L)).cast("long").as("t_ms"),
+      expr("ts_ns div 1000000").as("t_ms"),
       lit(1).as("kind"),
       col("event_id"),
       lit(null).cast("long").as("o_orderkey"))

@@ -47,19 +47,53 @@ object Similarity {
   val NumQueries = 5
   val TopK = 10
 
-  /** Embedding near-dup pairs: cosine ≥ τ. The pair generation here is
-    * the exact (quadratic) variant used for validation; the LSH
-    * variant below is the scale path. Output is ids-only: the τ=0.3
-    * decision boundary has ≥6e-5 slack on this data, orders of
-    * magnitude above any engine float divergence. */
+  /** Embedding near-dup pairs: cosine ≥ τ, exact, via a
+    * block-partitioned pair equi-join (the distributed exact
+    * all-pairs-similarity shape).
+    *
+    * Why not LSH candidates here: at τ=0.3 two qualifying vectors
+    * agree on a random hyperplane with p ≈ 1−72.5°/180° ≈ 0.60 —
+    * barely above the 0.5 of a random pair — so a 6-bit bucket
+    * collides with p ≈ 0.045 per table, and the multi-probe radius
+    * needed for exact recall covers ~2/3 of all buckets: strictly
+    * more work than enumerating pairs. (This corpus has no high-sim
+    * structure to exploit: max pair cosine ≈ 0.51.) Sub-quadratic
+    * candidate generation is the high-τ near-dup path — MinHash/
+    * SimHash bands over documents, [[sAnnLsh]] over embeddings.
+    *
+    * Exact low-τ similarity join is intrinsically O(n²) compute; what
+    * matters at scale is the *shape*: ids+vectors shuffle once, keyed
+    * by block pair (bi ≤ bj), so work spreads evenly over B(B+1)/2
+    * tasks and no node ever holds more than two id-blocks (pick B so
+    * n/B fits an executor — vs. a BroadcastNestedLoopJoin, which
+    * ships the whole corpus to every node). Each unordered pair is
+    * enumerated exactly once: cross-block pairs appear only under
+    * (min-block, max-block); same-block pairs are cut by ida < idb.
+    * Pair scoring is one codegen'd [[DotProduct]] on pre-normalized
+    * vectors. Output is ids-only: the τ=0.3 decision boundary has
+    * ≥6e-5 slack on this data, orders of magnitude above any engine
+    * float divergence. */
   def dDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val B = 16
     val e = withUnit(Tables(spark, dir).embeddings.repartition(parts), "embedding", "u")
-    val a = e.select(col("vec_id").as("id1"), col("u").as("u1"))
-    val b = e.select(col("vec_id").as("id2"), col("u").as("u2"))
-    a.join(b, col("id1") < col("id2"))
-      .filter(dot(col("u1"), col("u2")) >= CosTau)
-      .select("id1", "id2")
+      .select(col("vec_id"), col("u"))
+    // All (bi ≤ bj) block pairs — a 136-row LocalRelation broadcast to
+    // tag each side with every block pair it participates in.
+    val blockPairs =
+      (for { i <- 0 until B; j <- i until B } yield (i, j)).toDF("bi", "bj")
+    val left = e.select(col("vec_id").as("ida"), col("u").as("ua"),
+        pmod(col("vec_id"), lit(B)).cast("int").as("bi"))
+      .join(broadcast(blockPairs), "bi")
+    val right = e.select(col("vec_id").as("idb"), col("u").as("ub"),
+        pmod(col("vec_id"), lit(B)).cast("int").as("bj"))
+      .join(broadcast(blockPairs), "bj")
+    left.join(right, Seq("bi", "bj"))
+      .filter(col("bi") =!= col("bj") || col("ida") < col("idb"))
+      .filter(dot(col("ua"), col("ub")) >= CosTau)
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"))
       .orderBy("id1", "id2")
   }
 
@@ -69,10 +103,28 @@ object Similarity {
        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= $CosTau
        |ORDER BY id1, id2""".stripMargin
 
+  /** Orders candidates best-first: higher score wins, ties break on
+    * lower neighbor id — the engine-stable rank order used both by the
+    * per-partition heaps and the global merge. */
+  private val bestFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+
   /** Brute-force exact top-k: the first NumQueries vectors are the
-    * query set (broadcast); rank by cosine. Ranking ties are broken on
-    * (rounded score, neighbor id) so the order is engine-stable. */
+    * query set (broadcast); rank by cosine with ties broken on
+    * (rounded score, neighbor id) so the order is engine-stable.
+    *
+    * Scoring is a narrow map over the corpus (queries broadcast).
+    * Top-k is two-phase: a bounded heap per (partition, query) inside
+    * `mapPartitions` — so each scan task emits at most queries×k rows
+    * and the full scored corpus never shuffles — then a global
+    * row_number over the ≤ partitions×queries×k partials. At a 100 TB
+    * corpus the wide side of this plan stays scan-local. */
   def sAnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val e = withUnit(Tables(spark, dir).embeddings.repartition(parts), "embedding", "u")
     val queries = e.filter(col("vec_id") < NumQueries)
@@ -80,9 +132,27 @@ object Similarity {
     val scored = e.select(col("vec_id").as("neighbor_id"), col("u").as("nv"))
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("score", round(dot(col("qv"), col("nv")), 4))
+    val k = TopK
+    val partials = scored.select(col("query_id"), col("neighbor_id"), col("score"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { rows =>
+        // One worst-at-head heap of size ≤ k per query id.
+        val heaps = scala.collection.mutable.LongMap
+          .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        rows.foreach { case (q, n, s) =>
+          // PQ head = max under the ordering; under bestFirst ("better
+          // compares less") the max IS the worst retained element.
+          val h = heaps.getOrElseUpdate(q,
+            scala.collection.mutable.PriorityQueue.empty[(Double, Long)](bestFirst))
+          if (h.size < k) h.enqueue((s, n))
+          else if (bestFirst.compare((s, n), h.head) < 0) { h.dequeue(); h.enqueue((s, n)) }
+        }
+        heaps.iterator.flatMap { case (q, h) => h.iterator.map { case (s, n) => (q, n, s) } }
+      }
+      .toDF("query_id", "neighbor_id", "score")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
+    partials.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= TopK)
       .select("query_id", "neighbor_id", "rk", "score")
       .orderBy("query_id", "rk")
@@ -123,12 +193,13 @@ object Similarity {
   def sAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val e = Tables(spark, dir).embeddings.repartition(parts)
+    // Sign pattern over the table's hyperplanes: each sign test is one
+    // codegen'd DotProduct against the plane literal (the HOF
+    // aggregate(zip_with(...)) formulation evaluates a lambda chain
+    // per element — the documented SURVEY §8 hazard).
     def bucketOf(v: Column, t: Int): Column =
       planes(t).zipWithIndex.map { case (plane, p) =>
-        val dot = aggregate(
-          zip_with(v, typedLit(plane), (x, w) => x.cast("double") * w),
-          lit(0.0), (acc, x) => acc + x)
-        when(dot > 0, lit(1 << p)).otherwise(lit(0))
+        when(dot(v, typedLit(plane)) > 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
     val buckets = array((0 until NumTables).map(t =>
       struct(lit(t).as("t"), bucketOf(col("embedding"), t).as("bkt"))): _*)
@@ -146,7 +217,7 @@ object Similarity {
       .withColumn("score", round(dot(col("qv"), col("u")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
-    cand.withColumn("rk", row_number().over(w))
+    cand.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"), col("score"))
       .orderBy(col("query_id"), col("rk"))

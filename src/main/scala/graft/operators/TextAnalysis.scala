@@ -29,7 +29,7 @@ object TextAnalysis {
     val w = split(norm, " ")
     d.select(
       col("doc_id"),
-      tokenCountWs(col("text")).as("ws_tokens"),
+      tokenCountWs(col("text")).cast("long").as("ws_tokens"),
       size(w).cast("long").as("word_tokens"),
       aggregate(w, lit(0L), (acc, x) => acc + floor((length(x) + lit(3)) / lit(4)))
         .as("bpeish_tokens"),

@@ -35,7 +35,7 @@ object EventStream {
       .schema(raw)
       .parquet(streamDir.toString)
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
 
   private def runToTable(df: DataFrame, mode: String): DataFrame = {
@@ -76,7 +76,7 @@ object EventStream {
     * deterministic and ≡ batch SELECT DISTINCT. */
   def stStreamDedup(spark: SparkSession, dir: String): DataFrame = {
     val keyed = eventStream(spark, dir)
-      .withColumn("hour_bucket", (col("ts_ns") / lit(HourNs)).cast("long"))
+      .withColumn("hour_bucket", expr(s"ts_ns div $HourNs"))
       .withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type", "hour_bucket")
       .select("user_id", "event_type", "hour_bucket")

@@ -34,4 +34,25 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q_semi_join")
     assert(p.contains("LeftSemi"), s"semi join lost:\n${p.take(1500)}")
   }
+
+  test("embedding dedup pair-joins on block keys — no nested-loop/cartesian") {
+    val p = plan("d_dedup_embedding")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pair enumeration degenerated to all-pairs join:\n${p.take(2000)}")
+  }
+
+  test("brute ANN reduces top-k per partition — scored corpus never shuffles") {
+    val p = plan("s_ann_brute")
+    assert(p.contains("MapPartitions"),
+      s"per-partition top-k stage missing:\n${p.take(2000)}")
+    // The only wide ops after scoring run on the ≤ partitions×queries×k
+    // partials: window rank + presentation sort. The corpus-side plan is
+    // scan → broadcast-join → project → mapPartitions, all narrow. The
+    // formatted tree prints root-first, so everything at or below (after)
+    // the MapPartitions node in the tree text is the corpus side.
+    val tree = p.split("\n\n")(0)
+    val corpusSide = tree.substring(tree.indexOf("MapPartitions"))
+    assert(!corpusSide.contains("Window"),
+      s"window rank runs against the full scored corpus:\n${tree.take(2000)}")
+  }
 }

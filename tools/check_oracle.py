@@ -54,6 +54,17 @@ def main(sf_dir, out_dir):
             print(f"[FAIL] {name}: columns differ: spark={got_cols} oracle={exp_cols}")
             n_bad += 1
             continue
+        # The driver's hash is dtype-sensitive (DuckDB HUGEINT vs Spark
+        # BIGINT fails it even when values match) — compare dtypes too.
+        got_types = [str(t) for t in con.sql(f"SELECT {got_sel} FROM got_rel").types]
+        exp_types = [str(t) for t in con.sql(f"SELECT {exp_sel} FROM exp_rel").types]
+        if got_types != exp_types:
+            print(f"[FAIL] {name}: dtypes differ (driver hash would mismatch):")
+            for c, gt, et in zip(got_cols, got_types, exp_types):
+                if gt != et:
+                    print(f"    {c}: spark={gt} oracle={et}")
+            n_bad += 1
+            continue
         g = [tuple(norm(v) for v in r) for r in got]
         e = [tuple(norm(v) for v in r) for r in exp]
         if g == e:
