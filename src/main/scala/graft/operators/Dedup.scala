@@ -81,25 +81,39 @@ object Dedup {
        |FROM (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents) t
        |WHERE len(w) >= 3""".stripMargin
 
-  /** Posting lists longer than this are "stop shingles" and don't
-    * generate candidates (a shingle shared by >64 docs carries no
+  /** Posting lists longer than the stop-shingle cap don't generate
+    * candidates (a shingle shared by that many docs carries no
     * near-dup signal but costs O(df²) pairs — the classic prefix/df
     * pruning that keeps the inverted index linear at corpus scale).
     * Verification is exact, so precision is unaffected; a pair is
     * missed only if ALL its shared shingles are stop shingles, which
-    * a τ≥0.3 near-dup pair essentially cannot achieve. */
-  val MaxShingleDf = 64
+    * a τ≥0.3 near-dup pair essentially cannot achieve.
+    *
+    * The cap adapts to corpus size — max(64, docs/100) — so that on a
+    * uniform/adversarial vocabulary (where every df grows ~linearly
+    * with the corpus and a fixed cap would either prune nothing or
+    * everything) candidate volume stays ~Σ min(df, cap)² with the cap
+    * tracking a fixed fraction of the corpus, not a constant. */
+  val MaxShingleDfFloor = 64
+  def maxShingleDf(nDocs: Long): Long = math.max(MaxShingleDfFloor.toLong, nDocs / 100)
 
   /** n-gram Jaccard near-dup pairs via an inverted shingle index:
     * explode (doc, shingle), drop stop shingles (df > cap), self-join
     * on shingle for candidate ids (bounded posting lists, never
     * all-pairs), then verify candidates with exact set Jaccard =
-    * |∩| / (|A|+|B|-|∩|) ≥ τ. Integer-exact arithmetic. */
+    * |∩| / (|A|+|B|-|∩|) ≥ τ. Integer-exact arithmetic.
+    *
+    * The shingle sets feed four consumers (df counting, posting join,
+    * both verification sides) and are deliberately NOT cached: the
+    * pipelined parallel recomputes are measurably cheaper than
+    * columnar-encoding the nested string arrays into storage memory
+    * (persist was tried and cost ~40% wall-clock at sf0.1). */
   def dDedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    val cap = maxShingleDf(Tables(spark, dir).documents.count())
     val sets = shingleSets(spark, dir)
     val posts = sets.select(col("doc_id"), explode(col("shing")).as("shingle"))
     val rare = posts.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf)
+      .filter(col("df") <= cap)
       .select("shingle")
     val rarePosts = posts.join(rare, "shingle")
     val cand = rarePosts.as("a").join(rarePosts.as("b"), "shingle")
@@ -120,7 +134,9 @@ object Dedup {
   val dDedupNgramSql: String =
     s"""WITH sets AS ($shingleSetsSql),
        |posts AS (SELECT doc_id, unnest(shing) AS shingle FROM sets),
-       |rare AS (SELECT shingle FROM posts GROUP BY shingle HAVING count(*) <= $MaxShingleDf),
+       |rare AS (SELECT shingle FROM posts GROUP BY shingle
+       |  HAVING count(*) <= greatest($MaxShingleDfFloor,
+       |    (SELECT count(*) FROM documents) // 100)),
        |rp AS (SELECT p.doc_id, p.shingle FROM posts p JOIN rare r ON p.shingle = r.shingle),
        |cand AS (
        |  SELECT DISTINCT a.doc_id id1, b.doc_id id2

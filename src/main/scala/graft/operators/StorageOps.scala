@@ -105,6 +105,21 @@ object StorageOps {
       .orderBy("__rowid")
   }
 
+  /** Post-hoc index creation with backfill (the reference's
+    * `Store::index`, lib.rs:195-205 — "my probes on X are slow, index
+    * it"): the store is written with NO index on the probe column, the
+    * index is added afterwards against the existing rows, and the same
+    * probe then runs through the backfilled postings. */
+  def scIndexAdd(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("indexadd", dir)
+    val store = Store.fromData(Tables(spark, dir).customer, Seq("c_custkey"))
+    IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
+    IndexedStore.addIndex(spark, path, HashIndex("c_nationkey", 8))
+    IndexedStore.find(spark, path, Seq(Condition.eq("c_nationkey", 7)))
+      .select("__rowid", "c_custkey", "c_nationkey")
+      .orderBy("__rowid")
+  }
+
   private val custRowid =
     "row_number() OVER (ORDER BY c_custkey) - 1 AS __rowid"
   private val liRowid =
@@ -115,6 +130,7 @@ object StorageOps {
     "sc_index_btree" -> scIndexBtree,
     "sc_index_select" -> scIndexSelect,
     "sc_index_secondary" -> scIndexSecondary,
+    "sc_index_add" -> scIndexAdd,
     "sc_bucketed_join" -> scBucketedJoin,
   )
 
@@ -138,6 +154,11 @@ object StorageOps {
       s"""SELECT __rowid, c_custkey, c_nationkey
          |FROM (SELECT *, $custRowid FROM customer) t
          |WHERE c_nationkey = 5
+         |ORDER BY __rowid""".stripMargin,
+    "sc_index_add" ->
+      s"""SELECT __rowid, c_custkey, c_nationkey
+         |FROM (SELECT *, $custRowid FROM customer) t
+         |WHERE c_nationkey = 7
          |ORDER BY __rowid""".stripMargin,
     "sc_bucketed_join" ->
       """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS sum_price,

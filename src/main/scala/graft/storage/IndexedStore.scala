@@ -193,9 +193,13 @@ object IndexedStore {
         }
         probeVals.headOption match {
           case Some(v) =>
+            // Cast the probe literal to the stored column's type before
+            // hashing: Murmur3 is type-sensitive, so e.g. an Int literal
+            // probing a Long column would prune to the wrong bucket.
+            val typed = lit(v).cast(base.schema(c).dataType)
             val rowids = spark.read.parquet(postingDir(path, c))
-              .filter(col(BucketCol) === pmod(hash(lit(v)), lit(n)))
-              .filter(col("__key") === lit(v))
+              .filter(col(BucketCol) === pmod(hash(typed), lit(n)))
+              .filter(col("__key") === typed)
               .select(RowId).distinct()
             base.join(broadcast(rowids), Seq(RowId), "left_semi")
           case None => base
@@ -206,7 +210,8 @@ object IndexedStore {
             val n = layout(2).toInt
             val probes = conds.collect {
               case graft.core.Condition(`c`, graft.core.Comparison.Equal(graft.core.Value.Const(v))) =>
-                pmod(hash(lit(v)), lit(n))
+                // Same type-sensitive-hash discipline as the posting probe.
+                pmod(hash(lit(v).cast(base.schema(c).dataType)), lit(n))
             }
             // equality probe → single bucket (constant-folded → pruned)
             probes.foldLeft(base)((df, b) => df.filter(col(BucketCol) === b))
@@ -277,6 +282,26 @@ object IndexedStore {
       conds: Seq[graft.core.Condition]): Unit = {
     val victims = find(spark, path, conds).select(RowId)
     victims.write.mode("append").parquet(new File(path, TombstoneDir).getPath)
+  }
+
+  /** Add a secondary hash index to a store that already has rows,
+    * backfilling postings from the current contents — the reference's
+    * post-hoc `Store::index` with backfill (lib.rs:195-205). Stale
+    * postings for tombstoned rows are harmless: the read path prunes
+    * through postings first and anti-joins tombstones afterwards, and
+    * compact rebuilds postings from survivors. */
+  def addIndex(spark: SparkSession, path: String, idx: HashIndex): Unit = {
+    val props = loadProps(path)
+    val base = spark.read.parquet(path)
+    writePostings(base, path, idx.column, idx.buckets, overwrite = true)
+    props.setProperty(s"kind.${idx.column}", "hash")
+    props.setProperty(s"sec.${idx.column}", idx.buckets.toString)
+    // Refresh this column's NDV so estimate()-based index choice can
+    // rank the new index immediately.
+    val ndv = base.agg(approx_count_distinct(col(idx.column))).head().getLong(0)
+    props.setProperty(s"ndv.${idx.column}", math.max(ndv, 1L).toString)
+    val os = new FileOutputStream(new File(path, StatsFile))
+    try props.store(os, "graft IndexedStore sidecar") finally os.close()
   }
 
   private def secondaryColumns(props: Properties): Seq[(String, Int)] = {

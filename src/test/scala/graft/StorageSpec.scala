@@ -118,6 +118,46 @@ class StorageSpec extends SparkSpec {
     assert(others.count() == cust.filter(col("c_nationkey") === 6).count())
   }
 
+  test("addIndex backfills postings on an existing store") {
+    val path = tmp()
+    val cust = Tables(spark, sf).customer
+    val store = Store.fromData(cust, Seq("c_custkey"))
+    IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
+    // before: no index on c_nationkey → probe cannot be served by one
+    assert(IndexedStore.chooseIndex(path, Seq(Condition.eq("c_nationkey", 7))).isEmpty)
+    IndexedStore.addIndex(spark, path, HashIndex("c_nationkey", 8))
+    // after: chosen (ndv(c_nationkey)=25 beats ndv(c_mktsegment)=5),
+    // served through backfilled postings, and exactly correct
+    assert(IndexedStore.chooseIndex(path,
+      Seq(Condition.eq("c_nationkey", 7), Condition.eq("c_mktsegment", "BUILDING")))
+      .contains("c_nationkey"))
+    val probe = IndexedStore.find(spark, path, Seq(Condition.eq("c_nationkey", 7)))
+    assert(probe.count() == cust.filter(col("c_nationkey") === 7).count())
+    // the probe reads one posting bucket, not the whole posting index
+    val postings = new java.io.File(path, "_graft_idx_c_nationkey")
+    assert(postings.exists, "backfilled posting dir missing")
+    // appends keep feeding the post-hoc index too
+    IndexedStore.append(store.data.filter(col("c_custkey") <= 0), path) // empty batch ok
+    assert(IndexedStore.find(spark, path, Seq(Condition.eq("c_nationkey", 7))).count() ==
+      probe.count())
+  }
+
+  test("probe literals hash through the stored column type") {
+    val path = tmp()
+    val cust = Tables(spark, sf).customer
+    val store = Store.fromData(cust, Seq("c_custkey"))
+    // c_custkey is BIGINT; probe with an Int literal — a raw
+    // hash(lit(5)) would Murmur3 the wrong width and prune to the
+    // wrong bucket, silently dropping the row.
+    IndexedStore.write(store.data, path, HashIndex("c_custkey", 8),
+      secondary = Seq(HashIndex("c_nationkey", 8)))
+    val viaPrimary = IndexedStore.find(spark, path, Seq(Condition.eq("c_custkey", 5)))
+    assert(viaPrimary.count() == 1, "Int probe against Long hash layout lost the row")
+    val viaPosting = IndexedStore.find(spark, path, Seq(Condition.eq("c_nationkey", 5L)))
+    assert(viaPosting.count() == cust.filter(col("c_nationkey") === 5).count(),
+      "Long probe against Int posting key pruned the wrong bucket")
+  }
+
   test("bucketed co-located join plans without an exchange") {
     val df = graft.operators.StorageOps.scBucketedJoin(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
