@@ -147,8 +147,11 @@ object IndexedStore {
     * (lib.rs:98-120): among conditions over a column with an index
     * that supports the operation, minimize `estimate()`; None means
     * full scan. Exposed for tests. */
-  def chooseIndex(path: String, conds: Seq[graft.core.Condition]): Option[String] = {
-    val props = loadProps(path)
+  def chooseIndex(path: String, conds: Seq[graft.core.Condition]): Option[String] =
+    chooseIndexIn(loadProps(path), conds)
+
+  private def chooseIndexIn(props: Properties,
+      conds: Seq[graft.core.Condition]): Option[String] = {
     val supported = conds.filter { cond =>
       val kind = Option(props.getProperty(s"kind.${cond.column}"))
       kind match {
@@ -171,17 +174,35 @@ object IndexedStore {
     supported.sortBy(c => estimate(props, c.column)).headOption.map(_.column)
   }
 
-  /** Read rows matching the ANDed conditions through the best index.
-    * The index path yields a superset (bucket-pruned scan); every
-    * condition is always re-applied, exactly like the reference's
-    * post-filter (lib.rs:130-137). Tombstoned rowids are anti-joined
-    * out. */
+  /** One-shot probe: open + find. Prefer [[open]] when issuing many
+    * probes — it reuses the sidecar, base reader and posting readers
+    * across calls (the reference's `Store` is likewise an open handle
+    * that serves many `find`s). */
   def find(spark: SparkSession, path: String,
-      conds: Seq[graft.core.Condition]): DataFrame = {
-    val props = loadProps(path)
+      conds: Seq[graft.core.Condition]): DataFrame =
+    open(spark, path).find(conds)
+
+  /** Open the store once for repeated probing. */
+  def open(spark: SparkSession, path: String): OpenStore =
+    new OpenStore(spark, path)
+
+  /** An opened store: sidecar + file listings resolved once, probes
+    * plan against reused readers. */
+  final class OpenStore private[IndexedStore] (spark: SparkSession, path: String) {
+    private val props = loadProps(path)
+    private val base = spark.read.parquet(path)
+    private val postings = scala.collection.mutable.Map.empty[String, DataFrame]
+    private def posting(c: String): DataFrame =
+      postings.getOrElseUpdate(c, spark.read.parquet(postingDir(path, c)))
+
+    /** Read rows matching the ANDed conditions through the best index.
+      * The index path yields a superset (bucket-pruned scan); every
+      * condition is always re-applied, exactly like the reference's
+      * post-filter (lib.rs:130-137). Tombstoned rowids are anti-joined
+      * out. */
+    def find(conds: Seq[graft.core.Condition]): DataFrame = {
     val layout = props.getProperty("layout").split(":", 3)
-    val chosen = chooseIndex(path, conds)
-    val base = spark.read.parquet(path)
+    val chosen = chooseIndexIn(props, conds)
     val pruned = chosen match {
       case Some(c) if c != layout(1) && props.getProperty(s"sec.$c") != null =>
         // Secondary posting probe: one posting bucket → rowid set →
@@ -197,7 +218,7 @@ object IndexedStore {
             // hashing: Murmur3 is type-sensitive, so e.g. an Int literal
             // probing a Long column would prune to the wrong bucket.
             val typed = lit(v).cast(base.schema(c).dataType)
-            val rowids = spark.read.parquet(postingDir(path, c))
+            val rowids = posting(c)
               .filter(col(BucketCol) === pmod(hash(typed), lit(n)))
               .filter(col("__key") === typed)
               .select(RowId).distinct()
@@ -237,6 +258,12 @@ object IndexedStore {
     }
     val live = antiTombstone(spark, path, pruned)
     live.filter(graft.core.Condition.all(conds)).drop(BucketCol)
+    }
+
+    /** The reference's estimate-driven index choice against this open
+      * store's sidecar. */
+    def chooseIndex(conds: Seq[graft.core.Condition]): Option[String] =
+      IndexedStore.chooseIndexIn(props, conds)
   }
 
   private def antiTombstone(spark: SparkSession, path: String, df: DataFrame): DataFrame = {
