@@ -207,9 +207,18 @@ object Similarity {
       .select(col("vec_id"), col("u"), explode(buckets).as("tb"))
       .select(col("vec_id"), col("u"),
         col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    // Multi-probe on the QUERY side only: each query also probes the 6
+    // buckets at hamming distance 1 from its own (one flipped sign
+    // bit) in every table. This multiplies the tiny query set ×7, not
+    // the corpus, and lifts recall at τ-ish similarity from the coarse
+    // single-bucket filter to a usable level (bounded in PipelineSpec).
+    val probeBkts = explode(array(
+      col("bkt") +: (0 until PlanesPerTable).map(p =>
+        col("bkt").bitwiseXOR(lit(1 << p))): _*)).as("probe_bkt")
     val queries = bucketed.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("u").as("qv"),
-        col("t"), col("bkt"))
+        col("t"), probeBkts)
+      .withColumnRenamed("probe_bkt", "bkt")
     val cand = bucketed.join(broadcast(queries), Seq("t", "bkt"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("qv"), col("u"))

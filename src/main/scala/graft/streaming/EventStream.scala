@@ -25,12 +25,18 @@ object EventStream {
     // rename post-load so the by-name parquet column binding works.
     val raw = spark.read.parquet(s"$dir/events.parquet").schema
     // The file stream source requires a directory; the test data is a
-    // single parquet file, so expose it through a temp-dir symlink
-    // (a real deployment streams an arriving-files directory anyway).
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_events_stream")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    // single parquet file, so expose it through a symlink in a
+    // DETERMINISTIC per-sf scratch dir (a fresh temp dir per call would
+    // accumulate leaked dirs across runs — a real deployment streams an
+    // arriving-files directory anyway).
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val streamDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_events_stream_$sfTag")
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
     spark.readStream
       .schema(raw)
       .parquet(streamDir.toString)
@@ -88,6 +94,47 @@ object EventStream {
     s"""SELECT DISTINCT user_id, event_type, epoch_ns(ts) // $HourNs AS hour_bucket
        |FROM events
        |ORDER BY user_id, event_type, hour_bucket""".stripMargin
+
+  /** Stream-stream join time bound (1 hour, in microseconds). */
+  private val JoinWindowUs = 3600L * 1000000L
+
+  /** Stream-stream join: each purchase joined to the same user's
+    * clicks in the preceding hour — two independently watermarked
+    * streams, equality key (user) plus an event-time range condition,
+    * which is exactly the shape whose state Spark can bound at scale
+    * (each side keeps ≤ watermark+bound of history). Time arithmetic
+    * is in MICROSECONDS on both sides: DuckDB truncates the parquet
+    * nanos to µs on read, so µs is the finest engine-portable
+    * granularity for both the join bound and the emitted gap. */
+  def stStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = eventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event_id"), col("user_id").as("c_user_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        unix_micros(col("c_ts")) >= unix_micros(col("p_ts")) - JoinWindowUs &&
+        unix_micros(col("c_ts")) <= unix_micros(col("p_ts")))
+    runToTable(joined, "append")
+      .select(col("p_event_id"), col("c_event_id"), col("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .orderBy("p_event_id", "c_event_id")
+  }
+
+  val stStreamJoinSql: String =
+    s"""SELECT p.event_id AS p_event_id, c.event_id AS c_event_id, p.user_id,
+       |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+       |FROM events p JOIN events c
+       |  ON p.user_id = c.user_id
+       | AND p.event_type = 'purchase' AND c.event_type = 'click'
+       | AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - $JoinWindowUs AND epoch_us(p.ts)
+       |ORDER BY p_event_id, c_event_id""".stripMargin
 
   /** Input/state/output records for the stateful sessionizer. */
   final case class Ev(user_id: Long, ts_ns: Long)
@@ -164,12 +211,14 @@ object EventStream {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_window_agg" -> stWindowAgg,
     "st_stream_dedup" -> stStreamDedup,
+    "st_stream_join" -> stStreamJoin,
     "st_sessionize" -> stSessionize,
   )
 
   def oracles: Map[String, String] = Map(
     "st_window_agg" -> stWindowAggSql,
     "st_stream_dedup" -> stStreamDedupSql,
+    "st_stream_join" -> stStreamJoinSql,
     "st_sessionize" -> stSessionizeSql,
   )
 }

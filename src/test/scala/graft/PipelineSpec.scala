@@ -35,14 +35,16 @@ class PipelineSpec extends SparkSpec {
     assert(df.filter(col("hamming") > Dedup.HammingK).count() == 0)
   }
 
-  test("ann_lsh recall vs brute force is nontrivial") {
+  test("ann_lsh recall vs brute force is at least 0.5") {
     val brute = Similarity.sAnnBrute(spark, sf).select("query_id", "neighbor_id")
     val lsh = Similarity.sAnnLsh(spark, sf).select("query_id", "neighbor_id")
     val hits = lsh.join(brute, Seq("query_id", "neighbor_id")).count()
     val total = brute.count()
-    // 8 hyperplanes over near-uniform vectors is a coarse filter;
-    // just require the plumbing to find *some* true neighbors.
-    assert(hits > 0, s"LSH found none of the $total true top-k neighbors")
+    val recall = hits.toDouble / total
+    // Deterministic on fixed data + seeded hyperplanes: 8 tables with
+    // hamming-1 multi-probe recover ≥ half the true top-k even on this
+    // near-uniform corpus (no high-similarity structure to exploit).
+    assert(recall >= 0.5, s"LSH recall $recall ($hits of $total) below 0.5")
   }
 
   test("lang_id predicts only known labels or 'und'") {
