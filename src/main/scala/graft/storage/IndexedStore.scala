@@ -1,8 +1,8 @@
 package graft.storage
 
-import java.io.{File, FileInputStream, FileOutputStream}
 import java.util.Properties
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -55,6 +55,19 @@ object IndexedStore {
   private val TombstoneDir = "_graft_tombstones"
   val RowId = graft.core.Store.RowId
 
+  /** All sidecar/tombstone IO goes through the Hadoop FileSystem of
+    * the store's own path (local, HDFS, s3a, ... — wherever the
+    * parquet lives), never java.io — a store on a cluster filesystem
+    * must be manageable from any node. */
+  private def hadoopFs(path: String): FileSystem =
+    new HPath(path).getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+
+  private def storeProps(props: Properties, path: String): Unit = {
+    val out = hadoopFs(path).create(new HPath(path, StatsFile), true)
+    try props.store(out, "graft IndexedStore sidecar") finally out.close()
+  }
+
   /** Write `df` (which must carry a `__rowid` column, e.g. from
     * [[graft.core.Store]]) under `path` laid out by `primary`.
     *
@@ -106,8 +119,7 @@ object IndexedStore {
     secondary.foreach { case HashIndex(c, n) =>
       writePostings(df, path, c, n, overwrite = true)
     }
-    val out = new FileOutputStream(new File(path, StatsFile))
-    try props.store(out, "graft IndexedStore sidecar") finally out.close()
+    storeProps(props, path)
   }
 
   /** Bucket id = number of boundaries ≤ value (monotone in the key,
@@ -116,7 +128,7 @@ object IndexedStore {
     bounds.foldLeft(lit(0)) { (acc, b) => acc + when(c >= b, 1).otherwise(0) }
 
   private def postingDir(path: String, column: String): String =
-    new File(path, s"_graft_idx_$column").getPath
+    new HPath(path, s"_graft_idx_$column").toString
 
   /** Posting files for a secondary hash index: (key, rowid),
     * directory-partitioned by the key's hash bucket. */
@@ -130,7 +142,7 @@ object IndexedStore {
 
   private def loadProps(path: String): Properties = {
     val props = new Properties()
-    val in = new FileInputStream(new File(path, StatsFile))
+    val in = hadoopFs(path).open(new HPath(path, StatsFile))
     try props.load(in) finally in.close()
     props
   }
@@ -222,7 +234,12 @@ object IndexedStore {
               .filter(col(BucketCol) === pmod(hash(typed), lit(n)))
               .filter(col("__key") === typed)
               .select(RowId).distinct()
-            base.join(broadcast(rowids), Seq(RowId), "left_semi")
+            // Posting lists are estimate-sized (rows/ndv) — broadcast
+            // only when that estimate says the rowid set is small; a
+            // hot key (skewed column) must take the shuffled semi-join
+            // rather than blow past the broadcast/driver limits.
+            val hot = estimate(props, c) > 1000000L
+            base.join(if (hot) rowids else broadcast(rowids), Seq(RowId), "left_semi")
           case None => base
         }
       case Some(c) if c == layout(1) =>
@@ -267,9 +284,11 @@ object IndexedStore {
   }
 
   private def antiTombstone(spark: SparkSession, path: String, df: DataFrame): DataFrame = {
-    val tdir = new File(path, TombstoneDir)
-    if (tdir.exists && tdir.listFiles().exists(_.getName.endsWith(".parquet"))) {
-      val ts = spark.read.parquet(tdir.getPath)
+    val tdir = new HPath(path, TombstoneDir)
+    val f = hadoopFs(path)
+    if (f.exists(tdir) &&
+        f.listStatus(tdir).exists(_.getPath.getName.endsWith(".parquet"))) {
+      val ts = spark.read.parquet(tdir.toString)
       df.join(broadcast(ts), Seq(RowId), "left_anti")
     } else df
   }
@@ -298,8 +317,7 @@ object IndexedStore {
       writePostings(df, path, c, n, overwrite = false)
     }
     props.setProperty("rows", (props.getProperty("rows").toLong + df.count()).toString)
-    val os = new FileOutputStream(new File(path, StatsFile))
-    try props.store(os, "graft IndexedStore sidecar") finally os.close()
+    storeProps(props, path)
   }
 
   /** Delete matching rows by tombstoning their rowids (reference
@@ -308,7 +326,7 @@ object IndexedStore {
   def delete(spark: SparkSession, path: String,
       conds: Seq[graft.core.Condition]): Unit = {
     val victims = find(spark, path, conds).select(RowId)
-    victims.write.mode("append").parquet(new File(path, TombstoneDir).getPath)
+    victims.write.mode("append").parquet(new HPath(path, TombstoneDir).toString)
   }
 
   /** Add a secondary hash index to a store that already has rows,
@@ -327,8 +345,7 @@ object IndexedStore {
     // rank the new index immediately.
     val ndv = base.agg(approx_count_distinct(col(idx.column))).head().getLong(0)
     props.setProperty(s"ndv.${idx.column}", math.max(ndv, 1L).toString)
-    val os = new FileOutputStream(new File(path, StatsFile))
-    try props.store(os, "graft IndexedStore sidecar") finally os.close()
+    storeProps(props, path)
   }
 
   private def secondaryColumns(props: Properties): Seq[(String, Int)] = {
@@ -352,14 +369,11 @@ object IndexedStore {
     val tmp = path + ".compact"
     write(live, tmp, spec,
       secondary = secondaryColumns(props).map { case (c, n) => HashIndex(c, n) })
-    val dst = new File(path)
-    deleteRecursively(dst)
-    if (!new File(tmp).renameTo(dst))
+    // Atomic on HDFS/local; an object-store deployment would swap a
+    // manifest pointer instead of renaming the directory.
+    val f = hadoopFs(path)
+    f.delete(new HPath(path), true)
+    if (!f.rename(new HPath(tmp), new HPath(path)))
       throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
-  }
-
-  private def deleteRecursively(f: File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete(): Unit
   }
 }
