@@ -232,10 +232,63 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  val IvfCells = 16
+  val IvfProbe = 8
+
+  /** IVF-flat ANN: the corpus is partitioned into K centroid cells
+    * (inverted file); a query scans only its nprobe nearest cells.
+    *
+    * Centroids are K corpus vectors picked by md5(vec_id) order —
+    * deterministic, engine-replayable, and O(K) to ship (a k-means
+    * refinement would drop in here without changing the plan shape).
+    * Cell assignment is argmax over K codegen'd dots against the RAW
+    * embedding column: scale-invariant vs unit centroids, and a plain
+    * column ref keeps the 16 dot expressions from re-inlining the
+    * unit-normalization transform. One narrow assignment pass, one
+    * equi-join shuffle on cell id — at 100 TB the per-query read is
+    * nprobe/K of the corpus instead of all of it. Recall < 1 by
+    * construction → rows-only, bounded against brute in PipelineSpec.
+    * (On this corpus neighbors are weak — max cosine ≈ 0.5 — so
+    * nprobe=K/2 is needed for useful recall; clustered real-world
+    * embeddings separate far better.) */
+  def sAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = withUnit(Tables(spark, dir).embeddings.repartition(parts), "embedding", "u")
+    val cents: Array[(Int, Seq[Double])] = e
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h").limit(IvfCells)
+      .select("u").as[Seq[Double]].collect()
+      .zipWithIndex.map { case (v, i) => (i, v) }
+    // (dot, cid) structs sorted best-first: head = home cell, prefix =
+    // probe cells. Struct ordering is field-by-field, ties → higher cid
+    // — identical on both the corpus and query paths.
+    def cellsDesc(v: Column): Column =
+      sort_array(array(cents.map { case (i, cv) =>
+        struct(dot(v, typedLit(cv)).as("d"), lit(i).as("cid"))
+      }: _*), asc = false)
+    val corpus = e.select(col("vec_id"), col("u"),
+      element_at(cellsDesc(col("embedding")), 1).getField("cid").as("cid"))
+    val queriesDf = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("u").as("qv"),
+        explode(transform(slice(cellsDesc(col("embedding")), 1, IvfProbe),
+          s => s.getField("cid"))).as("cid"))
+    val cand = corpus.join(broadcast(queriesDf), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(dot(col("qv"), col("u")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    cand.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"), col("score"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_dedup_embedding" -> dDedupEmbedding,
     "s_ann_brute" -> sAnnBrute,
     "s_ann_lsh" -> sAnnLsh,
+    "s_ann_ivf" -> sAnnIvf,
   )
 
   def oracles: Map[String, String] = Map(

@@ -47,6 +47,15 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall ($hits of $total) below 0.5")
   }
 
+  test("ann_ivf recall vs brute force is at least 0.5") {
+    val brute = Similarity.sAnnBrute(spark, sf).select("query_id", "neighbor_id")
+    val ivf = Similarity.sAnnIvf(spark, sf).select("query_id", "neighbor_id")
+    val hits = ivf.join(brute, Seq("query_id", "neighbor_id")).count()
+    val total = brute.count()
+    val recall = hits.toDouble / total
+    assert(recall >= 0.5, s"IVF recall $recall ($hits of $total) below 0.5")
+  }
+
   test("lang_id predicts only known labels or 'und'") {
     val langs = TextAnalysis.tLangId(spark, sf)
       .select("pred_lang").distinct().as[String].collect().toSet
