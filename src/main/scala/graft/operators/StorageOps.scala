@@ -34,7 +34,7 @@ object StorageOps {
     * need to — the first query call builds lazily via writeOnce). */
   def prepare(spark: SparkSession, dir: String): Unit = {
     Seq("sc_index_hash", "sc_index_btree", "sc_index_select",
-      "sc_index_secondary", "sc_index_add", "sc_bucketed_join")
+      "sc_index_secondary", "sc_index_add", "sc_bloom_probe", "sc_bucketed_join")
       .foreach(q => queries(q)(spark, dir).write.format("noop").mode("overwrite").save())
   }
 
@@ -157,6 +157,23 @@ object StorageOps {
       .orderBy("__rowid")
   }
 
+  /** Equality probe on a column with NO layout/postings, served by the
+    * per-bucket Bloom-filter sidecar: the probe consults the tiny
+    * sidecar and scans only the buckets whose filter passes (for a
+    * unique key: ~1 of 8) — membership pruning where a full index
+    * isn't worth its storage. */
+  def scBloomProbe(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("bloom", dir)
+    writeOnce(path) {
+      val store = Store.fromData(Tables(spark, dir).customer, Seq("c_custkey"))
+      IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8),
+        bloom = Seq("c_name"))
+    }
+    IndexedStore.find(spark, path, Seq(Condition.eq("c_name", "Customer#000000042")))
+      .select("__rowid", "c_custkey", "c_name")
+      .orderBy("__rowid")
+  }
+
   private val custRowid =
     "row_number() OVER (ORDER BY c_custkey) - 1 AS __rowid"
   private val liRowid =
@@ -168,6 +185,7 @@ object StorageOps {
     "sc_index_select" -> scIndexSelect,
     "sc_index_secondary" -> scIndexSecondary,
     "sc_index_add" -> scIndexAdd,
+    "sc_bloom_probe" -> scBloomProbe,
     "sc_bucketed_join" -> scBucketedJoin,
   )
 
@@ -196,6 +214,11 @@ object StorageOps {
       s"""SELECT __rowid, c_custkey, c_nationkey
          |FROM (SELECT *, $custRowid FROM customer) t
          |WHERE c_nationkey = 7
+         |ORDER BY __rowid""".stripMargin,
+    "sc_bloom_probe" ->
+      s"""SELECT __rowid, c_custkey, c_name
+         |FROM (SELECT *, $custRowid FROM customer) t
+         |WHERE c_name = 'Customer#000000042'
          |ORDER BY __rowid""".stripMargin,
     "sc_bucketed_join" ->
       """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS sum_price,

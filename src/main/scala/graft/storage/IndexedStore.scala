@@ -77,9 +77,14 @@ object IndexedStore {
     * base — the reference's "index per column, auto-maintained"
     * surface (lib.rs:195-205), expressed as data instead of heap maps.
     * `statsOnly` columns get NDV statistics (participating in index
-    * *choice*) without any structure. */
+    * *choice*) without any structure. `bloom` columns get a per-bucket
+    * Bloom-filter sidecar: an equality probe on them consults the
+    * (tiny) sidecar first and scans only the layout buckets whose
+    * filter passes — membership pruning for columns that have no
+    * layout or postings of their own. */
   def write(df: DataFrame, path: String, primary: IndexSpec,
-      statsOnly: Seq[IndexSpec] = Nil, secondary: Seq[HashIndex] = Nil): Unit = {
+      statsOnly: Seq[IndexSpec] = Nil, secondary: Seq[HashIndex] = Nil,
+      bloom: Seq[String] = Nil): Unit = {
     require(df.columns.contains(RowId), s"IndexedStore requires a $RowId column")
     val props = new Properties()
     val statCols = (primary +: statsOnly ++: secondary).map(_.column).distinct
@@ -98,29 +103,74 @@ object IndexedStore {
       props.setProperty(s"kind.$c", "hash")
       props.setProperty(s"sec.$c", n.toString)
     }
-    primary match {
+    bloom.foreach(c => props.setProperty(s"bloom.$c", "1"))
+    val bucketed = primary match {
       case HashIndex(c, n) =>
         props.setProperty("layout", s"hash:$c:$n")
         props.setProperty(s"kind.$c", "hash")
-        df.withColumn(BucketCol, pmod(hash(col(c)), lit(n)))
-          .repartition(col(BucketCol))
+        val b = df.withColumn(BucketCol, pmod(hash(col(c)), lit(n)))
+        b.repartition(col(BucketCol))
           .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
+        b
       case RangeIndex(c, n) =>
         val bounds = df.stat.approxQuantile(c, (1 until n).map(_.toDouble / n).toArray, 0.01)
           .distinct.sorted
         props.setProperty("layout", s"range:$c:${bounds.mkString(",")}")
         props.setProperty(s"kind.$c", "range")
-        df.withColumn(BucketCol, rangeBucket(col(c), bounds))
-          .repartition(col(BucketCol))
+        val b = df.withColumn(BucketCol, rangeBucket(col(c), bounds))
+        b.repartition(col(BucketCol))
           .sortWithinPartitions(col(c))
           .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
+        b
     }
-    // Postings go AFTER the base write: overwrite mode clears `path`.
+    // Postings/blooms go AFTER the base write: overwrite clears `path`.
     secondary.foreach { case HashIndex(c, n) =>
       writePostings(df, path, c, n, overwrite = true)
     }
+    bloom.foreach(c => writeBloom(bucketed, path, c, overwrite = true))
     storeProps(props, path)
   }
+
+  // ------------------------------------------------------ bloom sidecar
+
+  /** Bloom geometry: 2^16 bits per bucket, 4 probes per value. */
+  private val BloomBits = 1 << 16
+  private val BloomProbes = 4
+
+  private def bloomDir(path: String, column: String): String =
+    new HPath(path, s"_graft_bloom_$column").toString
+
+  /** 4 independent bit positions from disjoint 8-hex-char md5 slices
+    * of the value's string form — the build side (Spark expressions)
+    * and the probe side ([[bloomBitsOf]], plain JVM) run the identical
+    * arithmetic, so the filter has NO false negatives. Caveat: the
+    * value's JVM toString must equal Spark's cast-to-string, which
+    * holds for string/integral probe columns (the intended use). */
+  private def bloomBitExprs(c: Column): Seq[Column] = {
+    val hex = md5(c.cast("string"))
+    (0 until BloomProbes).map(i =>
+      (conv(substring(hex, 1 + 8 * i, 8), 16, 10).cast("long") % BloomBits).cast("int"))
+  }
+
+  private def bloomBitsOf(v: Any): Seq[Int] = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.toString.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    (0 until BloomProbes).map(i =>
+      (java.lang.Long.parseLong(hex.substring(8 * i, 8 * i + 8), 16) % BloomBits).toInt)
+  }
+
+  /** Sparse per-bucket bloom: (bucket, word, bits) rows, bit_or-merged
+    * per 64-bit word — built with plain aggregates (no UDAF), appended
+    * on insert (probe ORs duplicate words back together). */
+  private def writeBloom(bucketed: DataFrame, path: String, column: String,
+      overwrite: Boolean): Unit =
+    bucketed.select(col(BucketCol).as("bucket"),
+        explode(array(bloomBitExprs(col(column)): _*)).as("bit"))
+      .filter(col("bit").isNotNull)
+      .groupBy(col("bucket"), expr("bit div 64").cast("int").as("word"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), bit % 64))").as("bits"))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .parquet(bloomDir(path, column))
 
   /** Bucket id = number of boundaries ≤ value (monotone in the key,
     * so a range of keys maps to a contiguous bucket range). */
@@ -271,10 +321,41 @@ object IndexedStore {
             }
             probes.foldLeft(base)((df, p) => df.filter(p))
         }
-      case _ => base
+      // No index serves — an equality condition on a bloom column can
+      // still prune to the buckets whose filter passes (a superset:
+      // bloom false positives only widen the scan, the re-filter below
+      // keeps results exact; no false negatives by construction).
+      case _ =>
+        conds.collectFirst {
+          case graft.core.Condition(c, graft.core.Comparison.Equal(graft.core.Value.Const(v)))
+              if props.getProperty(s"bloom.$c") != null => (c, v)
+        } match {
+          case Some((c, v)) =>
+            val buckets = bloomBuckets(c, v)
+            if (buckets.isEmpty) base.filter(lit(false))
+            else base.filter(col(BucketCol).isin(buckets: _*))
+          case None => base
+        }
     }
     val live = antiTombstone(spark, path, pruned)
     live.filter(graft.core.Condition.all(conds)).drop(BucketCol)
+    }
+
+    /** Buckets whose bloom filter passes for value `v` on column `c`
+      * (reads only the probe-bit words of the tiny sidecar). */
+    private def bloomBuckets(c: String, v: Any): Seq[Int] = {
+      val bits = bloomBitsOf(v)
+      val words = bits.map(_ / 64).distinct
+      val rows = spark.read.parquet(bloomDir(path, c))
+        .filter(col("word").isin(words: _*)).collect()
+      val byBucket = rows.groupBy(_.getAs[Int]("bucket")).map { case (b, rs) =>
+        b -> rs.groupBy(_.getAs[Int]("word"))
+          .map { case (w, ws) => w -> ws.map(_.getAs[Long]("bits")).reduce(_ | _) }
+      }
+      byBucket.collect { case (b, wordBits)
+          if bits.forall(bit =>
+            (wordBits.getOrElse(bit / 64, 0L) & (1L << (bit % 64))) != 0) => b
+      }.toSeq.sorted
     }
 
     /** The reference's estimate-driven index choice against this open
@@ -311,11 +392,13 @@ object IndexedStore {
           .sortWithinPartitions(col(layout(1)))
     }
     out.write.mode("append").partitionBy(BucketCol).parquet(path)
-    // Maintain every secondary posting index, mirroring the
-    // reference's on-insert index updates (lib.rs:178-187).
+    // Maintain every secondary posting index and bloom sidecar,
+    // mirroring the reference's on-insert index updates
+    // (lib.rs:178-187).
     secondaryColumns(props).foreach { case (c, n) =>
       writePostings(df, path, c, n, overwrite = false)
     }
+    bloomColumns(props).foreach(c => writeBloom(out, path, c, overwrite = false))
     props.setProperty("rows", (props.getProperty("rows").toLong + df.count()).toString)
     storeProps(props, path)
   }
@@ -355,6 +438,13 @@ object IndexedStore {
       .map(k => (k.stripPrefix("sec."), props.getProperty(k).toInt))
   }
 
+  private def bloomColumns(props: Properties): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    props.stringPropertyNames().asScala.toSeq.sorted
+      .filter(_.startsWith("bloom."))
+      .map(_.stripPrefix("bloom."))
+  }
+
   /** Fold tombstones into a rewrite (the compaction every
     * tombstone-based store eventually needs); secondary postings are
     * rebuilt from the surviving rows. */
@@ -368,7 +458,8 @@ object IndexedStore {
     }
     val tmp = path + ".compact"
     write(live, tmp, spec,
-      secondary = secondaryColumns(props).map { case (c, n) => HashIndex(c, n) })
+      secondary = secondaryColumns(props).map { case (c, n) => HashIndex(c, n) },
+      bloom = bloomColumns(props))
     // Atomic on HDFS/local; an object-store deployment would swap a
     // manifest pointer instead of renaming the directory.
     val f = hadoopFs(path)

@@ -158,6 +158,32 @@ class StorageSpec extends SparkSpec {
       "Long probe against Int posting key pruned the wrong bucket")
   }
 
+  test("bloom sidecar prunes buckets and survives append") {
+    val path = tmp()
+    val cust = Tables(spark, sf).customer
+    val store = Store.fromData(cust.filter(col("c_custkey") <= 100), Seq("c_custkey"))
+    IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8),
+      bloom = Seq("c_name"))
+    val probe = IndexedStore.find(spark, path,
+      Seq(Condition.eq("c_name", "Customer#000000042")))
+    assert(probe.count() == 1)
+    // a unique key lives in one bucket; the bloom must prune the scan
+    // below the full file count (false positives may add a bucket or
+    // two, never all of them)
+    assert(numFilesRead(probe) < totalDataFiles(path),
+      "bloom probe scanned every bucket")
+    // a value that is in NO bucket short-circuits to an empty scan
+    assert(IndexedStore.find(spark, path,
+      Seq(Condition.eq("c_name", "Customer#9999999"))).count() == 0)
+    // appended rows are folded into the sidecar
+    val grown = store.insert(cust.filter(col("c_custkey") > 100))
+    val batch = grown.data.join(store.data.select("__rowid"), Seq("__rowid"), "left_anti")
+    IndexedStore.append(batch, path)
+    assert(IndexedStore.find(spark, path,
+      Seq(Condition.eq("c_name", "Customer#000000142"))).count() ==
+      cust.filter(col("c_name") === "Customer#000000142").count())
+  }
+
   test("bucketed co-located join plans without an exchange") {
     val df = graft.operators.StorageOps.scBucketedJoin(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
