@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.{Condition, Store, Tables}
-import graft.storage.{HashIndex, IndexedStore, RangeIndex}
+import graft.storage.{HashIndex, IndexedStore, RangeIndex, ZOrderIndex}
 
 /** Driver-contract queries exercising the [[graft.storage.IndexedStore]]
   * layout-index layer: each writes a store into a scratch directory,
@@ -34,7 +34,8 @@ object StorageOps {
     * need to — the first query call builds lazily via writeOnce). */
   def prepare(spark: SparkSession, dir: String): Unit = {
     Seq("sc_index_hash", "sc_index_btree", "sc_index_select",
-      "sc_index_secondary", "sc_index_add", "sc_bloom_probe", "sc_bucketed_join")
+      "sc_index_secondary", "sc_index_add", "sc_bloom_probe", "sc_zorder",
+      "sc_bucketed_join")
       .foreach(q => queries(q)(spark, dir).write.format("noop").mode("overwrite").save())
   }
 
@@ -157,6 +158,24 @@ object StorageOps {
       .orderBy("__rowid")
   }
 
+  /** Two-dimensional range probe through the Z-order layout: one
+    * layout serves range predicates on BOTH columns (a plain range
+    * layout serves only its own column) — the classic multi-column
+    * locality trade for two-column range workloads. */
+  def scZorder(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("zorder", dir)
+    writeOnce(path) {
+      val store = Store.fromData(Tables(spark, dir).lineitem, Seq("l_orderkey", "l_linenumber"))
+      IndexedStore.write(store.data, path, ZOrderIndex("l_quantity", "l_extendedprice", 3))
+    }
+    IndexedStore.find(spark, path, Seq(
+        Condition.between("l_quantity", 10.0, 20.0, minIncl = true, maxIncl = true),
+        Condition("l_extendedprice",
+          graft.core.Comparison.Less(graft.core.Value.of(20000.0), orEqual = false))))
+      .select("__rowid", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("__rowid")
+  }
+
   /** Equality probe on a column with NO layout/postings, served by the
     * per-bucket Bloom-filter sidecar: the probe consults the tiny
     * sidecar and scans only the buckets whose filter passes (for a
@@ -186,6 +205,7 @@ object StorageOps {
     "sc_index_secondary" -> scIndexSecondary,
     "sc_index_add" -> scIndexAdd,
     "sc_bloom_probe" -> scBloomProbe,
+    "sc_zorder" -> scZorder,
     "sc_bucketed_join" -> scBucketedJoin,
   )
 
@@ -214,6 +234,11 @@ object StorageOps {
       s"""SELECT __rowid, c_custkey, c_nationkey
          |FROM (SELECT *, $custRowid FROM customer) t
          |WHERE c_nationkey = 7
+         |ORDER BY __rowid""".stripMargin,
+    "sc_zorder" ->
+      s"""SELECT __rowid, l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         |FROM (SELECT *, $liRowid FROM lineitem) t
+         |WHERE l_quantity >= 10.0 AND l_quantity <= 20.0 AND l_extendedprice < 20000.0
          |ORDER BY __rowid""".stripMargin,
     "sc_bloom_probe" ->
       s"""SELECT __rowid, c_custkey, c_name

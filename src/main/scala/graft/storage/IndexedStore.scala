@@ -49,6 +49,16 @@ final case class HashIndex(column: String, buckets: Int = 16) extends IndexSpec
 /** Range + equality layout (reference idx.rs:91-135); numeric keys. */
 final case class RangeIndex(column: String, partitions: Int = 16) extends IndexSpec
 
+/** Two-column Z-order layout: cells are the bit-interleave of both
+  * columns' quantile-bucket ids (`bits` per column → 4^bits cells), so
+  * a range probe on EITHER column prunes to the cells whose
+  * coordinate overlaps — one layout serving two range dimensions,
+  * where a plain range layout serves only its own column. */
+final case class ZOrderIndex(columnA: String, columnB: String, bits: Int = 3)
+    extends IndexSpec {
+  override def column: String = columnA
+}
+
 object IndexedStore {
   private val BucketCol = "__bucket"
   private val StatsFile = "_graft_stats.properties"
@@ -87,7 +97,11 @@ object IndexedStore {
       bloom: Seq[String] = Nil): Unit = {
     require(df.columns.contains(RowId), s"IndexedStore requires a $RowId column")
     val props = new Properties()
-    val statCols = (primary +: statsOnly ++: secondary).map(_.column).distinct
+    val primaryCols = primary match {
+      case ZOrderIndex(a, b, _) => Seq(a, b)
+      case other => Seq(other.column)
+    }
+    val statCols = (primaryCols ++ (statsOnly ++ secondary).map(_.column)).distinct
     val aggs = count(lit(1)).as("__rows") +:
       statCols.map(c => approx_count_distinct(col(c)).as(s"__ndv_$c"))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
@@ -120,6 +134,21 @@ object IndexedStore {
         val b = df.withColumn(BucketCol, rangeBucket(col(c), bounds))
         b.repartition(col(BucketCol))
           .sortWithinPartitions(col(c))
+          .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
+        b
+      case ZOrderIndex(ca, cb, bits) =>
+        val n = 1 << bits
+        val cuts = Seq(ca, cb).map(c =>
+          df.stat.approxQuantile(c, (1 until n).map(_.toDouble / n).toArray, 0.01)
+            .distinct.sorted)
+        props.setProperty("layout",
+          s"zorder:$ca:$cb:$bits:${cuts(0).mkString(",")}|${cuts(1).mkString(",")}")
+        props.setProperty(s"kind.$ca", "range")
+        props.setProperty(s"kind.$cb", "range")
+        val b = df.withColumn(BucketCol,
+          zBucket(col(ca), col(cb), cuts(0), cuts(1), bits))
+        b.repartition(col(BucketCol))
+          .sortWithinPartitions(col(ca))
           .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
         b
     }
@@ -176,6 +205,25 @@ object IndexedStore {
     * so a range of keys maps to a contiguous bucket range). */
   private def rangeBucket(c: Column, bounds: Array[Double]): Column =
     bounds.foldLeft(lit(0)) { (acc, b) => acc + when(c >= b, 1).otherwise(0) }
+
+  /** Z-cell id: bit-interleave of the two columns' bucket ids (a-bits
+    * in odd positions, b-bits in even). */
+  private def zBucket(ca: Column, cb: Column, cutsA: Array[Double],
+      cutsB: Array[Double], bits: Int): Column = {
+    val aB = rangeBucket(ca, cutsA)
+    val bB = rangeBucket(cb, cutsB)
+    (0 until bits).map { k =>
+      shiftleft(shiftright(aB, k).bitwiseAND(lit(1)), 2 * k + 1)
+        .bitwiseOR(shiftleft(shiftright(bB, k).bitwiseAND(lit(1)), 2 * k))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** The a/b coordinate of z-cell `z` (inverse of [[zBucket]]'s
+    * interleave, driver-side). */
+  private def zCoord(z: Int, bits: Int, aDim: Boolean): Int =
+    (0 until bits).map { k =>
+      ((z >> (2 * k + (if (aDim) 1 else 0))) & 1) << k
+    }.sum
 
   private def postingDir(path: String, column: String): String =
     new HPath(path, s"_graft_idx_$column").toString
@@ -292,6 +340,41 @@ object IndexedStore {
             base.join(if (hot) rowids else broadcast(rowids), Seq(RowId), "left_semi")
           case None => base
         }
+      // Z-order: a chosen range column (either of the two) decodes to
+      // candidate cells driver-side; only overlapping cells are read.
+      case Some(c) if layout(0) == "zorder" =>
+        val zs = props.getProperty("layout").split(":", 5)
+        val (ca, cb, bits) = (zs(1), zs(2), zs(3).toInt)
+        val cutParts = zs(4).split("\\|", -1)
+        def cutsOf(i: Int): Array[Double] =
+          cutParts(i).split(",").filter(_.nonEmpty).map(_.toDouble)
+        val n = 1 << bits
+        def bk(cuts: Array[Double], v: Any): Int =
+          cuts.count(_ <= v.toString.toDouble)
+        def rangeOf(cuts: Array[Double],
+            cmp: graft.core.Comparison): Option[(Int, Int)] = cmp match {
+          case graft.core.Comparison.Equal(graft.core.Value.Const(v)) =>
+            Some((bk(cuts, v), bk(cuts, v)))
+          case graft.core.Comparison.Between(graft.core.Value.Const(lo), _,
+              graft.core.Value.Const(hi), _) =>
+            Some((bk(cuts, lo), bk(cuts, hi)))
+          case graft.core.Comparison.Less(graft.core.Value.Const(v), _) =>
+            Some((0, bk(cuts, v)))
+          case graft.core.Comparison.Greater(graft.core.Value.Const(v), _) =>
+            Some((bk(cuts, v), n - 1))
+          case _ => None
+        }
+        val ranges: Seq[(Boolean, (Int, Int))] = conds.flatMap {
+          case graft.core.Condition(`ca`, cmp) => rangeOf(cutsOf(0), cmp).map((true, _))
+          case graft.core.Condition(`cb`, cmp) => rangeOf(cutsOf(1), cmp).map((false, _))
+          case _ => None
+        }
+        val cells = (0 until (1 << (2 * bits))).filter { z =>
+          ranges.forall { case (aDim, (lo, hi)) =>
+            val v = zCoord(z, bits, aDim); v >= lo && v <= hi
+          }
+        }
+        base.filter(col(BucketCol).isin(cells: _*))
       case Some(c) if c == layout(1) =>
         layout(0) match {
           case "hash" =>
@@ -390,6 +473,14 @@ object IndexedStore {
           else layout(2).split(",").map(_.toDouble)
         df.withColumn(BucketCol, rangeBucket(col(layout(1)), bounds))
           .sortWithinPartitions(col(layout(1)))
+      case "zorder" =>
+        val zs = props.getProperty("layout").split(":", 5)
+        val cutParts = zs(4).split("\\|", -1)
+        def cutsOf(i: Int): Array[Double] =
+          cutParts(i).split(",").filter(_.nonEmpty).map(_.toDouble)
+        df.withColumn(BucketCol,
+            zBucket(col(zs(1)), col(zs(2)), cutsOf(0), cutsOf(1), zs(3).toInt))
+          .sortWithinPartitions(col(zs(1)))
     }
     out.write.mode("append").partitionBy(BucketCol).parquet(path)
     // Maintain every secondary posting index and bloom sidecar,
@@ -455,6 +546,9 @@ object IndexedStore {
     val spec: IndexSpec = layout(0) match {
       case "hash" => HashIndex(layout(1), layout(2).toInt)
       case "range" => RangeIndex(layout(1))
+      case "zorder" =>
+        val zs = props.getProperty("layout").split(":", 5)
+        ZOrderIndex(zs(1), zs(2), zs(3).toInt)
     }
     val tmp = path + ".compact"
     write(live, tmp, spec,

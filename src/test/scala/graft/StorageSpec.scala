@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 import graft.core.{Condition, Store, Tables}
-import graft.storage.{HashIndex, IndexedStore, RangeIndex}
+import graft.storage.{HashIndex, IndexedStore, RangeIndex, ZOrderIndex}
 
 /** Layout-index behavior: pruning actually happens, selection follows
   * the estimate heuristic, tombstones and compaction preserve
@@ -156,6 +156,35 @@ class StorageSpec extends SparkSpec {
     val viaPosting = IndexedStore.find(spark, path, Seq(Condition.eq("c_nationkey", 5L)))
     assert(viaPosting.count() == cust.filter(col("c_nationkey") === 5).count(),
       "Long probe against Int posting key pruned the wrong bucket")
+  }
+
+  test("z-order layout prunes cells for probes on either column") {
+    val path = tmp()
+    val store = Store.fromData(Tables(spark, sf).lineitem, Seq("l_orderkey", "l_linenumber"))
+    IndexedStore.write(store.data, path, ZOrderIndex("l_quantity", "l_extendedprice", 3))
+    val total = totalDataFiles(path)
+    // probe on column A only
+    val onA = IndexedStore.find(spark, path,
+      Seq(Condition.between("l_quantity", 5.0, 10.0)))
+    assert(onA.count() == store.data.filter(col("l_quantity").between(5.0, 10.0)).count())
+    val filesA = numFilesRead(onA)
+    assert(filesA < total, "A-only probe read every cell")
+    // probe on column B only — a plain range layout on A could not prune this
+    val onB = IndexedStore.find(spark, path, Seq(Condition("l_extendedprice",
+      graft.core.Comparison.Less(graft.core.Value.of(5000.0), orEqual = false))))
+    assert(onB.count() == store.data.filter(col("l_extendedprice") < 5000.0).count())
+    val filesB = numFilesRead(onB)
+    assert(filesB < total, "B-only probe read every cell")
+    // probe on both prunes at least as hard as either alone
+    val onBoth = IndexedStore.find(spark, path, Seq(
+      Condition.between("l_quantity", 5.0, 10.0),
+      Condition("l_extendedprice",
+        graft.core.Comparison.Less(graft.core.Value.of(5000.0), orEqual = false))))
+    assert(onBoth.count() == store.data.filter(
+      col("l_quantity").between(5.0, 10.0) && col("l_extendedprice") < 5000.0).count())
+    val filesBoth = numFilesRead(onBoth)
+    assert(filesBoth <= math.min(filesA, filesB),
+      s"2-d probe ($filesBoth files) read more than 1-d probes ($filesA, $filesB)")
   }
 
   test("bloom sidecar prunes buckets and survives append") {
