@@ -303,11 +303,91 @@ object Dedup {
        |WHERE bit_count(xor(s1, s2)) <= $HammingK
        |ORDER BY id1, id2""".stripMargin
 
+  // ------------------------------------------------- cluster + split
+
+  /** Near-dup CLUSTERING: connected components over the MinHash pair
+    * graph, labeled by the min doc_id of each component — the pipeline
+    * step after pair generation ("keep one doc per dup cluster").
+    *
+    * Min-label propagation: every node starts labeled with itself;
+    * each round pulls the min label across edges until a fixpoint —
+    * the standard distributed CC algorithm (what GraphX does under the
+    * hood), converging in O(log diameter) rounds, and dup components
+    * are shallow (stars/cliques), so 2-3 rounds in practice. The
+    * driver loop only checks convergence counts; all data work is
+    * distributed joins on (id, label) pairs. Output is one row per
+    * clustered doc: (doc_id, cluster_id, is_keeper). */
+  def dCluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dDedupMinhash(spark, dir).select("id1", "id2")
+    val edges = pairs.unionByName(
+      pairs.select(col("id2").as("id1"), col("id1").as("id2"))).cache()
+    var labels = edges.select(col("id1").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges
+        .join(labels.select(col("doc_id").as("id2"), col("cluster_id")), "id2")
+        .select(col("id1").as("doc_id"), col("cluster_id"))
+      val next = labels.unionByName(prop)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id")).cache()
+      changed = next
+        .join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
+        .filter(col("cluster_id") < col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+      .select("doc_id", "cluster_id", "is_keeper")
+      .orderBy("doc_id")
+  }
+
+  /** The oracle computes min-reachable-id per node with a recursive
+    * closure over the same (SQL-expressed) MinHash pair graph. */
+  val dClusterSql: String =
+    s"""WITH RECURSIVE mh AS ($dDedupMinhashSql),
+       |edges AS (
+       |  SELECT id1 AS a, id2 AS b FROM mh
+       |  UNION ALL SELECT id2, id1 FROM mh),
+       |reach(src, dst) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+       |SELECT src AS doc_id, min(dst) AS cluster_id,
+       |  src = min(dst) AS is_keeper
+       |FROM reach GROUP BY src
+       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic train/validation/test split (80/10/10) by md5 of
+    * the doc id: reproducible in any engine, stable under appends, no
+    * RNG state — how a corpus split should actually be done. */
+  def dSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val h = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100).as("h")
+    d.select(col("doc_id"), h)
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "validation").otherwise("test"))
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+  }
+
+  val dSplitSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'validation' ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS h
+      |      FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_dedup_exact" -> dDedupExact,
     "d_dedup_ngram" -> dDedupNgram,
     "d_dedup_minhash" -> dDedupMinhash,
     "d_dedup_simhash" -> dDedupSimhash,
+    "d_cluster" -> dCluster,
+    "d_split" -> dSplit,
   )
 
   def oracles: Map[String, String] = Map(
@@ -315,5 +395,7 @@ object Dedup {
     "d_dedup_ngram" -> dDedupNgramSql,
     "d_dedup_minhash" -> dDedupMinhashSql,
     "d_dedup_simhash" -> dDedupSimhashSql,
+    "d_cluster" -> dClusterSql,
+    "d_split" -> dSplitSql,
   )
 }

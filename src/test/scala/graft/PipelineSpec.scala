@@ -56,6 +56,22 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall ($hits of $total) below 0.5")
   }
 
+  test("dedup clusters put every near-dup pair in one component") {
+    val pairs = Dedup.dDedupMinhash(spark, sf).select("id1", "id2")
+    val labels = Dedup.dCluster(spark, sf).select("doc_id", "cluster_id")
+    val l1 = labels.withColumnRenamed("doc_id", "id1").withColumnRenamed("cluster_id", "c1")
+    val l2 = labels.withColumnRenamed("doc_id", "id2").withColumnRenamed("cluster_id", "c2")
+    val broken = pairs.join(l1, "id1").join(l2, "id2")
+      .filter(col("c1") =!= col("c2")).count()
+    assert(broken == 0, s"$broken pairs ended up in different clusters")
+    // exactly one keeper per cluster, and it is the min id
+    val keepers = Dedup.dCluster(spark, sf)
+      .groupBy("cluster_id")
+      .agg(min(col("doc_id")).as("lo"),
+        sum(when(col("is_keeper"), 1).otherwise(0)).as("nk"))
+    assert(keepers.filter(col("nk") =!= 1 || col("lo") =!= col("cluster_id")).count() == 0)
+  }
+
   test("lang_id predicts only known labels or 'und'") {
     val langs = TextAnalysis.tLangId(spark, sf)
       .select("pred_lang").distinct().as[String].collect().toSet
