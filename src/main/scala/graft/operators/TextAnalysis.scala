@@ -145,11 +145,51 @@ object TextAnalysis {
        |FROM (SELECT doc_id, $normSql AS norm FROM documents) t
        |ORDER BY doc_id""".stripMargin
 
+  /** Corpus report: per (split, language) doc count, word-token
+    * volume, and exact-dup rate — the composition of [[Dedup.dSplit]],
+    * [[tTokenCount]] and [[Dedup.dDedupExact]] a curation pipeline
+    * reports after each run. Every join is on doc_id (one
+    * co-partitioned shuffle chain), then a tiny grouped rollup. */
+  def tCorpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val split = Dedup.dSplit(spark, dir).select("doc_id", "split")
+    val toks = tTokenCount(spark, dir).select("doc_id", "word_tokens")
+    val dups = Dedup.dDedupExact(spark, dir).select(col("doc_id"), col("is_dup"))
+    val lang = Tables(spark, dir).documents.select("doc_id", "lang")
+    split.join(toks, "doc_id").join(dups, "doc_id").join(lang, "doc_id")
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("word_tokens")).as("sum_words"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+      .withColumn("dup_ratio", round(col("n_dups") / col("n_docs"), 4))
+      .orderBy("split", "lang")
+  }
+
+  val tCorpusStatsSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'validation' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |          ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS h
+       |        FROM documents) hh),
+       |w AS (SELECT doc_id, len(string_split($normSql, ' ')) AS word_tokens FROM documents),
+       |d AS (
+       |  SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY content_fp) AS is_dup
+       |  FROM (SELECT doc_id, md5($normSql) AS content_fp FROM documents) f)
+       |SELECT split, lang, count(*) AS n_docs,
+       |  sum(word_tokens)::BIGINT AS sum_words,
+       |  sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dups,
+       |  round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) / count(*), 4) AS dup_ratio
+       |FROM documents
+       |JOIN s USING (doc_id) JOIN w USING (doc_id) JOIN d USING (doc_id)
+       |GROUP BY split, lang
+       |ORDER BY split, lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_count" -> tTokenCount,
     "t_quality" -> tQuality,
     "t_lang_id" -> tLangId,
     "t_fingerprint" -> tFingerprint,
+    "t_corpus_stats" -> tCorpusStats,
   )
 
   def oracles: Map[String, String] = Map(
@@ -157,5 +197,6 @@ object TextAnalysis {
     "t_quality" -> tQualitySql,
     "t_lang_id" -> tLangIdSql,
     "t_fingerprint" -> tFingerprintSql,
+    "t_corpus_stats" -> tCorpusStatsSql,
   )
 }
