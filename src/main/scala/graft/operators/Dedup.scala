@@ -98,31 +98,41 @@ object Dedup {
   def maxShingleDf(nDocs: Long): Long = math.max(MaxShingleDfFloor.toLong, nDocs / 100)
 
   /** n-gram Jaccard near-dup pairs via an inverted shingle index:
-    * explode (doc, shingle), drop stop shingles (df > cap), self-join
-    * on shingle for candidate ids (bounded posting lists, never
-    * all-pairs), then verify candidates with exact set Jaccard =
+    * explode (doc, shingle-hash), drop stop shingles (df > cap),
+    * self-join on the hash for candidate ids (bounded posting lists,
+    * never all-pairs), then verify candidates with exact set Jaccard =
     * |∩| / (|A|+|B|-|∩|) ≥ τ. Integer-exact arithmetic.
     *
-    * The shingle sets feed four consumers (df counting, posting join,
-    * both verification sides) and are deliberately NOT cached: the
+    * The whole pipeline runs on 32-bit md5 shingle hashes, not shingle
+    * strings: postings shuffle 8-byte longs instead of ~25-byte
+    * strings and verification intersects long arrays. Hash collisions
+    * (≈ |shingles|²/2³³, ~0.03 expected at sf0.01) merge shingles
+    * identically in the oracle, which applies the same md5 transform —
+    * parity is exact by construction, and Jaccard over hashed shingle
+    * sets is the textbook formulation anyway.
+    *
+    * The sets feed four consumers (df counting, posting join, both
+    * verification sides) and are deliberately NOT cached: the
     * pipelined parallel recomputes are measurably cheaper than
-    * columnar-encoding the nested string arrays into storage memory
-    * (persist was tried and cost ~40% wall-clock at sf0.1). */
+    * columnar-encoding nested arrays into storage memory (persist was
+    * tried and cost ~40% wall-clock at sf0.1). */
   def dDedupNgram(spark: SparkSession, dir: String): DataFrame = {
     val cap = maxShingleDf(Tables(spark, dir).documents.count())
     val sets = shingleSets(spark, dir)
-    val posts = sets.select(col("doc_id"), explode(col("shing")).as("shingle"))
-    val rare = posts.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .select(col("doc_id"),
+        array_distinct(transform(col("shing"), s => md5_32(s))).as("hs"))
+    val posts = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val rare = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= cap)
-      .select("shingle")
-    val rarePosts = posts.join(rare, "shingle")
-    val cand = rarePosts.as("a").join(rarePosts.as("b"), "shingle")
+      .select("h")
+    val rarePosts = posts.join(rare, "h")
+    val cand = rarePosts.as("a").join(rarePosts.as("b"), "h")
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .dropDuplicates("id1", "id2")
     cand
-      .join(sets.select(col("doc_id").as("id1"), col("shing").as("s1")), "id1")
-      .join(sets.select(col("doc_id").as("id2"), col("shing").as("s2")), "id2")
+      .join(sets.select(col("doc_id").as("id1"), col("hs").as("s1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("hs").as("s2")), "id2")
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
       .withColumn("jaccard",
         round(col("inter") / (size(col("s1")) + size(col("s2")) - col("inter")), 6))
@@ -132,24 +142,27 @@ object Dedup {
   }
 
   val dDedupNgramSql: String =
-    s"""WITH sets AS ($shingleSetsSql),
-       |posts AS (SELECT doc_id, unnest(shing) AS shingle FROM sets),
-       |rare AS (SELECT shingle FROM posts GROUP BY shingle
+    s"""WITH strsets AS ($shingleSetsSql),
+       |sets AS (SELECT doc_id,
+       |  list_distinct(list_transform(shing, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS hs
+       |  FROM strsets),
+       |posts AS (SELECT doc_id, unnest(hs) AS h FROM sets),
+       |rare AS (SELECT h FROM posts GROUP BY h
        |  HAVING count(*) <= greatest($MaxShingleDfFloor,
        |    (SELECT count(*) FROM documents) // 100)),
-       |rp AS (SELECT p.doc_id, p.shingle FROM posts p JOIN rare r ON p.shingle = r.shingle),
+       |rp AS (SELECT p.doc_id, p.h FROM posts p JOIN rare r ON p.h = r.h),
        |cand AS (
        |  SELECT DISTINCT a.doc_id id1, b.doc_id id2
-       |  FROM rp a JOIN rp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+       |  FROM rp a JOIN rp b ON a.h = b.h AND a.doc_id < b.doc_id)
        |SELECT id1, id2,
-       |  len(list_intersect(s1.shing, s2.shing))::BIGINT AS inter,
-       |  round(len(list_intersect(s1.shing, s2.shing)) /
-       |    (len(s1.shing) + len(s2.shing) - len(list_intersect(s1.shing, s2.shing)))::DOUBLE, 6) AS jaccard
+       |  len(list_intersect(s1.hs, s2.hs))::BIGINT AS inter,
+       |  round(len(list_intersect(s1.hs, s2.hs)) /
+       |    (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs)))::DOUBLE, 6) AS jaccard
        |FROM cand
        |JOIN sets s1 ON id1 = s1.doc_id
        |JOIN sets s2 ON id2 = s2.doc_id
-       |WHERE round(len(list_intersect(s1.shing, s2.shing)) /
-       |    (len(s1.shing) + len(s2.shing) - len(list_intersect(s1.shing, s2.shing)))::DOUBLE, 6) >= $JaccardTau
+       |WHERE round(len(list_intersect(s1.hs, s2.hs)) /
+       |    (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs)))::DOUBLE, 6) >= $JaccardTau
        |ORDER BY id1, id2""".stripMargin
 
   // ------------------------------------------------------- MinHash LSH
