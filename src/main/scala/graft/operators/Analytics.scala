@@ -314,6 +314,31 @@ object Analytics {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** GROUPING SETS — the general multi-aggregation form rollup/cube
+    * specialize: one pass computes the per-flag, per-status, and grand
+    * totals (Spark's Expand operator fans each row into its grouping
+    * sets before one shuffle — no multi-scan union). grouping_id
+    * disambiguates real NULL group keys from subtotal rows. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.createOrReplaceTempView("g_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows,
+        |  grouping_id(l_returnflag, l_linestatus) AS gid
+        |FROM g_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows,
+      |  grouping(l_returnflag, l_linestatus)::BIGINT AS gid
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** Manual pivot: one column per market segment (engine-portable
     * CASE formulation — semantics of DataFrame.pivot without relying
     * on engine-specific pivot syntax). */
@@ -369,6 +394,7 @@ object Analytics {
     "q_anti_join" -> qAntiJoin,
     "q_setops" -> qSetOps,
     "q_cube" -> qCube,
+    "q_grouping_sets" -> qGroupingSets,
     "q_pivot" -> qPivot,
     "q3_revenue" -> q3Revenue,
     "q5_region" -> q5Region,
@@ -388,6 +414,7 @@ object Analytics {
     "q_anti_join" -> qAntiJoinSql,
     "q_setops" -> qSetOpsSql,
     "q_cube" -> qCubeSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
     "q_pivot" -> qPivotSql,
     "q3_revenue" -> q3RevenueSql,
     "q5_region" -> q5RegionSql,
