@@ -184,12 +184,68 @@ object TextAnalysis {
        |GROUP BY split, lang
        |ORDER BY split, lang""".stripMargin
 
+  /** Tokens per training context window for [[tPack]]. */
+  val PackBudget = 256L
+
+  /** Concatenation packing: documents in doc_id order are laid
+    * head-to-tail into fixed 256-token context windows (the standard
+    * pretraining packing), emitting each doc's pack id and offset.
+    *
+    * The global running token offset is a DISTRIBUTED prefix sum, not
+    * a global window: an `ORDER BY` window with no partition key pulls
+    * the entire corpus into one reducer. Instead the corpus is
+    * range-partitioned by doc_id, each partition computes a local
+    * running sum, the ~numPartitions per-partition totals are prefixed
+    * on the driver, and a second narrow pass adds each partition's
+    * base offset — two narrow passes plus one tiny collect, correct at
+    * any scale. The cache pins the range partitioning so both passes
+    * see identical partitions. */
+  def tPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val toks = tTokenCount(spark, dir).select(col("doc_id"), col("word_tokens"))
+      .repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)]
+      .cache()
+    val partSums = toks.mapPartitions { it =>
+      Iterator.single(it.map(_._2).sum)
+    }.collect()
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val budget = PackBudget
+    toks.toDF("doc_id", "word_tokens")
+      .withColumn("pid", spark_partition_id())
+      .as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        var run = 0L
+        it.map { case (id, n, pid) =>
+          val before = offsets(pid) + run
+          run += n
+          (id, n, before / budget, before % budget)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "pack_id", "pack_offset")
+      .orderBy("doc_id")
+  }
+
+  val tPackSql: String =
+    s"""SELECT doc_id, word_tokens AS n_tokens,
+       |  cumb // $PackBudget AS pack_id, cumb % $PackBudget AS pack_offset
+       |FROM (
+       |  SELECT doc_id, word_tokens,
+       |    coalesce(sum(word_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cumb
+       |  FROM (SELECT doc_id, len(string_split($normSql, ' ')) AS word_tokens
+       |        FROM documents) w) t
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_count" -> tTokenCount,
     "t_quality" -> tQuality,
     "t_lang_id" -> tLangId,
     "t_fingerprint" -> tFingerprint,
     "t_corpus_stats" -> tCorpusStats,
+    "t_pack" -> tPack,
   )
 
   def oracles: Map[String, String] = Map(
@@ -198,5 +254,6 @@ object TextAnalysis {
     "t_lang_id" -> tLangIdSql,
     "t_fingerprint" -> tFingerprintSql,
     "t_corpus_stats" -> tCorpusStatsSql,
+    "t_pack" -> tPackSql,
   )
 }
