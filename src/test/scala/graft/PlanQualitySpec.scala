@@ -41,6 +41,15 @@ class PlanQualitySpec extends SparkSpec {
       s"pair enumeration degenerated to all-pairs join:\n${p.take(2000)}")
   }
 
+  test("context packing never plans a global window") {
+    val p = plan("t_pack")
+    // the distributed prefix sum must not regress to a single-reducer
+    // ORDER BY window (the presentation sort is a range exchange, fine)
+    assert(!p.contains("Window"),
+      s"t_pack planned a window over the whole corpus:\n${p.take(1500)}")
+    assert(p.contains("MapPartitions"), "prefix-sum pass missing")
+  }
+
   test("brute ANN reduces top-k per partition — scored corpus never shuffles") {
     val p = plan("s_ann_brute")
     assert(p.contains("MapPartitions"),
