@@ -158,6 +158,23 @@ object StorageOps {
       .orderBy("__rowid")
   }
 
+  /** Source/sink round-trip beyond parquet: the same projection is
+    * written to JSON and CSV, read back through both sources with an
+    * explicit schema, and intersected — any type or value corruption
+    * in either format shrinks the intersection and fails the oracle
+    * row/hash match against the parquet ground truth. */
+  def scSourceRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, md5}
+    val base = scratch("roundtrip", dir)
+    val d = Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), col("n_chars"), md5(col("text")).as("text_md5"))
+    d.write.mode("overwrite").json(s"$base/json")
+    d.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    val j = spark.read.schema(d.schema).json(s"$base/json")
+    val c = spark.read.schema(d.schema).option("header", "true").csv(s"$base/csv")
+    j.intersect(c).orderBy("doc_id")
+  }
+
   /** Two-dimensional range probe through the Z-order layout: one
     * layout serves range predicates on BOTH columns (a plain range
     * layout serves only its own column) — the classic multi-column
@@ -206,6 +223,7 @@ object StorageOps {
     "sc_index_add" -> scIndexAdd,
     "sc_bloom_probe" -> scBloomProbe,
     "sc_zorder" -> scZorder,
+    "sc_source_roundtrip" -> scSourceRoundtrip,
     "sc_bucketed_join" -> scBucketedJoin,
   )
 
@@ -235,6 +253,10 @@ object StorageOps {
          |FROM (SELECT *, $custRowid FROM customer) t
          |WHERE c_nationkey = 7
          |ORDER BY __rowid""".stripMargin,
+    "sc_source_roundtrip" ->
+      """SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "sc_zorder" ->
       s"""SELECT __rowid, l_orderkey, l_linenumber, l_quantity, l_extendedprice
          |FROM (SELECT *, $liRowid FROM lineitem) t
