@@ -330,7 +330,12 @@ object Dedup {
     * driver loop only checks convergence counts; all data work is
     * distributed joins on (id, label) pairs. Output is one row per
     * clustered doc: (doc_id, cluster_id, is_keeper). */
+  /** Previous invocation's final label cache — released on the next
+    * call (it must outlive the returned frame's materialization). */
+  private var lastClusterCache: Option[DataFrame] = None
+
   def dCluster(spark: SparkSession, dir: String): DataFrame = {
+    lastClusterCache.foreach(_.unpersist())
     val pairs = dDedupMinhash(spark, dir).select("id1", "id2")
     val edges = pairs.unionByName(
       pairs.select(col("id2").as("id1"), col("id1").as("id2"))).cache()
@@ -350,6 +355,7 @@ object Dedup {
       labels = next
     }
     edges.unpersist()
+    lastClusterCache = Some(labels)
     labels
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
       .select("doc_id", "cluster_id", "is_keeper")

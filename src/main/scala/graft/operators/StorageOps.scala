@@ -91,28 +91,33 @@ object StorageOps {
     * asserted in StorageSpec. */
   def scBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     val base = scratch("buckets", dir)
-    val haveTables = spark.catalog.tableExists("g_orders_b") &&
-      spark.catalog.tableExists("g_customer_b") &&
+    // Per-sf table names: a globally-named table registered for one
+    // scale factor must never serve a query for another.
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ordersTable = s"g_orders_b_$sfTag"
+    val custTable = s"g_customer_b_$sfTag"
+    val haveTables = spark.catalog.tableExists(ordersTable) &&
+      spark.catalog.tableExists(custTable) &&
       new java.io.File(s"$base/orders_b").exists() &&
       new java.io.File(s"$base/customer_b").exists()
     if (!haveTables) {
       val t = Tables(spark, dir)
-      spark.sql("DROP TABLE IF EXISTS g_orders_b")
-      spark.sql("DROP TABLE IF EXISTS g_customer_b")
+      spark.sql(s"DROP TABLE IF EXISTS $ordersTable")
+      spark.sql(s"DROP TABLE IF EXISTS $custTable")
       t.orders.write.mode("overwrite")
         .option("path", s"$base/orders_b")
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .saveAsTable("g_orders_b")
+        .saveAsTable(ordersTable)
       t.customer.write.mode("overwrite")
         .option("path", s"$base/customer_b")
         .bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .saveAsTable("g_customer_b")
+        .saveAsTable(custTable)
     }
     // the merge hint keeps this on the sort-merge path (a broadcast
     // would win on these small test tables and bypass the bucketed
     // layout this query demonstrates)
-    spark.table("g_orders_b").hint("merge")
-      .join(spark.table("g_customer_b"),
+    spark.table(ordersTable).hint("merge")
+      .join(spark.table(custTable),
         org.apache.spark.sql.functions.col("o_custkey") ===
           org.apache.spark.sql.functions.col("c_custkey"))
       .groupBy(org.apache.spark.sql.functions.col("c_mktsegment"))
@@ -148,7 +153,19 @@ object StorageOps {
     * probe then runs through the backfilled postings. */
   def scIndexAdd(spark: SparkSession, dir: String): DataFrame = {
     val path = scratch("indexadd", dir)
-    writeOnce(path) {
+    // The build is two steps (base write, then addIndex) and the base
+    // write already drops the sidecar marker — so completeness here
+    // means "sidecar exists AND records the secondary index", else a
+    // crash between the steps would leave a store that looks done but
+    // probes through a full scan forever.
+    val sidecar = new java.io.File(path, "_graft_stats.properties")
+    val complete = sidecar.exists() && {
+      val p = new java.util.Properties()
+      val in = new java.io.FileInputStream(sidecar)
+      try p.load(in) finally in.close()
+      p.getProperty("sec.c_nationkey") != null
+    }
+    if (!complete) {
       val store = Store.fromData(Tables(spark, dir).customer, Seq("c_custkey"))
       IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
       IndexedStore.addIndex(spark, path, HashIndex("c_nationkey", 8))

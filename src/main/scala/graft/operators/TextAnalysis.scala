@@ -187,6 +187,12 @@ object TextAnalysis {
   /** Tokens per training context window for [[tPack]]. */
   val PackBudget = 256L
 
+  /** The pack cache must outlive the returned frame's materialization
+    * (it pins the range partitioning both passes share), so each call
+    * releases the PREVIOUS call's cache instead — bounding the leak to
+    * one pinned copy per session. */
+  private var lastPackCache: Option[org.apache.spark.sql.Dataset[(Long, Long)]] = None
+
   /** Concatenation packing: documents in doc_id order are laid
     * head-to-tail into fixed 256-token context windows (the standard
     * pretraining packing), emitting each doc's pack id and offset.
@@ -203,11 +209,13 @@ object TextAnalysis {
   def tPack(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    lastPackCache.foreach(_.unpersist())
     val toks = tTokenCount(spark, dir).select(col("doc_id"), col("word_tokens"))
       .repartitionByRange(parts, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .as[(Long, Long)]
       .cache()
+    lastPackCache = Some(toks)
     val partSums = toks.mapPartitions { it =>
       Iterator.single(it.map(_._2).sum)
     }.collect()

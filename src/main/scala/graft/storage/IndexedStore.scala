@@ -170,22 +170,35 @@ object IndexedStore {
     new HPath(path, s"_graft_bloom_$column").toString
 
   /** 4 independent bit positions from disjoint 8-hex-char md5 slices
-    * of the value's string form — the build side (Spark expressions)
-    * and the probe side ([[bloomBitsOf]], plain JVM) run the identical
-    * arithmetic, so the filter has NO false negatives. Caveat: the
-    * value's JVM toString must equal Spark's cast-to-string, which
-    * holds for string/integral probe columns (the intended use). */
+    * of the value's cast-to-string form — the build side (Spark
+    * expressions) and the probe side ([[bloomBitsOf]], evaluating the
+    * same Catalyst cast chain locally) hash byte-identical strings, so
+    * the filter has NO false negatives for any renderable column
+    * type. */
   private def bloomBitExprs(c: Column): Seq[Column] = {
     val hex = md5(c.cast("string"))
     (0 until BloomProbes).map(i =>
       (conv(substring(hex, 1 + 8 * i, 8), 16, 10).cast("long") % BloomBits).cast("int"))
   }
 
-  private def bloomBitsOf(v: Any): Seq[Int] = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(v.toString.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
-    (0 until BloomProbes).map(i =>
-      (java.lang.Long.parseLong(hex.substring(8 * i, 8 * i + 8), 16) % BloomBits).toInt)
+  /** Probe-side bits: the value is rendered to a string by CATALYST'S
+    * OWN cast chain (value → stored column type → string), evaluated
+    * locally, so the probe hashes the byte-identical string the build
+    * side hashed — JVM toString differs from Spark's cast for doubles,
+    * mistyped literals, dates, ... and any divergence would be a false
+    * negative (silent wrong results). Returns None when the value
+    * cannot be rendered (cast yields null) — the caller then skips
+    * bloom pruning entirely rather than risk it. */
+  private def bloomBitsOf(v: Any, colType: org.apache.spark.sql.types.DataType): Option[Seq[Int]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val rendered = Cast(Cast(Literal(v), colType, Some("UTC")),
+      org.apache.spark.sql.types.StringType, Some("UTC")).eval(null)
+    Option(rendered).map { s =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.toString.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      (0 until BloomProbes).map(i =>
+        (java.lang.Long.parseLong(hex.substring(8 * i, 8 * i + 8), 16) % BloomBits).toInt)
+    }
   }
 
   /** Sparse per-bucket bloom: (bucket, word, bits) rows, bit_or-merged
@@ -332,12 +345,13 @@ object IndexedStore {
               .filter(col(BucketCol) === pmod(hash(typed), lit(n)))
               .filter(col("__key") === typed)
               .select(RowId).distinct()
-            // Posting lists are estimate-sized (rows/ndv) — broadcast
-            // only when that estimate says the rowid set is small; a
-            // hot key (skewed column) must take the shuffled semi-join
-            // rather than blow past the broadcast/driver limits.
-            val hot = estimate(props, c) > 1000000L
-            base.join(if (hot) rowids else broadcast(rowids), Seq(RowId), "left_semi")
+            // No broadcast hint: rows/ndv is only the MEAN posting-list
+            // size, so it cannot rule out one skewed hot key with a
+            // huge list. The distinct above already shuffles, and AQE
+            // reads the ACTUAL rowid-set size at runtime — converting
+            // to a broadcast semi-join when the key is genuinely small
+            // and keeping the shuffled join when it is hot.
+            base.join(rowids, Seq(RowId), "left_semi")
           case None => base
         }
       // Z-order: a chosen range column (either of the two) decodes to
@@ -414,9 +428,11 @@ object IndexedStore {
               if props.getProperty(s"bloom.$c") != null => (c, v)
         } match {
           case Some((c, v)) =>
-            val buckets = bloomBuckets(c, v)
-            if (buckets.isEmpty) base.filter(lit(false))
-            else base.filter(col(BucketCol).isin(buckets: _*))
+            bloomBuckets(c, v) match {
+              case Some(buckets) if buckets.isEmpty => base.filter(lit(false))
+              case Some(buckets) => base.filter(col(BucketCol).isin(buckets: _*))
+              case None => base // unrenderable probe value: no pruning
+            }
           case None => base
         }
     }
@@ -426,8 +442,8 @@ object IndexedStore {
 
     /** Buckets whose bloom filter passes for value `v` on column `c`
       * (reads only the probe-bit words of the tiny sidecar). */
-    private def bloomBuckets(c: String, v: Any): Seq[Int] = {
-      val bits = bloomBitsOf(v)
+    private def bloomBuckets(c: String, v: Any): Option[Seq[Int]] =
+      bloomBitsOf(v, base.schema(c).dataType).map { bits =>
       val words = bits.map(_ / 64).distinct
       val rows = spark.read.parquet(bloomDir(path, c))
         .filter(col("word").isin(words: _*)).collect()

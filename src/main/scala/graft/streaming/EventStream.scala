@@ -117,10 +117,16 @@ object EventStream {
       .select(col("event_id").as("c_event_id"), col("user_id").as("c_user_id"),
         col("ts").as("c_ts"))
       .withWatermark("c_ts", "1 hour")
+    // The range bound is expressed directly on the watermarked
+    // timestamp columns: Spark derives the state-eviction watermark
+    // from timestamp±interval bounds but NOT from unix_micros(...)
+    // wrappers — wrapped, both sides would retain state forever on a
+    // live stream. Timestamps are µs precision, so this is exactly the
+    // oracle's epoch_us comparison.
     val joined = purchases.join(clicks,
       col("user_id") === col("c_user_id") &&
-        unix_micros(col("c_ts")) >= unix_micros(col("p_ts")) - JoinWindowUs &&
-        unix_micros(col("c_ts")) <= unix_micros(col("p_ts")))
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
     runToTable(joined, "append")
       .select(col("p_event_id"), col("c_event_id"), col("user_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))

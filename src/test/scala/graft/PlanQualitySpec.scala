@@ -60,7 +60,9 @@ class PlanQualitySpec extends SparkSpec {
     // formatted tree prints root-first, so everything at or below (after)
     // the MapPartitions node in the tree text is the corpus side.
     val tree = p.split("\n\n")(0)
-    val corpusSide = tree.substring(tree.indexOf("MapPartitions"))
+    val mpIdx = tree.indexOf("MapPartitions")
+    assert(mpIdx >= 0, s"MapPartitions missing from plan tree section:\n${tree.take(2000)}")
+    val corpusSide = tree.substring(mpIdx)
     assert(!corpusSide.contains("Window"),
       s"window rank runs against the full scored corpus:\n${tree.take(2000)}")
   }
