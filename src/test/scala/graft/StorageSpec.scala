@@ -213,6 +213,23 @@ class StorageSpec extends SparkSpec {
       cust.filter(col("c_name") === "Customer#000000142").count())
   }
 
+  test("bloom probe matches across literal/column type mismatch") {
+    val path = tmp()
+    val cust = Tables(spark, sf).customer
+    val store = Store.fromData(cust, Seq("c_custkey"))
+    // bloom on a DOUBLE column, probed with an Int literal: the build
+    // side hashed Spark's cast-to-string ("774.0"); a probe hashing
+    // JVM toString ("774") would be a silent false negative. The
+    // Catalyst cast chain (Int → Double → String) must make them meet.
+    IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8),
+      bloom = Seq("c_acctbal"))
+    val viaInt = IndexedStore.find(spark, path, Seq(Condition.eq("c_acctbal", 774)))
+    val expected = cust.filter(col("c_acctbal") === 774.0).count()
+    assert(expected > 0, "test fixture lost: no whole-valued acctbal 774")
+    assert(viaInt.count() == expected,
+      "Int probe of a Double bloom column lost rows (string-form mismatch)")
+  }
+
   test("bucketed co-located join plans without an exchange") {
     val df = graft.operators.StorageOps.scBucketedJoin(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
