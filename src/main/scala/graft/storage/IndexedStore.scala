@@ -174,9 +174,15 @@ object IndexedStore {
     * expressions) and the probe side ([[bloomBitsOf]], evaluating the
     * same Catalyst cast chain locally) hash byte-identical strings, so
     * the filter has NO false negatives for any renderable column
-    * type. */
+    * type. The render is pinned to UTC on BOTH sides: the build and
+    * probe may run in different sessions with different
+    * spark.sql.session.timeZone values, and a timezone-dependent
+    * render (timestamps) would silently drop rows. */
   private def bloomBitExprs(c: Column): Seq[Column] = {
-    val hex = md5(c.cast("string"))
+    import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    val hex = md5(column(
+      Cast(expression(c), org.apache.spark.sql.types.StringType, Some("UTC"))))
     (0 until BloomProbes).map(i =>
       (conv(substring(hex, 1 + 8 * i, 8), 16, 10).cast("long") % BloomBits).cast("int"))
   }
@@ -186,12 +192,19 @@ object IndexedStore {
     * locally, so the probe hashes the byte-identical string the build
     * side hashed — JVM toString differs from Spark's cast for doubles,
     * mistyped literals, dates, ... and any divergence would be a false
-    * negative (silent wrong results). Returns None when the value
+    * negative (silent wrong results). Timezones are split per cast:
+    * the value→column cast uses the SESSION timezone (it must resolve
+    * a string probe of a timestamp column to the same instant the
+    * post-filter's `col === lit(v)` will), while the column→string
+    * render is pinned to UTC to match [[bloomBitExprs]] regardless of
+    * which session built the store. Returns None when the value
     * cannot be rendered (cast yields null) — the caller then skips
     * bloom pruning entirely rather than risk it. */
   private def bloomBitsOf(v: Any, colType: org.apache.spark.sql.types.DataType): Option[Seq[Int]] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
-    val rendered = Cast(Cast(Literal(v), colType, Some("UTC")),
+    val sessionTz = SparkSession.active.conf
+      .get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
+    val rendered = Cast(Cast(Literal(v), colType, Some(sessionTz)),
       org.apache.spark.sql.types.StringType, Some("UTC")).eval(null)
     Option(rendered).map { s =>
       val hex = java.security.MessageDigest.getInstance("MD5")
@@ -363,19 +376,30 @@ object IndexedStore {
         def cutsOf(i: Int): Array[Double] =
           cutParts(i).split(",").filter(_.nonEmpty).map(_.toDouble)
         val n = 1 << bits
-        def bk(cuts: Array[Double], v: Any): Int =
-          cuts.count(_ <= v.toString.toDouble)
+        // Probe-side bucket of value `v`. None when `v` doesn't parse
+        // as a number (a mistyped probe must DEGRADE to a full scan,
+        // never throw out of find()). A lower-side bound that lands
+        // exactly on a cut widens one bucket down: the probe literal
+        // rounds through double here, so its exact value could sit on
+        // either side of the boundary — the extra bucket keeps the
+        // pruned set a superset and the post-filter keeps it exact.
+        def bk(cuts: Array[Double], v: Any): Option[Int] =
+          scala.util.Try(v.toString.toDouble).toOption.map(d => cuts.count(_ <= d))
+        def loBk(cuts: Array[Double], v: Any): Option[Int] = bk(cuts, v).map { b =>
+          val d = v.toString.toDouble
+          if (cuts.contains(d)) math.max(b - 1, 0) else b
+        }
         def rangeOf(cuts: Array[Double],
             cmp: graft.core.Comparison): Option[(Int, Int)] = cmp match {
           case graft.core.Comparison.Equal(graft.core.Value.Const(v)) =>
-            Some((bk(cuts, v), bk(cuts, v)))
+            for (lo <- loBk(cuts, v); hi <- bk(cuts, v)) yield (lo, hi)
           case graft.core.Comparison.Between(graft.core.Value.Const(lo), _,
               graft.core.Value.Const(hi), _) =>
-            Some((bk(cuts, lo), bk(cuts, hi)))
+            for (l <- loBk(cuts, lo); h <- bk(cuts, hi)) yield (l, h)
           case graft.core.Comparison.Less(graft.core.Value.Const(v), _) =>
-            Some((0, bk(cuts, v)))
+            bk(cuts, v).map((0, _))
           case graft.core.Comparison.Greater(graft.core.Value.Const(v), _) =>
-            Some((bk(cuts, v), n - 1))
+            loBk(cuts, v).map((_, n - 1))
           case _ => None
         }
         val ranges: Seq[(Boolean, (Int, Int))] = conds.flatMap {
@@ -570,11 +594,20 @@ object IndexedStore {
     write(live, tmp, spec,
       secondary = secondaryColumns(props).map { case (c, n) => HashIndex(c, n) },
       bloom = bloomColumns(props))
-    // Atomic on HDFS/local; an object-store deployment would swap a
-    // manifest pointer instead of renaming the directory.
+    // Swap via rename-aside (old → .old, tmp → live, drop .old): a
+    // crash between any two steps leaves a complete store at one of
+    // the two names, where delete-then-rename has a window that loses
+    // the store entirely. An object-store deployment would swap a
+    // manifest pointer instead of renaming directories.
     val f = hadoopFs(path)
-    f.delete(new HPath(path), true)
-    if (!f.rename(new HPath(tmp), new HPath(path)))
+    val oldAside = new HPath(path + ".old")
+    if (f.exists(oldAside)) f.delete(oldAside, true)
+    if (!f.rename(new HPath(path), oldAside))
+      throw new java.io.IOException(s"compact: rename $path -> $oldAside failed")
+    if (!f.rename(new HPath(tmp), new HPath(path))) {
+      f.rename(oldAside, new HPath(path)) // restore the pre-compact store
       throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
+    }
+    f.delete(oldAside, true)
   }
 }

@@ -34,9 +34,18 @@ object EventStream {
       sys.props("java.io.tmpdir"), s"graft_events_stream_$sfTag")
     java.nio.file.Files.createDirectories(streamDir)
     val link = streamDir.resolve("events.parquet")
+    val target = java.nio.file.Paths.get(s"$dir/events.parquet")
+    // The scratch dir is reused across runs: drop the link if it is
+    // stale — not a symlink, pointing at a different target, or
+    // dangling (sf dir deleted/recreated) — instead of streaming
+    // through it blindly.
+    if (java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+        (!java.nio.file.Files.isSymbolicLink(link) ||
+         java.nio.file.Files.readSymbolicLink(link) != target ||
+         !java.nio.file.Files.exists(target)))
+      java.nio.file.Files.delete(link)
     if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      java.nio.file.Files.createSymbolicLink(link, target)
     spark.readStream
       .schema(raw)
       .parquet(streamDir.toString)

@@ -230,6 +230,48 @@ class StorageSpec extends SparkSpec {
       "Int probe of a Double bloom column lost rows (string-form mismatch)")
   }
 
+  test("bloom probe on a timestamp column is timezone-proof") {
+    val path = tmp()
+    val cust = Tables(spark, sf).customer
+      .withColumn("seen_at", timestamp_micros(col("c_custkey") * 1000000L))
+    val store = Store.fromData(cust, Seq("c_custkey"))
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // Build AND probe in a non-UTC session: a session-tz render on
+      // the build side with a UTC render on the probe side (or vice
+      // versa) hashes different strings → silent false negative.
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8),
+        bloom = Seq("seen_at"))
+      val instant = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(42))
+      val viaTs = IndexedStore.find(spark, path, Seq(Condition.eq("seen_at", instant)))
+      assert(viaTs.count() == 1, "Timestamp probe lost the row under non-UTC session tz")
+      // A STRING probe must resolve through the session tz, exactly as
+      // the post-filter's col === lit(v) will (00:00:42 NY == 04:00:42
+      // UTC in January 1970... actually epoch+42s renders in NY as
+      // 1969-12-31 19:00:42).
+      val viaStr = IndexedStore.find(spark, path,
+        Seq(Condition.eq("seen_at", "1969-12-31 19:00:42")))
+      assert(viaStr.count() == 1, "String probe lost the row (session-tz resolve broken)")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("z-order probe with an unparseable value degrades to a scan, not a throw") {
+    val path = tmp()
+    val store = Store.fromData(Tables(spark, sf).lineitem, Seq("l_orderkey", "l_linenumber"))
+    IndexedStore.write(store.data, path, ZOrderIndex("l_quantity", "l_extendedprice", 3))
+    // a mistyped string probe on a z-order column: find() itself must
+    // plan fine (the old probe-side bucketing threw a raw
+    // NumberFormatException before the query even ran); what surfaces
+    // is Spark's own ANSI cast error from the post-filter at
+    // execution — identical to a plain filter on an unindexed table
+    val probe = IndexedStore.find(spark, path,
+      Seq(Condition.eq("l_quantity", "not-a-number")))
+    val ex = intercept[Exception](probe.count())
+    assert(ex.getMessage.contains("CAST_INVALID_INPUT"),
+      s"expected the engine's cast error, got: ${ex.getMessage.take(200)}")
+  }
+
   test("bucketed co-located join plans without an exchange") {
     val df = graft.operators.StorageOps.scBucketedJoin(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
