@@ -330,33 +330,135 @@ object Dedup {
     * driver loop only checks convergence counts; all data work is
     * distributed joins on (id, label) pairs. Output is one row per
     * clustered doc: (doc_id, cluster_id, is_keeper). */
-  /** Previous invocation's final label cache — released on the next
-    * call (it must outlive the returned frame's materialization). */
-  private var lastClusterCache: Option[DataFrame] = None
-
-  def dCluster(spark: SparkSession, dir: String): DataFrame = {
-    lastClusterCache.foreach(_.unpersist())
-    val pairs = dDedupMinhash(spark, dir).select("id1", "id2")
+  /** Min-label propagation to a fixpoint over an undirected pair set
+    * (id1, id2). Returns the final (doc_id, cluster_id) labels with a
+    * TRUNCATED lineage. Each round MUST materialize through
+    * `localCheckpoint`, not `cache`: the round-N frame references the
+    * round-(N-1) frame twice (union + join), so the logical plan
+    * doubles per round — caching bounds recomputation but Catalyst
+    * still carries (and, under AQE, stringifies) the exponential plan,
+    * which OOMs the driver once the input plan is nontrivial.
+    * Checkpointing cuts the plan to the materialized blocks, keeping
+    * every round's plan O(1). On a real cluster, swap in reliable
+    * `checkpoint()` (HDFS-backed) if executor loss matters; blocks are
+    * freed by the ContextCleaner when the frames are GC'd. The
+    * previous label rides through the aggregation as a null-padded
+    * `old` column (min ignores nulls), so the convergence check is a
+    * filter on the already-materialized result — not an extra
+    * labels⋈labels join per round. */
+  private def propagate(pairs: DataFrame): DataFrame = {
     val edges = pairs.unionByName(
-      pairs.select(col("id2").as("id1"), col("id1").as("id2"))).cache()
+      pairs.select(col("id2").as("id1"), col("id1").as("id2"))).localCheckpoint()
     var labels = edges.select(col("id1").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")).cache()
+      .withColumn("cluster_id", col("doc_id")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
-      val prop = edges
-        .join(labels.select(col("doc_id").as("id2"), col("cluster_id")), "id2")
-        .select(col("id1").as("doc_id"), col("cluster_id"))
-      val next = labels.unionByName(prop)
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id")).cache()
-      changed = next
-        .join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
-        .filter(col("cluster_id") < col("old")).count()
-      labels.unpersist()
-      labels = next
+      val next = labels
+        .select(col("doc_id"), col("cluster_id"), col("cluster_id").as("old"))
+        .unionByName(edges
+          .join(labels.select(col("doc_id").as("id2"), col("cluster_id")), "id2")
+          .select(col("id1").as("doc_id"), col("cluster_id"),
+            lit(null).cast("long").as("old")))
+        .groupBy("doc_id")
+        .agg(min("cluster_id").as("cluster_id"), min("old").as("old"))
+        .localCheckpoint()
+      changed = next.filter(col("cluster_id") < col("old")).count()
+      labels = next.select("doc_id", "cluster_id")
     }
-    edges.unpersist()
-    lastClusterCache = Some(labels)
     labels
+  }
+
+  def dCluster(spark: SparkSession, dir: String): DataFrame = {
+    val labels = propagate(dDedupMinhash(spark, dir).select("id1", "id2"))
+    labels
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+      .select("doc_id", "cluster_id", "is_keeper")
+      .orderBy("doc_id")
+  }
+
+  /** INCREMENTAL near-dup clustering — the streaming-curation shape:
+    * the corpus is split into a BASE (md5(doc_id) % 100 < 90) and a
+    * DELTA batch, base components are computed once (in production
+    * they'd be persisted labels), and the delta attaches WITHOUT
+    * re-touching the base pair graph:
+    *
+    *  1. candidate pairs involving a delta doc come from the same LSH
+    *     band buckets (delta side only — the base⋈base quadrant is
+    *     never re-enumerated);
+    *  2. each delta edge's endpoints map to their existing base
+    *     cluster label (or themselves if unclustered), giving a
+    *     REDUCED graph over labels + delta ids;
+    *  3. min-label propagation runs on that reduced graph — its size
+    *     is O(delta edges), independent of the base corpus.
+    *
+    * Band collision and Jaccard are pairwise properties, so the union
+    * of base pairs and delta pairs IS the full pair set, and because a
+    * base label is the min id of its component, the reduced min-label
+    * equals the full recompute's — bit-identical output to
+    * [[dCluster]], which is exactly what the oracle checks. */
+  def dClusterIncr(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSigs(spark, dir)
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("-",
+          (0 until RowsPerBand).map(r =>
+            element_at(col("sig"), b * RowsPerBand + r + 1).cast("string")): _*)).as("key"))
+    }
+    val isDelta = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100) >= 90
+    val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .withColumn("is_delta", isDelta)
+      .cache()
+    def verified(cand: DataFrame): DataFrame = {
+      val sets = shingleSets(spark, dir)
+      cand
+        .join(sets.select(col("doc_id").as("id1"), col("shing").as("s1")), "id1")
+        .join(sets.select(col("doc_id").as("id2"), col("shing").as("s2")), "id2")
+        .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+        .withColumn("un", size(col("s1")) + size(col("s2")) - col("inter"))
+        .filter(round(col("inter") / col("un"), 6) >= JaccardTau)
+        .select("id1", "id2")
+    }
+    val joined = bands.as("a").join(bands.as("b"), Seq("band", "key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+    val baseCand = joined.filter(!col("a.is_delta") && !col("b.is_delta"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    val deltaCand = joined.filter(col("a.is_delta") || col("b.is_delta"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    // Eager checkpoints (not caches): both materialize here, while
+    // `bands` is still cached, and neither needs caller-side release.
+    val deltaPairs = verified(deltaCand).localCheckpoint()
+    val baseLabels = propagate(verified(baseCand))
+    // Reduced edges: base endpoints collapse to their component label;
+    // a doc with no base label (delta, or base-but-unclustered) is its
+    // own node. Labels are base doc ids, so node ids never collide.
+    val reducedPairs = deltaPairs
+      .join(baseLabels.select(col("doc_id").as("id1"), col("cluster_id").as("n1")),
+        Seq("id1"), "left")
+      .join(baseLabels.select(col("doc_id").as("id2"), col("cluster_id").as("n2")),
+        Seq("id2"), "left")
+      .select(coalesce(col("n1"), col("id1")).as("a"),
+        coalesce(col("n2"), col("id2")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("id1"),
+        greatest(col("a"), col("b")).as("id2"))
+      .dropDuplicates("id1", "id2")
+    val reducedLabels = propagate(reducedPairs)
+    val rl = reducedLabels.select(col("cluster_id").as("rlbl"), col("doc_id").as("node"))
+    // Output domain = endpoints of the full pair graph: every
+    // base-clustered doc, plus delta-edge endpoints not already there.
+    val viaBase = baseLabels.select(col("doc_id"), col("cluster_id").as("node"))
+    val viaDelta = deltaPairs.select(col("id1").as("doc_id"))
+      .unionByName(deltaPairs.select(col("id2").as("doc_id"))).distinct()
+      .join(baseLabels, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("node"))
+    bands.unpersist()
+    viaBase.unionByName(viaDelta)
+      .join(rl, Seq("node"), "left")
+      .select(col("doc_id"), coalesce(col("rlbl"), col("node")).as("cluster_id"))
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
       .select("doc_id", "cluster_id", "is_keeper")
       .orderBy("doc_id")
@@ -406,6 +508,7 @@ object Dedup {
     "d_dedup_minhash" -> dDedupMinhash,
     "d_dedup_simhash" -> dDedupSimhash,
     "d_cluster" -> dCluster,
+    "d_cluster_incr" -> dClusterIncr,
     "d_split" -> dSplit,
   )
 
@@ -415,6 +518,9 @@ object Dedup {
     "d_dedup_minhash" -> dDedupMinhashSql,
     "d_dedup_simhash" -> dDedupSimhashSql,
     "d_cluster" -> dClusterSql,
+    // The incremental plan must reproduce the full recompute exactly —
+    // its oracle IS the full-recompute closure.
+    "d_cluster_incr" -> dClusterSql,
     "d_split" -> dSplitSql,
   )
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.{Condition, Store, Tables}
-import graft.storage.{HashIndex, IndexedStore, RangeIndex, ZOrderIndex}
+import graft.storage.{HashIndex, HilbertIndex, IndexedStore, RangeIndex, ZOrderIndex}
 
 /** Driver-contract queries exercising the [[graft.storage.IndexedStore]]
   * layout-index layer: each writes a store into a scratch directory,
@@ -35,7 +35,7 @@ object StorageOps {
   def prepare(spark: SparkSession, dir: String): Unit = {
     Seq("sc_index_hash", "sc_index_btree", "sc_index_select",
       "sc_index_secondary", "sc_index_add", "sc_bloom_probe", "sc_zorder",
-      "sc_bucketed_join")
+      "sc_hilbert", "sc_bucketed_join")
       .foreach(q => queries(q)(spark, dir).write.format("noop").mode("overwrite").save())
   }
 
@@ -210,6 +210,26 @@ object StorageOps {
       .orderBy("__rowid")
   }
 
+  /** Two-dimensional range probe through the Hilbert-curve layout:
+    * identical grid pruning to sc_zorder (the same cells overlap an
+    * axis-aligned window), but cells are numbered along a Hilbert walk,
+    * so the candidate set is fewer, longer runs of consecutive cell
+    * ids — the locality that matters when cells are ranges of sorted
+    * storage rather than directories. */
+  def scHilbert(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("hilbert", dir)
+    writeOnce(path) {
+      val store = Store.fromData(Tables(spark, dir).lineitem, Seq("l_orderkey", "l_linenumber"))
+      IndexedStore.write(store.data, path, HilbertIndex("l_quantity", "l_extendedprice", 3))
+    }
+    IndexedStore.find(spark, path, Seq(
+        Condition.between("l_quantity", 15.0, 30.0, minIncl = true, maxIncl = true),
+        Condition("l_extendedprice",
+          graft.core.Comparison.Greater(graft.core.Value.of(30000.0), orEqual = true))))
+      .select("__rowid", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("__rowid")
+  }
+
   /** Equality probe on a column with NO layout/postings, served by the
     * per-bucket Bloom-filter sidecar: the probe consults the tiny
     * sidecar and scans only the buckets whose filter passes (for a
@@ -240,6 +260,7 @@ object StorageOps {
     "sc_index_add" -> scIndexAdd,
     "sc_bloom_probe" -> scBloomProbe,
     "sc_zorder" -> scZorder,
+    "sc_hilbert" -> scHilbert,
     "sc_source_roundtrip" -> scSourceRoundtrip,
     "sc_bucketed_join" -> scBucketedJoin,
   )
@@ -278,6 +299,11 @@ object StorageOps {
       s"""SELECT __rowid, l_orderkey, l_linenumber, l_quantity, l_extendedprice
          |FROM (SELECT *, $liRowid FROM lineitem) t
          |WHERE l_quantity >= 10.0 AND l_quantity <= 20.0 AND l_extendedprice < 20000.0
+         |ORDER BY __rowid""".stripMargin,
+    "sc_hilbert" ->
+      s"""SELECT __rowid, l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         |FROM (SELECT *, $liRowid FROM lineitem) t
+         |WHERE l_quantity >= 15.0 AND l_quantity <= 30.0 AND l_extendedprice >= 30000.0
          |ORDER BY __rowid""".stripMargin,
     "sc_bloom_probe" ->
       s"""SELECT __rowid, c_custkey, c_name

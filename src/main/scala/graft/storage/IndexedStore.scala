@@ -59,6 +59,22 @@ final case class ZOrderIndex(columnA: String, columnB: String, bits: Int = 3)
   override def column: String = columnA
 }
 
+/** Two-column Hilbert-curve layout: same quantile-bucket grid as
+  * [[ZOrderIndex]], but cells are numbered along a Hilbert curve
+  * instead of a bit-interleave. Pruning power for an axis-aligned
+  * probe is identical (the same set of grid cells overlaps); what the
+  * Hilbert numbering buys is LOCALITY — adjacent cell ids are always
+  * spatially adjacent (the Z curve jumps at every power-of-two
+  * boundary), so a 2-d window resolves to fewer, longer runs of
+  * consecutive cell ids. Cells here are directories, so that means
+  * contiguous listing/scan ranges; on a deployment that maps cell id
+  * to a position in one sorted file (object-store range reads), fewer
+  * runs = fewer seeks. */
+final case class HilbertIndex(columnA: String, columnB: String, bits: Int = 3)
+    extends IndexSpec {
+  override def column: String = columnA
+}
+
 object IndexedStore {
   private val BucketCol = "__bucket"
   private val StatsFile = "_graft_stats.properties"
@@ -99,6 +115,7 @@ object IndexedStore {
     val props = new Properties()
     val primaryCols = primary match {
       case ZOrderIndex(a, b, _) => Seq(a, b)
+      case HilbertIndex(a, b, _) => Seq(a, b)
       case other => Seq(other.column)
     }
     val statCols = (primaryCols ++ (statsOnly ++ secondary).map(_.column)).distinct
@@ -137,22 +154,37 @@ object IndexedStore {
           .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
         b
       case ZOrderIndex(ca, cb, bits) =>
-        val n = 1 << bits
-        val cuts = Seq(ca, cb).map(c =>
-          df.stat.approxQuantile(c, (1 until n).map(_.toDouble / n).toArray, 0.01)
-            .distinct.sorted)
-        props.setProperty("layout",
-          s"zorder:$ca:$cb:$bits:${cuts(0).mkString(",")}|${cuts(1).mkString(",")}")
-        props.setProperty(s"kind.$ca", "range")
-        props.setProperty(s"kind.$cb", "range")
-        val b = df.withColumn(BucketCol,
-          zBucket(col(ca), col(cb), cuts(0), cuts(1), bits))
-        b.repartition(col(BucketCol))
-          .sortWithinPartitions(col(ca))
-          .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
-        b
+        writeTwoDim(df, path, props, "zorder", ca, cb, bits)
+      case HilbertIndex(ca, cb, bits) =>
+        writeTwoDim(df, path, props, "hilbert", ca, cb, bits)
     }
     // Postings/blooms go AFTER the base write: overwrite clears `path`.
+    writeTail(df, bucketed, path, props, secondary, bloom)
+  }
+
+  /** Shared write path for the two-column curve layouts (z-order and
+    * Hilbert): same quantile grid, different cell numbering. */
+  private def writeTwoDim(df: DataFrame, path: String, props: Properties,
+      kind: String, ca: String, cb: String, bits: Int): DataFrame = {
+    val n = 1 << bits
+    val cuts = Seq(ca, cb).map(c =>
+      df.stat.approxQuantile(c, (1 until n).map(_.toDouble / n).toArray, 0.01)
+        .distinct.sorted)
+    props.setProperty("layout",
+      s"$kind:$ca:$cb:$bits:${cuts(0).mkString(",")}|${cuts(1).mkString(",")}")
+    props.setProperty(s"kind.$ca", "range")
+    props.setProperty(s"kind.$cb", "range")
+    val zc = zBucket(col(ca), col(cb), cuts(0), cuts(1), bits)
+    val cell = if (kind == "hilbert") hilbertFromZ(zc, bits) else zc
+    val b = df.withColumn(BucketCol, cell)
+    b.repartition(col(BucketCol))
+      .sortWithinPartitions(col(ca))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
+    b
+  }
+
+  private def writeTail(df: DataFrame, bucketed: DataFrame, path: String,
+      props: Properties, secondary: Seq[HashIndex], bloom: Seq[String]): Unit = {
     secondary.foreach { case HashIndex(c, n) =>
       writePostings(df, path, c, n, overwrite = true)
     }
@@ -250,6 +282,36 @@ object IndexedStore {
     (0 until bits).map { k =>
       ((z >> (2 * k + (if (aDim) 1 else 0))) & 1) << k
     }.sum
+
+  /** Hilbert index of grid cell (x, y) on a 2^bits × 2^bits grid —
+    * the standard rotate-and-accumulate walk (driver-side; the write
+    * path ships it as a folded lookup table, [[hilbertFromZ]]). */
+  private def xy2d(bits: Int, x0: Int, y0: Int): Int = {
+    var x = x0; var y = y0; var d = 0
+    var s = 1 << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) { // rotate the quadrant so the walk stays contiguous
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** Hilbert cell id from the z-cell id: both curves visit the same
+    * grid, so the renumbering is a 4^bits-entry lookup — built once on
+    * the driver, shipped as an array literal that ConstantFolding
+    * collapses, and indexed per row in O(1). Far cheaper than
+    * unrolling the data-dependent rotation walk as a when-chain. */
+  private def hilbertFromZ(zc: Column, bits: Int): Column = {
+    val lut = (0 until (1 << (2 * bits))).map(z =>
+      xy2d(bits, zCoord(z, bits, aDim = true), zCoord(z, bits, aDim = false)))
+    element_at(array(lut.map(lit): _*), zc + 1)
+  }
 
   private def postingDir(path: String, column: String): String =
     new HPath(path, s"_graft_idx_$column").toString
@@ -367,9 +429,11 @@ object IndexedStore {
             base.join(rowids, Seq(RowId), "left_semi")
           case None => base
         }
-      // Z-order: a chosen range column (either of the two) decodes to
-      // candidate cells driver-side; only overlapping cells are read.
-      case Some(c) if layout(0) == "zorder" =>
+      // Curve layouts (z-order / Hilbert): a chosen range column
+      // (either of the two) decodes to candidate grid cells
+      // driver-side; only overlapping cells are read. The grid walk is
+      // identical for both curves — only the cell numbering differs.
+      case Some(c) if layout(0) == "zorder" || layout(0) == "hilbert" =>
         val zs = props.getProperty("layout").split(":", 5)
         val (ca, cb, bits) = (zs(1), zs(2), zs(3).toInt)
         val cutParts = zs(4).split("\\|", -1)
@@ -407,10 +471,14 @@ object IndexedStore {
           case graft.core.Condition(`cb`, cmp) => rangeOf(cutsOf(1), cmp).map((false, _))
           case _ => None
         }
-        val cells = (0 until (1 << (2 * bits))).filter { z =>
-          ranges.forall { case (aDim, (lo, hi)) =>
+        val cells = (0 until (1 << (2 * bits))).flatMap { z =>
+          val keep = ranges.forall { case (aDim, (lo, hi)) =>
             val v = zCoord(z, bits, aDim); v >= lo && v <= hi
           }
+          if (!keep) None
+          else if (layout(0) == "hilbert")
+            Some(xy2d(bits, zCoord(z, bits, aDim = true), zCoord(z, bits, aDim = false)))
+          else Some(z)
         }
         base.filter(col(BucketCol).isin(cells: _*))
       case Some(c) if c == layout(1) =>
@@ -513,13 +581,14 @@ object IndexedStore {
           else layout(2).split(",").map(_.toDouble)
         df.withColumn(BucketCol, rangeBucket(col(layout(1)), bounds))
           .sortWithinPartitions(col(layout(1)))
-      case "zorder" =>
+      case kind @ ("zorder" | "hilbert") =>
         val zs = props.getProperty("layout").split(":", 5)
         val cutParts = zs(4).split("\\|", -1)
         def cutsOf(i: Int): Array[Double] =
           cutParts(i).split(",").filter(_.nonEmpty).map(_.toDouble)
-        df.withColumn(BucketCol,
-            zBucket(col(zs(1)), col(zs(2)), cutsOf(0), cutsOf(1), zs(3).toInt))
+        val bits = zs(3).toInt
+        val zc = zBucket(col(zs(1)), col(zs(2)), cutsOf(0), cutsOf(1), bits)
+        df.withColumn(BucketCol, if (kind == "hilbert") hilbertFromZ(zc, bits) else zc)
           .sortWithinPartitions(col(zs(1)))
     }
     out.write.mode("append").partitionBy(BucketCol).parquet(path)
@@ -589,6 +658,9 @@ object IndexedStore {
       case "zorder" =>
         val zs = props.getProperty("layout").split(":", 5)
         ZOrderIndex(zs(1), zs(2), zs(3).toInt)
+      case "hilbert" =>
+        val zs = props.getProperty("layout").split(":", 5)
+        HilbertIndex(zs(1), zs(2), zs(3).toInt)
     }
     val tmp = path + ".compact"
     write(live, tmp, spec,

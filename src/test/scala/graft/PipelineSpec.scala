@@ -72,6 +72,14 @@ class PipelineSpec extends SparkSpec {
     assert(keepers.filter(col("nk") =!= 1 || col("lo") =!= col("cluster_id")).count() == 0)
   }
 
+  test("incremental clustering reproduces the full recompute exactly") {
+    val full = Dedup.dCluster(spark, sf)
+    val incr = Dedup.dClusterIncr(spark, sf)
+    assert(incr.count() == full.count())
+    assert(incr.exceptAll(full).count() == 0 && full.exceptAll(incr).count() == 0,
+      "incremental labels diverge from the full recompute")
+  }
+
   test("lang_id predicts only known labels or 'und'") {
     val langs = TextAnalysis.tLangId(spark, sf)
       .select("pred_lang").distinct().as[String].collect().toSet

@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 import graft.core.{Condition, Store, Tables}
-import graft.storage.{HashIndex, IndexedStore, RangeIndex, ZOrderIndex}
+import graft.storage.{HashIndex, HilbertIndex, IndexedStore, RangeIndex, ZOrderIndex}
 
 /** Layout-index behavior: pruning actually happens, selection follows
   * the estimate heuristic, tombstones and compaction preserve
@@ -185,6 +185,28 @@ class StorageSpec extends SparkSpec {
     val filesBoth = numFilesRead(onBoth)
     assert(filesBoth <= math.min(filesA, filesB),
       s"2-d probe ($filesBoth files) read more than 1-d probes ($filesA, $filesB)")
+  }
+
+  test("hilbert layout prunes exactly like z-order and returns exact results") {
+    val hpath = tmp(); val zpath = tmp()
+    val store = Store.fromData(Tables(spark, sf).lineitem, Seq("l_orderkey", "l_linenumber"))
+    IndexedStore.write(store.data, hpath, HilbertIndex("l_quantity", "l_extendedprice", 3))
+    IndexedStore.write(store.data, zpath, ZOrderIndex("l_quantity", "l_extendedprice", 3))
+    val conds = Seq(
+      Condition.between("l_quantity", 5.0, 10.0),
+      Condition("l_extendedprice",
+        graft.core.Comparison.Less(graft.core.Value.of(5000.0), orEqual = false)))
+    val h = IndexedStore.find(spark, hpath, conds)
+    assert(h.count() == store.data.filter(
+      col("l_quantity").between(5.0, 10.0) && col("l_extendedprice") < 5000.0).count())
+    val filesH = numFilesRead(h)
+    assert(filesH < totalDataFiles(hpath), "hilbert probe read every cell")
+    // same quantile grid, same window → the same set of grid cells
+    // overlaps; only the cell NUMBERING differs between the curves
+    val z = IndexedStore.find(spark, zpath, conds)
+    assert(z.count() == h.count())
+    assert(numFilesRead(z) == filesH,
+      s"hilbert ($filesH files) and z-order (${numFilesRead(z)}) should prune the same cells")
   }
 
   test("bloom sidecar prunes buckets and survives append") {
