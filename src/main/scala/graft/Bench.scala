@@ -132,8 +132,10 @@ object Bench {
     } catch { case _: Throwable => () }
     // Build the probed stores outside the timed window (see scaladoc).
     if (selected.exists(_._1.startsWith("sc_")))
-      try graft.operators.StorageOps.prepare(spark, sfDir)
-      catch { case e: Throwable =>
+      try {
+        graft.operators.StorageOps.prepare(spark, sfDir)
+        graft.operators.ShortcutOps.prepare(spark, sfDir)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] store prepare failed: ${e.getMessage}")
       }
     val failures = Seq.newBuilder[String]

@@ -129,6 +129,14 @@ object IndexedStore {
     statsOnly.foreach {
       case HashIndex(c, _)  => props.setProperty(s"kind.$c", "hash")
       case RangeIndex(c, _) => props.setProperty(s"kind.$c", "range")
+      case curve => // 2-d curves are primary-only; both columns are range-kind
+        curve match {
+          case ZOrderIndex(a, b, _) =>
+            props.setProperty(s"kind.$a", "range"); props.setProperty(s"kind.$b", "range")
+          case HilbertIndex(a, b, _) =>
+            props.setProperty(s"kind.$a", "range"); props.setProperty(s"kind.$b", "range")
+          case other => throw new IllegalArgumentException(s"unsupported statsOnly spec: $other")
+        }
     }
     secondary.foreach { case HashIndex(c, n) =>
       props.setProperty(s"kind.$c", "hash")
