@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.Multimodal
-import graft.operators.{Analytics, Dedup, Events, ShortcutOps, Similarity, StorageOps, TextAnalysis}
+import graft.operators.{Analytics, Curation, Dedup, Events, ShortcutOps, Similarity, StorageOps, TextAnalysis}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ ShortcutOps.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Events.queries ++
-      EventStream.queries ++ Multimodal.queries ++ StorageOps.queries
+      EventStream.queries ++ Multimodal.queries ++ StorageOps.queries ++
+      Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ ShortcutOps.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Events.oracles ++
-      EventStream.oracles ++ Multimodal.oracles ++ StorageOps.oracles
+      EventStream.oracles ++ Multimodal.oracles ++ StorageOps.oracles ++
+      Curation.oracles
 }

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators: the steps between "raw crawl" and
+  * "training corpus" that aren't dedup or scoring themselves —
+  * deterministic sampling, denylist scrubbing, and the composed
+  * end-to-end curation pipeline.
+  *
+  * Everything here is hash-deterministic (no RNG state): the same doc
+  * makes the same decision in any engine, on any cluster, under any
+  * partitioning — which is what makes a 100 TB curation run
+  * reproducible and incrementally extendable (appending a batch never
+  * changes decisions for existing docs).
+  */
+object Curation {
+
+  /** Shared SQL fragment: normalized text (must mirror
+    * [[graft.functions.TextFunctions.normText]] exactly). */
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  // -------------------------------------------------------- d_sample
+
+  /** Per-language sampling rates, in basis points of 10000 — the
+    * "rebalance the corpus" shape: downsample the dominant language,
+    * keep the rare ones whole. */
+  private val SampleRates: Seq[(String, Int)] =
+    Seq("en" -> 2500, "de" -> 5000, "es" -> 5000, "fr" -> 5000, "zh" -> 10000)
+  private val DefaultRate = 5000
+
+  /** Stratified deterministic sampling: each doc is kept iff
+    * md5("smp:" + doc_id) mod 10000 falls under its language's rate.
+    * Rate-based (not exact-K) on purpose: the decision is per-row with
+    * NO shuffle and no stratum-size lookup, so the operator is a
+    * narrow map at any scale, and decisions are stable under appends —
+    * the properties a production sampler needs. The "smp:" salt keeps
+    * the decision independent of [[Dedup.dSplit]]'s hash. */
+  def dSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val h = conv(substring(md5(concat(lit("smp:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 10000
+    val rate = SampleRates.foldRight(lit(DefaultRate): org.apache.spark.sql.Column) {
+      case ((l, r), acc) => when(col("lang") === l, r).otherwise(acc)
+    }
+    d.filter(h < rate)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  val dSampleSql: String = {
+    val rateCase = SampleRates
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", s" ELSE $DefaultRate END")
+    s"""SELECT doc_id, lang, source
+       |FROM documents
+       |WHERE ('0x' || substr(md5('smp:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+       |      < $rateCase
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------- t_scrub
+
+  /** Denylist terms masked out of the corpus (word-boundary matches). */
+  private val Denylist = Seq("hash", "spark", "win")
+  private val ScrubPattern = Denylist.mkString("\\b(", "|", ")\\b")
+  private val Mask = "[TERM]"
+
+  /** Denylist scrubbing: mask every word-boundary occurrence of a
+    * denylisted term and report the per-doc redaction count — the
+    * content-policy pass of a curation pipeline (the same plumbing
+    * serves PII patterns: swap the alternation for email/phone
+    * regexes). Narrow per-row regex work, no shuffle; the pattern
+    * stays in the \\b(...|...)\\b subset that Java regex and RE2
+    * interpret identically, so the oracle runs the same scrub. */
+  def tScrub(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    d.select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(ScrubPattern)).cast("long").as("n_redacted"),
+        regexp_replace(col("text"), ScrubPattern, Mask).as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  val tScrubSql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$ScrubPattern'))::BIGINT AS n_redacted,
+       |  regexp_replace(text, '$ScrubPattern', '$Mask', 'g') AS scrubbed
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------- d_curate
+
+  /** Minimum blended quality score for a doc to survive curation. */
+  private val QualityTau = 0.7
+
+  /** The composed end-to-end curation pipeline: a doc survives iff it
+    * (1) scores ≥ τ on the blended quality metric, (2) language-IDs to
+    * a known language, (3) is the keeper of its exact-duplicate group
+    * (min doc_id per content fingerprint), and (4) is not a non-keeper
+    * of a MinHash near-dup cluster. Steps 1–2 are narrow maps; step 3
+    * is one hash shuffle on the fingerprint; step 4 reuses the
+    * clustering operator and anti-joins its (small) non-keeper set —
+    * the full pipeline adds exactly one shuffle beyond its parts. */
+  def dCurate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val quality = TextAnalysis.qualityMetrics(spark, dir).select("doc_id", "quality")
+    val lang = TextAnalysis.langPredictions(spark, dir).select("doc_id", "pred_lang")
+    val fp = d.select(col("doc_id"), md5(normText(col("text"))).as("content_fp"))
+    val exactKeepers = fp.groupBy("content_fp").agg(min("doc_id").as("doc_id"))
+    val clusterDups = Dedup.clusterLabels(spark, dir)
+      .filter(!col("is_keeper")).select("doc_id")
+    quality.join(lang, "doc_id")
+      .filter(col("quality") >= QualityTau && col("pred_lang") =!= "und")
+      .join(exactKeepers.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(clusterDups, Seq("doc_id"), "left_anti")
+      .select("doc_id", "pred_lang", "quality")
+      .orderBy("doc_id")
+  }
+
+  val dCurateSql: String =
+    s"""WITH q AS (SELECT doc_id, quality FROM (${TextAnalysis.tQualitySql}) x),
+       |l AS (SELECT doc_id, pred_lang FROM (${TextAnalysis.tLangIdSql}) x),
+       |keepers AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM (SELECT doc_id, md5($normSql) AS content_fp FROM documents) f
+       |  GROUP BY content_fp),
+       |cluster_dups AS (
+       |  SELECT doc_id FROM (${Dedup.dClusterSql}) c WHERE NOT is_keeper)
+       |SELECT q.doc_id, l.pred_lang, q.quality
+       |FROM q
+       |JOIN l USING (doc_id)
+       |JOIN keepers USING (doc_id)
+       |WHERE q.quality >= $QualityTau AND l.pred_lang <> 'und'
+       |  AND q.doc_id NOT IN (SELECT doc_id FROM cluster_dups)
+       |ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_sample" -> dSample,
+    "t_scrub" -> tScrub,
+    "d_curate" -> dCurate,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "d_sample" -> dSampleSql,
+    "t_scrub" -> tScrubSql,
+    "d_curate" -> dCurateSql,
+  )
+}

@@ -368,13 +368,15 @@ object Dedup {
     labels
   }
 
-  def dCluster(spark: SparkSession, dir: String): DataFrame = {
-    val labels = propagate(dDedupMinhash(spark, dir).select("id1", "id2"))
-    labels
+  def dCluster(spark: SparkSession, dir: String): DataFrame =
+    clusterLabels(spark, dir).orderBy("doc_id")
+
+  /** Unordered cluster labels (composable form — [[Curation]] anti-
+    * joins on the non-keepers without paying a presentation sort). */
+  def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    propagate(dDedupMinhash(spark, dir).select("id1", "id2"))
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
       .select("doc_id", "cluster_id", "is_keeper")
-      .orderBy("doc_id")
-  }
 
   /** INCREMENTAL near-dup clustering — the streaming-curation shape:
     * the corpus is split into a BASE (md5(doc_id) % 100 < 90) and a

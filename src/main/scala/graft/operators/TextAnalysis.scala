@@ -50,7 +50,12 @@ object TextAnalysis {
   /** Quality scoring: doc length, alpha ratio, stopword ratio, mean
     * word length, and a blended 0–1 score. All ratios are exact
     * integer-over-integer divisions rounded to 4 places. */
-  def tQuality(spark: SparkSession, dir: String): DataFrame = {
+  def tQuality(spark: SparkSession, dir: String): DataFrame =
+    qualityMetrics(spark, dir).orderBy("doc_id")
+
+  /** Unordered quality metrics — the composable form ([[Curation]]
+    * filters on `quality` without paying a presentation sort). */
+  def qualityMetrics(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents
     val norm = normText(col("text"))
     val w = split(norm, " ")
@@ -69,7 +74,6 @@ object TextAnalysis {
     d.select(col("doc_id"), nChars.as("n_chars"), nWords.as("n_words"),
         alphaRatio.as("alpha_ratio"), stopRatio.as("stop_ratio"),
         meanWordLen.as("mean_word_len"), score.as("quality"))
-      .orderBy("doc_id")
   }
 
   val tQualitySql: String = {
@@ -94,14 +98,17 @@ object TextAnalysis {
 
   /** Marker-word language ID (n-gram heuristic): per-language marker
     * hit counts, argmax with fixed tie order, "und" when zero hits. */
-  def tLangId(spark: SparkSession, dir: String): DataFrame = {
+  def tLangId(spark: SparkSession, dir: String): DataFrame =
+    langPredictions(spark, dir).orderBy("doc_id")
+
+  /** Unordered language predictions (composable form). */
+  def langPredictions(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents
     val scoreCols = langMarkers.map { case (l, _) =>
       langScore(col("text"), l).as(s"score_$l")
     }
     d.select((col("doc_id") +: col("lang").as("labeled_lang") +: scoreCols :+
         langId(col("text")).as("pred_lang")): _*)
-      .orderBy("doc_id")
   }
 
   val tLangIdSql: String = {

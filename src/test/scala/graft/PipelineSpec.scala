@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Similarity, TextAnalysis}
 
 /** Semantics checks for the LLM-pipeline operators (the driver's
   * DuckDB oracle checks value parity; these check properties). */
@@ -78,6 +78,45 @@ class PipelineSpec extends SparkSpec {
     assert(incr.count() == full.count())
     assert(incr.exceptAll(full).count() == 0 && full.exceptAll(incr).count() == 0,
       "incremental labels diverge from the full recompute")
+  }
+
+  test("d_sample is deterministic and downsamples the dominant language") {
+    val s1 = Curation.dSample(spark, sf).cache()
+    val s2 = Curation.dSample(spark, sf)
+    assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0,
+      "sample is not deterministic")
+    val docs = graft.core.Tables(spark, sf).documents
+    val enAll = docs.filter(col("lang") === "en").count()
+    val enKept = s1.filter(col("lang") === "en").count()
+    val zhAll = docs.filter(col("lang") === "zh").count()
+    val zhKept = s1.filter(col("lang") === "zh").count()
+    assert(zhKept == zhAll, "zh rate is 10000/10000 — every zh doc must survive")
+    assert(enKept < enAll, "en must be downsampled")
+  }
+
+  test("t_scrub leaves no denylist term and counts every redaction") {
+    val scrubbed = Curation.tScrub(spark, sf).cache()
+    assert(scrubbed.filter(col("scrubbed").rlike("\\b(hash|spark|win)\\b")).count() == 0)
+    assert(scrubbed.agg(sum("n_redacted")).head.getLong(0) > 0)
+    // masking is count-preserving: n_redacted == occurrences of the mask
+    assert(scrubbed.filter(
+      col("n_redacted") =!=
+        ((length(col("scrubbed")) - length(replace(col("scrubbed"), lit("[TERM]"), lit("")))) / 6)
+    ).count() == 0)
+  }
+
+  test("d_curate output passes every individual filter") {
+    val curated = Curation.dCurate(spark, sf).cache()
+    assert(curated.count() > 0)
+    assert(curated.filter(col("quality") < 0.7 || col("pred_lang") === "und").count() == 0)
+    // no two curated docs share a content fingerprint
+    val fps = curated.join(
+      graft.core.Tables(spark, sf).documents.select(col("doc_id"),
+        md5(graft.functions.TextFunctions.normText(col("text"))).as("fp")), "doc_id")
+    assert(fps.groupBy("fp").count().filter(col("count") > 1).count() == 0)
+    // no curated doc is a near-dup non-keeper
+    val dups = Dedup.clusterLabels(spark, sf).filter(!col("is_keeper")).select("doc_id")
+    assert(curated.join(dups, Seq("doc_id"), "left_semi").count() == 0)
   }
 
   test("lang_id predicts only known labels or 'und'") {
