@@ -77,7 +77,7 @@ object Curation {
     * stays in the \\b(...|...)\\b subset that Java regex and RE2
     * interpret identically, so the oracle runs the same scrub. */
   def tScrub(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir).documents
+    val d = TextAnalysis.docsSpread(spark, dir)
     d.select(
         col("doc_id"),
         regexp_count(col("text"), lit(ScrubPattern)).cast("long").as("n_redacted"),
@@ -106,9 +106,17 @@ object Curation {
     * clustering operator and anti-joins its (small) non-keeper set —
     * the full pipeline adds exactly one shuffle beyond its parts. */
   def dCurate(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir).documents
-    val quality = TextAnalysis.qualityMetrics(spark, dir).select("doc_id", "quality")
-    val lang = TextAnalysis.langPredictions(spark, dir).select("doc_id", "pred_lang")
+    val d = TextAnalysis.docsSpread(spark, dir)
+    // The checkpoints are BARRIERS, not caches-for-reuse: without
+    // them Catalyst pushes the quality/lang filters below the join
+    // and inlines the full regex-heavy score expressions into both
+    // the Filter and the output Project — every score evaluates
+    // twice (measured 4.8s → 1.3s at sf0.1). The materialized
+    // artifact is the narrow (id, score) frame, linear in the corpus.
+    val quality = TextAnalysis.qualityMetrics(spark, dir)
+      .select("doc_id", "quality").localCheckpoint()
+    val lang = TextAnalysis.langPredictions(spark, dir)
+      .select("doc_id", "pred_lang").localCheckpoint()
     val fp = d.select(col("doc_id"), md5(normText(col("text"))).as("content_fp"))
     val exactKeepers = fp.groupBy("content_fp").agg(min("doc_id").as("doc_id"))
     val clusterDups = Dedup.clusterLabels(spark, dir)

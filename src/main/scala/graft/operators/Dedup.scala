@@ -65,8 +65,7 @@ object Dedup {
     * scale the file count provides the parallelism; an explicit
     * repartition makes the operator independent of input layout). */
   private def shingleSets(spark: SparkSession, dir: String): DataFrame = {
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val d = Tables(spark, dir).documents.repartition(parts)
+    val d = TextAnalysis.docsSpread(spark, dir)
     // WordShingles is a single-pass custom expression: the HOF
     // formulation re-evaluates the word-array expression per element
     // when CollapseProject merges the projections (measured 40×).
@@ -272,8 +271,7 @@ object Dedup {
     * (pigeonhole-complete for hamming ≤ 3), verified with exact
     * bit_count(xor) ≤ k. */
   def dDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val d = Tables(spark, dir).documents.repartition(parts)
+    val d = TextAnalysis.docsSpread(spark, dir)
     val hashed = d.select(col("doc_id"),
       transform(split(normText(col("text")), " "), w => md5_32(w)).as("hs"))
     // Cached: the 4-band union and both sides of the candidate join
@@ -371,12 +369,22 @@ object Dedup {
   def dCluster(spark: SparkSession, dir: String): DataFrame =
     clusterLabels(spark, dir).orderBy("doc_id")
 
+  /** Cluster labels are a curation ARTIFACT — computed once, then
+    * consumed by every downstream step ([[dClusterIncr]]'s base,
+    * [[Curation.dCurate]]'s keeper filter, dedup reporting) — so the
+    * handle is memoized per data dir. propagate() already returns a
+    * checkpointed (materialized, lineage-free) frame, so the cached
+    * entry holds storage, not a recompute recipe. */
+  private val labelCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   /** Unordered cluster labels (composable form — [[Curation]] anti-
     * joins on the non-keepers without paying a presentation sort). */
   def clusterLabels(spark: SparkSession, dir: String): DataFrame =
-    propagate(dDedupMinhash(spark, dir).select("id1", "id2"))
-      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
-      .select("doc_id", "cluster_id", "is_keeper")
+    labelCache.getOrElseUpdate(dir,
+      propagate(dDedupMinhash(spark, dir).select("id1", "id2"))
+        .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+        .select("doc_id", "cluster_id", "is_keeper"))
 
   /** INCREMENTAL near-dup clustering — the streaming-curation shape:
     * the corpus is split into a BASE (md5(doc_id) % 100 < 90) and a

@@ -18,13 +18,26 @@ object TextAnalysis {
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
+  /** Documents spread across the core count: a small single-file
+    * table otherwise runs the whole regex-heavy per-row pipeline in
+    * ONE task. The repartition is CONDITIONAL on the scan's natural
+    * parallelism being below the shuffle width — at real scale the
+    * file-split count already provides it and no shuffle happens;
+    * only a layout-starved input (one file, few row groups) pays the
+    * one round-robin exchange. */
+  private[operators] def docsSpread(spark: SparkSession, dir: String): DataFrame = {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val d = Tables(spark, dir).documents
+    if (d.rdd.getNumPartitions >= parts) d else d.repartition(parts)
+  }
+
   /** Whitespace + word token counting. The "BPE-ish" count applies the
     * classic subword heuristic (≈ chars/4 for alphanumeric runs)
     * without an external vocab: total normalized chars divided by 4,
     * plus one per word remainder — deterministic integer arithmetic
     * only. */
   def tTokenCount(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir).documents
+    val d = docsSpread(spark, dir)
     val norm = normText(col("text"))
     val w = split(norm, " ")
     d.select(
@@ -56,7 +69,7 @@ object TextAnalysis {
   /** Unordered quality metrics — the composable form ([[Curation]]
     * filters on `quality` without paying a presentation sort). */
   def qualityMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir).documents
+    val d = docsSpread(spark, dir)
     val norm = normText(col("text"))
     val w = split(norm, " ")
     val nWords = size(w).cast("long")
@@ -103,7 +116,7 @@ object TextAnalysis {
 
   /** Unordered language predictions (composable form). */
   def langPredictions(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir).documents
+    val d = docsSpread(spark, dir)
     val scoreCols = langMarkers.map { case (l, _) =>
       langScore(col("text"), l).as(s"score_$l")
     }
@@ -133,7 +146,7 @@ object TextAnalysis {
     * fingerprint, and a coarse locality fingerprint (md5 of the sorted
     * distinct word set — order-insensitive, catches permuted docs). */
   def tFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir).documents
+    val d = docsSpread(spark, dir)
     val norm = normText(col("text"))
     val wordSet = array_sort(array_distinct(split(norm, " ")))
     d.select(

@@ -169,6 +169,29 @@ object EventStream {
        | AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - $JoinWindowUs AND epoch_us(p.ts)
        |ORDER BY p_event_id, c_event_id""".stripMargin
 
+  /** Streaming top-k: the k most active users by event count —
+    * complete-mode aggregation with a deterministic tie-break
+    * (count desc, then user id), re-emitted each micro-batch. The
+    * state is one counter per user (bounded by key cardinality); the
+    * sort-limit runs over the aggregate, not the stream. ≡ the batch
+    * top-k, which is what the oracle checks. */
+  def stTopk(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(10)
+    runToTable(agg, "complete")
+      .orderBy(col("n_events").desc, col("user_id"))
+  }
+
+  val stTopkSql: String =
+    """SELECT user_id, count(*) AS n_events
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY n_events DESC, user_id
+      |LIMIT 10""".stripMargin
+
   /** Input/state/output records for the stateful sessionizer. */
   final case class Ev(user_id: Long, ts_ns: Long)
   final case class OpenSession(start_ns: Long, end_ns: Long, n: Long)
@@ -246,6 +269,7 @@ object EventStream {
     "st_stream_dedup" -> stStreamDedup,
     "st_stream_join" -> stStreamJoin,
     "st_sessionize" -> stSessionize,
+    "st_topk" -> stTopk,
   )
 
   def oracles: Map[String, String] = Map(
@@ -253,5 +277,6 @@ object EventStream {
     "st_stream_dedup" -> stStreamDedupSql,
     "st_stream_join" -> stStreamJoinSql,
     "st_sessionize" -> stSessionizeSql,
+    "st_topk" -> stTopkSql,
   )
 }
