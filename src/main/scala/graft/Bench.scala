@@ -131,12 +131,18 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     // Build the probed stores outside the timed window (see scaladoc).
-    if (selected.exists(_._1.startsWith("sc_")))
-      try {
-        graft.operators.StorageOps.prepare(spark, sfDir)
-        graft.operators.ShortcutOps.prepare(spark, sfDir)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] store prepare failed: ${e.getMessage}")
+    // Each prepare gets its own guard AND its own try: a failure in
+    // one must not skip the other (the queries would then pay store
+    // construction inside their timed windows, silently).
+    if (selected.exists(q => graft.operators.StorageOps.queries.contains(q._1)))
+      try graft.operators.StorageOps.prepare(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] storage prepare failed: ${e.getMessage}")
+      }
+    if (selected.exists(q => graft.operators.ShortcutOps.queries.contains(q._1)))
+      try graft.operators.ShortcutOps.prepare(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] shortcut-store prepare failed: ${e.getMessage}")
       }
     val failures = Seq.newBuilder[String]
     val results = selected.map { case (name, fn) =>

@@ -18,6 +18,14 @@ object TextFunctions {
   def normText(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** SQL mirror of [[normText]] over a `text` column — the ONE copy
+    * every oracle references. Fingerprints, shingles, and the curation
+    * keeper filter all hash its output, so a drift between this
+    * string and normText (or a private duplicate of it) silently
+    * breaks hash parity across operators. */
+  val normSql: String =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
   /** Normalized word array. */
   def words(c: Column): Column = split(normText(c), " ")
 

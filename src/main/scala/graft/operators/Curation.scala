@@ -18,11 +18,6 @@ import graft.functions.TextFunctions._
   */
 object Curation {
 
-  /** Shared SQL fragment: normalized text (must mirror
-    * [[graft.functions.TextFunctions.normText]] exactly). */
-  private val normSql =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
-
   // -------------------------------------------------------- d_sample
 
   /** Per-language sampling rates, in basis points of 10000 — the

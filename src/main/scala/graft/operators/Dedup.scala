@@ -28,9 +28,6 @@ object Dedup {
     * band). */
   val HammingK = 3
 
-  private val normSql =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
-
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup: group by md5 of normalized content, keep the min
@@ -194,21 +191,40 @@ object Dedup {
     * values; candidates collide on (band, key); candidates are then
     * verified with exact Jaccard ≥ τ. Only bucket-mates are ever
     * paired — candidate generation is one explode + one shuffle. */
-  def dDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSigs(spark, dir)
-    // Candidate generation shuffles ids only; the (large) shingle
-    // arrays are joined back just for the verification of survivors.
-    // Band structs are built with a Scala-level loop: a lambda-internal
-    // slice(col("sig"), ...) would re-evaluate the signature expression
-    // per band element after projection collapse.
+  /** LSH band keys for a signature frame: (doc_id, band, key), one
+    * row per band per doc. SHARED by the full and incremental
+    * clustering paths so their banding cannot diverge (the
+    * incremental oracle is the full recompute's closure). Band
+    * structs are built with a Scala-level loop: a lambda-internal
+    * slice(col("sig"), ...) would re-evaluate the signature
+    * expression per band element after projection collapse. */
+  private def bandKeys(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("-",
           (0 until RowsPerBand).map(r =>
             element_at(col("sig"), b * RowsPerBand + r + 1).cast("string")): _*)).as("key"))
     }
-    val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Exact-Jaccard verification of candidate (id1, id2) pairs against
+    * the string shingle sets — shared by every MinHash-candidate
+    * consumer; keeps pairs with round(j, 6) ≥ τ. */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame): DataFrame =
+    cand
+      .join(sets.select(col("doc_id").as("id1"), col("shing").as("s1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("shing").as("s2")), "id2")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("un", size(col("s1")) + size(col("s2")) - col("inter"))
+      .withColumn("jaccard", round(col("inter") / col("un"), 6))
+      .filter(col("jaccard") >= JaccardTau)
+
+  def dDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    // Candidate generation shuffles ids only; the (large) shingle
+    // arrays are joined back just for the verification of survivors.
+    val bands = bandKeys(minhashSigs(spark, dir))
       // Materialization barrier: without it CollapseProject re-inlines
       // the signature expression into both join sides and every band
       // struct, recomputing the md5+minhash work many times over.
@@ -218,14 +234,7 @@ object Dedup {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .dropDuplicates("id1", "id2")
-    val sets = shingleSets(spark, dir)
-    cand
-      .join(sets.select(col("doc_id").as("id1"), col("shing").as("s1")), "id1")
-      .join(sets.select(col("doc_id").as("id2"), col("shing").as("s2")), "id2")
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
-      .withColumn("un", size(col("s1")) + size(col("s2")) - col("inter"))
-      .withColumn("jaccard", round(col("inter") / col("un"), 6))
-      .filter(col("jaccard") >= JaccardTau)
+    verifyJaccard(cand, shingleSets(spark, dir))
       .select("id1", "id2", "jaccard")
       .orderBy("id1", "id2")
   }
@@ -372,16 +381,19 @@ object Dedup {
   /** Cluster labels are a curation ARTIFACT — computed once, then
     * consumed by every downstream step ([[dClusterIncr]]'s base,
     * [[Curation.dCurate]]'s keeper filter, dedup reporting) — so the
-    * handle is memoized per data dir. propagate() already returns a
-    * checkpointed (materialized, lineage-free) frame, so the cached
-    * entry holds storage, not a recompute recipe. */
+    * handle is memoized per (application, data dir); the application
+    * in the key keeps a restarted session from being served
+    * checkpoint blocks that died with the old context. propagate()
+    * already returns a checkpointed (materialized, lineage-free)
+    * frame, so the cached entry holds storage, not a recompute
+    * recipe. */
   private val labelCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   /** Unordered cluster labels (composable form — [[Curation]] anti-
     * joins on the non-keepers without paying a presentation sort). */
   def clusterLabels(spark: SparkSession, dir: String): DataFrame =
-    labelCache.getOrElseUpdate(dir,
+    labelCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
       propagate(dDedupMinhash(spark, dir).select("id1", "id2"))
         .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
         .select("doc_id", "cluster_id", "is_keeper"))
@@ -407,29 +419,13 @@ object Dedup {
     * equals the full recompute's — bit-identical output to
     * [[dCluster]], which is exactly what the oracle checks. */
   def dClusterIncr(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSigs(spark, dir)
-    val bandStructs = (0 until Bands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws("-",
-          (0 until RowsPerBand).map(r =>
-            element_at(col("sig"), b * RowsPerBand + r + 1).cast("string")): _*)).as("key"))
-    }
     val isDelta = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("long") % 100) >= 90
-    val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bands = bandKeys(minhashSigs(spark, dir))
       .withColumn("is_delta", isDelta)
       .cache()
-    def verified(cand: DataFrame): DataFrame = {
-      val sets = shingleSets(spark, dir)
-      cand
-        .join(sets.select(col("doc_id").as("id1"), col("shing").as("s1")), "id1")
-        .join(sets.select(col("doc_id").as("id2"), col("shing").as("s2")), "id2")
-        .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
-        .withColumn("un", size(col("s1")) + size(col("s2")) - col("inter"))
-        .filter(round(col("inter") / col("un"), 6) >= JaccardTau)
-        .select("id1", "id2")
-    }
+    def verified(cand: DataFrame): DataFrame =
+      verifyJaccard(cand, shingleSets(spark, dir)).select("id1", "id2")
     val joined = bands.as("a").join(bands.as("b"), Seq("band", "key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
     val baseCand = joined.filter(!col("a.is_delta") && !col("b.is_delta"))

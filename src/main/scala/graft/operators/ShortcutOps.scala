@@ -12,16 +12,19 @@ import graft.core.{Condition, Store, Tables}
 object ShortcutOps {
 
   /** Long-lived store handles, as the reference uses them: built once
-    * (rowid numbering is the expensive part), probed per query. Keyed
-    * by data dir; [[prepare]] warms them outside any timed window. */
-  private val stores = scala.collection.concurrent.TrieMap.empty[(String, String), Store]
+    * (rowid numbering is the expensive part), probed per query.
+    * [[prepare]] warms them outside any timed window. Keyed by the
+    * Spark application too: a memoized frame's checkpoint blocks die
+    * with the context that made them, so a restarted session must not
+    * be served a dead handle. */
+  private val stores = scala.collection.concurrent.TrieMap.empty[(String, String, String), Store]
 
   private def customerStore(spark: SparkSession, dir: String): Store =
-    stores.getOrElseUpdate(("customer", dir),
+    stores.getOrElseUpdate((spark.sparkContext.applicationId, "customer", dir),
       Store.fromData(Tables(spark, dir).customer, Seq("c_custkey")).materialized)
 
   private def lineitemStore(spark: SparkSession, dir: String): Store =
-    stores.getOrElseUpdate(("lineitem", dir),
+    stores.getOrElseUpdate((spark.sparkContext.applicationId, "lineitem", dir),
       Store.fromData(Tables(spark, dir).lineitem,
         Seq("l_orderkey", "l_linenumber")).materialized)
 

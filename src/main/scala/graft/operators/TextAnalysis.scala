@@ -13,11 +13,6 @@ import graft.functions.TextFunctions._
   */
 object TextAnalysis {
 
-  /** Shared SQL fragment: normalized text (must mirror
-    * [[TextFunctions.normText]] exactly). */
-  private val normSql =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
-
   /** Documents spread across the core count: a small single-file
     * table otherwise runs the whole regex-heavy per-row pipeline in
     * ONE task. The repartition is CONDITIONAL on the scan's natural

@@ -129,14 +129,11 @@ object IndexedStore {
     statsOnly.foreach {
       case HashIndex(c, _)  => props.setProperty(s"kind.$c", "hash")
       case RangeIndex(c, _) => props.setProperty(s"kind.$c", "range")
-      case curve => // 2-d curves are primary-only; both columns are range-kind
-        curve match {
-          case ZOrderIndex(a, b, _) =>
-            props.setProperty(s"kind.$a", "range"); props.setProperty(s"kind.$b", "range")
-          case HilbertIndex(a, b, _) =>
-            props.setProperty(s"kind.$a", "range"); props.setProperty(s"kind.$b", "range")
-          case other => throw new IllegalArgumentException(s"unsupported statsOnly spec: $other")
-        }
+      // 2-d curve layouts are primary-only: as statsOnly they would
+      // advertise a kind with no pruning path behind it, so reject
+      // loudly instead of mis-steering index selection.
+      case curve => throw new IllegalArgumentException(
+        s"curve layouts are primary-only, not statsOnly: $curve")
     }
     secondary.foreach { case HashIndex(c, n) =>
       props.setProperty(s"kind.$c", "hash")
