@@ -16,18 +16,19 @@ object StorageOps {
     val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     // v-tag: bump when the on-disk store format changes so stale
     // scratch stores from an older layout can never serve a probe.
-    new java.io.File(sys.props("java.io.tmpdir"), s"graft_store_v2_${name}_$sfTag").getPath
+    // v3: manifest-pointer generations.
+    new java.io.File(sys.props("java.io.tmpdir"), s"graft_store_v3_${name}_$sfTag").getPath
   }
 
-  /** Run `build` only when `path` has no complete store yet. The
-    * sidecar is the LAST file a store write produces, so its presence
-    * marks a complete write; a crashed partial write is rebuilt. This
-    * lets [[prepare]] pre-build the stores outside the timed window —
-    * the write is a one-time indexing cost, the probe is the recurring
-    * query cost, and a benchmark that conflates them measures
-    * neither. */
+  /** Run `build` only when `path` has no complete store yet
+    * (manifest pointer committed, or a legacy root sidecar — the
+    * LAST artifact a store write produces; a crashed partial write is
+    * rebuilt). This lets [[prepare]] pre-build the stores outside the
+    * timed window — the write is a one-time indexing cost, the probe
+    * is the recurring query cost, and a benchmark that conflates them
+    * measures neither. */
   private def writeOnce(path: String)(build: => Unit): Unit =
-    if (!new java.io.File(path, "_graft_stats.properties").exists()) build
+    if (!IndexedStore.exists(path)) build
 
   /** Pre-build every store/table the sc_index_* / sc_bucketed_join
     * queries probe (Bench calls this before timing; Verify doesn't

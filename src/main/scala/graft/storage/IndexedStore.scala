@@ -79,6 +79,7 @@ object IndexedStore {
   private val BucketCol = "__bucket"
   private val StatsFile = "_graft_stats.properties"
   private val TombstoneDir = "_graft_tombstones"
+  private val ManifestFile = "_graft_manifest.properties"
   val RowId = graft.core.Store.RowId
 
   /** All sidecar/tombstone IO goes through the Hadoop FileSystem of
@@ -92,6 +93,85 @@ object IndexedStore {
   private def storeProps(props: Properties, path: String): Unit = {
     val out = hadoopFs(path).create(new HPath(path, StatsFile), true)
     try props.store(out, "graft IndexedStore sidecar") finally out.close()
+  }
+
+  // --------------------------------------------------- manifest commit
+
+  /** A store root holds GENERATION directories (`gen-000001`, ... —
+    * each a complete store: data + sidecars) plus one tiny pointer
+    * file naming the current generation. Whole-store replacement
+    * (initial write, compact) builds a fresh generation to the side
+    * and then swaps the pointer — readers resolve the pointer first,
+    * so they see the old store or the new one, never a partial mix,
+    * and a crash mid-build leaves the old generation live (the
+    * half-built one is swept by the next commit). On an object store
+    * the pointer swap degrades to a single-key PUT, which is atomic —
+    * this is the manifest-pointer commit that directory renames
+    * cannot provide there. In-generation mutation (append, tombstone
+    * delete, addIndex) keeps its existing semantics. */
+  private def resolve(path: String): String = {
+    val f = hadoopFs(path)
+    val mf = new HPath(path, ManifestFile)
+    if (!f.exists(mf)) path // legacy layout: the root IS the store
+    else {
+      val in = f.open(mf)
+      val p = new Properties()
+      try p.load(in) finally in.close()
+      new HPath(path, p.getProperty("current")).toString
+    }
+  }
+
+  /** True when `path` holds a complete store (manifest present, or a
+    * legacy root with its stats sidecar — the LAST file a write
+    * produces, so its presence marks a finished write). */
+  def exists(path: String): Boolean = {
+    val f = hadoopFs(path)
+    f.exists(new HPath(path, ManifestFile)) ||
+      f.exists(new HPath(path, StatsFile))
+  }
+
+  private def nextGenName(path: String): String = {
+    val f = hadoopFs(path)
+    val root = new HPath(path)
+    val n =
+      if (!f.exists(root)) 0
+      else f.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("gen-"))
+        .flatMap(s => scala.util.Try(s.stripPrefix("gen-").toInt).toOption)
+        .foldLeft(0)(math.max)
+    f"gen-${n + 1}%06d"
+  }
+
+  /** Point the manifest at `gen`: write a temp pointer, then a
+    * single-file overwrite-rename (atomic on HDFS/local; a single-key
+    * PUT on object stores). */
+  private def commitManifest(path: String, gen: String): Unit = {
+    val f = hadoopFs(path)
+    val tmp = new HPath(path, ManifestFile + ".tmp")
+    val out = f.create(tmp, true)
+    try {
+      val p = new Properties()
+      p.setProperty("current", gen)
+      p.store(out, "graft store manifest")
+    } finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, SparkSession.active.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new HPath(path, ManifestFile),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Sweep everything under the root except the current generation
+    * and the manifest: superseded generations, crashed partial
+    * builds, and (when a manifest store replaces a legacy root
+    * store) the legacy files — write() has overwrite semantics. */
+  private def gcGenerations(path: String, keep: String): Unit = {
+    val f = hadoopFs(path)
+    f.listStatus(new HPath(path))
+      .filter { s =>
+        val n = s.getPath.getName
+        n != keep && n != ManifestFile
+      }
+      .foreach(s => f.delete(s.getPath, true))
   }
 
   /** Write `df` (which must carry a `__rowid` column, e.g. from
@@ -111,6 +191,17 @@ object IndexedStore {
   def write(df: DataFrame, path: String, primary: IndexSpec,
       statsOnly: Seq[IndexSpec] = Nil, secondary: Seq[HashIndex] = Nil,
       bloom: Seq[String] = Nil): Unit = {
+    val gen = nextGenName(path)
+    writeLayout(df, new HPath(path, gen).toString, primary, statsOnly, secondary, bloom)
+    commitManifest(path, gen)
+    gcGenerations(path, gen)
+  }
+
+  /** Build one complete store generation at `path` (a generation dir,
+    * or a bare dir for the pre-manifest tests). */
+  private def writeLayout(df: DataFrame, path: String, primary: IndexSpec,
+      statsOnly: Seq[IndexSpec], secondary: Seq[HashIndex],
+      bloom: Seq[String]): Unit = {
     require(df.columns.contains(RowId), s"IndexedStore requires a $RowId column")
     val props = new Properties()
     val primaryCols = primary match {
@@ -351,7 +442,7 @@ object IndexedStore {
     * that supports the operation, minimize `estimate()`; None means
     * full scan. Exposed for tests. */
   def chooseIndex(path: String, conds: Seq[graft.core.Condition]): Option[String] =
-    chooseIndexIn(loadProps(path), conds)
+    chooseIndexIn(loadProps(resolve(path)), conds)
 
   private def chooseIndexIn(props: Properties,
       conds: Seq[graft.core.Condition]): Option[String] = {
@@ -385,9 +476,12 @@ object IndexedStore {
       conds: Seq[graft.core.Condition]): DataFrame =
     open(spark, path).find(conds)
 
-  /** Open the store once for repeated probing. */
+  /** Open the store once for repeated probing. The CURRENT generation
+    * is resolved here: the handle keeps serving the generation it
+    * opened even if a concurrent compact commits a newer one —
+    * snapshot-isolation reads, free of charge from the layout. */
   def open(spark: SparkSession, path: String): OpenStore =
-    new OpenStore(spark, path)
+    new OpenStore(spark, resolve(path))
 
   /** An opened store: sidecar + file listings resolved once, probes
     * plan against reused readers. */
@@ -575,7 +669,8 @@ object IndexedStore {
     * count stats are refreshed; NDV goes stale until compact — the
     * reference's estimate is a heuristic, staleness only affects
     * index *choice*, never results. */
-  def append(df: DataFrame, path: String): Unit = {
+  def append(df: DataFrame, rootPath: String): Unit = {
+    val path = resolve(rootPath)
     val props = loadProps(path)
     val layout = props.getProperty("layout").split(":", 3)
     val out = layout(0) match {
@@ -611,8 +706,9 @@ object IndexedStore {
   /** Delete matching rows by tombstoning their rowids (reference
     * delete, lib.rs:140-169, under the add/remove-only abstraction:
     * no in-place rewrite; readers anti-join). */
-  def delete(spark: SparkSession, path: String,
+  def delete(spark: SparkSession, rootPath: String,
       conds: Seq[graft.core.Condition]): Unit = {
+    val path = resolve(rootPath)
     val victims = find(spark, path, conds).select(RowId)
     victims.write.mode("append").parquet(new HPath(path, TombstoneDir).toString)
   }
@@ -623,7 +719,8 @@ object IndexedStore {
     * postings for tombstoned rows are harmless: the read path prunes
     * through postings first and anti-joins tombstones afterwards, and
     * compact rebuilds postings from survivors. */
-  def addIndex(spark: SparkSession, path: String, idx: HashIndex): Unit = {
+  def addIndex(spark: SparkSession, rootPath: String, idx: HashIndex): Unit = {
+    val path = resolve(rootPath)
     val props = loadProps(path)
     val base = spark.read.parquet(path)
     writePostings(base, path, idx.column, idx.buckets, overwrite = true)
@@ -652,11 +749,19 @@ object IndexedStore {
 
   /** Fold tombstones into a rewrite (the compaction every
     * tombstone-based store eventually needs); secondary postings are
-    * rebuilt from the surviving rows. */
-  def compact(spark: SparkSession, path: String): Unit = {
-    val props = loadProps(path)
+    * rebuilt from the surviving rows. The new generation is built
+    * entirely to the side of the live one and published with the
+    * manifest-pointer swap: a crash at ANY point leaves the old
+    * generation live (a half-built gen dir is swept by the next
+    * commit), and open handles keep reading the generation they
+    * resolved. A legacy (pre-manifest) store compacts INTO the
+    * manifest layout: its root files become gen-000001's
+    * predecessor and are swept after the pointer lands. */
+  def compact(spark: SparkSession, rootPath: String): Unit = {
+    val cur = resolve(rootPath)
+    val props = loadProps(cur)
     val layout = props.getProperty("layout").split(":", 3)
-    val live = antiTombstone(spark, path, spark.read.parquet(path)).drop(BucketCol)
+    val live = antiTombstone(spark, cur, spark.read.parquet(cur)).drop(BucketCol)
     val spec: IndexSpec = layout(0) match {
       case "hash" => HashIndex(layout(1), layout(2).toInt)
       case "range" => RangeIndex(layout(1))
@@ -667,24 +772,11 @@ object IndexedStore {
         val zs = props.getProperty("layout").split(":", 5)
         HilbertIndex(zs(1), zs(2), zs(3).toInt)
     }
-    val tmp = path + ".compact"
-    write(live, tmp, spec,
+    val gen = nextGenName(rootPath)
+    writeLayout(live, new HPath(rootPath, gen).toString, spec, Nil,
       secondary = secondaryColumns(props).map { case (c, n) => HashIndex(c, n) },
       bloom = bloomColumns(props))
-    // Swap via rename-aside (old → .old, tmp → live, drop .old): a
-    // crash between any two steps leaves a complete store at one of
-    // the two names, where delete-then-rename has a window that loses
-    // the store entirely. An object-store deployment would swap a
-    // manifest pointer instead of renaming directories.
-    val f = hadoopFs(path)
-    val oldAside = new HPath(path + ".old")
-    if (f.exists(oldAside)) f.delete(oldAside, true)
-    if (!f.rename(new HPath(path), oldAside))
-      throw new java.io.IOException(s"compact: rename $path -> $oldAside failed")
-    if (!f.rename(new HPath(tmp), new HPath(path))) {
-      f.rename(oldAside, new HPath(path)) // restore the pre-compact store
-      throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
-    }
-    f.delete(oldAside, true)
+    commitManifest(rootPath, gen)
+    gcGenerations(rootPath, gen)
   }
 }

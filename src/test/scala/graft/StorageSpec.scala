@@ -134,12 +134,34 @@ class StorageSpec extends SparkSpec {
     val probe = IndexedStore.find(spark, path, Seq(Condition.eq("c_nationkey", 7)))
     assert(probe.count() == cust.filter(col("c_nationkey") === 7).count())
     // the probe reads one posting bucket, not the whole posting index
-    val postings = new java.io.File(path, "_graft_idx_c_nationkey")
-    assert(postings.exists, "backfilled posting dir missing")
+    // (the posting dir lives inside the current generation)
+    def dirExists(f: java.io.File, name: String): Boolean =
+      f.getName == name ||
+        Option(f.listFiles()).toSeq.flatten.exists(dirExists(_, name))
+    assert(dirExists(new java.io.File(path), "_graft_idx_c_nationkey"),
+      "backfilled posting dir missing")
     // appends keep feeding the post-hoc index too
     IndexedStore.append(store.data.filter(col("c_custkey") <= 0), path) // empty batch ok
     assert(IndexedStore.find(spark, path, Seq(Condition.eq("c_nationkey", 7))).count() ==
       probe.count())
+  }
+
+  test("manifest pointer swaps generations on compact and sweeps the old one") {
+    val path = tmp()
+    val store = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey"))
+    IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
+    val root = new java.io.File(path)
+    assert(new java.io.File(root, "_graft_manifest.properties").exists,
+      "write must publish a manifest pointer")
+    assert(new java.io.File(root, "gen-000001").isDirectory)
+    IndexedStore.delete(spark, path, Seq(Condition.eq("c_mktsegment", "BUILDING")))
+    val before = IndexedStore.find(spark, path, Seq.empty).count()
+    IndexedStore.compact(spark, path)
+    assert(new java.io.File(root, "gen-000002").isDirectory,
+      "compact must build a fresh generation")
+    assert(!new java.io.File(root, "gen-000001").exists,
+      "superseded generation not swept")
+    assert(IndexedStore.find(spark, path, Seq.empty).count() == before)
   }
 
   test("probe literals hash through the stored column type") {
