@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.{Condition, Store, Tables}
-import graft.storage.{HashIndex, HilbertIndex, IndexedStore, RangeIndex, ZOrderIndex}
+import graft.storage.{HashIndex, HilbertIndex, IndexedStore, RangeIndex, ZOrderIndex, ZOrderNIndex}
 
 /** Driver-contract queries exercising the [[graft.storage.IndexedStore]]
   * layout-index layer: each writes a store into a scratch directory,
@@ -36,7 +36,7 @@ object StorageOps {
   def prepare(spark: SparkSession, dir: String): Unit = {
     Seq("sc_index_hash", "sc_index_btree", "sc_index_select",
       "sc_index_secondary", "sc_index_add", "sc_bloom_probe", "sc_zorder",
-      "sc_hilbert", "sc_bucketed_join")
+      "sc_hilbert", "sc_zorder3", "sc_bucketed_join")
       .foreach(q => queries(q)(spark, dir).write.format("noop").mode("overwrite").save())
   }
 
@@ -231,6 +231,29 @@ object StorageOps {
       .orderBy("__rowid")
   }
 
+  /** Three-dimensional range probe through the N-column z-order
+    * layout: quantity, price, AND discount each bound their dimension,
+    * so the probe reads only the cells inside the 3-d hyper-rectangle
+    * — a workload that any single-column layout can serve through one
+    * column at most. */
+  def scZorder3(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("zorder3", dir)
+    writeOnce(path) {
+      val store = Store.fromData(Tables(spark, dir).lineitem, Seq("l_orderkey", "l_linenumber"))
+      IndexedStore.write(store.data, path,
+        ZOrderNIndex(Seq("l_quantity", "l_extendedprice", "l_discount"), 2))
+    }
+    IndexedStore.find(spark, path, Seq(
+        Condition.between("l_quantity", 20.0, 35.0, minIncl = true, maxIncl = true),
+        Condition("l_extendedprice",
+          graft.core.Comparison.Less(graft.core.Value.of(25000.0), orEqual = false)),
+        Condition("l_discount",
+          graft.core.Comparison.Greater(graft.core.Value.of(0.05), orEqual = true))))
+      .select("__rowid", "l_orderkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount")
+      .orderBy("__rowid")
+  }
+
   /** Equality probe on a column with NO layout/postings, served by the
     * per-bucket Bloom-filter sidecar: the probe consults the tiny
     * sidecar and scans only the buckets whose filter passes (for a
@@ -262,6 +285,7 @@ object StorageOps {
     "sc_bloom_probe" -> scBloomProbe,
     "sc_zorder" -> scZorder,
     "sc_hilbert" -> scHilbert,
+    "sc_zorder3" -> scZorder3,
     "sc_source_roundtrip" -> scSourceRoundtrip,
     "sc_bucketed_join" -> scBucketedJoin,
   )
@@ -305,6 +329,12 @@ object StorageOps {
       s"""SELECT __rowid, l_orderkey, l_linenumber, l_quantity, l_extendedprice
          |FROM (SELECT *, $liRowid FROM lineitem) t
          |WHERE l_quantity >= 15.0 AND l_quantity <= 30.0 AND l_extendedprice >= 30000.0
+         |ORDER BY __rowid""".stripMargin,
+    "sc_zorder3" ->
+      s"""SELECT __rowid, l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+         |FROM (SELECT *, $liRowid FROM lineitem) t
+         |WHERE l_quantity >= 20.0 AND l_quantity <= 35.0
+         |  AND l_extendedprice < 25000.0 AND l_discount >= 0.05
          |ORDER BY __rowid""".stripMargin,
     "sc_bloom_probe" ->
       s"""SELECT __rowid, c_custkey, c_name

@@ -75,6 +75,23 @@ final case class HilbertIndex(columnA: String, columnB: String, bits: Int = 3)
   override def column: String = columnA
 }
 
+/** N-column z-order layout: each column quantile-bucketed into 2^bits
+  * ranks, cell id = bit-interleave of the N ranks. A probe bounding
+  * ANY subset of the columns decodes to the cells inside the
+  * hyper-rectangle — the multi-dimensional workload (e.g. quantity ×
+  * price × discount windows) that per-column layouts can only serve
+  * through one column at a time. Total cells = 2^(N·bits); keep
+  * N·bits small enough that a cell still holds many row groups
+  * (cells-per-probe shrinks exponentially in the number of bounded
+  * dimensions, but so does the data per cell). */
+final case class ZOrderNIndex(columns: Seq[String], bits: Int = 2)
+    extends IndexSpec {
+  require(columns.size >= 2, "ZOrderNIndex needs at least two columns")
+  require(columns.size * bits <= 16,
+    s"2^(${columns.size}·$bits) cells is beyond the driver-side cell walk")
+  override def column: String = columns.head
+}
+
 object IndexedStore {
   private val BucketCol = "__bucket"
   private val StatsFile = "_graft_stats.properties"
@@ -207,6 +224,7 @@ object IndexedStore {
     val primaryCols = primary match {
       case ZOrderIndex(a, b, _) => Seq(a, b)
       case HilbertIndex(a, b, _) => Seq(a, b)
+      case ZOrderNIndex(cols, _) => cols
       case other => Seq(other.column)
     }
     val statCols = (primaryCols ++ (statsOnly ++ secondary).map(_.column)).distinct
@@ -253,6 +271,8 @@ object IndexedStore {
         writeTwoDim(df, path, props, "zorder", ca, cb, bits)
       case HilbertIndex(ca, cb, bits) =>
         writeTwoDim(df, path, props, "hilbert", ca, cb, bits)
+      case ZOrderNIndex(cols, bits) =>
+        writeNDim(df, path, props, cols, bits)
     }
     // Postings/blooms go AFTER the base write: overwrite clears `path`.
     writeTail(df, bucketed, path, props, secondary, bloom)
@@ -275,6 +295,24 @@ object IndexedStore {
     val b = df.withColumn(BucketCol, cell)
     b.repartition(col(BucketCol))
       .sortWithinPartitions(col(ca))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
+    b
+  }
+
+  /** Write path for the N-column z-order layout: per-column quantile
+    * cuts, cell = interleave of the N bucket ranks. */
+  private def writeNDim(df: DataFrame, path: String, props: Properties,
+      cols: Seq[String], bits: Int): DataFrame = {
+    val n = 1 << bits
+    val cuts = cols.map(c =>
+      df.stat.approxQuantile(c, (1 until n).map(_.toDouble / n).toArray, 0.01)
+        .distinct.sorted)
+    props.setProperty("layout",
+      s"zordern:${cols.mkString(",")}:$bits:${cuts.map(_.mkString(",")).mkString("|")}")
+    cols.foreach(c => props.setProperty(s"kind.$c", "range"))
+    val b = df.withColumn(BucketCol, zBucketN(cols.map(col), cuts, bits))
+    b.repartition(col(BucketCol))
+      .sortWithinPartitions(col(cols.head))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
     b
   }
@@ -378,6 +416,54 @@ object IndexedStore {
     (0 until bits).map { k =>
       ((z >> (2 * k + (if (aDim) 1 else 0))) & 1) << k
     }.sum
+
+  /** N-dimensional z-cell id: bit k of dimension d lands at position
+    * k·N + (N-1-d), so dimension 0 takes the most-significant slot of
+    * each interleave group (matches the 2-d layout's a/b convention). */
+  private def zBucketN(cols: Seq[Column], cuts: Seq[Array[Double]], bits: Int): Column = {
+    val n = cols.size
+    val ranks = cols.zip(cuts).map { case (c, cu) => rangeBucket(c, cu) }
+    (0 until bits).flatMap { k =>
+      ranks.zipWithIndex.map { case (r, d) =>
+        shiftleft(shiftright(r, k).bitwiseAND(lit(1)), k * n + (n - 1 - d))
+      }
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Dimension-d coordinate of N-dim z-cell `z` (inverse of
+    * [[zBucketN]], driver-side). */
+  private def zCoordN(z: Int, n: Int, bits: Int, d: Int): Int =
+    (0 until bits).map(k => ((z >> (k * n + (n - 1 - d))) & 1) << k).sum
+
+  /** Probe-side bucket range for one comparison over one dimension's
+    * quantile cuts; `nMax` is the top bucket id. None when the probe
+    * value doesn't parse as a number (a mistyped probe must DEGRADE
+    * to an unpruned scan, never throw out of find()). A lower-side
+    * bound landing exactly on a cut widens one bucket down: the probe
+    * literal rounds through double here, so its exact value could sit
+    * on either side of the boundary — the extra bucket keeps the
+    * pruned set a superset and the post-filter keeps results exact. */
+  private def bucketRange(cuts: Array[Double],
+      cmp: graft.core.Comparison, nMax: Int): Option[(Int, Int)] = {
+    def bk(v: Any): Option[Int] =
+      scala.util.Try(v.toString.toDouble).toOption.map(d => cuts.count(_ <= d))
+    def loBk(v: Any): Option[Int] = bk(v).map { b =>
+      val d = v.toString.toDouble
+      if (cuts.contains(d)) math.max(b - 1, 0) else b
+    }
+    cmp match {
+      case graft.core.Comparison.Equal(graft.core.Value.Const(v)) =>
+        for (lo <- loBk(v); hi <- bk(v)) yield (lo, hi)
+      case graft.core.Comparison.Between(graft.core.Value.Const(lo), _,
+          graft.core.Value.Const(hi), _) =>
+        for (l <- loBk(lo); h <- bk(hi)) yield (l, h)
+      case graft.core.Comparison.Less(graft.core.Value.Const(v), _) =>
+        bk(v).map((0, _))
+      case graft.core.Comparison.Greater(graft.core.Value.Const(v), _) =>
+        loBk(v).map((_, nMax))
+      case _ => None
+    }
+  }
 
   /** Hilbert index of grid cell (x, y) on a 2^bits × 2^bits grid —
     * the standard rotate-and-accumulate walk (driver-side; the write
@@ -538,36 +624,11 @@ object IndexedStore {
         val cutParts = zs(4).split("\\|", -1)
         def cutsOf(i: Int): Array[Double] =
           cutParts(i).split(",").filter(_.nonEmpty).map(_.toDouble)
-        val n = 1 << bits
-        // Probe-side bucket of value `v`. None when `v` doesn't parse
-        // as a number (a mistyped probe must DEGRADE to a full scan,
-        // never throw out of find()). A lower-side bound that lands
-        // exactly on a cut widens one bucket down: the probe literal
-        // rounds through double here, so its exact value could sit on
-        // either side of the boundary — the extra bucket keeps the
-        // pruned set a superset and the post-filter keeps it exact.
-        def bk(cuts: Array[Double], v: Any): Option[Int] =
-          scala.util.Try(v.toString.toDouble).toOption.map(d => cuts.count(_ <= d))
-        def loBk(cuts: Array[Double], v: Any): Option[Int] = bk(cuts, v).map { b =>
-          val d = v.toString.toDouble
-          if (cuts.contains(d)) math.max(b - 1, 0) else b
-        }
-        def rangeOf(cuts: Array[Double],
-            cmp: graft.core.Comparison): Option[(Int, Int)] = cmp match {
-          case graft.core.Comparison.Equal(graft.core.Value.Const(v)) =>
-            for (lo <- loBk(cuts, v); hi <- bk(cuts, v)) yield (lo, hi)
-          case graft.core.Comparison.Between(graft.core.Value.Const(lo), _,
-              graft.core.Value.Const(hi), _) =>
-            for (l <- loBk(cuts, lo); h <- bk(cuts, hi)) yield (l, h)
-          case graft.core.Comparison.Less(graft.core.Value.Const(v), _) =>
-            bk(cuts, v).map((0, _))
-          case graft.core.Comparison.Greater(graft.core.Value.Const(v), _) =>
-            loBk(cuts, v).map((_, n - 1))
-          case _ => None
-        }
         val ranges: Seq[(Boolean, (Int, Int))] = conds.flatMap {
-          case graft.core.Condition(`ca`, cmp) => rangeOf(cutsOf(0), cmp).map((true, _))
-          case graft.core.Condition(`cb`, cmp) => rangeOf(cutsOf(1), cmp).map((false, _))
+          case graft.core.Condition(`ca`, cmp) =>
+            bucketRange(cutsOf(0), cmp, (1 << bits) - 1).map((true, _))
+          case graft.core.Condition(`cb`, cmp) =>
+            bucketRange(cutsOf(1), cmp, (1 << bits) - 1).map((false, _))
           case _ => None
         }
         val cells = (0 until (1 << (2 * bits))).flatMap { z =>
@@ -578,6 +639,28 @@ object IndexedStore {
           else if (layout(0) == "hilbert")
             Some(xy2d(bits, zCoord(z, bits, aDim = true), zCoord(z, bits, aDim = false)))
           else Some(z)
+        }
+        base.filter(col(BucketCol).isin(cells: _*))
+      // N-dim z-order: every condition over an indexed column bounds
+      // its dimension; the driver walks all 2^(N·bits) cells and keeps
+      // those inside the hyper-rectangle.
+      case Some(c) if layout(0) == "zordern" =>
+        val zs = props.getProperty("layout").split(":", 4)
+        val colsN = zs(1).split(",").toSeq
+        val bits = zs(2).toInt
+        val cutParts = zs(3).split("\\|", -1)
+        def cutsOf(i: Int): Array[Double] =
+          cutParts(i).split(",").filter(_.nonEmpty).map(_.toDouble)
+        val nDims = colsN.size
+        val ranges: Seq[(Int, (Int, Int))] = conds.flatMap { cond =>
+          val d = colsN.indexOf(cond.column)
+          if (d < 0) None
+          else bucketRange(cutsOf(d), cond.cmp, (1 << bits) - 1).map((d, _))
+        }
+        val cells = (0 until (1 << (nDims * bits))).filter { z =>
+          ranges.forall { case (d, (lo, hi)) =>
+            val v = zCoordN(z, nDims, bits, d); v >= lo && v <= hi
+          }
         }
         base.filter(col(BucketCol).isin(cells: _*))
       case Some(c) if c == layout(1) =>
@@ -690,6 +773,14 @@ object IndexedStore {
         val zc = zBucket(col(zs(1)), col(zs(2)), cutsOf(0), cutsOf(1), bits)
         df.withColumn(BucketCol, if (kind == "hilbert") hilbertFromZ(zc, bits) else zc)
           .sortWithinPartitions(col(zs(1)))
+      case "zordern" =>
+        val zs = props.getProperty("layout").split(":", 4)
+        val colsN = zs(1).split(",").toSeq
+        val cutParts = zs(3).split("\\|", -1)
+        val cuts = colsN.indices.map(i =>
+          cutParts(i).split(",").filter(_.nonEmpty).map(_.toDouble))
+        df.withColumn(BucketCol, zBucketN(colsN.map(col), cuts, zs(2).toInt))
+          .sortWithinPartitions(col(colsN.head))
     }
     out.write.mode("append").partitionBy(BucketCol).parquet(path)
     // Maintain every secondary posting index and bloom sidecar,
@@ -771,6 +862,9 @@ object IndexedStore {
       case "hilbert" =>
         val zs = props.getProperty("layout").split(":", 5)
         HilbertIndex(zs(1), zs(2), zs(3).toInt)
+      case "zordern" =>
+        val zs = props.getProperty("layout").split(":", 4)
+        ZOrderNIndex(zs(1).split(",").toSeq, zs(2).toInt)
     }
     val gen = nextGenName(rootPath)
     writeLayout(live, new HPath(rootPath, gen).toString, spec, Nil,

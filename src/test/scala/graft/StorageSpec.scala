@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 import graft.core.{Condition, Store, Tables}
-import graft.storage.{HashIndex, HilbertIndex, IndexedStore, RangeIndex, ZOrderIndex}
+import graft.storage.{HashIndex, HilbertIndex, IndexedStore, RangeIndex, ZOrderIndex, ZOrderNIndex}
 
 /** Layout-index behavior: pruning actually happens, selection follows
   * the estimate heuristic, tombstones and compaction preserve
@@ -229,6 +229,27 @@ class StorageSpec extends SparkSpec {
     assert(z.count() == h.count())
     assert(numFilesRead(z) == filesH,
       s"hilbert ($filesH files) and z-order (${numFilesRead(z)}) should prune the same cells")
+  }
+
+  test("3-column z-order prunes more cells as more dimensions are bounded") {
+    val path = tmp()
+    val store = Store.fromData(Tables(spark, sf).lineitem, Seq("l_orderkey", "l_linenumber"))
+    IndexedStore.write(store.data, path,
+      ZOrderNIndex(Seq("l_quantity", "l_extendedprice", "l_discount"), 2))
+    val c1 = Seq(Condition.between("l_quantity", 20.0, 35.0))
+    val c3 = c1 ++ Seq(
+      Condition("l_extendedprice",
+        graft.core.Comparison.Less(graft.core.Value.of(25000.0), orEqual = false)),
+      Condition("l_discount",
+        graft.core.Comparison.Greater(graft.core.Value.of(0.05), orEqual = true)))
+    val one = IndexedStore.find(spark, path, c1)
+    val three = IndexedStore.find(spark, path, c3)
+    assert(three.count() == store.data.filter(
+      col("l_quantity").between(20.0, 35.0) &&
+        col("l_extendedprice") < 25000.0 && col("l_discount") >= 0.05).count())
+    val (f1, f3) = (numFilesRead(one), numFilesRead(three))
+    assert(f1 < totalDataFiles(path), "1-d probe read every cell")
+    assert(f3 < f1, s"3-d probe ($f3 files) should read fewer cells than 1-d ($f1)")
   }
 
   test("bloom sidecar prunes buckets and survives append") {
