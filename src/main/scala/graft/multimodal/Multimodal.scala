@@ -118,13 +118,52 @@ object Multimodal {
        |WHERE i <= (length(text) - 1) // $FrameStride
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Typed output schema of the resize stage. */
+  final case class ResizedMedia(
+      doc_id: Long,
+      orig_bytes: Long,
+      resized_bytes: Long,
+      resized_md5: String)
+
+  /** STUB resize: a real implementation would decode, scale, and
+    * re-encode; this takes every 2nd payload byte (a deterministic
+    * ½-"downsample" any engine can replay). The payload is ASCII
+    * text, so byte striding ≡ character striding in the oracle. */
+  def resizeStub(docId: Long, payload: Array[Byte]): ResizedMedia = {
+    val out = Array.tabulate((payload.length + 1) / 2)(i => payload(2 * i))
+    ResizedMedia(docId, payload.length.toLong, out.length.toLong, md5Hex(out))
+  }
+
+  /** Batch "resize" over the binary payload column — same production
+    * shape as [[decodeBatch]]: binary in, per-partition batch
+    * transform (where a real codec pipeline amortizes decoder init
+    * across the partition), typed schema out, no shuffle. */
+  def mResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, dir).documents
+    d.select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => resizeStub(id, bytes) })
+      .toDF().orderBy("doc_id")
+  }
+
+  val mResizeSql: String =
+    """SELECT doc_id,
+      |  octet_length(encode(text))::BIGINT AS orig_bytes,
+      |  ((length(text) + 1) // 2)::BIGINT AS resized_bytes,
+      |  md5(array_to_string([text[i] for i in range(1, length(text) + 1, 2)], '')) AS resized_md5
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_binary_meta" -> mBinaryMeta,
     "m_frame_sample" -> mFrameSample,
+    "m_resize" -> mResize,
   )
 
   def oracles: Map[String, String] = Map(
     "m_binary_meta" -> mBinaryMetaSql,
     "m_frame_sample" -> mFrameSampleSql,
+    "m_resize" -> mResizeSql,
   )
 }

@@ -100,13 +100,68 @@ object Events {
       |WHERE kind = 1
       |ORDER BY event_id""".stripMargin
 
+  /** Ordered funnel (view → click → purchase) per user: stage N's
+    * timestamp is the FIRST qualifying event at-or-after stage N-1's —
+    * the standard product-analytics funnel, not mere per-type minima.
+    *
+    * One shuffle total: all three stage columns are unordered MIN
+    * windows over the same user_id partitioning (each referencing the
+    * previous stage's column), so Catalyst plans a single exchange
+    * with chained window passes and the per-user aggregate reuses it.
+    * Output times are µs (integer div — ns values exceed double's 53
+    * bits, so never divide through a double). */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val e = Tables(spark, dir).events.select(col("user_id"), col("event_type"), col("ts_ns"))
+    e.withColumn("t1",
+        min(when(col("event_type") === "view", col("ts_ns"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts_ns") >= col("t1"),
+          col("ts_ns"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts_ns") >= col("t2"),
+          col("ts_ns"))).over(w))
+      .groupBy("user_id")
+      .agg(
+        expr("min(t1) div 1000").as("view_us"),
+        expr("min(t2) div 1000").as("click_us"),
+        expr("min(t3) div 1000").as("purchase_us"),
+        when(min("t3").isNotNull, 3L)
+          .when(min("t2").isNotNull, 2L)
+          .when(min("t1").isNotNull, 1L).otherwise(0L).as("stage"))
+      .filter(col("stage") >= 1)
+      .orderBy("user_id")
+  }
+
+  val qFunnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
+      |a AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_ns END)
+      |        OVER (PARTITION BY user_id) AS t1 FROM e),
+      |b AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts_ns >= t1 THEN ts_ns END)
+      |        OVER (PARTITION BY user_id) AS t2 FROM a),
+      |c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_ns >= t2 THEN ts_ns END)
+      |        OVER (PARTITION BY user_id) AS t3 FROM b)
+      |SELECT user_id,
+      |  min(t1) // 1000 AS view_us,
+      |  min(t2) // 1000 AS click_us,
+      |  min(t3) // 1000 AS purchase_us,
+      |  (CASE WHEN min(t3) IS NOT NULL THEN 3
+      |        WHEN min(t2) IS NOT NULL THEN 2
+      |        WHEN min(t1) IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS stage
+      |FROM c
+      |GROUP BY user_id
+      |HAVING min(t1) IS NOT NULL
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> qSessionize,
     "q_asof_join" -> qAsofJoin,
+    "q_funnel" -> qFunnel,
   )
 
   def oracles: Map[String, String] = Map(
     "q_sessionize" -> qSessionizeSql,
     "q_asof_join" -> qAsofJoinSql,
+    "q_funnel" -> qFunnelSql,
   )
 }

@@ -66,4 +66,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!corpusSide.contains("Window"),
       s"window rank runs against the full scored corpus:\n${tree.take(2000)}")
   }
+
+  test("funnel stages share one user_id exchange") {
+    val p = plan("q_funnel")
+    // three chained stage windows + the per-user aggregate must all
+    // reuse the same hashpartitioning(user_id); extra exchanges mean
+    // the chained-window formulation regressed to per-stage shuffles.
+    // The presentation orderBy adds one range exchange; nothing more.
+    // FormattedMode prints each Exchange's partitioning on its
+    // Arguments line; hashpartitioning appears nowhere else here.
+    val hashExchanges = p.linesIterator.count(_.contains("hashpartitioning("))
+    assert(hashExchanges == 1,
+      s"expected exactly one hash exchange, got $hashExchanges:\n${p.take(2500)}")
+  }
 }
