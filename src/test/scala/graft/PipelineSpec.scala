@@ -80,6 +80,14 @@ class PipelineSpec extends SparkSpec {
       "incremental labels diverge from the full recompute")
   }
 
+  test("embedding dedup kernel and join formulations emit identical pairs") {
+    val smj = Similarity.dDedupEmbedding(spark, sf)
+    val kernel = Similarity.dDedupEmbeddingKernel(spark, sf)
+    assert(smj.exceptAll(kernel).count() == 0 && kernel.exceptAll(smj).count() == 0,
+      "block-kernel pair set diverges from the SMJ formulation")
+    assert(kernel.count() > 0)
+  }
+
   test("d_sample is deterministic and downsamples the dominant language") {
     val s1 = Curation.dSample(spark, sf).cache()
     val s2 = Curation.dSample(spark, sf)
