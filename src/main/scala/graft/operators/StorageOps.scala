@@ -154,19 +154,11 @@ object StorageOps {
     * probe then runs through the backfilled postings. */
   def scIndexAdd(spark: SparkSession, dir: String): DataFrame = {
     val path = scratch("indexadd", dir)
-    // The build is two steps (base write, then addIndex) and the base
-    // write already drops the sidecar marker — so completeness here
-    // means "sidecar exists AND records the secondary index", else a
-    // crash between the steps would leave a store that looks done but
-    // probes through a full scan forever.
-    val sidecar = new java.io.File(path, "_graft_stats.properties")
-    val complete = sidecar.exists() && {
-      val p = new java.util.Properties()
-      val in = new java.io.FileInputStream(sidecar)
-      try p.load(in) finally in.close()
-      p.getProperty("sec.c_nationkey") != null
-    }
-    if (!complete) {
+    // The build is two steps (base write, then addIndex), so
+    // completeness means "store complete AND the sidecar records the
+    // secondary index" — else a crash between the steps would leave a
+    // store that looks done but probes through a full scan forever.
+    if (!IndexedStore.hasSecondary(path, "c_nationkey")) {
       val store = Store.fromData(Tables(spark, dir).customer, Seq("c_custkey"))
       IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
       IndexedStore.addIndex(spark, path, HashIndex("c_nationkey", 8))

@@ -147,6 +147,15 @@ object IndexedStore {
       f.exists(new HPath(path, StatsFile))
   }
 
+  /** True when a complete store at `path` records a secondary hash
+    * index on `column` — the layout-agnostic completeness check for
+    * "write, then addIndex" build sequences (a crash between the two
+    * steps leaves a store that looks done but scans forever). */
+  def hasSecondary(path: String, column: String): Boolean =
+    exists(path) && scala.util.Try(
+      loadProps(resolve(path)).getProperty(s"sec.$column") != null
+    ).getOrElse(false)
+
   private def nextGenName(path: String): String = {
     val f = hadoopFs(path)
     val root = new HPath(path)
@@ -177,16 +186,22 @@ object IndexedStore {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** Sweep everything under the root except the current generation
-    * and the manifest: superseded generations, crashed partial
-    * builds, and (when a manifest store replaces a legacy root
-    * store) the legacy files — write() has overwrite semantics. */
+  /** Sweep the root down to the current generation, the manifest,
+    * and the IMMEDIATELY-PRECEDING generation: everything older —
+    * superseded generations, crashed partial builds, and (when a
+    * manifest store replaces a legacy root store) the legacy files —
+    * is deleted. Retaining one predecessor is what lets an open
+    * handle keep serving the generation it resolved across ONE
+    * concurrent commit (see [[open]]); a deployment wanting longer
+    * reader leases would sweep on a timer instead. */
   private def gcGenerations(path: String, keep: String): Unit = {
     val f = hadoopFs(path)
+    val keepN = keep.stripPrefix("gen-").toInt
+    val prev = f"gen-${keepN - 1}%06d"
     f.listStatus(new HPath(path))
       .filter { s =>
         val n = s.getPath.getName
-        n != keep && n != ManifestFile
+        n != keep && n != prev && n != ManifestFile
       }
       .foreach(s => f.delete(s.getPath, true))
   }
@@ -283,9 +298,10 @@ object IndexedStore {
   private def writeTwoDim(df: DataFrame, path: String, props: Properties,
       kind: String, ca: String, cb: String, bits: Int): DataFrame = {
     val n = 1 << bits
-    val cuts = Seq(ca, cb).map(c =>
-      df.stat.approxQuantile(c, (1 until n).map(_.toDouble / n).toArray, 0.01)
-        .distinct.sorted)
+    // one multi-column quantile pass — not one full scan per column
+    val cuts = df.stat.approxQuantile(Array(ca, cb),
+        (1 until n).map(_.toDouble / n).toArray, 0.01)
+      .map(_.distinct.sorted).toSeq
     props.setProperty("layout",
       s"$kind:$ca:$cb:$bits:${cuts(0).mkString(",")}|${cuts(1).mkString(",")}")
     props.setProperty(s"kind.$ca", "range")
@@ -304,9 +320,10 @@ object IndexedStore {
   private def writeNDim(df: DataFrame, path: String, props: Properties,
       cols: Seq[String], bits: Int): DataFrame = {
     val n = 1 << bits
-    val cuts = cols.map(c =>
-      df.stat.approxQuantile(c, (1 until n).map(_.toDouble / n).toArray, 0.01)
-        .distinct.sorted)
+    // one multi-column quantile pass — not one full scan per column
+    val cuts = df.stat.approxQuantile(cols.toArray,
+        (1 until n).map(_.toDouble / n).toArray, 0.01)
+      .map(_.distinct.sorted).toSeq
     props.setProperty("layout",
       s"zordern:${cols.mkString(",")}:$bits:${cuts.map(_.mkString(",")).mkString("|")}")
     cols.foreach(c => props.setProperty(s"kind.$c", "range"))
@@ -564,8 +581,9 @@ object IndexedStore {
 
   /** Open the store once for repeated probing. The CURRENT generation
     * is resolved here: the handle keeps serving the generation it
-    * opened even if a concurrent compact commits a newer one —
-    * snapshot-isolation reads, free of charge from the layout. */
+    * opened across one concurrent commit (the commit sweep retains
+    * the immediately-preceding generation — see [[gcGenerations]]);
+    * a second commit while the handle is still live reclaims it. */
   def open(spark: SparkSession, path: String): OpenStore =
     new OpenStore(spark, resolve(path))
 

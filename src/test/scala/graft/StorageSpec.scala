@@ -28,6 +28,15 @@ class StorageSpec extends SparkSpec {
     }.sum
   }
 
+  /** The store's current generation dir per its manifest pointer. */
+  private def currentGen(path: String): java.io.File = {
+    val p = new java.util.Properties()
+    val in = new java.io.FileInputStream(
+      new java.io.File(path, "_graft_manifest.properties"))
+    try p.load(in) finally in.close()
+    new java.io.File(path, p.getProperty("current"))
+  }
+
   private def totalDataFiles(path: String): Long = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
@@ -159,8 +168,14 @@ class StorageSpec extends SparkSpec {
     IndexedStore.compact(spark, path)
     assert(new java.io.File(root, "gen-000002").isDirectory,
       "compact must build a fresh generation")
+    assert(new java.io.File(root, "gen-000001").isDirectory,
+      "immediate predecessor must be retained for live open handles")
+    assert(IndexedStore.find(spark, path, Seq.empty).count() == before)
+    // a second commit reclaims the older generation
+    IndexedStore.compact(spark, path)
+    assert(new java.io.File(root, "gen-000003").isDirectory)
     assert(!new java.io.File(root, "gen-000001").exists,
-      "superseded generation not swept")
+      "generation two commits old not swept")
     assert(IndexedStore.find(spark, path, Seq.empty).count() == before)
   }
 
@@ -362,7 +377,10 @@ class StorageSpec extends SparkSpec {
     assert(survivors < before)
     IndexedStore.compact(spark, path)
     assert(IndexedStore.find(spark, path, Nil).count() == survivors)
-    assert(!new java.io.File(path, "_graft_tombstones").exists)
+    // compact must fold tombstones INTO the new generation — probe the
+    // CURRENT generation (the retained predecessor still has its own)
+    assert(!new java.io.File(currentGen(path), "_graft_tombstones").exists,
+      "compacted generation still carries a tombstone dir")
   }
 
   test("append feeds the existing layout and stays queryable") {
