@@ -36,7 +36,7 @@ object StorageOps {
   def prepare(spark: SparkSession, dir: String): Unit = {
     Seq("sc_index_hash", "sc_index_btree", "sc_index_select",
       "sc_index_secondary", "sc_index_add", "sc_bloom_probe", "sc_zorder",
-      "sc_hilbert", "sc_zorder3", "sc_bucketed_join")
+      "sc_hilbert", "sc_zorder3", "sc_compacted", "sc_bucketed_join")
       .foreach(q => queries(q)(spark, dir).write.format("noop").mode("overwrite").save())
   }
 
@@ -223,6 +223,26 @@ object StorageOps {
       .orderBy("__rowid")
   }
 
+  /** Probe a store that went through the full mutation lifecycle:
+    * write → tombstone-delete → compact (all once, at build time).
+    * The probe reads the compacted generation through the manifest
+    * pointer, so this row keeps the delete/compact/manifest path
+    * under the driver's DuckDB gate, not just under specs. */
+  def scCompacted(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("compacted", dir)
+    writeOnce(path) {
+      val store = Store.fromData(Tables(spark, dir).customer, Seq("c_custkey"))
+      IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
+      IndexedStore.delete(spark, path, Seq(Condition.eq("c_mktsegment", "BUILDING")))
+      IndexedStore.compact(spark, path)
+    }
+    IndexedStore.find(spark, path, Seq(
+        Condition("c_acctbal",
+          graft.core.Comparison.Greater(graft.core.Value.of(0.0), orEqual = false))))
+      .select("__rowid", "c_custkey", "c_mktsegment", "c_acctbal")
+      .orderBy("__rowid")
+  }
+
   /** Three-dimensional range probe through the N-column z-order
     * layout: quantity, price, AND discount each bound their dimension,
     * so the probe reads only the cells inside the 3-d hyper-rectangle
@@ -278,6 +298,7 @@ object StorageOps {
     "sc_zorder" -> scZorder,
     "sc_hilbert" -> scHilbert,
     "sc_zorder3" -> scZorder3,
+    "sc_compacted" -> scCompacted,
     "sc_source_roundtrip" -> scSourceRoundtrip,
     "sc_bucketed_join" -> scBucketedJoin,
   )
@@ -332,6 +353,12 @@ object StorageOps {
       s"""SELECT __rowid, c_custkey, c_name
          |FROM (SELECT *, $custRowid FROM customer) t
          |WHERE c_name = 'Customer#000000042'
+         |ORDER BY __rowid""".stripMargin,
+    // survivors of the tombstone-delete keep their original rowids
+    "sc_compacted" ->
+      s"""SELECT __rowid, c_custkey, c_mktsegment, c_acctbal
+         |FROM (SELECT *, $custRowid FROM customer) t
+         |WHERE NOT (c_mktsegment = 'BUILDING') AND c_acctbal > 0.0
          |ORDER BY __rowid""".stripMargin,
     "sc_bucketed_join" ->
       """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS sum_price,
