@@ -126,17 +126,24 @@ object IndexedStore {
     * this is the manifest-pointer commit that directory renames
     * cannot provide there. In-generation mutation (append, tombstone
     * delete, addIndex) keeps its existing semantics. */
-  private def resolve(path: String): String = {
+  /** The generation name the manifest currently points at; None for
+    * a legacy (pre-manifest) store. */
+  private def currentGenName(path: String): Option[String] = {
     val f = hadoopFs(path)
     val mf = new HPath(path, ManifestFile)
-    if (!f.exists(mf)) path // legacy layout: the root IS the store
+    if (!f.exists(mf)) None
     else {
       val in = f.open(mf)
       val p = new Properties()
       try p.load(in) finally in.close()
-      new HPath(path, p.getProperty("current")).toString
+      Option(p.getProperty("current"))
     }
   }
+
+  private def resolve(path: String): String =
+    currentGenName(path)
+      .map(g => new HPath(path, g).toString)
+      .getOrElse(path) // legacy layout: the root IS the store
 
   /** True when `path` holds a complete store (manifest present, or a
     * legacy root with its stats sidecar — the LAST file a write
@@ -186,22 +193,23 @@ object IndexedStore {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** Sweep the root down to the current generation, the manifest,
-    * and the IMMEDIATELY-PRECEDING generation: everything older —
-    * superseded generations, crashed partial builds, and (when a
-    * manifest store replaces a legacy root store) the legacy files —
-    * is deleted. Retaining one predecessor is what lets an open
-    * handle keep serving the generation it resolved across ONE
-    * concurrent commit (see [[open]]); a deployment wanting longer
-    * reader leases would sweep on a timer instead. */
-  private def gcGenerations(path: String, keep: String): Unit = {
+  /** Sweep the root down to the new generation, the manifest, and
+    * the generation the manifest pointed at BEFORE this commit
+    * (`retain` — not inferred numerically: a crashed partial build
+    * can hold any number). Everything else — superseded generations,
+    * wrecks, and (when a manifest store replaces a legacy root
+    * store) the legacy files — is deleted. Retaining the true
+    * predecessor is what lets an open handle keep serving the
+    * generation it resolved across ONE concurrent commit (see
+    * [[open]]); a deployment wanting longer reader leases would
+    * sweep on a timer instead. */
+  private def gcGenerations(path: String, keep: String,
+      retain: Option[String]): Unit = {
     val f = hadoopFs(path)
-    val keepN = keep.stripPrefix("gen-").toInt
-    val prev = f"gen-${keepN - 1}%06d"
     f.listStatus(new HPath(path))
       .filter { s =>
         val n = s.getPath.getName
-        n != keep && n != prev && n != ManifestFile
+        n != keep && !retain.contains(n) && n != ManifestFile
       }
       .foreach(s => f.delete(s.getPath, true))
   }
@@ -223,10 +231,11 @@ object IndexedStore {
   def write(df: DataFrame, path: String, primary: IndexSpec,
       statsOnly: Seq[IndexSpec] = Nil, secondary: Seq[HashIndex] = Nil,
       bloom: Seq[String] = Nil): Unit = {
+    val prev = currentGenName(path)
     val gen = nextGenName(path)
     writeLayout(df, new HPath(path, gen).toString, primary, statsOnly, secondary, bloom)
     commitManifest(path, gen)
-    gcGenerations(path, gen)
+    gcGenerations(path, gen, prev)
   }
 
   /** Build one complete store generation at `path` (a generation dir,
@@ -884,11 +893,12 @@ object IndexedStore {
         val zs = props.getProperty("layout").split(":", 4)
         ZOrderNIndex(zs(1).split(",").toSeq, zs(2).toInt)
     }
+    val prev = currentGenName(rootPath)
     val gen = nextGenName(rootPath)
     writeLayout(live, new HPath(rootPath, gen).toString, spec, Nil,
       secondary = secondaryColumns(props).map { case (c, n) => HashIndex(c, n) },
       bloom = bloomColumns(props))
     commitManifest(rootPath, gen)
-    gcGenerations(rootPath, gen)
+    gcGenerations(rootPath, gen, prev)
   }
 }

@@ -179,6 +179,27 @@ class StorageSpec extends SparkSpec {
     assert(IndexedStore.find(spark, path, Seq.empty).count() == before)
   }
 
+  test("a crashed partial generation never serves reads and is swept") {
+    val path = tmp()
+    val store = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey"))
+    IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
+    val before = IndexedStore.find(spark, path, Nil).count()
+    // Simulate a compact/write that died mid-build: a half-written
+    // generation dir exists but the manifest was never repointed.
+    val partial = new java.io.File(path, "gen-000099")
+    assert(partial.mkdirs())
+    java.nio.file.Files.writeString(
+      partial.toPath.resolve("garbage.parquet"), "not parquet")
+    // Readers resolve the committed pointer — the wreck is invisible.
+    assert(currentGen(path).getName == "gen-000001")
+    assert(IndexedStore.find(spark, path, Nil).count() == before)
+    // The next commit numbers PAST the wreck and sweeps it.
+    IndexedStore.compact(spark, path)
+    assert(currentGen(path).getName == "gen-000100")
+    assert(!partial.exists, "crashed partial generation not swept")
+    assert(IndexedStore.find(spark, path, Nil).count() == before)
+  }
+
   test("probe literals hash through the stored column type") {
     val path = tmp()
     val cust = Tables(spark, sf).customer
