@@ -27,4 +27,19 @@ class SmokeSpec extends SparkSpec {
       assert(df.count() > 0, s"query $name returned 0 rows")
     }
   }
+
+  test("approx distinct stays within the configured HLL error of exact") {
+    import org.apache.spark.sql.functions._
+    // the one rows-only analytics row gets its bound enforced here:
+    // rsd 0.02 → allow 3 sigma ≈ 6%
+    val li = Tables(spark, sf).lineitem
+    val exact = li.agg(
+      countDistinct(col("l_orderkey")), countDistinct(col("l_partkey"))).head()
+    val approx = graft.operators.Analytics.qApproxDistinct(spark, sf).head()
+    Seq(0, 1).foreach { i =>
+      val (e, a) = (exact.getLong(i).toDouble, approx.getLong(i).toDouble)
+      assert(math.abs(a - e) / e <= 0.06,
+        s"HLL estimate $a vs exact $e exceeds 6% (col $i)")
+    }
+  }
 }
