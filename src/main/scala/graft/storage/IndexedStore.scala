@@ -303,7 +303,11 @@ object IndexedStore {
   }
 
   /** Shared write path for the two-column curve layouts (z-order and
-    * Hilbert): same quantile grid, different cell numbering. */
+    * Hilbert): same quantile grid, different cell numbering. The
+    * interleave delegates to the N-dim machinery — [[zBucketN]] at
+    * n=2 is bit-identical to the historical 2-d interleave (dim-0
+    * bits in the odd positions), so the layout strings and existing
+    * stores are unchanged. */
   private def writeTwoDim(df: DataFrame, path: String, props: Properties,
       kind: String, ca: String, cb: String, bits: Int): DataFrame = {
     val n = 1 << bits
@@ -315,7 +319,7 @@ object IndexedStore {
       s"$kind:$ca:$cb:$bits:${cuts(0).mkString(",")}|${cuts(1).mkString(",")}")
     props.setProperty(s"kind.$ca", "range")
     props.setProperty(s"kind.$cb", "range")
-    val zc = zBucket(col(ca), col(cb), cuts(0), cuts(1), bits)
+    val zc = zBucketN(Seq(col(ca), col(cb)), cuts, bits)
     val cell = if (kind == "hilbert") hilbertFromZ(zc, bits) else zc
     val b = df.withColumn(BucketCol, cell)
     b.repartition(col(BucketCol))
@@ -424,28 +428,11 @@ object IndexedStore {
   private def rangeBucket(c: Column, bounds: Array[Double]): Column =
     bounds.foldLeft(lit(0)) { (acc, b) => acc + when(c >= b, 1).otherwise(0) }
 
-  /** Z-cell id: bit-interleave of the two columns' bucket ids (a-bits
-    * in odd positions, b-bits in even). */
-  private def zBucket(ca: Column, cb: Column, cutsA: Array[Double],
-      cutsB: Array[Double], bits: Int): Column = {
-    val aB = rangeBucket(ca, cutsA)
-    val bB = rangeBucket(cb, cutsB)
-    (0 until bits).map { k =>
-      shiftleft(shiftright(aB, k).bitwiseAND(lit(1)), 2 * k + 1)
-        .bitwiseOR(shiftleft(shiftright(bB, k).bitwiseAND(lit(1)), 2 * k))
-    }.reduce(_ bitwiseOR _)
-  }
-
-  /** The a/b coordinate of z-cell `z` (inverse of [[zBucket]]'s
-    * interleave, driver-side). */
-  private def zCoord(z: Int, bits: Int, aDim: Boolean): Int =
-    (0 until bits).map { k =>
-      ((z >> (2 * k + (if (aDim) 1 else 0))) & 1) << k
-    }.sum
-
   /** N-dimensional z-cell id: bit k of dimension d lands at position
     * k·N + (N-1-d), so dimension 0 takes the most-significant slot of
-    * each interleave group (matches the 2-d layout's a/b convention). */
+    * each interleave group (at n=2 this IS the historical 2-d a/b
+    * interleave — a-bits odd, b-bits even — so the 2-d layouts
+    * delegate here and existing stores read back unchanged). */
   private def zBucketN(cols: Seq[Column], cuts: Seq[Array[Double]], bits: Int): Column = {
     val n = cols.size
     val ranks = cols.zip(cuts).map { case (c, cu) => rangeBucket(c, cu) }
@@ -460,6 +447,30 @@ object IndexedStore {
     * [[zBucketN]], driver-side). */
   private def zCoordN(z: Int, n: Int, bits: Int, d: Int): Int =
     (0 until bits).map(k => ((z >> (k * n + (n - 1 - d))) & 1) << k).sum
+
+  private val CurveKinds = Set("zorder", "hilbert", "zordern")
+
+  /** Parse a curve layout string into its dimension columns, bits,
+    * per-dimension cuts accessor, and the z→cell renumbering
+    * (identity except Hilbert). The two legacy 2-d formats
+    * (`zorder:a:b:bits:cutsA|cutsB`, same for hilbert) and the N-dim
+    * format (`zordern:c1,..,cn:bits:cuts1|..|cutsn`) both land here —
+    * the parse boundary is the ONLY place the formats differ. */
+  private def parseCurve(layoutStr: String)
+      : (Seq[String], Int, Int => Array[Double], Int => Int) = {
+    def cutsFn(cutParts: Array[String]): Int => Array[Double] =
+      i => cutParts(i).split(",").filter(_.nonEmpty).map(_.toDouble)
+    if (layoutStr.startsWith("zordern:")) {
+      val zs = layoutStr.split(":", 4)
+      (zs(1).split(",").toSeq, zs(2).toInt, cutsFn(zs(3).split("\\|", -1)), identity)
+    } else {
+      val zs = layoutStr.split(":", 5)
+      val bits = zs(3).toInt
+      val renumber: Int => Int =
+        if (zs(0) == "hilbert") hilbertOfZ(_, bits) else identity
+      (Seq(zs(1), zs(2)), bits, cutsFn(zs(4).split("\\|", -1)), renumber)
+    }
+  }
 
   /** Probe-side bucket range for one comparison over one dimension's
     * quantile cuts; `nMax` is the top bucket id. None when the probe
@@ -516,10 +527,13 @@ object IndexedStore {
     * collapses, and indexed per row in O(1). Far cheaper than
     * unrolling the data-dependent rotation walk as a when-chain. */
   private def hilbertFromZ(zc: Column, bits: Int): Column = {
-    val lut = (0 until (1 << (2 * bits))).map(z =>
-      xy2d(bits, zCoord(z, bits, aDim = true), zCoord(z, bits, aDim = false)))
+    val lut = (0 until (1 << (2 * bits))).map(hilbertOfZ(_, bits))
     element_at(array(lut.map(lit): _*), zc + 1)
   }
+
+  /** Hilbert cell id of 2-d z-cell `z` (driver-side). */
+  private def hilbertOfZ(z: Int, bits: Int): Int =
+    xy2d(bits, zCoordN(z, 2, bits, 0), zCoordN(z, 2, bits, 1))
 
   private def postingDir(path: String, column: String): String =
     new HPath(path, s"_graft_idx_$column").toString
@@ -641,53 +655,26 @@ object IndexedStore {
             base.join(rowids, Seq(RowId), "left_semi")
           case None => base
         }
-      // Curve layouts (z-order / Hilbert): a chosen range column
-      // (either of the two) decodes to candidate grid cells
-      // driver-side; only overlapping cells are read. The grid walk is
-      // identical for both curves — only the cell numbering differs.
-      case Some(c) if layout(0) == "zorder" || layout(0) == "hilbert" =>
-        val zs = props.getProperty("layout").split(":", 5)
-        val (ca, cb, bits) = (zs(1), zs(2), zs(3).toInt)
-        val cutParts = zs(4).split("\\|", -1)
-        def cutsOf(i: Int): Array[Double] =
-          cutParts(i).split(",").filter(_.nonEmpty).map(_.toDouble)
-        val ranges: Seq[(Boolean, (Int, Int))] = conds.flatMap {
-          case graft.core.Condition(`ca`, cmp) =>
-            bucketRange(cutsOf(0), cmp, (1 << bits) - 1).map((true, _))
-          case graft.core.Condition(`cb`, cmp) =>
-            bucketRange(cutsOf(1), cmp, (1 << bits) - 1).map((false, _))
-          case _ => None
-        }
-        val cells = (0 until (1 << (2 * bits))).flatMap { z =>
-          val keep = ranges.forall { case (aDim, (lo, hi)) =>
-            val v = zCoord(z, bits, aDim); v >= lo && v <= hi
-          }
-          if (!keep) None
-          else if (layout(0) == "hilbert")
-            Some(xy2d(bits, zCoord(z, bits, aDim = true), zCoord(z, bits, aDim = false)))
-          else Some(z)
-        }
-        base.filter(col(BucketCol).isin(cells: _*))
-      // N-dim z-order: every condition over an indexed column bounds
-      // its dimension; the driver walks all 2^(N·bits) cells and keeps
-      // those inside the hyper-rectangle.
-      case Some(c) if layout(0) == "zordern" =>
-        val zs = props.getProperty("layout").split(":", 4)
-        val colsN = zs(1).split(",").toSeq
-        val bits = zs(2).toInt
-        val cutParts = zs(3).split("\\|", -1)
-        def cutsOf(i: Int): Array[Double] =
-          cutParts(i).split(",").filter(_.nonEmpty).map(_.toDouble)
+      // Curve layouts (2-d z-order / Hilbert, N-dim z-order) share
+      // ONE grid walk: every condition over an indexed column bounds
+      // its dimension, the driver keeps the cells inside the
+      // hyper-rectangle, and only the cell NUMBERING differs (the
+      // Hilbert renumber; identity for z-order). Only overlapping
+      // cells are read.
+      case Some(c) if CurveKinds.contains(layout(0)) =>
+        val (colsN, bits, cutsOf, renumber) =
+          parseCurve(props.getProperty("layout"))
         val nDims = colsN.size
         val ranges: Seq[(Int, (Int, Int))] = conds.flatMap { cond =>
           val d = colsN.indexOf(cond.column)
           if (d < 0) None
           else bucketRange(cutsOf(d), cond.cmp, (1 << bits) - 1).map((d, _))
         }
-        val cells = (0 until (1 << (nDims * bits))).filter { z =>
-          ranges.forall { case (d, (lo, hi)) =>
+        val cells = (0 until (1 << (nDims * bits))).flatMap { z =>
+          val keep = ranges.forall { case (d, (lo, hi)) =>
             val v = zCoordN(z, nDims, bits, d); v >= lo && v <= hi
           }
+          if (keep) Some(renumber(z)) else None
         }
         base.filter(col(BucketCol).isin(cells: _*))
       case Some(c) if c == layout(1) =>
@@ -791,22 +778,10 @@ object IndexedStore {
           else layout(2).split(",").map(_.toDouble)
         df.withColumn(BucketCol, rangeBucket(col(layout(1)), bounds))
           .sortWithinPartitions(col(layout(1)))
-      case kind @ ("zorder" | "hilbert") =>
-        val zs = props.getProperty("layout").split(":", 5)
-        val cutParts = zs(4).split("\\|", -1)
-        def cutsOf(i: Int): Array[Double] =
-          cutParts(i).split(",").filter(_.nonEmpty).map(_.toDouble)
-        val bits = zs(3).toInt
-        val zc = zBucket(col(zs(1)), col(zs(2)), cutsOf(0), cutsOf(1), bits)
+      case kind @ ("zorder" | "hilbert" | "zordern") =>
+        val (colsN, bits, cutsOf, _) = parseCurve(props.getProperty("layout"))
+        val zc = zBucketN(colsN.map(col), colsN.indices.map(cutsOf), bits)
         df.withColumn(BucketCol, if (kind == "hilbert") hilbertFromZ(zc, bits) else zc)
-          .sortWithinPartitions(col(zs(1)))
-      case "zordern" =>
-        val zs = props.getProperty("layout").split(":", 4)
-        val colsN = zs(1).split(",").toSeq
-        val cutParts = zs(3).split("\\|", -1)
-        val cuts = colsN.indices.map(i =>
-          cutParts(i).split(",").filter(_.nonEmpty).map(_.toDouble))
-        df.withColumn(BucketCol, zBucketN(colsN.map(col), cuts, zs(2).toInt))
           .sortWithinPartitions(col(colsN.head))
     }
     out.write.mode("append").partitionBy(BucketCol).parquet(path)
