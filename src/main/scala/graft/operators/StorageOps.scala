@@ -36,7 +36,8 @@ object StorageOps {
   def prepare(spark: SparkSession, dir: String): Unit = {
     Seq("sc_index_hash", "sc_index_btree", "sc_index_select",
       "sc_index_secondary", "sc_index_add", "sc_bloom_probe", "sc_zorder",
-      "sc_hilbert", "sc_zorder3", "sc_compacted", "sc_bucketed_join")
+      "sc_hilbert", "sc_zorder3", "sc_compacted", "sc_time_travel",
+      "sc_bucketed_join")
       .foreach(q => queries(q)(spark, dir).write.format("noop").mode("overwrite").save())
   }
 
@@ -266,6 +267,39 @@ object StorageOps {
       .orderBy("__rowid")
   }
 
+  /** Time travel through the manifest: generation 1 is the full
+    * customer store, generation 2 a curation rewrite that dropped the
+    * BUILDING segment. The commit sweep retains superseded complete
+    * generations up to the manifest's retention policy, so the same
+    * probe runs against the CURRENT store (through the pointer) and
+    * the NAMED historical generation — each a complete store with its
+    * own layout, sidecars and index choice as of its commit. The
+    * oracle reproduces both versions from the raw table. */
+  def scTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val path = scratch("timetravel", dir)
+    if (IndexedStore.generations(path).size < 2) {
+      val store = Store.fromData(Tables(spark, dir).customer, Seq("c_custkey"))
+      IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
+      IndexedStore.write(
+        store.data.filter(col("c_mktsegment") =!= "BUILDING"),
+        path, HashIndex("c_mktsegment", 8))
+    }
+    val conds = Seq(Condition("c_acctbal",
+      graft.core.Comparison.Greater(graft.core.Value.of(0.0), orEqual = false)))
+    val past = IndexedStore
+      .openAt(spark, path, IndexedStore.generations(path).head)
+      .find(conds)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n")).withColumn("gen", lit("v1"))
+    val cur = IndexedStore.open(spark, path).find(conds)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n")).withColumn("gen", lit("v2"))
+    past.unionByName(cur)
+      .select("gen", "c_mktsegment", "n")
+      .orderBy("gen", "c_mktsegment")
+  }
+
   /** Equality probe on a column with NO layout/postings, served by the
     * per-bucket Bloom-filter sidecar: the probe consults the tiny
     * sidecar and scans only the buckets whose filter passes (for a
@@ -299,6 +333,7 @@ object StorageOps {
     "sc_hilbert" -> scHilbert,
     "sc_zorder3" -> scZorder3,
     "sc_compacted" -> scCompacted,
+    "sc_time_travel" -> scTimeTravel,
     "sc_source_roundtrip" -> scSourceRoundtrip,
     "sc_bucketed_join" -> scBucketedJoin,
   )
@@ -360,6 +395,15 @@ object StorageOps {
          |FROM (SELECT *, $custRowid FROM customer) t
          |WHERE NOT (c_mktsegment = 'BUILDING') AND c_acctbal > 0.0
          |ORDER BY __rowid""".stripMargin,
+    "sc_time_travel" ->
+      """SELECT 'v1' AS gen, c_mktsegment, count(*) AS n
+        |FROM customer WHERE c_acctbal > 0.0
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT 'v2' AS gen, c_mktsegment, count(*) AS n
+        |FROM customer WHERE c_acctbal > 0.0 AND c_mktsegment <> 'BUILDING'
+        |GROUP BY c_mktsegment
+        |ORDER BY gen, c_mktsegment""".stripMargin,
     "sc_bucketed_join" ->
       """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS sum_price,
         |  count(*) AS n_orders

@@ -126,19 +126,30 @@ object IndexedStore {
     * this is the manifest-pointer commit that directory renames
     * cannot provide there. In-generation mutation (append, tombstone
     * delete, addIndex) keeps its existing semantics. */
-  /** The generation name the manifest currently points at; None for
-    * a legacy (pre-manifest) store. */
-  private def currentGenName(path: String): Option[String] = {
+  /** The manifest's properties (`current` generation pointer, `retain`
+    * policy); empty for a legacy (pre-manifest) store. */
+  private def manifestProps(path: String): Properties = {
     val f = hadoopFs(path)
     val mf = new HPath(path, ManifestFile)
-    if (!f.exists(mf)) None
-    else {
+    val p = new Properties()
+    if (f.exists(mf)) {
       val in = f.open(mf)
-      val p = new Properties()
       try p.load(in) finally in.close()
-      Option(p.getProperty("current"))
     }
+    p
   }
+
+  /** The generation name the manifest currently points at; None for
+    * a legacy (pre-manifest) store. */
+  private def currentGenName(path: String): Option[String] =
+    Option(manifestProps(path).getProperty("current"))
+
+  /** How many superseded generations a commit's sweep keeps (the
+    * manifest's `retain` property; default 1 — the immediate
+    * predecessor, the minimum that lets open handles survive one
+    * concurrent commit). */
+  private def retention(path: String): Int =
+    manifestProps(path).getProperty("retain", "1").toInt
 
   private def resolve(path: String): String =
     currentGenName(path)
@@ -175,16 +186,21 @@ object IndexedStore {
     f"gen-${n + 1}%06d"
   }
 
-  /** Point the manifest at `gen`: write a temp pointer, then a
-    * single-file overwrite-rename (atomic on HDFS/local; a single-key
-    * PUT on object stores). */
-  private def commitManifest(path: String, gen: String): Unit = {
+  /** Point the manifest at `gen` (carrying the retention policy
+    * forward): write a temp pointer, then a single-file
+    * overwrite-rename (atomic on HDFS/local; a single-key PUT on
+    * object stores). */
+  private def commitManifest(path: String, gen: String): Unit =
+    writeManifest(path, Some(gen), retention(path))
+
+  private def writeManifest(path: String, gen: Option[String], retain: Int): Unit = {
     val f = hadoopFs(path)
     val tmp = new HPath(path, ManifestFile + ".tmp")
     val out = f.create(tmp, true)
     try {
       val p = new Properties()
-      p.setProperty("current", gen)
+      gen.foreach(p.setProperty("current", _))
+      p.setProperty("retain", retain.toString)
       p.store(out, "graft store manifest")
     } finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
@@ -193,23 +209,56 @@ object IndexedStore {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** Sweep the root down to the new generation, the manifest, and
-    * the generation the manifest pointed at BEFORE this commit
-    * (`retain` — not inferred numerically: a crashed partial build
-    * can hold any number). Everything else — superseded generations,
-    * wrecks, and (when a manifest store replaces a legacy root
-    * store) the legacy files — is deleted. Retaining the true
-    * predecessor is what lets an open handle keep serving the
-    * generation it resolved across ONE concurrent commit (see
-    * [[open]]); a deployment wanting longer reader leases would
+  /** Set how many superseded generations future commits keep (time
+    * travel depth). The policy lives in the manifest, so it survives
+    * commits and applies to every writer of this store; it does NOT
+    * retro-delete — a lower setting takes effect at the next commit's
+    * sweep. */
+  def setRetention(rootPath: String, keep: Int): Unit = {
+    require(keep >= 1, "retention keeps at least the immediate predecessor")
+    writeManifest(rootPath, currentGenName(rootPath), keep)
+  }
+
+  /** Complete generations currently on disk, oldest first (the time
+    * travel surface: any of these can be opened with [[openAt]]).
+    * Completeness = the stats sidecar exists — the last file a
+    * generation build writes — so a crashed partial build never
+    * shows up here. */
+  def generations(rootPath: String): Seq[String] = {
+    val f = hadoopFs(rootPath)
+    val root = new HPath(rootPath)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).map(_.getPath.getName).toSeq
+      .filter(_.startsWith("gen-")).sorted
+      .filter(g => f.exists(new HPath(new HPath(rootPath, g), StatsFile)))
+  }
+
+  /** Sweep the root down to the new generation, the manifest, and up
+    * to `retain` superseded generations. The TRUE predecessor — the
+    * generation the manifest pointed at before this commit, passed in
+    * rather than inferred numerically (a crashed partial build can
+    * hold any number) — is always first in the kept set: that is what
+    * lets an open handle keep serving the generation it resolved
+    * across ONE concurrent commit (see [[open]]). Beyond it, the
+    * newest COMPLETE generations fill the retention budget (time
+    * travel depth, [[setRetention]]). Everything else — older
+    * generations, crashed partial builds, and (when a manifest store
+    * replaces a legacy root store) the legacy files — is deleted.
+    * A deployment wanting reader leases longer than one commit would
     * sweep on a timer instead. */
   private def gcGenerations(path: String, keep: String,
-      retain: Option[String]): Unit = {
+      prev: Option[String], retain: Int): Unit = {
     val f = hadoopFs(path)
-    f.listStatus(new HPath(path))
+    val statuses = f.listStatus(new HPath(path))
+    val complete = statuses.map(_.getPath.getName)
+      .filter(n => n.startsWith("gen-") && n != keep &&
+        f.exists(new HPath(new HPath(path, n), StatsFile)))
+    val kept = (prev.toSeq ++ complete.sorted.reverse.filterNot(prev.contains))
+      .distinct.take(retain)
+    statuses
       .filter { s =>
         val n = s.getPath.getName
-        n != keep && !retain.contains(n) && n != ManifestFile
+        n != keep && !kept.contains(n) && n != ManifestFile
       }
       .foreach(s => f.delete(s.getPath, true))
   }
@@ -235,7 +284,7 @@ object IndexedStore {
     val gen = nextGenName(path)
     writeLayout(df, new HPath(path, gen).toString, primary, statsOnly, secondary, bloom)
     commitManifest(path, gen)
-    gcGenerations(path, gen, prev)
+    gcGenerations(path, gen, prev, retention(path))
   }
 
   /** Build one complete store generation at `path` (a generation dir,
@@ -610,6 +659,18 @@ object IndexedStore {
   def open(spark: SparkSession, path: String): OpenStore =
     new OpenStore(spark, resolve(path))
 
+  /** Time travel: open a NAMED generation (one of [[generations]])
+    * instead of the one the manifest points at. Every generation is a
+    * complete store — data, sidecars, postings, tombstones as of its
+    * commit — so probes through a historical handle run the identical
+    * index machinery against the historical state. How far back this
+    * reaches is the [[setRetention]] policy. */
+  def openAt(spark: SparkSession, rootPath: String, gen: String): OpenStore = {
+    require(generations(rootPath).contains(gen),
+      s"unknown or incomplete generation '$gen' under $rootPath")
+    new OpenStore(spark, new HPath(rootPath, gen).toString)
+  }
+
   /** An opened store: sidecar + file listings resolved once, probes
     * plan against reused readers. */
   final class OpenStore private[IndexedStore] (spark: SparkSession, path: String) {
@@ -874,6 +935,6 @@ object IndexedStore {
       secondary = secondaryColumns(props).map { case (c, n) => HashIndex(c, n) },
       bloom = bloomColumns(props))
     commitManifest(rootPath, gen)
-    gcGenerations(rootPath, gen, prev)
+    gcGenerations(rootPath, gen, prev, retention(rootPath))
   }
 }

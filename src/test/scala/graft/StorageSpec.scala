@@ -179,6 +179,44 @@ class StorageSpec extends SparkSpec {
     assert(IndexedStore.find(spark, path, Seq.empty).count() == before)
   }
 
+  test("openAt serves a named historical generation (time travel)") {
+    val path = tmp()
+    val store = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey"))
+    IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
+    IndexedStore.write(store.data.filter(col("c_mktsegment") =!= "BUILDING"),
+      path, HashIndex("c_mktsegment", 8))
+    val gens = IndexedStore.generations(path)
+    assert(gens == Seq("gen-000001", "gen-000002"))
+    // the historical generation still serves the curated-out segment,
+    // through the same bucket-pruned index path
+    val past = IndexedStore.openAt(spark, path, gens.head)
+      .find(Seq(Condition.eq("c_mktsegment", "BUILDING")))
+    val expected = store.data.filter(col("c_mktsegment") === "BUILDING").count()
+    assert(expected > 0 && past.count() == expected)
+    // the current generation (via the pointer) does not
+    assert(IndexedStore.open(spark, path)
+      .find(Seq(Condition.eq("c_mktsegment", "BUILDING"))).count() == 0)
+    // unknown and incomplete generations are rejected loudly
+    intercept[IllegalArgumentException](
+      IndexedStore.openAt(spark, path, "gen-000042"))
+  }
+
+  test("retention policy bounds how many generations commits keep") {
+    val path = tmp()
+    val store = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey"))
+    IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
+    IndexedStore.setRetention(path, 3)
+    (2 to 5).foreach(_ => IndexedStore.compact(spark, path))
+    // current gen-000005 + the 3 newest complete predecessors
+    assert(IndexedStore.generations(path) ==
+      Seq("gen-000002", "gen-000003", "gen-000004", "gen-000005"))
+    // dropping the policy back to 1 takes effect at the NEXT sweep
+    IndexedStore.setRetention(path, 1)
+    IndexedStore.compact(spark, path)
+    assert(IndexedStore.generations(path) == Seq("gen-000005", "gen-000006"))
+    intercept[IllegalArgumentException](IndexedStore.setRetention(path, 0))
+  }
+
   test("a crashed partial generation never serves reads and is swept") {
     val path = tmp()
     val store = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey"))
