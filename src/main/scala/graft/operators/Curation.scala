@@ -57,6 +57,99 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------- d_shard
+
+  /** Output shard count for the training-order pass. */
+  private val NumShards = 16
+
+  /** Deterministic global shuffle + sharding — the last step before
+    * training: every doc gets a pseudo-random sort key (md5 of the
+    * salted id), the key SPACE is split into [[NumShards]] equal
+    * ranges (shard = high 32 key bits × S / 2³²), and each shard is
+    * ordered by the full key. Because the split is computed exactly
+    * from the key instead of sampled (what `repartitionByRange` would
+    * do), assignment is reproducible in any engine and stable under
+    * appends, and md5 uniformity balances shard sizes. The assignment
+    * is a narrow map; the only shuffle is the per-shard gather — at
+    * scale each shard is written sorted by its task, so the engine
+    * never holds a global order anywhere. The output fingerprints each
+    * shard's exact doc order, putting the order itself under the
+    * oracle gate. */
+  def dShard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val keyed = d.select(col("doc_id"),
+        md5(concat(lit("shard-1:"), col("doc_id").cast("string"))).as("kk"))
+      .withColumn("shard",
+        expr(s"(cast(conv(substring(kk, 1, 8), 16, 10) as bigint) * $NumShards) div 4294967296"))
+    keyed.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("kk"),
+              col("doc_id").cast("string").as("id")))),
+            x => x.getField("id")))).as("order_fp"))
+      .orderBy("shard")
+  }
+
+  val dShardSql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, md5('shard-1:' || doc_id::VARCHAR) AS kk FROM documents),
+       |s AS (
+       |  SELECT doc_id, kk,
+       |    (('0x' || substr(kk, 1, 8))::BIGINT * $NumShards) // 4294967296 AS shard
+       |  FROM k)
+       |SELECT shard, count(*) AS n_docs,
+       |  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY kk, doc_id::VARCHAR)) AS order_fp
+       |FROM s GROUP BY shard
+       |ORDER BY shard""".stripMargin
+
+  // ----------------------------------------------------- d_reweight
+
+  /** Target language mixture in basis points (sums to 10000). */
+  private val TargetMixBp: Seq[(String, Int)] =
+    Seq("en" -> 3000, "de" -> 2000, "es" -> 2000, "fr" -> 2000, "zh" -> 1000)
+
+  /** Domain-mixture reweighting: where [[dSample]] applies FIXED
+    * per-language rates, this computes them FROM a target mixture —
+    * the largest corpus satisfying the target without upsampling any
+    * language (T = min over langs of n_l·10000/target_l, all integer
+    * arithmetic so any engine lands on identical rates), then keeps
+    * each doc by the same salted-md5 acceptance test. Per-lang counts
+    * are one tiny agg broadcast back; the keep decision stays a
+    * narrow map, stable under appends of already-counted mixes.
+    * Languages outside the target mix are dropped (rate 0). */
+  def dReweight(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, dir).documents
+    val tgt = TargetMixBp.toDF("lang", "bp")
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n"))
+    val joined = counts.join(tgt, "lang")
+    val t = joined.agg(min(expr("n * 10000 div bp"))).head().getLong(0)
+    val rates = joined.select(col("lang"),
+      expr(s"bp * ${t}L * 100 div n").as("rate_ppm"))
+    d.join(broadcast(rates), "lang")
+      .filter(conv(substring(md5(concat(lit("rw:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1000000 < col("rate_ppm"))
+      .select("doc_id", "lang", "rate_ppm")
+      .orderBy("doc_id")
+  }
+
+  val dReweightSql: String = {
+    val values = TargetMixBp.map { case (l, bp) => s"('$l', $bp)" }.mkString(", ")
+    s"""WITH tgt(lang, bp) AS (VALUES $values),
+       |counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |joined AS (SELECT c.lang, c.n, t.bp FROM counts c JOIN tgt t USING (lang)),
+       |tmin AS (SELECT min(n * 10000 // bp) AS t FROM joined),
+       |rates AS (
+       |  SELECT lang, (bp * (SELECT t FROM tmin) * 100) // n AS rate_ppm
+       |  FROM joined)
+       |SELECT d.doc_id, d.lang, r.rate_ppm
+       |FROM documents d JOIN rates r USING (lang)
+       |WHERE ('0x' || substr(md5('rw:' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
+       |      < r.rate_ppm
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------- t_scrub
 
   /** Denylist terms masked out of the corpus (word-boundary matches). */
@@ -143,12 +236,16 @@ object Curation {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_sample" -> dSample,
+    "d_shard" -> dShard,
+    "d_reweight" -> dReweight,
     "t_scrub" -> tScrub,
     "d_curate" -> dCurate,
   )
 
   def oracles: Map[String, String] = Map(
     "d_sample" -> dSampleSql,
+    "d_shard" -> dShardSql,
+    "d_reweight" -> dReweightSql,
     "t_scrub" -> tScrubSql,
     "d_curate" -> dCurateSql,
   )

@@ -508,6 +508,68 @@ object Dedup {
       |      FROM documents) t
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- decontamination
+
+  /** Shingle width for contamination detection: longer than the
+    * near-dup 3-grams — an 8-word span shared verbatim with a held-out
+    * doc is memorization-grade overlap, not topical similarity. */
+  val ContamNgram = 8
+  /** Distinct shared 8-grams at or above which a train doc is flagged
+    * contaminated (below it, the overlap is reported but not
+    * flagged). */
+  val ContamMinHits = 4
+
+  /** Benchmark DECONTAMINATION — the check every training corpus needs
+    * before the eval split means anything: find train-split docs that
+    * share verbatim word-8-grams with any test-split doc (split =
+    * [[dSplit]]'s deterministic md5 buckets). The test side collapses
+    * to its DISTINCT shingle-hash set first, so the probe is one
+    * equi-join of train postings against that set — linear in corpus
+    * size and shuffling only (id, hash) pairs, never doc pairs (an
+    * all-pairs train×test comparison is the scale trap here). Output:
+    * every train doc with any overlap, its distinct-8-gram overlap
+    * count, and the contaminated flag at ≥ [[ContamMinHits]]. */
+  def dDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextAnalysis.docsSpread(spark, dir)
+    val sets = d.select(col("doc_id"),
+        graft.functions.expr.VectorExpressions
+          .wordShingles(words(col("text")), ContamNgram).as("shing"))
+      .filter(size(col("shing")) > 0)
+      .select(col("doc_id"),
+        array_distinct(transform(col("shing"), s => md5_32(s))).as("hs"))
+    val posts = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+      .withColumn("b",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100)
+    val testShingles = posts.filter(col("b") >= 90).select("h").distinct()
+    posts.filter(col("b") < 80)
+      .join(testShingles, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= ContamMinHits)
+      .orderBy("doc_id")
+  }
+
+  val dDecontaminateSql: String =
+    s"""WITH sets AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |      [array_to_string(w[i:i+${ContamNgram - 1}], ' ')
+       |       for i in range(1, len(w) - ${ContamNgram - 2})],
+       |      s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS hs
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents) t
+       |  WHERE len(w) >= $ContamNgram),
+       |posts AS (
+       |  SELECT doc_id, unnest(hs) AS h,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+       |  FROM sets),
+       |test_sh AS (SELECT DISTINCT h FROM posts WHERE b >= 90)
+       |SELECT p.doc_id, count(*) AS n_overlap,
+       |  count(*) >= $ContamMinHits AS contaminated
+       |FROM posts p JOIN test_sh t ON p.h = t.h
+       |WHERE p.b < 80
+       |GROUP BY p.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_dedup_exact" -> dDedupExact,
     "d_dedup_ngram" -> dDedupNgram,
@@ -516,6 +578,7 @@ object Dedup {
     "d_cluster" -> dCluster,
     "d_cluster_incr" -> dClusterIncr,
     "d_split" -> dSplit,
+    "d_decontaminate" -> dDecontaminate,
   )
 
   def oracles: Map[String, String] = Map(
@@ -528,5 +591,6 @@ object Dedup {
     // its oracle IS the full-recompute closure.
     "d_cluster_incr" -> dClusterSql,
     "d_split" -> dSplitSql,
+    "d_decontaminate" -> dDecontaminateSql,
   )
 }

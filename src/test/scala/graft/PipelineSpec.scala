@@ -102,6 +102,51 @@ class PipelineSpec extends SparkSpec {
     assert(enKept < enAll, "en must be downsampled")
   }
 
+  test("d_decontaminate flags only train docs, consistently with the threshold") {
+    val contam = Dedup.dDecontaminate(spark, sf).cache()
+    assert(contam.count() > 0, "fixture lost: no train/test 8-gram overlap at all")
+    assert(contam.filter(col("contaminated")).count() > 0,
+      "fixture lost: no doc reaches the contamination threshold")
+    // the flag is exactly the threshold predicate
+    assert(contam.filter(
+      col("contaminated") =!= (col("n_overlap") >= Dedup.ContamMinHits)).count() == 0)
+    // every reported doc is in the train split (never validation/test)
+    val splits = Dedup.dSplit(spark, sf)
+    assert(contam.join(splits, "doc_id")
+      .filter(col("split") =!= "train").count() == 0)
+  }
+
+  test("d_shard partitions the corpus into balanced deterministic shards") {
+    val shards = Curation.dShard(spark, sf).cache()
+    val total = graft.core.Tables(spark, sf).documents.count()
+    assert(shards.agg(sum("n_docs")).head.getLong(0) == total,
+      "shards must partition the corpus exactly")
+    assert(shards.filter(col("shard") < 0 || col("shard") >= 16).count() == 0)
+    // md5-uniform keys keep shards balanced (loose 3× bound on sf data)
+    val sizes = shards.select("n_docs").as[Long].collect()
+    assert(sizes.max <= 3 * math.max(sizes.min, 1),
+      s"shard skew beyond bound: min=${sizes.min} max=${sizes.max}")
+    // deterministic: same order fingerprints on recompute
+    val again = Curation.dShard(spark, sf)
+    assert(shards.exceptAll(again).count() == 0 && again.exceptAll(shards).count() == 0)
+  }
+
+  test("d_reweight never upsamples and keeps the binding language whole") {
+    val kept = Curation.dReweight(spark, sf).cache()
+    val docs = graft.core.Tables(spark, sf).documents
+    val obs = docs.groupBy("lang").count().withColumnRenamed("count", "n_all")
+    val per = kept.groupBy("lang", "rate_ppm").count().join(obs, "lang").cache()
+    // rates are probabilities: 0 < ppm <= 1e6, and kept <= observed
+    assert(per.filter(col("rate_ppm") <= 0 || col("rate_ppm") > 1000000).count() == 0)
+    assert(per.filter(col("count") > col("n_all")).count() == 0)
+    // at least one language is the binding constraint (rate exactly 1.0)
+    assert(per.filter(col("rate_ppm") === 1000000).count() >= 1,
+      "no binding language — the mixture is not maximal")
+    // only target-mix languages survive
+    val langs = kept.select("lang").distinct().as[String].collect().toSet
+    assert(langs.subsetOf(Set("en", "de", "es", "fr", "zh")))
+  }
+
   test("t_scrub leaves no denylist term and counts every redaction") {
     val scrubbed = Curation.tScrub(spark, sf).cache()
     assert(scrubbed.filter(col("scrubbed").rlike("\\b(hash|spark|win)\\b")).count() == 0)
