@@ -124,12 +124,21 @@ object Curation {
     val tgt = TargetMixBp.toDF("lang", "bp")
     val counts = d.groupBy("lang").agg(count(lit(1)).as("n"))
     val joined = counts.join(tgt, "lang")
+    // A target language absent from the corpus makes the mixture
+    // unsatisfiable (its T would be 0 docs) — and silently dropping
+    // it from the min would return a corpus that LOOKS reweighted but
+    // misses a whole mixture component. Fail loudly instead; the
+    // langs frame is target-mix-sized, so this collect is trivial.
+    val present = joined.select("lang").as[String].collect().toSet
+    val missing = TargetMixBp.map(_._1).filterNot(present)
+    require(missing.isEmpty,
+      s"target-mix languages absent from the corpus: ${missing.mkString(", ")}")
     val t = joined.agg(min(expr("n * 10000 div bp"))).head().getLong(0)
     val rates = joined.select(col("lang"),
       expr(s"bp * ${t}L * 100 div n").as("rate_ppm"))
     d.join(broadcast(rates), "lang")
-      .filter(conv(substring(md5(concat(lit("rw:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
-        .cast("long") % 1000000 < col("rate_ppm"))
+      .filter(md5_32(concat(lit("rw:"), col("doc_id").cast("string"))) % 1000000
+        < col("rate_ppm"))
       .select("doc_id", "lang", "rate_ppm")
       .orderBy("doc_id")
   }

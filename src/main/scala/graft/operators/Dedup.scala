@@ -531,16 +531,19 @@ object Dedup {
     * count, and the contaminated flag at ≥ [[ContamMinHits]]. */
   def dDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val d = TextAnalysis.docsSpread(spark, dir)
-    val sets = d.select(col("doc_id"),
+    // Split bucket once per DOC and before the shingling: validation
+    // docs ([80,90)) take no part in either side, so they skip the
+    // normalize+shingle+hash pipeline entirely.
+    val bucketed = d
+      .withColumn("b", md5_32(col("doc_id").cast("string")) % 100)
+      .filter(col("b") < 80 || col("b") >= 90)
+    val sets = bucketed.select(col("doc_id"), col("b"),
         graft.functions.expr.VectorExpressions
           .wordShingles(words(col("text")), ContamNgram).as("shing"))
       .filter(size(col("shing")) > 0)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("b"),
         array_distinct(transform(col("shing"), s => md5_32(s))).as("hs"))
-    val posts = sets.select(col("doc_id"), explode(col("hs")).as("h"))
-      .withColumn("b",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 100)
+    val posts = sets.select(col("doc_id"), col("b"), explode(col("hs")).as("h"))
     val testShingles = posts.filter(col("b") >= 90).select("h").distinct()
     posts.filter(col("b") < 80)
       .join(testShingles, "h")
@@ -552,16 +555,16 @@ object Dedup {
 
   val dDecontaminateSql: String =
     s"""WITH sets AS (
-       |  SELECT doc_id, list_distinct(list_transform(
+       |  SELECT doc_id, b, list_distinct(list_transform(
        |      [array_to_string(w[i:i+${ContamNgram - 1}], ' ')
        |       for i in range(1, len(w) - ${ContamNgram - 2})],
        |      s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS hs
-       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents) t
-       |  WHERE len(w) >= $ContamNgram),
-       |posts AS (
-       |  SELECT doc_id, unnest(hs) AS h,
-       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
-       |  FROM sets),
+       |  FROM (SELECT doc_id,
+       |          ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b,
+       |          string_split($normSql, ' ') AS w
+       |        FROM documents) t
+       |  WHERE len(w) >= $ContamNgram AND (b < 80 OR b >= 90)),
+       |posts AS (SELECT doc_id, b, unnest(hs) AS h FROM sets),
        |test_sh AS (SELECT DISTINCT h FROM posts WHERE b >= 90)
        |SELECT p.doc_id, count(*) AS n_overlap,
        |  count(*) >= $ContamMinHits AS contaminated

@@ -278,12 +278,20 @@ object StorageOps {
   def scTimeTravel(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val path = scratch("timetravel", dir)
-    if (IndexedStore.generations(path).size < 2) {
+    // Two-commit build, so "a store exists" is not "the build is
+    // done": a crash between the writes leaves two committed FULL
+    // generations that a generation-count guard would accept forever.
+    // The marker lands only after both commits; rebuilding on top of
+    // any partial state converges (retain=1 keeps exactly the
+    // predecessor, so the last two commits are always [v1, v2]).
+    val done = new java.io.File(path + "_done")
+    if (!done.exists()) {
       val store = Store.fromData(Tables(spark, dir).customer, Seq("c_custkey"))
       IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
       IndexedStore.write(
         store.data.filter(col("c_mktsegment") =!= "BUILDING"),
         path, HashIndex("c_mktsegment", 8))
+      done.createNewFile()
     }
     val conds = Seq(Condition("c_acctbal",
       graft.core.Comparison.Greater(graft.core.Value.of(0.0), orEqual = false)))

@@ -144,26 +144,19 @@ object IndexedStore {
   private def currentGenName(path: String): Option[String] =
     Option(manifestProps(path).getProperty("current"))
 
-  /** How many superseded generations a commit's sweep keeps (the
-    * manifest's `retain` property; default 1 — the immediate
-    * predecessor, the minimum that lets open handles survive one
-    * concurrent commit). */
-  private def retention(path: String): Int =
-    manifestProps(path).getProperty("retain", "1").toInt
-
   private def resolve(path: String): String =
     currentGenName(path)
       .map(g => new HPath(path, g).toString)
       .getOrElse(path) // legacy layout: the root IS the store
 
-  /** True when `path` holds a complete store (manifest present, or a
-    * legacy root with its stats sidecar — the LAST file a write
-    * produces, so its presence marks a finished write). */
-  def exists(path: String): Boolean = {
-    val f = hadoopFs(path)
-    f.exists(new HPath(path, ManifestFile)) ||
-      f.exists(new HPath(path, StatsFile))
-  }
+  /** True when `path` holds a complete store (manifest pointing at a
+    * committed generation, or a legacy root with its stats sidecar —
+    * the LAST file a write produces, so its presence marks a finished
+    * write). A manifest carrying only policy (e.g. [[setRetention]]
+    * before the first write) does not count. */
+  def exists(path: String): Boolean =
+    currentGenName(path).isDefined ||
+      hadoopFs(path).exists(new HPath(path, StatsFile))
 
   /** True when a complete store at `path` records a secondary hash
     * index on `column` — the layout-agnostic completeness check for
@@ -186,14 +179,8 @@ object IndexedStore {
     f"gen-${n + 1}%06d"
   }
 
-  /** Point the manifest at `gen` (carrying the retention policy
-    * forward): write a temp pointer, then a single-file
-    * overwrite-rename (atomic on HDFS/local; a single-key PUT on
-    * object stores). */
-  private def commitManifest(path: String, gen: String): Unit =
-    writeManifest(path, Some(gen), retention(path))
-
-  private def writeManifest(path: String, gen: Option[String], retain: Int): Unit = {
+  private def writeManifest(path: String, gen: Option[String], retain: Int,
+      history: Seq[String]): Unit = {
     val f = hadoopFs(path)
     val tmp = new HPath(path, ManifestFile + ".tmp")
     val out = f.create(tmp, true)
@@ -201,6 +188,7 @@ object IndexedStore {
       val p = new Properties()
       gen.foreach(p.setProperty("current", _))
       p.setProperty("retain", retain.toString)
+      if (history.nonEmpty) p.setProperty("history", history.mkString(","))
       p.store(out, "graft store manifest")
     } finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
@@ -209,56 +197,69 @@ object IndexedStore {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** The COMMITTED generation chain, newest first (current at the
+    * head) — the manifest's `history` property. Only commits append
+    * to it, so a generation that finished its build but crashed
+    * before its pointer swap is never in it. Pre-history manifests
+    * fall back to the current pointer alone. */
+  private def committedChain(m: Properties): Seq[String] = {
+    val cur = Option(m.getProperty("current")).toSeq
+    Option(m.getProperty("history"))
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+      .map(h => (cur ++ h.filterNot(cur.contains)).distinct)
+      .getOrElse(cur)
+  }
+
   /** Set how many superseded generations future commits keep (time
     * travel depth). The policy lives in the manifest, so it survives
     * commits and applies to every writer of this store; it does NOT
     * retro-delete — a lower setting takes effect at the next commit's
-    * sweep. */
+    * sweep. Like every mutation here, it assumes the store's
+    * single-writer discipline (a concurrent commit between this
+    * read and write would be rolled back). */
   def setRetention(rootPath: String, keep: Int): Unit = {
     require(keep >= 1, "retention keeps at least the immediate predecessor")
-    writeManifest(rootPath, currentGenName(rootPath), keep)
+    val m = manifestProps(rootPath)
+    writeManifest(rootPath, Option(m.getProperty("current")), keep,
+      committedChain(m))
   }
 
-  /** Complete generations currently on disk, oldest first (the time
-    * travel surface: any of these can be opened with [[openAt]]).
-    * Completeness = the stats sidecar exists — the last file a
-    * generation build writes — so a crashed partial build never
-    * shows up here. */
+  /** COMMITTED generations still on disk, oldest first — the time
+    * travel surface: any of these can be opened with [[openAt]]. Only
+    * the manifest's commit chain counts: a generation whose build
+    * finished (stats sidecar present) but whose pointer swap never
+    * happened is a wreck awaiting sweep, not history. */
   def generations(rootPath: String): Seq[String] = {
     val f = hadoopFs(rootPath)
-    val root = new HPath(rootPath)
-    if (!f.exists(root)) Seq.empty
-    else f.listStatus(root).map(_.getPath.getName).toSeq
-      .filter(_.startsWith("gen-")).sorted
+    committedChain(manifestProps(rootPath)).reverse
       .filter(g => f.exists(new HPath(new HPath(rootPath, g), StatsFile)))
   }
 
-  /** Sweep the root down to the new generation, the manifest, and up
-    * to `retain` superseded generations. The TRUE predecessor — the
-    * generation the manifest pointed at before this commit, passed in
-    * rather than inferred numerically (a crashed partial build can
-    * hold any number) — is always first in the kept set: that is what
-    * lets an open handle keep serving the generation it resolved
-    * across ONE concurrent commit (see [[open]]). Beyond it, the
-    * newest COMPLETE generations fill the retention budget (time
-    * travel depth, [[setRetention]]). Everything else — older
-    * generations, crashed partial builds, and (when a manifest store
-    * replaces a legacy root store) the legacy files — is deleted.
-    * A deployment wanting reader leases longer than one commit would
-    * sweep on a timer instead. */
-  private def gcGenerations(path: String, keep: String,
-      prev: Option[String], retain: Int): Unit = {
+  /** Publish generation `gen` and sweep: one manifest read decides
+    * everything. The new chain is `gen` plus up to `retain` committed
+    * predecessors — the TRUE predecessor (the generation the manifest
+    * pointed at before this commit) first, so an open handle keeps
+    * serving the generation it resolved across ONE concurrent commit
+    * (see [[open]]); older committed generations fill the remaining
+    * retention budget (time travel depth, [[setRetention]]).
+    * Everything else in the root — superseded generations, crashed
+    * partial builds (complete-looking or not: they are absent from
+    * the committed chain), and (when a manifest store replaces a
+    * legacy root store) the legacy files — is deleted. A deployment
+    * wanting reader leases longer than one commit would sweep on a
+    * timer instead. */
+  private def commitAndSweep(path: String, gen: String): Unit = {
+    val m = manifestProps(path)
+    val prev = Option(m.getProperty("current"))
+    val retain = m.getProperty("retain", "1").toInt
+    val kept = (prev.toSeq ++ committedChain(m).filterNot(prev.contains))
+      .distinct.filterNot(_ == gen).take(retain)
+    writeManifest(path, Some(gen), retain, gen +: kept)
     val f = hadoopFs(path)
-    val statuses = f.listStatus(new HPath(path))
-    val complete = statuses.map(_.getPath.getName)
-      .filter(n => n.startsWith("gen-") && n != keep &&
-        f.exists(new HPath(new HPath(path, n), StatsFile)))
-    val kept = (prev.toSeq ++ complete.sorted.reverse.filterNot(prev.contains))
-      .distinct.take(retain)
-    statuses
+    f.listStatus(new HPath(path))
       .filter { s =>
         val n = s.getPath.getName
-        n != keep && !kept.contains(n) && n != ManifestFile
+        n != gen && !kept.contains(n) && n != ManifestFile
       }
       .foreach(s => f.delete(s.getPath, true))
   }
@@ -280,11 +281,9 @@ object IndexedStore {
   def write(df: DataFrame, path: String, primary: IndexSpec,
       statsOnly: Seq[IndexSpec] = Nil, secondary: Seq[HashIndex] = Nil,
       bloom: Seq[String] = Nil): Unit = {
-    val prev = currentGenName(path)
     val gen = nextGenName(path)
     writeLayout(df, new HPath(path, gen).toString, primary, statsOnly, secondary, bloom)
-    commitManifest(path, gen)
-    gcGenerations(path, gen, prev, retention(path))
+    commitAndSweep(path, gen)
   }
 
   /** Build one complete store generation at `path` (a generation dir,
@@ -929,12 +928,10 @@ object IndexedStore {
         val zs = props.getProperty("layout").split(":", 4)
         ZOrderNIndex(zs(1).split(",").toSeq, zs(2).toInt)
     }
-    val prev = currentGenName(rootPath)
     val gen = nextGenName(rootPath)
     writeLayout(live, new HPath(rootPath, gen).toString, spec, Nil,
       secondary = secondaryColumns(props).map { case (c, n) => HashIndex(c, n) },
       bloom = bloomColumns(props))
-    commitManifest(rootPath, gen)
-    gcGenerations(rootPath, gen, prev, retention(rootPath))
+    commitAndSweep(rootPath, gen)
   }
 }
