@@ -21,6 +21,41 @@ class PipelineSpec extends SparkSpec {
     assert(df.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
   }
 
+  test("ngram prefix filtering is result-preserving vs the full inverted index") {
+    // Naive reference: candidates from the UNFILTERED posting
+    // self-join, verified with the same exact Jaccard — the pair set
+    // prefix filtering must reproduce exactly (it prunes the plan,
+    // never the result).
+    def naive(dir: String) = {
+      val d = graft.core.Tables(SparkSpec.spark, dir).documents
+      val sets = d.select(col("doc_id"),
+          graft.functions.expr.VectorExpressions.wordShingles(
+            graft.functions.TextFunctions.words(col("text")), 3).as("shing"))
+        .filter(size(col("shing")) > 0)
+        .select(col("doc_id"), array_distinct(expr(
+          "transform(shing, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))")).as("hs"))
+      val posts = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+      val cand = posts.as("a").join(posts.as("b"), "h")
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .dropDuplicates("id1", "id2")
+      cand.join(sets.select(col("doc_id").as("id1"), col("hs").as("s1")), "id1")
+        .join(sets.select(col("doc_id").as("id2"), col("hs").as("s2")), "id2")
+        .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+        .withColumn("jaccard",
+          round(col("inter") / (size(col("s1")) + size(col("s2")) - col("inter")), 6))
+        .filter(col("jaccard") >= Dedup.JaccardTau)
+        .select("id1", "id2")
+    }
+    Seq(sf, "/root/testdata/sf0.01").foreach { dir =>
+      val filtered = Dedup.dDedupNgram(SparkSpec.spark, dir).select("id1", "id2")
+      val full = naive(dir)
+      assert(filtered.exceptAll(full).count() == 0 &&
+        full.exceptAll(filtered).count() == 0,
+        s"prefix-filtered pair set diverges from the full index at $dir")
+    }
+  }
+
   test("dedup_minhash: candidates are a subset of true near-dup pairs") {
     val mh = Dedup.dDedupMinhash(spark, sf).select("id1", "id2")
     val ng = Dedup.dDedupNgram(spark, sf).select("id1", "id2")
