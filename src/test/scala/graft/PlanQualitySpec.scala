@@ -67,6 +67,31 @@ class PlanQualitySpec extends SparkSpec {
       s"window rank runs against the full scored corpus:\n${tree.take(2000)}")
   }
 
+  test("decontamination and ngram dedup stay on equi-joins — never all-pairs") {
+    Seq("d_decontaminate", "d_dedup_ngram").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q degenerated to an all-pairs join:\n${p.take(2000)}")
+    }
+  }
+
+  test("sharding pays exactly one hash exchange") {
+    val p = plan("d_shard")
+    // narrow key/shard assignment → one groupBy(shard) exchange; the
+    // presentation orderBy adds a range exchange, nothing more
+    val hashExchanges = p.linesIterator.count(_.contains("hashpartitioning("))
+    assert(hashExchanges == 1,
+      s"expected exactly one hash exchange, got $hashExchanges:\n${p.take(2500)}")
+  }
+
+  test("reweighting broadcasts the rate table to a narrow probe") {
+    val p = plan("d_reweight")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-language rates should broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"doc-side keep decision must not shuffle the corpus:\n${p.take(2000)}")
+  }
+
   test("funnel stages share one user_id exchange") {
     val p = plan("q_funnel")
     // three chained stage windows + the per-user aggregate must all
