@@ -370,11 +370,17 @@ object Analytics {
     * is sketch-mergeable across partitions). */
   def qQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir).lineitem
+    // Both price percentiles come from ONE percentile(col, array(...))
+    // aggregate: separate calls each build their own per-group value
+    // map in the aggregation buffer — same answer, twice the state.
     li.groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
+        expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("pp"),
         round(expr("percentile(l_quantity, 0.25)"), 2).as("q1_qty"))
+      .select(col("l_returnflag"),
+        round(element_at(col("pp"), 1), 2).as("median_price"),
+        round(element_at(col("pp"), 2), 2).as("p90_price"),
+        col("q1_qty"))
       .orderBy("l_returnflag")
   }
 

@@ -357,6 +357,10 @@ object Dedup {
       .withColumn("cluster_id", col("doc_id")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
+      // LAZY checkpoint: the convergence count below computes every
+      // partition of `next`, which persists the marked blocks as a
+      // side effect — one job per round where an eager checkpoint
+      // plus a count would run two.
       val next = labels
         .select(col("doc_id"), col("cluster_id"), col("cluster_id").as("old"))
         .unionByName(edges
@@ -365,7 +369,7 @@ object Dedup {
             lit(null).cast("long").as("old")))
         .groupBy("doc_id")
         .agg(min("cluster_id").as("cluster_id"), min("old").as("old"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.filter(col("cluster_id") < col("old")).count()
       labels = next.select("doc_id", "cluster_id")
     }

@@ -37,7 +37,7 @@ object StorageOps {
     Seq("sc_index_hash", "sc_index_btree", "sc_index_select",
       "sc_index_secondary", "sc_index_add", "sc_bloom_probe", "sc_zorder",
       "sc_hilbert", "sc_zorder3", "sc_compacted", "sc_time_travel",
-      "sc_bucketed_join")
+      "sc_gen_diff", "sc_bucketed_join")
       .foreach(q => queries(q)(spark, dir).write.format("noop").mode("overwrite").save())
   }
 
@@ -275,15 +275,20 @@ object StorageOps {
     * the NAMED historical generation — each a complete store with its
     * own layout, sidecars and index choice as of its commit. The
     * oracle reproduces both versions from the raw table. */
-  def scTimeTravel(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, count, lit}
+  /** The two-generation fixture store shared by sc_time_travel and
+    * sc_gen_diff: v1 = full customer, v2 = a curation rewrite without
+    * the BUILDING segment (rowids carry over — v2 is a filter of the
+    * same store frame). Returns the store root.
+    *
+    * Two-commit build, so "a store exists" is not "the build is
+    * done": a crash between the writes leaves two committed FULL
+    * generations that a generation-count guard would accept forever.
+    * The marker lands only after both commits; rebuilding on top of
+    * any partial state converges (retain=1 keeps exactly the
+    * predecessor, so the last two commits are always [v1, v2]). */
+  private def timeTravelStore(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions.col
     val path = scratch("timetravel", dir)
-    // Two-commit build, so "a store exists" is not "the build is
-    // done": a crash between the writes leaves two committed FULL
-    // generations that a generation-count guard would accept forever.
-    // The marker lands only after both commits; rebuilding on top of
-    // any partial state converges (retain=1 keeps exactly the
-    // predecessor, so the last two commits are always [v1, v2]).
     val done = new java.io.File(path + "_done")
     if (!done.exists()) {
       val store = Store.fromData(Tables(spark, dir).customer, Seq("c_custkey"))
@@ -293,6 +298,12 @@ object StorageOps {
         path, HashIndex("c_mktsegment", 8))
       done.createNewFile()
     }
+    path
+  }
+
+  def scTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val path = timeTravelStore(spark, dir)
     val conds = Seq(Condition("c_acctbal",
       graft.core.Comparison.Greater(graft.core.Value.of(0.0), orEqual = false)))
     val past = IndexedStore
@@ -306,6 +317,33 @@ object StorageOps {
     past.unionByName(cur)
       .select("gen", "c_mktsegment", "n")
       .orderBy("gen", "c_mktsegment")
+  }
+
+  /** Generation DIFF — change-data capture between two committed
+    * generations of the same store: rowids are stable across commits
+    * (the append/rewrite discipline of [[graft.core.Store]]), so rows
+    * removed since v1 are `v1 ⟕̸ v2` and rows added are `v2 ⟕̸ v1`,
+    * two rowid anti-joins with no content comparison. On the fixture
+    * store v2 is a pure curation shrink, so the diff is exactly the
+    * rows the rewrite dropped — which is what the oracle recomputes
+    * from the raw table. */
+  def scGenDiff(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val path = timeTravelStore(spark, dir)
+    val rid = IndexedStore.RowId
+    val keep = Seq(rid, "c_custkey", "c_mktsegment")
+    val past = IndexedStore
+      .openAt(spark, path, IndexedStore.generations(path).head)
+      .find(Nil).select(keep.head, keep.tail: _*)
+    val cur = IndexedStore.open(spark, path)
+      .find(Nil).select(keep.head, keep.tail: _*)
+    val removed = past.join(cur, Seq(rid), "left_anti")
+      .withColumn("change", lit("removed"))
+    val added = cur.join(past, Seq(rid), "left_anti")
+      .withColumn("change", lit("added"))
+    removed.unionByName(added)
+      .select((col("change") +: keep.map(col)): _*)
+      .orderBy("change", rid)
   }
 
   /** Equality probe on a column with NO layout/postings, served by the
@@ -342,6 +380,7 @@ object StorageOps {
     "sc_zorder3" -> scZorder3,
     "sc_compacted" -> scCompacted,
     "sc_time_travel" -> scTimeTravel,
+    "sc_gen_diff" -> scGenDiff,
     "sc_source_roundtrip" -> scSourceRoundtrip,
     "sc_bucketed_join" -> scBucketedJoin,
   )
@@ -412,6 +451,12 @@ object StorageOps {
         |FROM customer WHERE c_acctbal > 0.0 AND c_mktsegment <> 'BUILDING'
         |GROUP BY c_mktsegment
         |ORDER BY gen, c_mktsegment""".stripMargin,
+    // v2 only shrank v1, so the whole diff is 'removed' rows
+    "sc_gen_diff" ->
+      s"""SELECT 'removed' AS change, __rowid, c_custkey, c_mktsegment
+         |FROM (SELECT *, $custRowid FROM customer) t
+         |WHERE c_mktsegment = 'BUILDING'
+         |ORDER BY change, __rowid""".stripMargin,
     "sc_bucketed_join" ->
       """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS sum_price,
         |  count(*) AS n_orders
