@@ -104,6 +104,27 @@ object Bench {
       "append_rows_per_sec" -> 5.0 * batchRows / appendSec)
   }
 
+  /** Total JVM GC wall-time so far, summed over collectors. Sampled
+    * before/after each timed query: the delta shows when a query's
+    * wall-clock is really GC debt (r3's q3_revenue read 11.9s on
+    * unchanged code — interference, not the plan, was the suspect). */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** Accumulates executor spill bytes per task; reset between queries so
+    * each timed window owns its number. local-mode tasks all report here. */
+  private final class SpillListener extends org.apache.spark.scheduler.SparkListener {
+    val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null)
+        spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled): Unit
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -144,17 +165,31 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] shortcut-store prepare failed: ${e.getMessage}")
       }
+    val spill = new SpillListener
+    spark.sparkContext.addSparkListener(spill)
     val failures = Seq.newBuilder[String]
     val results = selected.map { case (name, fn) =>
+      // Settle GC debt from the previous query outside this window, so a
+      // heap-heavy predecessor can't be billed to an innocent successor.
+      System.gc()
+      spill.spilled.set(0L)
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         failures += name
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Listener events drain asynchronously; flush before reading spill.
+      org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
+      (name, sec, (gcMillis() - gc0) / 1e3, spill.spilled.get())
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val gcJson = results.map { case (k, _, g, _) => "\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    val spillJson = results.map { case (k, _, _, s) => "\"" + k + "\":" + s }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val points =
@@ -166,8 +201,18 @@ object Bench {
       }
     val pJson = points.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"point_ops":$pJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_gc_sec":$gcJson,"query_spill_bytes":$spillJson,"point_ops":$pJson,"sf":"$sfDir"}"""
+    // r3's driver capture kept only the output tail and sliced the head
+    // off the (single, early) JSON line. Belt and braces: persist the
+    // full line to a file in the repo, AND print it again as the very
+    // last thing the process says.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    println(json)
     spark.stop()
+    println(json)
     // A failed query must fail the bench — a timed failure is not a result.
     val failed = failures.result()
     if (failed.nonEmpty) {
