@@ -181,8 +181,12 @@ object Bench {
         failures += name
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      // Listener events drain asynchronously; flush before reading spill.
-      org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
+      // Listener events drain asynchronously; flush before reading
+      // spill. A drain timeout means a possibly-undercounted spill
+      // number — log and continue, never crash a finished run.
+      if (!org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext))
+        System.err.println(s"[bench] $name: listener bus drain timed out; " +
+          "spill bytes may be undercounted")
       (name, sec, (gcMillis() - gc0) / 1e3, spill.spilled.get())
     }
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
@@ -204,13 +208,21 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_gc_sec":$gcJson,"query_spill_bytes":$spillJson,"point_ops":$pJson,"sf":"$sfDir"}"""
     // r3's driver capture kept only the output tail and sliced the head
-    // off the (single, early) JSON line. Belt and braces: persist the
-    // full line to a file in the repo, AND print it again as the very
-    // last thing the process says.
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    // off the (single, early) JSON line. Belt and braces: print first
+    // (stdout is the contract — a file-write failure must not eat the
+    // line), then persist the full line to SPARK_GRAFT_OUT_DIR (falls
+    // back to the working directory, i.e. the repo root when launched
+    // via `sbt runMain` from the checkout), then print again as the
+    // very last thing the process says.
     println(json)
+    try {
+      val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", ".")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outDir, "BENCH_LOCAL.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not persist BENCH_LOCAL.json: ${e.getMessage}")
+    }
     spark.stop()
     println(json)
     // A failed query must fail the bench — a timed failure is not a result.

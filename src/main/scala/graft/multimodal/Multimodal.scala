@@ -127,9 +127,20 @@ object Multimodal {
 
   /** STUB resize: a real implementation would decode, scale, and
     * re-encode; this takes every 2nd payload byte (a deterministic
-    * ½-"downsample" any engine can replay). The payload is ASCII
-    * text, so byte striding ≡ character striding in the oracle. */
+    * ½-"downsample" any engine can replay). Byte striding ≡ the
+    * oracle's character striding ONLY for ASCII payloads — any byte ≥
+    * 0x80 would make the two silently diverge (a multi-byte UTF-8 char
+    * is one oracle stride step but several byte steps), so non-ASCII
+    * input fails loudly here instead of hash-mismatching downstream. */
   def resizeStub(docId: Long, payload: Array[Byte]): ResizedMedia = {
+    var i = 0
+    while (i < payload.length) {
+      require(payload(i) >= 0,
+        s"resizeStub: non-ASCII byte 0x${(payload(i) & 0xff).toHexString} at " +
+          s"offset $i of doc $docId — byte striding diverges from the " +
+          "char-striding oracle outside ASCII; decode-aware resize needed")
+      i += 1
+    }
     val out = Array.tabulate((payload.length + 1) / 2)(i => payload(2 * i))
     ResizedMedia(docId, payload.length.toLong, out.length.toLong, md5Hex(out))
   }

@@ -62,6 +62,19 @@ object Curation {
   /** Output shard count for the training-order pass. */
   private val NumShards = 16
 
+  /** Sub-buckets PER SHARD for the order fingerprint — a parameter of
+    * the fingerprint definition, like [[NumShards]] itself: each shard's
+    * key range splits into this many exact sub-ranges (next 32 key
+    * bits), each sub-range is digested by a STREAMING md5 over its
+    * ordered ids, and the shard fingerprint is the md5 of its ordered
+    * sub-digests. The unit of memory is one digest (16 bytes), never an
+    * id list; the unit of work is one sub-range = corpus/(shards×subs)
+    * — a spillable per-task sort, not a single aggregation row. Raise
+    * it together with NumShards when shards outgrow a task's sort
+    * budget (changing it changes the fingerprint, as reordering always
+    * must). */
+  private val SubBuckets = 64
+
   /** Deterministic global shuffle + sharding — the last step before
     * training: every doc gets a pseudo-random sort key (md5 of the
     * salted id), the key SPACE is split into [[NumShards]] equal
@@ -70,24 +83,67 @@ object Curation {
     * from the key instead of sampled (what `repartitionByRange` would
     * do), assignment is reproducible in any engine and stable under
     * appends, and md5 uniformity balances shard sizes. The assignment
-    * is a narrow map; the only shuffle is the per-shard gather — at
-    * scale each shard is written sorted by its task, so the engine
-    * never holds a global order anywhere. The output fingerprints each
-    * shard's exact doc order, putting the order itself under the
-    * oracle gate. */
+    * is a narrow map; the only corpus shuffle is the per-sub-range
+    * gather — at scale each shard is written sorted by its tasks, so
+    * the engine never holds a global order anywhere. The output
+    * fingerprints each shard's exact doc order, putting the order
+    * itself under the oracle gate.
+    *
+    * The fingerprint is hierarchical so that NO row ever carries a
+    * shard's id list (a whole-shard `collect_list` row would be
+    * corpus/16 at target scale — far past any row budget): ids stream
+    * through a per-(shard, sub-range) MessageDigest inside
+    * `mapPartitions` over hash-clustered, in-partition-sorted rows,
+    * and only the 16-byte digests aggregate upward. The DuckDB oracle
+    * mirrors the same exact two-level construction bit for bit. */
   def dShard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val d = Tables(spark, dir).documents
-    val keyed = d.select(col("doc_id"),
+    val keyed = d.select(col("doc_id").cast("string").as("id"),
         md5(concat(lit("shard-1:"), col("doc_id").cast("string"))).as("kk"))
       .withColumn("shard",
         expr(s"(cast(conv(substring(kk, 1, 8), 16, 10) as bigint) * $NumShards) div 4294967296"))
-    keyed.groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"),
+      .withColumn("sub",
+        expr(s"(cast(conv(substring(kk, 9, 8), 16, 10) as bigint) * $SubBuckets) div 4294967296"))
+    // Hash-cluster the corpus so every (shard, sub) group lands whole
+    // in one task, sort the task's rows into fingerprint order, then
+    // stream each group through an md5 — group boundaries are detected
+    // on the fly, so a task holds one digest and one row at a time.
+    val subDigests = keyed
+      .repartition(col("shard"), col("sub"))
+      .sortWithinPartitions("shard", "sub", "kk", "id")
+      .select(col("shard"), col("sub"), col("kk"), col("id"))
+      .as[(Long, Long, String, String)]
+      .mapPartitions { rows =>
+        val out = Seq.newBuilder[(Long, Long, Long, String)]
+        var cur: (Long, Long) = null
+        var md: java.security.MessageDigest = null
+        var n = 0L
+        def flush(): Unit = if (cur != null)
+          out += ((cur._1, cur._2, n,
+            md.digest().map("%02x".format(_)).mkString))
+        rows.foreach { case (shard, sub, _, id) =>
+          if (cur == null || cur._1 != shard || cur._2 != sub) {
+            flush()
+            cur = (shard, sub)
+            md = java.security.MessageDigest.getInstance("MD5")
+            n = 0L
+          }
+          if (n > 0L) md.update(','.toByte)
+          md.update(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          n += 1L
+        }
+        flush()
+        out.result().iterator
+      }
+      .toDF("shard", "sub", "n", "sub_fp")
+    // Second level runs on ≤ shards×subs digest rows — tiny by
+    // construction, so the bounded collect_list here is fine.
+    subDigests.groupBy("shard")
+      .agg(sum("n").as("n_docs"),
         md5(concat_ws(",",
-          transform(
-            array_sort(collect_list(struct(col("kk"),
-              col("doc_id").cast("string").as("id")))),
-            x => x.getField("id")))).as("order_fp"))
+          transform(array_sort(collect_list(struct(col("sub"), col("sub_fp")))),
+            x => x.getField("sub_fp")))).as("order_fp"))
       .orderBy("shard")
   }
 
@@ -96,11 +152,16 @@ object Curation {
        |  SELECT doc_id, md5('shard-1:' || doc_id::VARCHAR) AS kk FROM documents),
        |s AS (
        |  SELECT doc_id, kk,
-       |    (('0x' || substr(kk, 1, 8))::BIGINT * $NumShards) // 4294967296 AS shard
-       |  FROM k)
-       |SELECT shard, count(*) AS n_docs,
-       |  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY kk, doc_id::VARCHAR)) AS order_fp
-       |FROM s GROUP BY shard
+       |    (('0x' || substr(kk, 1, 8))::BIGINT * $NumShards) // 4294967296 AS shard,
+       |    (('0x' || substr(kk, 9, 8))::BIGINT * $SubBuckets) // 4294967296 AS sub
+       |  FROM k),
+       |subs AS (
+       |  SELECT shard, sub, count(*) AS n,
+       |    md5(string_agg(doc_id::VARCHAR, ',' ORDER BY kk, doc_id::VARCHAR)) AS sub_fp
+       |  FROM s GROUP BY shard, sub)
+       |SELECT shard, sum(n)::BIGINT AS n_docs,
+       |  md5(string_agg(sub_fp, ',' ORDER BY sub)) AS order_fp
+       |FROM subs GROUP BY shard
        |ORDER BY shard""".stripMargin
 
   // ----------------------------------------------------- d_reweight

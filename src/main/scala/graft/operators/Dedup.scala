@@ -23,6 +23,11 @@ object Dedup {
   val RowsPerBand = 4
   /** Verified-Jaccard threshold for near-dup pairs. */
   val JaccardTau = 0.3
+  /** τ as the exact rational 3/10: thresholds compare inter·10 ≥ un·3
+    * so the keep decision is integer arithmetic in BOTH engines (a
+    * rounded float quotient can straddle τ differently per engine once
+    * unions get huge). */
+  val JaccardTauNum = 3
   /** SimHash hamming-distance threshold (32-bit hash, 4 bands of 8
     * bits: pigeonhole guarantees any pair at distance ≤ 3 shares a
     * band). */
@@ -131,9 +136,16 @@ object Dedup {
       .join(sets.select(col("doc_id").as("id1"), col("hs").as("s1")), "id1")
       .join(sets.select(col("doc_id").as("id2"), col("hs").as("s2")), "id2")
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
-      .withColumn("jaccard",
-        round(col("inter") / (size(col("s1")) + size(col("s2")) - col("inter")), 6))
-      .filter(col("jaccard") >= JaccardTau)
+      .withColumn("un",
+        (size(col("s1")) + size(col("s2"))).cast("long") - col("inter"))
+      // τ = 3/10 decided in EXACT integer arithmetic (inter·10 ≥ un·3):
+      // a float `round(j,6) >= 0.3` is engine-portable only while no
+      // union is big enough to land a true quotient inside the rounding
+      // gap — integers remove the assumption instead of betting on it.
+      // The rounded jaccard stays an OUTPUT column (display), never the
+      // decision.
+      .filter(col("inter") * 10 >= col("un") * JaccardTauNum)
+      .withColumn("jaccard", round(col("inter") / col("un"), 6))
       .select("id1", "id2", "inter", "jaccard")
       .orderBy("id1", "id2")
   }
@@ -154,8 +166,8 @@ object Dedup {
        |FROM cand
        |JOIN sets s1 ON id1 = s1.doc_id
        |JOIN sets s2 ON id2 = s2.doc_id
-       |WHERE round(len(list_intersect(s1.hs, s2.hs)) /
-       |    (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs)))::DOUBLE, 6) >= $JaccardTau
+       |WHERE len(list_intersect(s1.hs, s2.hs)) * 10 >=
+       |    (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs))) * $JaccardTauNum
        |ORDER BY id1, id2""".stripMargin
 
   // ------------------------------------------------------- MinHash LSH
@@ -208,15 +220,17 @@ object Dedup {
 
   /** Exact-Jaccard verification of candidate (id1, id2) pairs against
     * the string shingle sets — shared by every MinHash-candidate
-    * consumer; keeps pairs with round(j, 6) ≥ τ. */
+    * consumer; keeps pairs by the integer-exact τ test (inter·10 ≥
+    * un·3 — same rationale as [[dDedupNgram]]: the decision must not
+    * ride on float rounding). */
   private def verifyJaccard(cand: DataFrame, sets: DataFrame): DataFrame =
     cand
       .join(sets.select(col("doc_id").as("id1"), col("shing").as("s1")), "id1")
       .join(sets.select(col("doc_id").as("id2"), col("shing").as("s2")), "id2")
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
       .withColumn("un", size(col("s1")) + size(col("s2")) - col("inter"))
+      .filter(col("inter") * 10 >= col("un") * JaccardTauNum)
       .withColumn("jaccard", round(col("inter") / col("un"), 6))
-      .filter(col("jaccard") >= JaccardTau)
 
   def dDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     // Candidate generation shuffles ids only; the (large) shingle
@@ -251,8 +265,8 @@ object Dedup {
        |  round(len(list_intersect(sa.shing, sb.shing)) /
        |    (len(sa.shing) + len(sb.shing) - len(list_intersect(sa.shing, sb.shing)))::DOUBLE, 6) AS jaccard
        |FROM cand JOIN sets sa ON id1 = sa.doc_id JOIN sets sb ON id2 = sb.doc_id
-       |WHERE round(len(list_intersect(sa.shing, sb.shing)) /
-       |    (len(sa.shing) + len(sb.shing) - len(list_intersect(sa.shing, sb.shing)))::DOUBLE, 6) >= $JaccardTau
+       |WHERE len(list_intersect(sa.shing, sb.shing)) * 10 >=
+       |    (len(sa.shing) + len(sb.shing) - len(list_intersect(sa.shing, sb.shing))) * $JaccardTauNum
        |ORDER BY id1, id2""".stripMargin
 
   // ---------------------------------------------------------- SimHash

@@ -47,6 +47,25 @@ object Similarity {
   val NumQueries = 5
   val TopK = 10
 
+  /** Row budget per block of the pair-join/kernel formulations: bounds
+    * what one block-pair task holds (two blocks ≈ 2 × budget × dim ×
+    * 8 B ≈ 4 MiB at dim 64) and, in the kernel form, the size of ONE
+    * gathered block row — the quantity that must stay far below the
+    * 2 GiB row limit no matter the corpus size. */
+  val TargetRowsPerBlock = 4096L
+
+  /** Number of blocks for an n-vector corpus: enough that (a) no block
+    * exceeds [[TargetRowsPerBlock]] rows and (b) the B(B+1)/2 block
+    * pairs keep every core busy (B ≥ the triangular root of the
+    * parallelism). Derived from one metadata-cheap count — a hardcoded
+    * B means block size grows linearly with the corpus, which is
+    * exactly the 100 TB failure mode. */
+  def blockCount(n: Long, parallelism: Int): Int = {
+    val byRows = (n + TargetRowsPerBlock - 1L) / TargetRowsPerBlock
+    val byPar = math.ceil((math.sqrt(8.0 * math.max(parallelism, 1) + 1) - 1) / 2).toLong
+    math.max(1L, math.max(byRows, byPar)).toInt
+  }
+
   /** Embedding near-dup pairs: cosine ≥ τ, exact, via a
     * block-partitioned pair equi-join (the distributed exact
     * all-pairs-similarity shape).
@@ -76,7 +95,7 @@ object Similarity {
   def dDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val B = 16
+    val B = blockCount(Tables(spark, dir).embeddings.count(), parts)
     val e = withUnit(Tables(spark, dir).embeddings.repartition(parts), "embedding", "u")
       .select(col("vec_id"), col("u"))
     // All (bi ≤ bj) block pairs — a 136-row LocalRelation broadcast to
@@ -103,12 +122,22 @@ object Similarity {
     * (collect_list) and the B(B+1)/2 block-pair rows run a tight
     * primitive-array loop. Same shuffle volume and the same per-task
     * memory bound (two blocks) as [[dDedupEmbedding]], no per-pair
-    * row machinery — measured ~33% faster at sf0.1. PipelineSpec
-    * asserts the two formulations emit identical pair sets. */
-  def dDedupEmbeddingKernel(spark: SparkSession, dir: String): DataFrame = {
+    * row machinery — measured ~33% faster at sf0.1. The block count
+    * adapts to the corpus ([[blockCount]]): a block row is capped at
+    * [[TargetRowsPerBlock]] vectors regardless of scale. PipelineSpec
+    * asserts the two formulations emit identical pair sets AND that
+    * the pair set is invariant across forced block counts. */
+  def dDedupEmbeddingKernel(spark: SparkSession, dir: String): DataFrame =
+    dDedupEmbeddingKernelB(spark, dir, forceB = None)
+
+  /** [[dDedupEmbeddingKernel]] with an overridable block count —
+    * `forceB` exists for the block-invariance spec only. */
+  private[graft] def dDedupEmbeddingKernelB(spark: SparkSession, dir: String,
+      forceB: Option[Int]): DataFrame = {
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val B = 16
+    val B = forceB.getOrElse(
+      blockCount(Tables(spark, dir).embeddings.count(), parts))
     val e = withUnit(Tables(spark, dir).embeddings.repartition(parts), "embedding", "u")
       .select(col("vec_id"), col("u"))
     val blocks = e.select(pmod(col("vec_id"), lit(B)).cast("int").as("b"),

@@ -231,11 +231,19 @@ object StorageOps {
     * under the driver's DuckDB gate, not just under specs. */
   def scCompacted(spark: SparkSession, dir: String): DataFrame = {
     val path = scratch("compacted", dir)
-    writeOnce(path) {
+    // Three-commit build, so "a store exists" is NOT "the build is
+    // done": a crash after the first write leaves a complete-looking
+    // store that would serve the un-deleted BUILDING rows forever.
+    // Same build-complete marker discipline as timeTravelStore —
+    // rebuilding on any partial state converges (a fresh write commits
+    // a full generation; delete + compact then apply to it).
+    val done = new java.io.File(path + "_done")
+    if (!done.exists()) {
       val store = Store.fromData(Tables(spark, dir).customer, Seq("c_custkey"))
       IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
       IndexedStore.delete(spark, path, Seq(Condition.eq("c_mktsegment", "BUILDING")))
       IndexedStore.compact(spark, path)
+      done.createNewFile()
     }
     IndexedStore.find(spark, path, Seq(
         Condition("c_acctbal",

@@ -17,9 +17,44 @@ object EventStream {
 
   private val HourNs = 3600L * 1000000000L
 
+  /** Streaming queries run on their OWN session (shared SparkContext,
+    * isolated SQL conf): the state-partition width and the
+    * nanos-as-long parquet flag are per-stream knobs, and setting them
+    * on the caller's session — even briefly around `start()` — leaks
+    * them into any batch query planned concurrently. One stream
+    * session per root session, memoized; `newSession()` re-applies the
+    * builder options (shuffle width, UTC timezone), so only the
+    * stream-specific conf diverges.
+    *
+    * State-partition count is a per-query knob, frozen into the
+    * checkpoint at start: every stateful operator commits one state
+    * store PER shuffle partition PER micro-batch (a stream-stream
+    * join commits four), so oversizing it buys pure commit overhead
+    * while undersizing it caps stateful parallelism. The batch
+    * shuffle width is the wrong default — state stores are
+    * commit-bound until each partition holds substantial state — so
+    * default to a quarter of the cluster width (floor 8; measured
+    * 2.3× on the stream-stream join at local[32]) and let
+    * deployments pin it via graft.streaming.statePartitions or
+    * GRAFT_STREAM_PARTITIONS. */
+  private val streamSessions =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, SparkSession]
+  private def streamSession(spark: SparkSession): SparkSession =
+    streamSessions.getOrElseUpdate(spark, {
+      val s = spark.newSession()
+      val stateParts = sys.env.get("GRAFT_STREAM_PARTITIONS")
+        .orElse(spark.conf.getOption("graft.streaming.statePartitions"))
+        .getOrElse(math.max(8, spark.sparkContext.defaultParallelism / 4).toString)
+      s.conf.set("spark.sql.shuffle.partitions", stateParts)
+      s
+    })
+
   /** The streaming reader for events: same nanos-as-long handling as
-    * the batch loader, plus the derived micro-precision `ts`. */
-  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    * the batch loader, plus the derived micro-precision `ts`. Builds on
+    * the [[streamSession]] clone — every downstream transform and the
+    * sink inherit it, so the caller's session conf is never touched. */
+  private def eventStream(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(rootSpark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Raw file schema (ts arrives as int64 nanos under nanosAsLong);
     // rename post-load so the by-name parquet column binding works.
@@ -54,26 +89,13 @@ object EventStream {
   }
 
   private def runToTable(df: DataFrame, mode: String): DataFrame = {
+    // df was built through [[eventStream]], so its session IS the
+    // stream session — the state-partition width is already its conf
+    // and the memory-sink table registers there; nothing on the
+    // caller's session is mutated.
     val spark = df.sparkSession
     val name = "graft_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    // State-partition count is a per-query knob, frozen into the
-    // checkpoint at start: every stateful operator commits one state
-    // store PER shuffle partition PER micro-batch (a stream-stream
-    // join commits four), so oversizing it buys pure commit overhead
-    // while undersizing it caps stateful parallelism. The batch
-    // shuffle width is the wrong default — state stores are
-    // commit-bound until each partition holds substantial state — so
-    // default to a quarter of the cluster width (floor 8; measured
-    // 2.3× on the stream-stream join at local[32]) and let
-    // deployments pin it via graft.streaming.statePartitions or
-    // GRAFT_STREAM_PARTITIONS.
-    val batchParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val stateParts = sys.env.get("GRAFT_STREAM_PARTITIONS")
-      .orElse(spark.conf.getOption("graft.streaming.statePartitions"))
-      .getOrElse(math.max(8, spark.sparkContext.defaultParallelism / 4).toString)
-    spark.conf.set("spark.sql.shuffle.partitions", stateParts)
-    val q = try df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", batchParts)
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
     try {
       q.processAllAvailable()
     } finally {

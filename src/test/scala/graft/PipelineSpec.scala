@@ -123,6 +123,51 @@ class PipelineSpec extends SparkSpec {
     assert(kernel.count() > 0)
   }
 
+  test("embedding kernel pair set is invariant across block counts") {
+    val a = Similarity.dDedupEmbeddingKernelB(spark, sf, forceB = Some(3))
+    val b = Similarity.dDedupEmbeddingKernelB(spark, sf, forceB = Some(7))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "pair set depends on the block count — blocking is leaking into semantics")
+    assert(a.count() > 0)
+  }
+
+  test("embedding kernel block count respects the per-block row budget") {
+    val n = graft.core.Tables(spark, sf).embeddings.count()
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val bDerived = Similarity.blockCount(n, parts)
+    val rowsPerBlock = (n + bDerived - 1) / bDerived
+    assert(rowsPerBlock <= Similarity.TargetRowsPerBlock,
+      s"a block row would gather $rowsPerBlock vectors (budget ${Similarity.TargetRowsPerBlock})")
+    // the budget must hold under growth, not just at test scale: a
+    // 10⁹-vector corpus still caps each gathered block row
+    val big = 1000000000L
+    val bBig = Similarity.blockCount(big, parts)
+    assert((big + bBig - 1) / bBig <= Similarity.TargetRowsPerBlock,
+      "block count stops scaling with the corpus — the hardcoded-B failure mode")
+    // and enough block pairs to occupy the cluster at small n
+    assert(bDerived.toLong * (bDerived + 1) / 2 >= parts,
+      s"only ${bDerived.toLong * (bDerived + 1) / 2} block pairs for $parts slots")
+  }
+
+  test("resizeStub fails loudly on non-ASCII payloads") {
+    // byte striding ≡ the oracle's char striding only on ASCII; a
+    // silent divergence is exactly what this guard exists to prevent
+    val ok = graft.multimodal.Multimodal.resizeStub(1L, "abcdef".getBytes("UTF-8"))
+    assert(ok.resized_bytes == 3L)
+    val ex = intercept[IllegalArgumentException] {
+      graft.multimodal.Multimodal.resizeStub(2L, "café".getBytes("UTF-8"))
+    }
+    assert(ex.getMessage.contains("non-ASCII"))
+  }
+
+  test("streaming queries never mutate the caller session's conf") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    graft.streaming.EventStream.stTopk(spark, sf).collect()
+    assert(spark.conf.get(key) == before,
+      "stream state-partition width leaked into the batch session")
+  }
+
   test("d_sample is deterministic and downsamples the dominant language") {
     val s1 = Curation.dSample(spark, sf).cache()
     val s2 = Curation.dSample(spark, sf)

@@ -75,13 +75,25 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("sharding pays exactly one hash exchange") {
+  test("sharding streams the order fingerprint — no whole-shard row") {
     val p = plan("d_shard")
-    // narrow key/shard assignment → one groupBy(shard) exchange; the
-    // presentation orderBy adds a range exchange, nothing more
+    // narrow key/shard/sub assignment → one corpus hash exchange into
+    // the streaming-digest mapPartitions, then one exchange over the
+    // tiny sub-digest frame; the presentation orderBy adds a range
+    // exchange, nothing more
     val hashExchanges = p.linesIterator.count(_.contains("hashpartitioning("))
-    assert(hashExchanges == 1,
-      s"expected exactly one hash exchange, got $hashExchanges:\n${p.take(2500)}")
+    assert(hashExchanges == 2,
+      s"expected exactly two hash exchanges, got $hashExchanges:\n${p.take(2500)}")
+    assert(p.contains("MapPartitions"),
+      s"streaming per-sub-range digest stage missing:\n${p.take(2500)}")
+    // the only collect_list is over the bounded (sub, sub_fp) digest
+    // rows — a collect_list over the raw (kk, id) corpus is the
+    // whole-shard fingerprint row this plan exists to avoid
+    assert(!p.contains("collect_list(struct(kk"),
+      s"whole-shard collect_list over raw ids is back:\n${p.take(2500)}")
+    val clLines = p.linesIterator.filter(_.contains("collect_list")).mkString("\n")
+    assert(clLines.isEmpty || clLines.contains("sub_fp"),
+      s"collect_list must only gather sub-digests:\n$clLines")
   }
 
   test("reweighting broadcasts the rate table to a narrow probe") {
