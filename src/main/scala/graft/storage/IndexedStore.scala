@@ -97,6 +97,8 @@ object IndexedStore {
   private val StatsFile = "_graft_stats.properties"
   private val TombstoneDir = "_graft_tombstones"
   private val ManifestFile = "_graft_manifest.properties"
+  private val WriterTokenFile = "_graft_writer.token"
+  private val LeaseDir = "_graft_leases"
   val RowId = graft.core.Store.RowId
 
   /** All sidecar/tombstone IO goes through the Hadoop FileSystem of
@@ -197,6 +199,124 @@ object IndexedStore {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  // ------------------------------------------- writer token + leases
+
+  /** Claim the store's writer token — call at COMMIT START (before
+    * building the generation). The manifest commit is a
+    * read-modify-write, so two concurrent writers silently corrupt the
+    * chain: the second pointer swap is computed against a stale
+    * manifest and can resurrect swept generations or drop committed
+    * ones from history. The token makes the overlap LOUD: each writer
+    * stamps a fresh token here and re-checks it at pointer-swap time —
+    * the writer that finds someone else's token aborts with its build
+    * intact-but-unpublished (swept by the winner's next commit) and
+    * the chain is never written from stale state. This is detection,
+    * not mutual exclusion (the check-then-swap window is the size of
+    * two small-file writes); a deployment on a store with conditional
+    * PUT would turn the swap into a true CAS right here. */
+  private[graft] def beginCommit(path: String): String = {
+    val token = java.util.UUID.randomUUID().toString
+    val f = hadoopFs(path)
+    val tmp = new HPath(path, WriterTokenFile + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, SparkSession.active.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new HPath(path, WriterTokenFile),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    token
+  }
+
+  private def verifyWriter(path: String, token: String, gen: String): Unit = {
+    val f = hadoopFs(path)
+    val p = new HPath(path, WriterTokenFile)
+    val current =
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+        finally in.close()
+      }
+    if (!current.contains(token))
+      throw new java.util.ConcurrentModificationException(
+        s"writer token lost under $path: another writer claimed the store " +
+          s"after this commit began (expected $token, found " +
+          s"${current.getOrElse("none")}). Aborting the pointer swap — the " +
+          s"built generation $gen stays unpublished and will be swept. " +
+          "The store assumes one writer per commit; serialize writers " +
+          "or back the manifest with a conditional-PUT store.")
+  }
+
+  /** Generations pinned by an unexpired reader lease. Expired lease
+    * files are garbage-collected here (sweep time), so abandoned
+    * readers can never pin a generation forever. */
+  private def leasedGenerations(path: String): Set[String] = {
+    val f = hadoopFs(path)
+    val dir = new HPath(path, LeaseDir)
+    if (!f.exists(dir)) Set.empty
+    else {
+      val now = System.currentTimeMillis()
+      f.listStatus(dir).flatMap { s =>
+        val gen = s.getPath.getName.takeWhile(_ != '.')
+        val expiry =
+          try {
+            val in = f.open(s.getPath)
+            try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+            finally in.close()
+          } catch { case _: Exception => 0L } // unreadable → expired
+        if (expiry >= now) Some(gen)
+        else { f.delete(s.getPath, false); None }
+      }.toSet
+    }
+  }
+
+  /** A reader lease: pins ONE generation against commit sweeps until
+    * [[release]] or expiry. The lease is a tiny uuid-named file under
+    * the store root, so it works from any node on any Hadoop
+    * filesystem; expiry (not just release) bounds the damage of a
+    * crashed reader. A released/expired generation is reclaimed by the
+    * NEXT commit's sweep, like all GC here. */
+  final class Lease private[IndexedStore] (rootPath: String, val gen: String,
+      file: HPath) {
+    def release(): Unit = hadoopFs(rootPath).delete(file, false): Unit
+  }
+
+  /** An [[OpenStore]] whose generation is pinned by a [[Lease]] —
+    * the long-lived-reader story: a plain [[open]] handle survives
+    * exactly ONE concurrent commit (the sweep retains the immediate
+    * predecessor); a leased handle survives any number until it
+    * releases or its TTL lapses. `close()` releases the lease. */
+  final class LeasedStore private[IndexedStore] (val store: OpenStore,
+      val lease: Lease) extends AutoCloseable {
+    def find(conds: Seq[graft.core.Condition]): DataFrame = store.find(conds)
+    override def close(): Unit = lease.release()
+  }
+
+  /** Open the current generation under a reader lease (see
+    * [[LeasedStore]]). Legacy (pre-manifest) root stores cannot be
+    * leased — their handles are covered by the one-commit legacy
+    * sweep deferral instead. */
+  def openLeased(spark: SparkSession, rootPath: String,
+      ttlMillis: Long): LeasedStore = {
+    require(ttlMillis > 0, "lease TTL must be positive")
+    val gen = currentGenName(rootPath).getOrElse(throw new IllegalStateException(
+      s"no manifest store at $rootPath to lease (legacy root stores get " +
+        "one commit of grace from the sweep deferral instead)"))
+    val f = hadoopFs(rootPath)
+    f.mkdirs(new HPath(rootPath, LeaseDir))
+    val file = new HPath(new HPath(rootPath, LeaseDir),
+      s"$gen.${java.util.UUID.randomUUID()}.lease")
+    val out = f.create(file, false) // uuid-named: no overwrite race
+    try out.write((System.currentTimeMillis() + ttlMillis).toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    new LeasedStore(new OpenStore(spark, new HPath(rootPath, gen).toString),
+      new Lease(rootPath, gen, file))
+  }
+
   /** The COMMITTED generation chain, newest first (current at the
     * head) — the manifest's `history` property. Only commits append
     * to it, so a generation that finished its build but crashed
@@ -214,12 +334,14 @@ object IndexedStore {
     * travel depth). The policy lives in the manifest, so it survives
     * commits and applies to every writer of this store; it does NOT
     * retro-delete — a lower setting takes effect at the next commit's
-    * sweep. Like every mutation here, it assumes the store's
-    * single-writer discipline (a concurrent commit between this
-    * read and write would be rolled back). */
+    * sweep. A manifest read-modify-write like any commit, so it runs
+    * under the same writer-token protocol: a concurrent writer makes
+    * this throw instead of silently overwriting the chain. */
   def setRetention(rootPath: String, keep: Int): Unit = {
     require(keep >= 1, "retention keeps at least the immediate predecessor")
+    val token = beginCommit(rootPath)
     val m = manifestProps(rootPath)
+    verifyWriter(rootPath, token, gen = "<retention update>")
     writeManifest(rootPath, Option(m.getProperty("current")), keep,
       committedChain(m))
   }
@@ -242,24 +364,37 @@ object IndexedStore {
     * serving the generation it resolved across ONE concurrent commit
     * (see [[open]]); older committed generations fill the remaining
     * retention budget (time travel depth, [[setRetention]]).
-    * Everything else in the root — superseded generations, crashed
+    * Everything else in the root — superseded generations and crashed
     * partial builds (complete-looking or not: they are absent from
-    * the committed chain), and (when a manifest store replaces a
-    * legacy root store) the legacy files — is deleted. A deployment
-    * wanting reader leases longer than one commit would sweep on a
-    * timer instead. */
-  private def commitAndSweep(path: String, gen: String): Unit = {
+    * the committed chain) — is deleted, with two exceptions: a
+    * generation pinned by an unexpired reader lease
+    * ([[openLeased]]) survives until release/expiry, and when this is
+    * the FIRST manifest commit over a legacy root store the legacy
+    * files get one commit of grace (an open legacy handle keeps
+    * reading them across this commit, symmetric with the
+    * predecessor-generation retention; the next commit reclaims
+    * them). The `writerToken` from [[beginCommit]] is re-verified
+    * right before the swap — a concurrent writer aborts loudly here
+    * instead of committing from stale manifest state. */
+  private[graft] def commitAndSweep(path: String, gen: String,
+      writerToken: String): Unit = {
+    verifyWriter(path, writerToken, gen)
     val m = manifestProps(path)
     val prev = Option(m.getProperty("current"))
+    val f = hadoopFs(path)
+    // first commit over a legacy root store → defer the legacy sweep
+    val legacyGrace = prev.isEmpty && f.exists(new HPath(path, StatsFile))
     val retain = m.getProperty("retain", "1").toInt
     val kept = (prev.toSeq ++ committedChain(m).filterNot(prev.contains))
       .distinct.filterNot(_ == gen).take(retain)
     writeManifest(path, Some(gen), retain, gen +: kept)
-    val f = hadoopFs(path)
+    val leased = leasedGenerations(path)
     f.listStatus(new HPath(path))
       .filter { s =>
         val n = s.getPath.getName
-        n != gen && !kept.contains(n) && n != ManifestFile
+        n != gen && !kept.contains(n) && !leased.contains(n) &&
+          n != ManifestFile && n != WriterTokenFile && n != LeaseDir &&
+          !(legacyGrace && !n.startsWith("gen-"))
       }
       .foreach(s => f.delete(s.getPath, true))
   }
@@ -281,10 +416,17 @@ object IndexedStore {
   def write(df: DataFrame, path: String, primary: IndexSpec,
       statsOnly: Seq[IndexSpec] = Nil, secondary: Seq[HashIndex] = Nil,
       bloom: Seq[String] = Nil): Unit = {
+    val token = beginCommit(path)
     val gen = nextGenName(path)
     writeLayout(df, new HPath(path, gen).toString, primary, statsOnly, secondary, bloom)
-    commitAndSweep(path, gen)
+    commitAndSweep(path, gen, token)
   }
+
+  /** TEST HOOK: build a LEGACY (pre-manifest) root-layout store — the
+    * migration source the legacy-grace sweep deferral exists for. */
+  private[graft] def writeLegacyForTest(df: DataFrame, path: String,
+      primary: IndexSpec): Unit =
+    writeLayout(df, path, primary, Nil, Nil, Nil)
 
   /** Build one complete store generation at `path` (a generation dir,
     * or a bare dir for the pre-manifest tests). */
@@ -653,8 +795,13 @@ object IndexedStore {
   /** Open the store once for repeated probing. The CURRENT generation
     * is resolved here: the handle keeps serving the generation it
     * opened across one concurrent commit (the commit sweep retains
-    * the immediately-preceding generation — see [[gcGenerations]]);
-    * a second commit while the handle is still live reclaims it. */
+    * the immediately-preceding generation); a second commit while the
+    * handle is still live reclaims it. A reader that must outlive
+    * arbitrary commits takes a lease instead — [[openLeased]] pins
+    * the generation until release or TTL expiry. (The reference gets
+    * this for free from ownership — a borrowed `Store` cannot be
+    * invalidated, lib.rs — the distributed analog has to be an
+    * explicit lease.) */
   def open(spark: SparkSession, path: String): OpenStore =
     new OpenStore(spark, resolve(path))
 
@@ -666,7 +813,10 @@ object IndexedStore {
     * reaches is the [[setRetention]] policy. */
   def openAt(spark: SparkSession, rootPath: String, gen: String): OpenStore = {
     require(generations(rootPath).contains(gen),
-      s"unknown or incomplete generation '$gen' under $rootPath")
+      s"unknown, incomplete, or reclaimed generation '$gen' under $rootPath " +
+        "— commit sweeps keep only the retention window (setRetention) " +
+        "plus leased generations (openLeased); this one is not on disk " +
+        "in the committed chain")
     new OpenStore(spark, new HPath(rootPath, gen).toString)
   }
 
@@ -928,10 +1078,11 @@ object IndexedStore {
         val zs = props.getProperty("layout").split(":", 4)
         ZOrderNIndex(zs(1).split(",").toSeq, zs(2).toInt)
     }
+    val token = beginCommit(rootPath)
     val gen = nextGenName(rootPath)
     writeLayout(live, new HPath(rootPath, gen).toString, spec, Nil,
       secondary = secondaryColumns(props).map { case (c, n) => HashIndex(c, n) },
       bloom = bloomColumns(props))
-    commitAndSweep(rootPath, gen)
+    commitAndSweep(rootPath, gen, token)
   }
 }

@@ -454,4 +454,80 @@ class StorageSpec extends SparkSpec {
     val expected = cust.filter(col("c_mktsegment") === "BUILDING").count()
     assert(all.count() == expected)
   }
+
+  test("a leased reader survives any number of commits; release frees the generation") {
+    val path = tmp()
+    val store = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey"))
+    IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
+    val expected = IndexedStore.find(spark, path, Nil).count()
+    val leased = IndexedStore.openLeased(spark, path, ttlMillis = 3600000L)
+    assert(leased.lease.gen == "gen-000001")
+    // three commits: an UNLEASED gen-000001 would be reclaimed by the
+    // second (sweep keeps only the immediate predecessor at retain=1)
+    (1 to 3).foreach(_ => IndexedStore.compact(spark, path))
+    assert(new java.io.File(path, "gen-000001").isDirectory,
+      "leased generation was swept")
+    assert(leased.find(Nil).count() == expected,
+      "leased handle stopped serving its pinned generation")
+    // release + next commit reclaims it
+    leased.close()
+    IndexedStore.compact(spark, path)
+    assert(!new java.io.File(path, "gen-000001").exists,
+      "released generation not reclaimed by the next sweep")
+  }
+
+  test("an expired lease pins nothing — the next sweep reclaims generation and lease") {
+    val path = tmp()
+    val store = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey"))
+    IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
+    val leased = IndexedStore.openLeased(spark, path, ttlMillis = 1L)
+    Thread.sleep(10)
+    (1 to 2).foreach(_ => IndexedStore.compact(spark, path))
+    assert(!new java.io.File(path, "gen-000001").exists,
+      "expired lease still pinned its generation")
+    val remaining = Option(new java.io.File(path, "_graft_leases").listFiles())
+      .map(_.length).getOrElse(0)
+    assert(remaining == 0, "expired lease file not garbage-collected")
+    leased.close() // idempotent no-op after GC
+  }
+
+  test("interleaved writers fail loudly instead of corrupting the manifest chain") {
+    val path = tmp()
+    val store = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey"))
+    IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
+    // writer A begins a commit (claims the token and starts building)...
+    val tokenA = IndexedStore.beginCommit(path)
+    // ...writer B races in and completes a whole commit meanwhile
+    IndexedStore.compact(spark, path)
+    assert(currentGen(path).getName == "gen-000002")
+    // A's pointer swap must now abort loudly — publishing from its
+    // stale manifest view would silently drop B's commit from history
+    intercept[java.util.ConcurrentModificationException](
+      IndexedStore.commitAndSweep(path, "gen-000009", tokenA))
+    // the chain is untouched and the store still serves reads
+    assert(currentGen(path).getName == "gen-000002")
+    assert(IndexedStore.find(spark, path, Nil).count() > 0)
+  }
+
+  test("first manifest commit over a legacy root defers the legacy sweep one commit") {
+    val path = tmp()
+    val store = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey"))
+    // build a LEGACY store: a complete layout at the root, no manifest
+    IndexedStore.writeLegacyForTest(store.data, path, HashIndex("c_mktsegment", 8))
+    assert(!new java.io.File(path, "_graft_manifest.properties").exists)
+    val legacyStats = new java.io.File(path, "_graft_stats.properties")
+    assert(legacyStats.exists, "legacy fixture must have a root sidecar")
+    val legacyHandle = IndexedStore.open(spark, path) // resolves the ROOT
+    val expected = legacyHandle.find(Nil).count()
+    // first manifest commit (compact migrates legacy → generations)
+    IndexedStore.compact(spark, path)
+    assert(legacyStats.exists,
+      "legacy root files must get one commit of grace for open handles")
+    assert(legacyHandle.find(Nil).count() == expected,
+      "open legacy handle broken by the first manifest commit")
+    // the second commit reclaims the legacy files
+    IndexedStore.compact(spark, path)
+    assert(!legacyStats.exists, "legacy root files never reclaimed")
+    assert(IndexedStore.find(spark, path, Nil).count() == expected)
+  }
 }
