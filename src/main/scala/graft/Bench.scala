@@ -136,6 +136,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF=k=v[,k=v...] sets session confs before any query
+    // runs — e.g. graft.ngram.prefixOrder=df to bench an alternate plan
+    // without a code edit.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ => ()
+      }
+    })
     // SPARK_GRAFT_ONLY=a,b,c restricts the run (iteration/debugging).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -196,8 +205,11 @@ object Bench {
     val spillJson = results.map { case (k, _, _, s) => "\"" + k + "\":" + s }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // A restricted run (SPARK_GRAFT_ONLY without "point_ops") skips the
+    // store microbench — iteration on one query shouldn't pay for it.
     val points =
-      try pointOps(spark, sfDir)
+      if (only.exists(!_.contains("point_ops"))) Map.empty[String, Double]
+      else try pointOps(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] point_ops failed: ${e.getMessage}")
         failures += "point_ops"

@@ -96,16 +96,21 @@ object Dedup {
     * with exact set Jaccard |∩|/(|A|+|B|−|∩|) ≥ τ then drops false
     * candidates.
     *
-    * The theorem holds for ANY global total order; this uses the hash
-    * value itself, so each doc's prefix is `slice(array_sort(hs), 1,
-    * ℓ)` — a narrow per-row expression costing NO df pass, no join,
-    * no window (a measured 20% cheaper than the textbook df-ascending
-    * order here: rarest-first needs an extra posting-volume shuffle
-    * to rank tokens, which this benign corpus never earns back).
-    * Random-order prefixes still cut candidate volume to ~(1−τ)² of
-    * the full index's Σ df²; on a heavily Zipfian corpus, switch the
-    * order to (df, h) — the same prefix machinery with the df pass
-    * reinstated — to concentrate prefixes on rare tokens.
+    * The theorem holds for ANY global total order. The DEFAULT order
+    * is the hash value itself, so each doc's prefix is
+    * `slice(array_sort(hs), 1, ℓ)` — a narrow per-row expression
+    * costing NO df pass, no join, no window. Random-order prefixes
+    * still cut candidate volume to ~(1−τ)² of the full index's Σ df².
+    * The textbook df-ascending canonical order (rarest tokens first,
+    * so prefixes concentrate on rare tokens and collide less) is
+    * available under `spark.conf graft.ngram.prefixOrder = "df"`: it
+    * pays one posting-df aggregation plus a per-doc rank window to
+    * buy fewer candidates. Measured at sf0.1 on THIS corpus (uniform
+    * tiny vocabulary, dfs cluster tightly) the df pass costs ~20%
+    * more than it saves; on a heavily Zipfian natural corpus the
+    * candidate-volume win dominates. Both orders are result-identical
+    * (spec-asserted pair-set invariance) — the flag picks a plan,
+    * never an answer.
     *
     * The whole pipeline runs on 32-bit md5 shingle hashes, not shingle
     * strings: postings shuffle 8-byte longs instead of ~25-byte
@@ -125,9 +130,33 @@ object Dedup {
     val sets = shingleSets(spark, dir)
       .select(col("doc_id"),
         array_distinct(transform(col("shing"), s => md5_32(s))).as("hs"))
-    // ⌈τ·sz⌉ with τ = 3/10 in exact integer arithmetic (= JaccardTau)
-    val prefix = sets.select(col("doc_id"), explode(expr(
-      "slice(array_sort(hs), 1, size(hs) - ((3 * size(hs) + 9) div 10) + 1)")).as("h"))
+    // Prefix length ℓ = |s| − ⌈τ·|s|⌉ + 1, with ⌈τ·sz⌉ = (3·sz+9) div 10
+    // in exact integer arithmetic (τ = 3/10 = JaccardTau).
+    val prefix = spark.conf.getOption("graft.ngram.prefixOrder") match {
+      case Some("df") =>
+        // df-ascending canonical order: rank every posting by (df, h)
+        // and keep each doc's ℓ rarest tokens. One df aggregation +
+        // one per-doc rank window more than the hash order; prefixes
+        // concentrate on rare tokens, so prefix⋈prefix candidate
+        // volume shrinks on skewed (Zipfian) vocabularies.
+        val posts = sets.select(col("doc_id"), size(col("hs")).as("sz"),
+          explode(col("hs")).as("h"))
+        val dfs = posts.groupBy("h").agg(count(lit(1)).as("df"))
+        posts.join(dfs, "h")
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("doc_id").orderBy(col("df"), col("h"))))
+          .filter(col("rn") <= col("sz") - expr("(3 * sz + 9) div 10") + 1)
+          .select(col("doc_id"), col("h"))
+          // Materialization barrier: both sides of the candidate
+          // self-join reference this frame — without it the df
+          // aggregation + rank window run twice. (doc_id, h) pairs
+          // only, ~ℓ per doc, so the cache is small by construction.
+          .cache()
+      case _ =>
+        sets.select(col("doc_id"), explode(expr(
+          "slice(array_sort(hs), 1, size(hs) - ((3 * size(hs) + 9) div 10) + 1)")).as("h"))
+    }
     val cand = prefix.as("a").join(prefix.as("b"), "h")
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
@@ -363,26 +392,45 @@ object Dedup {
     * previous label rides through the aggregation as a null-padded
     * `old` column (min ignores nulls), so the convergence check is a
     * filter on the already-materialized result — not an extra
-    * labels⋈labels join per round. */
+    * labels⋈labels join per round.
+    *
+    * Each materialized round UNROLLS TWO propagation hops: the frames
+    * are tiny once pairs are generated, so a round's cost is job
+    * scheduling + checkpoint + the convergence count, not data — and
+    * a min label that needs D hops to cover its component now
+    * converges in ⌈D/2⌉ materialized rounds (+1 confirming round)
+    * instead of D (+1). The intermediate hop is NOT checkpointed; its
+    * plan is referenced twice by the second hop, which bounds the
+    * round's plan at 4× the edge plan — constant, since `labels` and
+    * `edges` under it are materialized blocks. `old` still carries
+    * the label from BEFORE the round (hop 2 reads hop 1's min(old),
+    * which min-folds the self-row's pre-round label through both
+    * aggregations), so `cluster_id < old` detects a change in either
+    * hop — labels only ever decrease. */
   private def propagate(pairs: DataFrame): DataFrame = {
     val edges = pairs.unionByName(
       pairs.select(col("id2").as("id1"), col("id1").as("id2"))).localCheckpoint()
     var labels = edges.select(col("id1").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")).localCheckpoint()
+    // One propagation hop: every node takes the min of its own label
+    // and its neighbors' labels; `old` rides along null-padded so the
+    // pre-round label survives any number of chained hops.
+    def hop(l: DataFrame): DataFrame = l
+      .select(col("doc_id"), col("cluster_id"), col("old"))
+      .unionByName(edges
+        .join(l.select(col("doc_id").as("id2"), col("cluster_id")), "id2")
+        .select(col("id1").as("doc_id"), col("cluster_id"),
+          lit(null).cast("long").as("old")))
+      .groupBy("doc_id")
+      .agg(min("cluster_id").as("cluster_id"), min("old").as("old"))
     var changed = 1L
     while (changed > 0) {
       // LAZY checkpoint: the convergence count below computes every
       // partition of `next`, which persists the marked blocks as a
       // side effect — one job per round where an eager checkpoint
       // plus a count would run two.
-      val next = labels
-        .select(col("doc_id"), col("cluster_id"), col("cluster_id").as("old"))
-        .unionByName(edges
-          .join(labels.select(col("doc_id").as("id2"), col("cluster_id")), "id2")
-          .select(col("id1").as("doc_id"), col("cluster_id"),
-            lit(null).cast("long").as("old")))
-        .groupBy("doc_id")
-        .agg(min("cluster_id").as("cluster_id"), min("old").as("old"))
+      val next = hop(hop(labels
+          .select(col("doc_id"), col("cluster_id"), col("cluster_id").as("old"))))
         .localCheckpoint(false)
       changed = next.filter(col("cluster_id") < col("old")).count()
       labels = next.select("doc_id", "cluster_id")

@@ -56,6 +56,22 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ngram df-ascending prefix order is result-identical to the hash order") {
+    // graft.ngram.prefixOrder picks a PLAN (which ℓ tokens each doc
+    // indexes), never an answer: the AllPairs prefix theorem holds for
+    // any global total order, so the verified pair set must be
+    // bit-identical under both orders.
+    val hashOrder = Dedup.dDedupNgram(spark, sf).cache()
+    spark.conf.set("graft.ngram.prefixOrder", "df")
+    try {
+      val dfOrder = Dedup.dDedupNgram(spark, sf)
+      assert(hashOrder.exceptAll(dfOrder).count() == 0 &&
+        dfOrder.exceptAll(hashOrder).count() == 0,
+        "prefix order changed the verified pair set")
+      assert(hashOrder.count() > 0)
+    } finally spark.conf.unset("graft.ngram.prefixOrder")
+  }
+
   test("dedup_minhash: candidates are a subset of true near-dup pairs") {
     val mh = Dedup.dDedupMinhash(spark, sf).select("id1", "id2")
     val ng = Dedup.dDedupNgram(spark, sf).select("id1", "id2")
