@@ -141,8 +141,13 @@ object Bench {
     // without a code edit.
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
       kv.split("=", 2) match {
-        case Array(k, v) if k.trim.nonEmpty => spark.conf.set(k.trim, v.trim)
-        case _ => ()
+        case Array(k, v) if k.trim.nonEmpty =>
+          System.err.println(s"[bench] conf ${k.trim}=${v.trim}")
+          spark.conf.set(k.trim, v.trim)
+        case _ =>
+          // A silently dropped override would attribute the run to a
+          // plan that never executed.
+          sys.error(s"SPARK_GRAFT_CONF entry '$kv' is not k=v")
       }
     })
     // SPARK_GRAFT_ONLY=a,b,c restricts the run (iteration/debugging).

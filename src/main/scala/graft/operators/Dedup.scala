@@ -150,12 +150,20 @@ object Dedup {
           .select(col("doc_id"), col("h"))
           // Materialization barrier: both sides of the candidate
           // self-join reference this frame — without it the df
-          // aggregation + rank window run twice. (doc_id, h) pairs
-          // only, ~ℓ per doc, so the cache is small by construction.
-          .cache()
-      case _ =>
+          // aggregation + rank window run twice. Lazy localCheckpoint,
+          // not cache: the blocks are released by the ContextCleaner
+          // when the frame is GC'd, so repeated invocations don't pin
+          // storage for the application lifetime. (doc_id, h) pairs
+          // only, ~ℓ per doc, so the materialization is small.
+          .localCheckpoint(false)
+      case Some("hash") | None =>
         sets.select(col("doc_id"), explode(expr(
           "slice(array_sort(hs), 1, size(hs) - ((3 * size(hs) + 9) div 10) + 1)")).as("h"))
+      case Some(other) =>
+        // A typo'd value must not silently bench the default plan as
+        // if it were the requested one.
+        throw new IllegalArgumentException(
+          s"graft.ngram.prefixOrder = '$other' (expected 'hash' or 'df')")
     }
     val cand = prefix.as("a").join(prefix.as("b"), "h")
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -399,10 +407,11 @@ object Dedup {
     * scheduling + checkpoint + the convergence count, not data — and
     * a min label that needs D hops to cover its component now
     * converges in ⌈D/2⌉ materialized rounds (+1 confirming round)
-    * instead of D (+1). The intermediate hop is NOT checkpointed; its
-    * plan is referenced twice by the second hop, which bounds the
-    * round's plan at 4× the edge plan — constant, since `labels` and
-    * `edges` under it are materialized blocks. `old` still carries
+    * instead of D (+1). The intermediate hop gets its own LAZY
+    * localCheckpoint: the outer hop references it twice (self branch
+    * + join branch), and without the barrier Spark re-executes the
+    * inner aggregation per branch — measured ~25% of the round cost
+    * at sf0.1, on top of keeping the round's plan O(1). `old` carries
     * the label from BEFORE the round (hop 2 reads hop 1's min(old),
     * which min-folds the self-row's pre-round label through both
     * aggregations), so `cluster_id < old` detects a change in either
@@ -430,7 +439,8 @@ object Dedup {
       // side effect — one job per round where an eager checkpoint
       // plus a count would run two.
       val next = hop(hop(labels
-          .select(col("doc_id"), col("cluster_id"), col("cluster_id").as("old"))))
+          .select(col("doc_id"), col("cluster_id"), col("cluster_id").as("old")))
+          .localCheckpoint(false))
         .localCheckpoint(false)
       changed = next.filter(col("cluster_id") < col("old")).count()
       labels = next.select("doc_id", "cluster_id")

@@ -63,8 +63,28 @@ object Similarity {
   def blockCount(n: Long, parallelism: Int): Int = {
     val byRows = (n + TargetRowsPerBlock - 1L) / TargetRowsPerBlock
     val byPar = math.ceil((math.sqrt(8.0 * math.max(parallelism, 1) + 1) - 1) / 2).toLong
-    math.max(1L, math.max(byRows, byPar)).toInt
+    val b = math.max(1L, math.max(byRows, byPar))
+    // Fail loudly rather than wrap negative on .toInt: past ~10¹² rows
+    // exact all-pairs needs a different algorithm, not a bigger B.
+    require(b <= Int.MaxValue, s"block count $b exceeds Int range — corpus too large for exact all-pairs")
+    b.toInt
   }
+
+  /** All (bi ≤ bj) block pairs, enumerated DISTRIBUTED: B scales with
+    * the corpus, so the B(B+1)/2 pairs must never materialize as a
+    * driver-side collection (B ≈ 244k at 10⁹ vectors would be ~3·10¹⁰
+    * driver tuples). One range row per bi, exploding the [bi, B)
+    * tail — a narrow map, no join (a Range×Range cross join would put
+    * a BroadcastNestedLoopJoin in a plan spec-guarded against them).
+    * The transient per-row sequence is ≤ B elements (~1 MiB at
+    * B = 244k); past ~10⁶ blocks, chunk the sequence — at that point
+    * exact all-pairs is infeasible anyway. At bench scale the frame
+    * is a few dozen rows and the optimizer's size estimate broadcasts
+    * it downstream. */
+  private def blockPairsDf(spark: SparkSession, b: Int): DataFrame =
+    spark.range(b.toLong)
+      .select(col("id").cast("int").as("bi"),
+        explode(sequence(col("id").cast("int"), lit(b - 1))).as("bj"))
 
   /** Embedding near-dup pairs: cosine ≥ τ, exact, via a
     * block-partitioned pair equi-join (the distributed exact
@@ -98,16 +118,16 @@ object Similarity {
     val B = blockCount(Tables(spark, dir).embeddings.count(), parts)
     val e = withUnit(Tables(spark, dir).embeddings.repartition(parts), "embedding", "u")
       .select(col("vec_id"), col("u"))
-    // All (bi ≤ bj) block pairs — a 136-row LocalRelation broadcast to
-    // tag each side with every block pair it participates in.
-    val blockPairs =
-      (for { i <- 0 until B; j <- i until B } yield (i, j)).toDF("bi", "bj")
+    // All (bi ≤ bj) block pairs, tagging each side with every block
+    // pair it participates in. Tiny at small B (auto-broadcast via
+    // size estimate), distributed at large B — never driver-resident.
+    val blockPairs = blockPairsDf(spark, B)
     val left = e.select(col("vec_id").as("ida"), col("u").as("ua"),
         pmod(col("vec_id"), lit(B)).cast("int").as("bi"))
-      .join(broadcast(blockPairs), "bi")
+      .join(blockPairs, "bi")
     val right = e.select(col("vec_id").as("idb"), col("u").as("ub"),
         pmod(col("vec_id"), lit(B)).cast("int").as("bj"))
-      .join(broadcast(blockPairs), "bj")
+      .join(blockPairs, "bj")
     left.join(right, Seq("bi", "bj"))
       .filter(col("bi") =!= col("bj") || col("ida") < col("idb"))
       .filter(dot(col("ua"), col("ub")) >= CosTau)
@@ -143,8 +163,7 @@ object Similarity {
     val blocks = e.select(pmod(col("vec_id"), lit(B)).cast("int").as("b"),
         struct(col("vec_id"), col("u")).as("v"))
       .groupBy("b").agg(collect_list(col("v")).as("vecs"))
-    val blockPairs =
-      (for { i <- 0 until B; j <- i until B } yield (i, j)).toDF("bi", "bj")
+    val blockPairs = blockPairsDf(spark, B)
     val tau = CosTau
     blockPairs
       .join(blocks.select(col("b").as("bi"), col("vecs").as("va")), "bi")

@@ -302,6 +302,12 @@ object IndexedStore {
   def openLeased(spark: SparkSession, rootPath: String,
       ttlMillis: Long): LeasedStore = {
     require(ttlMillis > 0, "lease TTL must be positive")
+    // Saturating expiry: now + Long.MaxValue would wrap negative and
+    // produce a lease that is ALREADY expired — the next commit would
+    // sweep the very generation the caller asked to pin.
+    val expiry =
+      try math.addExact(System.currentTimeMillis(), ttlMillis)
+      catch { case _: ArithmeticException => Long.MaxValue }
     val gen = currentGenName(rootPath).getOrElse(throw new IllegalStateException(
       s"no manifest store at $rootPath to lease (legacy root stores get " +
         "one commit of grace from the sweep deferral instead)"))
@@ -310,7 +316,7 @@ object IndexedStore {
     val file = new HPath(new HPath(rootPath, LeaseDir),
       s"$gen.${java.util.UUID.randomUUID()}.lease")
     val out = f.create(file, false) // uuid-named: no overwrite race
-    try out.write((System.currentTimeMillis() + ttlMillis).toString
+    try out.write(expiry.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     new LeasedStore(new OpenStore(spark, new HPath(rootPath, gen).toString),

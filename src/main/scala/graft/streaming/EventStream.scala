@@ -37,17 +37,28 @@ object EventStream {
     * 2.3× on the stream-stream join at local[32]) and let
     * deployments pin it via graft.streaming.statePartitions or
     * GRAFT_STREAM_PARTITIONS. */
-  private val streamSessions =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, SparkSession]
-  private def streamSession(spark: SparkSession): SparkSession =
-    streamSessions.getOrElseUpdate(spark, {
-      val s = spark.newSession()
-      val stateParts = sys.env.get("GRAFT_STREAM_PARTITIONS")
-        .orElse(spark.conf.getOption("graft.streaming.statePartitions"))
-        .getOrElse(math.max(8, spark.sparkContext.defaultParallelism / 4).toString)
-      s.conf.set("spark.sql.shuffle.partitions", stateParts)
-      s
-    })
+  // Weak keys: a root session that the caller drops must not be pinned
+  // here forever (the clone holds the context and shared state, not its
+  // parent session object, so the weak reference can actually clear).
+  private val streamSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, SparkSession]())
+  private def streamSession(spark: SparkSession): SparkSession = {
+    val s = Option(streamSessions.get(spark)).getOrElse {
+      val ns = spark.newSession()
+      streamSessions.put(spark, ns)
+      ns
+    }
+    // Re-resolve the width on EVERY call: the memo exists to avoid
+    // accumulating sessions, not to freeze the knob — a caller that
+    // sets graft.streaming.statePartitions between queries must see it
+    // apply to the next stream, as it did when the conf was read
+    // per-query.
+    val stateParts = sys.env.get("GRAFT_STREAM_PARTITIONS")
+      .orElse(spark.conf.getOption("graft.streaming.statePartitions"))
+      .getOrElse(math.max(8, spark.sparkContext.defaultParallelism / 4).toString)
+    s.conf.set("spark.sql.shuffle.partitions", stateParts)
+    s
+  }
 
   /** The streaming reader for events: same nanos-as-long handling as
     * the batch loader, plus the derived micro-precision `ts`. Builds on
