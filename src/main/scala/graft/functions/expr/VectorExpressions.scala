@@ -211,6 +211,40 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** NON-OVERLAPPING n-word chunks in document order, duplicates kept —
+  * the sub-document dedup unit (positions come from posexplode
+  * downstream, so the array must preserve order and repeats, unlike
+  * [[WordShingles]]' distinct set). Single pass per row for the same
+  * reason as WordShingles: slicing a words EXPRESSION once per chunk
+  * re-evaluates the split per element after projection collapse. */
+case class WordChunks(child: Expression, n: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val m = words.numElements()
+    val k = m / n
+    val out = new Array[Any](k)
+    var c = 0
+    while (c < k) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        parts(2 * j) = words.getUTF8String(c * n + j)
+        if (j < n - 1) parts(2 * j + 1) = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+        j += 1
+      }
+      out(c) = org.apache.spark.unsafe.types.UTF8String.concat(parts: _*)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExpressions {
   /** Column wrappers. */
   def dotProduct(a: Column, b: Column): Column =
@@ -220,4 +254,6 @@ object VectorExpressions {
     column(MinHashSigs(expression(hashes), numPerms, p))
   def wordShingles(words: Column, n: Int): Column =
     column(WordShingles(expression(words), n))
+  def wordChunks(words: Column, n: Int): Column =
+    column(WordChunks(expression(words), n))
 }

@@ -646,11 +646,71 @@ object Dedup {
        |GROUP BY p.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ chunk-level dedup
+
+  /** Chunk width (words) for sub-document dedup: the unit real
+    * pipelines dedup AFTER whole-doc exact dedup — boilerplate
+    * headers, license blocks, navigation text — i.e. the analog of
+    * line/paragraph dedup for corpora without layout structure. */
+  val ChunkWords = 16
+
+  /** CHUNK-LEVEL exact dedup: find every verbatim [[ChunkWords]]-word
+    * chunk that occurs more than once corpus-wide (across docs or
+    * repeated within one), with occurrence/doc counts and the keeper
+    * occurrence (lexicographic min (doc_id, pos) — the one a rewrite
+    * pass would retain).
+    *
+    * Each doc splits into its ⌊n/16⌋ NON-OVERLAPPING chunks via the
+    * single-pass [[graft.functions.expr.WordChunks]] expression
+    * (order-preserving, duplicates kept — posexplode recovers the
+    * chunk position; a per-chunk `slice(w, ...)` lambda would
+    * re-evaluate the word split per chunk after projection collapse,
+    * the SURVEY §8 hazard). Chunks hash through md5_32 so postings
+    * shuffle 8-byte longs, and ONE hash shuffle groups occurrences
+    * corpus-wide — the same linear scale shape as [[dDedupExact]]
+    * with ~n/16 units per doc, and the oracle replays the identical
+    * hashes. The keeper is min(struct(doc_id, pos)): struct ordering
+    * is lexicographic field-by-field in both engines. */
+  def dDedupChunk(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextAnalysis.docsSpread(spark, dir)
+    val chunks = d.select(col("doc_id"),
+        posexplode(graft.functions.expr.VectorExpressions
+          .wordChunks(words(col("text")), ChunkWords)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5_32(col("col")).as("chunk_fp"))
+    chunks.groupBy("chunk_fp")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("pos"))).as("k"))
+      .filter(col("n_occ") > 1)
+      .select(col("chunk_fp"), col("n_occ"), col("n_docs"),
+        col("k.doc_id").as("keeper_id"), col("k.pos").as("keeper_pos"))
+      .orderBy("chunk_fp")
+  }
+
+  val dDedupChunkSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, i AS pos,
+       |    ('0x' || substr(md5(array_to_string(
+       |      w[i*$ChunkWords + 1 : i*$ChunkWords + $ChunkWords], ' ')), 1, 8))::BIGINT AS chunk_fp
+       |  FROM w, LATERAL (SELECT unnest(range(len(w) // $ChunkWords)) AS i) t),
+       |g AS (
+       |  SELECT chunk_fp, count(*)::BIGINT AS n_occ,
+       |    count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |    min({'doc_id': doc_id, 'pos': pos}) AS k
+       |  FROM chunks GROUP BY chunk_fp)
+       |SELECT chunk_fp, n_occ, n_docs,
+       |  k.doc_id AS keeper_id, k.pos::BIGINT AS keeper_pos
+       |FROM g WHERE n_occ > 1
+       |ORDER BY chunk_fp""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_dedup_exact" -> dDedupExact,
     "d_dedup_ngram" -> dDedupNgram,
     "d_dedup_minhash" -> dDedupMinhash,
     "d_dedup_simhash" -> dDedupSimhash,
+    "d_dedup_chunk" -> dDedupChunk,
     "d_cluster" -> dCluster,
     "d_cluster_incr" -> dClusterIncr,
     "d_split" -> dSplit,
@@ -662,6 +722,7 @@ object Dedup {
     "d_dedup_ngram" -> dDedupNgramSql,
     "d_dedup_minhash" -> dDedupMinhashSql,
     "d_dedup_simhash" -> dDedupSimhashSql,
+    "d_dedup_chunk" -> dDedupChunkSql,
     "d_cluster" -> dClusterSql,
     // The incremental plan must reproduce the full recompute exactly —
     // its oracle IS the full-recompute closure.

@@ -262,6 +262,86 @@ object TextAnalysis {
        |        FROM documents) w) t
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- repetition
+
+  /** Repetitive when the top word's count · 8 ≥ n_words (top-word
+    * fraction ≥ 1/8) ... */
+  val TopWordTauDen = 8
+  /** ... or duplicate-2-gram occurrences · 10 ≥ total 2-grams
+    * (duplicate-2-gram fraction ≥ 1/10). Both decisions are integer
+    * arithmetic in BOTH engines; the rounded fractions are output
+    * columns, never the decision. */
+  val Dup2gramTauDen = 10
+
+  /** Within-doc REPETITION metrics — the repetition-quality family of
+    * filters (repeated words / repeated n-grams) every training
+    * pipeline runs alongside length/stopword heuristics: degenerate
+    * generations and boilerplate loops score high here while passing
+    * naive quality checks.
+    *
+    * - `dup_word_frac`: 1 − distinct words / total words (narrow).
+    * - `top_word_frac`: most frequent single word's share — the one
+    *   shuffled metric: explode → per-(doc, word) partial counts →
+    *   per-doc max, two map-side-combining aggregations, linear in
+    *   corpus size.
+    * - `dup_2gram_frac`: 1 − distinct 2-grams / total 2-grams; total
+    *   is n−1 by construction and the distinct count reuses the
+    *   single-pass [[graft.functions.expr.WordShingles]] set (narrow,
+    *   no per-element lambda over an inlineable expression — SURVEY
+    *   §8).
+    * - `repetitive`: integer-exact threshold OR ([[TopWordTauDen]],
+    *   [[Dup2gramTauDen]]). */
+  def tRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsSpread(spark, dir)
+    val w = words(col("text"))
+    val nWords = size(w).cast("long")
+    val nG2 = greatest(nWords - 1L, lit(0L))
+    val base = d.select(col("doc_id"),
+      nWords.as("n"),
+      size(array_distinct(w)).cast("long").as("nd"),
+      nG2.as("ng2"),
+      size(graft.functions.expr.VectorExpressions.wordShingles(w, 2))
+        .cast("long").as("ng2d"))
+    val topc = d.select(col("doc_id"), explode(w).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("topc"))
+    base.join(topc, "doc_id")
+      .select(col("doc_id"), col("n").as("n_words"),
+        round(lit(1.0) - col("nd") / col("n").cast("double"), 6).as("dup_word_frac"),
+        round(col("topc") / col("n").cast("double"), 6).as("top_word_frac"),
+        when(col("ng2") > 0,
+          round((col("ng2") - col("ng2d")) / col("ng2").cast("double"), 6))
+          .otherwise(lit(0.0)).as("dup_2gram_frac"),
+        (col("topc") * TopWordTauDen >= col("n") ||
+          (col("ng2") > 0 && (col("ng2") - col("ng2d")) * Dup2gramTauDen >= col("ng2")))
+          .as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  val tRepetitionSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |base AS (
+       |  SELECT doc_id, len(w)::BIGINT AS n, len(list_distinct(w))::BIGINT AS nd,
+       |    greatest(len(w) - 1, 0)::BIGINT AS ng2,
+       |    len(list_distinct(
+       |      [w[i] || ' ' || w[i+1] for i in range(1, len(w))]))::BIGINT AS ng2d
+       |  FROM w),
+       |tc AS (
+       |  SELECT doc_id, max(c)::BIGINT AS topc FROM (
+       |    SELECT doc_id, count(*) AS c
+       |    FROM (SELECT doc_id, unnest(w) AS word FROM w) u
+       |    GROUP BY doc_id, word) v
+       |  GROUP BY doc_id)
+       |SELECT b.doc_id, n AS n_words,
+       |  round(1 - nd / n::DOUBLE, 6) AS dup_word_frac,
+       |  round(topc / n::DOUBLE, 6) AS top_word_frac,
+       |  CASE WHEN ng2 > 0 THEN round((ng2 - ng2d) / ng2::DOUBLE, 6)
+       |       ELSE 0.0 END AS dup_2gram_frac,
+       |  (topc * $TopWordTauDen >= n OR
+       |    (ng2 > 0 AND (ng2 - ng2d) * $Dup2gramTauDen >= ng2)) AS repetitive
+       |FROM base b JOIN tc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_count" -> tTokenCount,
     "t_quality" -> tQuality,
@@ -269,6 +349,7 @@ object TextAnalysis {
     "t_fingerprint" -> tFingerprint,
     "t_corpus_stats" -> tCorpusStats,
     "t_pack" -> tPack,
+    "t_repetition" -> tRepetition,
   )
 
   def oracles: Map[String, String] = Map(
@@ -278,5 +359,6 @@ object TextAnalysis {
     "t_fingerprint" -> tFingerprintSql,
     "t_corpus_stats" -> tCorpusStatsSql,
     "t_pack" -> tPackSql,
+    "t_repetition" -> tRepetitionSql,
   )
 }

@@ -48,4 +48,27 @@ class ExprSpec extends SparkSpec {
       .filter(col("a") =!= col("b"))
     assert(diff.count() == 0)
   }
+
+  test("WordChunks ≡ per-chunk slice/join on a materialized word array") {
+    val n = Dedup.ChunkWords
+    // Reference formulation over a MATERIALIZED array column (safe for
+    // a spec; in the operator this shape would re-evaluate the split
+    // per chunk after projection collapse — why WordChunks exists).
+    val d = Tables(spark, sf).documents.limit(200)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .localCheckpoint()
+    val ref = expr(
+      s"transform(sequence(1, size(w) div $n), c -> array_join(slice(w, (c - 1) * $n + 1, $n), ' '))")
+    val diff = d.select(
+        VectorExpressions.wordChunks(col("w"), n).as("a"),
+        when(size(col("w")) >= n, ref)
+          .otherwise(array().cast("array<string>")).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(diff.count() == 0)
+    // order and duplicates preserved: chunk count is exactly ⌊m/n⌋
+    val badLen = d.select(size(VectorExpressions.wordChunks(col("w"), n)).as("k"),
+        expr(s"size(w) div $n").as("e"))
+      .filter(col("k") =!= col("e"))
+    assert(badLen.count() == 0)
+  }
 }

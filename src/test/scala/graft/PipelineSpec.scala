@@ -80,6 +80,36 @@ class PipelineSpec extends SparkSpec {
     assert(mh.count() > 0)
   }
 
+  test("d_dedup_chunk reports only repeated chunks, keeper is the min occurrence") {
+    val chunks = Dedup.dDedupChunk(spark, sf).cache()
+    assert(chunks.count() > 0, "fixture lost: no duplicated 16-word chunk in the corpus")
+    assert(chunks.filter(col("n_occ") < 2).count() == 0)
+    assert(chunks.filter(col("n_docs") > col("n_occ")).count() == 0)
+    assert(chunks.filter(col("n_docs") > 1).count() > 0,
+      "fixture lost: no chunk shared ACROSS documents")
+    assert(chunks.filter(col("keeper_pos") < 0).count() == 0)
+    // exact-dup docs share all their full chunks, so every chunk of an
+    // exact-dup group's docs must appear here with n_docs >= group size
+    val dupDocs = Dedup.dDedupExact(spark, sf)
+      .filter(col("group_size") > 1 && !col("is_dup")).select("doc_id")
+    val longEnough = graft.core.Tables(spark, sf).documents
+      .join(dupDocs, "doc_id")
+      .filter(size(graft.functions.TextFunctions.words(col("text"))) >= Dedup.ChunkWords)
+    assert(longEnough.count() == 0 ||
+      chunks.filter(col("n_docs") > 1).count() > 0)
+  }
+
+  test("t_repetition fractions are bounded and the flag is the integer predicate") {
+    val rep = TextAnalysis.tRepetition(spark, sf).cache()
+    assert(rep.count() == graft.core.Tables(spark, sf).documents.count())
+    Seq("dup_word_frac", "top_word_frac", "dup_2gram_frac").foreach { c =>
+      assert(rep.filter(col(c) < 0 || col(c) > 1).count() == 0, s"$c out of [0,1]")
+    }
+    val flagged = rep.filter(col("repetitive")).count()
+    assert(flagged > 0 && flagged < rep.count(),
+      s"thresholds must split the corpus (flagged $flagged of ${rep.count()})")
+  }
+
   test("dedup_simhash: pairs symmetric-free and within hamming bound") {
     val df = Dedup.dDedupSimhash(spark, sf).cache()
     assert(df.count() > 0)
