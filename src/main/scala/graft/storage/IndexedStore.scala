@@ -98,7 +98,15 @@ object IndexedStore {
   private val TombstoneDir = "_graft_tombstones"
   private val ManifestFile = "_graft_manifest.properties"
   private val WriterTokenFile = "_graft_writer.token"
+  private val CommitLockFile = "_graft_commit.lock"
   private val LeaseDir = "_graft_leases"
+
+  /** How long a crashed writer's commit lock blocks the store before
+    * another writer may break it. A commit (generation build included)
+    * must finish within this window or risk losing its lock to a
+    * breaker — the swap-time writer-token check then aborts the slow
+    * writer loudly instead of corrupting the chain. */
+  private[graft] val CommitLockTtlMs: Long = 60L * 60 * 1000
   val RowId = graft.core.Store.RowId
 
   /** All sidecar/tombstone IO goes through the Hadoop FileSystem of
@@ -201,22 +209,87 @@ object IndexedStore {
 
   // ------------------------------------------- writer token + leases
 
-  /** Claim the store's writer token — call at COMMIT START (before
-    * building the generation). The manifest commit is a
-    * read-modify-write, so two concurrent writers silently corrupt the
-    * chain: the second pointer swap is computed against a stale
-    * manifest and can resurrect swept generations or drop committed
-    * ones from history. The token makes the overlap LOUD: each writer
-    * stamps a fresh token here and re-checks it at pointer-swap time —
-    * the writer that finds someone else's token aborts with its build
-    * intact-but-unpublished (swept by the winner's next commit) and
-    * the chain is never written from stale state. This is detection,
-    * not mutual exclusion (the check-then-swap window is the size of
-    * two small-file writes); a deployment on a store with conditional
-    * PUT would turn the swap into a true CAS right here. */
-  private[graft] def beginCommit(path: String): String = {
+  /** Parsed commit lock: (owner token, expiry ms). None when the file
+    * is absent, mid-write, or unparseable — callers treat those as
+    * "held by someone in an unknown state", never as free. */
+  private def readCommitLock(path: String): Option[(String, Long)] = {
+    val f = hadoopFs(path)
+    val p = new HPath(path, CommitLockFile)
+    if (!f.exists(p)) None
+    else
+      try {
+        val in = f.open(p)
+        val s =
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        s.trim.split(" ", 2) match {
+          case Array(tok, exp) => Some((tok, exp.trim.toLong))
+          case _ => None
+        }
+      } catch { case _: Exception => None }
+  }
+
+  /** Claim the store's commit LOCK + writer token — call at COMMIT
+    * START (before building the generation).
+    *
+    * Two layers, because the manifest commit is a read-modify-write
+    * that two concurrent writers would silently corrupt:
+    *
+    * 1. MUTUAL EXCLUSION (this method): a create-exclusive lock file
+    *    under the root. On filesystems with atomic create-no-overwrite
+    *    (local, HDFS; S3A maps it to a conditional PUT on current
+    *    object stores) a second writer fails HERE, at begin, with its
+    *    build never started — not after hours of generation building.
+    *    The lock carries a TTL ([[CommitLockTtlMs]]) so a crashed
+    *    writer blocks the store only until expiry; a writer that finds
+    *    an EXPIRED lock breaks it and takes its place.
+    * 2. DETECTION (the writer token, re-checked at pointer-swap time
+    *    by [[commitAndSweep]]): the backstop for every hole mutual
+    *    exclusion can't cover — a writer that out-slept its TTL and
+    *    lost the lock to a breaker, or a filesystem whose create is
+    *    not actually exclusive. The loser aborts with its build
+    *    intact-but-unpublished (swept by the winner's next commit);
+    *    the chain is never written from stale state.
+    *
+    * The break-expired-lock path has a benign race (two breakers can
+    * both think they won for the width of a delete+create); the
+    * verify-after-create below shrinks it to one small-file write and
+    * the swap-time token check catches whatever survives. */
+  private[graft] def beginCommit(path: String,
+      ttlMillis: Long = CommitLockTtlMs): String = {
     val token = java.util.UUID.randomUUID().toString
     val f = hadoopFs(path)
+    val lockPath = new HPath(path, CommitLockFile)
+    val expiry =
+      try math.addExact(System.currentTimeMillis(), ttlMillis)
+      catch { case _: ArithmeticException => Long.MaxValue }
+    def tryCreate(): Boolean =
+      try {
+        val out = f.create(lockPath, false) // create-exclusive
+        try out.write(s"$token $expiry"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val canBreak = readCommitLock(path) match {
+        case Some((_, exp)) => exp < System.currentTimeMillis()
+        case None => false // absent would have created; unreadable = held
+      }
+      if (!canBreak || { f.delete(lockPath, false); !tryCreate() })
+        throw new java.util.ConcurrentModificationException(
+          s"commit lock at $path is held by another writer " +
+            s"(${readCommitLock(path).fold("unreadable")(l =>
+              s"token ${l._1}, expires ${l._2}")}). One writer per " +
+            "commit; wait for it to finish or for the lock TTL to lapse.")
+    }
+    // Verify ownership: a concurrent breaker of the same expired lock
+    // can have replaced the file between our create and now.
+    if (!readCommitLock(path).exists(_._1 == token))
+      throw new java.util.ConcurrentModificationException(
+        s"commit lock at $path was claimed by a concurrent writer " +
+          "immediately after this writer created it (expired-lock break " +
+          "race). Retry the commit.")
     val tmp = new HPath(path, WriterTokenFile + ".tmp")
     val out = f.create(tmp, true)
     try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -227,6 +300,19 @@ object IndexedStore {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     token
   }
+
+  /** Release the commit lock IF this writer still owns it — a no-op
+    * when the lock was broken and re-claimed (it is then someone
+    * else's to release). Safe to call on every exit path. */
+  private[graft] def releaseCommitLock(path: String, token: String): Unit =
+    if (readCommitLock(path).exists(_._1 == token))
+      hadoopFs(path).delete(new HPath(path, CommitLockFile), false): Unit
+
+  /** Abort a commit begun with [[beginCommit]] whose build failed
+    * before the pointer swap: frees the lock for the next writer (the
+    * dead build is swept by that writer's commit). */
+  private[graft] def abortCommit(path: String, token: String): Unit =
+    releaseCommitLock(path, token)
 
   private def verifyWriter(path: String, token: String, gen: String): Unit = {
     val f = hadoopFs(path)
@@ -346,10 +432,12 @@ object IndexedStore {
   def setRetention(rootPath: String, keep: Int): Unit = {
     require(keep >= 1, "retention keeps at least the immediate predecessor")
     val token = beginCommit(rootPath)
-    val m = manifestProps(rootPath)
-    verifyWriter(rootPath, token, gen = "<retention update>")
-    writeManifest(rootPath, Option(m.getProperty("current")), keep,
-      committedChain(m))
+    try {
+      val m = manifestProps(rootPath)
+      verifyWriter(rootPath, token, gen = "<retention update>")
+      writeManifest(rootPath, Option(m.getProperty("current")), keep,
+        committedChain(m))
+    } finally releaseCommitLock(rootPath, token)
   }
 
   /** COMMITTED generations still on disk, oldest first — the time
@@ -383,7 +471,7 @@ object IndexedStore {
     * right before the swap — a concurrent writer aborts loudly here
     * instead of committing from stale manifest state. */
   private[graft] def commitAndSweep(path: String, gen: String,
-      writerToken: String): Unit = {
+      writerToken: String): Unit = try {
     verifyWriter(path, writerToken, gen)
     val m = manifestProps(path)
     val prev = Option(m.getProperty("current"))
@@ -399,10 +487,17 @@ object IndexedStore {
       .filter { s =>
         val n = s.getPath.getName
         n != gen && !kept.contains(n) && !leased.contains(n) &&
-          n != ManifestFile && n != WriterTokenFile && n != LeaseDir &&
-          !(legacyGrace && !n.startsWith("gen-"))
+          n != ManifestFile && n != WriterTokenFile && n != CommitLockFile &&
+          n != LeaseDir && !(legacyGrace && !n.startsWith("gen-"))
       }
       .foreach(s => f.delete(s.getPath, true))
+  } finally {
+    // Every exit frees the lock if still ours: after a successful
+    // swap, after an IO failure mid-sweep (the manifest protocol is
+    // crash-safe, the next writer completes the GC), and after a
+    // verifyWriter abort (then the lock belongs to the winner and
+    // release is a no-op).
+    releaseCommitLock(path, writerToken)
   }
 
   /** Write `df` (which must carry a `__rowid` column, e.g. from
@@ -423,9 +518,13 @@ object IndexedStore {
       statsOnly: Seq[IndexSpec] = Nil, secondary: Seq[HashIndex] = Nil,
       bloom: Seq[String] = Nil): Unit = {
     val token = beginCommit(path)
-    val gen = nextGenName(path)
-    writeLayout(df, new HPath(path, gen).toString, primary, statsOnly, secondary, bloom)
-    commitAndSweep(path, gen, token)
+    try {
+      val gen = nextGenName(path)
+      writeLayout(df, new HPath(path, gen).toString, primary, statsOnly, secondary, bloom)
+      commitAndSweep(path, gen, token)
+    } catch {
+      case e: Throwable => abortCommit(path, token); throw e
+    }
   }
 
   /** TEST HOOK: build a LEGACY (pre-manifest) root-layout store — the
@@ -1085,10 +1184,14 @@ object IndexedStore {
         ZOrderNIndex(zs(1).split(",").toSeq, zs(2).toInt)
     }
     val token = beginCommit(rootPath)
-    val gen = nextGenName(rootPath)
-    writeLayout(live, new HPath(rootPath, gen).toString, spec, Nil,
-      secondary = secondaryColumns(props).map { case (c, n) => HashIndex(c, n) },
-      bloom = bloomColumns(props))
-    commitAndSweep(rootPath, gen, token)
+    try {
+      val gen = nextGenName(rootPath)
+      writeLayout(live, new HPath(rootPath, gen).toString, spec, Nil,
+        secondary = secondaryColumns(props).map { case (c, n) => HashIndex(c, n) },
+        bloom = bloomColumns(props))
+      commitAndSweep(rootPath, gen, token)
+    } catch {
+      case e: Throwable => abortCommit(rootPath, token); throw e
+    }
   }
 }

@@ -491,22 +491,56 @@ class StorageSpec extends SparkSpec {
     leased.close() // idempotent no-op after GC
   }
 
+  test("a second writer is locked out at commit START while the lock is live") {
+    val path = tmp()
+    val store = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey"))
+    IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
+    // writer A holds the commit lock...
+    val tokenA = IndexedStore.beginCommit(path)
+    // ...so writer B cannot even BEGIN (mutual exclusion at acquire
+    // time — not hours later at its pointer swap)
+    intercept[java.util.ConcurrentModificationException](
+      IndexedStore.compact(spark, path))
+    assert(currentGen(path).getName == "gen-000001")
+    // A aborts (build failed); the lock frees and B's commit proceeds
+    IndexedStore.abortCommit(path, tokenA)
+    IndexedStore.compact(spark, path)
+    assert(currentGen(path).getName == "gen-000002")
+    assert(IndexedStore.find(spark, path, Nil).count() > 0)
+  }
+
   test("interleaved writers fail loudly instead of corrupting the manifest chain") {
     val path = tmp()
     val store = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey"))
     IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
-    // writer A begins a commit (claims the token and starts building)...
-    val tokenA = IndexedStore.beginCommit(path)
-    // ...writer B races in and completes a whole commit meanwhile
+    // writer A begins a commit with a short lock TTL and stalls past it
+    val tokenA = IndexedStore.beginCommit(path, ttlMillis = 1)
+    Thread.sleep(5)
+    // writer B breaks the expired lock and completes a whole commit
     IndexedStore.compact(spark, path)
     assert(currentGen(path).getName == "gen-000002")
-    // A's pointer swap must now abort loudly — publishing from its
-    // stale manifest view would silently drop B's commit from history
+    // A wakes up: its pointer swap must abort loudly — publishing from
+    // its stale manifest view would silently drop B's commit. This is
+    // the token backstop the lock layer cannot replace (lost-TTL and
+    // non-atomic-create filesystems).
     intercept[java.util.ConcurrentModificationException](
       IndexedStore.commitAndSweep(path, "gen-000009", tokenA))
     // the chain is untouched and the store still serves reads
     assert(currentGen(path).getName == "gen-000002")
     assert(IndexedStore.find(spark, path, Nil).count() > 0)
+  }
+
+  test("a failed build releases the commit lock for the next writer") {
+    val path = tmp()
+    val store = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey"))
+    IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
+    // a write whose build throws must not leave the store locked
+    intercept[Exception] {
+      IndexedStore.write(store.data.select("__rowid"), path,
+        HashIndex("no_such_column", 8))
+    }
+    IndexedStore.compact(spark, path) // acquires the lock cleanly
+    assert(currentGen(path).getName == "gen-000002")
   }
 
   test("first manifest commit over a legacy root defers the legacy sweep one commit") {
