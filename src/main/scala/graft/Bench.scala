@@ -181,12 +181,20 @@ object Bench {
       }
     val spill = new SpillListener
     spark.sparkContext.addSparkListener(spill)
+    // 1-min system load at each query's start: per-query numbers swing
+    // ±20%+ run-to-run with host contention (measured 4.05s and 7.42s
+    // for one unchanged query in the same evening) — the load column
+    // says which numbers to distrust. -1 where the JVM can't sample it.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
     val failures = Seq.newBuilder[String]
     val results = selected.map { case (name, fn) =>
       // Settle GC debt from the previous query outside this window, so a
       // heap-heavy predecessor can't be billed to an innocent successor.
       System.gc()
       spill.spilled.set(0L)
+      val load0 = loadAvg()
       val gc0 = gcMillis()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -201,13 +209,15 @@ object Bench {
       if (!org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext))
         System.err.println(s"[bench] $name: listener bus drain timed out; " +
           "spill bytes may be undercounted")
-      (name, sec, (gcMillis() - gc0) / 1e3, spill.spilled.get())
+      (name, sec, (gcMillis() - gc0) / 1e3, spill.spilled.get(), load0)
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val gcJson = results.map { case (k, _, g, _) => "\"" + k + "\":" + g }
+    val gcJson = results.map { case (k, _, g, _, _) => "\"" + k + "\":" + g }
       .mkString("{", ",", "}")
-    val spillJson = results.map { case (k, _, _, s) => "\"" + k + "\":" + s }
+    val spillJson = results.map { case (k, _, _, s, _) => "\"" + k + "\":" + s }
+      .mkString("{", ",", "}")
+    val loadJson = results.map { case (k, _, _, _, l) => "\"" + k + "\":" + l }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // A restricted run (SPARK_GRAFT_ONLY without "point_ops") skips the
@@ -223,7 +233,7 @@ object Bench {
     val pJson = points.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_gc_sec":$gcJson,"query_spill_bytes":$spillJson,"point_ops":$pJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_gc_sec":$gcJson,"query_spill_bytes":$spillJson,"query_loadavg":$loadJson,"point_ops":$pJson,"sf":"$sfDir"}"""
     // r3's driver capture kept only the output tail and sliced the head
     // off the (single, early) JSON line. Belt and braces: print first
     // (stdout is the contract — a file-write failure must not eat the
