@@ -183,8 +183,29 @@ case class MinHashSigs(child: Expression, numPerms: Int, p: Long)
   * CollapseProject hazard: a HOF formulation that references the
   * word-array *expression* inside its lambda re-evaluates it per
   * element once the optimizer collapses the projections. */
+/** Shared space-joining of `n` consecutive words starting at `start`.
+  * A null word element renders as the empty string (split never
+  * produces nulls, but the SQL surface accepts arbitrary arrays and a
+  * null would otherwise poison a containsNull=false output array). */
+private object WordJoin {
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+  def join(words: ArrayData, start: Int, n: Int): org.apache.spark.unsafe.types.UTF8String = {
+    val parts = new Array[org.apache.spark.unsafe.types.UTF8String](2 * n - 1)
+    var k = 0
+    while (k < n) {
+      val w = words.getUTF8String(start + k)
+      parts(2 * k) =
+        if (w == null) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8 else w
+      if (k < n - 1) parts(2 * k + 1) = Space
+      k += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.concat(parts: _*)
+  }
+}
+
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n > 0, s"shingle width must be positive, got $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -195,14 +216,7 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression
     val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
     var i = 0
     while (i <= m - n) {
-      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](2 * n - 1)
-      var k = 0
-      while (k < n) {
-        parts(2 * k) = words.getUTF8String(i + k)
-        if (k < n - 1) parts(2 * k + 1) = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
-        k += 1
-      }
-      seen.add(org.apache.spark.unsafe.types.UTF8String.concat(parts: _*))
+      seen.add(WordJoin.join(words, i, n))
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
@@ -219,24 +233,17 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression
   * re-evaluates the split per element after projection collapse. */
 case class WordChunks(child: Expression, n: Int) extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n > 0, s"chunk width must be positive, got $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[ArrayData]
-    val m = words.numElements()
-    val k = m / n
+    val k = words.numElements() / n
     val out = new Array[Any](k)
     var c = 0
     while (c < k) {
-      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](2 * n - 1)
-      var j = 0
-      while (j < n) {
-        parts(2 * j) = words.getUTF8String(c * n + j)
-        if (j < n - 1) parts(2 * j + 1) = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
-        j += 1
-      }
-      out(c) = org.apache.spark.unsafe.types.UTF8String.concat(parts: _*)
+      out(c) = WordJoin.join(words, c * n, n)
       c += 1
     }
     new GenericArrayData(out)

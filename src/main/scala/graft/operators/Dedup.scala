@@ -665,8 +665,13 @@ object Dedup {
     * (order-preserving, duplicates kept — posexplode recovers the
     * chunk position; a per-chunk `slice(w, ...)` lambda would
     * re-evaluate the word split per chunk after projection collapse,
-    * the SURVEY §8 hazard). Chunks hash through md5_32 so postings
-    * shuffle 8-byte longs, and ONE hash shuffle groups occurrences
+    * the SURVEY §8 hazard). Chunks group on the FULL 128-bit md5 (like
+    * [[dDedupExact]], and unlike the candidate-generation md5_32
+    * hashes elsewhere: there a collision only adds a candidate that
+    * exact verification discards, here the group IS the result, and a
+    * 32-bit birthday collision — even odds by ~77k distinct chunks —
+    * would report unique content as duplicate with no downstream
+    * check to catch it). ONE hash shuffle groups occurrences
     * corpus-wide — the same linear scale shape as [[dDedupExact]]
     * with ~n/16 units per doc, and the oracle replays the identical
     * hashes. The keeper is min(struct(doc_id, pos)): struct ordering
@@ -677,7 +682,7 @@ object Dedup {
         posexplode(graft.functions.expr.VectorExpressions
           .wordChunks(words(col("text")), ChunkWords)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        md5_32(col("col")).as("chunk_fp"))
+        md5(col("col")).as("chunk_fp"))
     chunks.groupBy("chunk_fp")
       .agg(count(lit(1)).as("n_occ"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -692,8 +697,8 @@ object Dedup {
     s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
        |chunks AS (
        |  SELECT doc_id, i AS pos,
-       |    ('0x' || substr(md5(array_to_string(
-       |      w[i*$ChunkWords + 1 : i*$ChunkWords + $ChunkWords], ' ')), 1, 8))::BIGINT AS chunk_fp
+       |    md5(array_to_string(
+       |      w[i*$ChunkWords + 1 : i*$ChunkWords + $ChunkWords], ' ')) AS chunk_fp
        |  FROM w, LATERAL (SELECT unnest(range(len(w) // $ChunkWords)) AS i) t),
        |g AS (
        |  SELECT chunk_fp, count(*)::BIGINT AS n_occ,

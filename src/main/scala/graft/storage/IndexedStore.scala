@@ -274,7 +274,12 @@ object IndexedStore {
     if (!tryCreate()) {
       val canBreak = readCommitLock(path) match {
         case Some((_, exp)) => exp < System.currentTimeMillis()
-        case None => false // absent would have created; unreadable = held
+        // File vanished between the failed create and this read — the
+        // holder just released. Retrying the create (below, by
+        // treating it as breakable without a delete) beats spuriously
+        // failing a now-free store. A file that EXISTS but is
+        // unreadable/mid-write stays "held".
+        case None => !f.exists(lockPath)
       }
       if (!canBreak || { f.delete(lockPath, false); !tryCreate() })
         throw new java.util.ConcurrentModificationException(
@@ -283,29 +288,42 @@ object IndexedStore {
               s"token ${l._1}, expires ${l._2}")}). One writer per " +
             "commit; wait for it to finish or for the lock TTL to lapse.")
     }
-    // Verify ownership: a concurrent breaker of the same expired lock
-    // can have replaced the file between our create and now.
-    if (!readCommitLock(path).exists(_._1 == token))
-      throw new java.util.ConcurrentModificationException(
-        s"commit lock at $path was claimed by a concurrent writer " +
-          "immediately after this writer created it (expired-lock break " +
-          "race). Retry the commit.")
-    val tmp = new HPath(path, WriterTokenFile + ".tmp")
-    val out = f.create(tmp, true)
-    try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      f.getUri, SparkSession.active.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new HPath(path, WriterTokenFile),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    try {
+      // Verify ownership: a concurrent breaker of the same expired lock
+      // can have replaced the file between our create and now.
+      if (!readCommitLock(path).exists(_._1 == token))
+        throw new java.util.ConcurrentModificationException(
+          s"commit lock at $path was claimed by a concurrent writer " +
+            "immediately after this writer created it (expired-lock break " +
+            "race). Retry the commit.")
+      val tmp = new HPath(path, WriterTokenFile + ".tmp")
+      val out = f.create(tmp, true)
+      try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        f.getUri, SparkSession.active.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, new HPath(path, WriterTokenFile),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      // The lock was created but the caller will never hold the token
+      // to release it — free it here or the store stays locked for a
+      // full TTL with no writer running.
+      case e: Throwable => releaseCommitLock(path, token); throw e
+    }
     token
   }
 
-  /** Release the commit lock IF this writer still owns it — a no-op
-    * when the lock was broken and re-claimed (it is then someone
-    * else's to release). Safe to call on every exit path. */
+  /** Release the commit lock IF this writer still owns it AND the
+    * lock has not expired — a no-op when the lock was broken and
+    * re-claimed (then it is someone else's to release), and a
+    * deliberate no-op on our own EXPIRED lock: past expiry a breaker
+    * may replace the file between our ownership read and the delete,
+    * and deleting would kill the breaker's live lock. An expired
+    * leftover lock costs the next writer one break, never blocks it.
+    * Safe to call on every exit path. */
   private[graft] def releaseCommitLock(path: String, token: String): Unit =
-    if (readCommitLock(path).exists(_._1 == token))
+    if (readCommitLock(path).exists { case (tok, exp) =>
+        tok == token && exp >= System.currentTimeMillis() })
       hadoopFs(path).delete(new HPath(path, CommitLockFile), false): Unit
 
   /** Abort a commit begun with [[beginCommit]] whose build failed

@@ -88,15 +88,20 @@ class PipelineSpec extends SparkSpec {
     assert(chunks.filter(col("n_docs") > 1).count() > 0,
       "fixture lost: no chunk shared ACROSS documents")
     assert(chunks.filter(col("keeper_pos") < 0).count() == 0)
-    // exact-dup docs share all their full chunks, so every chunk of an
-    // exact-dup group's docs must appear here with n_docs >= group size
+    // exact-dup docs share ALL their full chunks: every chunk of a doc
+    // in an exact-dup group (normalized length ≥ 16 words) must appear
+    // in the output with n_docs > 1 — a miss means chunking dropped or
+    // privatized a chunk that verbatim-identical docs share
     val dupDocs = Dedup.dDedupExact(spark, sf)
-      .filter(col("group_size") > 1 && !col("is_dup")).select("doc_id")
-    val longEnough = graft.core.Tables(spark, sf).documents
+      .filter(col("group_size") > 1).select("doc_id")
+    val dupDocChunks = graft.core.Tables(spark, sf).documents
       .join(dupDocs, "doc_id")
-      .filter(size(graft.functions.TextFunctions.words(col("text"))) >= Dedup.ChunkWords)
-    assert(longEnough.count() == 0 ||
-      chunks.filter(col("n_docs") > 1).count() > 0)
+      .select(explode(graft.functions.expr.VectorExpressions.wordChunks(
+        graft.functions.TextFunctions.words(col("text")), Dedup.ChunkWords)).as("c"))
+      .select(md5(col("c")).as("chunk_fp")).distinct()
+    val missing = dupDocChunks
+      .join(chunks.filter(col("n_docs") > 1), Seq("chunk_fp"), "left_anti").count()
+    assert(missing == 0, s"$missing chunks of exact-dup docs not reported as cross-doc dups")
   }
 
   test("t_repetition fractions are bounded and the flag is the integer predicate") {
