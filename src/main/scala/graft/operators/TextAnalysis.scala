@@ -342,6 +342,64 @@ object TextAnalysis {
        |FROM base b JOIN tc USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------- entropy
+
+  /** Low-diversity threshold (bits) on the ROUNDED entropy column —
+    * both engines compare the value the hash gate already proves
+    * identical, so the flag can't straddle. */
+  val EntropyTau = 4.2
+
+  /** Per-doc Shannon WORD ENTROPY (bits) — the vocabulary-diversity
+    * quality signal: degenerate/templated text scores low while
+    * passing length checks; the complement of [[tRepetition]]'s
+    * repeated-mass metrics.
+    *
+    * Cross-engine float parity needs the SUM ORDER pinned: a bare
+    * float sum over shuffled rows is order-nondeterministic, so the
+    * per-word counts gather per doc (bounded by the doc's vocabulary),
+    * sort ascending, and fold left from 0.0 — Spark's `aggregate` and
+    * DuckDB's `list_reduce` then add the same IEEE terms in the same
+    * order, and each term is built with the identical op sequence
+    * (−(c/n)·ln(c/n), one ÷ by ln 2 at the end, round 4). Two linear
+    * map-side-combining aggregations, same shape as
+    * [[tRepetition]]'s top-word pass. */
+  def tEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsSpread(spark, dir)
+    val counts = d.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    counts.groupBy("doc_id")
+      .agg(sum("c").as("n"), count(lit(1)).as("nd"),
+        sort_array(collect_list(col("c"))).as("cs"))
+      .select(col("doc_id"), col("n").cast("long").as("n_words"),
+        col("nd").cast("long").as("n_distinct_words"),
+        round(aggregate(col("cs"), lit(0.0),
+          (acc, c) => acc - (c / col("n")) * log(c / col("n"))) / log(lit(2.0)), 4)
+          .as("entropy_bits"))
+      .withColumn("low_diversity", col("entropy_bits") < EntropyTau)
+      .orderBy("doc_id")
+  }
+
+  val tEntropySql: String =
+    s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |counts AS (
+       |  SELECT doc_id, word, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(w) AS word FROM w) u
+       |  GROUP BY doc_id, word),
+       |e AS (
+       |  SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS nd,
+       |    list(c ORDER BY c) AS cs
+       |  FROM counts GROUP BY doc_id),
+       |ent AS (
+       |  SELECT doc_id, n AS n_words, nd AS n_distinct_words,
+       |    round(list_reduce(
+       |      list_prepend(0.0, list_transform(cs, c -> -(c/n::DOUBLE) * ln(c/n::DOUBLE))),
+       |      (a, b) -> a + b) / ln(2.0), 4) AS entropy_bits
+       |  FROM e)
+       |SELECT doc_id, n_words, n_distinct_words, entropy_bits,
+       |  entropy_bits < $EntropyTau AS low_diversity
+       |FROM ent
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_count" -> tTokenCount,
     "t_quality" -> tQuality,
@@ -350,6 +408,7 @@ object TextAnalysis {
     "t_corpus_stats" -> tCorpusStats,
     "t_pack" -> tPack,
     "t_repetition" -> tRepetition,
+    "t_entropy" -> tEntropy,
   )
 
   def oracles: Map[String, String] = Map(
@@ -360,5 +419,6 @@ object TextAnalysis {
     "t_corpus_stats" -> tCorpusStatsSql,
     "t_pack" -> tPackSql,
     "t_repetition" -> tRepetitionSql,
+    "t_entropy" -> tEntropySql,
   )
 }

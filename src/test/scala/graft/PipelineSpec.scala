@@ -115,6 +115,21 @@ class PipelineSpec extends SparkSpec {
       s"thresholds must split the corpus (flagged $flagged of ${rep.count()})")
   }
 
+  test("t_entropy is bounded by log2(distinct words) and splits the corpus") {
+    val ent = TextAnalysis.tEntropy(spark, sf).cache()
+    assert(ent.count() == graft.core.Tables(spark, sf).documents.count())
+    // 0 ≤ H ≤ log2(nd), with slack for the 4-decimal rounding
+    assert(ent.filter(col("entropy_bits") < 0).count() == 0)
+    assert(ent.filter(
+      col("entropy_bits") > log(2.0, col("n_distinct_words")) + 0.0001).count() == 0)
+    // single-word docs have exactly zero entropy
+    assert(ent.filter(col("n_distinct_words") === 1 && col("entropy_bits") =!= 0.0)
+      .count() == 0)
+    val flagged = ent.filter(col("low_diversity")).count()
+    assert(flagged > 0 && flagged < ent.count(),
+      s"threshold must split the corpus (flagged $flagged of ${ent.count()})")
+  }
+
   test("dedup_simhash: pairs symmetric-free and within hamming bound") {
     val df = Dedup.dDedupSimhash(spark, sf).cache()
     assert(df.count() > 0)
