@@ -41,6 +41,26 @@ class PlanQualitySpec extends SparkSpec {
       s"pair enumeration degenerated to all-pairs join:\n${p.take(2000)}")
   }
 
+  test("chunk dedup is one hash aggregation — no join, no window") {
+    val p = plan("d_dedup_chunk")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"chunk grouping grew a join/window:\n${p.take(2000)}")
+    // posexplode feeds a partial/final aggregate pair; the only
+    // exchanges are the group-by hash shuffle and the result sort
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 2,
+      s"more exchanges than groupBy + presentation sort:\n${p.take(2000)}")
+  }
+
+  test("repetition and entropy shuffle only the per-word aggregations") {
+    Seq("t_repetition", "t_entropy").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q degenerated to all-pairs:\n${p.take(1500)}")
+      assert(!p.contains("Window"),
+        s"$q grew a window (metrics are aggregations, not windows):\n${p.take(1500)}")
+    }
+  }
+
   test("context packing never plans a global window") {
     val p = plan("t_pack")
     // the distributed prefix sum must not regress to a single-reducer
