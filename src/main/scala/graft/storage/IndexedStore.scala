@@ -272,16 +272,19 @@ object IndexedStore {
         true
       } catch { case _: java.io.IOException => false }
     if (!tryCreate()) {
-      val canBreak = readCommitLock(path) match {
-        case Some((_, exp)) => exp < System.currentTimeMillis()
+      val acquired = readCommitLock(path) match {
+        // Lock present and expired: break it (delete + re-create).
+        case Some((_, exp)) if exp < System.currentTimeMillis() =>
+          f.delete(lockPath, false); tryCreate()
         // File vanished between the failed create and this read — the
-        // holder just released. Retrying the create (below, by
-        // treating it as breakable without a delete) beats spuriously
-        // failing a now-free store. A file that EXISTS but is
+        // holder just released. Retry the create WITHOUT a delete: a
+        // delete here could kill the live lock of a writer that
+        // acquired in the same window. A file that EXISTS but is
         // unreadable/mid-write stays "held".
-        case None => !f.exists(lockPath)
+        case None if !f.exists(lockPath) => tryCreate()
+        case _ => false
       }
-      if (!canBreak || { f.delete(lockPath, false); !tryCreate() })
+      if (!acquired)
         throw new java.util.ConcurrentModificationException(
           s"commit lock at $path is held by another writer " +
             s"(${readCommitLock(path).fold("unreadable")(l =>
@@ -307,8 +310,12 @@ object IndexedStore {
     } catch {
       // The lock was created but the caller will never hold the token
       // to release it — free it here or the store stays locked for a
-      // full TTL with no writer running.
-      case e: Throwable => releaseCommitLock(path, token); throw e
+      // full TTL with no writer running. A failure of the cleanup
+      // itself must not mask the actionable original error.
+      case e: Throwable =>
+        try releaseCommitLock(path, token)
+        catch { case rel: Throwable => e.addSuppressed(rel) }
+        throw e
     }
     token
   }
@@ -318,9 +325,13 @@ object IndexedStore {
     * re-claimed (then it is someone else's to release), and a
     * deliberate no-op on our own EXPIRED lock: past expiry a breaker
     * may replace the file between our ownership read and the delete,
-    * and deleting would kill the breaker's live lock. An expired
-    * leftover lock costs the next writer one break, never blocks it.
-    * Safe to call on every exit path. */
+    * and deleting would kill the breaker's live lock. (The guard
+    * NARROWS that race to the width of read-then-delete right at the
+    * expiry boundary — it cannot close it without a conditional
+    * delete, which HadoopFS lacks; the swap-time writer token remains
+    * the correctness backstop.) An expired leftover lock costs the
+    * next writer one break, never blocks it. Safe to call on every
+    * exit path. */
   private[graft] def releaseCommitLock(path: String, token: String): Unit =
     if (readCommitLock(path).exists { case (tok, exp) =>
         tok == token && exp >= System.currentTimeMillis() })

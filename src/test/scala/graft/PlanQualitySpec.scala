@@ -45,10 +45,16 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("d_dedup_chunk")
     assert(!p.contains("Join") && !p.contains("Window"),
       s"chunk grouping grew a join/window:\n${p.take(2000)}")
-    // posexplode feeds a partial/final aggregate pair; the only
-    // exchanges are the group-by hash shuffle and the result sort
-    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 2,
-      s"more exchanges than groupBy + presentation sort:\n${p.take(2000)}")
+    // The full shuffle budget, every one linear in (hash, id) pairs:
+    // the conditional docsSpread spread (local-layout only), the
+    // count-distinct rewrite's two aggregation exchanges, and the
+    // presentation sort. FormattedMode tree lines render exchanges as
+    // "+- Exchange (7)" / ":- Exchange (7)" — count those (the
+    // details section's "(7) Exchange" headers don't match, avoiding
+    // a double count).
+    val exchanges = p.linesIterator.count(_.contains("- Exchange ("))
+    assert(exchanges >= 1 && exchanges <= 4,
+      s"chunk dedup shuffle budget exceeded ($exchanges exchanges):\n${p.take(2000)}")
   }
 
   test("repetition and entropy shuffle only the per-word aggregations") {
