@@ -34,5 +34,10 @@ class ExtensionsSpec extends SparkSpec {
 
     val sim = spark.sql("SELECT graft_simhash32(array(1L, 2L, 3L)) AS s")
     assert(sim.count() == 1)
+
+    val ch = spark.sql(
+      "SELECT graft_word_chunks(array('a','b','c','d','e'), 2) AS c")
+      .head.getSeq[String](0)
+    assert(ch == Seq("a b", "c d"), s"chunks were $ch")
   }
 }
