@@ -404,45 +404,52 @@ object Dedup {
     *
     * Each materialized round UNROLLS TWO propagation hops: the frames
     * are tiny once pairs are generated, so a round's cost is job
-    * scheduling + checkpoint + the convergence count, not data — and
-    * a min label that needs D hops to cover its component now
-    * converges in ⌈D/2⌉ materialized rounds (+1 confirming round)
-    * instead of D (+1). The intermediate hop gets its own LAZY
-    * localCheckpoint: the outer hop references it twice (self branch
-    * + join branch), and without the barrier Spark re-executes the
-    * inner aggregation per branch — measured ~25% of the round cost
-    * at sf0.1, on top of keeping the round's plan O(1). `old` carries
-    * the label from BEFORE the round (hop 2 reads hop 1's min(old),
-    * which min-folds the self-row's pre-round label through both
-    * aggregations), so `cluster_id < old` detects a change in either
-    * hop — labels only ever decrease. */
+    * scheduling + checkpoint + the convergence count, not data. The
+    * intermediate hop gets its own LAZY localCheckpoint: the outer
+    * hop references it twice (self branch + join branch), and without
+    * the barrier Spark re-executes the inner aggregation per branch —
+    * measured ~25% of the round cost at sf0.1, on top of keeping the
+    * round's plan O(1).
+    *
+    * Convergence is detected against the MID-hop labels, not the
+    * pre-round ones: hop is monotone and idempotent at its fixpoint,
+    * so "hop 2 changed nothing vs mid" proves mid was already the
+    * fixpoint — no separate confirming round. The mid label rides
+    * through hop 2's aggregation as a null-padded column (min ignores
+    * the neighbor rows' nulls, so each doc keeps its own mid value).
+    * A min label D hops from covering its component lands in
+    * ⌈(D+1)/2⌉ materialized rounds: dup components are dominated by
+    * cliques (D = 1), which now converge in ONE round where
+    * pre-round comparison took two. */
   private def propagate(pairs: DataFrame): DataFrame = {
     val edges = pairs.unionByName(
       pairs.select(col("id2").as("id1"), col("id1").as("id2"))).localCheckpoint()
     var labels = edges.select(col("id1").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")).localCheckpoint()
     // One propagation hop: every node takes the min of its own label
-    // and its neighbors' labels; `old` rides along null-padded so the
-    // pre-round label survives any number of chained hops.
-    def hop(l: DataFrame): DataFrame = l
-      .select(col("doc_id"), col("cluster_id"), col("old"))
+    // and its neighbors' labels. Rider columns (the mid-hop label)
+    // ride along null-padded on the neighbor rows, so min-folding
+    // preserves each doc's own rider value.
+    def hop(l: DataFrame, riders: Seq[String]): DataFrame = l
+      .select((col("doc_id") +: col("cluster_id") +: riders.map(col)): _*)
       .unionByName(edges
         .join(l.select(col("doc_id").as("id2"), col("cluster_id")), "id2")
-        .select(col("id1").as("doc_id"), col("cluster_id"),
-          lit(null).cast("long").as("old")))
+        .select((col("id1").as("doc_id") +: col("cluster_id") +:
+          riders.map(r => lit(null).cast("long").as(r))): _*))
       .groupBy("doc_id")
-      .agg(min("cluster_id").as("cluster_id"), min("old").as("old"))
+      .agg(min("cluster_id").as("cluster_id"),
+        riders.map(r => min(r).as(r)): _*)
     var changed = 1L
     while (changed > 0) {
-      // LAZY checkpoint: the convergence count below computes every
-      // partition of `next`, which persists the marked blocks as a
-      // side effect — one job per round where an eager checkpoint
-      // plus a count would run two.
-      val next = hop(hop(labels
-          .select(col("doc_id"), col("cluster_id"), col("cluster_id").as("old")))
-          .localCheckpoint(false))
+      // LAZY checkpoints: the convergence count below computes every
+      // partition of `next` (and, through it, `mid`), persisting the
+      // marked blocks as a side effect — one job per round where
+      // eager checkpoints plus a count would run three.
+      val mid = hop(labels, Nil)
+        .withColumn("mid", col("cluster_id"))
         .localCheckpoint(false)
-      changed = next.filter(col("cluster_id") < col("old")).count()
+      val next = hop(mid, Seq("mid")).localCheckpoint(false)
+      changed = next.filter(col("cluster_id") < col("mid")).count()
       labels = next.select("doc_id", "cluster_id")
     }
     labels
