@@ -153,15 +153,67 @@ object Events {
       |HAVING min(t1) IS NOT NULL
       |ORDER BY user_id""".stripMargin
 
+  /** Band-join window width: 10 minutes in milliseconds. */
+  val BandWindowMs: Long = 10L * 60 * 1000
+
+  /** Range (band) join with NO equality key: for each event, the count
+    * and total value of all events — any user — in the window
+    * [t, t + 10 min). The reference's BTreeIndex serves this per-probe
+    * via `between` (idx.rs:83-135); joining every row's own range is
+    * the set version of that probe.
+    *
+    * Spark plans a raw inequality join as BroadcastNestedLoopJoin —
+    * O(N·M) and a driver-memory bomb at scale — so this uses the
+    * standard interval-binning rewrite: time is cut into buckets of
+    * exactly the window width, each anchor interval registers in the
+    * 1-2 buckets it overlaps (`sequence` + `explode`, replication
+    * factor ≤ 2 by construction), each point lands in its single
+    * bucket, and the join becomes a plain EQUI-join on bucket plus the
+    * exact range predicate as a post-filter. A qualifying (anchor,
+    * point) pair matches exactly one anchor copy — the one in the
+    * point's bucket — so no dedup pass is needed. Buckets are
+    * time-uniform, so the shuffle is skew-free; AQE handles residual
+    * hot windows. PlanQualitySpec pins the no-nested-loop shape. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val W = BandWindowMs
+    val e = Tables(spark, dir).events
+      .select(col("event_id"), expr("ts_ns div 1000000").as("t_ms"), col("value"))
+    val anchors = e.select(col("event_id"), col("t_ms"),
+      explode(sequence(expr(s"t_ms div $W"), expr(s"(t_ms + ${W - 1}) div $W")))
+        .as("bucket"))
+    val points = e.select(col("t_ms").as("p_ms"), col("value"),
+      expr(s"t_ms div $W").as("bucket"))
+    anchors.join(points,
+        anchors("bucket") === points("bucket") &&
+          col("p_ms") >= col("t_ms") && col("p_ms") < col("t_ms") + W)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_window"),
+        round(sum("value"), 2).as("window_value"))
+      .orderBy("event_id")
+  }
+
+  // DuckDB executes the inequality join directly (IEJoin); the binned
+  // Spark plan must reproduce its exact pair set.
+  val qRangeJoinSql: String =
+    s"""WITH e AS (SELECT event_id, epoch_ns(ts) // 1000000 AS t_ms, value FROM events)
+       |SELECT a.event_id,
+       |  count(*)::BIGINT AS n_window,
+       |  round(sum(b.value), 2) AS window_value
+       |FROM e a JOIN e b ON b.t_ms >= a.t_ms AND b.t_ms < a.t_ms + $BandWindowMs
+       |GROUP BY a.event_id
+       |ORDER BY a.event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> qSessionize,
     "q_asof_join" -> qAsofJoin,
     "q_funnel" -> qFunnel,
+    "q_range_join" -> qRangeJoin,
   )
 
   def oracles: Map[String, String] = Map(
     "q_sessionize" -> qSessionizeSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_funnel" -> qFunnelSql,
+    "q_range_join" -> qRangeJoinSql,
   )
 }

@@ -330,4 +330,21 @@ class PipelineSpec extends SparkSpec {
     val df = TextAnalysis.tQuality(spark, sf)
     assert(df.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
   }
+
+  test("range join: binned rewrite matches the direct inequality join") {
+    import graft.operators.Events
+    // The direct formulation Spark would plan as a nested-loop join —
+    // tolerable at sf0.001, and the ground truth the binning must
+    // reproduce row-for-row.
+    val e = graft.core.Tables(spark, sf).events
+      .select(col("event_id"), expr("ts_ns div 1000000").as("t_ms"), col("value"))
+    val naive = e.select(col("event_id"), col("t_ms"))
+      .join(e.select(col("t_ms").as("p_ms"), col("value")),
+        col("p_ms") >= col("t_ms") && col("p_ms") < col("t_ms") + Events.BandWindowMs)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_window"), round(sum("value"), 2).as("window_value"))
+      .collect().toSet
+    val binned = Events.qRangeJoin(spark, sf).collect().toSet
+    assert(binned == naive, s"binned pair set diverges: ${binned.size} vs ${naive.size} rows")
+  }
 }

@@ -130,6 +130,12 @@ class PlanQualitySpec extends SparkSpec {
       s"doc-side keep decision must not shuffle the corpus:\n${p.take(2000)}")
   }
 
+  test("range join bins to an equi-join — no nested-loop/cartesian") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"band join degenerated to all-pairs:\n${p.take(2000)}")
+  }
+
   test("funnel stages share one user_id exchange") {
     val p = plan("q_funnel")
     // three chained stage windows + the per-user aggregate must all
