@@ -7,6 +7,13 @@ import org.apache.spark.sql.SparkSession
   * through the noop sink so the full plan executes (a bare count()
   * would let Catalyst prune the computed columns away).
   *
+  * The suite runs SPARK_GRAFT_PASSES times (default 3) and each query
+  * reports its median pass — single-pass numbers on this host swing
+  * ±20%+ with ambient contention (see the loadavg note below), and a
+  * median requires a contention window to span half the passes before
+  * it can move a recorded number. Raw per-pass times are kept in the
+  * JSON (`query_sec_passes`) for audit.
+  *
   * Store-backed queries (sc_index_*, sc_bucketed_join) are prepared
   * before timing: the store write is a one-time indexing cost, the
   * probe is the recurring cost — conflating them measures neither.
@@ -189,28 +196,64 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
     val failures = Seq.newBuilder[String]
-    val results = selected.map { case (name, fn) =>
-      // Settle GC debt from the previous query outside this window, so a
-      // heap-heavy predecessor can't be billed to an innocent successor.
-      System.gc()
-      spill.spilled.set(0L)
-      val load0 = loadAvg()
-      val gc0 = gcMillis()
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        failures += name
+    // Host contention corrupts single-pass numbers (one unchanged query
+    // measured 4.05s and 7.42s in the same evening; a full run landed a
+    // uniform 2.5× inflation once). The suite therefore runs
+    // SPARK_GRAFT_PASSES times (default 3) and each query reports the
+    // pass with its MEDIAN wall-time — a contention window must now
+    // cover half the passes to move a number. All per-query metrics
+    // (gc/spill/load) come from that same median pass, so each row
+    // stays one coherent execution, and the raw per-pass times ship as
+    // query_sec_passes for audit. Store fixtures are built in prepare()
+    // above, so every pass times the same probe-only work; the cluster
+    // label memo is the one cross-pass artifact and is cleared between
+    // passes (within a pass it stays warm — labels are a shared
+    // curation artifact, same as a single-pass run).
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3)
+    require(passes >= 1, s"SPARK_GRAFT_PASSES must be >= 1, got $passes")
+    val perPass = (1 to passes).map { pass =>
+      if (pass > 1) {
+        graft.operators.Dedup.clearLabelCache()
+        // Spark's CacheManager matches by logical plan, so the .cache()
+        // barriers inside operators (minhash bands, simhash signatures)
+        // would silently serve later passes from memory — a warm pass
+        // must re-earn its number. Within a pass, cross-query plan-cache
+        // reuse stays, identical to a single-pass run. Store fixtures
+        // are localCheckpoint-backed and unaffected.
+        spark.catalog.clearCache()
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // Listener events drain asynchronously; flush before reading
-      // spill. A drain timeout means a possibly-undercounted spill
-      // number — log and continue, never crash a finished run.
-      if (!org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext))
-        System.err.println(s"[bench] $name: listener bus drain timed out; " +
-          "spill bytes may be undercounted")
-      (name, sec, (gcMillis() - gc0) / 1e3, spill.spilled.get(), load0)
+      selected.map { case (name, fn) =>
+        // Settle GC debt from the previous query outside this window, so a
+        // heap-heavy predecessor can't be billed to an innocent successor.
+        System.gc()
+        spill.spilled.set(0L)
+        val load0 = loadAvg()
+        val gc0 = gcMillis()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}")
+          failures += name
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // Listener events drain asynchronously; flush before reading
+        // spill. A drain timeout means a possibly-undercounted spill
+        // number — log and continue, never crash a finished run.
+        if (!org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext))
+          System.err.println(s"[bench] $name: listener bus drain timed out; " +
+            "spill bytes may be undercounted")
+        (name, sec, (gcMillis() - gc0) / 1e3, spill.spilled.get(), load0)
+      }
     }
+    // Per query: the tuple whose time is the (upper) median of its
+    // passes — time, gc, spill, and load all describe that one run.
+    val results = selected.indices.map { i =>
+      val runs = perPass.map(_(i)).sortBy(_._2)
+      runs(runs.size / 2)
+    }
+    val passJson = selected.indices.map { i =>
+      "\"" + selected(i)._1 + "\":[" + perPass.map(_(i)._2).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val gcJson = results.map { case (k, _, g, _, _) => "\"" + k + "\":" + g }
@@ -233,7 +276,7 @@ object Bench {
     val pJson = points.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_gc_sec":$gcJson,"query_spill_bytes":$spillJson,"query_loadavg":$loadJson,"point_ops":$pJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"query_sec_passes":$passJson,"query_gc_sec":$gcJson,"query_spill_bytes":$spillJson,"query_loadavg":$loadJson,"point_ops":$pJson,"sf":"$sfDir"}"""
     // r3's driver capture kept only the output tail and sliced the head
     // off the (single, early) JSON line. Belt and braces: print first
     // (stdout is the contract — a file-write failure must not eat the
@@ -253,7 +296,7 @@ object Bench {
     spark.stop()
     println(json)
     // A failed query must fail the bench — a timed failure is not a result.
-    val failed = failures.result()
+    val failed = failures.result().distinct
     if (failed.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
       sys.exit(1)

@@ -470,6 +470,14 @@ object Dedup {
   private val labelCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  /** Drops memoized cluster labels so the next [[clusterLabels]] call
+    * recomputes them. For measurement harnesses that execute the same
+    * query repeatedly ([[graft.Bench]]'s multi-pass median): without
+    * this, passes after the first would time the memo lookup, not the
+    * clustering. The orphaned checkpoint blocks are reclaimed by
+    * Spark's ContextCleaner once the dropped frames are GC'd. */
+  private[graft] def clearLabelCache(): Unit = labelCache.clear()
+
   /** Unordered cluster labels (composable form — [[Curation]] anti-
     * joins on the non-keepers without paying a presentation sort). */
   def clusterLabels(spark: SparkSession, dir: String): DataFrame =
