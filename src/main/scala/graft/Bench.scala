@@ -230,11 +230,13 @@ object Bench {
         val load0 = loadAvg()
         val gc0 = gcMillis()
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}")
-          failures += name
-        }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}")
+            failures += name
+            false
+          }
         val sec = (System.nanoTime() - t0) / 1e9
         // Listener events drain asynchronously; flush before reading
         // spill. A drain timeout means a possibly-undercounted spill
@@ -242,25 +244,31 @@ object Bench {
         if (!org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext))
           System.err.println(s"[bench] $name: listener bus drain timed out; " +
             "spill bytes may be undercounted")
-        (name, sec, (gcMillis() - gc0) / 1e3, spill.spilled.get(), load0)
+        (name, sec, (gcMillis() - gc0) / 1e3, spill.spilled.get(), load0, ok)
       }
     }
     // Per query: the tuple whose time is the (upper) median of its
-    // passes — time, gc, spill, and load all describe that one run.
+    // SUCCESSFUL passes — time, gc, spill, and load all describe that
+    // one run. A failed pass's duration is the time-to-throw, not a
+    // measurement; letting it into the pool would publish a plausible
+    // fabricated number (the run still exits 1 below). If every pass
+    // failed there is nothing to choose from — fall back to the last
+    // attempt so the name keeps a row in the (failed) output.
     val results = selected.indices.map { i =>
-      val runs = perPass.map(_(i)).sortBy(_._2)
-      runs(runs.size / 2)
+      val attempts = perPass.map(_(i))
+      val runs = attempts.filter(_._6).sortBy(_._2)
+      if (runs.nonEmpty) runs(runs.size / 2) else attempts.last
     }
     val passJson = selected.indices.map { i =>
       "\"" + selected(i)._1 + "\":[" + perPass.map(_(i)._2).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val gcJson = results.map { case (k, _, g, _, _) => "\"" + k + "\":" + g }
+    val gcJson = results.map { case (k, _, g, _, _, _) => "\"" + k + "\":" + g }
       .mkString("{", ",", "}")
-    val spillJson = results.map { case (k, _, _, s, _) => "\"" + k + "\":" + s }
+    val spillJson = results.map { case (k, _, _, s, _, _) => "\"" + k + "\":" + s }
       .mkString("{", ",", "}")
-    val loadJson = results.map { case (k, _, _, _, l) => "\"" + k + "\":" + l }
+    val loadJson = results.map { case (k, _, _, _, l, _) => "\"" + k + "\":" + l }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // A restricted run (SPARK_GRAFT_ONLY without "point_ops") skips the
