@@ -170,9 +170,11 @@ object StorageOps {
   }
 
   /** Source/sink round-trip beyond parquet: the same projection is
-    * written to JSON and CSV, read back through both sources with an
-    * explicit schema, and intersected — any type or value corruption
-    * in either format shrinks the intersection and fails the oracle
+    * written to JSON, CSV, and ORC (text row, text tabular, and binary
+    * columnar — three distinct codec paths), read back through each
+    * source (explicit schema for the schemaless text formats; ORC
+    * carries its own), and intersected — any type or value corruption
+    * in any format shrinks the intersection and fails the oracle
     * row/hash match against the parquet ground truth. */
   def scSourceRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, md5}
@@ -181,9 +183,11 @@ object StorageOps {
       .select(col("doc_id"), col("lang"), col("n_chars"), md5(col("text")).as("text_md5"))
     d.write.mode("overwrite").json(s"$base/json")
     d.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    d.write.mode("overwrite").orc(s"$base/orc")
     val j = spark.read.schema(d.schema).json(s"$base/json")
     val c = spark.read.schema(d.schema).option("header", "true").csv(s"$base/csv")
-    j.intersect(c).orderBy("doc_id")
+    val o = spark.read.orc(s"$base/orc")
+    j.intersect(c).intersect(o).orderBy("doc_id")
   }
 
   /** Two-dimensional range probe through the Z-order layout: one

@@ -400,6 +400,72 @@ object TextAnalysis {
        |FROM ent
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------- logprob
+
+  /** Low-probability threshold on the ROUNDED score — same straddle
+    * discipline as [[EntropyTau]]. Flags ~4% of the synthetic corpus. */
+  val LogprobTau = -1.50
+
+  /** Per-doc mean unigram log-probability under the corpus's own
+    * unigram LM (log10 per token) — the classic cheap perplexity
+    * proxy: documents dominated by corpus-rare words (OCR garbage,
+    * boilerplate IDs, wrong-language fragments) score low without any
+    * external model. p(w) = corpus count / corpus tokens; score =
+    * Σ n_w·ln(c_w/total) / n_tokens / ln 10.
+    *
+    * Distribution: doc-word counts (one map-side-combining
+    * aggregation) feed BOTH the corpus frequency table (a second
+    * aggregation over words) and the scoring join back on word —
+    * Zipf-head skew there is AQE's skew-join case. The corpus total
+    * joins on as a ONE-ROW broadcast (constant column, not an
+    * all-pairs hazard). Float parity pins the SUM ORDER like
+    * [[tEntropy]]: each (doc,word) term n·ln(c/total) is one double
+    * built with the identical op sequence in both engines, the
+    * per-doc term list sorts ascending (ties are identical doubles),
+    * and the fold starts from 0.0. */
+  def tLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsSpread(spark, dir)
+    val counts = d.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+    val corpus = counts.groupBy("word").agg(sum("n").as("c"))
+    val total = corpus.agg(sum("c").cast("double").as("total"))
+    counts.join(corpus, "word")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n"),
+        (col("n") * log(col("c") / col("total"))).as("term"))
+      .groupBy("doc_id")
+      .agg(sum("n").cast("long").as("n_words"),
+        sort_array(collect_list(col("term"))).as("ts"))
+      .select(col("doc_id"), col("n_words"),
+        round(aggregate(col("ts"), lit(0.0), (acc, t) => acc + t)
+          / col("n_words") / log(lit(10.0)), 4).as("logprob10"))
+      .withColumn("low_prob", col("logprob10") < LogprobTau)
+      .orderBy("doc_id")
+  }
+
+  val tLogprobSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |counts AS (
+       |  SELECT doc_id, word, count(*) AS n
+       |  FROM (SELECT doc_id, unnest(w) AS word FROM w) u
+       |  GROUP BY doc_id, word),
+       |corpus AS (SELECT word, sum(n) AS c FROM counts GROUP BY word),
+       |tot AS (SELECT sum(c)::DOUBLE AS total FROM corpus),
+       |terms AS (
+       |  SELECT doc_id, n, n * ln(c / total) AS term
+       |  FROM counts JOIN corpus USING (word) CROSS JOIN tot),
+       |g AS (
+       |  SELECT doc_id, sum(n)::BIGINT AS n_words, list(term ORDER BY term) AS ts
+       |  FROM terms GROUP BY doc_id),
+       |s AS (
+       |  SELECT doc_id, n_words,
+       |    round(list_reduce(list_prepend(0.0, ts), (a, b) -> a + b)
+       |      / n_words / ln(10), 4) AS logprob10
+       |  FROM g)
+       |SELECT doc_id, n_words, logprob10, logprob10 < $LogprobTau AS low_prob
+       |FROM s
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_count" -> tTokenCount,
     "t_quality" -> tQuality,
@@ -409,6 +475,7 @@ object TextAnalysis {
     "t_pack" -> tPack,
     "t_repetition" -> tRepetition,
     "t_entropy" -> tEntropy,
+    "t_logprob" -> tLogprob,
   )
 
   def oracles: Map[String, String] = Map(
@@ -420,5 +487,6 @@ object TextAnalysis {
     "t_pack" -> tPackSql,
     "t_repetition" -> tRepetitionSql,
     "t_entropy" -> tEntropySql,
+    "t_logprob" -> tLogprobSql,
   )
 }

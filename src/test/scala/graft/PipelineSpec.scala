@@ -331,6 +331,15 @@ class PipelineSpec extends SparkSpec {
     assert(df.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
   }
 
+  test("logprob: scores are negative, flag matches the threshold") {
+    val df = TextAnalysis.tLogprob(spark, sf).cache()
+    assert(df.count() > 0)
+    // every unigram probability < 1 ⇒ every mean log-prob < 0
+    assert(df.filter(col("logprob10") >= 0).count() == 0)
+    assert(df.filter(col("low_prob") =!=
+      (col("logprob10") < TextAnalysis.LogprobTau)).count() == 0)
+  }
+
   test("range join: binned rewrite matches the direct inequality join") {
     import graft.operators.Events
     // The direct formulation Spark would plan as a nested-loop join —
