@@ -416,9 +416,12 @@ object TextAnalysis {
     * Distribution: doc-word counts (one map-side-combining
     * aggregation) feed BOTH the corpus frequency table (a second
     * aggregation over words) and the scoring join back on word —
-    * Zipf-head skew there is AQE's skew-join case. The corpus total
-    * joins on as a ONE-ROW broadcast (constant column, not an
-    * all-pairs hazard). Float parity pins the SUM ORDER like
+    * Zipf-head skew there is AQE's skew-join case. The counts frame
+    * carries a cache barrier: its two consumers would otherwise each
+    * re-run the explode + count over the full corpus (the dominant
+    * cost — same materialization rationale as the minhash bands).
+    * The corpus total joins on as a ONE-ROW broadcast (constant
+    * column, not an all-pairs hazard). Float parity pins the SUM ORDER like
     * [[tEntropy]]: each (doc,word) term n·ln(c/total) is one double
     * built with the identical op sequence in both engines, the
     * per-doc term list sorts ascending (ties are identical doubles),
@@ -427,6 +430,7 @@ object TextAnalysis {
     val d = docsSpread(spark, dir)
     val counts = d.select(col("doc_id"), explode(words(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+      .cache()
     val corpus = counts.groupBy("word").agg(sum("n").as("c"))
     val total = corpus.agg(sum("c").cast("double").as("total"))
     counts.join(corpus, "word")

@@ -130,6 +130,21 @@ class PlanQualitySpec extends SparkSpec {
       s"doc-side keep decision must not shuffle the corpus:\n${p.take(2000)}")
   }
 
+  test("logprob scores through a word equi-join; only the 1-row total broadcasts") {
+    val p = plan("t_logprob")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus total attach degenerated to a cartesian:\n${p.take(2000)}")
+    // The scoring join on `word` must be a real equi-join — if the
+    // word join ever shows up as a nested loop the operator is O(n·V).
+    // The single permitted BNLJ is the broadcast of the ONE-ROW corpus
+    // total (a constant-column attach, not a pair enumeration). Count
+    // tree lines only — the details section renders each node again.
+    val bnlj = p.linesIterator.count(_.contains("- BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"unexpected nested-loop joins ($bnlj):\n${p.take(2000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join on word:\n${p.take(2000)}")
+  }
+
   test("range join bins to an equi-join — no nested-loop/cartesian") {
     val p = plan("q_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
