@@ -203,11 +203,39 @@ object Events {
        |GROUP BY a.event_id
        |ORDER BY a.event_id""".stripMargin
 
+  /** Schema-on-read over the semi-structured `props` column: the JSON
+    * payload parses through native `from_json` with an explicit schema
+    * (JsonToStructs — codegen-friendly, no UDF; unparseable rows
+    * surface as NULLs rather than failures, same as DuckDB's `->>`),
+    * then a plain per-type aggregation. At scale the parse is narrow
+    * map work fused into the scan stage and the aggregation is one
+    * map-side-combining shuffle on event_type. */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    e.select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"),
+        round(sum("k") / count(lit(1)).cast("double"), 4).as("avg_k"))
+      .orderBy("event_type")
+  }
+
+  val qJsonExtractSql: String =
+    """SELECT event_type, count(*)::BIGINT AS n_events,
+      |  sum((props->>'k')::BIGINT)::BIGINT AS sum_k,
+      |  round(sum((props->>'k')::BIGINT) / count(*)::DOUBLE, 4) AS avg_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> qSessionize,
     "q_asof_join" -> qAsofJoin,
     "q_funnel" -> qFunnel,
     "q_range_join" -> qRangeJoin,
+    "q_json_extract" -> qJsonExtract,
   )
 
   def oracles: Map[String, String] = Map(
@@ -215,5 +243,6 @@ object Events {
     "q_asof_join" -> qAsofJoinSql,
     "q_funnel" -> qFunnelSql,
     "q_range_join" -> qRangeJoinSql,
+    "q_json_extract" -> qJsonExtractSql,
   )
 }

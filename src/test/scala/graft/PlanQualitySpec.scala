@@ -145,6 +145,18 @@ class PlanQualitySpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), s"no equi-join on word:\n${p.take(2000)}")
   }
 
+  test("json extract is one aggregation pass — parse never forces extra shuffles") {
+    val p = plan("q_json_extract")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"json extraction grew a join/window:\n${p.take(1500)}")
+    // Partial agg → one event_type exchange → final agg, plus the
+    // presentation sort's range exchange. More means the parse stopped
+    // fusing into the scan stage.
+    val exchanges = p.linesIterator.count(_.contains("- Exchange ("))
+    assert(exchanges <= 2,
+      s"json extract shuffle budget exceeded ($exchanges):\n${p.take(1500)}")
+  }
+
   test("range join bins to an equi-join — no nested-loop/cartesian") {
     val p = plan("q_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
