@@ -205,17 +205,19 @@ object Events {
 
   /** Schema-on-read over the semi-structured `props` column: the JSON
     * payload parses through native `from_json` with an explicit schema
-    * (JsonToStructs — codegen-friendly, no UDF; unparseable rows
-    * surface as NULLs rather than failures, same as DuckDB's `->>`),
-    * then a plain per-type aggregation. At scale the parse is narrow
-    * map work fused into the scan stage and the aggregation is one
-    * map-side-combining shuffle on event_type. */
+    * (JsonToStructs — codegen-friendly, no UDF), then a plain per-type
+    * aggregation. Spark is LENIENT on malformed rows (they become
+    * NULLs); DuckDB's `->>` / `::BIGINT` are STRICT and would error
+    * the oracle instead — parity holds because the corpus is fully
+    * well-formed, and a strict-side failure surfaces loudly as an
+    * oracle error, never a silent mismatch. At scale the parse is
+    * narrow map work fused into the scan stage and the aggregation is
+    * one map-side-combining shuffle on event_type. */
   def qJsonExtract(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).events
     e.select(col("event_type"),
-        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("k",
-            org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+        from_json(col("props"), "k BIGINT", Map.empty[String, String])
+          .getField("k").as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"),
         round(sum("k") / count(lit(1)).cast("double"), 4).as("avg_k"))

@@ -432,7 +432,10 @@ object TextAnalysis {
       .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
       .cache()
     val corpus = counts.groupBy("word").agg(sum("n").as("c"))
-    val total = corpus.agg(sum("c").cast("double").as("total"))
+    // Σc over corpus ≡ Σn over counts (integer arithmetic), and the
+    // latter reads the cached frame directly — deriving the total from
+    // `corpus` would run the per-word shuffle a second time.
+    val total = counts.agg(sum("n").cast("double").as("total"))
     counts.join(corpus, "word")
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("n"),
@@ -454,7 +457,7 @@ object TextAnalysis {
        |  FROM (SELECT doc_id, unnest(w) AS word FROM w) u
        |  GROUP BY doc_id, word),
        |corpus AS (SELECT word, sum(n) AS c FROM counts GROUP BY word),
-       |tot AS (SELECT sum(c)::DOUBLE AS total FROM corpus),
+       |tot AS (SELECT sum(n)::DOUBLE AS total FROM counts),
        |terms AS (
        |  SELECT doc_id, n, n * ln(c / total) AS term
        |  FROM counts JOIN corpus USING (word) CROSS JOIN tot),

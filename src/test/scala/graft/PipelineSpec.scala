@@ -331,13 +331,16 @@ class PipelineSpec extends SparkSpec {
     assert(df.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
   }
 
-  test("logprob: scores are negative, flag matches the threshold") {
+  test("logprob: scores are negative, flag splits the corpus") {
     val df = TextAnalysis.tLogprob(spark, sf).cache()
-    assert(df.count() > 0)
+    val n = df.count()
+    assert(n > 0)
     // every unigram probability < 1 ⇒ every mean log-prob < 0
     assert(df.filter(col("logprob10") >= 0).count() == 0)
-    assert(df.filter(col("low_prob") =!=
-      (col("logprob10") < TextAnalysis.LogprobTau)).count() == 0)
+    // the threshold must actually discriminate: some docs flag, most don't
+    val flagged = df.filter(col("low_prob")).count()
+    assert(flagged > 0 && flagged < n,
+      s"LogprobTau does not split the corpus: $flagged of $n flagged")
   }
 
   test("range join: binned rewrite matches the direct inequality join") {

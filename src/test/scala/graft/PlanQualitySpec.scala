@@ -8,8 +8,15 @@ import org.apache.spark.sql.execution.FormattedMode
   * dimension tables broadcasting — assert it, don't assume it. */
 class PlanQualitySpec extends SparkSpec {
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // Other suites in the shared session cache frames whose logical
+    // plans match whole queries here; CacheManager would then swap in
+    // InMemoryRelation and hide the real plan shape, making these
+    // assertions depend on suite execution order. Evicted frames
+    // recompute on demand, so this only trades a little test time.
+    spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, sf).queryExecution.explainString(FormattedMode)
+  }
 
   test("selective filters push into the parquet scan") {
     val p = plan("q6_forecast")
