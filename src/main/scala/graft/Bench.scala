@@ -273,13 +273,26 @@ object Bench {
     val total = results.map(_._2).sum
     // A restricted run (SPARK_GRAFT_ONLY without "point_ops") skips the
     // store microbench — iteration on one query shouldn't pay for it.
+    // Like the queries, it runs once per pass (each run rebuilds its
+    // stores from scratch, so repeats are independent) and reports the
+    // run with the MEDIAN probe speedup — one coherent run, never
+    // per-metric medians stitched from different executions. A 0.88x
+    // "speedup" from a single contention-hit sample once shipped as
+    // the record; a median requires the contention to span half the
+    // runs.
     val points =
       if (only.exists(!_.contains("point_ops"))) Map.empty[String, Double]
-      else try pointOps(spark, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] point_ops failed: ${e.getMessage}")
-        failures += "point_ops"
-        Map.empty[String, Double]
+      else {
+        val runs = (1 to passes).flatMap { i =>
+          try Some(pointOps(spark, sfDir))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] point_ops failed (run $i): ${e.getMessage}")
+            None
+          }
+        }
+        if (runs.isEmpty) { failures += "point_ops"; Map.empty[String, Double] }
+        else runs.sortBy(_("probe_speedup"))(Ordering.Double.TotalOrdering)
+          .apply(runs.size / 2)
       }
     val pJson = points.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
