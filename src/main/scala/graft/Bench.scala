@@ -317,6 +317,10 @@ object Bench {
             val r = try Some(pointOps(spark, sfDir))
             catch { case e: Throwable =>
               System.err.println(s"[bench] point_ops failed (run $i): ${e.getMessage}")
+              // Any failed run fails the bench (same rule as the query
+              // loop: a timed failure is not a result), even though the
+              // reported map comes from the successful runs.
+              failures += "point_ops"
               None
             }
             lastRunSec = (System.nanoTime() - t0) / 1e9
@@ -324,8 +328,13 @@ object Bench {
           }
         }
         if (runs.isEmpty) { failures += "point_ops"; Map.empty[String, Double] }
+        // LOWER median on even run counts: speedup is a
+        // bigger-is-better metric, so the upper middle would
+        // systematically pick the flattering sample when budget
+        // degradation leaves two runs. (The query medians take the
+        // upper middle of TIME — the conservative direction there.)
         else runs.sortBy(_("probe_speedup"))(Ordering.Double.TotalOrdering)
-          .apply(runs.size / 2)
+          .apply((runs.size - 1) / 2)
       }
     val pJson = points.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -337,7 +337,10 @@ class PipelineSpec extends SparkSpec {
     assert(n > 0)
     // every unigram probability < 1 ⇒ every mean log-prob < 0
     assert(df.filter(col("logprob10") >= 0).count() == 0)
-    // the threshold must actually discriminate: some docs flag, most don't
+    // the flag must be wired to the rounded score and the threshold…
+    assert(df.filter(col("low_prob") =!=
+      (col("logprob10") < TextAnalysis.LogprobTau)).count() == 0)
+    // …and the threshold must actually discriminate on this corpus
     val flagged = df.filter(col("low_prob")).count()
     assert(flagged > 0 && flagged < n,
       s"LogprobTau does not split the corpus: $flagged of $n flagged")
