@@ -393,6 +393,32 @@ object Analytics {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** approx_percentile's rank-error accuracy knob: per group the
+    * returned element's rank is within rows/accuracy of the exact
+    * rank (SmokeSpec enforces exactly that window). */
+  val QuantileAccuracy = 10000
+
+  /** Sketch-based per-group quantiles — the scale path [[qQuantiles]]'
+    * scaladoc names for 100 TB: approx_percentile's quantile-summary
+    * buffer is MERGEABLE across partitions (map-side partial sketches
+    * combine like any partial aggregate — no per-group global value
+    * map), trading a bounded RANK error (≤ rows/accuracy per group)
+    * for bounded state. Rows-only at the driver — a sketch's output
+    * is implementation-defined, so there is no SQL-exact oracle; the
+    * spec enforces the quantitative rank window against the exact
+    * order statistics instead, the same discipline as
+    * q_approx_distinct's HLL error bound. */
+  def qApproxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.groupBy(col("l_returnflag"))
+      .agg(expr(s"approx_percentile(l_extendedprice, array(0.5D, 0.9D), $QuantileAccuracy)")
+        .as("pp"))
+      .select(col("l_returnflag"),
+        element_at(col("pp"), 1).as("median_price_approx"),
+        element_at(col("pp"), 2).as("p90_price_approx"))
+      .orderBy("l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> q1Pricing,
     "q_quantiles" -> qQuantiles,
@@ -410,6 +436,7 @@ object Analytics {
     "q_rollup" -> qRollup,
     "q_distinct" -> qDistinct,
     "q_approx_distinct" -> qApproxDistinct,
+    "q_approx_quantiles" -> qApproxQuantiles,
     "q_salted_join" -> qSaltedJoin,
   )
 

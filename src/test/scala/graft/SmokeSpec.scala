@@ -42,4 +42,28 @@ class SmokeSpec extends SparkSpec {
         s"HLL estimate $a vs exact $e exceeds 6% (col $i)")
     }
   }
+
+  test("approx quantiles stay within the sketch's rank-error window of exact") {
+    import org.apache.spark.sql.functions._
+    // approx_percentile returns an actual data element whose rank is
+    // within rows/accuracy of the exact rank — enforce precisely that
+    // window per group (the second rows-only analytics row's bound).
+    val acc = graft.operators.Analytics.QuantileAccuracy
+    val approx = graft.operators.Analytics.qApproxQuantiles(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val groups = Tables(spark, sf).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(sort_array(collect_list(col("l_extendedprice"))).as("vs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(approx.keySet == groups.keySet)
+    for ((flag, (med, p90)) <- approx; (p, v) <- Seq(0.5 -> med, 0.9 -> p90)) {
+      val vs = groups(flag)
+      val slack = (vs.size.toDouble / acc).ceil.toInt.max(1)
+      val target = (p * vs.size).toInt
+      val (lo, hi) = (vs((target - slack).max(0)),
+        vs((target + slack).min(vs.size - 1)))
+      assert(v >= lo && v <= hi,
+        s"$flag p$p: approx $v outside rank window [$lo, $hi] (±$slack ranks)")
+    }
+  }
 }
