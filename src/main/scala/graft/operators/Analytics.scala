@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
+import graft.functions.Parity.stableRound
 
 /** Analytics query suite — demonstrates the engine end-to-end and is
   * what `Bench` times.
@@ -25,22 +26,22 @@ object Analytics {
     li.filter(col("l_shipdate") <= lit(Sep1998).cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        stableRound(sum(col("l_quantity")), 2).as("sum_qty"),
+        stableRound(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        stableRound(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        stableRound(avg(col("l_quantity")), 2).as("avg_qty"),
+        stableRound(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   val q1PricingSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-      |  round(avg(l_quantity), 2) AS avg_qty,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty,
+      |  floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_base_price,
+      |  floor((sum(l_extendedprice * (1.0 - l_discount))) * 1e2 + 0.5) / 1e2 AS sum_disc_price,
+      |  floor((avg(l_quantity)) * 1e2 + 0.5) / 1e2 AS avg_qty,
+      |  floor((avg(l_discount)) * 1e4 + 0.5) / 1e4 AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -59,7 +60,7 @@ object Analytics {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+      .agg(stableRound(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
@@ -67,7 +68,7 @@ object Analytics {
 
   val q3RevenueSql: String =
     """SELECT l_orderkey,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  floor((sum(l_extendedprice * (1.0 - l_discount))) * 1e2 + 0.5) / 1e2 AS revenue,
       |  count(*) AS n_lines
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -94,13 +95,13 @@ object Analytics {
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(stableRound(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("n_name"))
   }
 
   val q5RegionSql: String =
     """SELECT n_name,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |  floor((sum(l_extendedprice * (1.0 - l_discount))) * 1e2 + 0.5) / 1e2 AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -118,12 +119,12 @@ object Analytics {
         col("l_shipdate") < lit("1995-01-01 00:00:00").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) &&
         col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+      .agg(stableRound(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
         count(lit(1)).as("n_rows"))
   }
 
   val q6ForecastSql: String =
-    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    """SELECT floor((sum(l_extendedprice * l_discount)) * 1e2 + 0.5) / 1e2 AS revenue,
       |  count(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
@@ -161,15 +162,15 @@ object Analytics {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     li.filter(col("l_suppkey") <= 3)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        round(sum(col("l_quantity")).over(w), 2).as("running_qty"))
+        stableRound(sum(col("l_quantity")).over(w), 2).as("running_qty"))
       .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
   val qRunningWindowSql: String =
     """SELECT l_suppkey, l_orderkey, l_linenumber,
-      |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+      |  floor((sum(l_quantity) OVER (PARTITION BY l_suppkey
       |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e2 + 0.5) / 1e2 AS running_qty
       |FROM lineitem
       |WHERE l_suppkey <= 3
       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
@@ -178,14 +179,14 @@ object Analytics {
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir).lineitem
     li.rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+      .agg(stableRound(sum(col("l_quantity")), 2).as("sum_qty"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
   val qRollupSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+      |  floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty, count(*) AS n_rows
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
@@ -230,12 +231,12 @@ object Analytics {
       .crossJoin(spark.range(salts).select(col("id").cast("int").as("salt")))
     li.join(broadcast(sup), Seq("salt")).filter(col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_nationkey"))
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .agg(stableRound(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n_rows"))
       .orderBy(col("s_nationkey"))
   }
 
   val qSaltedJoinSql: String =
-    """SELECT s_nationkey, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+    """SELECT s_nationkey, floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty, count(*) AS n_rows
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_nationkey
       |ORDER BY s_nationkey""".stripMargin
@@ -302,14 +303,14 @@ object Analytics {
   def qCube(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir).lineitem
     li.cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
+      .agg(stableRound(sum(col("l_extendedprice")), 2).as("sum_price"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
   val qCubeSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows
+      |  floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_price, count(*) AS n_rows
       |FROM lineitem
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
@@ -324,7 +325,7 @@ object Analytics {
     li.createOrReplaceTempView("g_lineitem")
     spark.sql(
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows,
+        |  floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_price, count(*) AS n_rows,
         |  grouping_id(l_returnflag, l_linestatus) AS gid
         |FROM g_lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -333,7 +334,7 @@ object Analytics {
 
   val qGroupingSetsSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows,
+      |  floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_price, count(*) AS n_rows,
       |  grouping(l_returnflag, l_linestatus)::BIGINT AS gid
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -347,7 +348,7 @@ object Analytics {
     val joined = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
     val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
     val aggCols = segs.map(s =>
-      round(sum(when(col("c_mktsegment") === s, col("o_totalprice"))), 2)
+      stableRound(sum(when(col("c_mktsegment") === s, col("o_totalprice"))), 2)
         .as(s"sum_${s.toLowerCase}"))
     joined.groupBy(col("o_orderpriority"))
       .agg(aggCols.head, aggCols.tail: _*)
@@ -357,7 +358,7 @@ object Analytics {
   val qPivotSql: String = {
     val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
     val cols = segs.map(s =>
-      s"round(sum(CASE WHEN c_mktsegment = '$s' THEN o_totalprice END), 2) AS sum_${s.toLowerCase}")
+      s"floor((sum(CASE WHEN c_mktsegment = '$s' THEN o_totalprice END)) * 1e2 + 0.5) / 1e2 AS sum_${s.toLowerCase}")
     s"""SELECT o_orderpriority, ${cols.mkString(", ")}
        |FROM orders JOIN customer ON o_custkey = c_custkey
        |GROUP BY o_orderpriority
@@ -376,19 +377,19 @@ object Analytics {
     li.groupBy(col("l_returnflag"))
       .agg(
         expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("pp"),
-        round(expr("percentile(l_quantity, 0.25)"), 2).as("q1_qty"))
+        stableRound(expr("percentile(l_quantity, 0.25)"), 2).as("q1_qty"))
       .select(col("l_returnflag"),
-        round(element_at(col("pp"), 1), 2).as("median_price"),
-        round(element_at(col("pp"), 2), 2).as("p90_price"),
+        stableRound(element_at(col("pp"), 1), 2).as("median_price"),
+        stableRound(element_at(col("pp"), 2), 2).as("p90_price"),
         col("q1_qty"))
       .orderBy("l_returnflag")
   }
 
   val qQuantilesSql: String =
     """SELECT l_returnflag,
-      |  round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
-      |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
-      |  round(quantile_cont(l_quantity, 0.25), 2) AS q1_qty
+      |  floor((quantile_cont(l_extendedprice, 0.5)) * 1e2 + 0.5) / 1e2 AS median_price,
+      |  floor((quantile_cont(l_extendedprice, 0.9)) * 1e2 + 0.5) / 1e2 AS p90_price,
+      |  floor((quantile_cont(l_quantity, 0.25)) * 1e2 + 0.5) / 1e2 AS q1_qty
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin

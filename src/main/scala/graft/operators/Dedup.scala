@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.functions.Parity.stableRound
 import graft.functions.TextFunctions._
 
 /** Deduplication operators over the `documents` table.
@@ -182,7 +183,7 @@ object Dedup {
       // The rounded jaccard stays an OUTPUT column (display), never the
       // decision.
       .filter(col("inter") * 10 >= col("un") * JaccardTauNum)
-      .withColumn("jaccard", round(col("inter") / col("un"), 6))
+      .withColumn("jaccard", stableRound(col("inter") / col("un"), 6))
       .select("id1", "id2", "inter", "jaccard")
       .orderBy("id1", "id2")
   }
@@ -198,8 +199,8 @@ object Dedup {
        |  FROM posts a JOIN posts b ON a.h = b.h AND a.doc_id < b.doc_id)
        |SELECT id1, id2,
        |  len(list_intersect(s1.hs, s2.hs))::BIGINT AS inter,
-       |  round(len(list_intersect(s1.hs, s2.hs)) /
-       |    (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs)))::DOUBLE, 6) AS jaccard
+       |  floor((len(list_intersect(s1.hs, s2.hs)) /
+       |    (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs)))::DOUBLE) * 1e6 + 0.5) / 1e6 AS jaccard
        |FROM cand
        |JOIN sets s1 ON id1 = s1.doc_id
        |JOIN sets s2 ON id2 = s2.doc_id
@@ -267,7 +268,7 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
       .withColumn("un", size(col("s1")) + size(col("s2")) - col("inter"))
       .filter(col("inter") * 10 >= col("un") * JaccardTauNum)
-      .withColumn("jaccard", round(col("inter") / col("un"), 6))
+      .withColumn("jaccard", stableRound(col("inter") / col("un"), 6))
 
   def dDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     // Candidate generation shuffles ids only; the (large) shingle
@@ -299,8 +300,8 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id id1, b.doc_id id2
        |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
        |SELECT id1, id2,
-       |  round(len(list_intersect(sa.shing, sb.shing)) /
-       |    (len(sa.shing) + len(sb.shing) - len(list_intersect(sa.shing, sb.shing)))::DOUBLE, 6) AS jaccard
+       |  floor((len(list_intersect(sa.shing, sb.shing)) /
+       |    (len(sa.shing) + len(sb.shing) - len(list_intersect(sa.shing, sb.shing)))::DOUBLE) * 1e6 + 0.5) / 1e6 AS jaccard
        |FROM cand JOIN sets sa ON id1 = sa.doc_id JOIN sets sb ON id2 = sb.doc_id
        |WHERE len(list_intersect(sa.shing, sb.shing)) * 10 >=
        |    (len(sa.shing) + len(sb.shing) - len(list_intersect(sa.shing, sb.shing))) * $JaccardTauNum

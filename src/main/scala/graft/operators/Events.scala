@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.functions.Parity.stableRound
 
 /** Event-time operators over the `events` table. Time arithmetic is
   * done on the exact int64 nanosecond column (`ts_ns`, see
@@ -188,7 +189,7 @@ object Events {
           col("p_ms") >= col("t_ms") && col("p_ms") < col("t_ms") + W)
       .groupBy("event_id")
       .agg(count(lit(1)).as("n_window"),
-        round(sum("value"), 2).as("window_value"))
+        stableRound(sum("value"), 2).as("window_value"))
       .orderBy("event_id")
   }
 
@@ -198,7 +199,7 @@ object Events {
     s"""WITH e AS (SELECT event_id, epoch_ns(ts) // 1000000 AS t_ms, value FROM events)
        |SELECT a.event_id,
        |  count(*)::BIGINT AS n_window,
-       |  round(sum(b.value), 2) AS window_value
+       |  floor((sum(b.value)) * 1e2 + 0.5) / 1e2 AS window_value
        |FROM e a JOIN e b ON b.t_ms >= a.t_ms AND b.t_ms < a.t_ms + $BandWindowMs
        |GROUP BY a.event_id
        |ORDER BY a.event_id""".stripMargin
@@ -220,14 +221,14 @@ object Events {
           .getField("k").as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"),
-        round(sum("k") / count(lit(1)).cast("double"), 4).as("avg_k"))
+        stableRound(sum("k") / count(lit(1)).cast("double"), 4).as("avg_k"))
       .orderBy("event_type")
   }
 
   val qJsonExtractSql: String =
     """SELECT event_type, count(*)::BIGINT AS n_events,
       |  sum((props->>'k')::BIGINT)::BIGINT AS sum_k,
-      |  round(sum((props->>'k')::BIGINT) / count(*)::DOUBLE, 4) AS avg_k
+      |  floor((sum((props->>'k')::BIGINT) / count(*)::DOUBLE) * 1e4 + 0.5) / 1e4 AS avg_k
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin

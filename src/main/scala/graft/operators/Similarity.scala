@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.functions.Parity.stableRound
 import graft.functions.TextFunctions.md5_32
 
 /** Similarity search over the `embeddings` table (64-dim float
@@ -232,7 +233,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("u").as("qv"))
     val scored = e.select(col("vec_id").as("neighbor_id"), col("u").as("nv"))
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", round(dot(col("qv"), col("nv")), 4))
+      .withColumn("score", stableRound(dot(col("qv"), col("nv")), 4))
     val k = TopK
     val partials = scored.select(col("query_id"), col("neighbor_id"), col("score"))
       .as[(Long, Long, Double)]
@@ -262,9 +263,9 @@ object Similarity {
   val sAnnBruteSql: String =
     s"""SELECT query_id, neighbor_id, rk, score FROM (
        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-       |    round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 4) AS score,
+       |    floor((list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[])) * 1e4 + 0.5) / 1e4 AS score,
        |    row_number() OVER (PARTITION BY q.vec_id
-       |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 4) DESC,
+       |      ORDER BY floor((list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[])) * 1e4 + 0.5) / 1e4 DESC,
        |               n.vec_id) AS rk
        |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
        |  WHERE q.vec_id < $NumQueries) t
@@ -324,7 +325,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("qv"), col("u"))
       .dropDuplicates("query_id", "vec_id")
-      .withColumn("score", round(dot(col("qv"), col("u")), 4))
+      .withColumn("score", stableRound(dot(col("qv"), col("u")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
     cand.withColumn("rk", row_number().over(w).cast("long"))
@@ -376,7 +377,7 @@ object Similarity {
           s => s.getField("cid"))).as("cid"))
     val cand = corpus.join(broadcast(queriesDf), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("score", round(dot(col("qv"), col("u")), 4))
+      .withColumn("score", stableRound(dot(col("qv"), col("u")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
     cand.withColumn("rk", row_number().over(w).cast("long"))

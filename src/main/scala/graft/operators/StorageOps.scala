@@ -124,7 +124,7 @@ object StorageOps {
           org.apache.spark.sql.functions.col("c_custkey"))
       .groupBy(org.apache.spark.sql.functions.col("c_mktsegment"))
       .agg(
-        org.apache.spark.sql.functions.round(
+        graft.functions.Parity.stableRound(
           org.apache.spark.sql.functions.sum(
             org.apache.spark.sql.functions.col("o_totalprice")), 2).as("sum_price"),
         org.apache.spark.sql.functions.count(
@@ -470,7 +470,7 @@ object StorageOps {
          |WHERE c_mktsegment = 'BUILDING'
          |ORDER BY change, __rowid""".stripMargin,
     "sc_bucketed_join" ->
-      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS sum_price,
+      """SELECT c_mktsegment, floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS sum_price,
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment

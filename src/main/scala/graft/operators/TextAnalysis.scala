@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.functions.Parity.stableRound
 import graft.functions.TextFunctions._
 
 /** Text-analysis operators over the `documents` table: token
@@ -72,10 +73,10 @@ object TextAnalysis {
     val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
     val stopHits = Seq(" the ", " a ", " and ", " of ", " to ", " is ")
       .map(m => markerCount(padded(col("text")), m)).reduce(_ + _)
-    val alphaRatio = round(nAlpha / nChars.cast("double"), 4)
-    val stopRatio = round(stopHits / nWords.cast("double"), 4)
-    val meanWordLen = round(length(norm).cast("double") / nWords, 4)
-    val score = round(
+    val alphaRatio = stableRound(nAlpha / nChars.cast("double"), 4)
+    val stopRatio = stableRound(stopHits / nWords.cast("double"), 4)
+    val meanWordLen = stableRound(length(norm).cast("double") / nWords, 4)
+    val score = stableRound(
       least(alphaRatio, lit(1.0)) * 0.4 +
         least(stopRatio * 4, lit(1.0)) * 0.3 +
         when(meanWordLen.between(3.0, 10.0), 0.3).otherwise(0.0), 4)
@@ -89,16 +90,16 @@ object TextAnalysis {
       .map(m => s"(length(p) - length(replace(p, ' $m ', ''))) // ${m.length + 2}")
       .mkString(" + ")
     s"""SELECT doc_id, n_chars, n_words, alpha_ratio, stop_ratio, mean_word_len,
-       |  round(least(alpha_ratio, 1.0) * 0.4 +
+       |  floor((least(alpha_ratio, 1.0) * 0.4 +
        |        least(stop_ratio * 4, 1.0) * 0.3 +
-       |        CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END, 4) AS quality
+       |        CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END) * 1e4 + 0.5) / 1e4 AS quality
        |FROM (
        |  SELECT doc_id,
        |    length(text)::BIGINT AS n_chars,
        |    len(string_split(norm, ' '))::BIGINT AS n_words,
-       |    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT / length(text)::DOUBLE, 4) AS alpha_ratio,
-       |    round(($stop)::BIGINT / len(string_split(norm, ' '))::DOUBLE, 4) AS stop_ratio,
-       |    round(length(norm)::DOUBLE / len(string_split(norm, ' ')), 4) AS mean_word_len
+       |    floor((length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT / length(text)::DOUBLE) * 1e4 + 0.5) / 1e4 AS alpha_ratio,
+       |    floor((($stop)::BIGINT / len(string_split(norm, ' '))::DOUBLE) * 1e4 + 0.5) / 1e4 AS stop_ratio,
+       |    floor((length(norm)::DOUBLE / len(string_split(norm, ' '))) * 1e4 + 0.5) / 1e4 AS mean_word_len
        |  FROM (SELECT doc_id, text, $normSql AS norm,
        |        ' ' || $normSql || ' ' AS p FROM documents) raw) t
        |ORDER BY doc_id""".stripMargin
@@ -175,7 +176,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("word_tokens")).as("sum_words"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
-      .withColumn("dup_ratio", round(col("n_dups") / col("n_docs"), 4))
+      .withColumn("dup_ratio", stableRound(col("n_dups") / col("n_docs"), 4))
       .orderBy("split", "lang")
   }
 
@@ -193,7 +194,7 @@ object TextAnalysis {
        |SELECT split, lang, count(*) AS n_docs,
        |  sum(word_tokens)::BIGINT AS sum_words,
        |  sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dups,
-       |  round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) / count(*), 4) AS dup_ratio
+       |  floor((sum(CASE WHEN is_dup THEN 1 ELSE 0 END) / count(*)) * 1e4 + 0.5) / 1e4 AS dup_ratio
        |FROM documents
        |JOIN s USING (doc_id) JOIN w USING (doc_id) JOIN d USING (doc_id)
        |GROUP BY split, lang
@@ -307,10 +308,10 @@ object TextAnalysis {
       .groupBy("doc_id").agg(max(col("c")).as("topc"))
     base.join(topc, "doc_id")
       .select(col("doc_id"), col("n").as("n_words"),
-        round(lit(1.0) - col("nd") / col("n").cast("double"), 6).as("dup_word_frac"),
-        round(col("topc") / col("n").cast("double"), 6).as("top_word_frac"),
+        stableRound(lit(1.0) - col("nd") / col("n").cast("double"), 6).as("dup_word_frac"),
+        stableRound(col("topc") / col("n").cast("double"), 6).as("top_word_frac"),
         when(col("ng2") > 0,
-          round((col("ng2") - col("ng2d")) / col("ng2").cast("double"), 6))
+          stableRound((col("ng2") - col("ng2d")) / col("ng2").cast("double"), 6))
           .otherwise(lit(0.0)).as("dup_2gram_frac"),
         (col("topc") * TopWordTauDen >= col("n") ||
           (col("ng2") > 0 && (col("ng2") - col("ng2d")) * Dup2gramTauDen >= col("ng2")))
@@ -333,9 +334,9 @@ object TextAnalysis {
        |    GROUP BY doc_id, word) v
        |  GROUP BY doc_id)
        |SELECT b.doc_id, n AS n_words,
-       |  round(1 - nd / n::DOUBLE, 6) AS dup_word_frac,
-       |  round(topc / n::DOUBLE, 6) AS top_word_frac,
-       |  CASE WHEN ng2 > 0 THEN round((ng2 - ng2d) / ng2::DOUBLE, 6)
+       |  floor((1 - nd / n::DOUBLE) * 1e6 + 0.5) / 1e6 AS dup_word_frac,
+       |  floor((topc / n::DOUBLE) * 1e6 + 0.5) / 1e6 AS top_word_frac,
+       |  CASE WHEN ng2 > 0 THEN floor(((ng2 - ng2d) / ng2::DOUBLE) * 1e6 + 0.5) / 1e6
        |       ELSE 0.0 END AS dup_2gram_frac,
        |  (topc * $TopWordTauDen >= n OR
        |    (ng2 > 0 AND (ng2 - ng2d) * $Dup2gramTauDen >= ng2)) AS repetitive
@@ -372,7 +373,7 @@ object TextAnalysis {
         sort_array(collect_list(col("c"))).as("cs"))
       .select(col("doc_id"), col("n").cast("long").as("n_words"),
         col("nd").cast("long").as("n_distinct_words"),
-        round(aggregate(col("cs"), lit(0.0),
+        stableRound(aggregate(col("cs"), lit(0.0),
           (acc, c) => acc - (c / col("n")) * log(c / col("n"))) / log(lit(2.0)), 4)
           .as("entropy_bits"))
       .withColumn("low_diversity", col("entropy_bits") < EntropyTau)
@@ -391,9 +392,9 @@ object TextAnalysis {
        |  FROM counts GROUP BY doc_id),
        |ent AS (
        |  SELECT doc_id, n AS n_words, nd AS n_distinct_words,
-       |    round(list_reduce(
+       |    floor((list_reduce(
        |      list_prepend(0.0, list_transform(cs, c -> -(c/n::DOUBLE) * ln(c/n::DOUBLE))),
-       |      (a, b) -> a + b) / ln(2.0), 4) AS entropy_bits
+       |      (a, b) -> a + b) / ln(2.0)) * 1e4 + 0.5) / 1e4 AS entropy_bits
        |  FROM e)
        |SELECT doc_id, n_words, n_distinct_words, entropy_bits,
        |  entropy_bits < $EntropyTau AS low_diversity
@@ -444,7 +445,7 @@ object TextAnalysis {
       .agg(sum("n").cast("long").as("n_words"),
         sort_array(collect_list(col("term"))).as("ts"))
       .select(col("doc_id"), col("n_words"),
-        round(aggregate(col("ts"), lit(0.0), (acc, t) => acc + t)
+        stableRound(aggregate(col("ts"), lit(0.0), (acc, t) => acc + t)
           / col("n_words") / log(lit(10.0)), 4).as("logprob10"))
       .withColumn("low_prob", col("logprob10") < LogprobTau)
       .orderBy("doc_id")
@@ -466,8 +467,8 @@ object TextAnalysis {
        |  FROM terms GROUP BY doc_id),
        |s AS (
        |  SELECT doc_id, n_words,
-       |    round(list_reduce(list_prepend(0.0, ts), (a, b) -> a + b)
-       |      / n_words / ln(10), 4) AS logprob10
+       |    floor((list_reduce(list_prepend(0.0, ts), (a, b) -> a + b)
+       |      / n_words / ln(10)) * 1e4 + 0.5) / 1e4 AS logprob10
        |  FROM g)
        |SELECT doc_id, n_words, logprob10, logprob10 < $LogprobTau AS low_prob
        |FROM s

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.functions.Parity.stableRound
 
 /** Structured Streaming operators over the `events` table.
   *
@@ -122,7 +123,7 @@ object EventStream {
     val agg = eventStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), stableRound(sum(col("value")), 2).as("sum_value"))
     runToTable(agg, "complete")
       .select((unix_timestamp(col("w.start")) / 3600L).cast("long").as("hour_bucket"),
         col("event_type"), col("n_events"), col("sum_value"))
@@ -131,7 +132,7 @@ object EventStream {
 
   val stWindowAggSql: String =
     s"""SELECT epoch_ns(ts) // $HourNs AS hour_bucket, event_type,
-       |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+       |  count(*) AS n_events, floor((sum(value)) * 1e2 + 0.5) / 1e2 AS sum_value
        |FROM events
        |GROUP BY 1, 2
        |ORDER BY hour_bucket, event_type""".stripMargin
