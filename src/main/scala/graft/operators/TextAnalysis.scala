@@ -474,6 +474,85 @@ object TextAnalysis {
        |FROM s
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- collocations
+
+  /** Min bigram support for a collocation candidate — integer-exact
+    * filter, applied before any join. */
+  val CollocMinCount = 5
+
+  /** Collocations reported (ties broken on the word pair, so the
+    * LIMIT cut is a total order in both engines). */
+  val CollocTopK = 20
+
+  /** Top collocations by pointwise mutual information over adjacent
+    * word pairs — the classic tokenizer-merge / phrase-mining signal
+    * (which adjacent pairs co-occur far above chance). pmi =
+    * ln(p(w1,w2) / (p(w1)·p(w2))) with bigram mass from the pair
+    * stream and unigram mass from the token stream.
+    *
+    * Distribution: two map-side-combining aggregations over the
+    * corpus (bigram counts, unigram counts) — both outputs are
+    * VOCABULARY-sized, so the scoring joins on w1/w2 involve only
+    * small frames (Catalyst broadcasts them from stats; at a 100M-word
+    * vocabulary they degrade to a linear shuffle join, never a
+    * corpus-sized one). The two totals attach as one-row broadcasts.
+    * Top-k is orderBy+limit — Spark plans TakeOrderedAndProject:
+    * per-partition partial top-k, single merge, no global sort.
+    *
+    * Float parity: every pmi input is an exact integer count and the
+    * quotient chain is written with the identical left-to-right op
+    * sequence in both engines (correctly-rounded IEEE ÷/×) — but `ln`
+    * is NOT correctly rounded, and the engines' libm really do differ
+    * by 1 ulp on some inputs (observed at sf0.001: 0.…93 vs 0.…92),
+    * so pmi is [[stableRound]]ed to 6 places like the ANN scores, and
+    * the top-k ORDER runs on the rounded value with a (w1, w2)
+    * tie-break — the rank is a total order over engine-identical
+    * keys. */
+  def tCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docsSpread(spark, dir).select(words(col("text")).as("w"))
+    // Unigram table: consumed by both scoring joins and the token
+    // total. Vocabulary-sized — the cache barrier saves a full corpus
+    // re-tokenization per consumer (same rationale as tLogprob's
+    // counts), at vocabulary cost, not corpus cost.
+    val uni = toks.select(explode(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c1"))
+      .cache()
+    val nw = uni.agg(sum("c1").cast("double").as("nw"))
+    val bi = toks.select(explode(expr(
+        "transform(slice(w, 1, greatest(size(w) - 1, 0)), (x, i) -> struct(x AS w1, w[i + 1] AS w2))")).as("p"))
+      .select("p.w1", "p.w2")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .cache()
+    val nb = bi.agg(sum("n_pair").cast("double").as("nb"))
+    bi.filter(col("n_pair") >= CollocMinCount)
+      .join(uni.select(col("word").as("w1"), col("c1").as("c1a")), "w1")
+      .join(uni.select(col("word").as("w2"), col("c1").as("c1b")), "w2")
+      .crossJoin(broadcast(nw)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        stableRound(log(col("n_pair") / col("nb") * col("nw") / col("c1a") * col("nw") / col("c1b")), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(CollocTopK)
+  }
+
+  val tCollocationsSql: String =
+    s"""WITH w AS (SELECT string_split($normSql, ' ') AS w FROM documents),
+       |uni AS (SELECT word, count(*) AS c1
+       |        FROM (SELECT unnest(w) AS word FROM w) u GROUP BY word),
+       |nwt AS (SELECT sum(c1)::DOUBLE AS nw FROM uni),
+       |bi AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
+       |       FROM (SELECT unnest(list_transform(w[1:len(w)-1],
+       |              (x, i) -> struct_pack(w1 := x, w2 := w[i+1]))) AS p FROM w) t
+       |       GROUP BY 1, 2),
+       |nbt AS (SELECT sum(n_pair)::DOUBLE AS nb FROM bi)
+       |SELECT w1, w2, n_pair,
+       |  floor((ln(n_pair / nb * nw / u1.c1 * nw / u2.c1)) * 1e6 + 0.5) / 1e6 AS pmi
+       |FROM bi JOIN uni u1 ON bi.w1 = u1.word JOIN uni u2 ON bi.w2 = u2.word
+       |CROSS JOIN nwt CROSS JOIN nbt
+       |WHERE n_pair >= $CollocMinCount
+       |ORDER BY pmi DESC, w1, w2
+       |LIMIT $CollocTopK""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_count" -> tTokenCount,
     "t_quality" -> tQuality,
@@ -484,6 +563,7 @@ object TextAnalysis {
     "t_repetition" -> tRepetition,
     "t_entropy" -> tEntropy,
     "t_logprob" -> tLogprob,
+    "t_collocations" -> tCollocations,
   )
 
   def oracles: Map[String, String] = Map(
@@ -496,5 +576,6 @@ object TextAnalysis {
     "t_repetition" -> tRepetitionSql,
     "t_entropy" -> tEntropySql,
     "t_logprob" -> tLogprobSql,
+    "t_collocations" -> tCollocationsSql,
   )
 }

@@ -373,4 +373,72 @@ class PipelineSpec extends SparkSpec {
       abs(col("window_value") - col("naive_value")) > 1e-6).count() == 0,
       "window value sums diverge beyond float tolerance")
   }
+
+  test("t_collocations matches a driver-side brute-force recompute exactly") {
+    // Same normalization as TextFunctions.normText, in plain Scala.
+    def toks(text: String): Array[String] =
+      text.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ")
+        .trim.split(" ")
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").as[String].collect()
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val bi = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (t <- texts; ws = toks(t)) {
+      ws.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1L)
+      ws.sliding(2).foreach {
+        case Array(a, b) => bi((a, b)) = bi.getOrElse((a, b), 0L) + 1L
+        case _ =>
+      }
+    }
+    val nw = uni.values.sum.toDouble
+    val nb = bi.values.sum.toDouble
+    val expected = bi.iterator
+      .filter(_._2 >= TextAnalysis.CollocMinCount)
+      .map { case ((a, b), c) =>
+        // identical op sequence to the operator's pmi column,
+        // including the stableRound floor chain
+        val pmi = math.log(c / nb * nw / uni(a) * nw / uni(b))
+        (a, b, c, math.floor(pmi * 1e6 + 0.5) / 1e6)
+      }
+      .toSeq
+      .sortBy { case (a, b, _, p) => (-p, a, b) }
+      .take(TextAnalysis.CollocTopK)
+    val got = TextAnalysis.tCollocations(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g == e, s"collocation row diverges: got $g expected $e")
+    }
+  }
+
+  test("e_normalize emits unit vectors consistent with the stored norm") {
+    val rows = graft.operators.Embeddings.eNormalize(spark, sf)
+      .collect()
+    assert(rows.length == spark.read.parquet(s"$sf/embeddings.parquet").count())
+    rows.take(50).foreach { r =>
+      val norm = r.getDouble(1)
+      val unit = r.getSeq[Double](2)
+      assert(norm > 0.0)
+      val n2 = unit.foldLeft(0.0)((a, x) => a + x * x)
+      assert(math.abs(n2 - 1.0) < 1e-9, s"unit norm² $n2 drifts from 1")
+    }
+  }
+
+  test("e_quantize codes stay in int8 range and dequantize within half a step") {
+    val raw = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val rows = graft.operators.Embeddings.eQuantize(spark, sf).collect()
+    rows.take(100).foreach { r =>
+      val id = r.getLong(0)
+      val amax = r.getDouble(1)
+      val q = r.getSeq[Int](2)
+      assert(q.forall(v => v >= -127 && v <= 127), s"vec $id code out of int8 range")
+      val step = amax / graft.operators.Embeddings.QuantLevels
+      raw(id).zip(q).foreach { case (x, v) =>
+        assert(math.abs(v * step - x.toDouble) <= step * 0.5 + 1e-12,
+          s"vec $id dequant error beyond half a step")
+      }
+    }
+  }
 }
