@@ -55,6 +55,33 @@ final class Store private (val data: DataFrame, orderCols: Seq[String]) {
   def delete(conds: Condition*): Store =
     new Store(data.filter(!Condition.all(conds)), orderCols)
 
+  /** MERGE-style upsert keyed on the store's ordering key: every live
+    * row whose key appears in the batch is retired (delete semantics,
+    * src/lib.rs:140-142 — its rowid is never reused), then the WHOLE
+    * batch inserts with fresh ids after the current max (insert
+    * semantics, src/lib.rs:178-187). The reference composes this as
+    * delete-then-insert; one method keeps it a single logical commit
+    * and a single plan.
+    *
+    * Scale shape: the retire step is one left-anti join on the key —
+    * Catalyst broadcasts a small batch, else it is a co-shuffled hash
+    * join, linear either way. The id base is max(__rowid) over the
+    * FULL pre-upsert store (replaced rows included): parquet
+    * column stats serve the max at rest, and counting from the full
+    * store preserves the never-reuse discipline even when the current
+    * max is itself being replaced. */
+  def upsert(batch: DataFrame): Store = {
+    val cols = data.columns.filter(_ != Store.RowId)
+    require(batch.columns.sorted.sameElements(cols.sorted),
+      s"batch columns ${batch.columns.mkString(",")} != store columns ${cols.mkString(",")}")
+    val keys = batch.select(orderCols.map(col).toSeq: _*)
+    val survivors = data.join(keys, orderCols, "left_anti")
+    val next = data.agg(max(col(Store.RowId))).head.getLong(0) + 1L
+    val numbered = Store.withRowIds(batch.select(cols.map(col).toSeq: _*), orderCols)
+      .withColumn(Store.RowId, col(Store.RowId) + lit(next))
+    new Store(survivors.unionByName(numbered), orderCols)
+  }
+
   /** `Store::delete_filter` (src/lib.rs:149-169): delete rows matching
     * the conditions AND the extra row predicate. */
   def deleteFilter(conds: Seq[Condition], f: Column): Store =

@@ -113,6 +113,42 @@ object ShortcutOps {
       |FROM customer
       |ORDER BY __rowid""".stripMargin
 
+  /** Store.upsert — MERGE semantics as the delete∘insert composition
+    * the reference surface implies (src/lib.rs:140-142 + 178-187):
+    * BUILDING customers re-enter with adjusted balances (their old
+    * rowids retire, never reused), and a synthetic-key batch inserts
+    * alongside; ids continue from the pre-upsert max. The +1000.0
+    * balance shift is one IEEE add — bit-identical in the oracle. */
+  def scUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir).customer
+    val updates = cust.filter(col("c_mktsegment") === "BUILDING")
+      .withColumn("c_acctbal", col("c_acctbal") + lit(1000.0))
+    val inserts = cust.filter(col("c_custkey") <= 50)
+      .withColumn("c_custkey", col("c_custkey") + lit(10000000L))
+    Store.fromData(cust, Seq("c_custkey"))
+      .upsert(updates.unionByName(inserts))
+      .data.select("__rowid", "c_custkey", "c_acctbal", "c_mktsegment")
+      .orderBy("__rowid")
+  }
+
+  val scUpsertSql: String =
+    s"""WITH orig AS (SELECT *, $custRowid FROM customer),
+       |mx AS (SELECT max(__rowid) AS m FROM orig),
+       |batch AS (
+       |  SELECT * REPLACE (c_acctbal + 1000.0 AS c_acctbal)
+       |  FROM customer WHERE c_mktsegment = 'BUILDING'
+       |  UNION ALL
+       |  SELECT * REPLACE (c_custkey + 10000000 AS c_custkey)
+       |  FROM customer WHERE c_custkey <= 50),
+       |nb AS (SELECT *, m + row_number() OVER (ORDER BY c_custkey) AS __rowid
+       |       FROM batch CROSS JOIN mx)
+       |SELECT __rowid, c_custkey, c_acctbal, c_mktsegment FROM (
+       |  SELECT __rowid, c_custkey, c_acctbal, c_mktsegment FROM orig
+       |  WHERE c_custkey NOT IN (SELECT c_custkey FROM batch)
+       |  UNION ALL
+       |  SELECT __rowid, c_custkey, c_acctbal, c_mktsegment FROM nb) t
+       |ORDER BY __rowid""".stripMargin
+
   /** Store.delete — src/lib.rs:140-142: matching rows go away,
     * survivors keep their rowids (deleted ids are never reused). */
   def scDelete(spark: SparkSession, dir: String): DataFrame =
@@ -147,6 +183,7 @@ object ShortcutOps {
     "sc_find_and" -> scFindAnd,
     "sc_range_between" -> scRangeBetween,
     "sc_insert" -> scInsert,
+    "sc_upsert" -> scUpsert,
     "sc_delete" -> scDelete,
     "sc_delete_filter" -> scDeleteFilter,
   )
@@ -157,6 +194,7 @@ object ShortcutOps {
     "sc_find_and" -> scFindAndSql,
     "sc_range_between" -> scRangeBetweenSql,
     "sc_insert" -> scInsertSql,
+    "sc_upsert" -> scUpsertSql,
     "sc_delete" -> scDeleteSql,
     "sc_delete_filter" -> scDeleteFilterSql,
   )

@@ -170,6 +170,36 @@ class PlanQualitySpec extends SparkSpec {
       s"band join degenerated to all-pairs:\n${p.take(2000)}")
   }
 
+  test("embedding transforms stay narrow — only the presentation sort shuffles") {
+    Seq("e_normalize", "e_quantize").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join:\n${p.take(1500)}")
+      val exchanges = p.linesIterator.count(_.contains("- Exchange ("))
+      assert(exchanges <= 1,
+        s"$q shuffles beyond the presentation sort ($exchanges exchanges):\n${p.take(1500)}")
+    }
+  }
+
+  test("collocations: equi-joins on words, one-row totals only, top-k is TakeOrdered") {
+    val p = plan("t_collocations")
+    assert(!p.contains("CartesianProduct"),
+      s"total attach degenerated to a cartesian:\n${p.take(2000)}")
+    // The two permitted BNLJs are the one-row nw/nb broadcasts (the
+    // same constant-column attach pattern as t_logprob's total).
+    val bnlj = p.linesIterator.count(_.contains("- BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"unexpected nested-loop joins ($bnlj):\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k regressed from TakeOrderedAndProject to a global sort:\n${p.take(2000)}")
+  }
+
+  test("upsert retires matched keys through an anti join — never all-pairs") {
+    val p = plan("sc_upsert")
+    assert(p.linesIterator.exists(_.contains("LeftAnti")),
+      s"key-retire anti join missing:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"upsert degenerated to all-pairs:\n${p.take(2000)}")
+  }
+
   test("funnel stages share one user_id exchange") {
     val p = plan("q_funnel")
     // three chained stage windows + the per-user aggregate must all

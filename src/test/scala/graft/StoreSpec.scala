@@ -55,6 +55,29 @@ class StoreSpec extends SparkSpec {
     assert(d.data.select("a").as[String].head() == "b1")
   }
 
+  test("upsert replaces matched keys, inserts the rest, never reuses ids") {
+    val s = Store.fromData(
+      Seq(("a", "old1"), ("b", "old2"), ("c", "old3")).toDF("k", "v"), Seq("k"))
+    val up = s.upsert(Seq(("b", "new2"), ("d", "new4")).toDF("k", "v"))
+    // replaced key appears exactly once, with the batch's value
+    assert(up.data.filter(col("k") === "b").count() == 1)
+    assert(up.data.filter(col("k") === "b").select("v").as[String].head() == "new2")
+    // untouched rows keep value AND rowid
+    assert(up.data.filter(col("k") === "a").select("__rowid").as[Long].head() == 0L)
+    assert(up.data.filter(col("k") === "c").select("v").as[String].head() == "old3")
+    // the whole batch numbers after the pre-upsert max (2), in key order
+    assert(up.data.filter(col("k") === "b").select("__rowid").as[Long].head() == 3L)
+    assert(up.data.filter(col("k") === "d").select("__rowid").as[Long].head() == 4L)
+    // ≡ the delete∘insert composition the reference would run
+    val composed = s.delete(Condition.eq("k", "b"))
+      .insert(Seq(("b", "new2"), ("d", "new4")).toDF("k", "v"))
+    // same (k, v) content; the composition numbers from the SURVIVOR
+    // max, upsert from the full-store max — ids may differ, rows not
+    val diff = up.data.select("k", "v").exceptAll(composed.data.select("k", "v")).count() +
+      composed.data.select("k", "v").exceptAll(up.data.select("k", "v")).count()
+    assert(diff == 0)
+  }
+
   test("numbering is deterministic across runs on real data") {
     val t = Tables(spark, sf)
     val s1 = Store.fromData(t.customer, Seq("c_custkey"))
