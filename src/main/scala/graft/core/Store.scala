@@ -33,22 +33,27 @@ final class Store private (val data: DataFrame, orderCols: Seq[String]) {
   def find(conds: Condition*): DataFrame =
     data.filter(Condition.all(conds))
 
-  /** Append a batch — `Store::insert` (src/lib.rs:178-187). New rows
-    * get rowids after all existing rows, ordered by the store's
-    * ordering key within the batch. */
-  def insert(batch: DataFrame): Store = {
+  /** Column check + dense numbering continuing past the current max
+    * rowid — the shared tail of every mutation that adds rows.
+    * max() is a cheap full-column agg (parquet stats serve it at
+    * rest); an EMPTY store yields null there and the numbering starts
+    * from 0. The batch is densely numbered by the same distributed
+    * scheme as [[Store.withRowIds]]. */
+  private def numberAfterMax(batch: DataFrame): DataFrame = {
     val cols = data.columns.filter(_ != Store.RowId)
     require(batch.columns.sorted.sameElements(cols.sorted),
       s"batch columns ${batch.columns.mkString(",")} != store columns ${cols.mkString(",")}")
-    // Existing rowids are stable; the new batch continues from the
-    // current max. max() is a cheap full-column agg (parquet stats
-    // serve it at rest); the batch is then densely numbered by the
-    // same distributed scheme.
-    val next = data.agg(max(col(Store.RowId))).head.getLong(0) + 1L
-    val numbered = Store.withRowIds(batch.select(cols.map(col).toSeq: _*), orderCols)
+    val next = Option(data.agg(max(col(Store.RowId))).head.get(0))
+      .map(_.asInstanceOf[Long] + 1L).getOrElse(0L)
+    Store.withRowIds(batch.select(cols.map(col).toSeq: _*), orderCols)
       .withColumn(Store.RowId, col(Store.RowId) + lit(next))
-    new Store(data.unionByName(numbered), orderCols)
   }
+
+  /** Append a batch — `Store::insert` (src/lib.rs:178-187). New rows
+    * get rowids after all existing rows, ordered by the store's
+    * ordering key within the batch. */
+  def insert(batch: DataFrame): Store =
+    new Store(data.unionByName(numberAfterMax(batch)), orderCols)
 
   /** Remove all rows matching the conditions — `Store::delete`
     * (src/lib.rs:140-142). Surviving rows keep their rowids. */
@@ -71,15 +76,15 @@ final class Store private (val data: DataFrame, orderCols: Seq[String]) {
     * store preserves the never-reuse discipline even when the current
     * max is itself being replaced. */
   def upsert(batch: DataFrame): Store = {
-    val cols = data.columns.filter(_ != Store.RowId)
-    require(batch.columns.sorted.sameElements(cols.sorted),
-      s"batch columns ${batch.columns.mkString(",")} != store columns ${cols.mkString(",")}")
+    // SQL MERGE rejects duplicate source matches; silence here would
+    // leave two live rows per duplicated key and make their relative
+    // numbering nondeterministic. One count-vs-distinct action on the
+    // (small) batch buys the loud failure.
     val keys = batch.select(orderCols.map(col).toSeq: _*)
+    require(keys.count() == keys.distinct().count(),
+      s"upsert batch has duplicate ${orderCols.mkString("(", ",", ")")} keys")
     val survivors = data.join(keys, orderCols, "left_anti")
-    val next = data.agg(max(col(Store.RowId))).head.getLong(0) + 1L
-    val numbered = Store.withRowIds(batch.select(cols.map(col).toSeq: _*), orderCols)
-      .withColumn(Store.RowId, col(Store.RowId) + lit(next))
-    new Store(survivors.unionByName(numbered), orderCols)
+    new Store(survivors.unionByName(numberAfterMax(batch)), orderCols)
   }
 
   /** `Store::delete_filter` (src/lib.rs:149-169): delete rows matching

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{floor, lit}
+import org.apache.spark.sql.functions.{abs, floor, isnan, lit, when}
 
 /** Cross-engine float-parity helpers shared by the operators and
   * their DuckDB oracle SQL (SURVEY §6).
@@ -20,24 +20,40 @@ import org.apache.spark.sql.functions.{floor, lit}
   * exact-tie inputs, where the engines used to disagree with each
   * other anyway).
   *
-  * 10^s is an exact double for s ≤ 22, and every value rounded in
-  * this codebase keeps x·10^s far below 2^53, so the chain loses no
-  * precision; Spark's `floor` yields LONG and the final division
-  * re-widens exactly. Use [[stableRoundSql]] for the oracle side —
-  * `1e<s>` parses to the same exact double.
+  * The result is not the exact decimal (x·10^s is rarely a
+  * representable double, and the final division is correctly rounded,
+  * not exact) — what parity needs is only that both engines run the
+  * SAME correctly-rounded ops, which `1e<s>` parsing to the identical
+  * power-of-ten double guarantees. The scale cap of 15 keeps every
+  * value rounded in this codebase far below 2^53 after scaling, so
+  * ⌊·⌋'s LONG intermediate on the Spark side is lossless.
   */
 object Parity {
 
-  /** ⌊c·10^s + ½⌋ / 10^s — engine-stable round-half-up at scale s. */
+  /** ⌊c·10^s + ½⌋ / 10^s — engine-stable round-half-up at scale s.
+    *
+    * NaN and ±Infinity pass through UNTOUCHED: Spark's `floor` on a
+    * double yields LONG, which would silently collapse NaN to 0 and
+    * ±Inf to ±Long.MaxValue — while DuckDB's all-DOUBLE chain
+    * propagates them — so the guard is what keeps the two engines
+    * identical on non-finite inputs (the built-in round() used to
+    * preserve them on both sides). */
   def stableRound(c: Column, s: Int): Column = {
-    require(s >= 0 && s <= 15, s"stableRound scale $s out of the exact-double range")
+    require(s >= 0 && s <= 15, s"stableRound scale $s outside the lossless range")
     val p = math.pow(10, s)
-    floor(c * lit(p) + lit(0.5)) / lit(p)
+    when(isnan(c) || abs(c) === lit(Double.PositiveInfinity), c)
+      .otherwise(floor(c * lit(p) + lit(0.5)) / lit(p))
   }
 
-  /** The DuckDB twin of [[stableRound]], as SQL text over `e`. */
+  /** The DuckDB twin of [[stableRound]], as SQL text over `e`. This
+    * is the CANONICAL form: existing oracles spell it inline (the
+    * multi-line chains read better in place) and ParitySpec pins
+    * every occurrence — and any reappearance of round() — against
+    * this template, so the copies cannot drift silently; new oracles
+    * should interpolate the helper. DuckDB's floor stays DOUBLE, so
+    * NaN/±Inf propagate without a guard. */
   def stableRoundSql(e: String, s: Int): String = {
-    require(s >= 0 && s <= 15, s"stableRoundSql scale $s out of the exact-double range")
+    require(s >= 0 && s <= 15, s"stableRoundSql scale $s outside the lossless range")
     s"floor(($e) * 1e$s + 0.5) / 1e$s"
   }
 }

@@ -125,7 +125,10 @@ object ShortcutOps {
       .withColumn("c_acctbal", col("c_acctbal") + lit(1000.0))
     val inserts = cust.filter(col("c_custkey") <= 50)
       .withColumn("c_custkey", col("c_custkey") + lit(10000000L))
-    Store.fromData(cust, Seq("c_custkey"))
+    // probe the memoized handle: upsert returns a NEW store, the
+    // shared fixture is untouched — and the query times the merge,
+    // not a from-scratch rowid numbering
+    customerStore(spark, dir)
       .upsert(updates.unionByName(inserts))
       .data.select("__rowid", "c_custkey", "c_acctbal", "c_mktsegment")
       .orderBy("__rowid")

@@ -506,8 +506,10 @@ object TextAnalysis {
     * by 1 ulp on some inputs (observed at sf0.001: 0.…93 vs 0.…92),
     * so pmi is [[stableRound]]ed to 6 places like the ANN scores, and
     * the top-k ORDER runs on the rounded value with a (w1, w2)
-    * tie-break — the rank is a total order over engine-identical
-    * keys. */
+    * tie-break. Rounding shrinks the divergence window from every
+    * value to the ~ulp/10⁻⁶ sliver around each floor boundary
+    * (~10⁻¹⁰ per pair) — the same residual-risk discipline as every
+    * rounded float in this codebase, not a hard guarantee. */
   def tCollocations(spark: SparkSession, dir: String): DataFrame = {
     val toks = docsSpread(spark, dir).select(words(col("text")).as("w"))
     // Unigram table: consumed by both scoring joins and the token

@@ -78,6 +78,21 @@ class StoreSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("mutations on an EMPTY store number from 0; duplicate upsert keys fail loudly") {
+    val empty = Store.fromData(Seq.empty[(String, String)].toDF("k", "v"), Seq("k"))
+    // the 'initialize empty, merge batches' path: max(__rowid) is null
+    val seeded = empty.upsert(Seq(("a", "v1"), ("b", "v2")).toDF("k", "v"))
+    assert(seeded.data.select("__rowid").as[Long].collect().sorted.sameElements(Array(0L, 1L)))
+    val inserted = empty.insert(Seq(("c", "v3")).toDF("k", "v"))
+    assert(inserted.data.select("__rowid").as[Long].head() == 0L)
+    // SQL MERGE semantics: duplicate source keys are an error, not
+    // two silent live rows
+    val ex = intercept[IllegalArgumentException] {
+      seeded.upsert(Seq(("b", "x"), ("b", "y")).toDF("k", "v"))
+    }
+    assert(ex.getMessage.contains("duplicate"))
+  }
+
   test("numbering is deterministic across runs on real data") {
     val t = Tables(spark, sf)
     val s1 = Store.fromData(t.customer, Seq("c_custkey"))
