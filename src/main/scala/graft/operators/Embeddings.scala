@@ -97,13 +97,100 @@ object Embeddings {
        |    END) AS q8
        |FROM m ORDER BY vec_id""".stripMargin
 
+  /** Sub-group fan-out of the centroid fold: each (label, dim) cell's
+    * values split into this many deterministic sub-groups
+    * (vec_id mod Subs), summed independently, then combined in sub
+    * order. */
+  val CentroidSubs = 64
+
+  /** e_centroid — per-label mean embedding (classifier prototypes,
+    * clustering seeds, IVF training), EXACT cross-engine.
+    *
+    * A float mean needs a pinned summation order for oracle parity,
+    * but a flat sorted fold would gather each (label, dim) cell into
+    * one row — corpus/labels values, the whole-shard-row failure mode
+    * d_shard §10b eliminated. Same cure, applied to sums: the fold is
+    * HIERARCHICAL over data-defined sub-groups (vec_id mod
+    * [[CentroidSubs]] — engine-mirrorable, planner-independent).
+    * Values hash-shuffle once on (label, dim, sub) and each sub-group
+    * folds STREAMING inside mapPartitions over the sorted partition —
+    * no row ever holds a cell's value list; only the bounded
+    * labels×dims×Subs partial rows materialize, and the final
+    * combine folds ≤ Subs partials per cell in sub order. DuckDB
+    * mirrors the exact two-level structure (per-sub sorted
+    * list_reduce, then sub-ordered list_reduce), so every double is
+    * bit-identical — value-order ties are harmless because equal
+    * addends produce the same partial-sum sequence regardless of
+    * their relative order.
+    *
+    * At 100 TB: explode is narrow, the one wide exchange is linear in
+    * values, partial state is O(labels·dims·Subs) ≪ corpus. Cell
+    * growth lands in the per-partition stream, never in a row. */
+  def eCentroid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = Tables(spark, dir).embeddings
+    val exploded = e.select(col("label"),
+        pmod(col("vec_id"), lit(CentroidSubs.toLong)).cast("int").as("sub"),
+        posexplode(col("embedding")))
+      .select(col("label"), col("pos").as("dim"), col("sub"),
+        col("col").cast("double").as("v"))
+    val subsums = exploded
+      .repartition(parts, col("label"), col("dim"), col("sub"))
+      .sortWithinPartitions("label", "dim", "sub", "v")
+      .as[(Int, Int, Int, Double)]
+      .mapPartitions { rows =>
+        // groups are contiguous after the sort; stream one fold each
+        val out = Seq.newBuilder[(Int, Int, Int, Long, Double)]
+        var cur: (Int, Int, Int) = null
+        var n = 0L
+        var s = 0.0
+        def flush(): Unit = if (cur != null) out += ((cur._1, cur._2, cur._3, n, s))
+        rows.foreach { case (l, d, sub, v) =>
+          val k = (l, d, sub)
+          if (k != cur) { flush(); cur = k; n = 0L; s = 0.0 }
+          n += 1L
+          s += v
+        }
+        flush()
+        out.result().iterator
+      }
+      .toDF("label", "dim", "sub", "n", "s")
+    subsums.groupBy("label", "dim")
+      .agg(sum("n").cast("long").as("n_vectors"),
+        sort_array(collect_list(struct(col("sub"), col("s")))).as("ss"))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        (aggregate(col("ss"), lit(0.0), (acc, x) => acc + x.getField("s"))
+          / col("n_vectors")).as("centroid"),
+        col("n_vectors"))
+      .orderBy("label", "dim")
+  }
+
+  val eCentroidSql: String =
+    s"""WITH v AS (
+       |  SELECT label, vec_id % $CentroidSubs AS sub, i - 1 AS dim, x::DOUBLE AS v
+       |  FROM (SELECT label, vec_id, unnest(embedding) AS x,
+       |        generate_subscripts(embedding, 1) AS i FROM embeddings) u),
+       |subs AS (
+       |  SELECT label, dim, sub, count(*) AS n,
+       |    list_reduce(list_prepend(0.0, list(v ORDER BY v)), (a, b) -> a + b) AS s
+       |  FROM v GROUP BY 1, 2, 3),
+       |cells AS (
+       |  SELECT label, dim, sum(n)::BIGINT AS n_vectors,
+       |    list_reduce(list_prepend(0.0, list(s ORDER BY sub)), (a, b) -> a + b) AS total
+       |  FROM subs GROUP BY 1, 2)
+       |SELECT label, dim, total / n_vectors AS centroid, n_vectors
+       |FROM cells ORDER BY label, dim""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_normalize" -> eNormalize,
     "e_quantize" -> eQuantize,
+    "e_centroid" -> eCentroid,
   )
 
   def oracles: Map[String, String] = Map(
     "e_normalize" -> eNormalizeSql,
     "e_quantize" -> eQuantizeSql,
+    "e_centroid" -> eCentroidSql,
   )
 }

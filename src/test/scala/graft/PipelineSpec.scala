@@ -424,6 +424,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("e_centroid matches the naive per-label mean and counts every vector") {
+    val cent = graft.operators.Embeddings.eCentroid(spark, sf).cache()
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val labels = emb.select("label").distinct().count()
+    assert(cent.count() == labels * 64, "one row per (label, dim) expected")
+    // n_vectors is the label's vector count on every dim row
+    val counts = emb.groupBy("label").count()
+    assert(cent.join(counts, "label").filter(col("n_vectors") =!= col("count")).count() == 0)
+    // the hierarchical pinned fold must agree with a naive mean to
+    // float tolerance (bit-equality is the oracle's job; this guards
+    // semantics, not parity)
+    val naive = emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim").agg(avg(col("x").cast("double")).as("m"))
+    val joined = cent.join(naive, Seq("label", "dim"))
+    assert(joined.filter(abs(col("centroid") - col("m")) > 1e-9).count() == 0,
+      "hierarchical fold diverges from the naive mean beyond tolerance")
+  }
+
   test("e_quantize codes stay in int8 range and dequantize within half a step") {
     val raw = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding").collect()

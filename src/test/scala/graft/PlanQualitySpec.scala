@@ -180,6 +180,22 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("centroid streams the sub-group folds — no cell-sized row") {
+    val p = plan("e_centroid")
+    assert(p.contains("MapPartitions"),
+      s"streaming per-sub fold stage missing:\n${p.take(2000)}")
+    // one hash exchange into the fold + one over the bounded partials;
+    // the presentation orderBy adds a range exchange, nothing more
+    val hashExchanges = p.linesIterator.count(_.contains("hashpartitioning("))
+    assert(hashExchanges == 2,
+      s"expected exactly two hash exchanges, got $hashExchanges:\n${p.take(2500)}")
+    // the only collect_list is over the ≤ Subs (sub, s) partials — a
+    // collect_list over raw values is the whole-cell row this plan avoids
+    val clLines = p.linesIterator.filter(_.contains("collect_list")).mkString("\n")
+    assert(clLines.isEmpty || clLines.contains("sub"),
+      s"collect_list must only gather sub partials:\n$clLines")
+  }
+
   test("collocations: equi-joins on words, one-row totals only, top-k is TakeOrdered") {
     val p = plan("t_collocations")
     assert(!p.contains("CartesianProduct"),
