@@ -272,6 +272,119 @@ object Similarity {
        |WHERE rk <= $TopK
        |ORDER BY query_id, rk""".stripMargin
 
+  /** Coarse candidate pool per query for the int8 two-tier retrieval
+    * — rescored exactly, so this is the only recall knob. */
+  val Sq8Candidates = 50
+
+  /** s_ann_sq8 — two-tier scalar-quantized retrieval, the standard
+    * memory-bandwidth play at corpus scale: tier 1 scans INT8 codes
+    * (4× smaller than float32 — [[Embeddings.eQuantize]]'s output,
+    * same formulation inline) and keeps [[Sq8Candidates]] per query
+    * by integer dot product; tier 2 rescores only those Q×C
+    * candidates with the exact float cosine and reranks.
+    *
+    * Unlike LSH/IVF this tier-1 is DETERMINISTIC and engine-exact:
+    * the coarse score is integer arithmetic (no float divergence
+    * possible), ties break on neighbor_id, so the candidate SET is
+    * identical in both engines and the whole output hash-matches —
+    * an ANN variant with a full SQL oracle rather than a recall
+    * bound. (Recall < 1 only where quantization reorders the coarse
+    * top-C boundary; the spec bounds it against brute force.)
+    *
+    * Scale shape: same discipline as [[sAnnBrute]] — queries
+    * broadcast, the coarse-scored corpus never shuffles (bounded
+    * per-partition heaps emit ≤ partitions×Q×C partials), and the
+    * rescore tier touches Q×C rows only. */
+  def sAnnSq8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = Tables(spark, dir).embeddings.repartition(parts)
+    val amax = aggregate(
+      transform(col("embedding"), x => abs(x.cast("double"))),
+      lit(0.0), (a, x) => greatest(a, x))
+    val coded = e.withColumn("abs_max", amax)
+      .select(col("vec_id"),
+        transform(col("embedding"), x =>
+          when(col("abs_max") === 0.0, lit(0))
+            .otherwise(floor(x.cast("double") / col("abs_max") * lit(Embeddings.QuantLevels) + lit(0.5))
+              .cast("int"))).as("q8"))
+    val queries = coded.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("q8").as("qq"))
+    val scored = coded.select(col("vec_id").as("neighbor_id"), col("q8"))
+      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("qq"), col("q8"), (x, y) => (x * y).cast("long")),
+          lit(0L), (a, x) => a + x).cast("double").as("coarse"))
+    val c = Sq8Candidates
+    val partials = scored.as[(Long, Long, Double)]
+      .mapPartitions { rows =>
+        // bounded worst-at-head heap per query, as in sAnnBrute
+        val heaps = scala.collection.mutable.LongMap
+          .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        rows.foreach { case (q, n, s) =>
+          val h = heaps.getOrElseUpdate(q,
+            scala.collection.mutable.PriorityQueue.empty[(Double, Long)](bestFirst))
+          if (h.size < c) h.enqueue((s, n))
+          else if (bestFirst.compare((s, n), h.head) < 0) { h.dequeue(); h.enqueue((s, n)) }
+        }
+        heaps.iterator.flatMap { case (q, h) => h.iterator.map { case (s, n) => (q, n, s) } }
+      }
+      .toDF("query_id", "neighbor_id", "coarse")
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse").desc, col("neighbor_id"))
+    val cands = partials.withColumn("ck", row_number().over(wC))
+      .filter(col("ck") <= c)
+      .select("query_id", "neighbor_id")
+    val unit = withUnit(e, "embedding", "u").select(col("vec_id"), col("u"))
+    val rescored = cands
+      .join(unit.select(col("vec_id").as("neighbor_id"), col("u").as("nu")), "neighbor_id")
+      .join(broadcast(unit.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("u").as("qu"))), "query_id")
+      .withColumn("score", graft.functions.Parity.stableRound(dot(col("qu"), col("nu")), 4))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    rescored.withColumn("rk", row_number().over(wK).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select("query_id", "neighbor_id", "rk", "score")
+      .orderBy("query_id", "rk")
+  }
+
+  val sAnnSq8Sql: String =
+    s"""WITH m AS (
+       |  SELECT vec_id, embedding,
+       |    list_reduce(list_prepend(0.0, list_transform(embedding, x -> abs(x::DOUBLE))),
+       |      (a, b) -> greatest(a, b)) AS abs_max
+       |  FROM embeddings),
+       |c AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(embedding, x ->
+       |      CASE WHEN abs_max = 0.0 THEN 0
+       |           ELSE CAST(floor(x::DOUBLE / abs_max * ${Embeddings.QuantLevels} + 0.5) AS INTEGER)
+       |      END) AS q8
+       |  FROM m),
+       |coarse AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    list_sum(list_transform(list_zip(q.q8, n.q8), p -> p[1]::BIGINT * p[2])) AS coarse
+       |  FROM c q JOIN c n ON q.vec_id <> n.vec_id
+       |  WHERE q.vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY coarse DESC, neighbor_id) AS ck
+       |  FROM coarse),
+       |resc AS (
+       |  SELECT query_id, neighbor_id,
+       |    floor((list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[])) * 1e4 + 0.5) / 1e4 AS score
+       |  FROM cand
+       |  JOIN embeddings q ON cand.query_id = q.vec_id
+       |  JOIN embeddings n ON cand.neighbor_id = n.vec_id
+       |  WHERE ck <= $Sq8Candidates)
+       |SELECT query_id, neighbor_id, rk, score FROM (
+       |  SELECT query_id, neighbor_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+       |  FROM resc) t
+       |WHERE rk <= $TopK
+       |ORDER BY query_id, rk""".stripMargin
+
   val NumTables = 8
   val PlanesPerTable = 6
   val Dim = 64
@@ -389,6 +502,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_dedup_embedding" -> dDedupEmbeddingKernel,
     "s_ann_brute" -> sAnnBrute,
+    "s_ann_sq8" -> sAnnSq8,
     "s_ann_lsh" -> sAnnLsh,
     "s_ann_ivf" -> sAnnIvf,
   )
@@ -396,5 +510,6 @@ object Similarity {
   def oracles: Map[String, String] = Map(
     "d_dedup_embedding" -> dDedupEmbeddingSql,
     "s_ann_brute" -> sAnnBruteSql,
+    "s_ann_sq8" -> sAnnSq8Sql,
   )
 }

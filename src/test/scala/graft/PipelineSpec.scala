@@ -148,6 +148,19 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall ($hits of $total) below 0.5")
   }
 
+  test("ann_sq8 two-tier recall vs brute force is at least 0.9") {
+    val brute = Similarity.sAnnBrute(spark, sf).select("query_id", "neighbor_id")
+    val sq8 = Similarity.sAnnSq8(spark, sf).select("query_id", "neighbor_id")
+    val hits = sq8.join(brute, Seq("query_id", "neighbor_id")).count()
+    val total = brute.count()
+    // int8 coarse + exact rescore of 50 candidates: quantization has
+    // to reorder the coarse top-50 boundary to lose a true top-10
+    // neighbor — near-lossless on this corpus, unlike the LSH/IVF
+    // bucketing variants
+    assert(hits.toDouble / total >= 0.9,
+      s"sq8 recall ${hits.toDouble / total} ($hits of $total) below 0.9")
+  }
+
   test("ann_ivf recall vs brute force is at least 0.5") {
     val brute = Similarity.sAnnBrute(spark, sf).select("query_id", "neighbor_id")
     val ivf = Similarity.sAnnIvf(spark, sf).select("query_id", "neighbor_id")
