@@ -394,6 +394,43 @@ object Analytics {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Trailing window width for [[qRangeWindow]], in seconds. */
+  val TrailingWindowSec = 2592000L // 30 days
+
+  /** Trailing-30-day quantity per supplier line: a RANGE frame over
+    * event time — the value-based sliding window a ROWS frame
+    * ([[qRunningWindow]]) cannot express (peers at the same second
+    * aggregate together; gaps widen or shrink the row span). One hash
+    * exchange on the partition key, then a streaming frame over each
+    * sorted run. Event time is compared as epoch SECONDS (exact
+    * integer arithmetic in both engines); quantities are
+    * integer-valued doubles, so the frame sum is exact in any
+    * accumulation order — no rounding step needed. */
+  def qRangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    // NTZ → session-tz timestamp → epoch seconds; the UTC session pin
+    // (Verify/Bench/tests all set it) makes this DuckDB's naive epoch().
+    val shipS = unix_seconds(col("l_shipdate").cast("timestamp"))
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(shipS)
+      .rangeBetween(-TrailingWindowSec, 0)
+    li.filter(col("l_suppkey") <= 3)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        shipS.as("ship_s"),
+        sum(col("l_quantity")).over(w).as("qty_30d"))
+      .orderBy(col("l_suppkey"), col("ship_s"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val qRangeWindowSql: String =
+    s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+       |  epoch(l_shipdate)::BIGINT AS ship_s,
+       |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+       |    ORDER BY epoch(l_shipdate)::BIGINT
+       |    RANGE BETWEEN $TrailingWindowSec PRECEDING AND CURRENT ROW) AS qty_30d
+       |FROM lineitem
+       |WHERE l_suppkey <= 3
+       |ORDER BY l_suppkey, ship_s, l_orderkey, l_linenumber""".stripMargin
+
   /** approx_percentile's rank-error accuracy knob: per group the
     * returned element's rank is within rows/accuracy of the exact
     * rank (SmokeSpec enforces exactly that window). */
@@ -434,6 +471,7 @@ object Analytics {
     "q6_forecast" -> q6Forecast,
     "q_topk_per_group" -> qTopkPerGroup,
     "q_running_window" -> qRunningWindow,
+    "q_range_window" -> qRangeWindow,
     "q_rollup" -> qRollup,
     "q_distinct" -> qDistinct,
     "q_approx_distinct" -> qApproxDistinct,
@@ -455,6 +493,7 @@ object Analytics {
     "q6_forecast" -> q6ForecastSql,
     "q_topk_per_group" -> qTopkPerGroupSql,
     "q_running_window" -> qRunningWindowSql,
+    "q_range_window" -> qRangeWindowSql,
     "q_rollup" -> qRollupSql,
     "q_distinct" -> qDistinctSql,
     "q_salted_join" -> qSaltedJoinSql,

@@ -216,6 +216,17 @@ class PlanQualitySpec extends SparkSpec {
       s"upsert degenerated to all-pairs:\n${p.take(2000)}")
   }
 
+  test("range window frames over one supplier exchange") {
+    val p = plan("q_range_window")
+    assert(p.contains("RangeFrame"),
+      s"value-based frame lost — window regressed to a rows frame:\n${p.take(2000)}")
+    // one hashpartitioning(l_suppkey) exchange feeds the window; the
+    // presentation orderBy adds a range exchange, nothing more
+    val hashExchanges = p.linesIterator.count(_.contains("hashpartitioning("))
+    assert(hashExchanges == 1,
+      s"expected exactly one hash exchange, got $hashExchanges:\n${p.take(2500)}")
+  }
+
   test("funnel stages share one user_id exchange") {
     val p = plan("q_funnel")
     // three chained stage windows + the per-user aggregate must all
