@@ -385,6 +385,106 @@ object Similarity {
        |WHERE rk <= $TopK
        |ORDER BY query_id, rk""".stripMargin
 
+  /** Neighbors kept per node in the kNN graph. */
+  val KnnK = 5
+
+  /** s_knn_graph — exact cosine k-nearest-neighbor graph over the
+    * whole corpus (every vector is a query): the building block for
+    * graph-based curation — diversity sampling, label propagation,
+    * near-dup community detection (reference scans are per-query;
+    * corpus×corpus retrieval composes idx.rs-style probes the same
+    * way, cf. lib.rs:195-205's find-as-scan semantics).
+    *
+    * [[sAnnBrute]]'s broadcast-the-queries plan dies here (the query
+    * set IS the corpus), so the pair enumeration reuses
+    * [[dDedupEmbeddingKernel]]'s block-matrix shape: vectors gather
+    * into B size-capped block rows ([[TargetRowsPerBlock]]), the
+    * B(B+1)/2 block-pair tasks run a tight primitive loop, and each
+    * unordered pair is scored ONCE, feeding a bounded worst-at-head
+    * heap per node on BOTH sides. A task therefore emits ≤ (|va|+|vb|)
+    * × k partial rows — the n² scored pairs never leave their task —
+    * and the global shuffle is n·B·k partials into one row_number
+    * merge keyed by node. Exact all-pairs kNN is intrinsically O(n²)
+    * compute; past the corpus size where that is affordable the
+    * approximate paths ([[sAnnLsh]], [[sAnnIvf]] with queries=corpus)
+    * take over. Scores are [[stableRound]]ed at 4 decimals before
+    * ranking (same Scala op chain as the Column form: long-floor is
+    * lossless at |x| ≤ 1), ties break on neighbor id — engine-stable,
+    * full SQL oracle. */
+  def sKnnGraph(spark: SparkSession, dir: String): DataFrame =
+    sKnnGraphB(spark, dir, forceB = None)
+
+  /** [[sKnnGraph]] with an overridable block count — `forceB` exists
+    * for the block-invariance spec only. */
+  private[graft] def sKnnGraphB(spark: SparkSession, dir: String,
+      forceB: Option[Int]): DataFrame = {
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val B = forceB.getOrElse(
+      blockCount(Tables(spark, dir).embeddings.count(), parts))
+    val e = withUnit(Tables(spark, dir).embeddings.repartition(parts), "embedding", "u")
+      .select(col("vec_id"), col("u"))
+    val blocks = e.select(pmod(col("vec_id"), lit(B)).cast("int").as("b"),
+        struct(col("vec_id"), col("u")).as("v"))
+      .groupBy("b").agg(collect_list(col("v")).as("vecs"))
+    val blockPairs = blockPairsDf(spark, B)
+    val k = KnnK
+    val partials = blockPairs
+      .join(blocks.select(col("b").as("bi"), col("vecs").as("va")), "bi")
+      .join(blocks.select(col("b").as("bj"), col("vecs").as("vb")), "bj")
+      .repartition(parts) // one row per block pair; spread the tasks
+      .select(col("bi"), col("bj"), col("va"), col("vb"))
+      .as[(Int, Int, Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])])]
+      .flatMap { case (bi, bj, va, vb) =>
+        val as = va.iterator.map { case (id, v) => (id, v.toArray) }.toArray
+        val bs = vb.iterator.map { case (id, v) => (id, v.toArray) }.toArray
+        val heaps = scala.collection.mutable.LongMap
+          .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        def push(id: Long, cand: (Double, Long)): Unit = {
+          val h = heaps.getOrElseUpdate(id,
+            scala.collection.mutable.PriorityQueue.empty[(Double, Long)](bestFirst))
+          if (h.size < k) h.enqueue(cand)
+          else if (bestFirst.compare(cand, h.head) < 0) { h.dequeue(); h.enqueue(cand) }
+        }
+        var i = 0
+        while (i < as.length) {
+          val ia = as(i)._1; val ua = as(i)._2
+          // same-block pairs: strict upper triangle, scored once
+          var j = if (bi == bj) i + 1 else 0
+          while (j < bs.length) {
+            val ib = bs(j)._1; val ub = bs(j)._2
+            var d = 0.0; var x = 0
+            while (x < ua.length) { d += ua(x) * ub(x); x += 1 }
+            // stableRound(·, 4): identical op chain to the Column form
+            val s = math.floor(d * 1e4 + 0.5) / 1e4
+            push(ia, (s, ib)); push(ib, (s, ia))
+            j += 1
+          }
+          i += 1
+        }
+        heaps.iterator.flatMap { case (id, h) =>
+          h.iterator.map { case (s, n) => (id, n, s) } }
+      }
+      .toDF("vec_id", "neighbor_id", "score")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    partials.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("vec_id", "neighbor_id", "rk", "score")
+      .orderBy("vec_id", "rk")
+  }
+
+  val sKnnGraphSql: String =
+    s"""SELECT vec_id, neighbor_id, rk, score FROM (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 1e4 + 0.5) / 1e4 AS score,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 1e4 + 0.5) / 1e4 DESC,
+       |               b.vec_id) AS rk
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) t
+       |WHERE rk <= $KnnK
+       |ORDER BY vec_id, rk""".stripMargin
+
   val NumTables = 8
   val PlanesPerTable = 6
   val Dim = 64
@@ -505,11 +605,13 @@ object Similarity {
     "s_ann_sq8" -> sAnnSq8,
     "s_ann_lsh" -> sAnnLsh,
     "s_ann_ivf" -> sAnnIvf,
+    "s_knn_graph" -> sKnnGraph,
   )
 
   def oracles: Map[String, String] = Map(
     "d_dedup_embedding" -> dDedupEmbeddingSql,
     "s_ann_brute" -> sAnnBruteSql,
     "s_ann_sq8" -> sAnnSq8Sql,
+    "s_knn_graph" -> sKnnGraphSql,
   )
 }

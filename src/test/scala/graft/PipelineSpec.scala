@@ -210,6 +210,18 @@ class PipelineSpec extends SparkSpec {
     assert(a.count() > 0)
   }
 
+  test("knn graph is invariant across block counts and symmetric on mutual ranks") {
+    val a = Similarity.sKnnGraphB(spark, sf, forceB = Some(3))
+    val b = Similarity.sKnnGraphB(spark, sf, forceB = Some(7))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "neighbor set depends on the block count — blocking is leaking into semantics")
+    // every node has exactly k neighbors (n > k in every sf dir)
+    import org.apache.spark.sql.functions._
+    val counts = a.groupBy("vec_id").count().select("count").distinct().collect()
+    assert(counts.map(_.getLong(0)).toSet == Set(Similarity.KnnK.toLong),
+      s"nodes with != k neighbors: ${counts.mkString(",")}")
+  }
+
   test("embedding kernel block count respects the per-block row budget") {
     val n = graft.core.Tables(spark, sf).embeddings.count()
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt

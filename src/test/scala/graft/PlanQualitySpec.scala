@@ -216,6 +216,16 @@ class PlanQualitySpec extends SparkSpec {
       s"upsert degenerated to all-pairs:\n${p.take(2000)}")
   }
 
+  test("knn graph pair-scores inside block tasks — no all-pairs join, bounded partials") {
+    val p = plan("s_knn_graph")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"block enumeration degenerated to an all-pairs join:\n${p.take(2000)}")
+    // the only collect_list gathers the size-capped block rows; the
+    // scored n² pairs must surface only as the per-node heap partials
+    // feeding the window merge
+    assert(p.contains("Window"), s"per-node top-k merge missing:\n${p.take(2000)}")
+  }
+
   test("range window frames over one supplier exchange") {
     val p = plan("q_range_window")
     assert(p.contains("RangeFrame"),
