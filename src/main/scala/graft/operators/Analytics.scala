@@ -431,6 +431,79 @@ object Analytics {
        |WHERE l_suppkey <= 3
        |ORDER BY l_suppkey, ship_s, l_orderkey, l_linenumber""".stripMargin
 
+  /** Histogram bin width over l_extendedprice (dollars). */
+  val HistBinWidth = 5000.0
+
+  /** Fixed-width price histogram — the distribution-profiling scan a
+    * corpus audit runs before choosing partition bounds or spotting
+    * skew. Binning is a narrow map (one floor-divide per row); the
+    * aggregation shuffles ≤ ~21 bin rows after map-side partials.
+    * Every aggregate here is ORDER-INDEPENDENT — count, min/max, and
+    * sums of integer-valued doubles (exact below 2^53) — so the
+    * result is engine-exact with no rounding step at all, at any
+    * partition count. */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.select(floor(col("l_extendedprice") / lit(HistBinWidth)).as("bin"),
+        col("l_quantity"), col("l_extendedprice"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .orderBy("bin")
+  }
+
+  val qHistogramSql: String =
+    s"""SELECT CAST(floor(l_extendedprice / $HistBinWidth) AS BIGINT) AS bin,
+       |  count(*) AS cnt,
+       |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       |  min(l_extendedprice) AS min_price,
+       |  max(l_extendedprice) AS max_price
+       |FROM lineitem
+       |GROUP BY 1
+       |ORDER BY bin""".stripMargin
+
+  /** Pearson correlation of quantity vs discount per return flag,
+    * via INTEGER moment sums — the one-pass distributed corr that is
+    * actually deterministic. The built-in `corr` accumulates doubles,
+    * so its last-ulp result depends on partition merge order: not
+    * engine-stable, not even run-to-run stable on a cluster. Here
+    * both series are integer-valued (quantity; discount in exact
+    * percent points), so the six moments (n, Σx, Σy, Σxy, Σx², Σy²)
+    * are exact longs in ANY accumulation order — one map-side-combined
+    * exchange on the group key — and the closing formula runs the
+    * identical correctly-rounded double ops in both engines. */
+  def qCorr(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    def d(c: String) = col(c).cast("double")
+    li.select(col("l_returnflag"), col("l_quantity").cast("long").as("x"),
+        floor(col("l_discount") * lit(100.0) + lit(0.5)).as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        stableRound((d("n") * d("sxy") - d("sx") * d("sy")) /
+          sqrt((d("n") * d("sxx") - d("sx") * d("sx")) *
+            (d("n") * d("syy") - d("sy") * d("sy"))), 6).as("corr_qd"))
+      .orderBy("l_returnflag")
+  }
+
+  val qCorrSql: String =
+    """SELECT l_returnflag, n,
+      |  floor(((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+      |    sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+      |      (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))) * 1e6 + 0.5) / 1e6 AS corr_qd
+      |FROM (
+      |  SELECT l_returnflag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+      |          CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS y
+      |        FROM lineitem) v
+      |  GROUP BY l_returnflag) m
+      |ORDER BY l_returnflag""".stripMargin
+
   /** approx_percentile's rank-error accuracy knob: per group the
     * returned element's rank is within rows/accuracy of the exact
     * rank (SmokeSpec enforces exactly that window). */
@@ -472,6 +545,8 @@ object Analytics {
     "q_topk_per_group" -> qTopkPerGroup,
     "q_running_window" -> qRunningWindow,
     "q_range_window" -> qRangeWindow,
+    "q_histogram" -> qHistogram,
+    "q_corr" -> qCorr,
     "q_rollup" -> qRollup,
     "q_distinct" -> qDistinct,
     "q_approx_distinct" -> qApproxDistinct,
@@ -494,6 +569,8 @@ object Analytics {
     "q_topk_per_group" -> qTopkPerGroupSql,
     "q_running_window" -> qRunningWindowSql,
     "q_range_window" -> qRangeWindowSql,
+    "q_histogram" -> qHistogramSql,
+    "q_corr" -> qCorrSql,
     "q_rollup" -> qRollupSql,
     "q_distinct" -> qDistinctSql,
     "q_salted_join" -> qSaltedJoinSql,
