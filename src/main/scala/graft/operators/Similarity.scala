@@ -151,10 +151,16 @@ object Similarity {
   def dDedupEmbeddingKernel(spark: SparkSession, dir: String): DataFrame =
     dDedupEmbeddingKernelB(spark, dir, forceB = None)
 
-  /** [[dDedupEmbeddingKernel]] with an overridable block count —
-    * `forceB` exists for the block-invariance spec only. */
-  private[graft] def dDedupEmbeddingKernelB(spark: SparkSession, dir: String,
-      forceB: Option[Int]): DataFrame = {
+  /** Gathers the unit-normalized corpus into B size-capped block rows
+    * and enumerates the B(B+1)/2 (bi ≤ bj) block-pair task rows —
+    * the scaffolding shared by every block-matrix kernel here. The
+    * same-block (bi == bj) task's two gathered lists come from two
+    * INDEPENDENT collect_list evaluations whose element order Spark
+    * does not pin, so kernels must cut duplicate/self pairs BY ID
+    * (`bi != bj || ia < ib`), never by list index. */
+  private[graft] def blockPairTasks(spark: SparkSession, dir: String,
+      forceB: Option[Int]): org.apache.spark.sql.Dataset[
+        (Int, Int, Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])])] = {
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val B = forceB.getOrElse(
@@ -165,13 +171,21 @@ object Similarity {
         struct(col("vec_id"), col("u")).as("v"))
       .groupBy("b").agg(collect_list(col("v")).as("vecs"))
     val blockPairs = blockPairsDf(spark, B)
-    val tau = CosTau
     blockPairs
       .join(blocks.select(col("b").as("bi"), col("vecs").as("va")), "bi")
       .join(blocks.select(col("b").as("bj"), col("vecs").as("vb")), "bj")
       .repartition(parts) // one row per block pair; spread the tasks
       .select(col("bi"), col("bj"), col("va"), col("vb"))
       .as[(Int, Int, Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])])]
+  }
+
+  /** [[dDedupEmbeddingKernel]] with an overridable block count —
+    * `forceB` exists for the block-invariance spec only. */
+  private[graft] def dDedupEmbeddingKernelB(spark: SparkSession, dir: String,
+      forceB: Option[Int]): DataFrame = {
+    import spark.implicits._
+    val tau = CosTau
+    blockPairTasks(spark, dir, forceB)
       .flatMap { case (bi, bj, va, vb) =>
         val as = va.iterator.map { case (id, v) => (id, v.toArray) }.toArray
         val bs = vb.iterator.map { case (id, v) => (id, v.toArray) }.toArray
@@ -215,6 +229,22 @@ object Similarity {
     }
   }
 
+  private type Heaps =
+    scala.collection.mutable.LongMap[scala.collection.mutable.PriorityQueue[(Double, Long)]]
+
+  /** Bounded worst-at-head top-k retention under [[bestFirst]] —
+    * shared by every heap-based top-k stage so the retention rule
+    * (and its tie-break contract with the window merge) cannot
+    * silently diverge between operators. PQ head = max under the
+    * ordering; under bestFirst ("better compares less") the max IS
+    * the worst retained element. */
+  private def topKPush(heaps: Heaps, key: Long, cand: (Double, Long), k: Int): Unit = {
+    val h = heaps.getOrElseUpdate(key,
+      scala.collection.mutable.PriorityQueue.empty[(Double, Long)](bestFirst))
+    if (h.size < k) h.enqueue(cand)
+    else if (bestFirst.compare(cand, h.head) < 0) { h.dequeue(); h.enqueue(cand) }
+  }
+
   /** Brute-force exact top-k: the first NumQueries vectors are the
     * query set (broadcast); rank by cosine with ties broken on
     * (rounded score, neighbor id) so the order is engine-stable.
@@ -239,16 +269,8 @@ object Similarity {
       .as[(Long, Long, Double)]
       .mapPartitions { rows =>
         // One worst-at-head heap of size ≤ k per query id.
-        val heaps = scala.collection.mutable.LongMap
-          .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
-        rows.foreach { case (q, n, s) =>
-          // PQ head = max under the ordering; under bestFirst ("better
-          // compares less") the max IS the worst retained element.
-          val h = heaps.getOrElseUpdate(q,
-            scala.collection.mutable.PriorityQueue.empty[(Double, Long)](bestFirst))
-          if (h.size < k) h.enqueue((s, n))
-          else if (bestFirst.compare((s, n), h.head) < 0) { h.dequeue(); h.enqueue((s, n)) }
-        }
+        val heaps: Heaps = scala.collection.mutable.LongMap.empty
+        rows.foreach { case (q, n, s) => topKPush(heaps, q, (s, n), k) }
         heaps.iterator.flatMap { case (q, h) => h.iterator.map { case (s, n) => (q, n, s) } }
       }
       .toDF("query_id", "neighbor_id", "score")
@@ -319,14 +341,8 @@ object Similarity {
     val partials = scored.as[(Long, Long, Double)]
       .mapPartitions { rows =>
         // bounded worst-at-head heap per query, as in sAnnBrute
-        val heaps = scala.collection.mutable.LongMap
-          .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
-        rows.foreach { case (q, n, s) =>
-          val h = heaps.getOrElseUpdate(q,
-            scala.collection.mutable.PriorityQueue.empty[(Double, Long)](bestFirst))
-          if (h.size < c) h.enqueue((s, n))
-          else if (bestFirst.compare((s, n), h.head) < 0) { h.dequeue(); h.enqueue((s, n)) }
-        }
+        val heaps: Heaps = scala.collection.mutable.LongMap.empty
+        rows.foreach { case (q, n, s) => topKPush(heaps, q, (s, n), c) }
         heaps.iterator.flatMap { case (q, h) => h.iterator.map { case (s, n) => (q, n, s) } }
       }
       .toDF("query_id", "neighbor_id", "coarse")
@@ -419,45 +435,28 @@ object Similarity {
   private[graft] def sKnnGraphB(spark: SparkSession, dir: String,
       forceB: Option[Int]): DataFrame = {
     import spark.implicits._
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val B = forceB.getOrElse(
-      blockCount(Tables(spark, dir).embeddings.count(), parts))
-    val e = withUnit(Tables(spark, dir).embeddings.repartition(parts), "embedding", "u")
-      .select(col("vec_id"), col("u"))
-    val blocks = e.select(pmod(col("vec_id"), lit(B)).cast("int").as("b"),
-        struct(col("vec_id"), col("u")).as("v"))
-      .groupBy("b").agg(collect_list(col("v")).as("vecs"))
-    val blockPairs = blockPairsDf(spark, B)
     val k = KnnK
-    val partials = blockPairs
-      .join(blocks.select(col("b").as("bi"), col("vecs").as("va")), "bi")
-      .join(blocks.select(col("b").as("bj"), col("vecs").as("vb")), "bj")
-      .repartition(parts) // one row per block pair; spread the tasks
-      .select(col("bi"), col("bj"), col("va"), col("vb"))
-      .as[(Int, Int, Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])])]
+    val partials = blockPairTasks(spark, dir, forceB)
       .flatMap { case (bi, bj, va, vb) =>
         val as = va.iterator.map { case (id, v) => (id, v.toArray) }.toArray
         val bs = vb.iterator.map { case (id, v) => (id, v.toArray) }.toArray
-        val heaps = scala.collection.mutable.LongMap
-          .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
-        def push(id: Long, cand: (Double, Long)): Unit = {
-          val h = heaps.getOrElseUpdate(id,
-            scala.collection.mutable.PriorityQueue.empty[(Double, Long)](bestFirst))
-          if (h.size < k) h.enqueue(cand)
-          else if (bestFirst.compare(cand, h.head) < 0) { h.dequeue(); h.enqueue(cand) }
-        }
+        val heaps: Heaps = scala.collection.mutable.LongMap.empty
         var i = 0
         while (i < as.length) {
           val ia = as(i)._1; val ua = as(i)._2
-          // same-block pairs: strict upper triangle, scored once
-          var j = if (bi == bj) i + 1 else 0
+          var j = 0
           while (j < bs.length) {
-            val ib = bs(j)._1; val ub = bs(j)._2
-            var d = 0.0; var x = 0
-            while (x < ua.length) { d += ua(x) * ub(x); x += 1 }
-            // stableRound(·, 4): identical op chain to the Column form
-            val s = math.floor(d * 1e4 + 0.5) / 1e4
-            push(ia, (s, ib)); push(ib, (s, ia))
+            val ib = bs(j)._1
+            // same-block pairs cut BY ID — va/vb are two independent
+            // collect_list evaluations, so list positions don't align
+            if (bi != bj || ia < ib) {
+              val ub = bs(j)._2
+              var d = 0.0; var x = 0
+              while (x < ua.length) { d += ua(x) * ub(x); x += 1 }
+              // stableRound(·, 4): identical op chain to the Column form
+              val s = math.floor(d * 1e4 + 0.5) / 1e4
+              topKPush(heaps, ia, (s, ib), k); topKPush(heaps, ib, (s, ia), k)
+            }
             j += 1
           }
           i += 1

@@ -210,16 +210,20 @@ class PipelineSpec extends SparkSpec {
     assert(a.count() > 0)
   }
 
-  test("knn graph is invariant across block counts and symmetric on mutual ranks") {
+  test("knn graph is invariant across block counts, exact degree k, no self-edges") {
+    import org.apache.spark.sql.functions._
     val a = Similarity.sKnnGraphB(spark, sf, forceB = Some(3))
     val b = Similarity.sKnnGraphB(spark, sf, forceB = Some(7))
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
       "neighbor set depends on the block count — blocking is leaking into semantics")
     // every node has exactly k neighbors (n > k in every sf dir)
-    import org.apache.spark.sql.functions._
     val counts = a.groupBy("vec_id").count().select("count").distinct().collect()
     assert(counts.map(_.getLong(0)).toSet == Set(Similarity.KnnK.toLong),
       s"nodes with != k neighbors: ${counts.mkString(",")}")
+    // a node must never neighbor itself — the failure mode of cutting
+    // same-block pairs by list index instead of by id
+    assert(a.filter(col("vec_id") === col("neighbor_id")).count() == 0,
+      "self-edge found — same-block pair cut regressed to index-based")
   }
 
   test("embedding kernel block count respects the per-block row budget") {
