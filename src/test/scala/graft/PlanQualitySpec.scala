@@ -216,6 +216,21 @@ class PlanQualitySpec extends SparkSpec {
       s"upsert degenerated to all-pairs:\n${p.take(2000)}")
   }
 
+  test("profiling aggregates are one map-side-combined pass") {
+    Seq("q_histogram", "q_corr").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("Window"),
+        s"$q grew a join/window:\n${p.take(1500)}")
+      // partial agg → one group-key exchange → final agg, plus the
+      // presentation sort's range exchange
+      val exchanges = p.linesIterator.count(_.contains("- Exchange ("))
+      assert(exchanges <= 2,
+        s"$q shuffle budget exceeded ($exchanges exchanges):\n${p.take(1500)}")
+      assert(p.contains("partial"),
+        s"$q lost map-side partial aggregation:\n${p.take(1500)}")
+    }
+  }
+
   test("knn graph pair-scores inside block tasks — no all-pairs join, bounded partials") {
     val p = plan("s_knn_graph")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
