@@ -484,6 +484,49 @@ object Similarity {
        |WHERE rk <= $KnnK
        |ORDER BY vec_id, rk""".stripMargin
 
+  /** Semantic-decontamination flag threshold and eval-set size. */
+  val SemTau = 0.35
+  val SemTestSet = 50
+
+  /** d_decontaminate_emb — semantic eval-set decontamination: flag
+    * every train vector whose cosine against ANY held-out eval vector
+    * reaches [[SemTau]] (the embedding-space complement of the
+    * shingle-overlap d_decontaminate — catches paraphrased
+    * contamination exact n-gram match misses; cf. the reference's
+    * find-by-predicate scan semantics, lib.rs:195-205).
+    *
+    * Scale shape: the eval set is small by construction, so it
+    * BROADCASTS and the corpus is scanned once, narrowly — per train
+    * row, |eval| codegen'd dots; no corpus shuffle at any size. The
+    * only exchange carries the ≤ flagged ids into the per-id max
+    * (map-side partials make it tiny). Pair scores round through
+    * [[stableRound]] BEFORE both the τ compare and the max, so the
+    * flag decision and the reported similarity are engine-identical
+    * (max∘round ≡ round∘max under a monotone round — but running the
+    * identical op order in both engines is what parity rests on). */
+  def dDecontaminateEmb(spark: SparkSession, dir: String): DataFrame = {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = withUnit(Tables(spark, dir).embeddings.repartition(parts), "embedding", "u")
+    val test = e.filter(col("vec_id") < SemTestSet)
+      .select(col("vec_id").as("test_id"), col("u").as("tu"))
+    e.filter(col("vec_id") >= SemTestSet)
+      .select(col("vec_id"), col("u"))
+      .join(broadcast(test))
+      .withColumn("c", stableRound(dot(col("tu"), col("u")), 4))
+      .filter(col("c") >= SemTau)
+      .groupBy("vec_id").agg(max(col("c")).as("max_sim"))
+      .orderBy("vec_id")
+  }
+
+  val dDecontaminateEmbSql: String =
+    s"""SELECT vec_id, max(c) AS max_sim FROM (
+       |  SELECT n.vec_id AS vec_id,
+       |    floor((list_cosine_similarity(t.embedding::DOUBLE[], n.embedding::DOUBLE[])) * 1e4 + 0.5) / 1e4 AS c
+       |  FROM embeddings t JOIN embeddings n ON t.vec_id < $SemTestSet AND n.vec_id >= $SemTestSet) x
+       |WHERE c >= $SemTau
+       |GROUP BY vec_id
+       |ORDER BY vec_id""".stripMargin
+
   val NumTables = 8
   val PlanesPerTable = 6
   val Dim = 64
@@ -605,6 +648,7 @@ object Similarity {
     "s_ann_lsh" -> sAnnLsh,
     "s_ann_ivf" -> sAnnIvf,
     "s_knn_graph" -> sKnnGraph,
+    "d_decontaminate_emb" -> dDecontaminateEmb,
   )
 
   def oracles: Map[String, String] = Map(
@@ -612,5 +656,6 @@ object Similarity {
     "s_ann_brute" -> sAnnBruteSql,
     "s_ann_sq8" -> sAnnSq8Sql,
     "s_knn_graph" -> sKnnGraphSql,
+    "d_decontaminate_emb" -> dDecontaminateEmbSql,
   )
 }

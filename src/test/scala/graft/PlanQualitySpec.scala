@@ -231,6 +231,16 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("semantic decontamination broadcasts the eval set — corpus never shuffles into the join") {
+    val p = plan("d_decontaminate_emb")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus shuffled into the eval join:\n${p.take(2000)}")
+    // the eval side must broadcast (a BNLJ broadcast of the tiny eval
+    // frame is the expected unconditioned-join plan)
+    assert(p.contains("Broadcast"),
+      s"eval set stopped broadcasting:\n${p.take(2000)}")
+  }
+
   test("knn graph pair-scores inside block tasks — no all-pairs join, bounded partials") {
     val p = plan("s_knn_graph")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
