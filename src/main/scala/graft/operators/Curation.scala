@@ -57,6 +57,105 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------- d_budget
+
+  /** Per-language word-token budget for [[dBudget]] — sized so the cut
+    * lands mid-corpus in every test SF (each language carries ≥ ~3.5k
+    * tokens at sf0.001). */
+  val BudgetTokensPerLang = 2000L
+
+  /** The budget cache must outlive the returned frame's materialization
+    * (it pins the range partitioning both passes share) — same
+    * discipline as [[TextAnalysis.tPack]]: each call releases the
+    * PREVIOUS call's pinned copy, bounding the leak to one. */
+  private var lastBudgetCache: Option[DataFrame] = None
+
+  /** d_budget — cut the corpus to a fixed word-token budget PER
+    * LANGUAGE in deterministic doc_id order: a doc is kept iff its
+    * language's running token total BEFORE it is under
+    * [[BudgetTokensPerLang]]. This is the "take the first N tokens of
+    * each language" step of assembling a pretraining mixture with
+    * pinned per-language token counts — [[dSample]] rebalances by
+    * RATE; this op hits an absolute token TARGET, deterministically.
+    *
+    * The running total is a KEYED distributed prefix sum —
+    * [[TextAnalysis.tPack]]'s two-narrow-pass scheme generalized from
+    * one global sum to one per language. The tempting one-liner,
+    * `sum() OVER (PARTITION BY lang ORDER BY doc_id)`, pulls each
+    * language's ENTIRE corpus into one reducer — and a language is not
+    * small (English alone is most of a 100 TB crawl). Instead the
+    * corpus range-partitions by (lang, doc_id) — one language may span
+    * MANY partitions — each partition computes local per-language
+    * sums, the ≤ partitions × languages (pid, lang, sum) triples
+    * prefix on the driver (tiny, like t_pack's per-partition totals),
+    * and a second narrow pass adds each (partition, language) base and
+    * applies the keep rule. Both passes are narrow; the only exchange
+    * is the range partitioning itself. The kept/cut decision compares
+    * integers, so the output is engine-exact with no rounding step. */
+  def dBudget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    lastBudgetCache.foreach(_.unpersist())
+    val toks = TextAnalysis.docsSpread(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(words(col("text"))).cast("long").as("word_tokens"))
+      .repartitionByRange(parts, col("lang"), col("doc_id"))
+      .sortWithinPartitions("lang", "doc_id")
+      .cache()
+    lastBudgetCache = Some(toks)
+    // pass 1: per-(partition, language) token sums — ≤ parts × |langs|
+    // rows reach the driver
+    val partLang = toks
+      .select(spark_partition_id().as("pid"), col("lang"), col("word_tokens"))
+      .as[(Int, String, Long)]
+      .mapPartitions { it =>
+        val sums = scala.collection.mutable.LinkedHashMap.empty[(Int, String), Long]
+        it.foreach { case (pid, l, n) =>
+          sums((pid, l)) = sums.getOrElse((pid, l), 0L) + n
+        }
+        sums.iterator.map { case ((pid, l), s) => (pid, l, s) }
+      }.collect()
+    // driver prefix: range partitioning on (lang, doc_id) makes
+    // partition-id order = key order within each language, so sorting
+    // a language's partial sums by pid and scanning yields each
+    // partition's base offset for that language
+    val base: Map[(Int, String), Long] = partLang
+      .groupBy(_._2)
+      .flatMap { case (l, rows) =>
+        val byPid = rows.sortBy(_._1)
+        byPid.map(_._1).zip(byPid.map(_._3).scanLeft(0L)(_ + _)).map {
+          case (pid, off) => (pid, l) -> off
+        }
+      }
+    val budget = BudgetTokensPerLang
+    // pass 2: add the base, run the local per-language sum, keep while
+    // under budget — narrow over the SAME cached partitioning
+    toks
+      .select(col("doc_id"), col("lang"), col("word_tokens"),
+        spark_partition_id().as("pid"))
+      .as[(Long, String, Long, Int)]
+      .mapPartitions { it =>
+        val run = scala.collection.mutable.HashMap.empty[String, Long]
+        it.flatMap { case (id, l, n, pid) =>
+          val before = base((pid, l)) + run.getOrElse(l, 0L)
+          run(l) = run.getOrElse(l, 0L) + n
+          if (before < budget) Some((id, l, n, before)) else None
+        }
+      }
+      .toDF("doc_id", "lang", "word_tokens", "cum_before")
+      .orderBy("doc_id")
+  }
+
+  val dBudgetSql: String =
+    s"""SELECT doc_id, lang, word_tokens, cum_before FROM (
+       |  SELECT doc_id, lang, word_tokens,
+       |    coalesce(sum(word_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+       |  FROM (SELECT doc_id, lang, len(string_split($normSql, ' ')) AS word_tokens
+       |        FROM documents) w) t
+       |WHERE cum_before < $BudgetTokensPerLang
+       |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------- d_shard
 
   /** Output shard count for the training-order pass. */
@@ -306,6 +405,7 @@ object Curation {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_sample" -> dSample,
+    "d_budget" -> dBudget,
     "d_shard" -> dShard,
     "d_reweight" -> dReweight,
     "t_scrub" -> tScrub,
@@ -314,6 +414,7 @@ object Curation {
 
   def oracles: Map[String, String] = Map(
     "d_sample" -> dSampleSql,
+    "d_budget" -> dBudgetSql,
     "d_shard" -> dShardSql,
     "d_reweight" -> dReweightSql,
     "t_scrub" -> tScrubSql,

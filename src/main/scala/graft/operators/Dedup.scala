@@ -726,6 +726,74 @@ object Dedup {
        |FROM g WHERE n_occ > 1
        |ORDER BY chunk_fp""".stripMargin
 
+  // ------------------------------------------------- source overlap
+
+  /** d_source_overlap — the cross-SOURCE content-overlap audit: for
+    * every pair of sources, the exact count of word-3-gram shingles
+    * they share and the exact Jaccard of their shingle sets. This is
+    * the report a curation run consults before mixing crawl snapshots
+    * or vendor datasets: two sources with high shingle Jaccard are
+    * near-copies of each other and deduplicating them jointly (or
+    * dropping one) changes the mixture math.
+    *
+    * Scale shape: never pairs documents and never pairs sources
+    * against the corpus — it distincts (source, shingle) once (one
+    * hash shuffle, linear), then groups BY SHINGLE. Each shingle's
+    * source set is bounded by the source COUNT (tens-to-hundreds in a
+    * real pipeline — a catalog, not a corpus), so the per-group state
+    * and the pair explosion (≤ |sources|² per shingle) are bounded by
+    * a small constant no matter how many documents share the shingle.
+    * The per-pair counts aggregate with map-side combine into
+    * |sources|²/2 rows, and the two size-lookup joins broadcast a
+    * |sources|-row frame. Jaccard divides two exact integers and
+    * rounds through the engine-stable chain. */
+  def dSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextAnalysis.docsSpread(spark, dir)
+    val srcSh = d.select(col("source"),
+        explode(graft.functions.expr.VectorExpressions
+          .wordShingles(words(col("text")), 3)).as("sh"))
+      .distinct()
+    val perSrc = srcSh.groupBy("source").agg(count(lit(1)).as("n"))
+    // per-shingle sorted source set; singles carry no pair
+    val sets = srcSh.groupBy("sh")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+    val pairs = sets
+      .select(explode(flatten(transform(col("srcs"), (x, i) =>
+        transform(slice(col("srcs"), i + lit(2), size(col("srcs"))), y =>
+          struct(x.as("src_a"), y.as("src_b")))))).as("p"))
+      .select(col("p.src_a"), col("p.src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(perSrc.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(perSrc.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .withColumn("jacc",
+        stableRound(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6))
+      .select("src_a", "src_b", "n_a", "n_b", "inter", "jacc")
+      .orderBy("src_a", "src_b")
+  }
+
+  val dSourceOverlapSql: String =
+    s"""WITH s AS (
+       |  SELECT DISTINCT source, sh FROM (
+       |    SELECT source, unnest(list_distinct(
+       |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |       for i in range(1, len(w) - 1)])) AS sh
+       |    FROM (SELECT source, string_split($normSql, ' ') AS w
+       |          FROM documents) t
+       |    WHERE len(w) >= 3) x),
+       |n AS (SELECT source, count(*) AS n FROM s GROUP BY 1),
+       |p AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+       |  FROM s a JOIN s b ON a.sh = b.sh AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, na.n AS n_a, nb.n AS n_b, inter,
+       |  floor((inter / (na.n + nb.n - inter)) * 1e6 + 0.5) / 1e6 AS jacc
+       |FROM p
+       |JOIN n na ON na.source = src_a
+       |JOIN n nb ON nb.source = src_b
+       |ORDER BY src_a, src_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_dedup_exact" -> dDedupExact,
     "d_dedup_ngram" -> dDedupNgram,
@@ -736,6 +804,7 @@ object Dedup {
     "d_cluster_incr" -> dClusterIncr,
     "d_split" -> dSplit,
     "d_decontaminate" -> dDecontaminate,
+    "d_source_overlap" -> dSourceOverlap,
   )
 
   def oracles: Map[String, String] = Map(
@@ -750,5 +819,6 @@ object Dedup {
     "d_cluster_incr" -> dClusterSql,
     "d_split" -> dSplitSql,
     "d_decontaminate" -> dDecontaminateSql,
+    "d_source_overlap" -> dSourceOverlapSql,
   )
 }

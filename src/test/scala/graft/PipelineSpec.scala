@@ -488,4 +488,36 @@ class PipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("token-budget cut is invariant across partition counts") {
+    // the keyed distributed prefix sum must give the same answer no
+    // matter how many range partitions a language spans — the property
+    // that makes it a correct replacement for the per-language window
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val wide = try {
+      spark.conf.set(key, "7")
+      Curation.dBudget(spark, sf).collect()
+    } finally spark.conf.set(key, before)
+    val narrow = Curation.dBudget(spark, sf).collect()
+    assert(wide.toSeq == narrow.toSeq,
+      "kept set depends on the partition count — the prefix bases are wrong")
+    // keep rule: every kept doc started under budget
+    assert(narrow.forall(_.getLong(3) < Curation.BudgetTokensPerLang))
+    assert(narrow.nonEmpty)
+  }
+
+  test("source overlap bounds: ordered pairs, inter within set sizes, jacc in (0,1]") {
+    val rows = Dedup.dSourceOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (na, nb, inter) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val jacc = r.getDouble(5)
+      assert(a < b, s"unordered pair ($a,$b)")
+      assert(inter >= 1 && inter <= math.min(na, nb),
+        s"pair ($a,$b): inter $inter outside [1, min($na,$nb)]")
+      assert(jacc > 0.0 && jacc <= 1.0, s"pair ($a,$b): jacc $jacc out of range")
+    }
+  }
 }

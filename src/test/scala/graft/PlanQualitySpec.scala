@@ -83,6 +83,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("MapPartitions"), "prefix-sum pass missing")
   }
 
+  test("token-budget cut never plans a per-language window") {
+    val p = plan("d_budget")
+    // the keyed prefix sum must not regress to a PARTITION BY lang
+    // window — that pulls each language's whole corpus into one reducer
+    assert(!p.contains("Window"),
+      s"d_budget planned a per-language window:\n${p.take(1500)}")
+    assert(p.contains("MapPartitions"), "keyed prefix-sum pass missing")
+  }
+
+  test("source overlap never pairs documents — and the size lookups broadcast") {
+    val p = plan("d_source_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"source overlap degenerated to all-pairs:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source size lookup stopped broadcasting:\n${p.take(2000)}")
+  }
+
   test("brute ANN reduces top-k per partition — scored corpus never shuffles") {
     val p = plan("s_ann_brute")
     assert(p.contains("MapPartitions"),
