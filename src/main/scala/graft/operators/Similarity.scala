@@ -34,6 +34,20 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
 
+  /** Embeddings spread across the core count — the same CONDITIONAL
+    * idiom as TextAnalysis.docsSpread: a small single-file table
+    * otherwise runs every compute-heavy scoring pipeline in ONE task,
+    * but at real scale the parquet file-split count already provides
+    * the parallelism and NO shuffle happens. Only a layout-starved
+    * input (one file, few row groups) pays the one round-robin
+    * exchange, so "the corpus never shuffles" claims below hold at
+    * size. */
+  private def embSpread(spark: SparkSession, dir: String): DataFrame = {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = Tables(spark, dir).embeddings
+    if (e.rdd.getNumPartitions >= parts) e else e.repartition(parts)
+  }
+
   /** Adds `unitCol`: the vector scaled to unit L2 norm (double).
     * Norm is materialized first so it's computed once per vector;
     * downstream pair scoring is then a single dot product. Divergence
@@ -117,7 +131,7 @@ object Similarity {
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val B = blockCount(Tables(spark, dir).embeddings.count(), parts)
-    val e = withUnit(Tables(spark, dir).embeddings.repartition(parts), "embedding", "u")
+    val e = withUnit(embSpread(spark, dir), "embedding", "u")
       .select(col("vec_id"), col("u"))
     // All (bi ≤ bj) block pairs, tagging each side with every block
     // pair it participates in. Tiny at small B (auto-broadcast via
@@ -165,7 +179,7 @@ object Similarity {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val B = forceB.getOrElse(
       blockCount(Tables(spark, dir).embeddings.count(), parts))
-    val e = withUnit(Tables(spark, dir).embeddings.repartition(parts), "embedding", "u")
+    val e = withUnit(embSpread(spark, dir), "embedding", "u")
       .select(col("vec_id"), col("u"))
     val blocks = e.select(pmod(col("vec_id"), lit(B)).cast("int").as("b"),
         struct(col("vec_id"), col("u")).as("v"))
@@ -258,7 +272,7 @@ object Similarity {
   def sAnnBrute(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val e = withUnit(Tables(spark, dir).embeddings.repartition(parts), "embedding", "u")
+    val e = withUnit(embSpread(spark, dir), "embedding", "u")
     val queries = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("u").as("qv"))
     val scored = e.select(col("vec_id").as("neighbor_id"), col("u").as("nv"))
@@ -320,7 +334,7 @@ object Similarity {
   def sAnnSq8(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val e = Tables(spark, dir).embeddings.repartition(parts)
+    val e = embSpread(spark, dir)
     val amax = aggregate(
       transform(col("embedding"), x => abs(x.cast("double"))),
       lit(0.0), (a, x) => greatest(a, x))
@@ -506,7 +520,7 @@ object Similarity {
     * identical op order in both engines is what parity rests on). */
   def dDecontaminateEmb(spark: SparkSession, dir: String): DataFrame = {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val e = withUnit(Tables(spark, dir).embeddings.repartition(parts), "embedding", "u")
+    val e = withUnit(embSpread(spark, dir), "embedding", "u")
     val test = e.filter(col("vec_id") < SemTestSet)
       .select(col("vec_id").as("test_id"), col("u").as("tu"))
     e.filter(col("vec_id") >= SemTestSet)
@@ -549,7 +563,7 @@ object Similarity {
     * oracle. */
   def sAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val e = Tables(spark, dir).embeddings.repartition(parts)
+    val e = embSpread(spark, dir)
     // Sign pattern over the table's hyperplanes: each sign test is one
     // codegen'd DotProduct against the plane literal (the HOF
     // aggregate(zip_with(...)) formulation evaluates a lambda chain
@@ -611,7 +625,7 @@ object Similarity {
   def sAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val e = withUnit(Tables(spark, dir).embeddings.repartition(parts), "embedding", "u")
+    val e = withUnit(embSpread(spark, dir), "embedding", "u")
     val cents: Array[(Int, Seq[Double])] = e
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy("h").limit(IvfCells)
