@@ -44,4 +44,16 @@ final case class Tables(spark: SparkSession, dir: String) {
 object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Spread a scan across the session's shuffle width when its natural
+    * parallelism falls short — a small single-file table otherwise runs
+    * a compute-heavy per-row pipeline in ONE task. The repartition is
+    * CONDITIONAL: at real scale the parquet file-split count already
+    * provides the parallelism and this is a no-op (no shuffle); only a
+    * layout-starved input (one file, few row groups) pays the one
+    * round-robin exchange. */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions >= parts) df else df.repartition(parts)
+  }
 }

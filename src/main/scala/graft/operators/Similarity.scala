@@ -34,19 +34,12 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
 
-  /** Embeddings spread across the core count — the same CONDITIONAL
-    * idiom as TextAnalysis.docsSpread: a small single-file table
-    * otherwise runs every compute-heavy scoring pipeline in ONE task,
-    * but at real scale the parquet file-split count already provides
-    * the parallelism and NO shuffle happens. Only a layout-starved
-    * input (one file, few row groups) pays the one round-robin
-    * exchange, so "the corpus never shuffles" claims below hold at
-    * size. */
-  private def embSpread(spark: SparkSession, dir: String): DataFrame = {
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val e = Tables(spark, dir).embeddings
-    if (e.rdd.getNumPartitions >= parts) e else e.repartition(parts)
-  }
+  /** Embeddings spread across the core count so the compute-heavy
+    * scoring pipelines never run in one task — see [[Tables.spread]]
+    * for the conditional no-shuffle-at-scale semantics, on which the
+    * "corpus never shuffles" claims below rest. */
+  private def embSpread(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(spark, Tables(spark, dir).embeddings)
 
   /** Adds `unitCol`: the vector scaled to unit L2 norm (double).
     * Norm is materialized first so it's computed once per vector;
@@ -271,7 +264,6 @@ object Similarity {
     * corpus the wide side of this plan stays scan-local. */
   def sAnnBrute(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val e = withUnit(embSpread(spark, dir), "embedding", "u")
     val queries = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("u").as("qv"))
@@ -333,7 +325,6 @@ object Similarity {
     * rescore tier touches Q×C rows only. */
   def sAnnSq8(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val e = embSpread(spark, dir)
     val amax = aggregate(
       transform(col("embedding"), x => abs(x.cast("double"))),
@@ -517,9 +508,17 @@ object Similarity {
     * [[stableRound]] BEFORE both the τ compare and the max, so the
     * flag decision and the reported similarity are engine-identical
     * (max∘round ≡ round∘max under a monotone round — but running the
-    * identical op order in both engines is what parity rests on). */
+    * identical op order in both engines is what parity rests on).
+    *
+    * One deliberate formulation gap: the DuckDB oracle scores via
+    * list_cosine_similarity (normalize-LAST: dot/(‖a‖·‖b‖)) while this
+    * side dots pre-normalized unit vectors (normalize-FIRST). Measured
+    * on this corpus the two differ by ~1e-12, and the closest any
+    * floor(c·1e4+0.5) input comes to an integer boundary is 1.1e-7 —
+    * five orders of slack — while the one pair whose rounded score
+    * equals τ exactly is a same-double compare in both engines, so the
+    * round and the τ gate agree despite the differing op order. */
   def dDecontaminateEmb(spark: SparkSession, dir: String): DataFrame = {
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val e = withUnit(embSpread(spark, dir), "embedding", "u")
     val test = e.filter(col("vec_id") < SemTestSet)
       .select(col("vec_id").as("test_id"), col("u").as("tu"))
@@ -562,7 +561,6 @@ object Similarity {
     * against the brute-force baseline), so rows-only — no SQL
     * oracle. */
   def sAnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val e = embSpread(spark, dir)
     // Sign pattern over the table's hyperplanes: each sign test is one
     // codegen'd DotProduct against the plane literal (the HOF
@@ -624,7 +622,6 @@ object Similarity {
     * embeddings separate far better.) */
   def sAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val e = withUnit(embSpread(spark, dir), "embedding", "u")
     val cents: Array[(Int, Seq[Double])] = e
       .withColumn("h", md5(col("vec_id").cast("string")))

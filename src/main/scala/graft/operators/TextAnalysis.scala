@@ -14,18 +14,11 @@ import graft.functions.TextFunctions._
   */
 object TextAnalysis {
 
-  /** Documents spread across the core count: a small single-file
-    * table otherwise runs the whole regex-heavy per-row pipeline in
-    * ONE task. The repartition is CONDITIONAL on the scan's natural
-    * parallelism being below the shuffle width — at real scale the
-    * file-split count already provides it and no shuffle happens;
-    * only a layout-starved input (one file, few row groups) pays the
-    * one round-robin exchange. */
-  private[operators] def docsSpread(spark: SparkSession, dir: String): DataFrame = {
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val d = Tables(spark, dir).documents
-    if (d.rdd.getNumPartitions >= parts) d else d.repartition(parts)
-  }
+  /** Documents spread across the core count so the regex-heavy
+    * per-row pipelines never run in one task — see [[Tables.spread]]
+    * for the conditional no-shuffle-at-scale semantics. */
+  private[operators] def docsSpread(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(spark, Tables(spark, dir).documents)
 
   /** Whitespace + word token counting. The "BPE-ish" count applies the
     * classic subword heuristic (≈ chars/4 for alphanumeric runs)
