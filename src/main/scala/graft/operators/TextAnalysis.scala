@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.Parity.stableRound
@@ -548,6 +549,57 @@ object TextAnalysis {
        |ORDER BY pmi DESC, w1, w2
        |LIMIT $CollocTopK""".stripMargin
 
+  /** Keywords kept per document by t_keywords. */
+  val KeywordTopK = 5
+
+  /** t_keywords — per-document TF-IDF keyword extraction: score every
+    * (doc, word) pair as tf·ln(N/df) and keep each document's top
+    * [[KeywordTopK]] terms (the topic-signal / keyword-index step of a
+    * curation pipeline; cf. the reference's scan+aggregate surface,
+    * lib.rs:195-205). The window orders by the ROUNDED score (desc,
+    * then word asc), so both engines rank identical doubles — the same
+    * round-before-order discipline as tCollocations.
+    *
+    * Scale shape: one tokenization into per-(doc,word) counts (keyed
+    * shuffle with map-side combine, cached — the df branch and the
+    * scoring join both read it, saving a corpus re-tokenization); df
+    * counts ROWS of that cached frame per word (vocabulary-keyed
+    * shuffle, never corpus×vocab) and joins back on word; the top-k
+    * window partitions by doc_id, bounded by per-document vocabulary.
+    * N is one count() over parquet footers — no data scan. */
+  def tKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables(spark, dir).documents.count().toDouble
+    val tf = docsSpread(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .cache()
+    val dfw = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word"))
+    tf.join(dfw, "word")
+      .withColumn("score", stableRound(col("tf") * log(lit(n) / col("df")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= KeywordTopK)
+      .select(col("doc_id"), col("rk"), col("word"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val tKeywordsSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |nt AS (SELECT count(*)::DOUBLE AS n FROM documents),
+       |tf AS (SELECT doc_id, word, count(*) AS tf
+       |       FROM (SELECT doc_id, unnest(w) AS word FROM w) u GROUP BY 1, 2),
+       |dfw AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+       |s AS (SELECT tf.doc_id, tf.word,
+       |        floor((tf.tf * ln(nt.n / dfw.df)) * 1e6 + 0.5) / 1e6 AS score
+       |      FROM tf JOIN dfw USING (word) CROSS JOIN nt)
+       |SELECT doc_id, rk, word, score FROM (
+       |  SELECT doc_id, word, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rk
+       |  FROM s) t
+       |WHERE rk <= $KeywordTopK
+       |ORDER BY doc_id, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_count" -> tTokenCount,
     "t_quality" -> tQuality,
@@ -559,6 +611,7 @@ object TextAnalysis {
     "t_entropy" -> tEntropy,
     "t_logprob" -> tLogprob,
     "t_collocations" -> tCollocations,
+    "t_keywords" -> tKeywords,
   )
 
   def oracles: Map[String, String] = Map(
@@ -572,5 +625,6 @@ object TextAnalysis {
     "t_entropy" -> tEntropySql,
     "t_logprob" -> tLogprobSql,
     "t_collocations" -> tCollocationsSql,
+    "t_keywords" -> tKeywordsSql,
   )
 }

@@ -440,6 +440,36 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("t_keywords matches a driver-side tf-idf recompute exactly") {
+    // Same normalization as TextFunctions.normText, in plain Scala.
+    def toks(text: String): Array[String] =
+      text.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ")
+        .trim.split(" ")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val n = docs.length.toDouble
+    val tf = scala.collection.mutable.Map.empty[(Long, String), Long]
+    docs.foreach { case (id, t) =>
+      toks(t).foreach(w => tf((id, w)) = tf.getOrElse((id, w), 0L) + 1L)
+    }
+    val df = tf.keysIterator.toSeq.groupBy(_._2).map { case (w, ks) => (w, ks.size) }
+    val expected = tf.iterator.map { case ((id, w), c) =>
+      // identical op sequence to the operator's score column,
+      // including the stableRound floor chain
+      (id, w, math.floor(c * math.log(n / df(w)) * 1e6 + 0.5) / 1e6)
+    }.toSeq.groupBy(_._1).toSeq.flatMap { case (id, rows) =>
+      rows.sortBy { case (_, w, s) => (-s, w) }
+        .take(TextAnalysis.KeywordTopK)
+        .zipWithIndex.map { case ((_, w, s), i) => (id, (i + 1).toLong, w, s) }
+    }.sortBy(r => (r._1, r._2))
+    val got = TextAnalysis.tKeywords(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g == e, s"keyword row diverges: got $g expected $e")
+    }
+  }
+
   test("e_normalize emits unit vectors consistent with the stored norm") {
     val rows = graft.operators.Embeddings.eNormalize(spark, sf)
       .collect()

@@ -225,6 +225,17 @@ class PlanQualitySpec extends SparkSpec {
       s"top-k regressed from TakeOrderedAndProject to a global sort:\n${p.take(2000)}")
   }
 
+  test("keywords: map-side-combined tf, equi-join on word, no all-pairs") {
+    val p = plan("t_keywords")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"df attach degenerated to all-pairs:\n${p.take(2000)}")
+    // partial_count lines witness map-side combine on both the
+    // (doc,word) tf aggregation and the vocabulary df aggregation
+    assert(p.contains("partial_count"),
+      s"tf/df aggregation lost its map-side partial:\n${p.take(2000)}")
+    assert(p.contains("Window"), s"top-k window missing:\n${p.take(2000)}")
+  }
+
   test("upsert retires matched keys through an anti join — never all-pairs") {
     val p = plan("sc_upsert")
     assert(p.linesIterator.exists(_.contains("LeftAnti")),
