@@ -208,6 +208,75 @@ object Dedup {
        |    (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs))) * $JaccardTauNum
        |ORDER BY id1, id2""".stripMargin
 
+  /** Docs with doc_id >= this form the "new snapshot" d_dedup_incr
+    * checks against the whole corpus. */
+  val IncrNewSplit = 400L
+
+  /** d_dedup_incr — cross-snapshot n-gram dedup: every jaccard-≥-τ
+    * pair with at least one member in the NEW snapshot (doc_id >=
+    * [[IncrNewSplit]]), i.e. exactly dDedupNgram's pairs restricted to
+    * id2 in the new set (id-ordered pairs put the new doc at id2) —
+    * the daily-crawl-vs-historical-index shape, where re-pairing the
+    * old corpus against itself every snapshot is the cost to avoid.
+    *
+    * Scale shape: the candidate join keeps the FULL corpus on one side
+    * but restricts the other to the new snapshot's prefixes, so
+    * candidate volume is Σ_h df_all·df_new instead of Σ_h df_all² —
+    * linear in the snapshot, not the corpus. The new-side doc_id
+    * predicate pushes into the parquet scan (plan-asserted). In a
+    * production pipeline the old side's postings come precomputed from
+    * the store (one IndexedStore generation per snapshot) rather than
+    * re-shingled; here both sides derive from the one scan so the
+    * oracle sees identical inputs. Prefix filtering stays
+    * result-preserving under the asymmetric join: the theorem is
+    * per-pair (two τ-similar sets share a prefix token in any common
+    * global order), independent of which side is restricted. */
+  def dDedupIncr(spark: SparkSession, dir: String): DataFrame = {
+    val sets = shingleSets(spark, dir)
+      .select(col("doc_id"),
+        array_distinct(transform(col("shing"), s => md5_32(s))).as("hs"))
+    // Hash-order prefixes, ℓ = |s| − ⌈τ·|s|⌉ + 1 — same exact integer
+    // arithmetic as dDedupNgram's default arm.
+    val prefix = sets.select(col("doc_id"), explode(expr(
+      "slice(array_sort(hs), 1, size(hs) - ((3 * size(hs) + 9) div 10) + 1)")).as("h"))
+    val newPrefix = prefix.filter(col("doc_id") >= IncrNewSplit)
+    val cand = prefix.as("a").join(newPrefix.as("b"), "h")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    cand
+      .join(sets.select(col("doc_id").as("id1"), col("hs").as("s1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("hs").as("s2")), "id2")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .withColumn("un",
+        (size(col("s1")) + size(col("s2"))).cast("long") - col("inter"))
+      .filter(col("inter") * 10 >= col("un") * JaccardTauNum)
+      .withColumn("jaccard", stableRound(col("inter") / col("un"), 6))
+      .select("id1", "id2", "inter", "jaccard")
+      .orderBy("id1", "id2")
+  }
+
+  val dDedupIncrSql: String =
+    s"""WITH strsets AS ($shingleSetsSql),
+       |sets AS (SELECT doc_id,
+       |  list_distinct(list_transform(shing, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS hs
+       |  FROM strsets),
+       |posts AS (SELECT doc_id, unnest(hs) AS h FROM sets),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id id1, b.doc_id id2
+       |  FROM posts a JOIN posts b
+       |    ON a.h = b.h AND a.doc_id < b.doc_id AND b.doc_id >= $IncrNewSplit)
+       |SELECT id1, id2,
+       |  len(list_intersect(s1.hs, s2.hs))::BIGINT AS inter,
+       |  floor((len(list_intersect(s1.hs, s2.hs)) /
+       |    (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs)))::DOUBLE) * 1e6 + 0.5) / 1e6 AS jaccard
+       |FROM cand
+       |JOIN sets s1 ON id1 = s1.doc_id
+       |JOIN sets s2 ON id2 = s2.doc_id
+       |WHERE len(list_intersect(s1.hs, s2.hs)) * 10 >=
+       |    (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs))) * $JaccardTauNum
+       |ORDER BY id1, id2""".stripMargin
+
   // ------------------------------------------------------- MinHash LSH
 
   /** MinHash signatures: shingle → 32-bit md5 hash h, permutation i
@@ -797,6 +866,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_dedup_exact" -> dDedupExact,
     "d_dedup_ngram" -> dDedupNgram,
+    "d_dedup_incr" -> dDedupIncr,
     "d_dedup_minhash" -> dDedupMinhash,
     "d_dedup_simhash" -> dDedupSimhash,
     "d_dedup_chunk" -> dDedupChunk,
@@ -810,6 +880,7 @@ object Dedup {
   def oracles: Map[String, String] = Map(
     "d_dedup_exact" -> dDedupExactSql,
     "d_dedup_ngram" -> dDedupNgramSql,
+    "d_dedup_incr" -> dDedupIncrSql,
     "d_dedup_minhash" -> dDedupMinhashSql,
     "d_dedup_simhash" -> dDedupSimhashSql,
     "d_dedup_chunk" -> dDedupChunkSql,

@@ -440,6 +440,20 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("d_dedup_incr equals the full-corpus pairs restricted to the new snapshot") {
+    // The incremental plan must lose nothing: its result is by
+    // definition dDedupNgram's pair set filtered to id2 in the new
+    // snapshot (id-ordered pairs put the new member at id2).
+    val full = Dedup.dDedupNgram(spark, sf)
+      .filter(col("id2") >= Dedup.IncrNewSplit)
+    val incr = Dedup.dDedupIncr(spark, sf)
+    assert(incr.count() > 0, "empty incremental pair set proves nothing")
+    assert(incr.exceptAll(full).count() == 0,
+      "incremental emits pairs the full recompute lacks")
+    assert(full.exceptAll(incr).count() == 0,
+      "incremental drops pairs the full recompute finds")
+  }
+
   test("t_keywords matches a driver-side tf-idf recompute exactly") {
     // Same normalization as TextFunctions.normText, in plain Scala.
     def toks(text: String): Array[String] =

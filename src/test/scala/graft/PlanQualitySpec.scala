@@ -225,6 +225,16 @@ class PlanQualitySpec extends SparkSpec {
       s"top-k regressed from TakeOrderedAndProject to a global sort:\n${p.take(2000)}")
   }
 
+  test("incr dedup pushes the new-snapshot predicate into its scan") {
+    val p = plan("d_dedup_incr")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate join degenerated to a cartesian:\n${p.take(2000)}")
+    // The new-side branch must scan with doc_id >= IncrNewSplit pushed
+    // down — the Σ df_all·df_new (not Σ df_all²) claim rests on it.
+    assert(p.contains("GreaterThanOrEqual(doc_id,400)"),
+      s"new-snapshot predicate not pushed to the parquet scan:\n${p.take(2500)}")
+  }
+
   test("keywords: map-side-combined tf, equi-join on word, no all-pairs") {
     val p = plan("t_keywords")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
