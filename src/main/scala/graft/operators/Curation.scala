@@ -403,6 +403,65 @@ object Curation {
        |  AND q.doc_id NOT IN (SELECT doc_id FROM cluster_dups)
        |ORDER BY doc_id""".stripMargin
 
+  /** Mixture repeat factors per source for d_mix (whole epochs +
+    * fractional basis points, split so the decision is integer-exact);
+    * unlisted sources repeat [[MixDefaultWeight]] times. */
+  private val MixWeights: Seq[(String, Double)] =
+    Seq("src0" -> 2.5, "src1" -> 1.5, "src2" -> 0.5)
+  private val MixDefaultWeight = 1.0
+
+  /** d_mix — deterministic mixture oversampling: repeat each document
+    * ⌊w⌋ times (w = its source's mixture weight), plus one more epoch
+    * when a salted-md5 draw lands under w's fractional part — the
+    * pretraining data-mixing step that up-/down-weights sources by a
+    * FRACTIONAL factor (w < 1 downsamples, w > 1 duplicates across
+    * epochs) while staying bit-reproducible run to run.
+    *
+    * Scale shape: entirely narrow — the weight lookup is a literal
+    * CASE chain, the draw is md5 arithmetic on doc_id, and the epoch
+    * rows come from exploding sequence(1, reps) at the scan site, so
+    * amplification happens distributed, with no shuffle before the
+    * presentation sort. The fractional decision compares integer basis
+    * points (kk < frac·10⁴ with both sides exact ints), never floats.
+    * Spark's sequence(1, 0) would yield [1, 0] (it infers a NEGATIVE
+    * step when start > stop), so reps = 0 rows are filtered BEFORE the
+    * explode — DuckDB's generate_series(1, 0) is empty and needs no
+    * filter, which the oracle mirrors by construction. */
+  def dMix(spark: SparkSession, dir: String): DataFrame = {
+    val kk = conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 10000
+    val whole = MixWeights.foldRight(
+        lit(math.floor(MixDefaultWeight).toInt): org.apache.spark.sql.Column) {
+      case ((s, w), acc) => when(col("source") === s, lit(math.floor(w).toInt)).otherwise(acc)
+    }
+    val fracBp = MixWeights.foldRight(
+        lit((math.rint(MixDefaultWeight * 10000) % 10000).toInt): org.apache.spark.sql.Column) {
+      case ((s, w), acc) =>
+        when(col("source") === s, lit((math.rint(w * 10000) % 10000).toInt)).otherwise(acc)
+    }
+    Tables(spark, dir).documents
+      .withColumn("reps", whole + when(kk < fracBp, 1).otherwise(0))
+      .filter(col("reps") >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), col("reps"))).as("ep"))
+      .select(col("doc_id"), col("source"), col("ep").cast("long").as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
+  val dMixSql: String = {
+    def caseChain(f: Double => Long, dflt: Double): String = MixWeights
+      .map { case (s, w) => s"WHEN source = '$s' THEN ${f(w)}" }
+      .mkString("CASE ", " ", s" ELSE ${f(dflt)} END")
+    val whole = caseChain(w => math.floor(w).toLong, MixDefaultWeight)
+    val fracBp = caseChain(w => (math.rint(w * 10000) % 10000).toLong, MixDefaultWeight)
+    s"""SELECT doc_id, source, unnest(generate_series(1, reps)) AS epoch
+       |FROM (SELECT doc_id, source,
+       |        ($whole) + (CASE WHEN ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+       |                         < ($fracBp) THEN 1 ELSE 0 END) AS reps
+       |      FROM documents)
+       |ORDER BY doc_id, epoch""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_sample" -> dSample,
     "d_budget" -> dBudget,
@@ -410,6 +469,7 @@ object Curation {
     "d_reweight" -> dReweight,
     "t_scrub" -> tScrub,
     "d_curate" -> dCurate,
+    "d_mix" -> dMix,
   )
 
   def oracles: Map[String, String] = Map(
@@ -419,5 +479,6 @@ object Curation {
     "d_reweight" -> dReweightSql,
     "t_scrub" -> tScrubSql,
     "d_curate" -> dCurateSql,
+    "d_mix" -> dMixSql,
   )
 }

@@ -440,6 +440,37 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("d_mix matches a driver-side epoch recompute exactly") {
+    // Same salted-md5 draw as the operator, in plain JVM crypto.
+    def kk(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mix:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 10000
+    }
+    val weights = Map("src0" -> 2.5, "src1" -> 1.5, "src2" -> 0.5)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val expected = docs.toSeq.flatMap { case (id, src) =>
+      val w = weights.getOrElse(src, 1.0)
+      val reps = math.floor(w).toLong +
+        (if (kk(id) < (math.rint(w * 10000) % 10000).toLong) 1L else 0L)
+      (1L to reps).map(e => (id, src, e))
+    }.sortBy(r => (r._1, r._3))
+    val got = Curation.dMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.length == expected.length,
+      s"row count diverges: got ${got.length} expected ${expected.length}")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g == e, s"mix row diverges: got $g expected $e")
+    }
+    // the fractional arm actually fires both ways at this sf
+    val bySrc = got.groupBy(_._2).map { case (s, rs) => (s, rs.length) }
+    assert(bySrc.getOrElse("src0", 0) > bySrc.getOrElse("src3", 0),
+      "oversampled source not amplified")
+    assert(bySrc.getOrElse("src2", 0) < bySrc.getOrElse("src3", 0),
+      "downsampled source not reduced")
+  }
+
   test("d_dedup_incr equals the full-corpus pairs restricted to the new snapshot") {
     // The incremental plan must lose nothing: its result is by
     // definition dDedupNgram's pair set filtered to id2 in the new

@@ -225,6 +225,17 @@ class PlanQualitySpec extends SparkSpec {
       s"top-k regressed from TakeOrderedAndProject to a global sort:\n${p.take(2000)}")
   }
 
+  test("mix amplifies at the scan site — narrow until the presentation sort") {
+    val p = plan("d_mix")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"d_mix grew a join/window:\n${p.take(1500)}")
+    assert(p.contains("Generate"), s"epoch explode missing:\n${p.take(1500)}")
+    // the only exchange is the presentation orderBy's range partition
+    val exchanges = p.linesIterator.count(_.contains("- Exchange ("))
+    assert(exchanges <= 1,
+      s"expected at most the presentation-sort exchange, got $exchanges:\n${p.take(2000)}")
+  }
+
   test("incr dedup pushes the new-snapshot predicate into its scan") {
     val p = plan("d_dedup_incr")
     assert(!p.contains("CartesianProduct"),
