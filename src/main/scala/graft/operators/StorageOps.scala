@@ -35,7 +35,8 @@ object StorageOps {
     * need to — the first query call builds lazily via writeOnce). */
   def prepare(spark: SparkSession, dir: String): Unit = {
     Seq("sc_index_hash", "sc_index_btree", "sc_index_select",
-      "sc_index_secondary", "sc_index_add", "sc_bloom_probe", "sc_zorder",
+      "sc_index_secondary", "sc_index_covering", "sc_index_add",
+      "sc_bloom_probe", "sc_zorder",
       "sc_hilbert", "sc_zorder3", "sc_compacted", "sc_time_travel",
       "sc_gen_diff", "sc_bucketed_join")
       .foreach(q => queries(q)(spark, dir).write.format("noop").mode("overwrite").save())
@@ -145,6 +146,26 @@ object StorageOps {
     }
     IndexedStore.find(spark, path, Seq(Condition.eq("c_nationkey", 5)))
       .select("__rowid", "c_custkey", "c_nationkey")
+      .orderBy("__rowid")
+  }
+
+  /** Covering (index-only) probe: the secondary index on c_nationkey
+    * CARRIES c_custkey in its posting files, so a probe projecting
+    * only (__rowid, c_custkey, c_nationkey) is answered from the
+    * postings alone — the base data files are never read (the
+    * index-only-scan extension of the reference's one-index-per-column
+    * surface, lib.rs:195-205; StorageSpec asserts the plan's only
+    * FileScan is the posting directory). */
+  def scIndexCovering(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("covering", dir)
+    writeOnce(path) {
+      val store = Store.fromData(Tables(spark, dir).customer, Seq("c_custkey"))
+      IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8),
+        secondary = Seq(HashIndex("c_nationkey", 8, include = Seq("c_custkey"))))
+    }
+    IndexedStore.open(spark, path)
+      .findCovering(Seq(Condition.eq("c_nationkey", 9)),
+        Seq("__rowid", "c_custkey", "c_nationkey"))
       .orderBy("__rowid")
   }
 
@@ -385,6 +406,7 @@ object StorageOps {
     "sc_index_btree" -> scIndexBtree,
     "sc_index_select" -> scIndexSelect,
     "sc_index_secondary" -> scIndexSecondary,
+    "sc_index_covering" -> scIndexCovering,
     "sc_index_add" -> scIndexAdd,
     "sc_bloom_probe" -> scBloomProbe,
     "sc_zorder" -> scZorder,
@@ -417,6 +439,11 @@ object StorageOps {
       s"""SELECT __rowid, c_custkey, c_nationkey
          |FROM (SELECT *, $custRowid FROM customer) t
          |WHERE c_nationkey = 5
+         |ORDER BY __rowid""".stripMargin,
+    "sc_index_covering" ->
+      s"""SELECT __rowid, c_custkey, c_nationkey
+         |FROM (SELECT *, $custRowid FROM customer) t
+         |WHERE c_nationkey = 9
          |ORDER BY __rowid""".stripMargin,
     "sc_index_add" ->
       s"""SELECT __rowid, c_custkey, c_nationkey

@@ -43,8 +43,15 @@ sealed trait IndexSpec {
   def column: String
 }
 
-/** Equality-only hash layout (reference idx.rs:25-79). */
-final case class HashIndex(column: String, buckets: Int = 16) extends IndexSpec
+/** Equality-only hash layout (reference idx.rs:25-79). As a SECONDARY
+  * index, `include` lists extra columns carried in the posting files —
+  * a probe whose projection fits (key ∪ include ∪ __rowid) is then
+  * answered from the postings alone, never opening the base data files
+  * (a covering / index-only read). Meaningless for a primary layout
+  * (the data files already carry every column) — rejected loudly
+  * there. */
+final case class HashIndex(column: String, buckets: Int = 16,
+    include: Seq[String] = Nil) extends IndexSpec
 
 /** Range + equality layout (reference idx.rs:91-135); numeric keys. */
 final case class RangeIndex(column: String, partitions: Int = 16) extends IndexSpec
@@ -584,7 +591,12 @@ object IndexedStore {
       props.setProperty(s"ndv.$c", stats.getLong(i + 1).toString)
     }
     statsOnly.foreach {
-      case HashIndex(c, _)  => props.setProperty(s"kind.$c", "hash")
+      case HashIndex(c, _, inc) =>
+        // statsOnly advertises selectivity with no postings behind it;
+        // an include list there would promise a covering read that
+        // cannot be served.
+        require(inc.isEmpty, s"statsOnly index on $c cannot carry include columns")
+        props.setProperty(s"kind.$c", "hash")
       case RangeIndex(c, _) => props.setProperty(s"kind.$c", "range")
       // 2-d curve layouts are primary-only: as statsOnly they would
       // advertise a kind with no pruning path behind it, so reject
@@ -592,13 +604,17 @@ object IndexedStore {
       case curve => throw new IllegalArgumentException(
         s"curve layouts are primary-only, not statsOnly: $curve")
     }
-    secondary.foreach { case HashIndex(c, n) =>
+    secondary.foreach { case HashIndex(c, n, inc) =>
       props.setProperty(s"kind.$c", "hash")
       props.setProperty(s"sec.$c", n.toString)
+      if (inc.nonEmpty) props.setProperty(s"inc.$c", inc.mkString(","))
     }
     bloom.foreach(c => props.setProperty(s"bloom.$c", "1"))
     val bucketed = primary match {
-      case HashIndex(c, n) =>
+      case HashIndex(c, n, inc) =>
+        require(inc.isEmpty,
+          s"include columns are for secondary indexes; the primary layout's " +
+            s"data files already carry every column (index on $c)")
         props.setProperty("layout", s"hash:$c:$n")
         props.setProperty(s"kind.$c", "hash")
         val b = df.withColumn(BucketCol, pmod(hash(col(c)), lit(n)))
@@ -673,8 +689,8 @@ object IndexedStore {
 
   private def writeTail(df: DataFrame, bucketed: DataFrame, path: String,
       props: Properties, secondary: Seq[HashIndex], bloom: Seq[String]): Unit = {
-    secondary.foreach { case HashIndex(c, n) =>
-      writePostings(df, path, c, n, overwrite = true)
+    secondary.foreach { case HashIndex(c, n, inc) =>
+      writePostings(df, path, c, n, inc, overwrite = true)
     }
     bloom.foreach(c => writeBloom(bucketed, path, c, overwrite = true))
     storeProps(props, path)
@@ -862,11 +878,15 @@ object IndexedStore {
   private def postingDir(path: String, column: String): String =
     new HPath(path, s"_graft_idx_$column").toString
 
-  /** Posting files for a secondary hash index: (key, rowid),
-    * directory-partitioned by the key's hash bucket. */
+  /** Posting files for a secondary hash index: (key, rowid) plus any
+    * `include` columns (for covering reads), directory-partitioned by
+    * the key's hash bucket. Include values cannot go stale: the store
+    * mutates by insert/tombstone only (no in-place update), and the
+    * covering read anti-joins tombstones exactly like the base path. */
   private def writePostings(df: DataFrame, path: String, column: String,
-      buckets: Int, overwrite: Boolean): Unit =
-    df.select(col(column).as("__key"), col(RowId))
+      buckets: Int, include: Seq[String], overwrite: Boolean): Unit =
+    df.select(col(column).as("__key") +: col(RowId) +:
+        include.filterNot(i => i == column || i == RowId).map(col): _*)
       .withColumn(BucketCol, pmod(hash(col("__key")), lit(buckets)))
       .repartition(col(BucketCol))
       .write.mode(if (overwrite) "overwrite" else "append")
@@ -1093,6 +1113,45 @@ object IndexedStore {
       * store's sidecar. */
     def chooseIndex(conds: Seq[graft.core.Condition]): Option[String] =
       IndexedStore.chooseIndexIn(props, conds)
+
+    /** Covering (index-only) probe: when the chosen SECONDARY index
+      * carries every column the caller needs — the projection AND every
+      * condition column must fall in (key ∪ include ∪ __rowid) — the
+      * probe is served from the posting files alone; the base data
+      * files are never read (only their footer supplies the key type).
+      * Tombstoned rowids anti-join out exactly as on the base path, and
+      * include values cannot go stale (insert/tombstone only, no
+      * in-place update). Falls back to find()+select — same results,
+      * base-file read — when no secondary index covers the request. */
+    def findCovering(conds: Seq[graft.core.Condition],
+        projection: Seq[String]): DataFrame = {
+      val covering = chooseIndexIn(props, conds).filter { c =>
+        props.getProperty(s"sec.$c") != null && {
+          val carried = Set(c, RowId) ++ includeColumns(props, c)
+          (projection ++ conds.map(_.column)).forall(carried.contains)
+        }
+      }
+      covering match {
+        case Some(c) =>
+          val n = props.getProperty(s"sec.$c").toInt
+          // chooseIndexIn only selects a hash secondary when some
+          // condition is Equal(Const) on its column, so head exists.
+          val v = conds.collectFirst {
+            case graft.core.Condition(`c`,
+                graft.core.Comparison.Equal(graft.core.Value.Const(pv))) => pv
+          }.get
+          val typed = lit(v).cast(base.schema(c).dataType)
+          val rows = posting(c)
+            .filter(col(BucketCol) === pmod(hash(typed), lit(n)))
+            .withColumnRenamed("__key", c)
+            .filter(col(c) === typed)
+          antiTombstone(spark, path, rows)
+            .filter(graft.core.Condition.all(conds))
+            .select(projection.map(col): _*)
+        case None =>
+          find(conds).select(projection.map(col): _*)
+      }
+    }
   }
 
   private def antiTombstone(spark: SparkSession, path: String, df: DataFrame): DataFrame = {
@@ -1132,8 +1191,8 @@ object IndexedStore {
     // Maintain every secondary posting index and bloom sidecar,
     // mirroring the reference's on-insert index updates
     // (lib.rs:178-187).
-    secondaryColumns(props).foreach { case (c, n) =>
-      writePostings(df, path, c, n, overwrite = false)
+    secondaryColumns(props).foreach { case (c, n, inc) =>
+      writePostings(df, path, c, n, inc, overwrite = false)
     }
     bloomColumns(props).foreach(c => writeBloom(out, path, c, overwrite = false))
     props.setProperty("rows", (props.getProperty("rows").toLong + df.count()).toString)
@@ -1160,9 +1219,11 @@ object IndexedStore {
     val path = resolve(rootPath)
     val props = loadProps(path)
     val base = spark.read.parquet(path)
-    writePostings(base, path, idx.column, idx.buckets, overwrite = true)
+    writePostings(base, path, idx.column, idx.buckets, idx.include, overwrite = true)
     props.setProperty(s"kind.${idx.column}", "hash")
     props.setProperty(s"sec.${idx.column}", idx.buckets.toString)
+    if (idx.include.nonEmpty)
+      props.setProperty(s"inc.${idx.column}", idx.include.mkString(","))
     // Refresh this column's NDV so estimate()-based index choice can
     // rank the new index immediately.
     val ndv = base.agg(approx_count_distinct(col(idx.column))).head().getLong(0)
@@ -1170,12 +1231,19 @@ object IndexedStore {
     storeProps(props, path)
   }
 
-  private def secondaryColumns(props: Properties): Seq[(String, Int)] = {
+  private def secondaryColumns(props: Properties): Seq[(String, Int, Seq[String])] = {
     import scala.jdk.CollectionConverters._
     props.stringPropertyNames().asScala.toSeq.sorted
       .filter(_.startsWith("sec."))
-      .map(k => (k.stripPrefix("sec."), props.getProperty(k).toInt))
+      .map { k =>
+        val c = k.stripPrefix("sec.")
+        (c, props.getProperty(k).toInt, includeColumns(props, c))
+      }
   }
+
+  private def includeColumns(props: Properties, column: String): Seq[String] =
+    Option(props.getProperty(s"inc.$column"))
+      .map(_.split(",").toSeq).getOrElse(Nil)
 
   private def bloomColumns(props: Properties): Seq[String] = {
     import scala.jdk.CollectionConverters._
@@ -1216,7 +1284,7 @@ object IndexedStore {
     try {
       val gen = nextGenName(rootPath)
       writeLayout(live, new HPath(rootPath, gen).toString, spec, Nil,
-        secondary = secondaryColumns(props).map { case (c, n) => HashIndex(c, n) },
+        secondary = secondaryColumns(props).map { case (c, n, inc) => HashIndex(c, n, inc) },
         bloom = bloomColumns(props))
       commitAndSweep(rootPath, gen, token)
     } catch {

@@ -28,6 +28,22 @@ class StorageSpec extends SparkSpec {
     }.sum
   }
 
+  /** Root paths of every file scan in the executed plan. Unlike
+    * [[numFilesRead]]'s unwrap this also descends into materialized
+    * AQE query stages, which are LEAVES of the final plan. */
+  private def scanPaths(df: DataFrame): Seq[String] = {
+    df.collect()
+    def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: unwrap(q.plan)
+      case other => other +: other.children.flatMap(unwrap)
+    }
+    unwrap(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec => f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+  }
+
   /** The store's current generation dir per its manifest pointer. */
   private def currentGen(path: String): java.io.File = {
     val p = new java.util.Properties()
@@ -125,6 +141,37 @@ class StorageSpec extends SparkSpec {
     assert(IndexedStore.find(spark, path, Seq(Condition.eq("c_nationkey", 5))).count() == 0)
     val others = IndexedStore.find(spark, path, Seq(Condition.eq("c_nationkey", 6)))
     assert(others.count() == cust.filter(col("c_nationkey") === 6).count())
+  }
+
+  test("covering index serves projections from postings alone") {
+    val path = tmp()
+    val cust = Tables(spark, sf).customer
+    val store = Store.fromData(cust, Seq("c_custkey"))
+    IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8),
+      secondary = Seq(HashIndex("c_nationkey", 8, include = Seq("c_custkey"))))
+    val h = IndexedStore.open(spark, path)
+    val conds = Seq(Condition.eq("c_nationkey", 5))
+    val proj = Seq("__rowid", "c_custkey", "c_nationkey")
+    val covered = h.findCovering(conds, proj)
+    // value parity with the base-path probe
+    val viaBase = h.find(conds).select(proj.map(col): _*)
+    assert(covered.collect().toSet == viaBase.collect().toSet)
+    assert(covered.count() > 0, "empty probe result proves nothing")
+    // the ONLY files read are this index's posting files — the
+    // index-only claim, asserted on the executed plan
+    val scans = scanPaths(covered)
+    assert(scans.nonEmpty && scans.forall(_.contains("_graft_idx_c_nationkey")),
+      s"covering read touched non-posting files: $scans")
+    // a projection outside the include list falls back to the base
+    // path and still answers correctly
+    val fb = h.findCovering(conds, Seq("__rowid", "c_name"))
+    assert(scanPaths(fb).exists(!_.contains("_graft_idx_")),
+      "fallback read never touched the base files")
+    assert(fb.count() == viaBase.count())
+    // tombstones exclude rows from covering reads exactly as from base
+    IndexedStore.delete(spark, path, conds)
+    assert(h.findCovering(conds, proj).count() == 0,
+      "covering read served tombstoned rows")
   }
 
   test("addIndex backfills postings on an existing store") {
