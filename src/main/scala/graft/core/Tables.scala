@@ -52,8 +52,8 @@ object Tables {
     * provides the parallelism and this is a no-op (no shuffle); only a
     * layout-starved input (one file, few row groups) pays the one
     * round-robin exchange. */
-  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+  def spread(df: DataFrame): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     if (df.rdd.getNumPartitions >= parts) df else df.repartition(parts)
   }
 }

@@ -127,6 +127,31 @@ object Dedup {
     * pipelined parallel recomputes are measurably cheaper than
     * columnar-encoding nested arrays into storage memory (persist was
     * tried and cost ~40% wall-clock at sf0.1). */
+  /** Hash-order result-preserving prefix postings shared by the ngram
+    * dedup family: ℓ = |s| − ⌈τ·|s|⌉ + 1 with ⌈τ·sz⌉ = (3·sz+9) div 10
+    * in exact integer arithmetic (τ = 3/10 = JaccardTau). */
+  private def hashPrefix(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), explode(expr(
+      "slice(array_sort(hs), 1, size(hs) - ((3 * size(hs) + 9) div 10) + 1)")).as("h"))
+
+  /** Exact-verification tail shared by the ngram dedup family: attach
+    * both shingle sets to the candidate id pairs, decide τ in exact
+    * integer arithmetic (inter·10 ≥ un·3 — a float `round(j,6) >= 0.3`
+    * is engine-portable only while no union lands a true quotient
+    * inside the rounding gap), and emit the rounded jaccard as a
+    * DISPLAY column, never the decision. */
+  private def verifyPairs(cand: DataFrame, sets: DataFrame): DataFrame =
+    cand
+      .join(sets.select(col("doc_id").as("id1"), col("hs").as("s1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("hs").as("s2")), "id2")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .withColumn("un",
+        (size(col("s1")) + size(col("s2"))).cast("long") - col("inter"))
+      .filter(col("inter") * 10 >= col("un") * JaccardTauNum)
+      .withColumn("jaccard", stableRound(col("inter") / col("un"), 6))
+      .select("id1", "id2", "inter", "jaccard")
+      .orderBy("id1", "id2")
+
   def dDedupNgram(spark: SparkSession, dir: String): DataFrame = {
     val sets = shingleSets(spark, dir)
       .select(col("doc_id"),
@@ -157,9 +182,7 @@ object Dedup {
           // storage for the application lifetime. (doc_id, h) pairs
           // only, ~ℓ per doc, so the materialization is small.
           .localCheckpoint(false)
-      case Some("hash") | None =>
-        sets.select(col("doc_id"), explode(expr(
-          "slice(array_sort(hs), 1, size(hs) - ((3 * size(hs) + 9) div 10) + 1)")).as("h"))
+      case Some("hash") | None => hashPrefix(sets)
       case Some(other) =>
         // A typo'd value must not silently bench the default plan as
         // if it were the requested one.
@@ -170,25 +193,16 @@ object Dedup {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .dropDuplicates("id1", "id2")
-    cand
-      .join(sets.select(col("doc_id").as("id1"), col("hs").as("s1")), "id1")
-      .join(sets.select(col("doc_id").as("id2"), col("hs").as("s2")), "id2")
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
-      .withColumn("un",
-        (size(col("s1")) + size(col("s2"))).cast("long") - col("inter"))
-      // τ = 3/10 decided in EXACT integer arithmetic (inter·10 ≥ un·3):
-      // a float `round(j,6) >= 0.3` is engine-portable only while no
-      // union is big enough to land a true quotient inside the rounding
-      // gap — integers remove the assumption instead of betting on it.
-      // The rounded jaccard stays an OUTPUT column (display), never the
-      // decision.
-      .filter(col("inter") * 10 >= col("un") * JaccardTauNum)
-      .withColumn("jaccard", stableRound(col("inter") / col("un"), 6))
-      .select("id1", "id2", "inter", "jaccard")
-      .orderBy("id1", "id2")
+    verifyPairs(cand, sets)
   }
 
-  val dDedupNgramSql: String =
+  /** The one DuckDB formulation of shingle → candidate → exact-verify
+    * shared by the ngram dedup family; `candPredicate` restricts the
+    * candidate pair set (empty for the full dedup, the new-snapshot
+    * bound for the incremental one). Mirrors hashPrefix/verifyPairs:
+    * the oracle runs the UNFILTERED posting join because prefix
+    * filtering is result-preserving by construction. */
+  private def ngramPairsSql(candPredicate: String): String =
     s"""WITH strsets AS ($shingleSetsSql),
        |sets AS (SELECT doc_id,
        |  list_distinct(list_transform(shing, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS hs
@@ -196,7 +210,7 @@ object Dedup {
        |posts AS (SELECT doc_id, unnest(hs) AS h FROM sets),
        |cand AS (
        |  SELECT DISTINCT a.doc_id id1, b.doc_id id2
-       |  FROM posts a JOIN posts b ON a.h = b.h AND a.doc_id < b.doc_id)
+       |  FROM posts a JOIN posts b ON a.h = b.h AND a.doc_id < b.doc_id$candPredicate)
        |SELECT id1, id2,
        |  len(list_intersect(s1.hs, s2.hs))::BIGINT AS inter,
        |  floor((len(list_intersect(s1.hs, s2.hs)) /
@@ -208,74 +222,58 @@ object Dedup {
        |    (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs))) * $JaccardTauNum
        |ORDER BY id1, id2""".stripMargin
 
-  /** Docs with doc_id >= this form the "new snapshot" d_dedup_incr
-    * checks against the whole corpus. */
-  val IncrNewSplit = 400L
+  val dDedupNgramSql: String = ngramPairsSql("")
+
+  /** The "new snapshot" d_dedup_incr checks against the whole corpus
+    * is the LAST this-many documents (doc_ids are dense 0..n-1, so the
+    * suffix is doc_id >= n − count) — a fixed-SIZE snapshot, not a
+    * fixed id threshold, so the incremental premise (snapshot ≪
+    * corpus) holds at every scale factor instead of inverting as the
+    * corpus grows. */
+  val IncrNewCount = 100L
+
+  /** The snapshot boundary id for `dir`: one count() over parquet
+    * footers — no data scan. */
+  def incrSplit(spark: SparkSession, dir: String): Long =
+    Tables(spark, dir).documents.count() - IncrNewCount
 
   /** d_dedup_incr — cross-snapshot n-gram dedup: every jaccard-≥-τ
-    * pair with at least one member in the NEW snapshot (doc_id >=
-    * [[IncrNewSplit]]), i.e. exactly dDedupNgram's pairs restricted to
-    * id2 in the new set (id-ordered pairs put the new doc at id2) —
-    * the daily-crawl-vs-historical-index shape, where re-pairing the
-    * old corpus against itself every snapshot is the cost to avoid.
+    * pair with at least one member in the NEW snapshot (the last
+    * [[IncrNewCount]] documents), i.e. exactly dDedupNgram's pairs
+    * restricted to id2 in the new set (id-ordered pairs put the new
+    * doc at id2) — the daily-crawl-vs-historical-index shape, where
+    * re-pairing the old corpus against itself every snapshot is the
+    * cost to avoid.
     *
     * Scale shape: the candidate join keeps the FULL corpus on one side
     * but restricts the other to the new snapshot's prefixes, so
     * candidate volume is Σ_h df_all·df_new instead of Σ_h df_all² —
-    * linear in the snapshot, not the corpus. The new-side doc_id
-    * predicate pushes into the parquet scan (plan-asserted). In a
-    * production pipeline the old side's postings come precomputed from
-    * the store (one IndexedStore generation per snapshot) rather than
-    * re-shingled; here both sides derive from the one scan so the
+    * linear in the snapshot, not the corpus (the snapshot is
+    * fixed-SIZE, so the ratio holds at every scale). The new-side
+    * doc_id predicate pushes into the parquet scan (plan-asserted). In
+    * a production pipeline the old side's postings come precomputed
+    * from the store (one IndexedStore generation per snapshot) rather
+    * than re-shingled; here both sides derive from the one scan so the
     * oracle sees identical inputs. Prefix filtering stays
     * result-preserving under the asymmetric join: the theorem is
     * per-pair (two τ-similar sets share a prefix token in any common
     * global order), independent of which side is restricted. */
   def dDedupIncr(spark: SparkSession, dir: String): DataFrame = {
+    val split = incrSplit(spark, dir)
     val sets = shingleSets(spark, dir)
       .select(col("doc_id"),
         array_distinct(transform(col("shing"), s => md5_32(s))).as("hs"))
-    // Hash-order prefixes, ℓ = |s| − ⌈τ·|s|⌉ + 1 — same exact integer
-    // arithmetic as dDedupNgram's default arm.
-    val prefix = sets.select(col("doc_id"), explode(expr(
-      "slice(array_sort(hs), 1, size(hs) - ((3 * size(hs) + 9) div 10) + 1)")).as("h"))
-    val newPrefix = prefix.filter(col("doc_id") >= IncrNewSplit)
+    val prefix = hashPrefix(sets)
+    val newPrefix = prefix.filter(col("doc_id") >= split)
     val cand = prefix.as("a").join(newPrefix.as("b"), "h")
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .dropDuplicates("id1", "id2")
-    cand
-      .join(sets.select(col("doc_id").as("id1"), col("hs").as("s1")), "id1")
-      .join(sets.select(col("doc_id").as("id2"), col("hs").as("s2")), "id2")
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
-      .withColumn("un",
-        (size(col("s1")) + size(col("s2"))).cast("long") - col("inter"))
-      .filter(col("inter") * 10 >= col("un") * JaccardTauNum)
-      .withColumn("jaccard", stableRound(col("inter") / col("un"), 6))
-      .select("id1", "id2", "inter", "jaccard")
-      .orderBy("id1", "id2")
+    verifyPairs(cand, sets)
   }
 
-  val dDedupIncrSql: String =
-    s"""WITH strsets AS ($shingleSetsSql),
-       |sets AS (SELECT doc_id,
-       |  list_distinct(list_transform(shing, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS hs
-       |  FROM strsets),
-       |posts AS (SELECT doc_id, unnest(hs) AS h FROM sets),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id id1, b.doc_id id2
-       |  FROM posts a JOIN posts b
-       |    ON a.h = b.h AND a.doc_id < b.doc_id AND b.doc_id >= $IncrNewSplit)
-       |SELECT id1, id2,
-       |  len(list_intersect(s1.hs, s2.hs))::BIGINT AS inter,
-       |  floor((len(list_intersect(s1.hs, s2.hs)) /
-       |    (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs)))::DOUBLE) * 1e6 + 0.5) / 1e6 AS jaccard
-       |FROM cand
-       |JOIN sets s1 ON id1 = s1.doc_id
-       |JOIN sets s2 ON id2 = s2.doc_id
-       |WHERE len(list_intersect(s1.hs, s2.hs)) * 10 >=
-       |    (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs))) * $JaccardTauNum
-       |ORDER BY id1, id2""".stripMargin
+  val dDedupIncrSql: String = ngramPairsSql(
+    s"\n  WHERE b.doc_id >= (SELECT count(*) - $IncrNewCount FROM documents)")
 
   // ------------------------------------------------------- MinHash LSH
 

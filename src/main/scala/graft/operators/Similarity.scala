@@ -39,7 +39,7 @@ object Similarity {
     * for the conditional no-shuffle-at-scale semantics, on which the
     * "corpus never shuffles" claims below rest. */
   private def embSpread(spark: SparkSession, dir: String): DataFrame =
-    Tables.spread(spark, Tables(spark, dir).embeddings)
+    Tables.spread(Tables(spark, dir).embeddings)
 
   /** Adds `unitCol`: the vector scaled to unit L2 norm (double).
     * Norm is materialized first so it's computed once per vector;

@@ -19,7 +19,7 @@ object TextAnalysis {
     * per-row pipelines never run in one task — see [[Tables.spread]]
     * for the conditional no-shuffle-at-scale semantics. */
   private[operators] def docsSpread(spark: SparkSession, dir: String): DataFrame =
-    Tables.spread(spark, Tables(spark, dir).documents)
+    Tables.spread(Tables(spark, dir).documents)
 
   /** Whitespace + word token counting. The "BPE-ish" count applies the
     * classic subword heuristic (≈ chars/4 for alphanumeric runs)

@@ -1114,28 +1114,39 @@ object IndexedStore {
     def chooseIndex(conds: Seq[graft.core.Condition]): Option[String] =
       IndexedStore.chooseIndexIn(props, conds)
 
-    /** Covering (index-only) probe: when the chosen SECONDARY index
-      * carries every column the caller needs — the projection AND every
-      * condition column must fall in (key ∪ include ∪ __rowid) — the
-      * probe is served from the posting files alone; the base data
-      * files are never read (only their footer supplies the key type).
-      * Tombstoned rowids anti-join out exactly as on the base path, and
-      * include values cannot go stale (insert/tombstone only, no
-      * in-place update). Falls back to find()+select — same results,
-      * base-file read — when no secondary index covers the request. */
+    /** Covering (index-only) probe: when a SECONDARY index probed by
+      * an equality condition carries every column the caller needs —
+      * the projection AND every condition column must fall in (key ∪
+      * include ∪ __rowid) — the probe is served from the posting files
+      * alone; the base data files are never read (only their footer
+      * supplies the key type). The index is chosen among ALL covering
+      * candidates by lowest estimate(), not estimate()-first-then-
+      * coverage — an index-only read beats a lower-estimate base read,
+      * so a covering index must not be bypassed just because another
+      * index looks more selective. Tombstoned rowids anti-join out
+      * exactly as on the base path, and include values cannot go stale
+      * (insert/tombstone only, no in-place update). Falls back to
+      * find()+select — same results, base-file read — only when NO
+      * secondary index covers the request. */
     def findCovering(conds: Seq[graft.core.Condition],
         projection: Seq[String]): DataFrame = {
-      val covering = chooseIndexIn(props, conds).filter { c =>
-        props.getProperty(s"sec.$c") != null && {
+      val needed = (projection ++ conds.map(_.column)).distinct
+      val covering = conds.collect {
+          case graft.core.Condition(c,
+              graft.core.Comparison.Equal(graft.core.Value.Const(_))) => c
+        }.distinct
+        .filter(c => props.getProperty(s"sec.$c") != null)
+        .filter { c =>
           val carried = Set(c, RowId) ++ includeColumns(props, c)
-          (projection ++ conds.map(_.column)).forall(carried.contains)
+          needed.forall(carried.contains)
         }
-      }
+        .sortBy(c => estimate(props, c))
+        .headOption
       covering match {
         case Some(c) =>
           val n = props.getProperty(s"sec.$c").toInt
-          // chooseIndexIn only selects a hash secondary when some
-          // condition is Equal(Const) on its column, so head exists.
+          // c was collected from an Equal(Const) condition above, so
+          // the probe value exists.
           val v = conds.collectFirst {
             case graft.core.Condition(`c`,
                 graft.core.Comparison.Equal(graft.core.Value.Const(pv))) => pv
@@ -1222,8 +1233,13 @@ object IndexedStore {
     writePostings(base, path, idx.column, idx.buckets, idx.include, overwrite = true)
     props.setProperty(s"kind.${idx.column}", "hash")
     props.setProperty(s"sec.${idx.column}", idx.buckets.toString)
+    // Re-indexing REPLACES the postings, so the include list must
+    // follow even when it shrinks to empty — a stale inc. property
+    // would promise covering reads over columns the rewritten posting
+    // files no longer carry.
     if (idx.include.nonEmpty)
       props.setProperty(s"inc.${idx.column}", idx.include.mkString(","))
+    else props.remove(s"inc.${idx.column}")
     // Refresh this column's NDV so estimate()-based index choice can
     // rank the new index immediately.
     val ndv = base.agg(approx_count_distinct(col(idx.column))).head().getLong(0)

@@ -476,7 +476,7 @@ class PipelineSpec extends SparkSpec {
     // definition dDedupNgram's pair set filtered to id2 in the new
     // snapshot (id-ordered pairs put the new member at id2).
     val full = Dedup.dDedupNgram(spark, sf)
-      .filter(col("id2") >= Dedup.IncrNewSplit)
+      .filter(col("id2") >= Dedup.incrSplit(spark, sf))
     val incr = Dedup.dDedupIncr(spark, sf)
     assert(incr.count() > 0, "empty incremental pair set proves nothing")
     assert(incr.exceptAll(full).count() == 0,

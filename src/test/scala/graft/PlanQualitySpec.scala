@@ -240,8 +240,9 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("d_dedup_incr")
     assert(!p.contains("CartesianProduct"),
       s"candidate join degenerated to a cartesian:\n${p.take(2000)}")
-    // The new-side branch must scan with doc_id >= IncrNewSplit pushed
+    // The new-side branch must scan with doc_id >= incrSplit pushed
     // down — the Σ df_all·df_new (not Σ df_all²) claim rests on it.
+    // (500 docs at this sf − IncrNewCount = 400.)
     assert(p.contains("GreaterThanOrEqual(doc_id,400)"),
       s"new-snapshot predicate not pushed to the parquet scan:\n${p.take(2500)}")
   }

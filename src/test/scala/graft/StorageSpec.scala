@@ -174,6 +174,51 @@ class StorageSpec extends SparkSpec {
       "covering read served tombstoned rows")
   }
 
+  test("covering read prefers a covering index over a more selective bare one") {
+    val path = tmp()
+    val cust = Tables(spark, sf).customer
+    val store = Store.fromData(cust, Seq("c_custkey"))
+    // c_nationkey has the higher NDV (lower estimate); the covering
+    // candidate is the LESS selective c_mktsegment index.
+    IndexedStore.write(store.data, path, HashIndex("c_custkey", 8),
+      secondary = Seq(
+        HashIndex("c_nationkey", 8),
+        HashIndex("c_mktsegment", 8, include = Seq("c_custkey", "c_nationkey"))))
+    val h = IndexedStore.open(spark, path)
+    val conds = Seq(Condition.eq("c_mktsegment", "BUILDING"),
+      Condition.eq("c_nationkey", 5))
+    // estimate() alone ranks the bare nationkey index first...
+    assert(h.chooseIndex(conds).contains("c_nationkey"))
+    // ...but the covering probe must route through mktsegment postings
+    val covered = h.findCovering(conds, Seq("__rowid", "c_custkey"))
+    val scans = scanPaths(covered)
+    assert(scans.nonEmpty && scans.forall(_.contains("_graft_idx_c_mktsegment")),
+      s"covering read bypassed the covering index: $scans")
+    val expected = store.data.filter(
+      col("c_mktsegment") === "BUILDING" && col("c_nationkey") === 5)
+    assert(covered.count() == expected.count())
+  }
+
+  test("re-indexing without includes revokes covering and falls back cleanly") {
+    val path = tmp()
+    val cust = Tables(spark, sf).customer
+    val store = Store.fromData(cust, Seq("c_custkey"))
+    IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8),
+      secondary = Seq(HashIndex("c_nationkey", 8, include = Seq("c_custkey"))))
+    // Rebucket the same column WITHOUT includes: the rewritten
+    // postings no longer carry c_custkey, and the sidecar must say so.
+    IndexedStore.addIndex(spark, path, HashIndex("c_nationkey", 16))
+    val h = IndexedStore.open(spark, path)
+    val out = h.findCovering(Seq(Condition.eq("c_nationkey", 5)),
+      Seq("__rowid", "c_custkey", "c_nationkey"))
+    // must FALL BACK to the base path, not crash selecting a posting
+    // column that no longer exists
+    assert(scanPaths(out).exists(!_.contains("_graft_idx_")),
+      "stale include list still advertised covering")
+    assert(out.count() ==
+      store.data.filter(col("c_nationkey") === 5).count())
+  }
+
   test("addIndex backfills postings on an existing store") {
     val path = tmp()
     val cust = Tables(spark, sf).customer
