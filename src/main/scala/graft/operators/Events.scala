@@ -233,12 +233,52 @@ object Events {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** One week of int64 nanoseconds — the retention bucket width. */
+  val WeekNs = 7L * 86400L * 1000000000L
+
+  /** q_retention — cohort retention matrix: users bucket into weekly
+    * cohorts by their FIRST event week, and each (cohort week, offset
+    * week) cell counts the distinct users active that many weeks
+    * later — the standard product-analytics retention triangle. Week
+    * arithmetic is exact integer division on ts_ns (both engines
+    * divide the identical int64), never date truncation, so bucket
+    * edges cannot drift between engines.
+    *
+    * Scale shape: three keyed shuffles, no windows — a map-side-
+    * combined min per user (cohort), a user-keyed join attaching the
+    * cohort to each event (both sides already user-keyed), and a
+    * distinct over (cohort, offset, user) that partial-aggregates
+    * map-side before the final cell count. Cells are O(weeks²) —
+    * tiny — and per-user state is one long. */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), expr(s"ts_ns div $WeekNs").as("wk"))
+    val cohorts = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    ev.join(cohorts, "user_id")
+      .select(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_wk", "offset_wk")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_wk", "offset_wk")
+  }
+
+  val qRetentionSql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_ns(ts) // $WeekNs AS wk FROM events),
+       |c AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1)
+       |SELECT cohort_wk, wk - cohort_wk AS offset_wk,
+       |  count(DISTINCT ev.user_id) AS n_users
+       |FROM ev JOIN c USING (user_id)
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> qSessionize,
     "q_asof_join" -> qAsofJoin,
     "q_funnel" -> qFunnel,
     "q_range_join" -> qRangeJoin,
     "q_json_extract" -> qJsonExtract,
+    "q_retention" -> qRetention,
   )
 
   def oracles: Map[String, String] = Map(
@@ -247,5 +287,6 @@ object Events {
     "q_funnel" -> qFunnelSql,
     "q_range_join" -> qRangeJoinSql,
     "q_json_extract" -> qJsonExtractSql,
+    "q_retention" -> qRetentionSql,
   )
 }

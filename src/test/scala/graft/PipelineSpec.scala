@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Events, Similarity, TextAnalysis}
 
 /** Semantics checks for the LLM-pipeline operators (the driver's
   * DuckDB oracle checks value parity; these check properties). */
@@ -437,6 +437,32 @@ class PipelineSpec extends SparkSpec {
     assert(got.length == expected.length)
     got.zip(expected).foreach { case (g, e) =>
       assert(g == e, s"collocation row diverges: got $g expected $e")
+    }
+  }
+
+  test("q_retention matches a driver-side cohort recompute exactly") {
+    // ts_ns is positive throughout the dataset, so Scala's
+    // truncating Long division equals the operator's floor div.
+    val ev = graft.core.Tables(SparkSpec.spark, sf).events
+      .select("user_id", "ts_ns").as[(Long, Long)].collect()
+      .map { case (u, t) => (u, t / Events.WeekNs) }
+    val cohort = ev.groupBy(_._1).map { case (u, rs) => (u, rs.map(_._2).min) }
+    val expected = ev.map { case (u, w) => (cohort(u), w - cohort(u), u) }
+      .distinct
+      .groupBy(r => (r._1, r._2))
+      .map { case ((c, o), rs) => (c, o, rs.length.toLong) }
+      .toSeq.sortBy(r => (r._1, r._2))
+    val got = Events.qRetention(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g == e, s"retention cell diverges: got $g expected $e")
+    }
+    // offset-0 is every cohort's full size by definition — a sanity
+    // anchor independent of the recompute above
+    val sizes = cohort.values.groupBy(identity).map { case (c, us) => (c, us.size.toLong) }
+    got.filter(_._2 == 0L).foreach { case (c, _, n) =>
+      assert(n == sizes(c), s"cohort $c offset-0 cell $n != cohort size ${sizes(c)}")
     }
   }
 

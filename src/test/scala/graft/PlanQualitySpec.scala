@@ -225,6 +225,15 @@ class PlanQualitySpec extends SparkSpec {
       s"top-k regressed from TakeOrderedAndProject to a global sort:\n${p.take(2000)}")
   }
 
+  test("retention is keyed aggregation only — no window, no all-pairs") {
+    val p = plan("q_retention")
+    assert(!p.contains("Window"), s"retention grew a window:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cohort attach degenerated to all-pairs:\n${p.take(1500)}")
+    // the cohort min and the distinct both partial-aggregate map-side
+    assert(p.contains("partial_min"), s"cohort min lost its partial:\n${p.take(2000)}")
+  }
+
   test("mix amplifies at the scan site — narrow until the presentation sort") {
     val p = plan("d_mix")
     assert(!p.contains("Join") && !p.contains("Window"),
