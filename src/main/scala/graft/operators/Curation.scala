@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.functions.Parity.stableRound
 import graft.functions.TextFunctions._
 
 /** Corpus-curation operators: the steps between "raw crawl" and
@@ -462,6 +463,54 @@ object Curation {
        |ORDER BY doc_id, epoch""".stripMargin
   }
 
+  /** Sample size for d_weighted_sample. */
+  val WeightedSampleK = 50
+
+  /** d_weighted_sample — deterministic weighted sampling WITHOUT
+    * replacement (the Efraimidis–Spirakis exponential-keys method):
+    * each doc draws a salted-md5 uniform u = (kk+1)/10001 ∈ (0,1] and
+    * ranks by ln(u)/w with w = its word-token count; the global
+    * top-[[WeightedSampleK]] keys are the sample. Inclusion
+    * probability is proportional to weight, the draw is hash-
+    * deterministic (same doc, same decision, any partitioning), and
+    * removal-without-replacement falls out of the top-k — the
+    * length-proportional corpus subsample a token-budgeted pipeline
+    * wants, where uniform doc sampling skews toward short docs.
+    *
+    * Parity: u is the same exact rational in both engines and the
+    * rank runs on stableRound(ln(u)/w, 9) with doc_id tie-break — the
+    * round-before-order discipline (libm ln differs by ~1 ulp
+    * cross-engine; five-orders slack at scale 9, same class as the
+    * other ln-ranked operators). Scale: the key is a narrow per-row
+    * expression; the global top-k plans as TakeOrderedAndProject
+    * (per-partition heaps, no global sort — plan-asserted). */
+  def dWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val kk = conv(substring(md5(concat(lit("wsmp:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 10000
+    TextAnalysis.docsSpread(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(normText(col("text")), " ")).cast("long").as("w_tokens"),
+        ((kk + 1) / lit(10001.0)).as("u"))
+      .withColumn("skey", stableRound(log(col("u")) / col("w_tokens"), 9))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(WeightedSampleK)
+      .select("doc_id", "lang", "w_tokens", "skey")
+      .orderBy("doc_id")
+  }
+
+  val dWeightedSampleSql: String =
+    s"""SELECT doc_id, lang, w_tokens, skey FROM (
+       |  SELECT doc_id, lang, w_tokens,
+       |    floor((ln(u) / w_tokens) * 1e9 + 0.5) / 1e9 AS skey
+       |  FROM (SELECT doc_id, lang,
+       |          len(string_split($normSql, ' '))::BIGINT AS w_tokens,
+       |          ((('0x' || substr(md5('wsmp:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000) + 1)
+       |            / 10001.0 AS u
+       |        FROM documents) raw
+       |  ORDER BY skey DESC, doc_id
+       |  LIMIT $WeightedSampleK) t
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_sample" -> dSample,
     "d_budget" -> dBudget,
@@ -470,6 +519,7 @@ object Curation {
     "t_scrub" -> tScrub,
     "d_curate" -> dCurate,
     "d_mix" -> dMix,
+    "d_weighted_sample" -> dWeightedSample,
   )
 
   def oracles: Map[String, String] = Map(
@@ -480,5 +530,6 @@ object Curation {
     "t_scrub" -> tScrubSql,
     "d_curate" -> dCurateSql,
     "d_mix" -> dMixSql,
+    "d_weighted_sample" -> dWeightedSampleSql,
   )
 }

@@ -440,6 +440,39 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("d_weighted_sample matches a driver-side exponential-keys recompute exactly") {
+    def kk(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"wsmp:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 10000
+    }
+    // Same normalization as TextFunctions.normText, in plain Scala.
+    def words(text: String): Long =
+      text.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ")
+        .trim.split(" ").length.toLong
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").as[(Long, String, String)].collect()
+    val expected = docs.map { case (id, lang, text) =>
+      val w = words(text)
+      val u = (kk(id) + 1) / 10001.0
+      // identical op sequence to the operator's key column, including
+      // the stableRound floor chain (JVM Math.log ≡ Spark's log)
+      (id, lang, w, math.floor(math.log(u) / w * 1e9 + 0.5) / 1e9)
+    }.sortBy(r => (-r._4, r._1)).take(Curation.WeightedSampleK).sortBy(_._1).toSeq
+    val got = Curation.dWeightedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g == e, s"weighted-sample row diverges: got $g expected $e")
+    }
+    // the sample must actually skew long: mean sampled weight exceeds
+    // the corpus mean (weight-proportional inclusion)
+    val corpusMean = docs.map(d => words(d._3)).sum.toDouble / docs.length
+    val sampleMean = got.map(_._3).sum.toDouble / got.length
+    assert(sampleMean > corpusMean,
+      s"sample mean weight $sampleMean not above corpus mean $corpusMean")
+  }
+
   test("q_retention matches a driver-side cohort recompute exactly") {
     // ts_ns is positive throughout the dataset, so Scala's
     // truncating Long division equals the operator's floor div.

@@ -225,6 +225,14 @@ class PlanQualitySpec extends SparkSpec {
       s"top-k regressed from TakeOrderedAndProject to a global sort:\n${p.take(2000)}")
   }
 
+  test("weighted sample is a narrow key + TakeOrdered top-k") {
+    val p = plan("d_weighted_sample")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"weighted sample grew a window/join:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k regressed from TakeOrderedAndProject to a global sort:\n${p.take(2000)}")
+  }
+
   test("retention is keyed aggregation only — no window, no all-pairs") {
     val p = plan("q_retention")
     assert(!p.contains("Window"), s"retention grew a window:\n${p.take(1500)}")
