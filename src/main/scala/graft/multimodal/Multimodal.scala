@@ -166,15 +166,57 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Shard byte budget for [[mShardPack]]. */
+  val ShardBytes = 65536L
+
+  /** See [[graft.operators.TextAnalysis.budgetPack]]'s caller-owned
+    * unpersist contract. */
+  private var lastShardCache: Option[Dataset[(Long, Long)]] = None
+
+  /** m_shard_pack — WebDataset-style media shard assignment: payloads
+    * in doc_id order are laid head-to-tail into fixed
+    * [[ShardBytes]]-byte shards, emitting each payload's shard id and
+    * in-shard byte offset — the manifest a sequential shard writer (or
+    * a ranged reader) needs, computed before any bytes move. Reuses
+    * the distributed two-pass prefix sum behind tPack
+    * ([[graft.operators.TextAnalysis.budgetPack]]) over payload BYTE
+    * lengths — never a global ORDER BY window, which would pull the
+    * corpus into one reducer. */
+  def mShardPack(spark: SparkSession, dir: String): DataFrame = {
+    lastShardCache.foreach(_.unpersist())
+    val sized = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+    val (pinned, packed) =
+      graft.operators.TextAnalysis.budgetPack(spark, sized, ShardBytes)
+    lastShardCache = Some(pinned)
+    packed.select(col("id").as("doc_id"), col("n").as("n_bytes"),
+        col("bucket").as("shard_id"), col("off").as("offset_bytes"))
+      .orderBy("doc_id")
+  }
+
+  val mShardPackSql: String =
+    s"""SELECT doc_id, n_bytes,
+       |  cumb // $ShardBytes AS shard_id, cumb % $ShardBytes AS offset_bytes
+       |FROM (
+       |  SELECT doc_id, n_bytes,
+       |    coalesce(sum(n_bytes) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cumb
+       |  FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes
+       |        FROM documents) w) t
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_binary_meta" -> mBinaryMeta,
     "m_frame_sample" -> mFrameSample,
     "m_resize" -> mResize,
+    "m_shard_pack" -> mShardPack,
   )
 
   def oracles: Map[String, String] = Map(
     "m_binary_meta" -> mBinaryMetaSql,
     "m_frame_sample" -> mFrameSampleSql,
     "m_resize" -> mResizeSql,
+    "m_shard_pack" -> mShardPackSql,
   )
 }

@@ -203,35 +203,36 @@ object TextAnalysis {
     * one pinned copy per session. */
   private var lastPackCache: Option[org.apache.spark.sql.Dataset[(Long, Long)]] = None
 
-  /** Concatenation packing: documents in doc_id order are laid
-    * head-to-tail into fixed 256-token context windows (the standard
-    * pretraining packing), emitting each doc's pack id and offset.
+  /** The shared budget packer: (id, size) rows in id order are laid
+    * head-to-tail into fixed-`budget` buckets, emitting each id's
+    * bucket and in-bucket offset — the machinery behind both token
+    * context-window packing ([[tPack]]) and multimodal byte-shard
+    * packing ([[graft.multimodal.Multimodal.mShardPack]]).
     *
-    * The global running token offset is a DISTRIBUTED prefix sum, not
-    * a global window: an `ORDER BY` window with no partition key pulls
-    * the entire corpus into one reducer. Instead the corpus is
-    * range-partitioned by doc_id, each partition computes a local
-    * running sum, the ~numPartitions per-partition totals are prefixed
-    * on the driver, and a second narrow pass adds each partition's
-    * base offset — two narrow passes plus one tiny collect, correct at
-    * any scale. The cache pins the range partitioning so both passes
-    * see identical partitions. */
-  def tPack(spark: SparkSession, dir: String): DataFrame = {
+    * The global running offset is a DISTRIBUTED prefix sum, not a
+    * global window: an `ORDER BY` window with no partition key pulls
+    * the entire corpus into one reducer. Instead the input is
+    * range-partitioned by id, each partition computes a local running
+    * sum, the ~numPartitions per-partition totals are prefixed on the
+    * driver, and a second narrow pass adds each partition's base
+    * offset — two narrow passes plus one tiny collect, correct at any
+    * scale. The returned PINNED dataset is the cache that keeps both
+    * passes on identical partitions (pid consistency) — the caller
+    * owns its unpersist lifecycle. */
+  private[graft] def budgetPack(spark: SparkSession, sized: DataFrame,
+      budget: Long): (org.apache.spark.sql.Dataset[(Long, Long)], DataFrame) = {
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    lastPackCache.foreach(_.unpersist())
-    val toks = tTokenCount(spark, dir).select(col("doc_id"), col("word_tokens"))
-      .repartitionByRange(parts, col("doc_id"))
-      .sortWithinPartitions("doc_id")
+    val pinned = sized.toDF("id", "n")
+      .repartitionByRange(parts, col("id"))
+      .sortWithinPartitions("id")
       .as[(Long, Long)]
       .cache()
-    lastPackCache = Some(toks)
-    val partSums = toks.mapPartitions { it =>
+    val partSums = pinned.mapPartitions { it =>
       Iterator.single(it.map(_._2).sum)
     }.collect()
     val offsets = partSums.scanLeft(0L)(_ + _)
-    val budget = PackBudget
-    toks.toDF("doc_id", "word_tokens")
+    val out = pinned.toDF("id", "n")
       .withColumn("pid", spark_partition_id())
       .as[(Long, Long, Int)]
       .mapPartitions { it =>
@@ -242,7 +243,21 @@ object TextAnalysis {
           (id, n, before / budget, before % budget)
         }
       }
-      .toDF("doc_id", "n_tokens", "pack_id", "pack_offset")
+      .toDF("id", "n", "bucket", "off")
+    (pinned, out)
+  }
+
+  /** Concatenation packing: documents in doc_id order are laid
+    * head-to-tail into fixed 256-token context windows (the standard
+    * pretraining packing), emitting each doc's pack id and offset —
+    * [[budgetPack]] over word-token counts. */
+  def tPack(spark: SparkSession, dir: String): DataFrame = {
+    lastPackCache.foreach(_.unpersist())
+    val (pinned, packed) = budgetPack(spark,
+      tTokenCount(spark, dir).select(col("doc_id"), col("word_tokens")), PackBudget)
+    lastPackCache = Some(pinned)
+    packed.select(col("id").as("doc_id"), col("n").as("n_tokens"),
+        col("bucket").as("pack_id"), col("off").as("pack_offset"))
       .orderBy("doc_id")
   }
 

@@ -440,6 +440,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("m_shard_pack matches a driver-side byte prefix-sum recompute exactly") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => (id, t.getBytes("UTF-8").length.toLong) }
+      .sortBy(_._1)
+    val b = graft.multimodal.Multimodal.ShardBytes
+    var cum = 0L
+    val expected = docs.map { case (id, n) =>
+      val r = (id, n, cum / b, cum % b); cum += n; r
+    }.toSeq
+    val got = graft.multimodal.Multimodal.mShardPack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g == e, s"shard row diverges: got $g expected $e")
+    }
+    // the budget actually splits this corpus into multiple shards
+    assert(got.map(_._3).distinct.length > 1, "single shard proves nothing")
+  }
+
   test("d_weighted_sample matches a driver-side exponential-keys recompute exactly") {
     def kk(id: Long): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")

@@ -83,6 +83,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("MapPartitions"), "prefix-sum pass missing")
   }
 
+  test("shard packing never plans a global window") {
+    val p = plan("m_shard_pack")
+    assert(!p.contains("Window"),
+      s"m_shard_pack planned a window over the whole corpus:\n${p.take(1500)}")
+    assert(p.contains("MapPartitions"), "prefix-sum pass missing")
+  }
+
   test("token-budget cut never plans a per-language window") {
     val p = plan("d_budget")
     // the keyed prefix sum must not regress to a PARTITION BY lang
