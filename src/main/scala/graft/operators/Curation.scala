@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.Parity.stableRound
+import graft.functions.Parity.{stableRound, stableRoundSql}
 import graft.functions.TextFunctions._
 
 /** Corpus-curation operators: the steps between "raw crawl" and
@@ -501,7 +501,7 @@ object Curation {
   val dWeightedSampleSql: String =
     s"""SELECT doc_id, lang, w_tokens, skey FROM (
        |  SELECT doc_id, lang, w_tokens,
-       |    floor((ln(u) / w_tokens) * 1e9 + 0.5) / 1e9 AS skey
+       |    ${stableRoundSql("ln(u) / w_tokens", 9)} AS skey
        |  FROM (SELECT doc_id, lang,
        |          len(string_split($normSql, ' '))::BIGINT AS w_tokens,
        |          ((('0x' || substr(md5('wsmp:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000) + 1)
