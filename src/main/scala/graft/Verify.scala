@@ -15,11 +15,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A throwing query must be LOUD: round 5 lost 11 operators from the
+    // correctness gate as silent holes (stderr-only, rc 0, no output
+    // dir reads as "never existed"). Record every failure as (a) a
+    // _FAILED marker inside the query's output dir — the driver's
+    // parquet read then errors visibly instead of skipping, (b) a
+    // machine-readable failures.json, and (c) a nonzero exit.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${e.getMessage}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        failures(name) = msg
+        val qDir = Paths.get(outDir, name)
+        Files.createDirectories(qDir)
+        Files.writeString(qDir.resolve("_FAILED"), msg)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -37,6 +49,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (failures.nonEmpty) {
+      val fj = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/failures.json"), fj)
+      System.err.println(
+        s"[verify] ${failures.size}/${SparkEntry.queries.size} queries FAILED: " +
+          failures.keys.mkString(", "))
+    }
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

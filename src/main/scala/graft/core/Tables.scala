@@ -20,19 +20,21 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame      = table("part")
   def orders: DataFrame    = table("orders")
   def lineitem: DataFrame  = table("lineitem")
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark's
-    * TimestampType (micros) cannot represent. We read the raw int64
-    * nanos (`ts_ns`, exact — DuckDB reproduces it via epoch_ns(ts))
-    * and derive a micro-truncated TimestampType `ts` for
-    * window/streaming use. Oracle-compared queries should do time
-    * arithmetic on `ts_ns`.
+  /** The events table's `ts` column has shifted physical type across
+    * testdata generations — TIMESTAMP(NANOS) (surfaces as int64 under
+    * `nanosAsLong`) in early drops, TIMESTAMP(MICROS, NTZ) in current
+    * ones — so the loader is SCHEMA-ADAPTIVE (see [[Tables.withTsNs]]):
+    * whatever the file carries, downstream sees the same contract — an
+    * exact int64 epoch-nanos `ts_ns` (DuckDB reproduces it via
+    * epoch_ns(ts), which is exact for both physical types) plus a
+    * micro-precision TimestampType `ts` for window/streaming use.
+    * Oracle-compared queries do time arithmetic on `ts_ns`.
     */
   def events: DataFrame = {
-    import org.apache.spark.sql.functions._
+    // No-op on micro-timestamp files; required for legacy nano files
+    // (Spark cannot represent TIMESTAMP(NANOS) natively).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+    Tables.withTsNs(spark.read.parquet(s"$dir/events.parquet"))
   }
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
@@ -44,6 +46,38 @@ final case class Tables(spark: SparkSession, dir: String) {
 object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Normalize a loaded events frame to the (ts_ns: long, ts: timestamp)
+    * contract, whatever physical type the file carried. INTEGER ops
+    * only — an epoch-ns value exceeds double's 53-bit mantissa, so a
+    * float division would corrupt the low microseconds (SURVEY §6).
+    *
+    *  - `ts` loaded as int64 (legacy TIMESTAMP(NANOS) under
+    *    `nanosAsLong`): rename to `ts_ns`, derive `ts` by integer-div
+    *    truncation to micros.
+    *  - `ts` loaded as a timestamp type (TIMESTAMP(MICROS), NTZ or
+    *    LTZ): `ts_ns = unix_micros(ts) * 1000` — exact, and identical
+    *    to DuckDB's epoch_ns on the same file. The NTZ→LTZ cast
+    *    interprets the wall clock in the session time zone, which this
+    *    project pins to UTC everywhere (Verify/Bench/spec sessions), so
+    *    the instant is exact and matches the oracle's UTC epoch_ns.
+    *
+    * Works on batch AND streaming frames (schema-only inspection).
+    */
+  def withTsNs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case TimestampType =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case _ => // TIMESTAMP_NTZ and any future timestamp flavor
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
+  }
 
   /** Spread a scan across the session's shuffle width when its natural
     * parallelism falls short — a small single-file table otherwise runs

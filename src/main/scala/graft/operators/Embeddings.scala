@@ -34,20 +34,24 @@ object Embeddings {
 
   /** e_normalize — unit-L2 vectors plus the norm itself.
     *
-    * The norm column is referenced inside the per-element lambda;
-    * Catalyst's CollapseProject may inline the norm fold into each
-    * element (same trade [[Similarity.withUnit]] accepts) — the fold
-    * is a codegen'd 64-element loop, so the worst case is one extra
-    * in-register pass per element, never a shuffle or a scan.
+    * Output shape is EXPLODED scalar rows (vec_id, dim, unit_val,
+    * l2_norm) — the driver's checker sorts results with pandas, which
+    * cannot order an ARRAY column, so array outputs follow the same
+    * contract [[eCentroid]] set: one row per element. A library caller
+    * wanting the packed vector groups back with
+    * `collect_list(struct(dim, unit_val))` — the explode is narrow and
+    * adds no shuffle.
     *
     * A zero vector normalizes to NaNs in BOTH engines (0.0/0.0 under
     * identical IEEE rules) — no special-casing needed for parity. */
   def eNormalize(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
     e.withColumn("l2_norm", sqrt(dot(col("embedding"), col("embedding"))))
-      .select(col("vec_id"), col("l2_norm"),
-        transform(col("embedding"), x => x.cast("double") / col("l2_norm")).as("unit"))
-      .orderBy("vec_id")
+      .select(col("vec_id"), col("l2_norm"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        (col("col").cast("double") / col("l2_norm")).as("unit_val"),
+        col("l2_norm"))
+      .orderBy("vec_id", "dim")
   }
 
   val eNormalizeSql: String =
@@ -56,10 +60,13 @@ object Embeddings {
       |    sqrt(list_reduce(
       |      list_prepend(0.0, list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
       |      (a, b) -> a + b)) AS l2_norm
-      |  FROM embeddings)
-      |SELECT vec_id, l2_norm,
-      |  list_transform(embedding, x -> x::DOUBLE / l2_norm) AS unit
-      |FROM n ORDER BY vec_id""".stripMargin
+      |  FROM embeddings),
+      |u AS (
+      |  SELECT vec_id, l2_norm, unnest(embedding) AS x,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM n)
+      |SELECT vec_id, (i - 1)::BIGINT AS dim, x::DOUBLE / l2_norm AS unit_val, l2_norm
+      |FROM u ORDER BY vec_id, dim""".stripMargin
 
   /** e_quantize — symmetric int8 quantization: q = ⌊x/absmax·127 + ½⌋
     * (half-up toward +∞, identical `floor` formulation in both
@@ -74,13 +81,16 @@ object Embeddings {
     val amax = aggregate(
       transform(col("embedding"), x => abs(x.cast("double"))),
       lit(0.0), (a, x) => greatest(a, x))
+    // Exploded scalar rows (vec_id, dim, q8, abs_max) — same
+    // driver-checkable shape as eNormalize/eCentroid.
     e.withColumn("abs_max", amax)
-      .select(col("vec_id"), col("abs_max"),
-        transform(col("embedding"), x =>
-          when(col("abs_max") === 0.0, lit(0))
-            .otherwise(floor(x.cast("double") / col("abs_max") * lit(QuantLevels) + lit(0.5))
-              .cast("int"))).as("q8"))
-      .orderBy("vec_id")
+      .select(col("vec_id"), col("abs_max"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        when(col("abs_max") === 0.0, lit(0))
+          .otherwise(floor(col("col").cast("double") / col("abs_max") * lit(QuantLevels)
+            + lit(0.5)).cast("int")).as("q8"),
+        col("abs_max"))
+      .orderBy("vec_id", "dim")
   }
 
   val eQuantizeSql: String =
@@ -89,13 +99,17 @@ object Embeddings {
        |    list_reduce(
        |      list_prepend(0.0, list_transform(embedding, x -> abs(x::DOUBLE))),
        |      (a, b) -> greatest(a, b)) AS abs_max
-       |  FROM embeddings)
-       |SELECT vec_id, abs_max,
-       |  list_transform(embedding, x ->
-       |    CASE WHEN abs_max = 0.0 THEN 0
-       |         ELSE CAST(floor(x::DOUBLE / abs_max * $QuantLevels + 0.5) AS INTEGER)
-       |    END) AS q8
-       |FROM m ORDER BY vec_id""".stripMargin
+       |  FROM embeddings),
+       |u AS (
+       |  SELECT vec_id, abs_max, unnest(embedding) AS x,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM m)
+       |SELECT vec_id, (i - 1)::BIGINT AS dim,
+       |  CASE WHEN abs_max = 0.0 THEN 0
+       |       ELSE CAST(floor(x::DOUBLE / abs_max * $QuantLevels + 0.5) AS INTEGER)
+       |  END AS q8,
+       |  abs_max
+       |FROM u ORDER BY vec_id, dim""".stripMargin
 
   /** Sub-group fan-out of the centroid fold: each (label, dim) cell's
     * values split into this many deterministic sub-groups

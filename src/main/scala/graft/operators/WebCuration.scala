@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** URL / domain curation over the `documents` table — the per-domain
+  * bookkeeping a web-scale training pipeline runs: parse URLs into
+  * components, then budget documents per registered domain so no
+  * single site dominates the mixture.
+  *
+  * The synthetic `documents` table carries no URL column, so one is
+  * DERIVED deterministically from (doc_id, source) via md5 — both
+  * engines compute the identical hex digest of the identical decimal
+  * string, so every branch below reproduces bit-for-bit in the DuckDB
+  * oracle. The derivation is a data shim, clearly separated in
+  * [[withUrl]]; on a real crawl the column comes from the source and
+  * everything downstream is unchanged.
+  *
+  * Scale shape: both operators are one narrow map over the scan plus
+  * (for the budget) ONE hash shuffle on the registered domain. Domain
+  * cardinality grows with the corpus (millions of sites at 100 TB), so
+  * the per-domain window distributes evenly — unlike the per-language
+  * budget ([[Curation.dBudget]]) whose handful of keys forced the
+  * keyed-prefix-sum design. A pathological mega-domain is exactly the
+  * skew AQE's skew-join/partition splitting handles; the rank cap
+  * also bounds what any domain can emit.
+  */
+object WebCuration {
+
+  /** Per-domain document budget: keep at most this many docs. */
+  val DomainCap = 3
+
+  /** Deterministic pseudo-URL: scheme fixed https, optional www
+    * subdomain, registered domain from (source, hash-picked TLD), a
+    * 1-3 segment path carrying hash hex, an optional ?ref= query.
+    * Hex-char CASE branches (never numeric conversion — hex→int
+    * differs in spelling across engines; IN-lists of chars do not). */
+  def withUrl(docs: DataFrame): DataFrame = {
+    val h = md5(col("doc_id").cast("string"))
+    def hexIn(pos: Int, chars: String): Column =
+      substring(h, pos, 1).isInCollection(chars.map(_.toString))
+    val tld = when(hexIn(1, "0123"), "com")
+      .when(hexIn(1, "4567"), "org")
+      .when(hexIn(1, "89ab"), "net")
+      .otherwise("io")
+    val domain = concat(col("source"), lit("."), tld)
+    val host = concat(when(hexIn(2, "01234567"), "www.").otherwise(""), domain)
+    val seg1 = substring(h, 3, 4)
+    val seg2 = substring(h, 7, 4)
+    val seg3 = substring(h, 11, 4)
+    val path = when(hexIn(15, "012345"), concat(lit("/"), seg1))
+      .when(hexIn(15, "6789a"), concat(lit("/"), seg1, lit("/"), seg2))
+      .otherwise(concat(lit("/"), seg1, lit("/"), seg2, lit("/"), seg3))
+    val query = when(hexIn(16, "01234567"),
+      concat(lit("?ref="), substring(h, 17, 2))).otherwise("")
+    docs.withColumn("url", concat(lit("https://"), host, path, query))
+  }
+
+  /** The same derivation as [[withUrl]], as an oracle CTE body over
+    * `documents` (adds the `url` column). Formatting constraint: this
+    * string is INTERPOLATED into templates that apply stripMargin, so
+    * no line may start with `|` (the `||` operators sit at line end). */
+  val withUrlSql: String =
+    """SELECT d.*, 'https://' ||
+      |  (CASE WHEN substr(h, 2, 1) IN ('0','1','2','3','4','5','6','7')
+      |        THEN 'www.' ELSE '' END) ||
+      |  source || '.' ||
+      |  (CASE WHEN substr(h, 1, 1) IN ('0','1','2','3') THEN 'com'
+      |        WHEN substr(h, 1, 1) IN ('4','5','6','7') THEN 'org'
+      |        WHEN substr(h, 1, 1) IN ('8','9','a','b') THEN 'net'
+      |        ELSE 'io' END) ||
+      |  (CASE WHEN substr(h, 15, 1) IN ('0','1','2','3','4','5')
+      |        THEN '/' || substr(h, 3, 4)
+      |        WHEN substr(h, 15, 1) IN ('6','7','8','9','a')
+      |        THEN '/' || substr(h, 3, 4) || '/' || substr(h, 7, 4)
+      |        ELSE '/' || substr(h, 3, 4) || '/' || substr(h, 7, 4) ||
+      |             '/' || substr(h, 11, 4) END) ||
+      |  (CASE WHEN substr(h, 16, 1) IN ('0','1','2','3','4','5','6','7')
+      |        THEN '?ref=' || substr(h, 17, 2) ELSE '' END) AS url
+      |FROM (SELECT *, md5(doc_id::VARCHAR) AS h FROM documents) d""".stripMargin
+
+  /** t_url_extract — URL decomposition per document: scheme, host,
+    * registered domain, TLD, path depth, query presence. The host /
+    * path / query splits go through Spark's NATIVE `parse_url`
+    * (codegen'd ParseUrl expression — no UDF, no regex on the hot
+    * path); domain/TLD are string ops on the host. Narrow map — the
+    * scan's the only stage, any corpus size. */
+  def tUrlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val d = withUrl(Tables(spark, dir).documents.select(col("doc_id"), col("source")))
+    d.select(
+        col("doc_id"),
+        col("url"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("q"))
+      .select(
+        col("doc_id"),
+        col("url"),
+        col("host"),
+        regexp_replace(col("host"), "^www\\.", "").as("reg_domain"),
+        substring_index(col("host"), ".", -1).as("tld"),
+        (length(col("path")) - length(regexp_replace(col("path"), "/", "")))
+          .cast("long").as("path_depth"),
+        col("q").isNotNull.as("has_query"))
+      .orderBy("doc_id")
+  }
+
+  val tUrlExtractSql: String =
+    s"""WITH u AS ($withUrlSql),
+       |p AS (
+       |  SELECT doc_id, url,
+       |    regexp_extract(url, '^https://([^/?#]+)', 1) AS host,
+       |    regexp_extract(url, '^https://[^/?#]+(/[^?#]*)', 1) AS path,
+       |    CASE WHEN contains(url, '?') THEN true ELSE false END AS has_query
+       |  FROM u)
+       |SELECT doc_id, url, host,
+       |  regexp_replace(host, '^www\\.', '') AS reg_domain,
+       |  regexp_extract(host, '([^.]+)$$', 1) AS tld,
+       |  (length(path) - length(replace(path, '/', '')))::BIGINT AS path_depth,
+       |  has_query
+       |FROM p ORDER BY doc_id""".stripMargin
+
+  /** d_domain_budget — cap each registered domain at [[DomainCap]]
+    * documents, keeping the longest (quality proxy: n_chars DESC,
+    * doc_id ASC tiebreak — deterministic, no RNG). One hash shuffle
+    * on reg_domain; the row_number window distributes over the
+    * domain key whose cardinality scales WITH the corpus, and
+    * TopK-per-domain state is a single counter per partition-local
+    * group. Emits the kept set with its in-domain rank. */
+  def dDomainBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = withUrl(Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), col("n_chars")))
+    val domain = regexp_replace(
+      parse_url(col("url"), lit("HOST")), "^www\\.", "")
+    val w = Window.partitionBy(col("reg_domain"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    d.withColumn("reg_domain", domain)
+      .withColumn("rank_in_domain", row_number().over(w).cast("long"))
+      .filter(col("rank_in_domain") <= DomainCap)
+      .select("doc_id", "reg_domain", "n_chars", "rank_in_domain")
+      .orderBy("reg_domain", "rank_in_domain")
+  }
+
+  val dDomainBudgetSql: String =
+    s"""WITH u AS ($withUrlSql),
+       |r AS (
+       |  SELECT doc_id, n_chars,
+       |    regexp_replace(regexp_extract(url, '^https://([^/?#]+)', 1),
+       |                   '^www\\.', '') AS reg_domain,
+       |    row_number() OVER (PARTITION BY
+       |        regexp_replace(regexp_extract(url, '^https://([^/?#]+)', 1),
+       |                       '^www\\.', '')
+       |      ORDER BY n_chars DESC, doc_id ASC) AS rank_in_domain
+       |  FROM u)
+       |SELECT doc_id, reg_domain, n_chars, rank_in_domain::BIGINT AS rank_in_domain
+       |FROM r WHERE rank_in_domain <= $DomainCap
+       |ORDER BY reg_domain, rank_in_domain""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_url_extract" -> tUrlExtract,
+    "d_domain_budget" -> dDomainBudget,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "t_url_extract" -> tUrlExtractSql,
+    "d_domain_budget" -> dDomainBudgetSql,
+  )
+}

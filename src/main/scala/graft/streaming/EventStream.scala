@@ -61,15 +61,17 @@ object EventStream {
     s
   }
 
-  /** The streaming reader for events: same nanos-as-long handling as
-    * the batch loader, plus the derived micro-precision `ts`. Builds on
+  /** The streaming reader for events: same schema-adaptive ts handling
+    * as the batch loader ([[Tables.withTsNs]] — int64 nanos or micro
+    * timestamps, both yield the exact ts_ns/ts contract). Builds on
     * the [[streamSession]] clone — every downstream transform and the
     * sink inherit it, so the caller's session conf is never touched. */
   private def eventStream(rootSpark: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(rootSpark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Raw file schema (ts arrives as int64 nanos under nanosAsLong);
-    // rename post-load so the by-name parquet column binding works.
+    // Raw file schema (under nanosAsLong a legacy nano file arrives as
+    // int64; a current file as a timestamp type) — the file stream
+    // source needs it declared up front.
     val raw = spark.read.parquet(s"$dir/events.parquet").schema
     // The file stream source requires a directory; the test data is a
     // single parquet file, so expose it through a symlink in a
@@ -93,11 +95,10 @@ object EventStream {
       java.nio.file.Files.delete(link)
     if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
       java.nio.file.Files.createSymbolicLink(link, target)
-    spark.readStream
-      .schema(raw)
-      .parquet(streamDir.toString)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    Tables.withTsNs(
+      spark.readStream
+        .schema(raw)
+        .parquet(streamDir.toString))
   }
 
   private def runToTable(df: DataFrame, mode: String): DataFrame = {

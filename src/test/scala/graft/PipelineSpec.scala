@@ -595,15 +595,19 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("e_normalize emits unit vectors consistent with the stored norm") {
-    val rows = graft.operators.Embeddings.eNormalize(spark, sf)
-      .collect()
-    assert(rows.length == spark.read.parquet(s"$sf/embeddings.parquet").count())
-    rows.take(50).foreach { r =>
-      val norm = r.getDouble(1)
-      val unit = r.getSeq[Double](2)
+    // exploded shape: (vec_id, dim, unit_val, l2_norm), one row per element
+    val rows = graft.operators.Embeddings.eNormalize(spark, sf).collect()
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.length == nVecs * 64, "one row per (vec_id, dim) expected")
+    val byVec = rows.groupBy(_.getLong(0))
+    byVec.take(50).foreach { case (id, rs) =>
+      val norm = rs.head.getDouble(3)
       assert(norm > 0.0)
-      val n2 = unit.foldLeft(0.0)((a, x) => a + x * x)
-      assert(math.abs(n2 - 1.0) < 1e-9, s"unit norm² $n2 drifts from 1")
+      assert(rs.forall(_.getDouble(3) == norm), s"vec $id norm varies across rows")
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (0L until 64L), s"vec $id dims not dense")
+      val n2 = rs.sortBy(_.getLong(1)).foldLeft(0.0)((a, r) =>
+        a + r.getDouble(2) * r.getDouble(2))
+      assert(math.abs(n2 - 1.0) < 1e-9, s"vec $id unit norm² $n2 drifts from 1")
     }
   }
 
@@ -629,11 +633,12 @@ class PipelineSpec extends SparkSpec {
     val raw = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // exploded shape: (vec_id, dim, q8, abs_max), one row per element
     val rows = graft.operators.Embeddings.eQuantize(spark, sf).collect()
-    rows.take(100).foreach { r =>
-      val id = r.getLong(0)
-      val amax = r.getDouble(1)
-      val q = r.getSeq[Int](2)
+    rows.groupBy(_.getLong(0)).take(100).foreach { case (id, rs) =>
+      val amax = rs.head.getDouble(3)
+      assert(rs.forall(_.getDouble(3) == amax), s"vec $id abs_max varies across rows")
+      val q = rs.sortBy(_.getLong(1)).map(_.getInt(2)).toSeq
       assert(q.forall(v => v >= -127 && v <= 127), s"vec $id code out of int8 range")
       val step = amax / graft.operators.Embeddings.QuantLevels
       raw(id).zip(q).foreach { case (x, v) =>
@@ -672,6 +677,44 @@ class PipelineSpec extends SparkSpec {
       assert(inter >= 1 && inter <= math.min(na, nb),
         s"pair ($a,$b): inter $inter outside [1, min($na,$nb)]")
       assert(jacc > 0.0 && jacc <= 1.0, s"pair ($a,$b): jacc $jacc out of range")
+    }
+  }
+
+  test("url extraction fields are self-consistent with the derived url") {
+    val rows = graft.operators.WebCuration.tUrlExtract(spark, sf).collect()
+    assert(rows.length ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    rows.foreach { r =>
+      val (url, host, dom, tld) =
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4))
+      val (depth, hasQ) = (r.getLong(5), r.getBoolean(6))
+      assert(url.startsWith(s"https://$host/"), s"host $host not a prefix of $url")
+      assert(host == dom || host == s"www.$dom", s"domain $dom inconsistent with $host")
+      assert(dom.endsWith(s".$tld"), s"tld $tld inconsistent with $dom")
+      assert(depth >= 1 && depth <= 3, s"path depth $depth outside [1,3]: $url")
+      assert(hasQ == url.contains("?"), s"has_query $hasQ wrong for $url")
+    }
+  }
+
+  test("domain budget keeps exactly the longest K docs per domain") {
+    val cap = graft.operators.WebCuration.DomainCap
+    val kept = graft.operators.WebCuration.dDomainBudget(spark, sf).collect()
+    // recompute the expected kept set driver-side from the url map
+    val dom = graft.operators.WebCuration.tUrlExtract(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val chars = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = dom.groupBy(_._2).flatMap { case (d, ids) =>
+      ids.keys.toSeq.sortBy(id => (-chars(id), id)).take(cap)
+        .zipWithIndex.map { case (id, i) => (id, d, i + 1L) }
+    }.toSet
+    val got = kept.map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    assert(got == expected, s"kept-set mismatch: ${(got -- expected).take(5)} vs ${(expected -- got).take(5)}")
+    kept.groupBy(_.getString(1)).foreach { case (d, rs) =>
+      assert(rs.length <= cap, s"domain $d exceeds cap: ${rs.length}")
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to rs.length),
+        s"domain $d ranks not dense")
     }
   }
 }

@@ -348,4 +348,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(hashExchanges == 1,
       s"expected exactly one hash exchange, got $hashExchanges:\n${p.take(2500)}")
   }
+
+  test("url extraction is a pure narrow map — no join, no window, no hash shuffle") {
+    val p = plan("t_url_extract")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"url parse grew a join/window:\n${p.take(1500)}")
+    // only the presentation orderBy (a range exchange) may shuffle
+    val hashExchanges = p.linesIterator.count(_.contains("hashpartitioning("))
+    assert(hashExchanges == 0,
+      s"narrow url parse shuffled ($hashExchanges hash exchanges):\n${p.take(2000)}")
+  }
+
+  test("domain budget shuffles once on the domain key") {
+    val p = plan("d_domain_budget")
+    assert(!p.contains("Join"), s"domain cap grew a join:\n${p.take(1500)}")
+    // unlike d_budget's few-key language budget, the domain key's
+    // cardinality scales with the corpus, so a per-domain window IS
+    // the right distributed shape — but exactly one hash exchange
+    // (the window's), plus the presentation range sort
+    val hashExchanges = p.linesIterator.count(_.contains("hashpartitioning("))
+    assert(hashExchanges == 1,
+      s"expected exactly one hash exchange, got $hashExchanges:\n${p.take(2500)}")
+    assert(p.contains("Window"), "per-domain rank window missing")
+  }
 }

@@ -15,6 +15,40 @@ class SmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("events loader is schema-adaptive: micro-ts (ntz + ltz) and int64-nano fixtures agree") {
+    // The driver regenerated testdata once already (TIMESTAMP(NANOS) →
+    // TIMESTAMP(MICROS, NTZ)), silently breaking every events operator
+    // for a round. Guard the loader contract against the next drift:
+    // all three physical shapes must produce identical exact ts_ns.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val micros = Seq(0L, 1L, 123456L, 1767225600123456L, 4102444800999999L)
+    val base = micros.zipWithIndex
+      .map { case (us, i) => (i.toLong, us) }.toDF("event_id", "us")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tsdrift_").toString
+    base.select(col("event_id"),
+        timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+      .write.mode("overwrite").parquet(s"$tmp/ntz/events.parquet")
+    base.select(col("event_id"), timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"$tmp/ltz/events.parquet")
+    base.select(col("event_id"), (col("us") * 1000L).as("ts"))
+      .write.mode("overwrite").parquet(s"$tmp/nano/events.parquet")
+    val expect = micros.zipWithIndex
+      .map { case (us, i) => i.toLong -> us * 1000L }.toMap
+    for (variant <- Seq("ntz", "ltz", "nano")) {
+      val got = Tables(spark, s"$tmp/$variant").events
+        .select("event_id", "ts_ns").as[(Long, Long)].collect().toMap
+      assert(got == expect, s"ts_ns mismatch for $variant fixture")
+      // derived micro-precision ts round-trips exactly on all variants
+      val tsUs = Tables(spark, s"$tmp/$variant").events
+        .select(col("event_id"), unix_micros(col("ts")))
+        .as[(Long, Long)].collect().toMap
+      assert(tsUs == expect.map { case (k, ns) => k -> ns / 1000 },
+        s"derived ts mismatch for $variant fixture")
+    }
+  }
+
   test("every query key has either an oracle or is known rows-only") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
