@@ -357,7 +357,19 @@ object Bench {
       System.err.println(s"[bench] could not persist BENCH_LOCAL.json: ${e.getMessage}")
     }
     spark.stop()
-    println(json)
+    // The driver retains only a ~2000-char stdout TAIL; the full line
+    // above overflows it at 100+ queries, which is exactly how the r4
+    // and r5 round records came back parsed:null (tail sliced
+    // mid-JSON). The LAST thing printed is therefore a COMPACT
+    // contract line — total + per-query seconds at one decimal — that
+    // always fits the tail whole, so a line/regex parse of the capture
+    // finds one complete {"metric"...} object. Full-precision
+    // per-query data lives in the rich line above and BENCH_LOCAL.json.
+    def d1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val qsCompact = results.map { case (k, v, _, _, _, _) =>
+      "\"" + k + "\":" + d1(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${d1(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir"}""")
     // A failed query must fail the bench — a timed failure is not a result.
     val failed = failures.result().distinct
     if (failed.nonEmpty) {

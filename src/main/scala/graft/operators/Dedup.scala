@@ -67,7 +67,7 @@ object Dedup {
     * the whole compute-heavy shingling pipeline in ONE task (at real
     * scale the file count provides the parallelism; an explicit
     * repartition makes the operator independent of input layout). */
-  private def shingleSets(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def shingleSets(spark: SparkSession, dir: String): DataFrame = {
     val d = TextAnalysis.docsSpread(spark, dir)
     // WordShingles is a single-pass custom expression: the HOF
     // formulation re-evaluates the word-array expression per element
@@ -108,10 +108,11 @@ object Dedup {
     * pays one posting-df aggregation plus a per-doc rank window to
     * buy fewer candidates. Measured at sf0.1 on THIS corpus (uniform
     * tiny vocabulary, dfs cluster tightly) the df pass costs ~20%
-    * more than it saves; on a heavily Zipfian natural corpus the
-    * candidate-volume win dominates. Both orders are result-identical
-    * (spec-asserted pair-set invariance) — the flag picks a plan,
-    * never an answer.
+    * more than it saves; on a Zipfian corpus the candidate-volume
+    * win dominates — ZipfNgramSpec measures 151× fewer candidates
+    * (173 vs 26,181) and ~3× wall on a vocab-3000 s=1.07 fixture.
+    * Both orders are result-identical (spec-asserted pair-set
+    * invariance) — the flag picks a plan, never an answer.
     *
     * The whole pipeline runs on 32-bit md5 shingle hashes, not shingle
     * strings: postings shuffle 8-byte longs instead of ~25-byte
@@ -152,12 +153,32 @@ object Dedup {
       .select("id1", "id2", "inter", "jaccard")
       .orderBy("id1", "id2")
 
-  def dDedupNgram(spark: SparkSession, dir: String): DataFrame = {
-    val sets = shingleSets(spark, dir)
+  /** Hashed distinct shingle sets (doc_id, hs) — the ngram family's
+    * shared input; package-visible for the Zipf measurement spec. */
+  private[graft] def ngramSets(spark: SparkSession, dir: String): DataFrame =
+    shingleSets(spark, dir)
       .select(col("doc_id"),
         array_distinct(transform(col("shing"), s => md5_32(s))).as("hs"))
-    // Prefix length ℓ = |s| − ⌈τ·|s|⌉ + 1, with ⌈τ·sz⌉ = (3·sz+9) div 10
-    // in exact integer arithmetic (τ = 3/10 = JaccardTau).
+
+  def dDedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    val sets = ngramSets(spark, dir)
+    // one prefix frame referenced on BOTH join sides — the df order's
+    // localCheckpoint barrier then materializes its aggregation once
+    val prefix = ngramPrefix(spark, sets)
+    val cand = prefix.as("a").join(prefix.as("b"), "h")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    verifyPairs(cand, sets)
+  }
+
+  /** Conf-selected prefix postings for the candidate self-join —
+    * package-visible so specs can measure candidate volume per order
+    * on controlled fixtures (the hash-vs-df trade is corpus-shaped;
+    * see the [[dDedupNgram]] scaladoc).
+    * Prefix length ℓ = |s| − ⌈τ·|s|⌉ + 1, with ⌈τ·sz⌉ = (3·sz+9) div 10
+    * in exact integer arithmetic (τ = 3/10 = JaccardTau). */
+  private[graft] def ngramPrefix(spark: SparkSession, sets: DataFrame): DataFrame = {
     val prefix = spark.conf.getOption("graft.ngram.prefixOrder") match {
       case Some("df") =>
         // df-ascending canonical order: rank every posting by (df, h)
@@ -189,11 +210,7 @@ object Dedup {
         throw new IllegalArgumentException(
           s"graft.ngram.prefixOrder = '$other' (expected 'hash' or 'df')")
     }
-    val cand = prefix.as("a").join(prefix.as("b"), "h")
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .dropDuplicates("id1", "id2")
-    verifyPairs(cand, sets)
+    prefix
   }
 
   /** The one DuckDB formulation of shingle → candidate → exact-verify

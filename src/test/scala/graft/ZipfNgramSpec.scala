@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Measured artifact for the d_dedup_ngram scale claim: on a Zipfian
+  * vocabulary the df-ascending canonical prefix order generates fewer
+  * prefix⋈prefix candidates than the zero-cost hash order (rare tokens
+  * concentrate in prefixes and collide less), while both orders stay
+  * result-identical. The driver's synthetic corpus has a near-uniform
+  * tiny vocabulary where the df pass doesn't pay — this fixture is the
+  * skewed corpus the 100 TB recommendation is about (SURVEY §8 records
+  * the numbers).
+  */
+class ZipfNgramSpec extends SparkSpec {
+
+  test("df-order prefixes cut candidate volume on a Zipfian corpus, result-identical") {
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = 3000
+    val zexp = 1.07
+    val cum = Array.tabulate(vocab)(r => 1.0 / math.pow(r + 1.0, zexp))
+      .scanLeft(0.0)(_ + _).tail
+    def draw(): String = {
+      val x = rnd.nextDouble() * cum.last
+      var lo = 0
+      var hi = vocab - 1
+      while (lo < hi) {
+        val mid = (lo + hi) / 2
+        if (cum(mid) < x) lo = mid + 1 else hi = mid
+      }
+      s"w$lo"
+    }
+    val base = (0 until 600).map { i =>
+      (i.toLong, Seq.fill(40 + rnd.nextInt(61))(draw()).mkString(" "))
+    }
+    // near-dups: ~8% of words resampled — most stay over the τ=0.3
+    // shingle-Jaccard bar, so the verified pair set is non-trivial
+    val dups = (0 until 150).map { j =>
+      val src = base(rnd.nextInt(base.size))._2.split(" ")
+      ((600 + j).toLong,
+        src.map(w => if (rnd.nextDouble() < 0.08) draw() else w).mkString(" "))
+    }
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zipf_").toString
+    (base ++ dups).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("zipf"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val sets = Dedup.ngramSets(spark, dir)
+    def run(order: String): (Long, Double, Set[(Long, Long)]) = {
+      spark.conf.set("graft.ngram.prefixOrder", order)
+      try {
+        val t0 = System.nanoTime()
+        val pairs = Dedup.dDedupNgram(spark, dir).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val secs = (System.nanoTime() - t0) / 1e9
+        val prefix = Dedup.ngramPrefix(spark, sets)
+        val cand = prefix.as("a").join(prefix.as("b"), "h")
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id"), col("b.doc_id"))
+          .dropDuplicates().count()
+        (cand, secs, pairs)
+      } finally spark.conf.unset("graft.ngram.prefixOrder")
+    }
+    val (hashCand, hashSecs, hashPairs) = run("hash")
+    val (dfCand, dfSecs, dfPairs) = run("df")
+
+    assert(hashPairs == dfPairs,
+      "prefix order changed the verified pair set — it must only pick a plan")
+    assert(hashPairs.nonEmpty, "fixture produced no near-dup pairs — nothing was exercised")
+    assert(dfCand < hashCand,
+      s"df-order candidates ($dfCand) not below hash-order ($hashCand) on a Zipfian corpus")
+    info(f"zipf(vocab=$vocab, s=$zexp) 750 docs: candidates hash=$hashCand df=$dfCand " +
+      f"(${dfCand.toDouble / hashCand}%.3f×), wall hash=$hashSecs%.2fs df=$dfSecs%.2fs, " +
+      f"verified pairs=${hashPairs.size}")
+  }
+}
