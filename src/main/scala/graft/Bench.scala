@@ -369,7 +369,20 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     val qsCompact = results.map { case (k, v, _, _, _, _) =>
       "\"" + k + "\":" + d1(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${d1(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir"}""")
+    // Budget: the capture keeps the last 2000 chars of stdout; the
+    // line reaches it as "[info] " + line + "\n" (sbt prefix), so the
+    // line itself must stay ≤ 1992 chars to survive whole. The sf
+    // string is the basename (the full dir is in the rich line) to
+    // buy headroom. Guard the fit instead of assuming it: past the
+    // budget, a total-only line that parses whole beats a full line
+    // that gets sliced to nothing (per-query detail is in
+    // BENCH_LOCAL.json either way).
+    val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val compact =
+      s"""{"metric":"total","value":${d1(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfTag"}"""
+    println(
+      if (compact.length <= 1992) compact
+      else s"""{"metric":"total","value":${d1(total)},"unit":"sec","queries":{},"note":"${results.size} per-query seconds exceed the capture tail; see BENCH_LOCAL.json","sf":"$sfTag"}""")
     // A failed query must fail the bench — a timed failure is not a result.
     val failed = failures.result().distinct
     if (failed.nonEmpty) {

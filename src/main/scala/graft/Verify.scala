@@ -18,9 +18,15 @@ object Verify {
     // A throwing query must be LOUD: round 5 lost 11 operators from the
     // correctness gate as silent holes (stderr-only, rc 0, no output
     // dir reads as "never existed"). Record every failure as (a) a
-    // _FAILED marker inside the query's output dir — the driver's
-    // parquet read then errors visibly instead of skipping, (b) a
-    // machine-readable failures.json, and (c) a nonzero exit.
+    // poisoned output dir — stale parquet from a previous run is
+    // DELETED (a reused outDir must not report the old result as this
+    // run's) and a FAILED.parquet text file is left behind, which any
+    // parquet glob matches and errors on visibly (an underscore name
+    // like _FAILED would be skipped by convention, as _SUCCESS is),
+    // (b) a machine-readable failures.json, and (c) a nonzero exit.
+    // The marker writes are best-effort: the likely causes of a write
+    // failure (disk full, permissions) would make them throw too, and
+    // that must not abort the remaining queries.
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -29,9 +35,15 @@ object Verify {
         val msg = s"${e.getClass.getName}: ${e.getMessage}"
         System.err.println(s"[verify] $name FAILED: $msg")
         failures(name) = msg
-        val qDir = Paths.get(outDir, name)
-        Files.createDirectories(qDir)
-        Files.writeString(qDir.resolve("_FAILED"), msg)
+        try {
+          val qDir = Paths.get(outDir, name)
+          if (Files.isDirectory(qDir))
+            Files.list(qDir).forEach(p => { Files.deleteIfExists(p): Unit })
+          Files.createDirectories(qDir)
+          Files.writeString(qDir.resolve("FAILED.parquet"), msg)
+        } catch { case m: Throwable =>
+          System.err.println(s"[verify] $name: could not write failure marker: ${m.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -66,16 +66,26 @@ object Tables {
     */
   def withTsNs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       case TimestampType =>
         raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
-      case _ => // TIMESTAMP_NTZ and any future timestamp flavor
+      case TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(TimestampType))
           .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        // The KNOWN shapes are handled above; anything else is the
+        // next schema drift and must fail LOUDLY here, not produce
+        // silently-shifted ts_ns downstream (e.g. an int32
+        // epoch-millis would cast as SECONDS — off by 1000x with no
+        // error). Round 5 lost 11 operators to exactly this kind of
+        // silent drift.
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other — extend Tables.withTsNs " +
+            "for the new testdata shape (known: int64 nanos, timestamp, timestamp_ntz)")
     }
   }
 

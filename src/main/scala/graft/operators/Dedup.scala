@@ -108,11 +108,13 @@ object Dedup {
     * pays one posting-df aggregation plus a per-doc rank window to
     * buy fewer candidates. Measured at sf0.1 on THIS corpus (uniform
     * tiny vocabulary, dfs cluster tightly) the df pass costs ~20%
-    * more than it saves; on a Zipfian corpus the candidate-volume
-    * win dominates — ZipfNgramSpec measures 151× fewer candidates
-    * (173 vs 26,181) and ~3× wall on a vocab-3000 s=1.07 fixture.
-    * Both orders are result-identical (spec-asserted pair-set
-    * invariance) — the flag picks a plan, never an answer.
+    * more than it saves; on a Zipfian corpus ZipfNgramSpec measures
+    * 151× fewer candidates (173 vs 26,181 on a vocab-3000 s=1.07
+    * fixture) — candidate volume is what scales (verification grows
+    * with it; the df pass is linear in postings), though at fixture
+    * scale the df pass's fixed cost still makes hash the faster
+    * wall clock. Both orders are result-identical (spec-asserted
+    * pair-set invariance) — the flag picks a plan, never an answer.
     *
     * The whole pipeline runs on 32-bit md5 shingle hashes, not shingle
     * strings: postings shuffle 8-byte longs instead of ~25-byte

@@ -65,6 +65,10 @@ class ZipfNgramSpec extends SparkSpec {
         (cand, secs, pairs)
       } finally spark.conf.unset("graft.ngram.prefixOrder")
     }
+    // Untimed warmup of the full pipeline (JIT, parquet/page cache,
+    // codegen): without it the first-measured order pays cold-start
+    // and the wall comparison is biased toward whichever runs second.
+    run("hash")
     val (hashCand, hashSecs, hashPairs) = run("hash")
     val (dfCand, dfSecs, dfPairs) = run("df")
 

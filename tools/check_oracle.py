@@ -31,12 +31,28 @@ def main(sf_dir, out_dir):
     for name in sorted(set(oracles) - produced):
         print(f"[FAIL] {name}: no output written (query threw in Verify)")
         n_bad += 1
+    import os
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = d.rstrip("/").split("/")[-1]
-        got_rel = con.sql(f"SELECT * FROM read_parquet('{d}*.parquet')")
-        got_cols = sorted(got_rel.columns)
-        got_sel = ", ".join(f'"{c}"' for c in got_cols)
-        got = con.sql(f"SELECT {got_sel} FROM got_rel ORDER BY ALL").fetchall()
+        # Verify poisons a failed query's dir: stale parquet deleted,
+        # FAILED.parquet left with the exception text. Report it as a
+        # per-query FAIL instead of crashing the whole gate on an
+        # unreadable "parquet" file.
+        marker = os.path.join(d, "FAILED.parquet")
+        if os.path.isfile(marker):
+            msg = open(marker, errors="replace").read().strip().splitlines()
+            print(f"[FAIL] {name}: query threw in Verify: {msg[0] if msg else '?'}")
+            n_bad += 1
+            continue
+        try:
+            got_rel = con.sql(f"SELECT * FROM read_parquet('{d}*.parquet')")
+            got_cols = sorted(got_rel.columns)
+            got_sel = ", ".join(f'"{c}"' for c in got_cols)
+            got = con.sql(f"SELECT {got_sel} FROM got_rel ORDER BY ALL").fetchall()
+        except Exception as e:
+            print(f"[FAIL] {name}: unreadable output: {e}")
+            n_bad += 1
+            continue
         if name not in oracles:
             print(f"[rows-only] {name}: {len(got)} rows")
             n_rowsonly += 1
