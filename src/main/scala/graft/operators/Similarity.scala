@@ -652,12 +652,111 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** PQ geometry: 64 dims → [[PqSubspaces]] subvectors of [[PqSubDim]]
+    * dims, [[PqCodebook]] centroids per subspace → one byte-sized code
+    * per subspace, 8 bytes per vector vs 256 for float32 (32×). */
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqCodebook = 32
+  /** Coarse ADC pool per query — rescored exactly, the recall knob.
+    * Wider than sq8's 50: PQ's seed-subvector codebook is coarser
+    * than int8-per-component, so the ADC ordering needs a deeper
+    * pool to cover the true top-k on a near-uniform corpus. */
+  val PqCandidates = 100
+
+  /** s_ann_pq — product-quantization ANN (asymmetric distance
+    * computation), the standard MEMORY-resident retrieval tier at
+    * corpus scale: each unit vector encodes to [[PqSubspaces]] small
+    * codebook ids (8 B/vector — a 10⁹-vector corpus's codes fit in
+    * 8 GB of cluster RAM where float32 needs 256 GB); a query scores
+    * codes via per-subspace centroid dot products and only the
+    * [[PqCandidates]] coarse winners touch float vectors for the
+    * exact rescore.
+    *
+    * Codebooks are deterministic: the per-subspace subvectors of the
+    * same [[PqCodebook]] md5-ordered corpus seeds [[sAnnIvf]] uses —
+    * engine-replayable, O(K·d) to ship; a k-means refinement drops in
+    * without changing the plan shape. Encoding is argmin squared-L2
+    * per subspace, computed as argmax(x·c − ½|c|²) (sort_array on
+    * (adj, cid) structs — same tie convention as IVF's cell pick).
+    * The ADC score Σ_m lut_m[code_m] is a double sum in fixed
+    * subspace order — deterministic per engine, but float, so the
+    * coarse candidate SET is not integer-exact like [[sAnnSq8]]'s:
+    * rows-only with the recall bound spec, per the LSH/IVF precedent.
+    *
+    * Scale shape: the code table is built in one narrow pass (128
+    * dim-8 codegen'd dots/vector); scoring is a narrow map over the
+    * broadcast query set; per-partition bounded heaps emit
+    * ≤ partitions×Q×C partials (the scored corpus never shuffles —
+    * the [[sAnnBrute]] discipline); the rescore tier reads Q×C float
+    * vectors through one id equi-join. */
+  def sAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = withUnit(embSpread(spark, dir), "embedding", "u")
+    val seeds: Array[Seq[Double]] = e
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h").limit(PqCodebook)
+      .select("u").as[Seq[Double]].collect()
+    // codebook(m)(c): seed c's m-th subvector; adj term ½|c|² folded in
+    val codebook: Array[Array[(Seq[Double], Double)]] =
+      Array.tabulate(PqSubspaces) { m =>
+        seeds.map { s =>
+          val sub = s.slice(m * PqSubDim, (m + 1) * PqSubDim)
+          (sub, 0.5 * sub.map(x => x * x).sum)
+        }
+      }
+    def subv(v: Column, m: Int): Column = slice(v, m * PqSubDim + 1, PqSubDim)
+    // argmin L2 == argmax (x·c − ½|c|²); struct sort desc, ties → higher cid
+    def codeOf(v: Column, m: Int): Column =
+      element_at(sort_array(array(codebook(m).zipWithIndex.map { case ((cv, half), i) =>
+        struct((dot(subv(v, m), typedLit(cv)) - lit(half)).as("d"), lit(i).as("cid"))
+      }: _*), asc = false), 1).getField("cid")
+    val coded = e.select(col("vec_id") +:
+      (0 until PqSubspaces).map(m => codeOf(col("u"), m).as(s"c$m")): _*)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("u").as("qv"))
+    // ADC: per subspace, the query side picks code_m's centroid out of
+    // the literal codebook and dots it against its own subvector
+    val adc = (0 until PqSubspaces).map { m =>
+      dot(subv(col("qv"), m),
+        element_at(typedLit(codebook(m).map(_._1).toSeq), col(s"c$m") + 1))
+    }.reduce(_ + _)
+    val scored = coded.join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("coarse"))
+    val c = PqCandidates
+    val partials = scored.as[(Long, Long, Double)]
+      .mapPartitions { rows =>
+        val heaps: Heaps = scala.collection.mutable.LongMap.empty
+        rows.foreach { case (q, n, s) => topKPush(heaps, q, (s, n), c) }
+        heaps.iterator.flatMap { case (q, h) => h.iterator.map { case (s, n) => (q, n, s) } }
+      }
+      .toDF("query_id", "neighbor_id", "coarse")
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse").desc, col("neighbor_id"))
+    val cands = partials.withColumn("ck", row_number().over(wC))
+      .filter(col("ck") <= c)
+      .select("query_id", "neighbor_id")
+    val unit = e.select(col("vec_id"), col("u"))
+    val rescored = cands
+      .join(unit.select(col("vec_id").as("neighbor_id"), col("u").as("nu")), "neighbor_id")
+      .join(broadcast(unit.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("u").as("qu"))), "query_id")
+      .withColumn("score", stableRound(dot(col("qu"), col("nu")), 4))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    rescored.withColumn("rk", row_number().over(wK).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select("query_id", "neighbor_id", "rk", "score")
+      .orderBy("query_id", "rk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_dedup_embedding" -> dDedupEmbeddingKernel,
     "s_ann_brute" -> sAnnBrute,
     "s_ann_sq8" -> sAnnSq8,
     "s_ann_lsh" -> sAnnLsh,
     "s_ann_ivf" -> sAnnIvf,
+    "s_ann_pq" -> sAnnPq,
     "s_knn_graph" -> sKnnGraph,
     "d_decontaminate_emb" -> dDecontaminateEmb,
   )

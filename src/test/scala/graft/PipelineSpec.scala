@@ -161,6 +161,19 @@ class PipelineSpec extends SparkSpec {
       s"sq8 recall ${hits.toDouble / total} ($hits of $total) below 0.9")
   }
 
+  test("ann_pq coarse+rescore recall vs brute force is at least 0.5") {
+    val brute = Similarity.sAnnBrute(spark, sf).select("query_id", "neighbor_id")
+    val pq = Similarity.sAnnPq(spark, sf).select("query_id", "neighbor_id")
+    val hits = pq.join(brute, Seq("query_id", "neighbor_id")).count()
+    val total = brute.count()
+    val recall = hits.toDouble / total
+    // 8-byte PQ codes + exact rescore of 50: the seed-subvector
+    // codebook is coarse (no k-means refinement), so on this
+    // near-uniform corpus the bound matches the LSH/IVF tier, not
+    // sq8's near-lossless 0.9
+    assert(recall >= 0.5, s"PQ recall $recall ($hits of $total) below 0.5")
+  }
+
   test("ann_ivf recall vs brute force is at least 0.5") {
     val brute = Similarity.sAnnBrute(spark, sf).select("query_id", "neighbor_id")
     val ivf = Similarity.sAnnIvf(spark, sf).select("query_id", "neighbor_id")

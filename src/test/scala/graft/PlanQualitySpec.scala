@@ -124,6 +124,25 @@ class PlanQualitySpec extends SparkSpec {
       s"window rank runs against the full scored corpus:\n${tree.take(2000)}")
   }
 
+  test("PQ ANN scores codes per partition — coded corpus never shuffles scored") {
+    // Note: the corpus × broadcast-5-query scoring join IS a
+    // BroadcastNestedLoopJoin by design (a ≠-condition against a
+    // tiny broadcast set — the same shape as s_ann_brute); the
+    // all-pairs hazard guarded here is the corpus side shuffling its
+    // Q×N coarse scores, which the per-partition heap prevents.
+    val p = plan("s_ann_pq")
+    assert(p.contains("MapPartitions"),
+      s"per-partition coarse top-C stage missing:\n${p.take(2000)}")
+    // same discipline as s_ann_brute: everything below the
+    // MapPartitions node (the corpus side) must stay window-free —
+    // the window rank runs on the bounded partials only
+    val tree = p.split("\n\n")(0)
+    val mpIdx = tree.indexOf("MapPartitions")
+    assert(mpIdx >= 0, s"MapPartitions missing from plan tree:\n${tree.take(2000)}")
+    assert(!tree.substring(mpIdx).contains("Window"),
+      s"window rank runs against the full coarse-scored corpus:\n${tree.take(2000)}")
+  }
+
   test("decontamination and ngram dedup stay on equi-joins — never all-pairs") {
     Seq("d_decontaminate", "d_dedup_ngram").foreach { q =>
       val p = plan(q)
