@@ -378,11 +378,14 @@ object Bench {
     // that gets sliced to nothing (per-query detail is in
     // BENCH_LOCAL.json either way).
     val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val compact =
-      s"""{"metric":"total","value":${d1(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfTag"}"""
-    println(
-      if (compact.length <= 1992) compact
-      else s"""{"metric":"total","value":${d1(total)},"unit":"sec","queries":{},"note":"${results.size} per-query seconds exceed the capture tail; see BENCH_LOCAL.json","sf":"$sfTag"}""")
+    // Preference chain, first line that fits wins: full per-query map
+    // with the sf tag → the map without the tag (the driver knows
+    // which sf it ran) → total-only with a pointer at the full record.
+    val candidates = Seq(
+      s"""{"metric":"total","value":${d1(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfTag"}""",
+      s"""{"metric":"total","value":${d1(total)},"unit":"sec","queries":$qsCompact}""",
+      s"""{"metric":"total","value":${d1(total)},"unit":"sec","queries":{},"note":"${results.size} per-query seconds exceed the capture tail; see BENCH_LOCAL.json","sf":"$sfTag"}""")
+    println(candidates.find(_.length <= 1992).getOrElse(candidates.last))
     // A failed query must fail the bench — a timed failure is not a result.
     val failed = failures.result().distinct
     if (failed.nonEmpty) {

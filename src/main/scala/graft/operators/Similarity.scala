@@ -690,39 +690,59 @@ object Similarity {
     * ≤ partitions×Q×C partials (the scored corpus never shuffles —
     * the [[sAnnBrute]] discipline); the rescore tier reads Q×C float
     * vectors through one id equi-join. */
+  /** Codebook: per subspace, (centroid subvector, ½|c|²) — the adj
+    * term folded in for the argmin-L2-as-argmax trick. */
+  private type PqBook = Array[Array[(Seq[Double], Double)]]
+
+  /** The md5-ordered deterministic corpus seeds (same ordering
+    * [[sAnnIvf]] uses for cells — the first [[IvfCells]] of a longer
+    * pull ARE the IVF centroids). */
+  private def pqSeeds(e: DataFrame, n: Int): Array[Seq[Double]] = {
+    val s = e.sparkSession
+    import s.implicits._
+    e.withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h").limit(n)
+      .select("u").as[Seq[Double]].collect()
+  }
+
+  private def pqBook(seeds: Array[Seq[Double]]): PqBook =
+    Array.tabulate(PqSubspaces) { m =>
+      seeds.map { s =>
+        val sub = s.slice(m * PqSubDim, (m + 1) * PqSubDim)
+        (sub, 0.5 * sub.map(x => x * x).sum)
+      }
+    }
+
+  private def pqSubv(v: Column, m: Int): Column =
+    slice(v, m * PqSubDim + 1, PqSubDim)
+
+  /** argmin L2 == argmax (x·c − ½|c|²); struct sort desc, ties →
+    * higher cid — same tie convention as IVF's cell pick. */
+  private def pqCodeOf(book: PqBook)(v: Column, m: Int): Column =
+    element_at(sort_array(array(book(m).zipWithIndex.map { case ((cv, half), i) =>
+      struct((dot(pqSubv(v, m), typedLit(cv)) - lit(half)).as("d"), lit(i).as("cid"))
+    }: _*), asc = false), 1).getField("cid")
+
+  /** ADC score Σ_m lut_m[code_m]: the query side picks code_m's
+    * centroid out of the literal codebook and dots it against its own
+    * subvector `qv`; expects columns qv and c0..c{M-1}. */
+  private def pqAdc(book: PqBook): Column =
+    (0 until PqSubspaces).map { m =>
+      dot(pqSubv(col("qv"), m),
+        element_at(typedLit(book(m).map(_._1).toSeq), col(s"c$m") + 1))
+    }.reduce(_ + _)
+
   def sAnnPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = withUnit(embSpread(spark, dir), "embedding", "u")
-    val seeds: Array[Seq[Double]] = e
-      .withColumn("h", md5(col("vec_id").cast("string")))
-      .orderBy("h").limit(PqCodebook)
-      .select("u").as[Seq[Double]].collect()
-    // codebook(m)(c): seed c's m-th subvector; adj term ½|c|² folded in
-    val codebook: Array[Array[(Seq[Double], Double)]] =
-      Array.tabulate(PqSubspaces) { m =>
-        seeds.map { s =>
-          val sub = s.slice(m * PqSubDim, (m + 1) * PqSubDim)
-          (sub, 0.5 * sub.map(x => x * x).sum)
-        }
-      }
-    def subv(v: Column, m: Int): Column = slice(v, m * PqSubDim + 1, PqSubDim)
-    // argmin L2 == argmax (x·c − ½|c|²); struct sort desc, ties → higher cid
-    def codeOf(v: Column, m: Int): Column =
-      element_at(sort_array(array(codebook(m).zipWithIndex.map { case ((cv, half), i) =>
-        struct((dot(subv(v, m), typedLit(cv)) - lit(half)).as("d"), lit(i).as("cid"))
-      }: _*), asc = false), 1).getField("cid")
+    val codebook = pqBook(pqSeeds(e, PqCodebook))
     val coded = e.select(col("vec_id") +:
-      (0 until PqSubspaces).map(m => codeOf(col("u"), m).as(s"c$m")): _*)
+      (0 until PqSubspaces).map(m => pqCodeOf(codebook)(col("u"), m).as(s"c$m")): _*)
     val queries = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("u").as("qv"))
-    // ADC: per subspace, the query side picks code_m's centroid out of
-    // the literal codebook and dots it against its own subvector
-    val adc = (0 until PqSubspaces).map { m =>
-      dot(subv(col("qv"), m),
-        element_at(typedLit(codebook(m).map(_._1).toSeq), col(s"c$m") + 1))
-    }.reduce(_ + _)
     val scored = coded.join(broadcast(queries), col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("coarse"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        pqAdc(codebook).as("coarse"))
     val c = PqCandidates
     val partials = scored.as[(Long, Long, Double)]
       .mapPartitions { rows =>
@@ -750,6 +770,62 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** s_ann_ivfpq — the composed billion-scale index (FAISS-IVFPQ
+    * shape): IVF cell pruning bounds WHICH vectors a query reads
+    * (nprobe/K of the corpus), PQ codes bound WHAT it reads per
+    * vector (8 B), and the exact rescore tier restores precision on
+    * the [[PqCandidates]] ADC winners. At 10⁹ vectors: probe work ≈
+    * (nprobe/K)·N code reads ≈ nprobe/K × 8 GB — RAM-resident AND
+    * sublinear, which neither tier achieves alone.
+    *
+    * Determinism/reuse: cells are the first [[IvfCells]] of the same
+    * md5-ordered seed pull whose [[PqCodebook]] vectors train the
+    * subvector codebooks ([[pqSeeds]]) — one collect, both models.
+    * Candidates arrive through the ONE cid equi-join (a corpus
+    * vector has one home cell, so (query, neighbor) pairs are unique
+    * — no dedup pass); ADC ranks them (floats touch nothing yet),
+    * the top [[PqCandidates]] rescore exactly. Rows-only + recall
+    * spec, per the LSH/IVF/PQ precedent. */
+  def sAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = withUnit(embSpread(spark, dir), "embedding", "u")
+    val seeds = pqSeeds(e, math.max(IvfCells, PqCodebook))
+    val cents = seeds.take(IvfCells).zipWithIndex.map { case (v, i) => (i, v) }
+    val codebook = pqBook(seeds)
+    def cellsDesc(v: Column): Column =
+      sort_array(array(cents.map { case (i, cv) =>
+        struct(dot(v, typedLit(cv)).as("d"), lit(i).as("cid"))
+      }: _*), asc = false)
+    val corpus = e.select(
+      col("vec_id") +:
+        element_at(cellsDesc(col("embedding")), 1).getField("cid").as("cid") +:
+        (0 until PqSubspaces).map(m => pqCodeOf(codebook)(col("u"), m).as(s"c$m")): _*)
+    val queriesDf = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("u").as("qv"),
+        explode(transform(slice(cellsDesc(col("embedding")), 1, IvfProbe),
+          s => s.getField("cid"))).as("cid"))
+    val cand = corpus.join(broadcast(queriesDf), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        pqAdc(codebook).as("coarse"))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse").desc, col("neighbor_id"))
+    val cands = cand.withColumn("ck", row_number().over(wC))
+      .filter(col("ck") <= PqCandidates)
+      .select("query_id", "neighbor_id")
+    val unit = e.select(col("vec_id"), col("u"))
+    val rescored = cands
+      .join(unit.select(col("vec_id").as("neighbor_id"), col("u").as("nu")), "neighbor_id")
+      .join(broadcast(unit.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("u").as("qu"))), "query_id")
+      .withColumn("score", stableRound(dot(col("qu"), col("nu")), 4))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    rescored.withColumn("rk", row_number().over(wK).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select("query_id", "neighbor_id", "rk", "score")
+      .orderBy("query_id", "rk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_dedup_embedding" -> dDedupEmbeddingKernel,
     "s_ann_brute" -> sAnnBrute,
@@ -757,6 +833,7 @@ object Similarity {
     "s_ann_lsh" -> sAnnLsh,
     "s_ann_ivf" -> sAnnIvf,
     "s_ann_pq" -> sAnnPq,
+    "s_ann_ivfpq" -> sAnnIvfPq,
     "s_knn_graph" -> sKnnGraph,
     "d_decontaminate_emb" -> dDecontaminateEmb,
   )

@@ -174,6 +174,18 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ recall $recall ($hits of $total) below 0.5")
   }
 
+  test("ann_ivfpq composed recall vs brute force is at least 0.5") {
+    val brute = Similarity.sAnnBrute(spark, sf).select("query_id", "neighbor_id")
+    val ivfpq = Similarity.sAnnIvfPq(spark, sf).select("query_id", "neighbor_id")
+    val hits = ivfpq.join(brute, Seq("query_id", "neighbor_id")).count()
+    val total = brute.count()
+    val recall = hits.toDouble / total
+    // the composition loses at most what its parts lose: cell pruning
+    // (IVF bound) then ADC ordering over the cell survivors with a
+    // 100-deep exact-rescore pool
+    assert(recall >= 0.5, s"IVF-PQ recall $recall ($hits of $total) below 0.5")
+  }
+
   test("ann_ivf recall vs brute force is at least 0.5") {
     val brute = Similarity.sAnnBrute(spark, sf).select("query_id", "neighbor_id")
     val ivf = Similarity.sAnnIvf(spark, sf).select("query_id", "neighbor_id")

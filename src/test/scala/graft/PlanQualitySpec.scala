@@ -143,6 +143,15 @@ class PlanQualitySpec extends SparkSpec {
       s"window rank runs against the full coarse-scored corpus:\n${tree.take(2000)}")
   }
 
+  test("IVF-PQ candidates arrive through the cid equi-join — no all-pairs scoring") {
+    // unlike the broadcast-probe variants, the composed index prunes
+    // BEFORE scoring: candidates must come from a hash/broadcast
+    // equi-join on the cell id, never a nested-loop over the corpus
+    val p = plan("s_ann_ivfpq")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"IVF-PQ scored outside the cell equi-join:\n${p.take(2000)}")
+  }
+
   test("decontamination and ngram dedup stay on equi-joins — never all-pairs") {
     Seq("d_decontaminate", "d_dedup_ngram").foreach { q =>
       val p = plan(q)
