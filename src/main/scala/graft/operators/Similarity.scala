@@ -736,8 +736,16 @@ object Similarity {
     import spark.implicits._
     val e = withUnit(embSpread(spark, dir), "embedding", "u")
     val codebook = pqBook(pqSeeds(e, PqCodebook))
+    // The code table IS the index — materialize it (lazy
+    // localCheckpoint, ContextCleaner-released) so the ×Q broadcast
+    // join downstream replays 9 ints per vector instead of
+    // re-evaluating the 8 argmin sort_arrays per (vector, query)
+    // pair. At 10⁹ vectors this is the 8 GB RAM-resident table the
+    // scaladoc describes; recomputing it per query is the one way to
+    // lose PQ's whole point.
     val coded = e.select(col("vec_id") +:
       (0 until PqSubspaces).map(m => pqCodeOf(codebook)(col("u"), m).as(s"c$m")): _*)
+      .localCheckpoint(false)
     val queries = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("u").as("qv"))
     val scored = coded.join(broadcast(queries), col("query_id") =!= col("vec_id"))
@@ -795,10 +803,14 @@ object Similarity {
       sort_array(array(cents.map { case (i, cv) =>
         struct(dot(v, typedLit(cv)).as("d"), lit(i).as("cid"))
       }: _*), asc = false)
+    // materialized for the same reason as sAnnPq's code table: the
+    // (cid, codes) rows are the index; the probe join must replay
+    // them, not re-run cell assignment + 8 argmin sort_arrays
     val corpus = e.select(
       col("vec_id") +:
         element_at(cellsDesc(col("embedding")), 1).getField("cid").as("cid") +:
         (0 until PqSubspaces).map(m => pqCodeOf(codebook)(col("u"), m).as(s"c$m")): _*)
+      .localCheckpoint(false)
     val queriesDf = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("u").as("qv"),
         explode(transform(slice(cellsDesc(col("embedding")), 1, IvfProbe),
