@@ -252,6 +252,50 @@ object Similarity {
     else if (bestFirst.compare(cand, h.head) < 0) { h.dequeue(); h.enqueue(cand) }
   }
 
+  /** The bounded per-partition top-C stage every scored-corpus ANN
+    * path runs before anything wide: expects (query_id, neighbor_id,
+    * value) rows, emits ≤ partitions×Q×C partials under [[bestFirst]]
+    * — the discipline that keeps the scored corpus from ever
+    * shuffling. ONE definition (brute/sq8/pq/ivfpq) so the retention
+    * rule cannot silently diverge between operators. */
+  private def heapPartials(scored: DataFrame, c: Int, valueCol: String): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    scored.select(col("query_id"), col("neighbor_id"), col(valueCol))
+      .as[(Long, Long, Double)]
+      .mapPartitions { rows =>
+        val heaps: Heaps = scala.collection.mutable.LongMap.empty
+        rows.foreach { case (q, n, v) => topKPush(heaps, q, (v, n), c) }
+        heaps.iterator.flatMap { case (q, h) => h.iterator.map { case (v, n) => (q, n, v) } }
+      }
+      .toDF("query_id", "neighbor_id", valueCol)
+  }
+
+  /** The shared exact tail of the two-tier retrievals: winnow the
+    * coarse partials to the global top C per query, rescore ONLY
+    * those with the exact unit cosine, rank to [[TopK]]. One copy so
+    * the tie-break order, rounding scale, and output contract cannot
+    * drift between sq8/pq/ivfpq. `e` must carry (vec_id, u). */
+  private def rescoreTopK(e: DataFrame, partials: DataFrame, c: Int): DataFrame = {
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse").desc, col("neighbor_id"))
+    val cands = partials.withColumn("ck", row_number().over(wC))
+      .filter(col("ck") <= c)
+      .select("query_id", "neighbor_id")
+    val unit = e.select(col("vec_id"), col("u"))
+    val rescored = cands
+      .join(unit.select(col("vec_id").as("neighbor_id"), col("u").as("nu")), "neighbor_id")
+      .join(broadcast(unit.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("u").as("qu"))), "query_id")
+      .withColumn("score", stableRound(dot(col("qu"), col("nu")), 4))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    rescored.withColumn("rk", row_number().over(wK).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select("query_id", "neighbor_id", "rk", "score")
+      .orderBy("query_id", "rk")
+  }
+
   /** Brute-force exact top-k: the first NumQueries vectors are the
     * query set (broadcast); rank by cosine with ties broken on
     * (rounded score, neighbor id) so the order is engine-stable.
@@ -263,23 +307,13 @@ object Similarity {
     * row_number over the ≤ partitions×queries×k partials. At a 100 TB
     * corpus the wide side of this plan stays scan-local. */
   def sAnnBrute(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val e = withUnit(embSpread(spark, dir), "embedding", "u")
     val queries = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("u").as("qv"))
     val scored = e.select(col("vec_id").as("neighbor_id"), col("u").as("nv"))
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("score", stableRound(dot(col("qv"), col("nv")), 4))
-    val k = TopK
-    val partials = scored.select(col("query_id"), col("neighbor_id"), col("score"))
-      .as[(Long, Long, Double)]
-      .mapPartitions { rows =>
-        // One worst-at-head heap of size ≤ k per query id.
-        val heaps: Heaps = scala.collection.mutable.LongMap.empty
-        rows.foreach { case (q, n, s) => topKPush(heaps, q, (s, n), k) }
-        heaps.iterator.flatMap { case (q, h) => h.iterator.map { case (s, n) => (q, n, s) } }
-      }
-      .toDF("query_id", "neighbor_id", "score")
+    val partials = heapPartials(scored, TopK, "score")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     partials.withColumn("rk", row_number().over(w).cast("long"))
@@ -324,7 +358,6 @@ object Similarity {
     * per-partition heaps emit ≤ partitions×Q×C partials), and the
     * rescore tier touches Q×C rows only. */
   def sAnnSq8(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val e = embSpread(spark, dir)
     val amax = aggregate(
       transform(col("embedding"), x => abs(x.cast("double"))),
@@ -342,32 +375,8 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         aggregate(zip_with(col("qq"), col("q8"), (x, y) => (x * y).cast("long")),
           lit(0L), (a, x) => a + x).cast("double").as("coarse"))
-    val c = Sq8Candidates
-    val partials = scored.as[(Long, Long, Double)]
-      .mapPartitions { rows =>
-        // bounded worst-at-head heap per query, as in sAnnBrute
-        val heaps: Heaps = scala.collection.mutable.LongMap.empty
-        rows.foreach { case (q, n, s) => topKPush(heaps, q, (s, n), c) }
-        heaps.iterator.flatMap { case (q, h) => h.iterator.map { case (s, n) => (q, n, s) } }
-      }
-      .toDF("query_id", "neighbor_id", "coarse")
-    val wC = Window.partitionBy(col("query_id"))
-      .orderBy(col("coarse").desc, col("neighbor_id"))
-    val cands = partials.withColumn("ck", row_number().over(wC))
-      .filter(col("ck") <= c)
-      .select("query_id", "neighbor_id")
-    val unit = withUnit(e, "embedding", "u").select(col("vec_id"), col("u"))
-    val rescored = cands
-      .join(unit.select(col("vec_id").as("neighbor_id"), col("u").as("nu")), "neighbor_id")
-      .join(broadcast(unit.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("u").as("qu"))), "query_id")
-      .withColumn("score", graft.functions.Parity.stableRound(dot(col("qu"), col("nu")), 4))
-    val wK = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    rescored.withColumn("rk", row_number().over(wK).cast("long"))
-      .filter(col("rk") <= TopK)
-      .select("query_id", "neighbor_id", "rk", "score")
-      .orderBy("query_id", "rk")
+    rescoreTopK(withUnit(e, "embedding", "u"),
+      heapPartials(scored, Sq8Candidates, "coarse"), Sq8Candidates)
   }
 
   val sAnnSq8Sql: String =
@@ -620,21 +629,22 @@ object Similarity {
     * (On this corpus neighbors are weak — max cosine ≈ 0.5 — so
     * nprobe=K/2 is needed for useful recall; clustered real-world
     * embeddings separate far better.) */
+  /** (dot, cid) structs sorted best-first: head = home cell, prefix =
+    * probe cells. Struct ordering is field-by-field, ties → higher cid
+    * — identical on both the corpus and query paths. ONE definition
+    * shared by [[sAnnIvf]] and [[sAnnIvfPq]], so the "same centroids,
+    * same tie convention" identity between them is structural, not a
+    * documentation promise. */
+  private def ivfCellsDesc(cents: Array[Seq[Double]])(v: Column): Column =
+    sort_array(array(cents.zipWithIndex.map { case (cv, i) =>
+      struct(dot(v, typedLit(cv)).as("d"), lit(i).as("cid"))
+    }: _*), asc = false)
+
   def sAnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val e = withUnit(embSpread(spark, dir), "embedding", "u")
-    val cents: Array[(Int, Seq[Double])] = e
-      .withColumn("h", md5(col("vec_id").cast("string")))
-      .orderBy("h").limit(IvfCells)
-      .select("u").as[Seq[Double]].collect()
-      .zipWithIndex.map { case (v, i) => (i, v) }
-    // (dot, cid) structs sorted best-first: head = home cell, prefix =
-    // probe cells. Struct ordering is field-by-field, ties → higher cid
-    // — identical on both the corpus and query paths.
-    def cellsDesc(v: Column): Column =
-      sort_array(array(cents.map { case (i, cv) =>
-        struct(dot(v, typedLit(cv)).as("d"), lit(i).as("cid"))
-      }: _*), asc = false)
+    // the same md5-ordered seed pull the PQ family trains on — the
+    // first IvfCells of a longer pull ARE these centroids (pqSeeds)
+    val cellsDesc = ivfCellsDesc(pqSeeds(e, IvfCells)) _
     val corpus = e.select(col("vec_id"), col("u"),
       element_at(cellsDesc(col("embedding")), 1).getField("cid").as("cid"))
     val queriesDf = e.filter(col("vec_id") < NumQueries)
@@ -716,12 +726,25 @@ object Similarity {
   private def pqSubv(v: Column, m: Int): Column =
     slice(v, m * PqSubDim + 1, PqSubDim)
 
-  /** argmin L2 == argmax (x·c − ½|c|²); struct sort desc, ties →
-    * higher cid — same tie convention as IVF's cell pick. */
-  private def pqCodeOf(book: PqBook)(v: Column, m: Int): Column =
-    element_at(sort_array(array(book(m).zipWithIndex.map { case ((cv, half), i) =>
-      struct((dot(pqSubv(v, m), typedLit(cv)) - lit(half)).as("d"), lit(i).as("cid"))
-    }: _*), asc = false), 1).getField("cid")
+  /** argmin L2 == argmax (x·c − ½|c|²), with ties → higher cid (the
+    * IVF cell-pick convention). LOOP-based on purpose: the earlier
+    * 32-way unrolled struct sort_array, fused 8× into one projection,
+    * overflowed janino's method limit and silently disabled
+    * whole-stage codegen for the heaviest narrow pass (observed WARN
+    * WholeStageCodegenExec). Here each centroid is AUGMENTED with a
+    * trailing −½|c|² component and the subvector with a trailing 1.0,
+    * so the ranking term is ONE dim-9 dot inside a `transform` loop;
+    * argmax-with-high-tie is "last index attaining the max"
+    * (array_position over the reversed array). Compact generated
+    * code, same code ids bit-for-bit (the dot's op order over the
+    * first 8 components is unchanged; the +(−half) tail is the same
+    * IEEE add the subtraction performed). */
+  private def pqCodeOf(book: PqBook)(v: Column, m: Int): Column = {
+    val augCents = typedLit(book(m).map { case (cv, half) => cv :+ (-half) })
+    val augSub = concat(pqSubv(v, m), array(lit(1.0)))
+    val adjs = transform(augCents, c => dot(augSub, c))
+    (lit(book(m).length) - array_position(reverse(adjs), array_max(adjs))).cast("int")
+  }
 
   /** ADC score Σ_m lut_m[code_m]: the query side picks code_m's
     * centroid out of the literal codebook and dots it against its own
@@ -733,7 +756,6 @@ object Similarity {
     }.reduce(_ + _)
 
   def sAnnPq(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val e = withUnit(embSpread(spark, dir), "embedding", "u")
     val codebook = pqBook(pqSeeds(e, PqCodebook))
     // The code table IS the index — materialize it (lazy
@@ -751,31 +773,7 @@ object Similarity {
     val scored = coded.join(broadcast(queries), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         pqAdc(codebook).as("coarse"))
-    val c = PqCandidates
-    val partials = scored.as[(Long, Long, Double)]
-      .mapPartitions { rows =>
-        val heaps: Heaps = scala.collection.mutable.LongMap.empty
-        rows.foreach { case (q, n, s) => topKPush(heaps, q, (s, n), c) }
-        heaps.iterator.flatMap { case (q, h) => h.iterator.map { case (s, n) => (q, n, s) } }
-      }
-      .toDF("query_id", "neighbor_id", "coarse")
-    val wC = Window.partitionBy(col("query_id"))
-      .orderBy(col("coarse").desc, col("neighbor_id"))
-    val cands = partials.withColumn("ck", row_number().over(wC))
-      .filter(col("ck") <= c)
-      .select("query_id", "neighbor_id")
-    val unit = e.select(col("vec_id"), col("u"))
-    val rescored = cands
-      .join(unit.select(col("vec_id").as("neighbor_id"), col("u").as("nu")), "neighbor_id")
-      .join(broadcast(unit.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("u").as("qu"))), "query_id")
-      .withColumn("score", stableRound(dot(col("qu"), col("nu")), 4))
-    val wK = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    rescored.withColumn("rk", row_number().over(wK).cast("long"))
-      .filter(col("rk") <= TopK)
-      .select("query_id", "neighbor_id", "rk", "score")
-      .orderBy("query_id", "rk")
+    rescoreTopK(e, heapPartials(scored, PqCandidates, "coarse"), PqCandidates)
   }
 
   /** s_ann_ivfpq — the composed billion-scale index (FAISS-IVFPQ
@@ -797,12 +795,8 @@ object Similarity {
   def sAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = withUnit(embSpread(spark, dir), "embedding", "u")
     val seeds = pqSeeds(e, math.max(IvfCells, PqCodebook))
-    val cents = seeds.take(IvfCells).zipWithIndex.map { case (v, i) => (i, v) }
+    val cellsDesc = ivfCellsDesc(seeds.take(IvfCells)) _
     val codebook = pqBook(seeds)
-    def cellsDesc(v: Column): Column =
-      sort_array(array(cents.map { case (i, cv) =>
-        struct(dot(v, typedLit(cv)).as("d"), lit(i).as("cid"))
-      }: _*), asc = false)
     // materialized for the same reason as sAnnPq's code table: the
     // (cid, codes) rows are the index; the probe join must replay
     // them, not re-run cell assignment + 8 argmin sort_arrays
@@ -815,27 +809,16 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("u").as("qv"),
         explode(transform(slice(cellsDesc(col("embedding")), 1, IvfProbe),
           s => s.getField("cid"))).as("cid"))
-    val cand = corpus.join(broadcast(queriesDf), Seq("cid"))
+    // ADC-score the cell survivors, then the SAME bounded-heap
+    // discipline as every other scored-corpus path: at 10⁹ vectors
+    // nprobe/K of the corpus is still ~N/2 scored rows — ranking them
+    // through a Q-partition window alone would single-reduce each
+    // query's half-corpus (the exact hazard the pq plan spec pins).
+    val scored = corpus.join(broadcast(queriesDf), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         pqAdc(codebook).as("coarse"))
-    val wC = Window.partitionBy(col("query_id"))
-      .orderBy(col("coarse").desc, col("neighbor_id"))
-    val cands = cand.withColumn("ck", row_number().over(wC))
-      .filter(col("ck") <= PqCandidates)
-      .select("query_id", "neighbor_id")
-    val unit = e.select(col("vec_id"), col("u"))
-    val rescored = cands
-      .join(unit.select(col("vec_id").as("neighbor_id"), col("u").as("nu")), "neighbor_id")
-      .join(broadcast(unit.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("u").as("qu"))), "query_id")
-      .withColumn("score", stableRound(dot(col("qu"), col("nu")), 4))
-    val wK = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    rescored.withColumn("rk", row_number().over(wK).cast("long"))
-      .filter(col("rk") <= TopK)
-      .select("query_id", "neighbor_id", "rk", "score")
-      .orderBy("query_id", "rk")
+    rescoreTopK(e, heapPartials(scored, PqCandidates, "coarse"), PqCandidates)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

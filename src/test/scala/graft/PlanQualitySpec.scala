@@ -150,6 +150,14 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("s_ann_ivfpq")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"IVF-PQ scored outside the cell equi-join:\n${p.take(2000)}")
+    // and the cell survivors (still ~nprobe/K of the corpus) reduce
+    // through the bounded per-partition heap before any window
+    assert(p.contains("MapPartitions"),
+      s"per-partition coarse top-C stage missing:\n${p.take(2000)}")
+    val tree = p.split("\n\n")(0)
+    val mpIdx = tree.indexOf("MapPartitions")
+    assert(!tree.substring(mpIdx).contains("Window"),
+      s"window rank runs against the full ADC-scored survivors:\n${tree.take(2000)}")
   }
 
   test("decontamination and ngram dedup stay on equi-joins — never all-pairs") {
