@@ -37,8 +37,11 @@ object Verify {
         failures(name) = msg
         try {
           val qDir = Paths.get(outDir, name)
-          if (Files.isDirectory(qDir))
-            Files.list(qDir).forEach(p => { Files.deleteIfExists(p): Unit })
+          if (Files.isDirectory(qDir)) {
+            val entries = Files.list(qDir)
+            try entries.forEach(p => { Files.deleteIfExists(p): Unit })
+            finally entries.close()
+          }
           Files.createDirectories(qDir)
           Files.writeString(qDir.resolve("FAILED.parquet"), msg)
         } catch { case m: Throwable =>
