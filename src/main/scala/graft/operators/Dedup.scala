@@ -110,11 +110,13 @@ object Dedup {
     * tiny vocabulary, dfs cluster tightly) the df pass costs ~20%
     * more than it saves; on a Zipfian corpus ZipfNgramSpec measures
     * 151× fewer candidates (173 vs 26,181 on a vocab-3000 s=1.07
-    * fixture) — candidate volume is what scales (verification grows
-    * with it; the df pass is linear in postings), though at fixture
-    * scale the df pass's fixed cost still makes hash the faster
-    * wall clock. Both orders are result-identical (spec-asserted
-    * pair-set invariance) — the flag picks a plan, never an answer.
+    * fixture; at 750 docs the df pass's fixed cost still makes hash
+    * the faster wall clock) and the crossover is decisive by 20k
+    * docs: 45.5s hash vs 9.7s df on 1211× fewer candidates
+    * (GRAFT_ZIPF_DOCS=16000 run, SURVEY §8) — candidate volume grows
+    * ~Σdf² with the corpus while the df pass stays linear. Both
+    * orders are result-identical (spec-asserted pair-set invariance)
+    * — the flag picks a plan, never an answer.
     *
     * The whole pipeline runs on 32-bit md5 shingle hashes, not shingle
     * strings: postings shuffle 8-byte longs instead of ~25-byte

@@ -16,7 +16,12 @@ class ZipfNgramSpec extends SparkSpec {
 
   test("df-order prefixes cut candidate volume on a Zipfian corpus, result-identical") {
     val rnd = new scala.util.Random(20260813L)
-    val vocab = 3000
+    // Default sizes keep the suite fast; GRAFT_ZIPF_DOCS scales the
+    // fixture up for one-off wall-clock measurements (SURVEY §8
+    // records a 20k-doc run) without touching the checked-in bound.
+    val nBase = sys.env.get("GRAFT_ZIPF_DOCS").map(_.toInt).getOrElse(600)
+    val nDups = nBase / 4
+    val vocab = math.max(3000, nBase * 5)
     val zexp = 1.07
     val cum = Array.tabulate(vocab)(r => 1.0 / math.pow(r + 1.0, zexp))
       .scanLeft(0.0)(_ + _).tail
@@ -30,14 +35,14 @@ class ZipfNgramSpec extends SparkSpec {
       }
       s"w$lo"
     }
-    val base = (0 until 600).map { i =>
+    val base = (0 until nBase).map { i =>
       (i.toLong, Seq.fill(40 + rnd.nextInt(61))(draw()).mkString(" "))
     }
     // near-dups: ~8% of words resampled — most stay over the τ=0.3
     // shingle-Jaccard bar, so the verified pair set is non-trivial
-    val dups = (0 until 150).map { j =>
+    val dups = (0 until nDups).map { j =>
       val src = base(rnd.nextInt(base.size))._2.split(" ")
-      ((600 + j).toLong,
+      ((nBase + j).toLong,
         src.map(w => if (rnd.nextDouble() < 0.08) draw() else w).mkString(" "))
     }
     val s = spark
@@ -77,7 +82,7 @@ class ZipfNgramSpec extends SparkSpec {
     assert(hashPairs.nonEmpty, "fixture produced no near-dup pairs — nothing was exercised")
     assert(dfCand < hashCand,
       s"df-order candidates ($dfCand) not below hash-order ($hashCand) on a Zipfian corpus")
-    info(f"zipf(vocab=$vocab, s=$zexp) 750 docs: candidates hash=$hashCand df=$dfCand " +
+    info(f"zipf(vocab=$vocab, s=$zexp) ${nBase + nDups} docs: candidates hash=$hashCand df=$dfCand " +
       f"(${dfCand.toDouble / hashCand}%.3f×), wall hash=$hashSecs%.2fs df=$dfSecs%.2fs, " +
       f"verified pairs=${hashPairs.size}")
   }
