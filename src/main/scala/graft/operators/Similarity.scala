@@ -616,9 +616,11 @@ object Similarity {
   /** IVF-flat ANN: the corpus is partitioned into K centroid cells
     * (inverted file); a query scans only its nprobe nearest cells.
     *
-    * Centroids are K corpus vectors picked by md5(vec_id) order —
-    * deterministic, engine-replayable, and O(K) to ship (a k-means
-    * refinement would drop in here without changing the plan shape).
+    * Centroids are K corpus vectors picked by md5(vec_id) order,
+    * Lloyd-refined on the driver over a bounded md5-ordered sample
+    * ([[trainedModels]] — deterministic, engine-replayable, O(K) to
+    * ship; the refinement changed no plan shape, exactly as this
+    * scaladoc predicted when the centroids were raw seeds).
     * Cell assignment is argmax over K codegen'd dots against the RAW
     * embedding column: scale-invariant vs unit centroids, and a plain
     * column ref keeps the 16 dot expressions from re-inlining the
@@ -642,9 +644,9 @@ object Similarity {
 
   def sAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = withUnit(embSpread(spark, dir), "embedding", "u")
-    // the same md5-ordered seed pull the PQ family trains on — the
-    // first IvfCells of a longer pull ARE these centroids (pqSeeds)
-    val cellsDesc = ivfCellsDesc(pqSeeds(e, IvfCells)) _
+    // the same sample pull + Lloyd refinement the PQ family trains
+    // on — trainedModels keeps the ivf/ivfpq centroid identity
+    val cellsDesc = ivfCellsDesc(trainedModels(e, PqKmeansIters)._1) _
     val corpus = e.select(col("vec_id"), col("u"),
       element_at(cellsDesc(col("embedding")), 1).getField("cid").as("cid"))
     val queriesDf = e.filter(col("vec_id") < NumQueries)
@@ -674,6 +676,87 @@ object Similarity {
     * pool to cover the true top-k on a near-uniform corpus. */
   val PqCandidates = 100
 
+  /** Bounded k-means training sample: the first [[PqTrainSample]]
+    * corpus vectors in md5(vec_id) order. Training centroids on a
+    * fixed-size sample is the standard billion-scale practice (what
+    * FAISS's train() does): at 10⁹ vectors a distributed Lloyd over
+    * the full corpus buys nothing a 4k-vector sample doesn't, and
+    * the sample pull is one TakeOrdered pass — bounded, constant,
+    * deterministic. ~2 MB on the driver at dim 64. */
+  val PqTrainSample = 4096
+  /** Lloyd iterations refining the seed centroids ([[lloydIp]]).
+    * Measured on the fixture (KmeansRecallSpec): quantization error
+    * drops steeply in the first iterations and recall is
+    * non-degrading, so a small fixed count is the right trade. */
+  val PqKmeansIters = 3
+
+  /** Lloyd's k-means over a driver-resident bounded sample, using the
+    * ENGINE'S assignment rule — argmax(x·c − ½|c|²) with ties to the
+    * higher cid, exactly [[pqCodeOf]]/[[ivfCellsDesc]]'s convention —
+    * so the trained model and the distributed coding pass agree on
+    * every boundary point. Empty clusters keep their previous
+    * centroid (the md5 seed), so k never collapses. `spherical`
+    * renormalizes means to unit length (IVF cells: assignment is a
+    * raw-vector dot, which ranks by cosine only against unit
+    * centroids). Iteration order is the sample's md5 order and the
+    * arithmetic is sequential — bit-deterministic across runs. */
+  private def lloydIp(points: Array[Array[Double]], init: Array[Array[Double]],
+                      iters: Int, spherical: Boolean): Array[Array[Double]] = {
+    var cents = init
+    val dim = if (points.isEmpty) 0 else points(0).length
+    for (_ <- 0 until iters) {
+      val k = cents.length
+      val halves = cents.map(c => 0.5 * c.map(x => x * x).sum)
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        var best = 0
+        var bestAdj = Double.NegativeInfinity
+        var i = 0
+        while (i < k) {
+          var d = 0.0
+          var j = 0
+          while (j < dim) { d += p(j) * cents(i)(j); j += 1 }
+          val adj = d - halves(i)
+          if (adj >= bestAdj) { bestAdj = adj; best = i }
+          i += 1
+        }
+        counts(best) += 1L
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+      }
+      cents = Array.tabulate(k) { i =>
+        if (counts(i) == 0L) cents(i)
+        else {
+          val m = sums(i).map(_ / counts(i))
+          if (spherical) {
+            val nrm = math.sqrt(m.map(x => x * x).sum)
+            if (nrm == 0.0) cents(i) else m.map(_ / nrm)
+          } else m
+        }
+      }
+    }
+    cents
+  }
+
+  /** The trained retrieval models — (IVF cell centroids, PQ codebook)
+    * — from ONE md5-ordered sample pull ([[pqSeeds]], so the Lloyd
+    * inits ARE the previous rounds' seed centroids: iters = 0
+    * reproduces the unrefined behavior exactly). IVF cells are
+    * spherical k-means over the full-dim unit sample; PQ codebooks
+    * are plain k-means per subvector slice. One collect serves both
+    * models, preserving the ivf/ivfpq same-centroids identity. */
+  private def trainedModels(e: DataFrame, iters: Int): (Array[Seq[Double]], PqBook) = {
+    val sample = pqSeeds(e, PqTrainSample).map(_.toArray)
+    val cells = lloydIp(sample, sample.take(IvfCells), iters, spherical = true)
+    val book: PqBook = Array.tabulate(PqSubspaces) { m =>
+      val pts = sample.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim))
+      lloydIp(pts, pts.take(PqCodebook), iters, spherical = false)
+        .map(c => (c.toSeq, 0.5 * c.map(x => x * x).sum))
+    }
+    (cells.map(_.toSeq), book)
+  }
+
   /** s_ann_pq — product-quantization ANN (asymmetric distance
     * computation), the standard MEMORY-resident retrieval tier at
     * corpus scale: each unit vector encodes to [[PqSubspaces]] small
@@ -683,10 +766,12 @@ object Similarity {
     * [[PqCandidates]] coarse winners touch float vectors for the
     * exact rescore.
     *
-    * Codebooks are deterministic: the per-subspace subvectors of the
-    * same [[PqCodebook]] md5-ordered corpus seeds [[sAnnIvf]] uses —
-    * engine-replayable, O(K·d) to ship; a k-means refinement drops in
-    * without changing the plan shape. Encoding is argmin squared-L2
+    * Codebooks are deterministic: per-subspace k-means
+    * ([[trainedModels]]) over the same md5-ordered bounded sample
+    * [[sAnnIvf]]'s cells train on, Lloyd-initialized from the sample
+    * prefix — engine-replayable, O(K·d) to ship; the refinement
+    * dropped in without changing the plan shape. Encoding is argmin
+    * squared-L2
     * per subspace, computed as argmax(x·c − ½|c|²) (sort_array on
     * (adj, cid) structs — same tie convention as IVF's cell pick).
     * The ADC score Σ_m lut_m[code_m] is a double sum in fixed
@@ -704,9 +789,9 @@ object Similarity {
     * term folded in for the argmin-L2-as-argmax trick. */
   private type PqBook = Array[Array[(Seq[Double], Double)]]
 
-  /** The md5-ordered deterministic corpus seeds (same ordering
-    * [[sAnnIvf]] uses for cells — the first [[IvfCells]] of a longer
-    * pull ARE the IVF centroids). */
+  /** The md5-ordered deterministic corpus sample — [[trainedModels]]
+    * trains every retrieval model from one pull of this, and the
+    * sample prefixes are the Lloyd inits. */
   private def pqSeeds(e: DataFrame, n: Int): Array[Seq[Double]] = {
     val s = e.sparkSession
     import s.implicits._
@@ -714,14 +799,6 @@ object Similarity {
       .orderBy("h").limit(n)
       .select("u").as[Seq[Double]].collect()
   }
-
-  private def pqBook(seeds: Array[Seq[Double]]): PqBook =
-    Array.tabulate(PqSubspaces) { m =>
-      seeds.map { s =>
-        val sub = s.slice(m * PqSubDim, (m + 1) * PqSubDim)
-        (sub, 0.5 * sub.map(x => x * x).sum)
-      }
-    }
 
   private def pqSubv(v: Column, m: Int): Column =
     slice(v, m * PqSubDim + 1, PqSubDim)
@@ -755,9 +832,15 @@ object Similarity {
         element_at(typedLit(book(m).map(_._1).toSeq), col(s"c$m") + 1))
     }.reduce(_ + _)
 
-  def sAnnPq(spark: SparkSession, dir: String): DataFrame = {
+  def sAnnPq(spark: SparkSession, dir: String): DataFrame =
+    sAnnPqIters(spark, dir, PqKmeansIters)
+
+  /** [[sAnnPq]] with the Lloyd iteration count exposed — iters = 0 is
+    * the raw-seed codebook (rounds ≤ 6 behavior); KmeansRecallSpec
+    * measures the recall curve across counts. */
+  private[graft] def sAnnPqIters(spark: SparkSession, dir: String, iters: Int): DataFrame = {
     val e = withUnit(embSpread(spark, dir), "embedding", "u")
-    val codebook = pqBook(pqSeeds(e, PqCodebook))
+    val codebook = trainedModels(e, iters)._2
     // The code table IS the index — materialize it (lazy
     // localCheckpoint, ContextCleaner-released) so the ×Q broadcast
     // join downstream replays 9 ints per vector instead of
@@ -784,9 +867,9 @@ object Similarity {
     * (nprobe/K)·N code reads ≈ nprobe/K × 8 GB — RAM-resident AND
     * sublinear, which neither tier achieves alone.
     *
-    * Determinism/reuse: cells are the first [[IvfCells]] of the same
-    * md5-ordered seed pull whose [[PqCodebook]] vectors train the
-    * subvector codebooks ([[pqSeeds]]) — one collect, both models.
+    * Determinism/reuse: cells and subvector codebooks come from ONE
+    * [[trainedModels]] call — one md5-ordered sample collect, one
+    * Lloyd refinement pass, both models.
     * Candidates arrive through the ONE cid equi-join (a corpus
     * vector has one home cell, so (query, neighbor) pairs are unique
     * — no dedup pass); ADC ranks them (floats touch nothing yet),
@@ -794,9 +877,8 @@ object Similarity {
     * spec, per the LSH/IVF/PQ precedent. */
   def sAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = withUnit(embSpread(spark, dir), "embedding", "u")
-    val seeds = pqSeeds(e, math.max(IvfCells, PqCodebook))
-    val cellsDesc = ivfCellsDesc(seeds.take(IvfCells)) _
-    val codebook = pqBook(seeds)
+    val (cells, codebook) = trainedModels(e, PqKmeansIters)
+    val cellsDesc = ivfCellsDesc(cells) _
     // materialized for the same reason as sAnnPq's code table: the
     // (cid, codes) rows are the index; the probe join must replay
     // them, not re-run cell assignment + 8 argmin sort_arrays
