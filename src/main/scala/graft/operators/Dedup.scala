@@ -245,6 +245,67 @@ object Dedup {
 
   val dDedupNgramSql: String = ngramPairsSql("")
 
+  /** Containment threshold τc = [[ContainTauNum]]/10: the contained
+    * doc must share this fraction of ITS OWN shingles with the
+    * container. */
+  val ContainTauNum = 8
+
+  /** d_containment — ASYMMETRIC near-dup detection: ordered pairs
+    * (id_in, id_of) where |A∩B|/|A| ≥ τc over the hashed 3-gram
+    * shingle sets — the quote-expansion/sub-document case symmetric
+    * Jaccard misses by construction (a short doc embedded verbatim in
+    * a 10× longer one has jaccard ≈ 0.1 but containment 1.0; real
+    * pipelines drop the contained copy). Both directions can emit
+    * when sizes are close — the pair is ORDERED and the score is
+    * direction-specific.
+    *
+    * Candidates use the one-sided prefix filter: if |A∩B| ≥ ⌈τc·|A|⌉
+    * then at most |A|−⌈τc·|A|⌉ of A's canonically-ordered (hash-asc)
+    * shingles miss B, so A's first |A|−⌈τc·|A|⌉+1 must hit B's FULL
+    * posting list — prefix on the contained side only, full index on
+    * the container side (the asymmetric analog of [[hashPrefix]];
+    * result-preserving, spec-pinned against the unfiltered join).
+    * Volume is Σ_h df_prefix(h)·df(h) — between the Jaccard family's
+    * prefix⋈prefix and the full Σ df². Verification is exact integer
+    * arithmetic (inter·10 ≥ |A|·τc_num); ids-only shuffles, sets join
+    * back only for survivors — the [[dDedupNgram]] discipline. */
+  def dContainment(spark: SparkSession, dir: String): DataFrame = {
+    val sets = ngramSets(spark, dir)
+    val prefixIn = sets.select(col("doc_id"), explode(expr(
+      s"slice(array_sort(hs), 1, size(hs) - (($ContainTauNum * size(hs) + 9) div 10) + 1)")).as("h"))
+    val posts = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val cand = prefixIn.as("a").join(posts.as("b"), "h")
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id_in"), col("b.doc_id").as("id_of"))
+      .dropDuplicates("id_in", "id_of")
+    cand
+      .join(sets.select(col("doc_id").as("id_in"), col("hs").as("s1")), "id_in")
+      .join(sets.select(col("doc_id").as("id_of"), col("hs").as("s2")), "id_of")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .filter(col("inter") * 10 >= size(col("s1")).cast("long") * ContainTauNum)
+      .withColumn("containment", stableRound(col("inter") / size(col("s1")), 6))
+      .select("id_in", "id_of", "inter", "containment")
+      .orderBy("id_in", "id_of")
+  }
+
+  val dContainmentSql: String =
+    s"""WITH strsets AS ($shingleSetsSql),
+       |sets AS (SELECT doc_id,
+       |  list_distinct(list_transform(shing, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS hs
+       |  FROM strsets),
+       |posts AS (SELECT doc_id, unnest(hs) AS h FROM sets),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id id_in, b.doc_id id_of
+       |  FROM posts a JOIN posts b ON a.h = b.h AND a.doc_id != b.doc_id)
+       |SELECT id_in, id_of,
+       |  len(list_intersect(s1.hs, s2.hs))::BIGINT AS inter,
+       |  floor((len(list_intersect(s1.hs, s2.hs)) / len(s1.hs)::DOUBLE) * 1e6 + 0.5) / 1e6 AS containment
+       |FROM cand
+       |JOIN sets s1 ON id_in = s1.doc_id
+       |JOIN sets s2 ON id_of = s2.doc_id
+       |WHERE len(list_intersect(s1.hs, s2.hs)) * 10 >= len(s1.hs) * $ContainTauNum
+       |ORDER BY id_in, id_of""".stripMargin
+
   /** The "new snapshot" d_dedup_incr checks against the whole corpus
     * is the LAST this-many documents (doc_ids are dense 0..n-1, so the
     * suffix is doc_id >= n − count) — a fixed-SIZE snapshot, not a
@@ -814,6 +875,89 @@ object Dedup {
        |FROM g WHERE n_occ > 1
        |ORDER BY chunk_fp""".stripMargin
 
+  /** Distinct-document threshold for boilerplate: a chunk seen in at
+    * least this many DIFFERENT documents is template text, not
+    * content. Distinct docs, not occurrences — within-doc repetition
+    * is natural text (t_repetition's concern, not this op's). The
+    * C4/RefinedWeb line-dedup rules use 2-3 on natural corpora. */
+  val BoilerplateDocs = 2
+
+  /** d_boilerplate — the REWRITE pass [[dDedupChunk]]'s report
+    * implies (its scaladoc's "the one a rewrite pass would retain"):
+    * corpus-wide removal of boilerplate spans — the C4 line-dedup /
+    * exact-substring-dedup step (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better") at
+    * [[ChunkWords]]-word chunk granularity, the layout unit for
+    * corpora without line structure (reference has no text ops at
+    * all — lib.rs:55-206 is point lookups; this family is the
+    * LLM-pipeline surface). Every occurrence of a chunk appearing in
+    * ≥ [[BoilerplateDocs]] distinct docs is dropped (boilerplate has
+    * no "keeper" — license headers and navigation text are noise in
+    * every copy), and each document's surviving chunks + its
+    * sub-chunk word tail reassemble in position order.
+    *
+    * Scale shape: linear end-to-end — chunking is one narrow pass
+    * ([[graft.functions.expr.WordChunks]]); the boilerplate-fp set is
+    * one hash aggregation; dropping is a left-anti equi-join on fp
+    * (AQE broadcasts it when the flagged set is small — the common
+    * case — and shuffles otherwise); reassembly groups by doc_id, so
+    * the gathered row is bounded by the DOCUMENT's own length, the
+    * same bound its input row already carries. No pair join anywhere:
+    * volume is Σ chunks, never Σ df². */
+  def dBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextAnalysis.docsSpread(spark, dir)
+    val chunks = d.select(col("doc_id"),
+        posexplode(graft.functions.expr.VectorExpressions
+          .wordChunks(words(col("text")), ChunkWords)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("chunk"), md5(col("col")).as("chunk_fp"))
+    val boiler = chunks.groupBy("chunk_fp")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= BoilerplateDocs)
+      .select("chunk_fp")
+    val kept = chunks.join(boiler, Seq("chunk_fp"), "left_anti")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("chunk")))).as("ks"),
+        count(lit(1)).as("n_kept"))
+    d.select(col("doc_id"), words(col("text")).as("w"))
+      .withColumn("n_chunks", expr(s"size(w) div $ChunkWords").cast("long"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(concat(
+          coalesce(transform(col("ks"), k => k.getField("chunk")),
+            typedLit(Seq.empty[String])),
+          slice(col("w"), (col("n_chunks") * ChunkWords + 1).cast("int"),
+            (size(col("w")) - col("n_chunks") * ChunkWords).cast("int"))), " ")
+          .as("clean_text"),
+        col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  val dBoilerplateSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, i AS pos,
+       |    array_to_string(w[i*$ChunkWords + 1 : i*$ChunkWords + $ChunkWords], ' ') AS chunk
+       |  FROM w, LATERAL (SELECT unnest(range(len(w) // $ChunkWords)) AS i) t),
+       |boiler AS (
+       |  SELECT md5(chunk) AS fp FROM chunks
+       |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= $BoilerplateDocs),
+       |kept AS (
+       |  SELECT doc_id, list(chunk ORDER BY pos) AS kc, count(*) AS n_kept
+       |  FROM chunks WHERE md5(chunk) NOT IN (SELECT fp FROM boiler)
+       |  GROUP BY doc_id)
+       |SELECT w.doc_id,
+       |  -- coalesce: concat of two empty untyped [] lists yields NULL
+       |  -- in DuckDB where Spark's array_join gives '' (a doc whose
+       |  -- every chunk is boilerplate and whose tail is empty)
+       |  coalesce(array_to_string(list_concat(coalesce(k.kc, []),
+       |    w.w[(len(w.w) // $ChunkWords) * $ChunkWords + 1 : len(w.w)]), ' '), '') AS clean_text,
+       |  (len(w.w) // $ChunkWords)::BIGINT AS n_chunks,
+       |  (len(w.w) // $ChunkWords - coalesce(k.n_kept, 0))::BIGINT AS n_removed
+       |FROM w LEFT JOIN kept k ON w.doc_id = k.doc_id
+       |ORDER BY w.doc_id""".stripMargin
+
   // ------------------------------------------------- source overlap
 
   /** d_source_overlap — the cross-SOURCE content-overlap audit: for
@@ -889,6 +1033,8 @@ object Dedup {
     "d_dedup_minhash" -> dDedupMinhash,
     "d_dedup_simhash" -> dDedupSimhash,
     "d_dedup_chunk" -> dDedupChunk,
+    "d_boilerplate" -> dBoilerplate,
+    "d_containment" -> dContainment,
     "d_cluster" -> dCluster,
     "d_cluster_incr" -> dClusterIncr,
     "d_split" -> dSplit,
@@ -903,6 +1049,8 @@ object Dedup {
     "d_dedup_minhash" -> dDedupMinhashSql,
     "d_dedup_simhash" -> dDedupSimhashSql,
     "d_dedup_chunk" -> dDedupChunkSql,
+    "d_boilerplate" -> dBoilerplateSql,
+    "d_containment" -> dContainmentSql,
     "d_cluster" -> dClusterSql,
     // The incremental plan must reproduce the full recompute exactly —
     // its oracle IS the full-recompute closure.

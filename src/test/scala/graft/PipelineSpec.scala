@@ -741,4 +741,68 @@ class PipelineSpec extends SparkSpec {
         s"domain $d ranks not dense")
     }
   }
+
+  test("boilerplate rewrite: word accounting exact, untouched docs byte-identical") {
+    val out = Dedup.dBoilerplate(spark, sf)
+      .join(spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text"), "doc_id")
+      .select(col("doc_id"), col("clean_text"), col("n_chunks"), col("n_removed"),
+        graft.functions.TextFunctions.normText(col("text")).as("norm"))
+      .collect()
+    assert(out.nonEmpty && out.exists(_.getLong(3) > 0),
+      "fixture exercised no boilerplate removal")
+    out.foreach { r =>
+      val (clean, nChunks, nRemoved, norm) =
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getString(4))
+      assert(nRemoved >= 0 && nRemoved <= nChunks)
+      val normWords = if (norm.isEmpty) 0 else norm.split(" ").length
+      val cleanWords = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(cleanWords == normWords - Dedup.ChunkWords * nRemoved,
+        s"doc ${r.getLong(0)}: $cleanWords words after removing $nRemoved chunks from $normWords")
+      if (nRemoved == 0)
+        assert(clean == norm, s"doc ${r.getLong(0)} rewritten without removals")
+      else
+        // every surviving word sequence comes from the original in order
+        assert(clean.isEmpty || norm.contains(clean.split(" ").head),
+          s"doc ${r.getLong(0)} clean text not from original")
+    }
+  }
+
+  test("containment: one-sided prefix filter is result-preserving vs the full index") {
+    val sets = Dedup.ngramSets(spark, sf)
+    val posts = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val fullCand = posts.as("a").join(posts.as("b"), "h")
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id_in"), col("b.doc_id").as("id_of"))
+      .dropDuplicates("id_in", "id_of")
+    val full = fullCand
+      .join(sets.select(col("doc_id").as("id_in"), col("hs").as("s1")), "id_in")
+      .join(sets.select(col("doc_id").as("id_of"), col("hs").as("s2")), "id_of")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .filter(col("inter") * 10 >= size(col("s1")).cast("long") * Dedup.ContainTauNum)
+      .select("id_in", "id_of")
+    val filtered = Dedup.dContainment(spark, sf).select("id_in", "id_of")
+    assert(filtered.exceptAll(full).count() == 0 && full.exceptAll(filtered).count() == 0,
+      "prefix-filtered containment pair set diverges from the full index")
+  }
+
+  test("containment matches a driver-side set recompute, sound and complete") {
+    val sets = Dedup.ngramSets(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val rows = Dedup.dContainment(spark, sf).collect()
+    assert(rows.nonEmpty, "no containment pairs on the fixture")
+    rows.foreach { r =>
+      val (a, b, inter, c) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(inter == (sets(a) & sets(b)).size.toLong, s"($a,$b) inter wrong")
+      assert(inter * 10 >= sets(a).size.toLong * Dedup.ContainTauNum)
+      assert(c >= 0.8 && c <= 1.0, s"($a,$b) score $c out of range")
+      if (c == 1.0)
+        assert(sets(a).subsetOf(sets(b)), s"($a,$b) scores 1.0 but A ⊄ B")
+    }
+    // completeness: every qualifying ordered pair and no other
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    for ((a, sa) <- sets; (b, sb) <- sets if a != b) {
+      val qualifies = (sa & sb).size.toLong * 10 >= sa.size.toLong * Dedup.ContainTauNum
+      assert(qualifies == got.contains((a, b)), s"pair ($a,$b) presence mismatch")
+    }
+  }
 }

@@ -161,11 +161,19 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("decontamination and ngram dedup stay on equi-joins — never all-pairs") {
-    Seq("d_decontaminate", "d_dedup_ngram").foreach { q =>
+    Seq("d_decontaminate", "d_dedup_ngram", "d_containment").foreach { q =>
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$q degenerated to an all-pairs join:\n${p.take(2000)}")
     }
+  }
+
+  test("boilerplate rewrite never pairs documents and gathers only per-doc rows") {
+    val p = plan("d_boilerplate")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"boilerplate degenerated to an all-pairs join:\n${p.take(2000)}")
+    assert(!p.contains("Window"),
+      s"boilerplate reassembly grew a window (per-doc groupBy expected):\n${p.take(2000)}")
   }
 
   test("sharding streams the order fingerprint — no whole-shard row") {
