@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.Multimodal
-import graft.operators.{Analytics, Curation, Dedup, Embeddings, Events, ShortcutOps, Similarity, StorageOps, TextAnalysis, WebCuration}
+import graft.operators.{Analytics, Curation, Dedup, Embeddings, Events, Pii, ShortcutOps, Similarity, StorageOps, TextAnalysis, WebCuration}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -17,7 +17,8 @@ object SparkEntry {
     Analytics.queries ++ ShortcutOps.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Events.queries ++
       EventStream.queries ++ Multimodal.queries ++ StorageOps.queries ++
-      Curation.queries ++ Embeddings.queries ++ WebCuration.queries
+      Curation.queries ++ Embeddings.queries ++ WebCuration.queries ++
+      Pii.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -25,5 +26,6 @@ object SparkEntry {
     Analytics.oracles ++ ShortcutOps.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Events.oracles ++
       EventStream.oracles ++ Multimodal.oracles ++ StorageOps.oracles ++
-      Curation.oracles ++ Embeddings.oracles ++ WebCuration.oracles
+      Curation.oracles ++ Embeddings.oracles ++ WebCuration.oracles ++
+      Pii.oracles
 }

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** PII detection / redaction over the `documents` table — the
+  * personally-identifiable-information pass every public training
+  * pipeline runs before release (emails, phone numbers, IP addresses
+  * masked with typed placeholders; cf. the denylist plumbing of
+  * [[Curation.tScrub]], which this extends with class-typed patterns
+  * and per-class counts).
+  *
+  * The synthetic corpus contains no PII, so — exactly like
+  * [[WebCuration.withUrl]]'s pseudo-URL — deterministic PII spans are
+  * DERIVED from md5(doc_id ∥ "pii") and appended to the text in
+  * [[withPii]]: both engines compute the identical digest of the
+  * identical string, so the injected spans (and therefore every count
+  * and redaction) reproduce bit-for-bit in the DuckDB oracle. Digits
+  * come from `translate(hex, 'abcdef', '012345')` — a pure
+  * character-map both engines implement identically; no hex→int
+  * conversion (spelling differs across engines). On a real crawl the
+  * shim drops out and the detection pass runs on the raw text
+  * unchanged.
+  *
+  * Scale shape: a single narrow map over the scan — inject, three
+  * `regexp_count`s, one three-step `regexp_replace` chain — followed
+  * only by the presentation orderBy. No shuffle, no UDF; the regex
+  * subset (character classes, bounded repetition, ASCII `\b`) is one
+  * Java regex and RE2 agree on.
+  */
+object Pii {
+
+  /** Class-typed patterns. Lowercase-only classes: the injected spans
+    * are lowercase and normText-style corpora are too; a real crawl
+    * would widen the classes, not change the shape. */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "\\b555-[0-9]{3}-[0-9]{4}\\b"
+  val IpPattern = "\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Deterministic PII injection: ~50% of docs gain an email, 25% a
+    * 555-prefixed phone, 25% an IPv4 in 10/8 (phone and IP disjoint —
+    * both keyed on the same hex digit). */
+  def withPii(docs: DataFrame): DataFrame = {
+    val h = md5(concat(col("doc_id").cast("string"), lit("pii")))
+    def hexIn(pos: Int, chars: String): Column =
+      substring(h, pos, 1).isInCollection(chars.map(_.toString))
+    def digits(pos: Int, len: Int): Column =
+      translate(substring(h, pos, len), "abcdef", "012345")
+    val email = when(hexIn(1, "01234567"),
+      concat(lit(" contact user"), digits(3, 4), lit("@mail"), digits(7, 2),
+        lit(".com"))).otherwise("")
+    val phone = when(hexIn(2, "0123"),
+      concat(lit(" call 555-"), digits(9, 3), lit("-"), digits(12, 4)))
+      .otherwise("")
+    val ip = when(hexIn(2, "89ab"),
+      concat(lit(" from 10."), digits(16, 2), lit("."), digits(18, 2),
+        lit("."), digits(20, 2))).otherwise("")
+    docs.withColumn("text", concat(col("text"), email, phone, ip))
+  }
+
+  /** The same injection as an oracle CTE body over `documents`
+    * (rewrites the `text` column). Interpolated into stripMargin
+    * templates, so no line starts with `|` (the `||` sit at line
+    * end). */
+  val withPiiSql: String =
+    """SELECT doc_id, lang, source, n_chars, text ||
+      |  (CASE WHEN substr(h, 1, 1) IN ('0','1','2','3','4','5','6','7')
+      |        THEN ' contact user' || translate(substr(h, 3, 4), 'abcdef', '012345') ||
+      |             '@mail' || translate(substr(h, 7, 2), 'abcdef', '012345') || '.com'
+      |        ELSE '' END) ||
+      |  (CASE WHEN substr(h, 2, 1) IN ('0','1','2','3')
+      |        THEN ' call 555-' || translate(substr(h, 9, 3), 'abcdef', '012345') ||
+      |             '-' || translate(substr(h, 12, 4), 'abcdef', '012345')
+      |        ELSE '' END) ||
+      |  (CASE WHEN substr(h, 2, 1) IN ('8','9','a','b')
+      |        THEN ' from 10.' || translate(substr(h, 16, 2), 'abcdef', '012345') ||
+      |             '.' || translate(substr(h, 18, 2), 'abcdef', '012345') ||
+      |             '.' || translate(substr(h, 20, 2), 'abcdef', '012345')
+      |        ELSE '' END) AS text
+      |FROM (SELECT *, md5(doc_id::VARCHAR || 'pii') AS h FROM documents) d""".stripMargin
+
+  /** t_pii — per-document typed PII counts plus the redacted text:
+    * emails → `[EMAIL]`, phones → `[PHONE]`, IPs → `[IP]`. The
+    * replace chain runs email-first so the later patterns never see a
+    * span the earlier class already consumed (the three patterns are
+    * mutually exclusive here anyway). */
+  def tPii(spark: SparkSession, dir: String): DataFrame = {
+    val d = withPii(Tables.spread(Tables(spark, dir).documents))
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailPattern, "[EMAIL]"),
+        PhonePattern, "[PHONE]"),
+      IpPattern, "[IP]")
+    d.select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(EmailPattern)).cast("long").as("n_email"),
+        regexp_count(col("text"), lit(PhonePattern)).cast("long").as("n_phone"),
+        regexp_count(col("text"), lit(IpPattern)).cast("long").as("n_ip"),
+        scrubbed.as("scrubbed"))
+      .withColumn("has_pii",
+        col("n_email") + col("n_phone") + col("n_ip") > 0)
+      .orderBy("doc_id")
+  }
+
+  val tPiiSql: String =
+    s"""WITH p AS ($withPiiSql)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text, '$EmailPattern'))::BIGINT AS n_email,
+       |  len(regexp_extract_all(text, '$PhonePattern'))::BIGINT AS n_phone,
+       |  len(regexp_extract_all(text, '$IpPattern'))::BIGINT AS n_ip,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailPattern', '[EMAIL]', 'g'),
+       |    '$PhonePattern', '[PHONE]', 'g'),
+       |    '$IpPattern', '[IP]', 'g') AS scrubbed,
+       |  (len(regexp_extract_all(text, '$EmailPattern')) +
+       |   len(regexp_extract_all(text, '$PhonePattern')) +
+       |   len(regexp_extract_all(text, '$IpPattern'))) > 0 AS has_pii
+       |FROM p
+       |ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_pii" -> tPii,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "t_pii" -> tPiiSql,
+  )
+}

@@ -615,6 +615,80 @@ object TextAnalysis {
        |WHERE rk <= $KeywordTopK
        |ORDER BY doc_id, rk""".stripMargin
 
+  // --------------------------------------------------- bigram LM
+
+  /** Low-probability threshold on the ROUNDED bigram score — same
+    * straddle discipline as [[LogprobTau]]. Flags ~6-10% of the
+    * synthetic corpus at every sf (measured: p10 ≈ -1.488 at
+    * sf0.001/0.01, 313/5000 flagged at sf0.1). */
+  val BigramLpTau = -1.4870
+
+  /** t_bigram_lm — per-doc mean bigram conditional log-probability
+    * under the corpus's own bigram LM (log10 per adjacent pair): the
+    * CCNet-style fluency filter one order above [[tLogprob]]'s
+    * unigram proxy. p(w2|w1) = C(w1,w2) / C(w1·) with both counts
+    * from the corpus itself, so every document bigram has mass ≥ 1 —
+    * no smoothing needed for a self-scored corpus. Word-salad and
+    * shuffled boilerplate score low even when each word is common,
+    * which is exactly what the unigram score cannot see.
+    *
+    * Distribution: one (doc,w1,w2) aggregation (map-side combine,
+    * cached — the corpus table and the scoring join both read it);
+    * the corpus bigram table and its first-word marginal are
+    * VOCABULARY²-bounded, so the scoring joins are small-side
+    * (broadcast from stats; a 100M-vocab corpus degrades them to
+    * linear shuffle joins, never corpus-sized). Float parity pins the
+    * SUM ORDER like [[tLogprob]]: each term n·ln(cb/cu) is one double
+    * with the identical op sequence in both engines (long→double
+    * division is correctly rounded in both), the per-doc term list
+    * sorts ascending, the fold starts from 0.0. Docs with < 2 words
+    * have no bigrams and drop out — in both engines. */
+  def tBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docsSpread(spark, dir).select(col("doc_id"), words(col("text")).as("w"))
+    val counts = toks.select(col("doc_id"), explode(expr(
+        "transform(slice(w, 1, greatest(size(w) - 1, 0)), (x, i) -> struct(x AS w1, w[i + 1] AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
+      .cache()
+    val bi = counts.groupBy("w1", "w2").agg(sum("n").as("cb"))
+    val uni = bi.groupBy("w1").agg(sum("cb").as("cu"))
+    counts.join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .select(col("doc_id"), col("n"),
+        (col("n") * log(col("cb").cast("double") / col("cu").cast("double"))).as("term"))
+      .groupBy("doc_id")
+      .agg(sum("n").cast("long").as("n_bigrams"),
+        sort_array(collect_list(col("term"))).as("ts"))
+      .select(col("doc_id"), col("n_bigrams"),
+        stableRound(aggregate(col("ts"), lit(0.0), (acc, t) => acc + t)
+          / col("n_bigrams") / log(lit(10.0)), 4).as("bigram_lp10"))
+      .withColumn("low_fluency", col("bigram_lp10") < BigramLpTau)
+      .orderBy("doc_id")
+  }
+
+  val tBigramLmSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |counts AS (
+       |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS n
+       |  FROM (SELECT doc_id, unnest(list_transform(w[1:len(w)-1],
+       |         (x, i) -> struct_pack(w1 := x, w2 := w[i+1]))) AS p FROM w) t
+       |  GROUP BY 1, 2, 3),
+       |bi AS (SELECT w1, w2, sum(n)::BIGINT AS cb FROM counts GROUP BY 1, 2),
+       |uni AS (SELECT w1, sum(cb)::BIGINT AS cu FROM bi GROUP BY 1),
+       |terms AS (
+       |  SELECT doc_id, n, n * ln(cb::DOUBLE / cu::DOUBLE) AS term
+       |  FROM counts JOIN bi USING (w1, w2) JOIN uni USING (w1)),
+       |g AS (
+       |  SELECT doc_id, sum(n)::BIGINT AS n_bigrams, list(term ORDER BY term) AS ts
+       |  FROM terms GROUP BY doc_id),
+       |s AS (
+       |  SELECT doc_id, n_bigrams,
+       |    floor((list_reduce(list_prepend(0.0, ts), (a, b) -> a + b)
+       |      / n_bigrams / ln(10)) * 1e4 + 0.5) / 1e4 AS bigram_lp10
+       |  FROM g)
+       |SELECT doc_id, n_bigrams, bigram_lp10, bigram_lp10 < $BigramLpTau AS low_fluency
+       |FROM s
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_count" -> tTokenCount,
     "t_quality" -> tQuality,
@@ -627,6 +701,7 @@ object TextAnalysis {
     "t_logprob" -> tLogprob,
     "t_collocations" -> tCollocations,
     "t_keywords" -> tKeywords,
+    "t_bigram_lm" -> tBigramLm,
   )
 
   def oracles: Map[String, String] = Map(
@@ -641,5 +716,6 @@ object TextAnalysis {
     "t_logprob" -> tLogprobSql,
     "t_collocations" -> tCollocationsSql,
     "t_keywords" -> tKeywordsSql,
+    "t_bigram_lm" -> tBigramLmSql,
   )
 }

@@ -805,4 +805,48 @@ class PipelineSpec extends SparkSpec {
       assert(qualifies == got.contains((a, b)), s"pair ($a,$b) presence mismatch")
     }
   }
+
+  test("t_pii masks every span it counted, class by class") {
+    import graft.operators.Pii
+    val df = Pii.tPii(spark, sf).cache()
+    // nothing pattern-shaped survives scrubbing
+    Seq(Pii.EmailPattern, Pii.PhonePattern, Pii.IpPattern).foreach { pat =>
+      assert(df.filter(col("scrubbed").rlike(pat)).count() == 0,
+        s"unredacted span survives for $pat")
+    }
+    // redaction is count-preserving per class: n_<class> == mask occurrences
+    def masks(m: String) =
+      (length(col("scrubbed")) - length(replace(col("scrubbed"), lit(m), lit("")))) / m.length
+    Seq("n_email" -> "[EMAIL]", "n_phone" -> "[PHONE]", "n_ip" -> "[IP]").foreach {
+      case (c, m) =>
+        assert(df.filter(col(c) =!= masks(m)).count() == 0, s"$c diverges from $m masks")
+        assert(df.agg(sum(col(c))).head.getLong(0) > 0, s"injection never exercises $c")
+    }
+    // the flag is wired to the counts, and both sides are populated
+    assert(df.filter(col("has_pii") =!=
+      (col("n_email") + col("n_phone") + col("n_ip") > 0)).count() == 0)
+    val clean = df.filter(!col("has_pii")).count()
+    assert(clean > 0 && clean < df.count(), "PII flag does not split the corpus")
+  }
+
+  test("bigram LM: scores are nonpositive, bigram counts match word counts") {
+    val df = TextAnalysis.tBigramLm(spark, sf).cache()
+    val n = df.count()
+    assert(n > 0)
+    // every conditional probability ≤ 1 ⇒ every mean log-prob ≤ 0
+    assert(df.filter(col("bigram_lp10") > 0).count() == 0)
+    // n_bigrams = word_tokens - 1 doc for doc; docs with < 2 words drop out
+    val wc = TextAnalysis.tTokenCount(spark, sf).select(col("doc_id"), col("word_tokens"))
+    assert(df.join(wc, "doc_id")
+      .filter(col("n_bigrams") =!= (col("word_tokens") - 1)).count() == 0,
+      "bigram count diverges from word count - 1")
+    assert(wc.filter(col("word_tokens") >= 2).count() == n,
+      "docs with >= 2 words must all score")
+    // flag wired to the rounded score, and the threshold discriminates
+    assert(df.filter(col("low_fluency") =!=
+      (col("bigram_lp10") < TextAnalysis.BigramLpTau)).count() == 0)
+    val flagged = df.filter(col("low_fluency")).count()
+    assert(flagged > 0 && flagged < n,
+      s"BigramLpTau does not split the corpus: $flagged of $n flagged")
+  }
 }

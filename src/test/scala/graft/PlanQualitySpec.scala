@@ -403,6 +403,30 @@ class PlanQualitySpec extends SparkSpec {
       s"narrow url parse shuffled ($hashExchanges hash exchanges):\n${p.take(2000)}")
   }
 
+  test("pii redaction is a pure narrow map — no join, no window, no hash shuffle") {
+    val p = plan("t_pii")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"pii pass grew a join/window:\n${p.take(1500)}")
+    // only the presentation orderBy (a range exchange) may shuffle
+    val hashExchanges = p.linesIterator.count(_.contains("hashpartitioning("))
+    assert(hashExchanges == 0,
+      s"narrow pii pass shuffled ($hashExchanges hash exchanges):\n${p.take(2000)}")
+  }
+
+  test("bigram LM joins stay key-equi — no nested-loop/cartesian") {
+    val p = plan("t_bigram_lm")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bigram scoring degenerated to all-pairs:\n${p.take(2000)}")
+    // shuffle budget: the (doc,w1,w2) aggregation, the two vocab
+    // aggregations, the scoring joins (vocab-sized sides), the final
+    // per-doc aggregation — all keyed; cap the total so a rewrite
+    // that re-tokenizes per consumer or loses the cache barrier shows
+    // up as a budget blowout.
+    val hashExchanges = p.linesIterator.count(_.contains("hashpartitioning("))
+    assert(hashExchanges <= 8,
+      s"bigram LM shuffle budget exceeded ($hashExchanges hash exchanges):\n${p.take(2500)}")
+  }
+
   test("domain budget shuffles once on the domain key") {
     val p = plan("d_domain_budget")
     assert(!p.contains("Join"), s"domain cap grew a join:\n${p.take(1500)}")
