@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [comma-separated query-name subset]
+    // The optional third arg is a dev-loop convenience (iterate one
+    // operator without paying the full registry); the driver passes
+    // two args and gets every query, unchanged.
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,7 +34,9 @@ object Verify {
     // failure (disk full, permissions) would make them throw too, and
     // that must not abort the remaining queries.
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected = only.fold(SparkEntry.queries)(s =>
+      SparkEntry.queries.filter(kv => s.contains(kv._1)))
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -61,7 +69,8 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = only.fold(SparkEntry.oracleSql)(s =>
+        SparkEntry.oracleSql.filter(kv => s.contains(kv._1)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     if (failures.nonEmpty) {
@@ -69,7 +78,7 @@ object Verify {
         .mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/failures.json"), fj)
       System.err.println(
-        s"[verify] ${failures.size}/${SparkEntry.queries.size} queries FAILED: " +
+        s"[verify] ${failures.size}/${selected.size} queries FAILED: " +
           failures.keys.mkString(", "))
     }
     spark.stop()

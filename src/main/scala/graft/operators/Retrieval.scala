@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Parity.{stableRound, stableRoundSql}
+import graft.functions.TextFunctions._
+
+/** Corpus retrieval scoring over the `documents` table — the lexical
+  * ranking half of a data-curation retrieval stack (the other half,
+  * embedding ANN, lives in [[Similarity]]). The flagship op is BM25
+  * "more-like-this": a fixed set of query documents retrieves its
+  * nearest corpus neighbors under the Robertson/Lucene BM25 weight,
+  * the standard tool for quality-aware corpus expansion ("find more
+  * documents like these curated seeds") and retrieval-based data
+  * selection.
+  *
+  * Distribution: ONE tokenization pass (the cached (doc, word) tf
+  * frame) feeds document lengths, document frequencies, query-keyword
+  * extraction, and the scoring join — the same shared-scan discipline
+  * as [[TextAnalysis.tKeywords]]. The query-term table is tiny by
+  * construction (|Q| seed docs × [[Bm25QTerms]] terms), so Catalyst
+  * broadcasts it into the postings join and the candidate stream is
+  * bounded by Σ df(t) over the query terms — never corpus × corpus,
+  * never even corpus × queries. Per-query top-k is a window rank over
+  * the (query, doc) aggregate's own exchange. At 100 TB the only
+  * corpus-scale shuffles are the two keyed aggregations (tf, then
+  * (qid, doc) scores), both map-side combined.
+  *
+  * Float parity: every BM25 input is an exact integer count; the
+  * score chain is spelled with the identical IEEE op sequence in both
+  * engines, per-(query, doc) terms fold in sorted order ([[TextAnalysis.tLogprob]]
+  * discipline — ln is 1-ulp engine-dependent), and ranking runs on the
+  * [[stableRound]]ed score with a doc_id tie-break.
+  */
+object Retrieval {
+
+  /** BM25 k1 (term-frequency saturation). The numerator's (k1+1) is
+    * spelled as the literal 2.2 in both engines so neither computes
+    * 1.2 + 1.0 at a possibly-different intermediate precision; the
+    * oracle's decimal literals promote to the identical doubles
+    * (decimal→double conversion is correctly rounded). */
+  val Bm25K1 = 1.2
+
+  /** BM25 b (length normalization); 0.25 below is the exact (1 - b). */
+  val Bm25B = 0.75
+
+  /** Every doc_id ≡ 0 (mod this) is a query seed: 6 seeds at 500 docs
+    * (sf0.001/sf0.01), 52 at sf0.1 — scales with the corpus while
+    * staying broadcastable. */
+  val Bm25QueryMod = 97
+
+  /** Query terms kept per seed doc (its top TF-IDF keywords — the
+    * [[TextAnalysis.tKeywords]] score, recomputed here off the shared
+    * tf frame). */
+  val Bm25QTerms = 8
+
+  /** Results per query. */
+  val Bm25TopK = 10
+
+  /** t_bm25 — top-k BM25 retrieval for each seed query, excluding the
+    * seed itself. Output: (qid, rk, doc_id, score). */
+  def tBm25(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables(spark, dir).documents.count().toDouble
+    val tf = TextAnalysis.docsSpread(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .cache()
+    val dfw = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // Σtf ≡ corpus token total; reading it off the cached tf frame
+    // avoids re-running the tokenization (tLogprob's rationale).
+    val avgdl = tf.agg((sum("tf") / lit(n)).as("avgdl"))
+    val kwWin = Window.partitionBy(col("qid"))
+      .orderBy(col("kw_score").desc, col("word"))
+    val qterms = tf.filter(col("doc_id") % Bm25QueryMod === 0)
+      .withColumnRenamed("doc_id", "qid")
+      .join(dfw, "word")
+      .withColumn("kw_score", stableRound(col("tf") * log(lit(n) / col("df")), 6))
+      .withColumn("kw_rk", row_number().over(kwWin))
+      .filter(col("kw_rk") <= Bm25QTerms)
+      .select(col("qid"), col("word"))
+    val idf = log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val term = idf * (col("tf") * lit(2.2) /
+      (col("tf") + lit(Bm25K1) * (lit(0.25) + lit(Bm25B) * (col("dl") / col("avgdl")))))
+    val rkWin = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    qterms.join(tf, "word")
+      .filter(col("doc_id") =!= col("qid"))
+      .join(dfw, "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(avgdl))
+      .select(col("qid"), col("doc_id"), term.as("term"))
+      .groupBy("qid", "doc_id")
+      .agg(sort_array(collect_list(col("term"))).as("ts"))
+      .select(col("qid"), col("doc_id"),
+        stableRound(aggregate(col("ts"), lit(0.0), (acc, t) => acc + t), 6)
+          .as("score"))
+      .withColumn("rk", row_number().over(rkWin).cast("long"))
+      .filter(col("rk") <= Bm25TopK)
+      .select(col("qid"), col("rk"), col("doc_id"), col("score"))
+      .orderBy("qid", "rk")
+  }
+
+  val tBm25Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |nt AS (SELECT count(*)::DOUBLE AS n FROM documents),
+       |tf AS (SELECT doc_id, word, count(*) AS tf
+       |       FROM (SELECT doc_id, unnest(w) AS word FROM w) u GROUP BY 1, 2),
+       |dfw AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |ad AS (SELECT sum(tf) / (SELECT n FROM nt) AS avgdl FROM tf),
+       |qt AS (
+       |  SELECT qid, word FROM (
+       |    SELECT tf.doc_id AS qid, tf.word,
+       |      row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+       |        ${stableRoundSql("tf.tf * ln(nt.n / dfw.df)", 6)} DESC, tf.word) AS kw_rk
+       |    FROM tf JOIN dfw USING (word) CROSS JOIN nt
+       |    WHERE tf.doc_id % $Bm25QueryMod = 0) k
+       |  WHERE kw_rk <= $Bm25QTerms),
+       |terms AS (
+       |  SELECT qt.qid, tf.doc_id,
+       |    ln((nt.n - dfw.df + 0.5) / (dfw.df + 0.5) + 1.0) *
+       |      (tf.tf * 2.2 /
+       |       (tf.tf + $Bm25K1 * (0.25 + $Bm25B * (dl.dl / ad.avgdl)))) AS term
+       |  FROM qt JOIN tf USING (word)
+       |  JOIN dfw USING (word) JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN ad CROSS JOIN nt
+       |  WHERE tf.doc_id <> qt.qid),
+       |g AS (
+       |  SELECT qid, doc_id, list(term ORDER BY term) AS ts
+       |  FROM terms GROUP BY qid, doc_id),
+       |s AS (
+       |  SELECT qid, doc_id,
+       |    ${stableRoundSql("list_reduce(list_prepend(0.0, ts), (a, b) -> a + b)", 6)} AS score
+       |  FROM g)
+       |SELECT qid, rk, doc_id, score FROM (
+       |  SELECT qid, doc_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::BIGINT AS rk
+       |  FROM s) t
+       |WHERE rk <= $Bm25TopK
+       |ORDER BY qid, rk""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_bm25" -> tBm25,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "t_bm25" -> tBm25Sql,
+  )
+}

@@ -439,4 +439,18 @@ class PlanQualitySpec extends SparkSpec {
       s"expected exactly one hash exchange, got $hashExchanges:\n${p.take(2500)}")
     assert(p.contains("Window"), "per-domain rank window missing")
   }
+
+  test("bm25 scores through word equi-joins; only the 1-row avgdl broadcasts") {
+    val p = plan("t_bm25")
+    assert(!p.contains("CartesianProduct"),
+      s"bm25 grew a cartesian:\n${p.take(2000)}")
+    // Query terms, postings, df, and dl all meet on key equi-joins;
+    // the one permitted BNLJ is the 1-row avgdl attach (the tLogprob
+    // corpus-total discipline). Anything more means the candidate
+    // stream stopped being bounded by the query terms' df sum.
+    val bnlj = p.linesIterator.count(_.contains("- BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"unexpected nested-loop joins ($bnlj):\n${p.take(2000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join on word:\n${p.take(2000)}")
+  }
 }
