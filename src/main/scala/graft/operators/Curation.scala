@@ -511,8 +511,128 @@ object Curation {
        |  LIMIT $WeightedSampleK) t
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------- d_dsir
+
+  /** Hashed-feature buckets for the importance model. 1024 keeps both
+    * distribution tables broadcast-trivial at any corpus size while
+    * leaving bucket collisions rare on the synthetic vocabulary. */
+  val DsirBuckets = 1024
+
+  /** The target domain whose distribution raw docs are scored
+    * against. */
+  val DsirTargetLang = "en"
+
+  /** d_dsir — data selection with importance resampling (DSIR, Xie et
+    * al. 2023, arXiv:2302.03169): score every raw doc by how much more
+    * likely its hashed-unigram bag is under the TARGET domain's
+    * feature distribution than under the raw corpus's, then keep the
+    * target-leaning docs. The standard cheap alternative to a learned
+    * quality classifier when "quality" means "looks like this curated
+    * subset" — here the target is the `en` slice, so the operator's
+    * mechanics (two smoothed feature distributions, per-doc
+    * log-likelihood ratio) are exercised end-to-end on data the oracle
+    * can replay.
+    *
+    * weight(d) = Σ_f n_f(d)·[ln p̂_t(f) − ln p̂_r(f)] / n_words(d),
+    * with add-one smoothing over the [[DsirBuckets]]-bucket domain.
+    * selected = weight > baseline, where baseline = Σ_f p̂_r(f)·lr(f)
+    * = −KL(p̂_r‖p̂_t) is the expected weight of a raw-average token
+    * mix, computed exactly from the 1024-bucket table (smoothing gives
+    * every PER-DOC weight a negative bias of about this constant — a
+    * ">0" test selects nothing; "above the corpus baseline" is the
+    * calibration-free discriminator). A per-row decision against a
+    * broadcast scalar, NOT a global rank: the published method samples
+    * ~K docs via Gumbel noise on the weight; the deterministic engine
+    * keeps the weight column (so a caller can [[dWeightedSample]] on
+    * it) and pins the reproducible baseline test.
+    *
+    * Distribution: one corpus-keyed aggregation to (doc, bucket)
+    * counts (map-side combined, bucket domain ≤ 1024 per doc); BOTH
+    * distribution tables are ≤ 1024 rows (built from the cached
+    * feature frame — vocabulary-sized input, bucket-sized output) and
+    * broadcast back; the per-doc fold is a second keyed aggregation.
+    * No join ever carries more than the feature frame. At 100 TB: two
+    * linear keyed shuffles, two broadcast tables, nothing else.
+    *
+    * Float parity: counts and totals are exact integers; each bucket's
+    * log-ratio runs the identical ÷/ln/− chain in both engines (ln is
+    * 1-ulp engine-dependent — absorbed by the final [[stableRound]],
+    * the [[TextAnalysis.tLogprob]] residual-risk discipline), and the
+    * per-doc terms fold in sorted order. */
+  def dDsir(spark: SparkSession, dir: String): DataFrame = {
+    val feats = TextAnalysis.docsSpread(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("word"))
+      .select(col("doc_id"), col("lang"), (md5_32(col("word")) % DsirBuckets).as("f"))
+      .groupBy("doc_id", "lang", "f").agg(count(lit(1)).as("n"))
+      .cache()
+    val raw = feats.groupBy("f").agg(sum("n").as("cr"))
+    val tgt = feats.filter(col("lang") === DsirTargetLang)
+      .groupBy("f").agg(sum("n").as("ct"))
+    val totR = raw.agg(sum("cr").as("tr"))
+    val totT = tgt.agg(sum("ct").as("tt"))
+    val lr = raw.join(tgt, Seq("f"), "left")
+      .crossJoin(broadcast(totR)).crossJoin(broadcast(totT))
+      .select(col("f"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(1L)) / (col("tt") + lit(DsirBuckets.toLong))) -
+          log((col("cr") + lit(1L)) / (col("tr") + lit(DsirBuckets.toLong)))).as("lr"))
+    // the 1024-term baseline folds deterministically in sorted order
+    // (one bounded-size aggregation — bucket domain is constant)
+    val base = lr.join(raw, "f").crossJoin(broadcast(totR))
+      .select(((col("cr") / col("tr")) * col("lr")).as("bterm"))
+      .agg(sort_array(collect_list(col("bterm"))).as("bs"))
+      .select(stableRound(
+        aggregate(col("bs"), lit(0.0), (acc, t) => acc + t), 4).as("baseline"))
+    feats.join(broadcast(lr), "f")
+      .select(col("doc_id"), col("n"), (col("n") * col("lr")).as("term"))
+      .groupBy("doc_id")
+      .agg(sum("n").cast("long").as("n_words"),
+        sort_array(collect_list(col("term"))).as("ts"))
+      .select(col("doc_id"), col("n_words"),
+        stableRound(aggregate(col("ts"), lit(0.0), (acc, t) => acc + t)
+          / col("n_words"), 4).as("dsir_weight"))
+      .crossJoin(broadcast(base))
+      .withColumn("selected", col("dsir_weight") > col("baseline"))
+      .orderBy("doc_id")
+  }
+
+  val dDsirSql: String =
+    s"""WITH w AS (SELECT doc_id, lang, string_split($normSql, ' ') AS w FROM documents),
+       |feats AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5(word), 1, 8))::BIGINT % $DsirBuckets AS f,
+       |    count(*) AS n
+       |  FROM (SELECT doc_id, lang, unnest(w) AS word FROM w) u
+       |  GROUP BY 1, 2, 3),
+       |raw AS (SELECT f, sum(n) AS cr FROM feats GROUP BY 1),
+       |tgt AS (SELECT f, sum(n) AS ct FROM feats WHERE lang = '$DsirTargetLang' GROUP BY 1),
+       |tr AS (SELECT sum(cr) AS tr FROM raw),
+       |tt AS (SELECT sum(ct) AS tt FROM tgt),
+       |lr AS (
+       |  SELECT raw.f,
+       |    ln((coalesce(tgt.ct, 0) + 1) / (tt.tt + $DsirBuckets)) -
+       |    ln((raw.cr + 1) / (tr.tr + $DsirBuckets)) AS lr
+       |  FROM raw LEFT JOIN tgt USING (f) CROSS JOIN tr CROSS JOIN tt),
+       |terms AS (
+       |  SELECT feats.doc_id, feats.n, feats.n * lr.lr AS term
+       |  FROM feats JOIN lr USING (f)),
+       |g AS (
+       |  SELECT doc_id, sum(n)::BIGINT AS n_words, list(term ORDER BY term) AS ts
+       |  FROM terms GROUP BY doc_id),
+       |base AS (
+       |  SELECT ${stableRoundSql("list_reduce(list_prepend(0.0, list(bterm ORDER BY bterm)), (a, b) -> a + b)", 4)} AS baseline
+       |  FROM (SELECT (raw.cr / tr.tr) * lr.lr AS bterm
+       |        FROM lr JOIN raw USING (f) CROSS JOIN tr) b),
+       |s AS (
+       |  SELECT doc_id, n_words,
+       |    ${stableRoundSql("list_reduce(list_prepend(0.0, ts), (a, b) -> a + b) / n_words", 4)} AS dsir_weight
+       |  FROM g)
+       |SELECT doc_id, n_words, dsir_weight, baseline, dsir_weight > baseline AS selected
+       |FROM s CROSS JOIN base
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_sample" -> dSample,
+    "d_dsir" -> dDsir,
     "d_budget" -> dBudget,
     "d_shard" -> dShard,
     "d_reweight" -> dReweight,
@@ -524,6 +644,7 @@ object Curation {
 
   def oracles: Map[String, String] = Map(
     "d_sample" -> dSampleSql,
+    "d_dsir" -> dDsirSql,
     "d_budget" -> dBudgetSql,
     "d_shard" -> dShardSql,
     "d_reweight" -> dReweightSql,

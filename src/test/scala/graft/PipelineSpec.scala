@@ -849,4 +849,30 @@ class PipelineSpec extends SparkSpec {
     assert(flagged > 0 && flagged < n,
       s"BigramLpTau does not split the corpus: $flagged of $n flagged")
   }
+
+  test("dsir: target-domain docs score higher than off-domain on average") {
+    val df = Curation.dDsir(spark, sf)
+      .join(graft.core.Tables(spark, sf).documents.select("doc_id", "lang"), "doc_id")
+      .cache()
+    assert(df.count() > 0)
+    // The importance model is fit FOR the en slice; if en docs don't
+    // out-score the rest on average the log-ratio is wired backwards.
+    val means = df.groupBy(col("lang") === Curation.DsirTargetLang)
+      .agg(avg("dsir_weight").as("w"))
+      .as[(Boolean, Double)].collect().toMap
+    assert(means(true) > means(false),
+      s"en mean ${means(true)} !> rest mean ${means(false)}")
+    // selection must discriminate: en docs clear the corpus baseline
+    // at a higher rate than off-domain docs, and the cut is nontrivial
+    val rates = df.groupBy(col("lang") === Curation.DsirTargetLang)
+      .agg(avg(col("selected").cast("double")).as("r"))
+      .as[(Boolean, Double)].collect().toMap
+    assert(rates(true) > rates(false),
+      s"en selection rate ${rates(true)} !> rest ${rates(false)}")
+    val sel = df.filter(col("selected")).count()
+    assert(sel > 0 && sel < df.count(), s"baseline cut degenerate: $sel selected")
+    // flag is wired to the rounded weight vs the broadcast baseline
+    assert(df.filter(col("selected") =!=
+      (col("dsir_weight") > col("baseline"))).count() == 0)
+  }
 }
