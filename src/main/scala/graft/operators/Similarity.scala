@@ -226,6 +226,55 @@ object Similarity {
        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= $CosTau
        |ORDER BY id1, id2""".stripMargin
 
+  // ------------------------------------------------------ d_semdedup
+
+  /** d_semdedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    * semantic dedup scoped to pre-assigned clusters. The published
+    * pipeline k-means-clusters the corpus, then removes near-identical
+    * vectors WITHIN each cluster only — the cluster assignment is what
+    * turns an O(n²) corpus problem into Σ|cell|² ≈ n²/k cell-local
+    * work. Here the `label` column IS the cluster assignment (on a
+    * real corpus it comes from [[sAnnIvf]]'s trained cells — same
+    * shape, but `label` keeps the oracle SQL-expressible), and the
+    * keeper rule is the deterministic greedy SemDeDup keeps: a vector
+    * survives iff no SMALLER-id vector in its cluster sits within
+    * cosine [[CosTau]] ([[Dedup.dDedupExact]]'s min-id discipline).
+    *
+    * Distribution: ONE hash shuffle on the cluster key; pairs
+    * enumerate inside label-equi-join groups only (plan-asserted no
+    * BNLJ), so no all-pairs anything; the removed-id set is id-only
+    * and tiny, and the final flag join is a broadcast. At 10⁹ vectors
+    * with k ~ √n cells this is the standard semantic-dedup shape; a
+    * pathological giant cell would re-introduce |cell|² — the
+    * [[dDedupEmbeddingKernel]] block decomposition is the in-cell
+    * escape hatch documented for that case.
+    *
+    * Output: every vector with its keep decision — discrete columns
+    * only, so the threshold comparison is the single float decision
+    * (the [[dDedupEmbedding]] ids-only parity discipline). */
+  def dSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = withUnit(embSpread(spark, dir), "embedding", "u")
+      .select(col("vec_id"), col("label"), col("u"))
+    val a = e.select(col("vec_id").as("ida"), col("label").as("la"), col("u").as("ua"))
+    val b = e.select(col("vec_id").as("idb"), col("label").as("lb"), col("u").as("ub"))
+    val removed = a.join(b, col("la") === col("lb") && col("ida") < col("idb"))
+      .filter(dot(col("ua"), col("ub")) >= CosTau)
+      .select(col("idb").as("rm_id")).distinct()
+    e.join(broadcast(removed), col("vec_id") === col("rm_id"), "left")
+      .select(col("vec_id"), col("label"), col("rm_id").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
+  val dSemdedupSql: String =
+    s"""SELECT e.vec_id, e.label,
+       |  NOT EXISTS (
+       |    SELECT 1 FROM embeddings a
+       |    WHERE a.label = e.label AND a.vec_id < e.vec_id
+       |      AND list_cosine_similarity(a.embedding::DOUBLE[], e.embedding::DOUBLE[]) >= $CosTau
+       |  ) AS keep
+       |FROM embeddings e
+       |ORDER BY vec_id""".stripMargin
+
   /** Orders candidates best-first: higher score wins, ties break on
     * lower neighbor id — the engine-stable rank order used both by the
     * per-partition heaps and the global merge. */
@@ -913,6 +962,7 @@ object Similarity {
     "s_ann_ivfpq" -> sAnnIvfPq,
     "s_knn_graph" -> sKnnGraph,
     "d_decontaminate_emb" -> dDecontaminateEmb,
+    "d_semdedup" -> dSemdedup,
   )
 
   def oracles: Map[String, String] = Map(
@@ -921,5 +971,6 @@ object Similarity {
     "s_ann_sq8" -> sAnnSq8Sql,
     "s_knn_graph" -> sKnnGraphSql,
     "d_decontaminate_emb" -> dDecontaminateEmbSql,
+    "d_semdedup" -> dSemdedupSql,
   )
 }

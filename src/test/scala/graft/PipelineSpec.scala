@@ -875,4 +875,26 @@ class PipelineSpec extends SparkSpec {
     assert(df.filter(col("selected") =!=
       (col("dsir_weight") > col("baseline"))).count() == 0)
   }
+
+  test("semdedup keep set matches the greedy min-id rule, recomputed directly") {
+    val df = Similarity.dSemdedup(spark, sf).cache()
+    val n = df.count()
+    assert(n > 0)
+    val removed = df.filter(!col("keep")).count()
+    assert(removed > 0 && removed < n, s"degenerate keep cut: $removed/$n removed")
+    // direct recompute: within-label pairs over unit vectors
+    val e = Similarity.withUnit(graft.core.Tables(spark, sf).embeddings,
+      "embedding", "u")
+    val witnesses = e.select(col("vec_id").as("ida"), col("label").as("la"),
+        col("u").as("ua"))
+      .join(e.select(col("vec_id").as("idb"), col("label").as("lb"),
+        col("u").as("ub")),
+        col("la") === col("lb") && col("ida") < col("idb"))
+      .filter(Similarity.dot(col("ua"), col("ub")) >= Similarity.CosTau)
+      .select(col("idb").as("vec_id")).distinct()
+    val expectRemoved = witnesses.as[Long].collect().toSet
+    val gotRemoved = df.filter(!col("keep")).select("vec_id").as[Long].collect().toSet
+    assert(gotRemoved == expectRemoved,
+      s"keep set diverges: extra=${gotRemoved -- expectRemoved} missing=${expectRemoved -- gotRemoved}")
+  }
 }

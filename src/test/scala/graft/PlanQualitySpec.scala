@@ -440,6 +440,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Window"), "per-domain rank window missing")
   }
 
+  test("semdedup pairs only inside label cells — label equi-join, no all-pairs") {
+    val p = plan("d_semdedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"cell-scoped dedup degenerated to all-pairs:\n${p.take(2000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join on label:\n${p.take(2000)}")
+  }
+
   test("bm25 scores through word equi-joins; only the 1-row avgdl broadcasts") {
     val p = plan("t_bm25")
     assert(!p.contains("CartesianProduct"),
