@@ -140,18 +140,18 @@ object Embeddings {
     * At 100 TB: explode is narrow, the one wide exchange is linear in
     * values, partial state is O(labels·dims·Subs) ≪ corpus. Cell
     * growth lands in the per-partition stream, never in a row. */
-  def eCentroid(spark: SparkSession, dir: String): DataFrame = {
+  /** The hierarchical pinned fold's streaming stage, shared by
+    * [[eCentroid]] and [[eGram]]: values arrive as (k1, k2, sub, v),
+    * hash-shuffle once on the full key, sort within partitions, and
+    * each contiguous (k1, k2, sub) group folds to (n, partial-sum)
+    * without ever materializing a value list in a row. */
+  private def streamSubFold(spark: SparkSession, values: DataFrame,
+      k1: String, k2: String): DataFrame = {
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val e = Tables(spark, dir).embeddings
-    val exploded = e.select(col("label"),
-        pmod(col("vec_id"), lit(CentroidSubs.toLong)).cast("int").as("sub"),
-        posexplode(col("embedding")))
-      .select(col("label"), col("pos").as("dim"), col("sub"),
-        col("col").cast("double").as("v"))
-    val subsums = exploded
-      .repartition(parts, col("label"), col("dim"), col("sub"))
-      .sortWithinPartitions("label", "dim", "sub", "v")
+    values
+      .repartition(parts, col(k1), col(k2), col("sub"))
+      .sortWithinPartitions(col(k1), col(k2), col("sub"), col("v"))
       .as[(Int, Int, Int, Double)]
       .mapPartitions { rows =>
         // groups are contiguous after the sort; stream one fold each
@@ -160,8 +160,8 @@ object Embeddings {
         var n = 0L
         var s = 0.0
         def flush(): Unit = if (cur != null) out += ((cur._1, cur._2, cur._3, n, s))
-        rows.foreach { case (l, d, sub, v) =>
-          val k = (l, d, sub)
+        rows.foreach { case (a, b, sub, v) =>
+          val k = (a, b, sub)
           if (k != cur) { flush(); cur = k; n = 0L; s = 0.0 }
           n += 1L
           s += v
@@ -169,7 +169,18 @@ object Embeddings {
         flush()
         out.result().iterator
       }
-      .toDF("label", "dim", "sub", "n", "s")
+      .toDF(k1, k2, "sub", "n", "s")
+  }
+
+  def eCentroid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    val exploded = e.select(col("label"),
+        pmod(col("vec_id"), lit(CentroidSubs.toLong)).cast("int").as("sub"),
+        posexplode(col("embedding")))
+      .select(col("label"), col("pos").as("dim"), col("sub"),
+        col("col").cast("double").as("v"))
+    val subsums = streamSubFold(spark, exploded, "label", "dim")
     subsums.groupBy("label", "dim")
       .agg(sum("n").cast("long").as("n_vectors"),
         sort_array(collect_list(struct(col("sub"), col("s")))).as("ss"))
@@ -196,15 +207,95 @@ object Embeddings {
        |SELECT label, dim, total / n_vectors AS centroid, n_vectors
        |FROM cells ORDER BY label, dim""".stripMargin
 
+  // ---------------------------------------------------------- e_gram
+
+  /** Keep 1-in-4 vectors (salted md5) for the Gram sample — the
+    * train-on-sample discipline: PCA / whitening / OPQ rotations fit
+    * on a bounded sample, exactly like the PQ codebooks. */
+  val GramSampleMod = 4
+
+  /** e_gram — the exact Gram matrix Σ x·xᵀ over a deterministic
+    * md5-sampled subset, as (dim_i ≤ dim_j) scalar rows: the second
+    * moment every embedding-space rotation (PCA whitening, OPQ's
+    * R, low-rank compression) trains on. Mean-center downstream with
+    * [[eCentroid]]'s vectors if covariance proper is wanted — the
+    * uncentered moment is the storable, mergeable artifact.
+    *
+    * Cross-engine EXACT, not rounded: each product xᵢ·xⱼ is one
+    * correctly-rounded double op on float-exact inputs, and the sums
+    * run the [[eCentroid]] hierarchical pinned fold (per-sub streaming
+    * sorted fold, then sub-ordered combine) — bit-identical in DuckDB.
+    *
+    * Scale: the pair explode is d(d+1)/2 per sampled vector — linear
+    * in the sample with a d²/2 constant, then ONE hash exchange whose
+    * state is O(d²·Subs). The sample mod bounds total work the way
+    * the PQ/IVF trainers bound theirs; a full-corpus pass would swap
+    * the explode for per-partition outer-product accumulation
+    * (mapPartitions d×d locals) at the cost of the engine-mirrorable
+    * sum order — sampled-and-exact is the curation-pipeline tradeoff
+    * this operator pins. */
+  def eGram(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .filter(graft.functions.TextFunctions.md5_32(
+        concat(lit("grm:"), col("vec_id").cast("string"))) % GramSampleMod === 0)
+      .select(pmod(col("vec_id"), lit(CentroidSubs.toLong)).cast("int").as("sub"),
+        col("embedding"))
+    val xi = e.select(col("sub"), col("embedding"), posexplode(col("embedding")))
+      .select(col("sub"), col("embedding"), col("pos").as("di"),
+        col("col").cast("double").as("xi"))
+    val pairs = xi.select(col("sub"), col("di"), col("xi"),
+        posexplode(col("embedding")))
+      .filter(col("di") <= col("pos"))
+      .select(col("di"), col("pos").as("dj"), col("sub"),
+        (col("xi") * col("col").cast("double")).as("v"))
+    streamSubFold(spark, pairs, "di", "dj")
+      .groupBy("di", "dj")
+      .agg(sum("n").cast("long").as("n_vectors"),
+        sort_array(collect_list(struct(col("sub"), col("s")))).as("ss"))
+      .select(col("di").cast("long").as("dim_i"), col("dj").cast("long").as("dim_j"),
+        aggregate(col("ss"), lit(0.0), (acc, x) => acc + x.getField("s"))
+          .as("gram"),
+        col("n_vectors"))
+      .orderBy("dim_i", "dim_j")
+  }
+
+  val eGramSql: String =
+    s"""WITH smp AS (
+       |  SELECT vec_id % $CentroidSubs AS sub, embedding
+       |  FROM embeddings
+       |  WHERE ('0x' || substr(md5('grm:' || vec_id::VARCHAR), 1, 8))::BIGINT % $GramSampleMod = 0),
+       |x1 AS (
+       |  SELECT sub, embedding, generate_subscripts(embedding, 1) AS i,
+       |    unnest(embedding)::DOUBLE AS xi
+       |  FROM smp),
+       |v AS (
+       |  SELECT i - 1 AS di, j - 1 AS dj, sub, xi * xj AS v FROM (
+       |    SELECT sub, i, xi, generate_subscripts(embedding, 1) AS j,
+       |      unnest(embedding)::DOUBLE AS xj
+       |    FROM x1) t
+       |  WHERE i <= j),
+       |subs AS (
+       |  SELECT di, dj, sub, count(*) AS n,
+       |    list_reduce(list_prepend(0.0, list(v ORDER BY v)), (a, b) -> a + b) AS s
+       |  FROM v GROUP BY 1, 2, 3),
+       |cells AS (
+       |  SELECT di, dj, sum(n)::BIGINT AS n_vectors,
+       |    list_reduce(list_prepend(0.0, list(s ORDER BY sub)), (a, b) -> a + b) AS gram
+       |  FROM subs GROUP BY 1, 2)
+       |SELECT di AS dim_i, dj AS dim_j, gram, n_vectors
+       |FROM cells ORDER BY dim_i, dim_j""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_normalize" -> eNormalize,
     "e_quantize" -> eQuantize,
     "e_centroid" -> eCentroid,
+    "e_gram" -> eGram,
   )
 
   def oracles: Map[String, String] = Map(
     "e_normalize" -> eNormalizeSql,
     "e_quantize" -> eQuantizeSql,
     "e_centroid" -> eCentroidSql,
+    "e_gram" -> eGramSql,
   )
 }

@@ -876,6 +876,37 @@ class PipelineSpec extends SparkSpec {
       (col("dsir_weight") > col("baseline"))).count() == 0)
   }
 
+  test("e_gram matches a driver-side recompute and covers the upper triangle") {
+    import graft.operators.Embeddings
+    val g = Embeddings.eGram(spark, sf).cache()
+    val d = graft.core.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect()
+    val dim = d.head._2.length
+    assert(g.count() == dim.toLong * (dim + 1) / 2, "upper triangle incomplete")
+    // same sample predicate, tolerance-free structure checks + a
+    // tolerant value check (the driver fold's op order differs from
+    // this naive sum, so compare within float-accumulation slack)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sampled(id: Long): Boolean = {
+      val h = md.digest(s"grm:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16) % Embeddings.GramSampleMod == 0
+    }
+    val smp = d.filter { case (id, _) => sampled(id) }
+    assert(smp.nonEmpty && smp.length < d.length, "sample degenerate")
+    val got = g.select("dim_i", "dim_j", "gram", "n_vectors")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(got.forall(_._4 == smp.length), "n_vectors != sample size")
+    got.foreach { case (i, j, v, _) =>
+      val naive = smp.map { case (_, e) => e(i.toInt).toDouble * e(j.toInt) }.sum
+      assert(math.abs(naive - v) <= 1e-9 * math.max(1.0, math.abs(naive)),
+        s"gram($i,$j)=$v diverges from naive $naive")
+    }
+    // diagonal entries are sums of squares
+    assert(got.filter(t => t._1 == t._2).forall(_._3 >= 0.0))
+  }
+
   test("semdedup keep set matches the greedy min-id rule, recomputed directly") {
     val df = Similarity.dSemdedup(spark, sf).cache()
     val n = df.count()

@@ -440,6 +440,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Window"), "per-domain rank window missing")
   }
 
+  test("gram fold is joinless: explode, two keyed exchanges, nothing else") {
+    val p = plan("e_gram")
+    assert(!p.contains("Join"), s"gram grew a join:\n${p.take(1500)}")
+    val hashExchanges = p.linesIterator.count(_.contains("hashpartitioning("))
+    assert(hashExchanges <= 2,
+      s"gram shuffle budget exceeded ($hashExchanges):\n${p.take(2000)}")
+  }
+
   test("semdedup pairs only inside label cells — label equi-join, no all-pairs") {
     val p = plan("d_semdedup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
