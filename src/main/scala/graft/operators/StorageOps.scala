@@ -12,7 +12,7 @@ import graft.storage.{HashIndex, HilbertIndex, IndexedStore, RangeIndex, ZOrderI
   */
 object StorageOps {
 
-  private def scratch(name: String, dir: String): String = {
+  private[graft] def scratch(name: String, dir: String): String = {
     val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     // v-tag: bump when the on-disk store format changes so stale
     // scratch stores from an older layout can never serve a probe.
@@ -38,7 +38,7 @@ object StorageOps {
       "sc_index_secondary", "sc_index_covering", "sc_index_add",
       "sc_bloom_probe", "sc_zorder",
       "sc_hilbert", "sc_zorder3", "sc_compacted", "sc_time_travel",
-      "sc_gen_diff", "sc_bucketed_join")
+      "sc_gen_diff", "sc_bucketed_join", "sc_schema_evolution")
       .foreach(q => queries(q)(spark, dir).write.format("noop").mode("overwrite").save())
   }
 
@@ -209,6 +209,41 @@ object StorageOps {
     val c = spark.read.schema(d.schema).option("header", "true").csv(s"$base/csv")
     val o = spark.read.orc(s"$base/orc")
     j.intersect(c).intersect(o).orderBy("doc_id")
+  }
+
+  /** Schema evolution across store generations: a later batch carries
+    * a column the earlier batch predates, and a single merged read
+    * serves both — old rows surface NULL for the new column, exactly
+    * the add-a-column lifecycle a long-lived table lives through.
+    *
+    * Spark-native mechanics: the two generations are parquet
+    * partition directories (gen=1, gen=2) with different file
+    * schemas; `mergeSchema` unions them at read and partition
+    * discovery yields the generation provenance column for free.
+    * Generation-pruned probes (`WHERE gen = 2`) never open gen-1
+    * files. At production scale the merged schema would be pinned
+    * once in the store manifest (the IndexedStore discipline) rather
+    * than re-derived from footers on every read — footer merging is
+    * O(files); the mechanics of serving mixed-schema generations are
+    * identical. */
+  def scSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val path = scratch("schemaevo", dir)
+    val done = new java.io.File(path + "_done")
+    if (!done.exists()) {
+      val c = Tables(spark, dir).customer
+      c.filter(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$path/gen=1")
+      c.filter(col("c_custkey") % 2 === 1)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .write.mode("overwrite").parquet(s"$path/gen=2")
+      done.createNewFile()
+    }
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"), col("gen").cast("long").as("gen"))
+      .orderBy("c_custkey")
   }
 
   /** Two-dimensional range probe through the Z-order layout: one
@@ -417,6 +452,7 @@ object StorageOps {
     "sc_gen_diff" -> scGenDiff,
     "sc_source_roundtrip" -> scSourceRoundtrip,
     "sc_bucketed_join" -> scBucketedJoin,
+    "sc_schema_evolution" -> scSchemaEvolution,
   )
 
   def oracles: Map[String, String] = Map(
@@ -454,6 +490,13 @@ object StorageOps {
       """SELECT doc_id, lang, n_chars, md5(text) AS text_md5
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "sc_schema_evolution" ->
+      """SELECT c_custkey, c_name, c_acctbal, NULL::VARCHAR AS c_mktsegment, 1::BIGINT AS gen
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment, 2::BIGINT AS gen
+        |FROM customer WHERE c_custkey % 2 = 1
+        |ORDER BY c_custkey""".stripMargin,
     "sc_zorder" ->
       s"""SELECT __rowid, l_orderkey, l_linenumber, l_quantity, l_extendedprice
          |FROM (SELECT *, $liRowid FROM lineitem) t

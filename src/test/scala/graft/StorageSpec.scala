@@ -656,4 +656,27 @@ class StorageSpec extends SparkSpec {
     assert(!legacyStats.exists, "legacy root files never reclaimed")
     assert(IndexedStore.find(spark, path, Nil).count() == expected)
   }
+
+  test("schema-evolved store: gen probes prune files; old rows surface NULLs") {
+    import graft.operators.StorageOps
+    // first call builds the two-generation store in scratch
+    val merged = StorageOps.scSchemaEvolution(spark, sf).cache()
+    assert(merged.filter(col("gen") === 1 && col("c_mktsegment").isNotNull).count() == 0,
+      "pre-evolution rows must surface NULL for the added column")
+    assert(merged.filter(col("gen") === 2 && col("c_mktsegment").isNull).count() == 0,
+      "post-evolution rows lost the added column")
+    assert(merged.select("gen").distinct().count() == 2)
+    // a generation-bounded probe must prune at the partition level:
+    // only gen=2 files appear in the scan
+    val path = StorageOps.scratch("schemaevo", sf)
+    val probe = spark.read.option("mergeSchema", "true").parquet(path)
+      .filter(col("gen") === 2)
+    val scanned = probe.queryExecution.executedPlan.collectLeaves().flatMap {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.toPartitionArray.map(_.urlEncodedPath).toSeq
+      case _ => Nil
+    }
+    assert(scanned.nonEmpty && scanned.forall(_.contains("gen=2")),
+      s"gen probe read outside its generation: ${scanned.filterNot(_.contains("gen=2")).take(3)}")
+  }
 }
