@@ -35,6 +35,53 @@ object Analytics {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** q_incr_agg — incremental materialized-view maintenance: the
+    * historical partition's aggregate partials are materialized ONCE
+    * (the view), and each refresh aggregates only the delta slice and
+    * merges — algebraic aggregates (sum/count) compose, so the merged
+    * view is exactly the full-recompute result without rescanning
+    * history. The 100 TB payoff is the whole point: a daily refresh
+    * reads one day, not the table; the stored partials are
+    * group-key-sized, not data-sized.
+    *
+    * Delta = l_orderkey ≡ 3 (mod 4) stands in for "the new
+    * partition"; the history partials write to scratch on first call
+    * (the [[StorageOps]] writeOnce discipline) and every call after
+    * reads them back, aggregates the delta, and merges with one
+    * group-key-sized union+re-agg. Float parity follows [[q1Pricing]]:
+    * double sums under stableRound(2), counts exact. */
+  def qIncrAgg(spark: SparkSession, dir: String): DataFrame = {
+    val path = StorageOps.scratch("incragg", dir)
+    val done = new java.io.File(path + "_done")
+    val li = Tables(spark, dir).lineitem
+    val isDelta = pmod(col("l_orderkey"), lit(4L)) === 3L
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("p_qty"),
+          sum(col("l_extendedprice")).as("p_price"),
+          count(lit(1)).as("p_cnt"))
+    if (!done.exists()) {
+      partials(li.filter(!isDelta)).write.mode("overwrite").parquet(path)
+      done.createNewFile()
+    }
+    spark.read.parquet(path)
+      .unionByName(partials(li.filter(isDelta)))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(stableRound(sum(col("p_qty")), 2).as("sum_qty"),
+        stableRound(sum(col("p_price")), 2).as("sum_base_price"),
+        sum(col("p_cnt")).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val qIncrAggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty,
+      |  floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_base_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val q1PricingSql: String =
     """SELECT l_returnflag, l_linestatus,
       |  floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty,
@@ -532,6 +579,7 @@ object Analytics {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> q1Pricing,
+    "q_incr_agg" -> qIncrAgg,
     "q_quantiles" -> qQuantiles,
     "q_semi_join" -> qSemiJoin,
     "q_anti_join" -> qAntiJoin,
@@ -556,6 +604,7 @@ object Analytics {
 
   def oracles: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
+    "q_incr_agg" -> qIncrAggSql,
     "q_quantiles" -> qQuantilesSql,
     "q_semi_join" -> qSemiJoinSql,
     "q_anti_join" -> qAntiJoinSql,

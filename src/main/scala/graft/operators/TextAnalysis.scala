@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.Parity.stableRound
+import graft.functions.Parity.{stableRound, stableRoundSql}
 import graft.functions.TextFunctions._
 
 /** Text-analysis operators over the `documents` table: token
@@ -483,6 +483,55 @@ object TextAnalysis {
        |FROM s
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- readability
+
+  /** t_readability — Flesch Reading Ease per doc, from the classic
+    * deterministic proxies: words (normalized split), sentences
+    * (runs of [.!?], clamped ≥ 1 — headline-style fragments count as
+    * one), syllables (vowel-group runs per word, vowel-less words
+    * count 1 — the standard heuristic). FRE = 206.835 − 1.015·(W/S)
+    * − 84.6·(Syll/W). A quality-filter feature alongside
+    * [[tQuality]]'s ratios: readability-band cuts are a common
+    * curation rule on crawl text.
+    *
+    * Pure narrow map — three regex counts per row, no shuffle before
+    * the presentation sort. Float parity: all inputs are exact
+    * integers; the FRE chain is spelled with the identical op order
+    * in both engines (decimal literals promote to identical doubles)
+    * and [[stableRound]]ed.
+    *
+    * The synthetic corpus carries no sentence punctuation, so S
+    * clamps to 1 there — the sentence mechanics are pinned on
+    * punctuated in-test fixtures instead (ReadabilitySpec case in
+    * PipelineSpec). */
+  def tReadability(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsSpread(spark, dir)
+    val norm = normText(col("text"))
+    val w = split(norm, " ")
+    val nWords = size(w).cast("long")
+    val nSyll = (regexp_count(norm, lit("[aeiouy]+")) +
+      size(filter(w, x => not(x.rlike("[aeiouy]"))))).cast("long")
+    val nSent = greatest(lit(1L), regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+    d.select(col("doc_id"), nWords.as("n_words"), nSent.as("n_sentences"),
+        nSyll.as("n_syllables"),
+        stableRound(
+          lit(206.835) - (lit(1.015) * (nWords.cast("double") / nSent)) -
+            (lit(84.6) * (nSyll.cast("double") / nWords)), 4).as("fre"))
+      .orderBy("doc_id")
+  }
+
+  val tReadabilitySql: String =
+    s"""SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  ${stableRoundSql("206.835 - (1.015 * (n_words::DOUBLE / n_sentences)) - (84.6 * (n_syllables::DOUBLE / n_words))", 4)} AS fre
+       |FROM (
+       |  SELECT doc_id,
+       |    len(string_split(norm, ' '))::BIGINT AS n_words,
+       |    greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT AS n_sentences,
+       |    (len(regexp_extract_all(norm, '[aeiouy]+')) +
+       |     len(list_filter(string_split(norm, ' '), x -> NOT regexp_matches(x, '[aeiouy]'))))::BIGINT AS n_syllables
+       |  FROM (SELECT doc_id, text, $normSql AS norm FROM documents) t) g
+       |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------- collocations
 
   /** Min bigram support for a collocation candidate — integer-exact
@@ -702,6 +751,7 @@ object TextAnalysis {
     "t_collocations" -> tCollocations,
     "t_keywords" -> tKeywords,
     "t_bigram_lm" -> tBigramLm,
+    "t_readability" -> tReadability,
   )
 
   def oracles: Map[String, String] = Map(
@@ -717,5 +767,6 @@ object TextAnalysis {
     "t_collocations" -> tCollocationsSql,
     "t_keywords" -> tKeywordsSql,
     "t_bigram_lm" -> tBigramLmSql,
+    "t_readability" -> tReadabilitySql,
   )
 }

@@ -876,6 +876,49 @@ class PipelineSpec extends SparkSpec {
       (col("dsir_weight") > col("baseline"))).count() == 0)
   }
 
+  test("readability counts: sentences, vowel-group syllables, clamp — on punctuated fixtures") {
+    // the synthetic corpus has no sentence punctuation, so the
+    // sentence/syllable mechanics are pinned on a written fixture
+    val tmp = java.nio.file.Files.createTempDirectory("graft_read_").toString
+    Seq(
+      (0L, "The cat sat. The dog ran! Did it run?", "en", "web", 38L),
+      (1L, "programming is wonderful today.", "en", "web", 31L),
+      (2L, "qrst brr zz.", "und", "web", 12L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.tReadability(spark, tmp)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L)._2 == 9 && got(0L)._3 == 3 && got(0L)._4 == 9,
+      s"doc 0 counts: ${got(0L)}")
+    assert(got(1L)._2 == 4 && got(1L)._3 == 1 && got(1L)._4 == 9,
+      s"doc 1 counts: ${got(1L)}")
+    // vowel-less words count one syllable each; no punctuation→clamped
+    assert(got(2L)._2 == 3 && got(2L)._3 == 1 && got(2L)._4 == 3,
+      s"doc 2 counts: ${got(2L)}")
+    got.values.foreach { case (id, w, s, sy, fre) =>
+      val expect = math.floor(
+        (206.835 - (1.015 * (w.toDouble / s)) - (84.6 * (sy.toDouble / w))) * 1e4 + 0.5) / 1e4
+      assert(fre == expect, s"doc $id fre $fre != $expect")
+    }
+  }
+
+  test("incremental aggregate merge equals the full recompute") {
+    import graft.operators.Analytics
+    val merged = Analytics.qIncrAgg(spark, sf)
+    val li = graft.core.Tables(spark, sf).lineitem
+    val full = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(graft.functions.Parity.stableRound(sum(col("l_quantity")), 2).as("sum_qty"),
+        graft.functions.Parity.stableRound(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        count(lit(1)).as("count_order"))
+    assert(merged.count() == full.count())
+    assert(merged.except(full).count() == 0 && full.except(merged).count() == 0,
+      "view merge diverges from full recompute")
+    // refresh path: a second call reuses the materialized history
+    val again = Analytics.qIncrAgg(spark, sf)
+    assert(again.except(full).count() == 0)
+  }
+
   test("e_gram matches a driver-side recompute and covers the upper triangle") {
     import graft.operators.Embeddings
     val g = Embeddings.eGram(spark, sf).cache()
