@@ -186,6 +186,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] shortcut-store prepare failed: ${e.getMessage}")
       }
+    if (selected.exists(_._1 == "q_incr_agg"))
+      try graft.operators.Analytics.prepare(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] incr-agg prepare failed: ${e.getMessage}")
+      }
     val spill = new SpillListener
     spark.sparkContext.addSparkListener(spill)
     // 1-min system load at each query's start: per-query numbers swing

@@ -72,15 +72,13 @@ object Retrieval {
     // Σtf ≡ corpus token total; reading it off the cached tf frame
     // avoids re-running the tokenization (tLogprob's rationale).
     val avgdl = tf.agg((sum("tf") / lit(n)).as("avgdl"))
-    val kwWin = Window.partitionBy(col("qid"))
-      .orderBy(col("kw_score").desc, col("word"))
-    val qterms = tf.filter(col("doc_id") % Bm25QueryMod === 0)
-      .withColumnRenamed("doc_id", "qid")
-      .join(dfw, "word")
-      .withColumn("kw_score", stableRound(col("tf") * log(lit(n) / col("df")), 6))
-      .withColumn("kw_rk", row_number().over(kwWin))
-      .filter(col("kw_rk") <= Bm25QTerms)
-      .select(col("qid"), col("word"))
+    // query-term extraction = the shared TF-IDF keyword ranking
+    // (TextAnalysis.tfIdfRank — one copy of the scoring chain),
+    // restricted to the seed docs before ranking
+    val qterms = TextAnalysis.tfIdfRank(
+        tf.filter(col("doc_id") % Bm25QueryMod === 0), dfw, n)
+      .filter(col("rk") <= Bm25QTerms)
+      .select(col("doc_id").as("qid"), col("word"))
     val idf = log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val term = idf * (col("tf") * lit(2.2) /
       (col("tf") + lit(Bm25K1) * (lit(0.25) + lit(Bm25B) * (col("dl") / col("avgdl")))))

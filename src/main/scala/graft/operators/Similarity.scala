@@ -243,7 +243,8 @@ object Similarity {
     * Distribution: ONE hash shuffle on the cluster key; pairs
     * enumerate inside label-equi-join groups only (plan-asserted no
     * BNLJ), so no all-pairs anything; the removed-id set is id-only
-    * and tiny, and the final flag join is a broadcast. At 10⁹ vectors
+    * (a corpus fraction — the flag join is a key equi-join Catalyst
+    * sizes itself, broadcast at small scale). At 10⁹ vectors
     * with k ~ √n cells this is the standard semantic-dedup shape; a
     * pathological giant cell would re-introduce |cell|² — the
     * [[dDedupEmbeddingKernel]] block decomposition is the in-cell
@@ -260,7 +261,11 @@ object Similarity {
     val removed = a.join(b, col("la") === col("lb") && col("ida") < col("idb"))
       .filter(dot(col("ua"), col("ub")) >= CosTau)
       .select(col("idb").as("rm_id")).distinct()
-    e.join(broadcast(removed), col("vec_id") === col("rm_id"), "left")
+    // no broadcast hint: SemDeDup removes a corpus FRACTION (20-50%
+    // in the published runs), so the removed set is O(n) — let
+    // Catalyst pick broadcast at bench scale and a shuffled join at
+    // corpus scale rather than bake in a driver-sized collect.
+    e.join(removed, col("vec_id") === col("rm_id"), "left")
       .select(col("vec_id"), col("label"), col("rm_id").isNull.as("keep"))
       .orderBy("vec_id")
   }

@@ -20,6 +20,21 @@ object StorageOps {
     new java.io.File(sys.props("java.io.tmpdir"), s"graft_store_v3_${name}_$sfTag").getPath
   }
 
+  /** Run `build` once per scratch path, guarded by a `_done` marker
+    * written only AFTER the whole build — for multi-commit builds
+    * where "a store exists" is NOT "the build is done" (a crash
+    * mid-sequence leaves a complete-looking store that would serve
+    * partial state forever; [[writeOnce]]'s manifest test cannot tell
+    * the difference). Rebuilding on top of any partial state must
+    * converge — every call site's build sequence is idempotent. */
+  private[graft] def buildOnce(path: String)(build: => Unit): Unit = {
+    val done = new java.io.File(path + "_done")
+    if (!done.exists()) {
+      build
+      done.createNewFile(): Unit
+    }
+  }
+
   /** Run `build` only when `path` has no complete store yet
     * (manifest pointer committed, or a legacy root sidecar — the
     * LAST artifact a store write produces; a crashed partial write is
@@ -229,8 +244,7 @@ object StorageOps {
   def scSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val path = scratch("schemaevo", dir)
-    val done = new java.io.File(path + "_done")
-    if (!done.exists()) {
+    buildOnce(path) {
       val c = Tables(spark, dir).customer
       c.filter(col("c_custkey") % 2 === 0)
         .select("c_custkey", "c_name", "c_acctbal")
@@ -238,7 +252,6 @@ object StorageOps {
       c.filter(col("c_custkey") % 2 === 1)
         .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
         .write.mode("overwrite").parquet(s"$path/gen=2")
-      done.createNewFile()
     }
     spark.read.option("mergeSchema", "true").parquet(path)
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
@@ -291,19 +304,13 @@ object StorageOps {
     * under the driver's DuckDB gate, not just under specs. */
   def scCompacted(spark: SparkSession, dir: String): DataFrame = {
     val path = scratch("compacted", dir)
-    // Three-commit build, so "a store exists" is NOT "the build is
-    // done": a crash after the first write leaves a complete-looking
-    // store that would serve the un-deleted BUILDING rows forever.
-    // Same build-complete marker discipline as timeTravelStore —
-    // rebuilding on any partial state converges (a fresh write commits
-    // a full generation; delete + compact then apply to it).
-    val done = new java.io.File(path + "_done")
-    if (!done.exists()) {
+    // Three-commit build ([[buildOnce]] rationale): a fresh write
+    // commits a full generation; delete + compact then apply to it.
+    buildOnce(path) {
       val store = Store.fromData(Tables(spark, dir).customer, Seq("c_custkey"))
       IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
       IndexedStore.delete(spark, path, Seq(Condition.eq("c_mktsegment", "BUILDING")))
       IndexedStore.compact(spark, path)
-      done.createNewFile()
     }
     IndexedStore.find(spark, path, Seq(
         Condition("c_acctbal",
@@ -357,14 +364,12 @@ object StorageOps {
   private def timeTravelStore(spark: SparkSession, dir: String): String = {
     import org.apache.spark.sql.functions.col
     val path = scratch("timetravel", dir)
-    val done = new java.io.File(path + "_done")
-    if (!done.exists()) {
+    buildOnce(path) {
       val store = Store.fromData(Tables(spark, dir).customer, Seq("c_custkey"))
       IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
       IndexedStore.write(
         store.data.filter(col("c_mktsegment") =!= "BUILDING"),
         path, HashIndex("c_mktsegment", 8))
-      done.createNewFile()
     }
     path
   }

@@ -631,6 +631,21 @@ object TextAnalysis {
     * shuffle, never corpus×vocab) and joins back on word; the top-k
     * window partitions by doc_id, bounded by per-document vocabulary.
     * N is one count() over parquet footers — no data scan. */
+  /** Per-doc TF-IDF keyword ranking — the ONE copy of the scoring
+    * chain (score = stableRound(tf·ln(N/df), 6), rank = score desc
+    * with word tie-break): [[tKeywords]] reports it and
+    * [[Retrieval.tBm25]] extracts query terms with it, so the two
+    * operators (and their oracle mirrors) cannot drift apart. Input
+    * `tf` must carry (doc_id, word, tf); `dfw` carries (word, df). */
+  private[operators] def tfIdfRank(tf: DataFrame, dfw: DataFrame,
+      n: Double): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word"))
+    tf.join(dfw, "word")
+      .withColumn("score", stableRound(col("tf") * log(lit(n) / col("df")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+  }
+
   def tKeywords(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables(spark, dir).documents.count().toDouble
     val tf = docsSpread(spark, dir)
@@ -638,11 +653,7 @@ object TextAnalysis {
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
       .cache()
     val dfw = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("word"))
-    tf.join(dfw, "word")
-      .withColumn("score", stableRound(col("tf") * log(lit(n) / col("df")), 6))
-      .withColumn("rk", row_number().over(w).cast("long"))
+    tfIdfRank(tf, dfw, n)
       .filter(col("rk") <= KeywordTopK)
       .select(col("doc_id"), col("rk"), col("word"), col("score"))
       .orderBy(col("doc_id"), col("rk"))
