@@ -60,8 +60,20 @@ object Retrieval {
   val Bm25TopK = 10
 
   /** t_bm25 — top-k BM25 retrieval for each seed query, excluding the
-    * seed itself. Output: (qid, rk, doc_id, score). */
+    * seed itself. Output: (qid, rk, doc_id, score).
+    *
+    * Stage economy (measured: each broadcast build and exchange is a
+    * fixed-cost job at small scale, and they dominated the first cut):
+    * the query-term table CARRIES its df out of the keyword ranking so
+    * the candidate stream joins dfw zero extra times; avgdl — one
+    * exact double — is read off the cached tf frame as a driver
+    * scalar (the documents.count() discipline) instead of a 1-row
+    * broadcast join; and ONE hash repartition on qid feeds both the
+    * (qid, doc) score aggregation and the rank window (hash(qid)
+    * satisfies the agg's (qid, doc) clustering), so the tail is
+    * exchange-free until the presentation sort. */
   def tBm25(spark: SparkSession, dir: String): DataFrame = {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val n = Tables(spark, dir).documents.count().toDouble
     val tf = TextAnalysis.docsSpread(spark, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
@@ -70,26 +82,31 @@ object Retrieval {
     val dfw = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     // Σtf ≡ corpus token total; reading it off the cached tf frame
-    // avoids re-running the tokenization (tLogprob's rationale).
-    val avgdl = tf.agg((sum("tf") / lit(n)).as("avgdl"))
+    // avoids re-running the tokenization (tLogprob's rationale). The
+    // division is the same long-sum / double-count op the oracle runs.
+    val avgdlV = tf.agg((sum("tf") / lit(n)).as("avgdl")).head().getDouble(0)
     // query-term extraction = the shared TF-IDF keyword ranking
     // (TextAnalysis.tfIdfRank — one copy of the scoring chain),
-    // restricted to the seed docs before ranking
+    // restricted to the seed docs before ranking; df rides along for
+    // the idf computation downstream
     val qterms = TextAnalysis.tfIdfRank(
         tf.filter(col("doc_id") % Bm25QueryMod === 0), dfw, n)
       .filter(col("rk") <= Bm25QTerms)
-      .select(col("doc_id").as("qid"), col("word"))
+      .select(col("doc_id").as("qid"), col("word"), col("df"))
     val idf = log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val term = idf * (col("tf") * lit(2.2) /
-      (col("tf") + lit(Bm25K1) * (lit(0.25) + lit(Bm25B) * (col("dl") / col("avgdl")))))
+      (col("tf") + lit(Bm25K1) * (lit(0.25) + lit(Bm25B) * (col("dl") / lit(avgdlV)))))
     val rkWin = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("doc_id"))
+    // no broadcast hint on qterms: the mod-derived seed set grows
+    // with the corpus (a stand-in for a real bounded query set), so
+    // Catalyst/AQE picks broadcast from actual size — it does at
+    // every bench sf — without baking the assumption in
     qterms.join(tf, "word")
       .filter(col("doc_id") =!= col("qid"))
-      .join(dfw, "word")
       .join(dl, "doc_id")
-      .crossJoin(broadcast(avgdl))
       .select(col("qid"), col("doc_id"), term.as("term"))
+      .repartition(parts, col("qid"))
       .groupBy("qid", "doc_id")
       .agg(sort_array(collect_list(col("term"))).as("ts"))
       .select(col("qid"), col("doc_id"),

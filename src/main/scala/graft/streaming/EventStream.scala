@@ -299,8 +299,80 @@ object EventStream {
        |ORDER BY user_id, session_start_us""".stripMargin
   }
 
+  /** Input/state/output records for the stateful funnel. Long.MaxValue
+    * is the "stage not reached" sentinel in state. */
+  final case class FEv(user_id: Long, event_type: String, ts_ns: Long)
+  final case class FunnelProgress(v: Long, c: Long, done: Boolean)
+  final case class FunnelOut(user_id: Long, view_us: Long, click_us: Long,
+      purchase_us: Long)
+
+  /** st_funnel — streaming conversion detection: per user, the
+    * earliest view → earliest click at-or-after it → earliest
+    * purchase at-or-after that ([[graft.operators.Events]] funnel
+    * semantics, `>=` stage bounds); the moment the chain completes, a
+    * conversion row emits and the user's state flips done (exactly
+    * one row per converting user — the real-time "fire on
+    * conversion" trigger a batch funnel can't give you). State per
+    * user is two longs + a flag, regardless of event volume.
+    *
+    * Deterministic vs the batch oracle when each user's events arrive
+    * within one micro-batch (this harness's file source) or in
+    * event-time order; out-of-order arrival across batches would need
+    * the production variant — a watermark + event-time timeout
+    * finalizing each user — because a later-arriving earlier view
+    * can't retract an emitted conversion. Same caveat class as
+    * [[stSessionize]]'s per-batch sort. */
+  def stFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ds = eventStream(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"))
+      .as[(Long, String, Long)]
+    val out = ds.map(t => FEv(t._1, t._2, t._3))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[FEv], state: GroupState[FunnelProgress]) =>
+          val evs = events.toSeq
+          val st = state.getOption
+            .getOrElse(FunnelProgress(Long.MaxValue, Long.MaxValue, done = false))
+          def minOf(cur: Long, ts: Iterator[Long]): Long = ts.foldLeft(cur)(math.min)
+          // stage minima are SET-wise over state + batch (not a
+          // positional fold): an equal-ts click sorting before its
+          // view must still qualify under the >= bound
+          val v = minOf(st.v,
+            evs.iterator.filter(_.event_type == "view").map(_.ts_ns))
+          val c = minOf(st.c, evs.iterator
+            .filter(e => e.event_type == "click" && e.ts_ns >= v).map(_.ts_ns))
+          val p = minOf(Long.MaxValue, evs.iterator
+            .filter(e => e.event_type == "purchase" && e.ts_ns >= c).map(_.ts_ns))
+          val hit = !st.done && p != Long.MaxValue
+          state.update(FunnelProgress(v, c, st.done || hit))
+          if (hit) Iterator(FunnelOut(uid, v / 1000L, c / 1000L, p / 1000L))
+          else Iterator.empty
+      }
+    runToTable(out.toDF(), "append")
+      .orderBy("user_id")
+  }
+
+  val stFunnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
+      |v AS (SELECT user_id, min(ts_ns) AS v_ns FROM e
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts_ns) AS c_ns FROM e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts_ns >= v.v_ns GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts_ns) AS p_ns FROM e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts_ns >= c.c_ns GROUP BY 1)
+      |SELECT v.user_id AS user_id, v.v_ns // 1000 AS view_us,
+      |  c.c_ns // 1000 AS click_us, p.p_ns // 1000 AS purchase_us
+      |FROM v JOIN c ON v.user_id = c.user_id JOIN p ON c.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_window_agg" -> stWindowAgg,
+    "st_funnel" -> stFunnel,
     "st_stream_dedup" -> stStreamDedup,
     "st_stream_join" -> stStreamJoin,
     "st_sessionize" -> stSessionize,
@@ -309,6 +381,7 @@ object EventStream {
 
   def oracles: Map[String, String] = Map(
     "st_window_agg" -> stWindowAggSql,
+    "st_funnel" -> stFunnelSql,
     "st_stream_dedup" -> stStreamDedupSql,
     "st_stream_join" -> stStreamJoinSql,
     "st_sessionize" -> stSessionizeSql,

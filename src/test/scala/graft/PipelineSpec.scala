@@ -919,6 +919,17 @@ class PipelineSpec extends SparkSpec {
     assert(again.except(full).count() == 0)
   }
 
+  test("streaming funnel: one conversion per completing user, stages in order") {
+    val df = graft.streaming.EventStream.stFunnel(spark, sf).cache()
+    val n = df.count()
+    assert(n > 0, "no conversions detected")
+    assert(df.select("user_id").distinct().count() == n,
+      "a user emitted more than one conversion row")
+    assert(df.filter(col("view_us") > col("click_us") ||
+      col("click_us") > col("purchase_us")).count() == 0,
+      "stage timestamps out of order")
+  }
+
   test("e_gram matches a driver-side recompute and covers the upper triangle") {
     import graft.operators.Embeddings
     val g = Embeddings.eGram(spark, sf).cache()
