@@ -206,11 +206,74 @@ object Multimodal {
        |        FROM documents) w) t
        |ORDER BY doc_id""".stripMargin
 
+  /** Negative-sample offset for [[mCaptionPair]] — a fixed stride far
+    * from 0 so the negative is never the positive (stride < corpus
+    * size at every sf) yet fully deterministic. */
+  val NegStride = 173L
+
+  /** m_caption_pair — contrastive (caption, positive, negative)
+    * training-pair construction, the CLIP-style multimodal batch
+    * builder: each document's caption pairs with its aligned
+    * embedding (the "image" side of the synthetic corpus) and a
+    * deterministic stride-offset negative, scored with the cosine
+    * between positive and negative — the hardness signal curriculum /
+    * hard-negative schedulers sort on.
+    *
+    * Scale shape: two EQUI-joins on the id key (co-partitioned under
+    * an id-bucketed layout — zero extra shuffle; otherwise one hash
+    * exchange each), and the negative is ARITHMETIC (id + stride mod
+    * n) — no sampling shuffle, no RNG. In production the stride
+    * negative is the cheap tier; mined hard negatives come from the
+    * ANN tiers ([[graft.operators.Similarity]]) feeding the same
+    * (doc, pos, neg) schema. Cosine parity: both dots fold
+    * ascending-dim from 0.0 ([[graft.functions.expr.VectorExpressions]]
+    * DotProduct ≡ list_reduce), sqrt//·/ are correctly-rounded IEEE —
+    * bit-identical, no rounding step. */
+  def mCaptionPair(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity.dot
+    val t = Tables(spark, dir)
+    val n = t.embeddings.count()
+    val docs = t.documents.select(col("doc_id"), md5(col("text")).as("caption_md5"))
+    val pos = t.embeddings.select(col("vec_id").as("pos_vec_id"),
+      col("embedding").as("pos_emb"))
+    val neg = t.embeddings.select(col("vec_id").as("neg_vec_id"),
+      col("embedding").as("neg_emb"))
+    docs.join(pos, col("doc_id") === col("pos_vec_id"))
+      .withColumn("neg_vec_id", pmod(col("doc_id") + lit(NegStride), lit(n)))
+      .join(neg, "neg_vec_id")
+      .select(col("doc_id"), col("caption_md5"), col("pos_vec_id"),
+        col("neg_vec_id"),
+        (dot(col("pos_emb"), col("neg_emb")) /
+          (sqrt(dot(col("pos_emb"), col("pos_emb"))) *
+            sqrt(dot(col("neg_emb"), col("neg_emb"))))).as("hardness"))
+      .orderBy("doc_id")
+  }
+
+  val mCaptionPairSql: String = {
+    def dotSql(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), " +
+        s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"
+    s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+       |d AS (SELECT doc_id, md5(text) AS caption_md5 FROM documents),
+       |p AS (
+       |  SELECT d.doc_id, d.caption_md5, e.vec_id AS pos_vec_id,
+       |    e.embedding AS pe,
+       |    (d.doc_id + $NegStride) % (SELECT n FROM nn) AS neg_vec_id
+       |  FROM d JOIN embeddings e ON e.vec_id = d.doc_id)
+       |SELECT p.doc_id, p.caption_md5, p.pos_vec_id, p.neg_vec_id,
+       |  ${dotSql("pe", "ne")} /
+       |    (sqrt(${dotSql("pe", "pe")}) * sqrt(${dotSql("ne", "ne")})) AS hardness
+       |FROM (SELECT p.*, e2.embedding AS ne
+       |      FROM p JOIN embeddings e2 ON e2.vec_id = p.neg_vec_id) p
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_binary_meta" -> mBinaryMeta,
     "m_frame_sample" -> mFrameSample,
     "m_resize" -> mResize,
     "m_shard_pack" -> mShardPack,
+    "m_caption_pair" -> mCaptionPair,
   )
 
   def oracles: Map[String, String] = Map(
@@ -218,5 +281,6 @@ object Multimodal {
     "m_frame_sample" -> mFrameSampleSql,
     "m_resize" -> mResizeSql,
     "m_shard_pack" -> mShardPackSql,
+    "m_caption_pair" -> mCaptionPairSql,
   )
 }

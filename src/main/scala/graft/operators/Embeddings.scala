@@ -285,11 +285,182 @@ object Embeddings {
        |SELECT di AS dim_i, dj AS dim_j, gram, n_vectors
        |FROM cells ORDER BY dim_i, dim_j""".stripMargin
 
+  // ------------------------------------------------------ e_rproject
+
+  /** Johnson–Lindenstrauss target dimension. */
+  val RProjDims = 16
+
+  /** The ±1 Rademacher sign for (component r, input dim d): first hex
+    * char of md5("rp:r:d") in 0-7 → +1, else −1. MD5 is the same
+    * function everywhere, so the Scala-side literal matrix and the
+    * oracle's SQL recomputation agree exactly. */
+  def rpSign(r: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$r:$d".getBytes("UTF-8"))
+    if (((hex(0) >> 4) & 0xf) <= 7) 1.0 else -1.0
+  }
+
+  /** e_rproject — sparse-free JL random projection to [[RProjDims]]
+    * components: coord_r = (Σ_d x_d · s(r,d)) / sqrt(R) with a
+    * deterministic Rademacher sign matrix. The distance-preserving
+    * cheap dimensionality cut a pipeline runs before LSH/ANN tiers
+    * when no trained rotation is available (the trained counterpart
+    * is [[eGram]] → [[ePca]]).
+    *
+    * Scale shape: the sign matrix is a LITERAL in the plan (R·d
+    * doubles — zero bytes shuffled, nothing broadcast at runtime),
+    * each vector maps narrowly to its R coordinates via per-component
+    * zip_with folds, and the explode to scalar rows is narrow too —
+    * the only exchange is the presentation sort. Cross-engine EXACT:
+    * x·(±1) is sign-flip (precision-free), the fold runs ascending-d
+    * from 0.0 in both engines, /sqrt(R) is one correctly-rounded op.
+    */
+  def eRproject(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val d = e.select(size(col("embedding"))).head().getInt(0)
+    val comps = (0 until RProjDims).map { r =>
+      val signs = array((0 until d).map(i => lit(rpSign(r, i))): _*)
+      struct(lit(r.toLong).as("comp"),
+        (aggregate(
+          zip_with(col("embedding"), signs, (x, s) => x.cast("double") * s),
+          lit(0.0), (a, t) => a + t) / sqrt(lit(RProjDims.toDouble))).as("coord"))
+    }
+    e.select(col("vec_id"), explode(array(comps: _*)).as("c"))
+      .select(col("vec_id"), col("c.comp").as("comp"), col("c.coord").as("coord"))
+      .orderBy("vec_id", "comp")
+  }
+
+  val eRprojectSql: String =
+    s"""WITH sgn AS (
+       |  SELECT r, list_transform(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1)),
+       |    d -> CASE WHEN substr(md5('rp:' || r::VARCHAR || ':' || d::VARCHAR), 1, 1)
+       |              IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END) AS s
+       |  FROM (SELECT unnest(range(0, $RProjDims)) AS r))
+       |SELECT vec_id, r AS comp,
+       |  list_reduce(list_prepend(0.0,
+       |    list_transform(range(1, len(embedding) + 1),
+       |      i -> embedding[i]::DOUBLE * s[i])),
+       |    (a, b) -> a + b) / sqrt($RProjDims.0) AS coord
+       |FROM embeddings CROSS JOIN sgn
+       |ORDER BY vec_id, comp""".stripMargin
+
+  // ----------------------------------------------------------- e_pca
+
+  /** Principal components kept. */
+  val PcaComps = 8
+
+  /** Jacobi sweep convergence threshold on the largest off-diagonal
+    * |a_ij| relative to the matrix's max |diagonal|. */
+  val PcaTol = 1e-12
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric d×d matrix —
+    * deterministic (fixed sweep order, pure float ops, no RNG), so
+    * e_pca is reproducible bit-for-bit across runs. Returns
+    * (eigenvalues, eigenvectors as columns), unsorted. Driver-side by
+    * design: d×d for embedding dims is a few thousand doubles — the
+    * bounded-collect class (IVF centroids, PQ codebooks), NOT a
+    * corpus-sized pull. */
+  def jacobiEig(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val scale = math.max(a0.indices.map(i => math.abs(a0(i)(i))).max, 1e-300)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > PcaTol * scale && sweep < 64) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > off) off = math.abs(apq)
+          if (apq != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0
+              case s => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** e_pca — top-[[PcaComps]] principal directions of the exact
+    * sampled second moment [[eGram]] computes: the trained rotation
+    * (PCA whitening / OPQ-style R / low-rank compression) that Gram
+    * matrix exists to produce. Output: (comp, dim, loading, eigval,
+    * var_ratio) scalar rows, eigenvalues descending, sign pinned
+    * (each eigenvector's largest-|loading| dim — first on ties —
+    * made positive).
+    *
+    * Distribution: the heavy work IS [[eGram]] (one corpus-sample
+    * pass, one keyed exchange); the eigensolve runs on the driver
+    * over d² doubles — bounded state, the train-on-sample discipline.
+    * Rows-only at the gate BY DESIGN: no SQL engine exposes an
+    * eigensolver, so cross-checking moves to PcaSpec, which pins
+    * orthonormality, the eigen residual ‖Gv − λv‖, the descending
+    * order, the sign convention, and run-to-run determinism (the
+    * [[Similarity]] ANN recall-bound precedent for non-SQL oracles).
+    */
+  def ePca(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gram = eGram(spark, dir)
+      .select("dim_i", "dim_j", "gram").collect()
+    val d = gram.map(_.getLong(0)).max.toInt + 1
+    val m = Array.ofDim[Double](d, d)
+    gram.foreach { r =>
+      val (i, j, g) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+      m(i)(j) = g
+      m(j)(i) = g
+    }
+    val (vals, vecs) = jacobiEig(m)
+    val total = vals.sum
+    val order = vals.indices.sortBy(i => (-vals(i), i)).take(PcaComps)
+    val rows = order.zipWithIndex.flatMap { case (ei, comp) =>
+      val raw = Array.tabulate(d)(dim => vecs(dim)(ei))
+      // sign convention: the largest-|loading| dim (ties → first) positive
+      val pivot = raw.indices.maxBy(i => (math.abs(raw(i)), -i))
+      val sgn = if (raw(pivot) < 0.0) -1.0 else 1.0
+      raw.indices.map(dim => (comp.toLong, dim.toLong, sgn * raw(dim),
+        vals(ei), vals(ei) / total))
+    }
+    spark.createDataset(rows)
+      .toDF("comp", "dim", "loading", "eigval", "var_ratio")
+      .orderBy("comp", "dim")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_normalize" -> eNormalize,
     "e_quantize" -> eQuantize,
     "e_centroid" -> eCentroid,
     "e_gram" -> eGram,
+    "e_rproject" -> eRproject,
+    "e_pca" -> ePca,
   )
 
   def oracles: Map[String, String] = Map(
@@ -297,5 +468,8 @@ object Embeddings {
     "e_quantize" -> eQuantizeSql,
     "e_centroid" -> eCentroidSql,
     "e_gram" -> eGramSql,
+    "e_rproject" -> eRprojectSql,
+    // e_pca: no SQL eigensolver exists — rows-only at the gate;
+    // PcaSpec carries the correctness burden (see ePca scaladoc).
   )
 }

@@ -158,13 +158,81 @@ object WebCuration {
        |FROM r WHERE rank_in_domain <= $DomainCap
        |ORDER BY reg_domain, rank_in_domain""".stripMargin
 
+  /** Blocklist rules — the two shapes real URL blocklists (UT1 and
+    * its descendants in RefinedWeb/FineWeb-style curation) carry:
+    * exact registered domains and TLD wildcards. Literal here; in
+    * production a table of millions of rows that still BROADCASTS
+    * (tens of MB) — or, past broadcast size, becomes a bloom-filter
+    * pushdown on the probe side plus one small-side shuffle join. */
+  val BlockedDomains: Seq[String] = Seq("src3.net", "src7.com", "src11.org", "src15.io")
+  val BlockedTlds: Seq[String] = Seq("io")
+
+  /** d_blocklist — URL blocklist filtering: every document scored
+    * against the domain/TLD blocklist, emitting the verdict and the
+    * matching rule (exact-domain match wins over the TLD wildcard,
+    * mirroring blocklist tooling precedence). Two broadcast left
+    * joins against rule tables — the corpus side stays narrow (no
+    * corpus shuffle at any scale); the presentation sort is the only
+    * exchange. Verdict column kept (rather than filtering) so the
+    * gate checks both classes; `.filter(!blocked)` is the production
+    * tail. */
+  def dBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = withUrl(Tables(spark, dir).documents.select(col("doc_id"), col("source")))
+    val host = parse_url(col("url"), lit("HOST"))
+    val parsed = d.select(
+      col("doc_id"),
+      regexp_replace(host, "^www\\.", "").as("reg_domain"))
+      .withColumn("tld", substring_index(col("reg_domain"), ".", -1))
+    val domRules = BlockedDomains.toDF("b_domain")
+    val tldRules = BlockedTlds.toDF("b_tld")
+    parsed
+      .join(broadcast(domRules), col("reg_domain") === col("b_domain"), "left")
+      .join(broadcast(tldRules), col("tld") === col("b_tld"), "left")
+      .select(
+        col("doc_id"), col("reg_domain"), col("tld"),
+        (col("b_domain").isNotNull || col("b_tld").isNotNull).as("blocked"),
+        when(col("b_domain").isNotNull, concat(lit("domain:"), col("b_domain")))
+          .when(col("b_tld").isNotNull, concat(lit("tld:"), col("b_tld")))
+          .otherwise(lit(null).cast("string")).as("rule"))
+      .orderBy("doc_id")
+  }
+
+  val dBlocklistSql: String = {
+    val doms = BlockedDomains.map(d => s"('$d')").mkString(", ")
+    val tlds = BlockedTlds.map(t => s"('$t')").mkString(", ")
+    s"""WITH u AS ($withUrlSql),
+       |p AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_extract(url, '^https://([^/?#]+)', 1),
+       |                   '^www\\.', '') AS reg_domain
+       |  FROM u),
+       |pt AS (
+       |  SELECT doc_id, reg_domain,
+       |    regexp_extract(reg_domain, '([^.]+)$$', 1) AS tld
+       |  FROM p),
+       |bd(b_domain) AS (VALUES $doms),
+       |bt(b_tld) AS (VALUES $tlds)
+       |SELECT pt.doc_id, pt.reg_domain, pt.tld,
+       |  (bd.b_domain IS NOT NULL OR bt.b_tld IS NOT NULL) AS blocked,
+       |  CASE WHEN bd.b_domain IS NOT NULL THEN 'domain:' || bd.b_domain
+       |       WHEN bt.b_tld IS NOT NULL THEN 'tld:' || bt.b_tld
+       |       ELSE NULL END AS rule
+       |FROM pt
+       |LEFT JOIN bd ON pt.reg_domain = bd.b_domain
+       |LEFT JOIN bt ON pt.tld = bt.b_tld
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_url_extract" -> tUrlExtract,
     "d_domain_budget" -> dDomainBudget,
+    "d_blocklist" -> dBlocklist,
   )
 
   def oracles: Map[String, String] = Map(
     "t_url_extract" -> tUrlExtractSql,
     "d_domain_budget" -> dDomainBudgetSql,
+    "d_blocklist" -> dBlocklistSql,
   )
 }

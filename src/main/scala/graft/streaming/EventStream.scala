@@ -370,9 +370,118 @@ object EventStream {
       |FROM v JOIN c ON v.user_id = c.user_id JOIN p ON c.user_id = p.user_id
       |ORDER BY v.user_id""".stripMargin
 
+  /** Warm-up: buckets scored only once this many PRIOR closed buckets
+    * exist for the key. */
+  val AnomalyMinBaseline = 3L
+
+  /** Squared z threshold (τ² = 4 ⇒ 2σ). Kept squared so the anomaly
+    * decision is INTEGER arithmetic end to end. */
+  val AnomalyTauSq = 4L
+
+  /** Input/state/output records for the streaming rate-anomaly
+    * detector. State per event_type: the Welford-free integer
+    * sufficient statistics (n, Σc, Σc²) over CLOSED buckets plus the
+    * currently-open bucket. */
+  final case class AEv(event_type: String, ts_ns: Long)
+  final case class AnomState(n: Long, s: Long, q: Long,
+      openBucket: Long, openCount: Long)
+  final case class AnomalyOut(event_type: String, hour_bucket: Long,
+      n_events: Long, n_prior: Long, dev2: Long, bound: Long,
+      is_anomaly: Boolean)
+
+  /** st_anomaly — streaming event-rate anomaly detection: per
+    * event_type, hourly bucket counts are scored against the running
+    * mean/variance of that type's PRIOR closed buckets, flagging
+    * |c − μ| > τ·σ the moment the bucket closes (the next bucket's
+    * first event arrives) — the live traffic-spike/outage monitor a
+    * batch rollup only gives you after the fact.
+    *
+    * The decision is EXACT integer arithmetic: with n prior buckets,
+    * Σc = s and Σc² = q, flag iff (n·c − s)² > τ²·(n·q − s²) — the
+    * |c − s/n| > τ·σ test cleared of denominators — so there is no
+    * float in the operator at all and the oracle reproduces it
+    * bit-free. State per key is FIVE longs regardless of event
+    * volume; each bucket is scored exactly once, the trailing open
+    * bucket is unreported (on a live stream a watermark + event-time
+    * timeout finalizes it — [[stSessionize]]'s caveat class, and the
+    * same in-event-time-order determinism caveat applies).
+    *
+    * Scale: the only shuffle is the groupByKey on event_type; state
+    * and output are O(keys), not O(events). A high-cardinality key
+    * (per-endpoint, per-tenant) distributes the same way. */
+  def stAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ds = eventStream(spark, dir)
+      .select(col("event_type"), col("ts_ns")).as[(String, Long)]
+    val out = ds.map(t => AEv(t._1, t._2))
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomState, AnomalyOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, events: Iterator[AEv], state: GroupState[AnomState]) =>
+          val sorted = events.toSeq.sortBy(_.ts_ns)
+          var st = state.getOption.getOrElse(AnomState(0L, 0L, 0L, Long.MinValue, 0L))
+          val rows = Seq.newBuilder[AnomalyOut]
+          def close(): Unit = if (st.openBucket != Long.MinValue) {
+            val c = st.openCount
+            if (st.n >= AnomalyMinBaseline) {
+              val dev = st.n * c - st.s
+              val dev2 = dev * dev
+              val bound = AnomalyTauSq * (st.n * st.q - st.s * st.s)
+              rows += AnomalyOut(etype, st.openBucket, c, st.n, dev2, bound,
+                dev2 > bound)
+            }
+            st = AnomState(st.n + 1L, st.s + c, st.q + c * c, Long.MinValue, 0L)
+          }
+          sorted.foreach { e =>
+            val b = e.ts_ns / HourNs
+            if (st.openBucket == Long.MinValue)
+              st = st.copy(openBucket = b, openCount = 1L)
+            else if (b == st.openBucket)
+              st = st.copy(openCount = st.openCount + 1L)
+            else if (b > st.openBucket) {
+              close()
+              st = st.copy(openBucket = b, openCount = 1L)
+            } else
+              // out-of-order arrival behind the open bucket: fold into
+              // the open bucket (in-event-time-order inputs — this
+              // harness and the oracle's assumption — never hit this)
+              st = st.copy(openCount = st.openCount + 1L)
+          }
+          state.update(st)
+          rows.result().iterator
+      }
+    runToTable(out.toDF(), "append")
+      .orderBy("event_type", "hour_bucket")
+  }
+
+  val stAnomalySql: String =
+    s"""WITH b AS (
+       |  SELECT event_type, epoch_ns(ts) // $HourNs AS hour_bucket,
+       |    count(*)::BIGINT AS c
+       |  FROM events GROUP BY 1, 2),
+       |o AS (
+       |  SELECT *,
+       |    (row_number() OVER (PARTITION BY event_type ORDER BY hour_bucket) - 1)
+       |      ::BIGINT AS n,
+       |    count(*) OVER (PARTITION BY event_type) AS m,
+       |    coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY hour_bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s,
+       |    coalesce(sum(c * c) OVER (PARTITION BY event_type ORDER BY hour_bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS q
+       |  FROM b)
+       |SELECT event_type, hour_bucket, c AS n_events, n AS n_prior,
+       |  (n * c - s) * (n * c - s) AS dev2,
+       |  $AnomalyTauSq * (n * q - s * s) AS bound,
+       |  (n * c - s) * (n * c - s) > $AnomalyTauSq * (n * q - s * s) AS is_anomaly
+       |FROM o
+       |WHERE n >= $AnomalyMinBaseline AND n < m - 1
+       |ORDER BY event_type, hour_bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_window_agg" -> stWindowAgg,
     "st_funnel" -> stFunnel,
+    "st_anomaly" -> stAnomaly,
     "st_stream_dedup" -> stStreamDedup,
     "st_stream_join" -> stStreamJoin,
     "st_sessionize" -> stSessionize,
@@ -382,6 +491,7 @@ object EventStream {
   def oracles: Map[String, String] = Map(
     "st_window_agg" -> stWindowAggSql,
     "st_funnel" -> stFunnelSql,
+    "st_anomaly" -> stAnomalySql,
     "st_stream_dedup" -> stStreamDedupSql,
     "st_stream_join" -> stStreamJoinSql,
     "st_sessionize" -> stSessionizeSql,

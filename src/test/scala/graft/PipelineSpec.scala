@@ -982,4 +982,170 @@ class PipelineSpec extends SparkSpec {
     assert(gotRemoved == expectRemoved,
       s"keep set diverges: extra=${gotRemoved -- expectRemoved} missing=${expectRemoved -- gotRemoved}")
   }
+
+  test("q_profile matches direct per-column aggregates") {
+    import graft.operators.Profiling
+    val df = Profiling.qProfile(spark, sf).cache()
+    assert(df.count() == Profiling.ProfileCols.length)
+    val li = graft.core.Tables(spark, sf).lineitem
+    Profiling.ProfileCols.foreach { c =>
+      val r = df.filter(col("col_name") === c).head()
+      val exp = li.agg(count(lit(1)), countDistinct(col(c)),
+        min(col(c).cast("double")), max(col(c).cast("double"))).head()
+      assert(r.getAs[Long]("n_rows") == exp.getLong(0), s"$c n_rows")
+      assert(r.getAs[Long]("n_null") == 0L, s"$c n_null (TPC-H data carries none)")
+      assert(r.getAs[Long]("ndv") == exp.getLong(1), s"$c ndv")
+      assert(r.getAs[Double]("min_val") == exp.getDouble(2), s"$c min")
+      assert(r.getAs[Double]("max_val") == exp.getDouble(3), s"$c max")
+    }
+  }
+
+  test("blocklist verdicts: rule precedence, coverage, both classes present") {
+    import graft.operators.WebCuration
+    val df = WebCuration.dBlocklist(spark, sf).cache()
+    assert(df.count() > 0)
+    // blocked ⇔ a rule matched
+    assert(df.filter(col("blocked") =!= col("rule").isNotNull).count() == 0)
+    // exact-domain rules win over the tld wildcard
+    assert(df.filter(col("reg_domain").isInCollection(WebCuration.BlockedDomains)
+        && !col("rule").startsWith("domain:")).count() == 0)
+    assert(df.filter(col("tld").isInCollection(WebCuration.BlockedTlds)
+        && !col("reg_domain").isInCollection(WebCuration.BlockedDomains)
+        && col("rule") =!= concat(lit("tld:"), col("tld"))).count() == 0)
+    // unblocked docs match no rule
+    assert(df.filter(!col("blocked")
+        && (col("reg_domain").isInCollection(WebCuration.BlockedDomains)
+          || col("tld").isInCollection(WebCuration.BlockedTlds))).count() == 0)
+    assert(df.filter(col("blocked")).count() > 0, "no doc blocked — degenerate")
+    assert(df.filter(!col("blocked")).count() > 0, "all docs blocked — degenerate")
+  }
+
+  test("e_rproject equals the driver-side Rademacher projection exactly") {
+    import graft.operators.Embeddings
+    val got = Embeddings.eRproject(spark, sf)
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val vecs = graft.core.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    assert(got.size == vecs.length * Embeddings.RProjDims)
+    vecs.foreach { case (id, e) =>
+      (0 until Embeddings.RProjDims).foreach { r =>
+        // identical op sequence: ascending-dim left fold from 0.0
+        var acc = 0.0
+        e.indices.foreach(d => acc += e(d).toDouble * Embeddings.rpSign(r, d))
+        val expect = acc / math.sqrt(Embeddings.RProjDims.toDouble)
+        assert(got((id, r.toLong)) == expect, s"vec $id comp $r")
+      }
+    }
+  }
+
+  test("e_pca: orthonormal, eigen-residual-small, descending, sign-pinned, deterministic") {
+    import graft.operators.Embeddings
+    val rows = Embeddings.ePca(spark, sf)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val dim = rows.map(_._2).max.toInt + 1
+    assert(rows.length == Embeddings.PcaComps * dim)
+    val comps = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, rs) =>
+      val v = rs.sortBy(_._2).map(_._3).toArray
+      (c, v, rs.head._4, rs.head._5)
+    }
+    // descending nonnegative eigenvalues (the Gram is PSD)
+    val eig = comps.map(_._3)
+    assert(eig.zip(eig.tail).forall { case (a, b) => a >= b }, s"not descending: $eig")
+    assert(eig.forall(_ >= -1e-9), s"negative eigenvalue: $eig")
+    // orthonormal loadings
+    comps.foreach { case (c, v, _, _) =>
+      val n2 = v.map(x => x * x).sum
+      assert(math.abs(n2 - 1.0) <= 1e-9, s"comp $c norm² $n2")
+    }
+    comps.combinations(2).foreach { case Seq((ci, vi, _, _), (cj, vj, _, _)) =>
+      val d = vi.zip(vj).map { case (a, b) => a * b }.sum
+      assert(math.abs(d) <= 1e-8, s"comps ${ci}x${cj} = $d")
+    }
+    // sign pin: the largest-|loading| dim (first on ties) is positive
+    comps.foreach { case (c, v, _, _) =>
+      val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      assert(v(pivot) >= 0.0, s"comp $c sign not pinned")
+    }
+    // eigen residual ‖Gv − λv‖ against the Gram the operator consumed
+    val g = Embeddings.eGram(spark, sf)
+      .select("dim_i", "dim_j", "gram").as[(Long, Long, Double)].collect()
+    val m = Array.ofDim[Double](dim, dim)
+    g.foreach { case (i, j, x) => m(i.toInt)(j.toInt) = x; m(j.toInt)(i.toInt) = x }
+    val scale = math.max(comps.map(_._3).max, 1.0)
+    comps.foreach { case (c, v, lam, _) =>
+      val res = (0 until dim).map { i =>
+        val gv = (0 until dim).map(j => m(i)(j) * v(j)).sum
+        val r = gv - lam * v(i)
+        r * r
+      }.sum
+      assert(math.sqrt(res) <= 1e-7 * scale, s"comp $c residual ${math.sqrt(res)}")
+    }
+    // var_ratio sums to ≤ 1 and is each λ / trace
+    val trace = (0 until dim).map(i => m(i)(i)).sum
+    comps.foreach { case (c, _, lam, vr) =>
+      assert(math.abs(vr - lam / trace) <= 1e-12, s"comp $c var_ratio")
+    }
+    // determinism: a second run reproduces every double bit-for-bit
+    val again = Embeddings.ePca(spark, sf)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(again.sortBy(t => (t._1, t._2)).sameElements(rows.sortBy(t => (t._1, t._2))))
+  }
+
+  test("caption pairs: aligned positive, stride negative, exact cosine hardness") {
+    import graft.multimodal.Multimodal
+    val df = Multimodal.mCaptionPair(spark, sf).cache()
+    val emb = graft.core.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().toMap
+    val n = emb.size.toLong
+    assert(df.count() > 0)
+    assert(df.filter(col("pos_vec_id") =!= col("doc_id")).count() == 0)
+    assert(df.filter(col("neg_vec_id") =!=
+      pmod(col("doc_id") + lit(Multimodal.NegStride), lit(n))).count() == 0)
+    assert(df.filter(col("neg_vec_id") === col("pos_vec_id")).count() == 0)
+    df.select("pos_vec_id", "neg_vec_id", "hardness")
+      .as[(Long, Long, Double)].collect().foreach { case (p, ng, h) =>
+        assert(h >= -1.0 - 1e-12 && h <= 1.0 + 1e-12, s"cosine out of range: $h")
+        val (a, b) = (emb(p), emb(ng))
+        var (dab, daa, dbb) = (0.0, 0.0, 0.0)
+        a.indices.foreach { i =>
+          dab += a(i).toDouble * b(i).toDouble
+          daa += a(i).toDouble * a(i).toDouble
+          dbb += b(i).toDouble * b(i).toDouble
+        }
+        val expect = dab / (math.sqrt(daa) * math.sqrt(dbb))
+        assert(h == expect, s"pair ($p,$ng): $h != $expect")
+      }
+  }
+
+  test("st_anomaly: integer z² decision matches a batch recompute, warm-up and tail honored") {
+    import graft.streaming.EventStream
+    val df = EventStream.stAnomaly(spark, sf).cache()
+    assert(df.count() > 0)
+    // batch recompute of the integer sufficient statistics
+    val ev = graft.core.Tables(spark, sf).events
+      .select(col("event_type"), expr("ts_ns div 3600000000000").as("b"))
+      .groupBy("event_type", "b").agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2).map(t => (t._2, t._3)).toSeq }
+    val expect = ev.toSeq.flatMap { case (et, buckets) =>
+      var (n, s, q) = (0L, 0L, 0L)
+      val rows = buckets.zipWithIndex.flatMap { case ((b, c), i) =>
+        val row = if (n >= EventStream.AnomalyMinBaseline && i < buckets.length - 1) {
+          val dev = n * c - s
+          Some((et, b, c, n, dev * dev, EventStream.AnomalyTauSq * (n * q - s * s)))
+        } else None
+        n += 1L; s += c; q += c * c
+        row
+      }
+      rows
+    }.toSet
+    val got = df.select("event_type", "hour_bucket", "n_events", "n_prior",
+      "dev2", "bound").as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expect,
+      s"anomaly rows diverge: extra=${got -- expect} missing=${expect -- got}")
+    // flag consistency
+    assert(df.filter(col("is_anomaly") =!= (col("dev2") > col("bound"))).count() == 0)
+  }
 }

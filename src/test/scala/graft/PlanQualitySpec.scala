@@ -469,4 +469,42 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), s"no equi-join on word:\n${p.take(2000)}")
   }
+
+  test("random projection is one narrow map — literal signs, no join, no hash exchange") {
+    val p = plan("e_rproject")
+    assert(!p.contains("Join"), s"projection grew a join:\n${p.take(1500)}")
+    assert(!p.contains("Window"), s"projection grew a window:\n${p.take(1500)}")
+    // the presentation sort's range exchange is the only shuffle
+    val hashExchanges = p.linesIterator.count(_.contains("hashpartitioning("))
+    assert(hashExchanges == 0,
+      s"sign matrix should be a plan literal, not shuffled data:\n${p.take(2000)}")
+  }
+
+  test("blocklist rules broadcast; the corpus side never hash-shuffles") {
+    val p = plan("d_blocklist")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rule tables did not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus shuffled for a rule lookup:\n${p.take(2000)}")
+    val hashExchanges = p.linesIterator.count(_.contains("hashpartitioning("))
+    assert(hashExchanges == 0,
+      s"corpus-side hash exchange in a broadcast-only plan:\n${p.take(2000)}")
+  }
+
+  test("profile is joinless: unpivot + one grouped aggregation chain") {
+    val p = plan("q_profile")
+    assert(!p.contains("Join"), s"profile grew a join:\n${p.take(1500)}")
+    assert(!p.contains("Window"), s"profile grew a window:\n${p.take(1500)}")
+    // distinct-aggregate rewrite: (col_name, v) partial dedup + final
+    // agg — two keyed exchanges; presentation sort adds a range one
+    val hashExchanges = p.linesIterator.count(_.contains("hashpartitioning("))
+    assert(hashExchanges <= 2,
+      s"profile shuffle budget exceeded ($hashExchanges):\n${p.take(2000)}")
+  }
+
+  test("caption pairs meet on id equi-joins — no nested-loop, no cartesian") {
+    val p = plan("m_caption_pair")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pair construction degenerated to all-pairs:\n${p.take(2000)}")
+  }
 }
