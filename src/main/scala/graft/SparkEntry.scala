@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.Multimodal
-import graft.operators.{Analytics, Curation, Dedup, Embeddings, Events, Pii, Profiling, Retrieval, ShortcutOps, Similarity, StorageOps, TextAnalysis, WebCuration}
+import graft.operators.{Analytics, Curation, Dedup, Embeddings, Events, Pii, Profiling, Retrieval, ShortcutOps, Similarity, StorageOps, TextAnalysis, Tokenizer, WebCuration}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -18,7 +18,7 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ Events.queries ++
       EventStream.queries ++ Multimodal.queries ++ StorageOps.queries ++
       Curation.queries ++ Embeddings.queries ++ WebCuration.queries ++
-      Pii.queries ++ Retrieval.queries ++ Profiling.queries
+      Pii.queries ++ Retrieval.queries ++ Profiling.queries ++ Tokenizer.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -27,5 +27,5 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ Events.oracles ++
       EventStream.oracles ++ Multimodal.oracles ++ StorageOps.oracles ++
       Curation.oracles ++ Embeddings.oracles ++ WebCuration.oracles ++
-      Pii.oracles ++ Retrieval.oracles ++ Profiling.oracles
+      Pii.oracles ++ Retrieval.oracles ++ Profiling.oracles ++ Tokenizer.oracles
 }
