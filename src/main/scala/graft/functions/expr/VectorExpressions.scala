@@ -252,6 +252,37 @@ case class WordChunks(child: Expression, n: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** OVERLAPPING n-word windows at stride 1 in document order,
+  * duplicates kept — the sliding exact-substring unit ([[WordChunks]]
+  * catches only chunk-ALIGNED duplication; a copied span straddling a
+  * chunk boundary needs windows at every offset). Positions come from
+  * posexplode downstream, so order and repeats are preserved, unlike
+  * [[WordShingles]]' distinct set. Single pass per row for the same
+  * reason as the other two: slicing a words EXPRESSION once per
+  * window re-evaluates the split per element after projection
+  * collapse. */
+case class WordWindows(child: Expression, n: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n > 0, s"window width must be positive, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val m = words.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    var i = 0
+    while (i < out.length) {
+      out(i) = WordJoin.join(words, i, n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExpressions {
   /** Column wrappers. */
   def dotProduct(a: Column, b: Column): Column =
@@ -261,6 +292,8 @@ object VectorExpressions {
     column(MinHashSigs(expression(hashes), numPerms, p))
   def wordShingles(words: Column, n: Int): Column =
     column(WordShingles(expression(words), n))
+  def wordWindows(words: Column, n: Int): Column =
+    column(WordWindows(expression(words), n))
   def wordChunks(words: Column, n: Int): Column =
     column(WordChunks(expression(words), n))
 }

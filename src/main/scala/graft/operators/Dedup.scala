@@ -1026,7 +1026,89 @@ object Dedup {
        |JOIN n nb ON nb.source = src_b
        |ORDER BY src_a, src_b""".stripMargin
 
+  /** Sliding-window width (words) for [[dDupSpans]]. Lee et al. use
+    * 50 BPE tokens on web corpora; 10 words is the analogous scale on
+    * this synthetic corpus's short documents. */
+  val DupSpanWords = 10
+
+  /** d_dup_spans — exact-substring duplicate SPANS at sliding-window
+    * granularity: the practical distributed form of suffix-array
+    * dedup (Lee et al. 2022). [[dDedupChunk]]/[[dBoilerplate]] hash
+    * non-overlapping chunks, so a copied span straddling a chunk
+    * boundary hides; here EVERY [[DupSpanWords]]-word window is
+    * fingerprinted ([[graft.functions.expr.WordWindows]] — one pass
+    * per row, no per-window re-split), windows seen in ≥2 DISTINCT
+    * documents survive (within-doc repetition is t_repetition's
+    * concern), and each document's surviving windows merge into
+    * MAXIMAL duplicated spans (strictly-overlapping windows chain:
+    * with ascending starts and equal widths, overlap with any prior
+    * window ≡ gap-to-previous < width, so one lag comparison builds
+    * the islands).
+    *
+    * Scale shape: windowing is narrow and linear in corpus tokens
+    * (each word appears in ≤ L windows — an L× constant, the price of
+    * offset-free detection); the fingerprint aggregation is one hash
+    * shuffle with map-side partials; survivors join back by
+    * FINGERPRINT ONLY (id-only shuffle, AQE broadcasts the dup set
+    * when small — the common case); the island merge windows over
+    * doc_id, whose cardinality scales with the corpus. No all-pairs
+    * anywhere. Output: (doc_id, span_start, span_end, n_windows),
+    * end exclusive in word positions. */
+  def dDupSpans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = DupSpanWords
+    val wins = TextAnalysis.docsSpread(spark, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.expr.VectorExpressions
+          .wordWindows(words(col("text")), L)))
+      .select(col("doc_id"), col("pos").cast("long").as("i"),
+        md5(col("col")).as("h"))
+    val dupFps = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select("h")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val flagged = wins.join(dupFps, "h")
+      .select("doc_id", "i")
+      .withColumn("nf", when(lag(col("i"), 1).over(w).isNull
+        || col("i") - lag(col("i"), 1).over(w) >= L, 1L).otherwise(0L))
+      .withColumn("island", sum(col("nf")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy("doc_id", "island")
+      .agg(min(col("i")).as("span_start"),
+        (max(col("i")) + L).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+      .orderBy("doc_id", "span_start")
+  }
+
+  val dDupSpansSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |wins AS (
+       |  SELECT doc_id, i,
+       |    md5(array_to_string(w[i + 1 : i + $DupSpanWords], ' ')) AS h
+       |  FROM w, LATERAL (SELECT unnest(range(len(w) - $DupSpanWords + 1)) AS i) t
+       |  WHERE len(w) >= $DupSpanWords),
+       |dup AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |d AS (SELECT wins.doc_id, wins.i FROM wins JOIN dup USING (h)),
+       |fl AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+       |           OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) >= $DupSpanWords
+       |         THEN 1 ELSE 0 END AS nf
+       |  FROM d),
+       |isl AS (
+       |  SELECT doc_id, i, sum(nf) OVER (PARTITION BY doc_id ORDER BY i
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM fl)
+       |SELECT doc_id, min(i)::BIGINT AS span_start,
+       |  (max(i) + $DupSpanWords)::BIGINT AS span_end,
+       |  count(*)::BIGINT AS n_windows
+       |FROM isl GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_dup_spans" -> dDupSpans,
     "d_dedup_exact" -> dDedupExact,
     "d_dedup_ngram" -> dDedupNgram,
     "d_dedup_incr" -> dDedupIncr,
@@ -1043,6 +1125,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "d_dup_spans" -> dDupSpansSql,
     "d_dedup_exact" -> dDedupExactSql,
     "d_dedup_ngram" -> dDedupNgramSql,
     "d_dedup_incr" -> dDedupIncrSql,

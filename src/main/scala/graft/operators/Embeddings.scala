@@ -422,7 +422,7 @@ object Embeddings {
     * pass, one keyed exchange); the eigensolve runs on the driver
     * over d² doubles — bounded state, the train-on-sample discipline.
     * Rows-only at the gate BY DESIGN: no SQL engine exposes an
-    * eigensolver, so cross-checking moves to PcaSpec, which pins
+    * eigensolver, so cross-checking moves to PipelineSpec, which pins
     * orthonormality, the eigen residual ‖Gv − λv‖, the descending
     * order, the sign convention, and run-to-run determinism (the
     * [[Similarity]] ANN recall-bound precedent for non-SQL oracles).
@@ -470,6 +470,6 @@ object Embeddings {
     "e_gram" -> eGramSql,
     "e_rproject" -> eRprojectSql,
     // e_pca: no SQL eigensolver exists — rows-only at the gate;
-    // PcaSpec carries the correctness burden (see ePca scaladoc).
+    // PipelineSpec carries the correctness burden (see ePca scaladoc).
   )
 }

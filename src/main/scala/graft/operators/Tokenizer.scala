@@ -50,9 +50,14 @@ object Tokenizer {
   def bpeTrainFromCounts(spark: SparkSession, wc: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
     // initial state: each word as its character token sequence
+    // LAZY checkpoints: every round's next action (the pair-count
+    // aggregation + argmax) computes all partitions anyway, so the
+    // lazy form persists identically while skipping the extra eager
+    // materialization job per round (the Dedup propagate-round
+    // rationale, Dedup.scala:204-209).
     var vocab = wc.select(split(col("word"), "").as("toks"), col("count"))
       .filter(size(col("toks")) > 0)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var rank = 0L
     var exhausted = false
@@ -87,7 +92,7 @@ object Tokenizer {
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
               .otherwise(concat(acc, array(t)))).as("toks"),
           col("count"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         rank += 1L
       }
     }

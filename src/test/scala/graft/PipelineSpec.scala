@@ -983,6 +983,50 @@ class PipelineSpec extends SparkSpec {
       s"keep set diverges: extra=${gotRemoved -- expectRemoved} missing=${expectRemoved -- gotRemoved}")
   }
 
+  test("dup spans match a driver-side sliding-window recompute exactly") {
+    val L = Dedup.DupSpanWords
+    val df = Dedup.dDupSpans(spark, sf).cache()
+    assert(df.count() > 0)
+    // independent recompute on raw window STRINGS (the operator
+    // fingerprints with md5 — same equivalence classes), islands via
+    // the textbook gap scan rather than the operator's lag window
+    val ws = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id"), graft.functions.TextFunctions.words(col("text")).as("w"))
+      .as[(Long, Seq[String])].collect()
+    val wins = ws.toSeq.flatMap { case (id, w) =>
+      if (w.length >= L)
+        (0 to w.length - L).map(i => (id, i.toLong, w.slice(i, i + L).mkString(" ")))
+      else Nil
+    }
+    val dup = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val expect = wins.filter(t => dup(t._3)).groupBy(_._1).toSeq.flatMap {
+      case (id, ts) =>
+        val is = ts.map(_._2).sorted
+        val spans = Seq.newBuilder[(Long, Long, Long, Long)]
+        var (start, last, n) = (is.head, is.head, 0L)
+        is.foreach { i =>
+          if (i - last >= L) {
+            spans += ((id, start, last + L, n)); start = i; n = 0L
+          }
+          last = i; n += 1L
+        }
+        spans += ((id, start, last + L, n))
+        spans.result()
+    }.toSet
+    val got = df.select("doc_id", "span_start", "span_end", "n_windows")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expect,
+      s"spans diverge: extra=${got -- expect} missing=${expect -- got}")
+    // structural: spans at least L words, non-overlapping per doc
+    assert(df.filter(col("span_end") - col("span_start") < L).count() == 0)
+    val overlaps = df.as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).values.map { ss =>
+        val sorted = ss.sortBy(_._2)
+        sorted.zip(sorted.tail).count { case (a, b) => b._2 < a._3 }
+      }.sum
+    assert(overlaps == 0, "overlapping spans within a doc")
+  }
+
   test("q_profile matches direct per-column aggregates") {
     import graft.operators.Profiling
     val df = Profiling.qProfile(spark, sf).cache()

@@ -502,6 +502,14 @@ class PlanQualitySpec extends SparkSpec {
       s"profile shuffle budget exceeded ($hashExchanges):\n${p.take(2000)}")
   }
 
+  test("dup spans: fingerprint equi-join, doc-keyed island windows — no all-pairs") {
+    val p = plan("d_dup_spans")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"span detection degenerated to all-pairs:\n${p.take(2000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join on fingerprint:\n${p.take(2000)}")
+  }
+
   test("caption pairs meet on id equi-joins — no nested-loop, no cartesian") {
     val p = plan("m_caption_pair")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
