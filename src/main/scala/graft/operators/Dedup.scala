@@ -1040,10 +1040,10 @@ object Dedup {
     * per row, no per-window re-split), windows seen in ≥2 DISTINCT
     * documents survive (within-doc repetition is t_repetition's
     * concern), and each document's surviving windows merge into
-    * MAXIMAL duplicated spans (strictly-overlapping windows chain:
-    * with ascending starts and equal widths, overlap with any prior
-    * window ≡ gap-to-previous < width, so one lag comparison builds
-    * the islands).
+    * MAXIMAL duplicated spans — overlapping OR exactly-abutting
+    * windows chain (gap-to-previous ≤ width keeps the covered text
+    * contiguous; with ascending starts and equal widths that one lag
+    * comparison builds the islands), so no two emitted spans touch.
     *
     * Scale shape: windowing is narrow and linear in corpus tokens
     * (each word appears in ≤ L windows — an L× constant, the price of
@@ -1071,7 +1071,7 @@ object Dedup {
     val flagged = wins.join(dupFps, "h")
       .select("doc_id", "i")
       .withColumn("nf", when(lag(col("i"), 1).over(w).isNull
-        || col("i") - lag(col("i"), 1).over(w) >= L, 1L).otherwise(0L))
+        || col("i") - lag(col("i"), 1).over(w) > L, 1L).otherwise(0L))
       .withColumn("island", sum(col("nf")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     flagged.groupBy("doc_id", "island")
@@ -1094,7 +1094,7 @@ object Dedup {
        |fl AS (
        |  SELECT doc_id, i,
        |    CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
-       |           OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) >= $DupSpanWords
+       |           OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > $DupSpanWords
        |         THEN 1 ELSE 0 END AS nf
        |  FROM d),
        |isl AS (

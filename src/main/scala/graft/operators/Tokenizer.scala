@@ -53,8 +53,8 @@ object Tokenizer {
     // LAZY checkpoints: every round's next action (the pair-count
     // aggregation + argmax) computes all partitions anyway, so the
     // lazy form persists identically while skipping the extra eager
-    // materialization job per round (the Dedup propagate-round
-    // rationale, Dedup.scala:204-209).
+    // materialization job per round (the [[Dedup.dDedupNgram]]
+    // df-rank propagate-round rationale).
     var vocab = wc.select(split(col("word"), "").as("toks"), col("count"))
       .filter(size(col("toks")) > 0)
       .localCheckpoint(false)

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.expr.{DotProduct, MinHashSigs, SimHash32, WordChunks, WordShingles}
+import graft.functions.expr.{DotProduct, MinHashSigs, SimHash32, WordChunks, WordShingles, WordWindows}
 
 /** Session extension registering graft's custom Catalyst expressions
   * as SQL functions, so `spark.sql("SELECT graft_dot(a, b) ...")`
@@ -52,6 +52,9 @@ object GraftExtensions {
     ("graft_word_chunks",
       new ExpressionInfo(classOf[WordChunks].getName, "graft_word_chunks"),
       (es: Seq[Expression]) => WordChunks(es(0), intArg(es(1), "n"))),
+    ("graft_word_windows",
+      new ExpressionInfo(classOf[WordWindows].getName, "graft_word_windows"),
+      (es: Seq[Expression]) => WordWindows(es(0), intArg(es(1), "n"))),
   )
 
   /** Register on an already-built session. */

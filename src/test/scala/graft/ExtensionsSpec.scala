@@ -39,5 +39,9 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT graft_word_chunks(array('a','b','c','d','e'), 2) AS c")
       .head.getSeq[String](0)
     assert(ch == Seq("a b", "c d"), s"chunks were $ch")
+    val wd = spark.sql(
+      "SELECT graft_word_windows(array('a','b','c','d'), 2) AS w")
+      .head.getSeq[String](0)
+    assert(wd == Seq("a b", "b c", "c d"), s"windows were $wd")
   }
 }

@@ -1005,7 +1005,7 @@ class PipelineSpec extends SparkSpec {
         val spans = Seq.newBuilder[(Long, Long, Long, Long)]
         var (start, last, n) = (is.head, is.head, 0L)
         is.foreach { i =>
-          if (i - last >= L) {
+          if (i - last > L) {
             spans += ((id, start, last + L, n)); start = i; n = 0L
           }
           last = i; n += 1L
