@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.words
+import graft.operators.Retrieval
+
+/** Measured artifact for the t_bm25 scale claim (SURVEY §8): the
+  * candidate stream is bounded by Σ df over the seeds' keyword terms,
+  * and on a NATURAL (Zipfian) vocabulary the top-TF-IDF keywords are
+  * rare, so that bound is a sliver of corpus×queries — whereas the
+  * driver's 31-word uniform vocabulary forces df ≈ 0.78·corpus on
+  * every term (the measured cause of the 7.5 s bench line). This
+  * fixture quantifies the collapse on comparable corpus sizes.
+  */
+class ZipfBm25Spec extends SparkSpec {
+
+  /** (docs, seeds, Σ df over the seeds' top-8 TF-IDF terms) — the
+    * exact candidate-stream volume of the t_bm25 postings join,
+    * recomputed from public pieces. */
+  private def candidateStats(dir: String): (Long, Long, Long) = {
+    val d = graft.core.Tables(spark, dir).documents
+    val n = d.count()
+    val tf = d.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfw = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word").asc)
+    val qt = tf.filter(col("doc_id") % Retrieval.Bm25QueryMod === 0)
+      .join(dfw, "word")
+      .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Retrieval.Bm25QTerms)
+    val seeds = qt.select("doc_id").distinct().count()
+    val cands = qt.agg(sum(col("df"))).head().getLong(0)
+    (n, seeds, cands)
+  }
+
+  test("zipfian keywords collapse the bm25 candidate stream; uniform vocab maxes it") {
+    // Zipf corpus: the ZipfNgramSpec generator parameters, no dup block
+    val rnd = new scala.util.Random(20260814L)
+    val nDocs = 750
+    val vocab = 3750
+    val zexp = 1.07
+    val cum = Array.tabulate(vocab)(r => 1.0 / math.pow(r + 1.0, zexp))
+      .scanLeft(0.0)(_ + _).tail
+    def draw(): String = {
+      val x = rnd.nextDouble() * cum.last
+      var lo = 0
+      var hi = vocab - 1
+      while (lo < hi) {
+        val mid = (lo + hi) / 2
+        if (cum(mid) < x) lo = mid + 1 else hi = mid
+      }
+      s"w$lo"
+    }
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zipf_bm25_").toString
+    (0 until nDocs).map { i =>
+      (i.toLong, Seq.fill(40 + rnd.nextInt(61))(draw()).mkString(" "))
+    }.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("zipf"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val (nu, su, cu) = candidateStats(sf)   // driver corpus: uniform 31-word vocab
+    val (nz, sz, cz) = candidateStats(dir)  // zipfian fixture, comparable size
+    val fracUniform = cu.toDouble / (su.toDouble * nu)
+    val fracZipf = cz.toDouble / (sz.toDouble * nz)
+    info(f"uniform: $nu docs, $su seeds, $cu candidates (${fracUniform * 100}%.1f%% of corpus x queries)")
+    info(f"zipf:    $nz docs, $sz seeds, $cz candidates (${fracZipf * 100}%.1f%% of corpus x queries)")
+    // the claim: natural-vocabulary keywords are rare, so the Σdf
+    // bound collapses by well over an order of magnitude
+    assert(fracZipf < fracUniform / 10.0,
+      f"zipf fraction $fracZipf%.4f not <10%% of uniform $fracUniform%.4f")
+    // and bm25 itself runs green end-to-end on the zipfian corpus
+    assert(Retrieval.tBm25(spark, dir).count() > 0)
+  }
+}
