@@ -630,7 +630,67 @@ object Curation {
        |FROM s CROSS JOIN base
        |ORDER BY doc_id""".stripMargin
 
+  /** See [[graft.operators.TextAnalysis.budgetPack]]'s caller-owned
+    * unpersist contract — the pinned range-partitioned frame must
+    * stay cached between the count pass and the rank pass. */
+  private var lastOrderCache: Option[org.apache.spark.sql.Dataset[(Long, String)]] = None
+
+  /** d_order — deterministic global TRAINING ORDER: every document
+    * ranked by a salted md5 of its id (the shuffle-before-training
+    * step every epoch pipeline runs; deterministic, so any worker —
+    * or a re-run — reproduces the same order with no shuffle files
+    * to keep). The global rank is the [[graft.operators.TextAnalysis.budgetPack]]
+    * two-pass discipline applied to COUNTS: range-partition by the
+    * md5 key (one exchange), per-partition counts to the driver
+    * (parts longs — bounded), then each partition emits positions
+    * from its prefix offset — never a global ORDER BY window pulling
+    * the corpus through one reducer. The pinned cache holds the
+    * sampled range boundaries fixed across the two passes
+    * (repartitionByRange samples — unpinned, the rank pass could see
+    * different partitions than the count pass).
+    *
+    * Output: (doc_id, shuffle_key, pos) — pos is a dense permutation
+    * 0..n-1 in (shuffle_key, doc_id) order, identical at any
+    * partition count (spec-pinned) and identical in DuckDB (md5 hex
+    * is ASCII, so string order ≡ binary order in both engines). */
+  def dOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lastOrderCache.foreach(_.unpersist())
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pinned = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        md5(concat(lit("ord:"), col("doc_id").cast("string"))).as("k"))
+      .repartitionByRange(parts, col("k"), col("doc_id"))
+      .sortWithinPartitions("k", "doc_id")
+      .as[(Long, String)]
+      .cache()
+    lastOrderCache = Some(pinned)
+    val partCounts = pinned.mapPartitions(it =>
+      Iterator.single(it.size.toLong)).collect()
+    val offsets = partCounts.scanLeft(0L)(_ + _)
+    pinned.toDF("doc_id", "k")
+      .withColumn("pid", spark_partition_id())
+      .as[(Long, String, Int)]
+      .mapPartitions { it =>
+        var run = 0L
+        it.map { case (id, k, pid) =>
+          val pos = offsets(pid) + run
+          run += 1L
+          (id, k, pos)
+        }
+      }
+      .toDF("doc_id", "shuffle_key", "pos")
+      .orderBy("pos")
+  }
+
+  val dOrderSql: String =
+    """SELECT doc_id, md5('ord:' || doc_id::VARCHAR) AS shuffle_key,
+      |  (row_number() OVER (ORDER BY md5('ord:' || doc_id::VARCHAR), doc_id) - 1)::BIGINT AS pos
+      |FROM documents
+      |ORDER BY pos""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_order" -> dOrder,
     "d_sample" -> dSample,
     "d_dsir" -> dDsir,
     "d_budget" -> dBudget,
@@ -643,6 +703,7 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    "d_order" -> dOrderSql,
     "d_sample" -> dSampleSql,
     "d_dsir" -> dDsirSql,
     "d_budget" -> dBudgetSql,

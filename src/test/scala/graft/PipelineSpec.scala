@@ -1027,6 +1027,25 @@ class PipelineSpec extends SparkSpec {
     assert(overlaps == 0, "overlapping spans within a doc")
   }
 
+  test("training order is a dense md5 permutation, invariant across partition counts") {
+    val df = Curation.dOrder(spark, sf).cache()
+    val rows = df.as[(Long, String, Long)].collect()
+    val n = rows.length.toLong
+    assert(n > 0)
+    assert(rows.map(_._3).sorted.sameElements(0L until n), "pos not a dense permutation")
+    // pos is exactly the (shuffle_key, doc_id) sort order
+    assert(rows.sortBy(t => (t._2, t._1)).map(_._3).sameElements(0L until n),
+      "pos order diverges from the key sort")
+    // the distributed two-pass rank must not depend on the partition
+    // count (range boundaries move; ranks must not)
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val again = Curation.dOrder(spark, sf).as[(Long, String, Long)].collect()
+      assert(again.toSet == rows.toSet, "rank changed with partition count")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   test("q_profile matches direct per-column aggregates") {
     import graft.operators.Profiling
     val df = Profiling.qProfile(spark, sf).cache()

@@ -502,6 +502,13 @@ class PlanQualitySpec extends SparkSpec {
       s"profile shuffle budget exceeded ($hashExchanges):\n${p.take(2000)}")
   }
 
+  test("training order never plans a global window or a join") {
+    val p = plan("d_order")
+    assert(!p.contains("Window"),
+      s"global rank regressed to an ORDER BY window:\n${p.take(1500)}")
+    assert(!p.contains("Join"), s"order grew a join:\n${p.take(1500)}")
+  }
+
   test("dup spans: fingerprint equi-join, doc-keyed island windows — no all-pairs") {
     val p = plan("d_dup_spans")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
