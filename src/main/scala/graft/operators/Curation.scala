@@ -647,7 +647,10 @@ object Curation {
     * the corpus through one reducer. The pinned cache holds the
     * sampled range boundaries fixed across the two passes
     * (repartitionByRange samples — unpinned, the rank pass could see
-    * different partitions than the count pass).
+    * different partitions than the count pass). THREE operators share
+    * this cache-pinning invariant ([[graft.operators.TextAnalysis.budgetPack]],
+    * [[dBudget]]'s keyed prefix sum, and this rank) — a change to the
+    * pinning discipline in one must land in all three.
     *
     * Output: (doc_id, shuffle_key, pos) — pos is a dense permutation
     * 0..n-1 in (shuffle_key, doc_id) order, identical at any
@@ -680,7 +683,14 @@ object Curation {
         }
       }
       .toDF("doc_id", "shuffle_key", "pos")
-      .orderBy("pos")
+      // ALREADY in global pos order: partition i's positions all
+      // precede partition i+1's (range partitioning) and ascend
+      // within each partition (the local counter) — an orderBy here
+      // would re-shuffle the whole corpus purely for presentation
+      // (the round-7 review's catch). The in-partition sort is a
+      // no-op pass that lets downstream consumers SEE the order
+      // without an exchange; the gate's checker sorts anyway.
+      .sortWithinPartitions("pos")
   }
 
   val dOrderSql: String =

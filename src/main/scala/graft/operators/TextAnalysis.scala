@@ -637,7 +637,7 @@ object TextAnalysis {
     * [[Retrieval.tBm25]] extracts query terms with it, so the two
     * operators (and their oracle mirrors) cannot drift apart. Input
     * `tf` must carry (doc_id, word, tf); `dfw` carries (word, df). */
-  private[operators] def tfIdfRank(tf: DataFrame, dfw: DataFrame,
+  private[graft] def tfIdfRank(tf: DataFrame, dfw: DataFrame,
       n: Double): DataFrame = {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("word"))

@@ -16,21 +16,19 @@ import graft.operators.Retrieval
 class ZipfBm25Spec extends SparkSpec {
 
   /** (docs, seeds, Σ df over the seeds' top-8 TF-IDF terms) — the
-    * exact candidate-stream volume of the t_bm25 postings join,
-    * recomputed from public pieces. */
+    * exact candidate-stream volume of the t_bm25 postings join: the
+    * same tf construction as tBm25 and the operator's OWN keyword
+    * ranking ([[graft.operators.TextAnalysis.tfIdfRank]] — stableRound
+    * score, word tie-break), so the measured Σdf is the operator's by
+    * construction, not a re-implementation that could drift on ties. */
   private def candidateStats(dir: String): (Long, Long, Long) = {
     val d = graft.core.Tables(spark, dir).documents
     val n = d.count()
     val tf = d.select(col("doc_id"), explode(words(col("text"))).as("word"))
-      .filter(length(col("word")) > 0)
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val dfw = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("word").asc)
-    val qt = tf.filter(col("doc_id") % Retrieval.Bm25QueryMod === 0)
-      .join(dfw, "word")
-      .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
-      .withColumn("rk", row_number().over(w))
+    val qt = graft.operators.TextAnalysis.tfIdfRank(
+        tf.filter(col("doc_id") % Retrieval.Bm25QueryMod === 0), dfw, n.toDouble)
       .filter(col("rk") <= Retrieval.Bm25QTerms)
     val seeds = qt.select("doc_id").distinct().count()
     val cands = qt.agg(sum(col("df"))).head().getLong(0)
@@ -57,26 +55,34 @@ class ZipfBm25Spec extends SparkSpec {
     }
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_zipf_bm25_").toString
-    (0 until nDocs).map { i =>
-      (i.toLong, Seq.fill(40 + rnd.nextInt(61))(draw()).mkString(" "))
-    }.toDF("doc_id", "text")
-      .withColumn("lang", lit("en"))
-      .withColumn("source", lit("zipf"))
-      .withColumn("n_chars", length(col("text")).cast("long"))
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_zipf_bm25_")
+    val dir = dirPath.toString
+    try {
+      (0 until nDocs).map { i =>
+        (i.toLong, Seq.fill(40 + rnd.nextInt(61))(draw()).mkString(" "))
+      }.toDF("doc_id", "text")
+        .withColumn("lang", lit("en"))
+        .withColumn("source", lit("zipf"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-    val (nu, su, cu) = candidateStats(sf)   // driver corpus: uniform 31-word vocab
-    val (nz, sz, cz) = candidateStats(dir)  // zipfian fixture, comparable size
-    val fracUniform = cu.toDouble / (su.toDouble * nu)
-    val fracZipf = cz.toDouble / (sz.toDouble * nz)
-    info(f"uniform: $nu docs, $su seeds, $cu candidates (${fracUniform * 100}%.1f%% of corpus x queries)")
-    info(f"zipf:    $nz docs, $sz seeds, $cz candidates (${fracZipf * 100}%.1f%% of corpus x queries)")
-    // the claim: natural-vocabulary keywords are rare, so the Σdf
-    // bound collapses by well over an order of magnitude
-    assert(fracZipf < fracUniform / 10.0,
-      f"zipf fraction $fracZipf%.4f not <10%% of uniform $fracUniform%.4f")
-    // and bm25 itself runs green end-to-end on the zipfian corpus
-    assert(Retrieval.tBm25(spark, dir).count() > 0)
+      val (nu, su, cu) = candidateStats(sf)   // driver corpus: uniform 31-word vocab
+      val (nz, sz, cz) = candidateStats(dir)  // zipfian fixture, comparable size
+      val fracUniform = cu.toDouble / (su.toDouble * nu)
+      val fracZipf = cz.toDouble / (sz.toDouble * nz)
+      info(f"uniform: $nu docs, $su seeds, $cu candidates (${fracUniform * 100}%.1f%% of corpus x queries)")
+      info(f"zipf:    $nz docs, $sz seeds, $cz candidates (${fracZipf * 100}%.1f%% of corpus x queries)")
+      // the claim: natural-vocabulary keywords are rare, so the Σdf
+      // bound collapses by well over an order of magnitude
+      assert(fracZipf < fracUniform / 10.0,
+        f"zipf fraction $fracZipf%.4f not <10%% of uniform $fracUniform%.4f")
+      // and bm25 itself runs green end-to-end on the zipfian corpus
+      assert(Retrieval.tBm25(spark, dir).count() > 0)
+    } finally {
+      // don't leak a parquet corpus per run
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach(p => { java.nio.file.Files.deleteIfExists(p): Unit })
+    }
   }
 }
