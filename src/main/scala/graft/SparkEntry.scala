@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.Multimodal
-import graft.operators.{Analytics, Curation, Dedup, Embeddings, Events, Pii, Profiling, Retrieval, ShortcutOps, Similarity, StorageOps, TextAnalysis, Tokenizer, WebCuration}
+import graft.operators.{Analytics, Curation, Dedup, Embeddings, Events, Graph, Pii, Profiling, Retrieval, ShortcutOps, Similarity, StorageOps, TextAnalysis, Tokenizer, WebCuration}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -18,7 +18,8 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ Events.queries ++
       EventStream.queries ++ Multimodal.queries ++ StorageOps.queries ++
       Curation.queries ++ Embeddings.queries ++ WebCuration.queries ++
-      Pii.queries ++ Retrieval.queries ++ Profiling.queries ++ Tokenizer.queries
+      Pii.queries ++ Retrieval.queries ++ Profiling.queries ++
+      Tokenizer.queries ++ Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -27,5 +28,6 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ Events.oracles ++
       EventStream.oracles ++ Multimodal.oracles ++ StorageOps.oracles ++
       Curation.oracles ++ Embeddings.oracles ++ WebCuration.oracles ++
-      Pii.oracles ++ Retrieval.oracles ++ Profiling.oracles ++ Tokenizer.oracles
+      Pii.oracles ++ Retrieval.oracles ++ Profiling.oracles ++
+      Tokenizer.oracles ++ Graph.oracles
 }

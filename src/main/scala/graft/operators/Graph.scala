@@ -1,0 +1,247 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Parity.stableRound
+import graft.operators.WebCuration.{withUrl, withUrlSql}
+
+/** Link-graph curation over the documents corpus — the web-graph
+  * signals production crawls feed into quality filtering: per-domain
+  * degree statistics and damped PageRank (Page et al. 1999; Common
+  * Crawl publishes exactly these domain-level rankings, and
+  * RefinedWeb/FineWeb-style pipelines consume them as quality
+  * priors).
+  *
+  * The synthetic corpus has no hyperlinks, so the graph is DERIVED
+  * deterministically: a document lives on its [[WebCuration.withUrl]]
+  * registered domain and emits [[LinksPerDoc]] outlinks whose
+  * destination domains come from INTEGER-ONLY arithmetic on doc_id
+  * (`(doc_id·7 + k·13) mod 20` picks the source, `(doc_id·11 + k) mod
+  * 4` the TLD) — integer mod and decimal int→string render
+  * identically in every engine, so the whole graph reproduces
+  * bit-for-bit in the DuckDB oracle with no float or hex-conversion
+  * hazards. On a real crawl the edge table comes from the HTML parse
+  * and everything downstream is unchanged.
+  *
+  * Scale shape — what holds at 100 TB: links aggregate immediately to
+  * the WEIGHTED domain-adjacency table (edges ∝ distinct domain
+  * pairs, orders of magnitude below the corpus), and every PageRank
+  * iteration is two hash shuffles over that table — join rank onto
+  * edges by src, re-aggregate contributions by dst — the standard
+  * distributed power-iteration shape. Rank state is one row per
+  * domain; iteration lineage is cut with localCheckpoint (the
+  * [[Dedup]] propagate-round discipline). The per-destination
+  * sorted-fold (collect incoming contributions, sort by source, fold
+  * left) exists for cross-engine FLOAT PARITY at the gate, bounded by
+  * in-degree; at web scale the documented swap is a plain `sum` —
+  * order-free, last-bit nondeterministic, semantically identical —
+  * or a hierarchical fold if bit-stable ranks are required.
+  */
+object Graph {
+
+  /** Outlinks derived per document. */
+  val LinksPerDoc = 2
+
+  /** Damping factor — the standard 0.85 random-surfer split. */
+  val Damping = 0.85
+
+  /** Power iterations. Rank mass converges geometrically (0.85^k);
+    * 5 rounds is where the synthetic graph's ordering stabilizes. */
+  val Iterations = 5
+
+  private val Tlds = Seq("com", "org", "net", "io")
+
+  /** The derived weighted edge table: (src, dst, w) with self-loops
+    * dropped, one row per distinct domain pair. */
+  def edges(spark: SparkSession, dir: String): DataFrame = {
+    val home = withUrl(
+      Tables(spark, dir).documents.select(col("doc_id"), col("source")))
+      .select(col("doc_id"),
+        regexp_replace(parse_url(col("url"), lit("HOST")), "^www\\.", "")
+          .as("src"))
+    val k = explode(array((1 to LinksPerDoc).map(lit): _*)).as("k")
+    val dstNum = (col("doc_id") * 7 + col("k") * 13) % 20
+    val tldIdx = (col("doc_id") * 11 + col("k")) % 4
+    val tld = Tlds.zipWithIndex.foldLeft(lit(Tlds.last): Column) {
+      case (acc, (t, i)) =>
+        if (i == Tlds.size - 1) acc else when(tldIdx === i, t).otherwise(acc)
+    }
+    home.select(col("doc_id"), col("src"), k)
+      .select(col("src"),
+        concat(lit("src"), dstNum.cast("string"), lit("."), tld).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+  }
+
+  /** The same edge derivation as an oracle CTE chain (yields table
+    * `edges(src, dst, w)`); interpolated after [[withUrlSql]]'s `u`. */
+  val edgesSql: String =
+    """home AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_extract(url, '^https://([^/?#]+)', 1),
+      |                   '^www\.', '') AS src
+      |  FROM u),
+      |links AS (
+      |  SELECT src,
+      |    'src' || ((doc_id * 7 + k * 13) % 20)::VARCHAR || '.' ||
+      |    (CASE (doc_id * 11 + k) % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+      |          WHEN 2 THEN 'net' ELSE 'io' END) AS dst
+      |  FROM home CROSS JOIN (VALUES (1), (2)) ks(k)),
+      |edges AS (
+      |  SELECT src, dst, count(*)::BIGINT AS w
+      |  FROM links WHERE src <> dst GROUP BY src, dst)""".stripMargin
+
+  /** Node set: every domain that participates in at least one edge.
+    * (A domain whose every derived link was a self-loop and that
+    * receives none would be isolated — derivation-identical in both
+    * engines either way, so the edge-supported set is the contract.) */
+  private def nodes(e: DataFrame): DataFrame =
+    e.select(col("src").as("domain"))
+      .union(e.select(col("dst").as("domain")))
+      .distinct()
+
+  private val nodesSql: String =
+    """nodes AS (
+      |  SELECT src AS domain FROM edges
+      |  UNION
+      |  SELECT dst AS domain FROM edges)""".stripMargin
+
+  // ---------------------------------------------------------- degree
+
+  /** g_degree — per-domain link-graph degree statistics: distinct
+    * out/in neighbor counts and total out/in link weight. Two keyed
+    * aggregations over the weighted edge table joined back to the
+    * node set — integer-only output, linear at any scale. */
+  def gDegree(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val out = e.groupBy(col("src"))
+      .agg(count(lit(1)).as("o_deg"), sum(col("w")).as("o_w"))
+    val in = e.groupBy(col("dst"))
+      .agg(count(lit(1)).as("i_deg"), sum(col("w")).as("i_w"))
+    nodes(e)
+      .join(out, col("domain") === col("src"), "left")
+      .join(in, col("domain") === col("dst"), "left")
+      .select(col("domain"),
+        coalesce(col("o_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("i_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("o_w"), lit(0L)).as("out_w"),
+        coalesce(col("i_w"), lit(0L)).as("in_w"))
+      .orderBy("domain")
+  }
+
+  val gDegreeSql: String =
+    s"""WITH u AS ($withUrlSql),
+       |$edgesSql,
+       |$nodesSql,
+       |o AS (SELECT src, count(*)::BIGINT AS o_deg, sum(w)::BIGINT AS o_w
+       |      FROM edges GROUP BY src),
+       |i AS (SELECT dst, count(*)::BIGINT AS i_deg, sum(w)::BIGINT AS i_w
+       |      FROM edges GROUP BY dst)
+       |SELECT n.domain,
+       |  COALESCE(o.o_deg, 0) AS out_deg,
+       |  COALESCE(i.i_deg, 0) AS in_deg,
+       |  COALESCE(o.o_w, 0) AS out_w,
+       |  COALESCE(i.i_w, 0) AS in_w
+       |FROM nodes n
+       |LEFT JOIN o ON n.domain = o.src
+       |LEFT JOIN i ON n.domain = i.dst
+       |ORDER BY n.domain""".stripMargin
+
+  // -------------------------------------------------------- pagerank
+
+  /** g_pagerank — damped weighted PageRank over the domain graph,
+    * [[Iterations]] power iterations, dangling mass redistributed
+    * uniformly. Float parity is the [[TextAnalysis.tEntropy]] sorted
+    * left-fold discipline applied per round: each destination's
+    * incoming contributions (pr/out_w)·w collect sorted by source and
+    * fold from 0.0, the dangling mass folds sorted by domain, and the
+    * update `0.15/n + 0.85·(dm/n) + 0.85·fold` is spelled with the
+    * identical op sequence in both engines — so five rounds of doubles
+    * stay bit-identical and the gate hash-matches with rounding only
+    * as presentation. */
+  def gPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).localCheckpoint(false)
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("o_w"))
+    val nDf = broadcast(nodes(e).agg(count(lit(1)).as("n")))
+    var pr = nodes(e)
+      .join(outw, col("domain") === col("src"), "left")
+      .crossJoin(nDf)
+      .select(col("domain"), coalesce(col("o_w"), lit(0L)).as("outw"),
+        (lit(1.0) / col("n")).as("pr"))
+      .localCheckpoint(false)
+    for (_ <- 1 to Iterations) {
+      val dm = pr.filter(col("outw") === 0L)
+        .agg(sort_array(collect_list(struct(col("domain").as("d"),
+          col("pr").as("p")))).as("ds"))
+        .select(aggregate(col("ds"), lit(0.0),
+          (a, x) => a + x.getField("p")).as("dm"))
+      val contribs = e.join(pr, e("src") === pr("domain"))
+        .groupBy(col("dst"))
+        .agg(sort_array(collect_list(struct(col("src").as("s"),
+          ((col("pr") / col("outw")) * col("w")).as("c")))).as("cs"))
+      pr = pr.select(col("domain"), col("outw"))
+        .join(contribs, col("domain") === col("dst"), "left")
+        .crossJoin(broadcast(dm))
+        .crossJoin(nDf)
+        .select(col("domain"), col("outw"),
+          (lit(0.15) / col("n") + lit(0.85) * (col("dm") / col("n")) +
+            lit(0.85) * aggregate(
+              coalesce(col("cs"),
+                array().cast("array<struct<s:string,c:double>>")),
+              lit(0.0), (a, x) => a + x.getField("c"))).as("pr"))
+        .localCheckpoint(false)
+    }
+    pr.select(col("domain"), col("outw").as("out_w"),
+        stableRound(col("pr"), 8).as("pr"))
+      .orderBy("domain")
+  }
+
+  val gPagerankSql: String = {
+    val iters = (1 to Iterations).map { i =>
+      val prev = s"p${i - 1}"
+      s"""d$i AS (
+         |  SELECT list_reduce(list_prepend(0.0,
+         |      COALESCE(list(pr ORDER BY domain), CAST([] AS DOUBLE[]))),
+         |    (a, b) -> a + b) AS dm
+         |  FROM $prev WHERE outw = 0),
+         |c$i AS (
+         |  SELECT e.dst AS domain,
+         |    list((p.pr / p.outw) * e.w ORDER BY e.src) AS cs
+         |  FROM edges e JOIN $prev p ON e.src = p.domain
+         |  GROUP BY e.dst),
+         |p$i AS (
+         |  SELECT b.domain, b.outw,
+         |    0.15 / cnt.n + 0.85 * (d$i.dm / cnt.n) +
+         |    0.85 * list_reduce(list_prepend(0.0,
+         |        COALESCE(c$i.cs, CAST([] AS DOUBLE[]))), (a, b) -> a + b)
+         |      AS pr
+         |  FROM $prev b
+         |  LEFT JOIN c$i ON b.domain = c$i.domain
+         |  CROSS JOIN d$i CROSS JOIN cnt)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH u AS ($withUrlSql),
+       |$edgesSql,
+       |$nodesSql,
+       |ow AS (SELECT src, sum(w)::BIGINT AS o_w FROM edges GROUP BY src),
+       |cnt AS (SELECT count(*)::BIGINT AS n FROM nodes),
+       |p0 AS (
+       |  SELECT n.domain, COALESCE(ow.o_w, 0) AS outw, 1.0 / cnt.n AS pr
+       |  FROM nodes n LEFT JOIN ow ON n.domain = ow.src CROSS JOIN cnt),
+       |$iters
+       |SELECT domain, outw AS out_w,
+       |  floor(pr * 1e8 + 0.5) / 1e8 AS pr
+       |FROM p$Iterations
+       |ORDER BY domain""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_degree" -> gDegree,
+    "g_pagerank" -> gPagerank,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "g_degree" -> gDegreeSql,
+    "g_pagerank" -> gPagerankSql,
+  )
+}

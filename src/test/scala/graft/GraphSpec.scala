@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.Graph
+
+/** Link-graph operators: PageRank semantics pinned against an
+  * independent driver-side reference implementation (same fold
+  * order — plain Scala doubles), plus mass-conservation and
+  * determinism invariants the oracle hash can't articulate. */
+class GraphSpec extends SparkSpec {
+
+  test("g_degree: weights balance — total out weight equals total in weight") {
+    val rows = Graph.gDegree(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val outW = rows.map(_.getLong(3)).sum
+    val inW = rows.map(_.getLong(4)).sum
+    assert(outW == inW, s"edge weight must be counted once per side: $outW != $inW")
+    // every node participates in the graph
+    assert(rows.forall(r => r.getLong(1) + r.getLong(2) > 0))
+  }
+
+  test("g_pagerank: matches an independent reference power iteration exactly") {
+    // Reference: collect the (tiny at sf0.001) edge list and run the
+    // same damped iteration in plain Scala — sorted folds in the same
+    // order the operator pins, so agreement is exact (the rounding at
+    // the end is shared via the same ⌊x·1e8+½⌋/1e8 chain).
+    val e = Graph.edges(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.length
+    val outw = e.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var pr: Map[String, Double] = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to Graph.Iterations) {
+      val dm = nodes.filter(d => !outw.contains(d)).sorted
+        .foldLeft(0.0)((a, d) => a + pr(d))
+      val incoming = e.groupBy(_._2)
+      pr = nodes.map { d =>
+        val fold = incoming.getOrElse(d, Array.empty[(String, String, Long)])
+          .sortBy(_._1)
+          .foldLeft(0.0) { case (a, (s, _, w)) => a + (pr(s) / outw(s)) * w }
+        d -> (0.15 / n + 0.85 * (dm / n) + 0.85 * fold)
+      }.toMap
+    }
+    val expect = nodes.map(d =>
+      d -> math.floor(pr(d) * 1e8 + 0.5) / 1e8).toMap
+    val got = Graph.gPagerank(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == expect.keySet)
+    val diffs = expect.collect {
+      case (d, v) if got(d) != v => s"$d: got ${got(d)} want $v"
+    }
+    assert(diffs.isEmpty, diffs.mkString("; "))
+  }
+
+  test("g_pagerank: rank mass is conserved and strictly positive") {
+    val rows = Graph.gPagerank(spark, sf).collect()
+    val total = rows.map(_.getDouble(2)).sum
+    assert(math.abs(total - 1.0) < 1e-6, s"mass drifted: $total")
+    assert(rows.forall(_.getDouble(2) > 0.0), "every node keeps teleport mass")
+  }
+
+  test("g_pagerank: deterministic across runs") {
+    def run(): Seq[Row] = Graph.gPagerank(spark, sf).collect().toSeq
+    assert(run() == run())
+  }
+}
