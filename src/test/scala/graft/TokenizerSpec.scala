@@ -69,6 +69,45 @@ class TokenizerSpec extends SparkSpec {
     assert(got == refBpe(fixture, 6), s"overlap fixture diverges: $got")
   }
 
+  test("encode replays training: corpus token total equals the reference") {
+    // Reference: refBpe-style sequential application of the learned
+    // merges to every distinct word (textbook index scan), then
+    // Σ count·|toks|. The operator's per-doc n_tokens must sum to
+    // exactly that — checks the chained fold encode AND the per-doc
+    // join/sum against an implementation sharing neither.
+    val merges = Tokenizer.tBpeTrain(spark, sf)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+      .map { case (_, l, r, m, _) => (l, r, m) }
+    val wc = graft.core.Tables(spark, sf).documents
+      .select(explode(graft.functions.TextFunctions.words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("count"))
+      .as[(String, Long)].collect().toMap
+    def encode(w: String): Vector[String] = {
+      var toks = w.toVector.map(_.toString)
+      merges.foreach { case (l, r, m) =>
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+            b += m; i += 2
+          } else { b += toks(i); i += 1 }
+        }
+        toks = b.result()
+      }
+      toks
+    }
+    val expectTokens = wc.map { case (w, c) => c * encode(w).length }.sum
+    val expectWords = wc.values.sum
+    val got = Tokenizer.tBpeEncode(spark, sf)
+      .agg(sum(col("n_tokens")), sum(col("n_words"))).head()
+    assert(got.getLong(0) == expectTokens,
+      s"token total ${got.getLong(0)} != reference $expectTokens")
+    assert(got.getLong(1) == expectWords)
+    // compression is real: merges learned on this corpus must shorten it
+    assert(expectTokens < wc.map { case (w, c) => c * w.length }.sum)
+  }
+
   test("corpus training is deterministic and structurally sound") {
     val a = Tokenizer.tBpeTrain(spark, sf)
       .as[(Long, String, String, String, Long)].collect().toSeq
