@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.functions.Parity.stableRound
 import graft.operators.Similarity.dot
 
 /** Embedding-column transforms over the `embeddings` table — the
@@ -454,6 +455,49 @@ object Embeddings {
       .orderBy("comp", "dim")
   }
 
+  // -------------------------------------------------------- e_whiten
+
+  /** e_whiten — whitening projection onto the [[ePca]] basis: every
+    * corpus vector maps to z_c = (v_c · x) / √(λ_c / n) for the top
+    * [[PcaComps]] components, so the TRAINING SAMPLE's second moment
+    * in z-space is exactly the identity — the decorrelation step
+    * ahead of OPQ rotation, Mahalanobis-style similarity, or
+    * embedding-drift monitoring. (Uncentered moment, inheriting
+    * [[eGram]]'s contract; subtract [[eCentroid]] means upstream for
+    * covariance whitening proper.)
+    *
+    * Scale shape: the model (PcaComps·d loadings + eigenvalues) is a
+    * bounded driver artifact embedded as PLAN LITERALS — like
+    * [[eRproject]]'s sign matrix, nothing is shuffled or broadcast —
+    * and the corpus pass is one narrow map (explicit per-component
+    * multiply-add chains over element_at, ascending dim, fully
+    * codegen). Scoring any corpus size is scan-bound; only the
+    * training pull ([[eGram]] on its md5 sample) does distributed
+    * work. Rows-only at the gate ([[ePca]]'s driver eigensolve has no
+    * SQL twin); PipelineSpec pins the whitened sample's second moment
+    * to the identity and bit-exact determinism. */
+  def eWhiten(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pca = ePca(spark, dir)
+      .select("comp", "dim", "loading", "eigval").collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2), r.getDouble(3)))
+    val n = eGram(spark, dir).select("n_vectors").head().getLong(0)
+    val byComp = pca.groupBy(_._1).toSeq.sortBy(_._1)
+    val zCols = byComp.map { case (c, rows) =>
+      val scale = math.sqrt(rows.head._4 / n)
+      val dot = rows.sortBy(_._2).map { case (_, dim, v, _) =>
+        element_at(col("embedding"), dim + 1).cast("double") * lit(v)
+      }.reduceLeft(_ + _)
+      stableRound(dot / lit(scale), 6).as(s"z$c")
+    }
+    Tables(spark, dir).embeddings
+      .select(col("vec_id") +: zCols: _*)
+      .select(col("vec_id"), posexplode(array(byComp.map(c => col(s"z${c._1}")): _*)))
+      .select(col("vec_id"), col("pos").cast("long").as("comp"),
+        col("col").as("z"))
+      .orderBy("vec_id", "comp")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_normalize" -> eNormalize,
     "e_quantize" -> eQuantize,
@@ -461,6 +505,7 @@ object Embeddings {
     "e_gram" -> eGram,
     "e_rproject" -> eRproject,
     "e_pca" -> ePca,
+    "e_whiten" -> eWhiten,
   )
 
   def oracles: Map[String, String] = Map(

@@ -1155,6 +1155,35 @@ class PipelineSpec extends SparkSpec {
     assert(again.sortBy(t => (t._1, t._2)).sameElements(rows.sortBy(t => (t._1, t._2))))
   }
 
+  test("e_whiten: training sample's second moment is the identity, deterministic") {
+    import graft.operators.Embeddings
+    val z = Embeddings.eWhiten(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    val k = Embeddings.PcaComps
+    // restrict to the vectors the Gram trained on (the md5 sample) —
+    // whitening is calibrated to exactly that second moment
+    val sampleIds = graft.core.Tables(spark, sf).embeddings
+      .filter(graft.functions.TextFunctions.md5_32(
+          concat(lit("grm:"), col("vec_id").cast("string")))
+        % Embeddings.GramSampleMod === 0)
+      .select("vec_id").as[Long].collect().toSet
+    val byVec = z.filter(t => sampleIds.contains(t._1))
+      .groupBy(_._1).view.mapValues(rs => rs.sortBy(_._2).map(_._3)).toMap
+    assert(byVec.nonEmpty && byVec.head._2.length == k)
+    val n = byVec.size
+    for (i <- 0 until k; j <- i until k) {
+      val m = byVec.values.map(v => v(i) * v(j)).sum / n
+      val want = if (i == j) 1.0 else 0.0
+      // z is presentation-rounded at 1e-6; the moment inherits ~1e-5
+      assert(math.abs(m - want) <= 1e-3, s"moment($i,$j) = $m")
+    }
+    // whole-corpus output shape: every vector, every component
+    val nAll = graft.core.Tables(spark, sf).embeddings.count()
+    assert(z.length == nAll * k)
+    val again = Embeddings.eWhiten(spark, sf).as[(Long, Long, Double)].collect()
+    assert(again.sortBy(t => (t._1, t._2)).sameElements(z.sortBy(t => (t._1, t._2))))
+  }
+
   test("caption pairs: aligned positive, stride negative, exact cosine hardness") {
     import graft.multimodal.Multimodal
     val df = Multimodal.mCaptionPair(spark, sf).cache()
