@@ -67,17 +67,13 @@ object Dedup {
     * the whole compute-heavy shingling pipeline in ONE task (at real
     * scale the file count provides the parallelism; an explicit
     * repartition makes the operator independent of input layout). */
-  private[graft] def shingleSets(spark: SparkSession, dir: String): DataFrame = {
-    val d = TextAnalysis.docsSpread(spark, dir)
+  private[graft] def shingleSets(spark: SparkSession, dir: String): DataFrame =
     // WordShingles is a single-pass custom expression: the HOF
     // formulation re-evaluates the word-array expression per element
     // when CollapseProject merges the projections (measured 40×).
-    d.select(col("doc_id"),
-        graft.functions.expr.VectorExpressions.wordShingles(words(col("text")), 3).as("shing"))
-      .filter(size(col("shing")) > 0)
-  }
+    shinglesOf(TextAnalysis.docsSpread(spark, dir))
 
-  private val shingleSetsSql: String =
+  private[graft] val shingleSetsSql: String =
     s"""SELECT doc_id,
        |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS shing
        |FROM (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents) t
@@ -362,8 +358,13 @@ object Dedup {
   /** MinHash signatures: shingle → 32-bit md5 hash h, permutation i
     * gives ((2i+1)·h + b_i) mod P, signature = min over shingles.
     * 16 perms, banded 4×4 for LSH. */
-  private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
-    val sets = shingleSets(spark, dir)
+  private[graft] def minhashSigs(spark: SparkSession, dir: String): DataFrame =
+    sigsFromSets(shingleSets(spark, dir))
+
+  /** Signature pipeline over any (doc_id, shing) frame — shared with
+    * the streaming near-dup path so batch and stream banding cannot
+    * diverge. */
+  private[graft] def sigsFromSets(sets: DataFrame): DataFrame = {
     // Materialize the hash array first: referencing the transform
     // expression inside each of the 16 aggregates would recompute
     // every md5 16×.
@@ -373,7 +374,25 @@ object Dedup {
       graft.functions.expr.VectorExpressions.minhashSigs(col("hs"), NumPerms, P).as("sig"))
   }
 
-  private val minhashSigsSql: String =
+  /** The shingle expression over a (doc_id, text) frame — the column
+    * pipeline [[shingleSets]] applies to the batch table, reusable on
+    * a streaming frame. */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.expr.VectorExpressions.wordShingles(
+          graft.functions.TextFunctions.words(col("text")), 3).as("shing"))
+      .filter(size(col("shing")) > 0)
+
+  /** The LSH bands CTE (over `sigarr`) shared by every oracle that
+    * mirrors [[bandKeys]]. */
+  private[graft] val bandsSqlCte: String =
+    s"""bands AS (
+       |  SELECT doc_id, b,
+       |    md5(array_to_string(list_transform(sig[b*$RowsPerBand + 1 : b*$RowsPerBand + $RowsPerBand],
+       |      x -> x::VARCHAR), '-')) AS key
+       |  FROM sigarr CROSS JOIN (SELECT unnest(range($Bands)) AS b) bb)""".stripMargin
+
+  private[graft] val minhashSigsSql: String =
     s"""sigs AS (
        |  SELECT doc_id, i,
        |    min(((2*i + 1)*h + (1000003*(i + 1)) % $P) % $P) AS sig
@@ -394,7 +413,7 @@ object Dedup {
     * structs are built with a Scala-level loop: a lambda-internal
     * slice(col("sig"), ...) would re-evaluate the signature
     * expression per band element after projection collapse. */
-  private def bandKeys(sigs: DataFrame): DataFrame = {
+  private[graft] def bandKeys(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("-",
@@ -440,11 +459,7 @@ object Dedup {
   val dDedupMinhashSql: String =
     s"""WITH sets AS ($shingleSetsSql),
        |$minhashSigsSql,
-       |bands AS (
-       |  SELECT doc_id, b,
-       |    md5(array_to_string(list_transform(sig[b*$RowsPerBand + 1 : b*$RowsPerBand + $RowsPerBand],
-       |      x -> x::VARCHAR), '-')) AS key
-       |  FROM sigarr CROSS JOIN (SELECT unnest(range($Bands)) AS b) bb),
+       |$bandsSqlCte,
        |cand AS (
        |  SELECT DISTINCT a.doc_id id1, b.doc_id id2
        |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)

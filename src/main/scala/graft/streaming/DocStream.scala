@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Streaming document curation — the ingest-time variant of the batch
+  * near-dup pass: as documents arrive, band them with the SAME
+  * MinHash+LSH pipeline the batch dedup uses ([[Dedup.shinglesOf]] /
+  * [[Dedup.sigsFromSets]] / [[Dedup.bandKeys]] — shared code, so
+  * batch and stream banding cannot diverge) and match each arrival
+  * against the accumulated bucket state. This is the "dedup at the
+  * door" pattern a continuously-fed training corpus wants: a new
+  * document is flagged the moment it collides with any
+  * previously-admitted document's band bucket, without rescanning
+  * the corpus.
+  *
+  * State is ONE long per occupied (band, key) bucket — the earliest
+  * admitted doc_id (the cluster representative, matching the batch
+  * min-label convention) — bounded by the number of distinct buckets,
+  * not by corpus size, and keyed exactly like the batch shuffle. At
+  * 100 TB the bucket space is what LSH makes it: state stays
+  * per-bucket-constant and the stream never joins corpus×corpus.
+  *
+  * Determinism: within a micro-batch, bucket members process in
+  * doc_id order; the single-file gate corpus arrives as one batch, so
+  * the output is exactly the batch oracle (every bucket member except
+  * its minimum, labeled with that minimum). Across batches the
+  * representative is first-seen-then-minimum — the [[EventStream]]
+  * stFunnel caveat class, finalized the same way in production.
+  *
+  * Like the batch candidate stage, emitted pairs are CANDIDATES
+  * (band collisions); the exact-Jaccard verify join is the batch
+  * tail ([[Dedup]] verifyJaccard) applied to the emitted (doc, rep)
+  * stream — kept out of the stateful operator so state stays one
+  * long per bucket. */
+object DocStream {
+
+  final case class BandRow(band: Int, key: String, doc_id: Long)
+  final case class NearDupOut(doc_id: Long, band: Long, key: String, rep_id: Long)
+
+  /** Streaming reader for the documents table — same
+    * symlink-directory arrangement as the events reader (the file
+    * stream source needs a directory; real deployments stream an
+    * arriving-files directory anyway). */
+  private def docStream(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = EventStream.streamSession(rootSpark)
+    val raw = spark.read.parquet(s"$dir/documents.parquet").schema
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val streamDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_docs_stream_$sfTag")
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("documents.parquet")
+    val target = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    if (java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+        (!java.nio.file.Files.isSymbolicLink(link) ||
+         java.nio.file.Files.readSymbolicLink(link) != target ||
+         !java.nio.file.Files.exists(target)))
+      java.nio.file.Files.delete(link)
+    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      java.nio.file.Files.createSymbolicLink(link, target)
+    spark.readStream.schema(raw).parquet(streamDir.toString)
+  }
+
+  /** st_near_dup — streaming MinHash/LSH near-duplicate detection:
+    * every arriving document that collides with an occupied band
+    * bucket emits (doc_id, band, key, rep_id). */
+  def stNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stream = docStream(spark, dir).select(col("doc_id"), col("text"))
+    val s = stream.sparkSession
+    import s.implicits._
+    val sigs = Dedup.sigsFromSets(Dedup.shinglesOf(stream))
+      // typed-map barrier: without it CollapseProject inlines the
+      // 16-perm signature expression into every band struct (the
+      // batch path's .cache() barrier — caches don't exist on a
+      // stream, object ser/de does the same fencing)
+      .as[(Long, Seq[Long])].map(identity).toDF("doc_id", "sig")
+    val bands = Dedup.bandKeys(sigs)
+      .as[(Long, Int, String)].map(t => BandRow(t._2, t._3, t._1))
+    val out = bands
+      .groupByKey(b => (b.band, b.key))
+      .flatMapGroupsWithState[Long, NearDupOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bk: (Int, String), rows: Iterator[BandRow], state: GroupState[Long]) =>
+          val docs = rows.map(_.doc_id).toSeq.sorted
+          val rep = math.min(state.getOption.getOrElse(Long.MaxValue), docs.head)
+          state.update(rep)
+          docs.filter(_ != rep)
+            .map(d => NearDupOut(d, bk._1.toLong, bk._2, rep)).iterator
+      }
+    EventStream.runToTable(out.toDF(), "append")
+      .orderBy("doc_id", "band")
+  }
+
+  val stNearDupSql: String =
+    s"""WITH sets AS (${Dedup.shingleSetsSql}),
+       |${Dedup.minhashSigsSql},
+       |${Dedup.bandsSqlCte},
+       |rep AS (SELECT b, key, min(doc_id) AS rep_id FROM bands GROUP BY 1, 2)
+       |SELECT bd.doc_id, bd.b::BIGINT AS band, bd.key, rep.rep_id
+       |FROM bands bd JOIN rep ON bd.b = rep.b AND bd.key = rep.key
+       |WHERE bd.doc_id > rep.rep_id
+       |ORDER BY doc_id, band""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_near_dup" -> stNearDup,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "st_near_dup" -> stNearDupSql,
+  )
+}

@@ -43,7 +43,7 @@ object EventStream {
   // parent session object, so the weak reference can actually clear).
   private val streamSessions = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, SparkSession]())
-  private def streamSession(spark: SparkSession): SparkSession = {
+  private[streaming] def streamSession(spark: SparkSession): SparkSession = {
     val s = Option(streamSessions.get(spark)).getOrElse {
       val ns = spark.newSession()
       streamSessions.put(spark, ns)
@@ -101,7 +101,7 @@ object EventStream {
         .parquet(streamDir.toString))
   }
 
-  private def runToTable(df: DataFrame, mode: String): DataFrame = {
+  private[streaming] def runToTable(df: DataFrame, mode: String): DataFrame = {
     // df was built through [[eventStream]], so its session IS the
     // stream session — the state-partition width is already its conf
     // and the memory-sink table registers there; nothing on the
