@@ -272,6 +272,76 @@ object Events {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  /** One hour in nanoseconds — the resample grid step. */
+  val ResampleStepNs: Long = 3600L * 1000000000L
+
+  /** q_resample — time-series downsampling with gap fill: per user,
+    * an hourly grid spanning that user's first→last event; each grid
+    * hour carries the LAST event value in that hour (ts then event_id
+    * tie-break), and empty hours FORWARD-FILL from the most recent
+    * observed hour — the regularization step ahead of windowed
+    * feature extraction or rate modeling on irregular event streams.
+    *
+    * Shape: one user_id shuffle shared by the per-hour last-pick
+    * window, the per-user span aggregate, and the fill window; the
+    * grid explodes from a `sequence` per user (span-bounded, no
+    * driver loop, no cross join). Values are PICKED, never summed —
+    * no float-parity machinery needed, the doubles ride through
+    * bit-exact. Filled rows are flagged so downstream can weight
+    * observed vs interpolated points. */
+  def qResample(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("value"))
+      .withColumn("hour_bucket", expr(s"ts_ns div $ResampleStepNs"))
+    val byHour = Window.partitionBy(col("user_id"), col("hour_bucket"))
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    val hourly = e.withColumn("rn", row_number().over(byHour))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("hour_bucket"), col("value"))
+    val spans = hourly.groupBy("user_id")
+      .agg(min(col("hour_bucket")).as("h0"), max(col("hour_bucket")).as("h1"))
+    val grid = spans.select(col("user_id"),
+      explode(sequence(col("h0"), col("h1"))).as("hour_bucket"))
+    val fill = Window.partitionBy(col("user_id"))
+      .orderBy(col("hour_bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(hourly, Seq("user_id", "hour_bucket"), "left")
+      .withColumn("filled", col("value").isNull)
+      .withColumn("value", last(col("value"), ignoreNulls = true).over(fill))
+      .select("user_id", "hour_bucket", "value", "filled")
+      .orderBy("user_id", "hour_bucket")
+  }
+
+  val qResampleSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+       |    epoch_ns(ts) // $ResampleStepNs AS hour_bucket, value
+       |  FROM events),
+       |hourly AS (
+       |  SELECT user_id, hour_bucket, value FROM (
+       |    SELECT user_id, hour_bucket, value,
+       |      row_number() OVER (PARTITION BY user_id, hour_bucket
+       |        ORDER BY ts_ns DESC, event_id DESC) AS rn
+       |    FROM e) t
+       |  WHERE rn = 1),
+       |spans AS (
+       |  SELECT user_id, min(hour_bucket) AS h0, max(hour_bucket) AS h1
+       |  FROM hourly GROUP BY user_id),
+       |grid AS (
+       |  SELECT user_id, unnest(range(h0, h1 + 1)) AS hour_bucket FROM spans),
+       |joined AS (
+       |  SELECT g.user_id, g.hour_bucket, h.value,
+       |    (h.value IS NULL) AS filled
+       |  FROM grid g LEFT JOIN hourly h
+       |    ON g.user_id = h.user_id AND g.hour_bucket = h.hour_bucket)
+       |SELECT user_id, hour_bucket,
+       |  (SELECT h2.value FROM hourly h2
+       |   WHERE h2.user_id = j.user_id AND h2.hour_bucket <= j.hour_bucket
+       |   ORDER BY h2.hour_bucket DESC LIMIT 1) AS value,
+       |  filled
+       |FROM joined j
+       |ORDER BY user_id, hour_bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> qSessionize,
     "q_asof_join" -> qAsofJoin,
@@ -279,6 +349,7 @@ object Events {
     "q_range_join" -> qRangeJoin,
     "q_json_extract" -> qJsonExtract,
     "q_retention" -> qRetention,
+    "q_resample" -> qResample,
   )
 
   def oracles: Map[String, String] = Map(
@@ -288,5 +359,6 @@ object Events {
     "q_range_join" -> qRangeJoinSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_retention" -> qRetentionSql,
+    "q_resample" -> qResampleSql,
   )
 }

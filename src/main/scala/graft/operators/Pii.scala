@@ -119,11 +119,60 @@ object Pii {
        |FROM p
        |ORDER BY doc_id""".stripMargin
 
+  /** k-anonymity threshold: a quasi-identifier class smaller than
+    * this is re-identifiable. */
+  val KAnon = 5
+
+  /** Account-balance band width for the generalized quasi-identifier
+    * (generalization is the standard k-anonymity remediation — raw
+    * balances would make nearly every class a singleton). */
+  val BalBand = 1000.0
+
+  /** d_kanon — k-anonymity audit over the customer table (the
+    * governance gate before person-linked attributes feed a training
+    * mixture): each record's quasi-identifier class (nation, market
+    * segment, generalized balance band) is sized, and records in
+    * classes below [[KAnon]] are flagged for suppression or further
+    * generalization. One hash shuffle on the class key; class
+    * cardinality grows with the data, so the aggregation distributes
+    * — and the per-record flag joins the class size back broadcastish
+    * (class table ≪ records). Integer-only decisions (band via
+    * floor-division, identical IEEE both engines). */
+  def dKanon(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir).customer
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / BalBand).cast("long").as("bal_band"))
+    val classes = c.groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("class_size"))
+    c.join(classes, Seq("c_nationkey", "c_mktsegment", "bal_band"))
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"), col("bal_band"),
+        col("class_size"), (col("class_size") < KAnon).as("reidentifiable"))
+      .orderBy("c_custkey")
+  }
+
+  val dKanonSql: String =
+    s"""WITH q AS (
+       |  SELECT c_custkey, c_nationkey, c_mktsegment,
+       |    floor(c_acctbal / $BalBand)::BIGINT AS bal_band
+       |  FROM customer),
+       |cls AS (
+       |  SELECT c_nationkey, c_mktsegment, bal_band,
+       |    count(*)::BIGINT AS class_size
+       |  FROM q GROUP BY 1, 2, 3)
+       |SELECT q.c_custkey, q.c_nationkey::BIGINT AS nation,
+       |  q.c_mktsegment AS segment, q.bal_band, cls.class_size,
+       |  (cls.class_size < $KAnon) AS reidentifiable
+       |FROM q JOIN cls USING (c_nationkey, c_mktsegment, bal_band)
+       |ORDER BY c_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_pii" -> tPii,
+    "d_kanon" -> dKanon,
   )
 
   def oracles: Map[String, String] = Map(
     "t_pii" -> tPiiSql,
+    "d_kanon" -> dKanonSql,
   )
 }
