@@ -72,8 +72,13 @@ object Retrieval {
     * (qid, doc) score aggregation and the rank window (hash(qid)
     * satisfies the agg's (qid, doc) clustering), so the tail is
     * exchange-free until the presentation sort. */
-  def tBm25(spark: SparkSession, dir: String): DataFrame = {
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+  /** The shared BM25 pipeline state: corpus size, cached tf frame,
+    * df/dl aggregates, exact avgdl scalar, and the per-seed query-term
+    * table (carrying df). One tokenize pass feeds everything. */
+  private[graft] final case class Bm25Parts(n: Double, tf: DataFrame,
+      dfw: DataFrame, dl: DataFrame, avgdl: Double, qterms: DataFrame)
+
+  private[graft] def bm25Parts(spark: SparkSession, dir: String): Bm25Parts = {
     val n = Tables(spark, dir).documents.count().toDouble
     val tf = TextAnalysis.docsSpread(spark, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
@@ -93,19 +98,25 @@ object Retrieval {
         tf.filter(col("doc_id") % Bm25QueryMod === 0), dfw, n)
       .filter(col("rk") <= Bm25QTerms)
       .select(col("doc_id").as("qid"), col("word"), col("df"))
+    Bm25Parts(n, tf, dfw, dl, avgdlV, qterms)
+  }
+
+  /** The Robertson/Lucene per-term weight over cols (tf, df, dl). */
+  private def termExpr(n: Double, avgdl: Double) = {
     val idf = log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-    val term = idf * (col("tf") * lit(2.2) /
-      (col("tf") + lit(Bm25K1) * (lit(0.25) + lit(Bm25B) * (col("dl") / lit(avgdlV)))))
+    idf * (col("tf") * lit(2.2) /
+      (col("tf") + lit(Bm25K1) * (lit(0.25) + lit(Bm25B) * (col("dl") / lit(avgdl)))))
+  }
+
+  /** Exact scoring + top-k tail over a (qid, word, df, tf, doc_id)
+    * candidate stream — shared by the full and MaxScore paths. */
+  private def scoreTail(spark: SparkSession, p: Bm25Parts, cand: DataFrame): DataFrame = {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val rkWin = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("doc_id"))
-    // no broadcast hint on qterms: the mod-derived seed set grows
-    // with the corpus (a stand-in for a real bounded query set), so
-    // Catalyst/AQE picks broadcast from actual size — it does at
-    // every bench sf — without baking the assumption in
-    qterms.join(tf, "word")
-      .filter(col("doc_id") =!= col("qid"))
-      .join(dl, "doc_id")
-      .select(col("qid"), col("doc_id"), term.as("term"))
+    cand
+      .join(p.dl, "doc_id")
+      .select(col("qid"), col("doc_id"), termExpr(p.n, p.avgdl).as("term"))
       .repartition(parts, col("qid"))
       .groupBy("qid", "doc_id")
       .agg(sort_array(collect_list(col("term"))).as("ts"))
@@ -116,6 +127,16 @@ object Retrieval {
       .filter(col("rk") <= Bm25TopK)
       .select(col("qid"), col("rk"), col("doc_id"), col("score"))
       .orderBy("qid", "rk")
+  }
+
+  def tBm25(spark: SparkSession, dir: String): DataFrame = {
+    val p = bm25Parts(spark, dir)
+    // no broadcast hint on qterms: the mod-derived seed set grows
+    // with the corpus (a stand-in for a real bounded query set), so
+    // Catalyst/AQE picks broadcast from actual size — it does at
+    // every bench sf — without baking the assumption in
+    scoreTail(spark, p,
+      p.qterms.join(p.tf, "word").filter(col("doc_id") =!= col("qid")))
   }
 
   val tBm25Sql: String =
@@ -157,11 +178,107 @@ object Retrieval {
        |WHERE rk <= $Bm25TopK
        |ORDER BY qid, rk""".stripMargin
 
+  /** Fixed-point scale for the integer pruning bound. */
+  private val UbQ = 1e6
+
+  /** Per-word impact bound table (word, uq): uq = ⌈U(w)·1e6⌉ where
+    * U(w) = idf(w) · max over the corpus of the saturation factor —
+    * the WAND/MaxScore upper bound on any document's contribution
+    * from word w. Corpus-wide metadata (one tf⋈dl pass + a word-keyed
+    * max), amortized like df itself at index-build time. CEILING
+    * quantization keeps the integer bound an upper bound. */
+  private[graft] def impactBounds(p: Bm25Parts): DataFrame = {
+    val idf = log((lit(p.n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    p.tf.join(p.dl, "doc_id")
+      .select(col("word"), (col("tf") * lit(2.2) /
+        (col("tf") + lit(Bm25K1) * (lit(0.25) + lit(Bm25B) * (col("dl") / lit(p.avgdl)))))
+        .as("sat"))
+      .groupBy("word").agg(max(col("sat")).as("msat"))
+      .join(p.dfw, "word")
+      .select(col("word"), ceil(idf * col("msat") * lit(UbQ)).cast("long").as("uq"))
+  }
+
+  /** Query terms whose postings seed the pruning threshold. One term
+    * is too brittle on a natural vocabulary (the single top-impact
+    * term is rare by construction — its df can be < k, leaving θ
+    * unset); a handful fills k while keeping the seed pass bounded by
+    * their Σdf. */
+  private[graft] val SeedTerms = 4
+
+  /** The MaxScore survivor set for a candidate stream: per query, a
+    * threshold θ comes from scoring ONLY the [[SeedTerms]] top-impact
+    * terms' postings (per-doc Σ⌊term·1e6⌋ over matched seed terms —
+    * an integer partial score that lower-bounds the true kth best),
+    * then a document survives iff the integer upper bound Σ⌈U·1e6⌉
+    * over its matched query terms reaches θ. Exact by construction —
+    * Σceil ≥ true·1e6, θ ≤ ⌊kth-best true·1e6⌋, and the ±1-quantum
+    * rounding-tie case closes because both sides are INTEGERS (an
+    * integer > θ−1 is ≥ θ) — and the pruning decision never rides on
+    * float summation order. Queries with fewer than k seed-phase docs
+    * keep everything (θ = −∞). */
+  private[graft] def maxScoreSurvivors(spark: SparkSession, p: Bm25Parts,
+      cand: DataFrame, impacts: DataFrame): DataFrame = {
+    import spark.implicits._
+    // seed phase: each query's few highest-impact terms
+    val topWin = Window.partitionBy(col("qid"))
+      .orderBy(col("uq").desc, col("word"))
+    val topTerm = p.qterms.join(impacts, "word")
+      .withColumn("trk", row_number().over(topWin))
+      .filter(col("trk") <= SeedTerms)
+      .select(col("qid"), col("word"), col("df"))
+    val thetaWin = Window.partitionBy(col("qid"))
+      .orderBy(col("pq").desc)
+    val theta = topTerm.join(p.tf, "word")
+      .filter(col("doc_id") =!= col("qid"))
+      .join(p.dl, "doc_id")
+      .select(col("qid"), col("doc_id"),
+        floor(termExpr(p.n, p.avgdl) * lit(UbQ)).cast("long").as("pqt"))
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("pqt")).as("pq"))
+      .withColumn("prk", row_number().over(thetaWin))
+      .filter(col("prk") === Bm25TopK)
+      .select(col("qid"), col("pq").as("thetaq"))
+    // upper-bound pass: cheap integer sum per (qid, doc) — no dl join,
+    // no float fold; survivors enter the exact tail only
+    cand.join(impacts.select("word", "uq"), "word")
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("uq")).as("ub"))
+      .join(theta, Seq("qid"), "left")
+      .filter(col("thetaq").isNull || col("ub") >= col("thetaq"))
+      .select("qid", "doc_id")
+  }
+
+  /** t_bm25_maxscore — the same exact top-k as [[tBm25]] (same SQL
+    * oracle — the gate's hash-match IS the exactness proof) with
+    * WAND/MaxScore-style candidate pruning adapted to a batch engine:
+    * documents whose matched-term impact bounds cannot reach the
+    * query's seed-phase threshold never enter the expensive exact
+    * aggregation (the dl join, the sorted float fold, the (qid, doc)
+    * shuffle). On the degenerate uniform-vocabulary driver corpus the
+    * bound prunes little (every term's postings are dense and scores
+    * are flat — measured in ZipfBm25Spec); on a Zipfian corpus the
+    * threshold separates and the exact phase shrinks — the same
+    * corpus-shape story as d_dedup_ngram's prefix filter, measured
+    * the same way. */
+  def tBm25MaxScore(spark: SparkSession, dir: String): DataFrame = {
+    val p = bm25Parts(spark, dir)
+    val cand = p.qterms.join(p.tf, "word")
+      .filter(col("doc_id") =!= col("qid"))
+      .cache()
+    val surv = maxScoreSurvivors(spark, p, cand, impactBounds(p))
+    scoreTail(spark, p, cand.join(surv, Seq("qid", "doc_id"), "left_semi"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_bm25" -> tBm25,
+    "t_bm25_maxscore" -> tBm25MaxScore,
   )
 
   def oracles: Map[String, String] = Map(
     "t_bm25" -> tBm25Sql,
+    // the MaxScore path must produce the identical exact top-k — the
+    // shared oracle is the point (pruning that changed results would
+    // hash-mismatch at the gate)
+    "t_bm25_maxscore" -> tBm25Sql,
   )
 }

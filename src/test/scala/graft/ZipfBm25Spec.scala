@@ -78,8 +78,80 @@ class ZipfBm25Spec extends SparkSpec {
         f"zipf fraction $fracZipf%.4f not <10%% of uniform $fracUniform%.4f")
       // and bm25 itself runs green end-to-end on the zipfian corpus
       assert(Retrieval.tBm25(spark, dir).count() > 0)
+
+      // exactness: MaxScore must reproduce bm25's top-k on the
+      // rare-keyword corpus too (its θ often never forms there —
+      // the keep-all fallback must kick in, not a wrong prune)
+      assert(Retrieval.tBm25MaxScore(spark, dir).collect().toSeq ==
+        Retrieval.tBm25(spark, dir).collect().toSeq,
+        "maxscore diverged from exact bm25 on the zipf corpus")
     } finally {
       // don't leak a parquet corpus per run
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach(p => { java.nio.file.Files.deleteIfExists(p): Unit })
+    }
+  }
+
+  test("maxscore prunes the exact phase on a mixed-vocabulary corpus, result-identical") {
+    // The regime WAND/MaxScore exists for: common terms inflate the
+    // candidate set, rare terms skew the score distribution, so the
+    // seed-phase threshold separates. (The rare-keyword zipf fixture
+    // above is the opposite regime — its Σdf bound already collapses
+    // the stream and there is nothing left to prune; measured 100%
+    // survivors there, which is why this fixture exists.) Longer docs
+    // + a moderate vocabulary put mid-df terms into the seeds' top-8
+    // TF-IDF keywords.
+    val rnd = new scala.util.Random(20260815L)
+    val nDocs = 1000
+    val vocab = 500
+    val zexp = 1.05
+    val cum = Array.tabulate(vocab)(r => 1.0 / math.pow(r + 1.0, zexp))
+      .scanLeft(0.0)(_ + _).tail
+    def draw(): String = {
+      val x = rnd.nextDouble() * cum.last
+      var lo = 0
+      var hi = vocab - 1
+      while (lo < hi) {
+        val mid = (lo + hi) / 2
+        if (cum(mid) < x) lo = mid + 1 else hi = mid
+      }
+      s"w$lo"
+    }
+    val s = spark
+    import s.implicits._
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_mixed_bm25_")
+    val dir = dirPath.toString
+    try {
+      (0 until nDocs).map { i =>
+        (i.toLong, Seq.fill(150 + rnd.nextInt(151))(draw()).mkString(" "))
+      }.toDF("doc_id", "text")
+        .withColumn("lang", lit("en"))
+        .withColumn("source", lit("mixed"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      assert(Retrieval.tBm25MaxScore(spark, dir).collect().toSeq ==
+        Retrieval.tBm25(spark, dir).collect().toSeq,
+        "maxscore diverged from exact bm25 on the mixed corpus")
+      def pruneStats(d: String): (Long, Long) = {
+        val p = Retrieval.bm25Parts(spark, d)
+        val cand = p.qterms.join(p.tf, "word")
+          .filter(col("doc_id") =!= col("qid"))
+        val full = cand.select("qid", "doc_id").distinct().count()
+        val surv = Retrieval.maxScoreSurvivors(
+          spark, p, cand, Retrieval.impactBounds(p)).count()
+        (full, surv)
+      }
+      val (fu, su) = pruneStats(sf)
+      val (fm, sm) = pruneStats(dir)
+      info(f"maxscore survivors — uniform driver corpus: $su/$fu " +
+        f"(${su * 100.0 / fu}%.1f%%), mixed zipf: $sm/$fm (${sm * 100.0 / fm}%.1f%%)")
+      // the measured claim: the exact phase shrinks to a fraction of
+      // the candidate (qid, doc) space on a natural mixed vocabulary
+      assert(sm < fm / 2,
+        s"maxscore pruned only ${fm - sm} of $fm candidate docs")
+    } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
         .foreach(p => { java.nio.file.Files.deleteIfExists(p): Unit })
