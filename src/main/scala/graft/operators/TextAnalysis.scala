@@ -749,7 +749,63 @@ object TextAnalysis {
        |FROM s
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- heavy hitters
+
+  /** Misra–Gries counters. The guarantee threshold is share >
+    * 1/(HhK+1); 64 counters track any word above ~1.5% share in
+    * bounded memory whatever the vocabulary size. */
+  val HhK = 64
+
+  /** t_heavy_hitters — corpus-level heavy-hitter words via the
+    * [[graft.functions.expr.MisraGries]] native aggregate: ONE pass
+    * over the token stream with ≤ [[HhK]] counters per partial buffer
+    * (map-side combined like any aggregate — no word-keyed
+    * corpus-wide shuffle, unlike the exact groupBy), then an EXACT
+    * recount of only the summary's candidate words (broadcast semi
+    * join — ≤ HhK words) and the integer threshold cnt·(K+1) > n.
+    * The MG guarantee makes this exact: every word above the
+    * threshold is present in the summary whatever the merge order,
+    * so the thresholded recount equals the full exact computation —
+    * which is the oracle, and the gate hash-match proves it. Scale:
+    * the sketch pass is the only corpus-scale stage and it carries
+    * O(K) state per task; the candidate recount scans with a
+    * broadcast filter. SketchSpec additionally pins the guarantee on
+    * a 50k-word Zipf vocabulary where the summary actually prunes. */
+  def tHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = docsSpread(spark, dir)
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .cache()
+    val summary = toks.agg(
+      graft.functions.expr.SketchAggregates.misraGries(col("word"), HhK)
+        .as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.word").as("word"))
+    val candidates = summary.as[String].collect().toSeq
+    val nTotal = toks.count()
+    toks.filter(col("word").isInCollection(candidates))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (HhK + 1) > nTotal)
+      .select(col("word"), col("cnt"),
+        stableRound(col("cnt") / lit(nTotal.toDouble), 6).as("share"))
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
+  val tHeavyHittersSql: String =
+    s"""WITH w AS (SELECT string_split($normSql, ' ') AS w FROM documents),
+       |toks AS (SELECT unnest(w) AS word FROM w),
+       |t AS (SELECT word FROM toks WHERE length(word) > 0),
+       |nt AS (SELECT count(*)::BIGINT AS n FROM t),
+       |c AS (SELECT word, count(*)::BIGINT AS cnt FROM t GROUP BY word)
+       |SELECT word, cnt,
+       |  floor((cnt / (SELECT n FROM nt)::DOUBLE) * 1e6 + 0.5) / 1e6 AS share
+       |FROM c
+       |WHERE cnt * (${HhK} + 1) > (SELECT n FROM nt)
+       |ORDER BY cnt DESC, word""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_heavy_hitters" -> tHeavyHitters,
     "t_token_count" -> tTokenCount,
     "t_quality" -> tQuality,
     "t_lang_id" -> tLangId,
@@ -766,6 +822,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "t_heavy_hitters" -> tHeavyHittersSql,
     "t_token_count" -> tTokenCountSql,
     "t_quality" -> tQualitySql,
     "t_lang_id" -> tLangIdSql,
