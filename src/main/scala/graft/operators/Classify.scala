@@ -56,8 +56,11 @@ object Classify {
     * thousands here (measured: the separating signal spans a few
     * hundredths of the feature simplex, so useful margins need
     * weights in the tens — GD at a stable step crawls at ~7e-4
-    * loss/epoch, and an aggressive step oscillates 1.5 ↔ 13.4). */
-  val Epochs = 8
+    * loss/epoch, and an aggressive step oscillates 1.5 ↔ 13.4).
+    * Measured loss trace plateaus by iteration 6 (0.1311 vs the
+    * 8-iteration 0.1310) while each iteration costs ~5 small jobs —
+    * the top bench line before the cut. */
+  val Epochs = 6
 
   /** Ridge regularizer — REQUIRED, not a tuning nicety: Σ_b x_b = 1
     * per doc makes the feature matrix collinear (the all-ones

@@ -428,10 +428,12 @@ object Embeddings {
     * order, the sign convention, and run-to-run determinism (the
     * [[Similarity]] ANN recall-bound precedent for non-SQL oracles).
     */
-  def ePca(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val gram = eGram(spark, dir)
-      .select("dim_i", "dim_j", "gram").collect()
+  /** Driver-side PCA over collected (dim_i, dim_j, gram) rows —
+    * shared by [[ePca]] and [[eWhiten]] so the Gram pass (the only
+    * distributed work) runs once per caller. Returns
+    * (comp, dim, loading, eigval, var_ratio) tuples. */
+  private def pcaFromGram(gram: Array[org.apache.spark.sql.Row])
+      : Seq[(Long, Long, Double, Double, Double)] = {
     val d = gram.map(_.getLong(0)).max.toInt + 1
     val m = Array.ofDim[Double](d, d)
     gram.foreach { r =>
@@ -442,7 +444,7 @@ object Embeddings {
     val (vals, vecs) = jacobiEig(m)
     val total = vals.sum
     val order = vals.indices.sortBy(i => (-vals(i), i)).take(PcaComps)
-    val rows = order.zipWithIndex.flatMap { case (ei, comp) =>
+    order.zipWithIndex.flatMap { case (ei, comp) =>
       val raw = Array.tabulate(d)(dim => vecs(dim)(ei))
       // sign convention: the largest-|loading| dim (ties → first) positive
       val pivot = raw.indices.maxBy(i => (math.abs(raw(i)), -i))
@@ -450,6 +452,12 @@ object Embeddings {
       raw.indices.map(dim => (comp.toLong, dim.toLong, sgn * raw(dim),
         vals(ei), vals(ei) / total))
     }
+  }
+
+  def ePca(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = pcaFromGram(eGram(spark, dir)
+      .select("dim_i", "dim_j", "gram").collect())
     spark.createDataset(rows)
       .toDF("comp", "dim", "loading", "eigval", "var_ratio")
       .orderBy("comp", "dim")
@@ -477,11 +485,15 @@ object Embeddings {
     * SQL twin); PipelineSpec pins the whitened sample's second moment
     * to the identity and bit-exact determinism. */
   def eWhiten(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val pca = ePca(spark, dir)
-      .select("comp", "dim", "loading", "eigval").collect()
-      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2), r.getDouble(3)))
-    val n = eGram(spark, dir).select("n_vectors").head().getLong(0)
+    // ONE Gram pass feeds both the eigensolve and the sample size
+    // (calling ePca + eGram separately would run the distributed
+    // Gram aggregation twice — measured ~1.7 s of the query at sf0.1)
+    val gramRows = eGram(spark, dir)
+      .select(col("dim_i"), col("dim_j"), col("gram"), col("n_vectors"))
+      .collect()
+    val pca = pcaFromGram(gramRows)
+      .map(t => (t._1.toInt, t._2.toInt, t._3, t._4))
+    val n = gramRows.head.getLong(3)
     val byComp = pca.groupBy(_._1).toSeq.sortBy(_._1)
     val zCols = byComp.map { case (c, rows) =>
       val scale = math.sqrt(rows.head._4 / n)
