@@ -161,12 +161,16 @@ object Classify {
   def train(spark: SparkSession, feats: DataFrame, nDocs: Long): Model = {
     import spark.implicits._
     var w = Array.fill(Dim)(0.0)
-    var loss = lossOf(spark, scoreWith(spark, feats, w), nDocs)
+    // the scored frame is carried ACROSS epochs: the accepted line-
+    // search candidate's scoring pass becomes the next epoch's
+    // gradient input (recomputing it was one redundant corpus job
+    // per epoch on the top bench line)
+    var scored = scoreWith(spark, feats, w).localCheckpoint(false)
+    var loss = lossOf(spark, scored, nDocs)
     val losses = Seq.newBuilder[Double]
     val fa = feats.select(col("doc_id"), col("bucket").as("ba"), col("x").as("xa"))
     val fb = feats.select(col("doc_id"), col("bucket").as("bb"), col("x").as("xb"))
     for (_ <- 1 to Epochs) {
-      val scored = scoreWith(spark, feats, w).localCheckpoint(false)
       val gradQ = feats.join(scored.select(col("doc_id"), col("p")), "doc_id")
         .select(col("bucket"),
           floor((col("p") - col("y")) * col("x") * Q + 0.5)
@@ -188,15 +192,23 @@ object Classify {
         hessQ.getOrElse((i.toLong, j.toLong), 0L) / Q / nDocs +
           (if (i == j) Ridge else 0.0))
       val delta = solve(h, g)
-      // backtracking: halve the Newton step until the loss stops rising
+      // backtracking: halve the Newton step until the loss stops
+      // rising; if no halving helps, REJECT the step and keep the
+      // current point — the monotone-loss invariant holds "by
+      // construction" only because a worse candidate is never
+      // accepted (an ill-conditioned step near the plateau must not
+      // move the model to a worse point)
       var step = 1.0
-      var accepted = false
+      var done = false
       var tries = 0
-      while (!accepted && tries <= Backtracks) {
+      while (!done) {
         val wc = Array.tabulate(Dim)(b => w(b) - step * delta(b))
-        val lc = lossOf(spark, scoreWith(spark, feats, wc), nDocs)
-        if (lc <= loss || tries == Backtracks) {
-          w = wc; loss = lc; accepted = true
+        val sc = scoreWith(spark, feats, wc).localCheckpoint(false)
+        val lc = lossOf(spark, sc, nDocs)
+        if (lc <= loss) {
+          w = wc; loss = lc; scored = sc; done = true
+        } else if (tries == Backtracks) {
+          done = true // keep w/loss/scored unchanged
         } else { step /= 2; tries += 1 }
       }
       losses += loss

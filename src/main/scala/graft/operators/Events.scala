@@ -288,7 +288,10 @@ object Events {
     * driver loop, no cross join). Values are PICKED, never summed —
     * no float-parity machinery needed, the doubles ride through
     * bit-exact. Filled rows are flagged so downstream can weight
-    * observed vs interpolated points. */
+    * observed vs interpolated points. A NULL observed value counts as
+    * a GAP on both sides (`last(…, ignoreNulls)` here, `value IS NOT
+    * NULL` in the oracle's fill subquery): the hour is flagged filled
+    * and carries the most recent non-null value. */
   def qResample(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).events
       .select(col("user_id"), col("event_id"), col("ts_ns"), col("value"))
@@ -337,6 +340,7 @@ object Events {
        |SELECT user_id, hour_bucket,
        |  (SELECT h2.value FROM hourly h2
        |   WHERE h2.user_id = j.user_id AND h2.hour_bucket <= j.hour_bucket
+       |     AND h2.value IS NOT NULL
        |   ORDER BY h2.hour_bucket DESC LIMIT 1) AS value,
        |  filled
        |FROM joined j

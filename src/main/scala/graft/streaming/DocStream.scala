@@ -39,27 +39,16 @@ object DocStream {
   final case class BandRow(band: Int, key: String, doc_id: Long)
   final case class NearDupOut(doc_id: Long, band: Long, key: String, rep_id: Long)
 
-  /** Streaming reader for the documents table — same
-    * symlink-directory arrangement as the events reader (the file
-    * stream source needs a directory; real deployments stream an
-    * arriving-files directory anyway). */
+  /** Streaming reader for the documents table — the shared
+    * [[EventStream.linkedStreamDir]] symlink-directory arrangement
+    * (the file stream source needs a directory; real deployments
+    * stream an arriving-files directory anyway). */
   private def docStream(rootSpark: SparkSession, dir: String): DataFrame = {
     val spark = EventStream.streamSession(rootSpark)
     val raw = spark.read.parquet(s"$dir/documents.parquet").schema
-    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val streamDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_docs_stream_$sfTag")
-    java.nio.file.Files.createDirectories(streamDir)
-    val link = streamDir.resolve("documents.parquet")
-    val target = java.nio.file.Paths.get(s"$dir/documents.parquet")
-    if (java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
-        (!java.nio.file.Files.isSymbolicLink(link) ||
-         java.nio.file.Files.readSymbolicLink(link) != target ||
-         !java.nio.file.Files.exists(target)))
-      java.nio.file.Files.delete(link)
-    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
-      java.nio.file.Files.createSymbolicLink(link, target)
-    spark.readStream.schema(raw).parquet(streamDir.toString)
+    val streamDir = EventStream.linkedStreamDir(
+      dir, "graft_docs_stream", "documents.parquet")
+    spark.readStream.schema(raw).parquet(streamDir)
   }
 
   /** st_near_dup — streaming MinHash/LSH near-duplicate detection:

@@ -66,24 +66,20 @@ object EventStream {
     * timestamps, both yield the exact ts_ns/ts contract). Builds on
     * the [[streamSession]] clone — every downstream transform and the
     * sink inherit it, so the caller's session conf is never touched. */
-  private def eventStream(rootSpark: SparkSession, dir: String): DataFrame = {
-    val spark = streamSession(rootSpark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Raw file schema (under nanosAsLong a legacy nano file arrives as
-    // int64; a current file as a timestamp type) — the file stream
-    // source needs it declared up front.
-    val raw = spark.read.parquet(s"$dir/events.parquet").schema
-    // The file stream source requires a directory; the test data is a
-    // single parquet file, so expose it through a symlink in a
-    // DETERMINISTIC per-sf scratch dir (a fresh temp dir per call would
-    // accumulate leaked dirs across runs — a real deployment streams an
-    // arriving-files directory anyway).
+  /** The file stream source requires a directory; the test data is a
+    * single parquet file, so expose it through a symlink in a
+    * DETERMINISTIC per-sf scratch dir (a fresh temp dir per call
+    * would accumulate leaked dirs across runs — a real deployment
+    * streams an arriving-files directory anyway). Shared by the
+    * events and documents stream readers. */
+  private[streaming] def linkedStreamDir(dir: String, prefix: String,
+      fileName: String): String = {
     val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val streamDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_events_stream_$sfTag")
+      sys.props("java.io.tmpdir"), s"${prefix}_$sfTag")
     java.nio.file.Files.createDirectories(streamDir)
-    val link = streamDir.resolve("events.parquet")
-    val target = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val link = streamDir.resolve(fileName)
+    val target = java.nio.file.Paths.get(s"$dir/$fileName")
     // The scratch dir is reused across runs: drop the link if it is
     // stale — not a symlink, pointing at a different target, or
     // dangling (sf dir deleted/recreated) — instead of streaming
@@ -95,10 +91,21 @@ object EventStream {
       java.nio.file.Files.delete(link)
     if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
       java.nio.file.Files.createSymbolicLink(link, target)
+    streamDir.toString
+  }
+
+  private def eventStream(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(rootSpark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Raw file schema (under nanosAsLong a legacy nano file arrives as
+    // int64; a current file as a timestamp type) — the file stream
+    // source needs it declared up front.
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = linkedStreamDir(dir, "graft_events_stream", "events.parquet")
     Tables.withTsNs(
       spark.readStream
         .schema(raw)
-        .parquet(streamDir.toString))
+        .parquet(streamDir))
   }
 
   private[streaming] def runToTable(df: DataFrame, mode: String): DataFrame = {
