@@ -298,9 +298,14 @@ object Events {
       .withColumn("hour_bucket", expr(s"ts_ns div $ResampleStepNs"))
     val byHour = Window.partitionBy(col("user_id"), col("hour_bucket"))
       .orderBy(col("ts_ns").desc, col("event_id").desc)
+    // Materialization barrier: `hourly` feeds BOTH the span/grid side
+    // and the fill join — without it Catalyst plans two independent
+    // corpus scans + window passes (plan-verified); the checkpoint
+    // computes it once and both branches read the persisted RDD.
     val hourly = e.withColumn("rn", row_number().over(byHour))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("hour_bucket"), col("value"))
+      .localCheckpoint(false)
     val spans = hourly.groupBy("user_id")
       .agg(min(col("hour_bucket")).as("h0"), max(col("hour_bucket")).as("h1"))
     val grid = spans.select(col("user_id"),

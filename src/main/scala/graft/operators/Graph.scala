@@ -114,7 +114,11 @@ object Graph {
     * aggregations over the weighted edge table joined back to the
     * node set — integer-only output, linear at any scale. */
   def gDegree(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir)
+    // Materialization barrier: the edge table feeds the out-agg, the
+    // in-agg, AND the node set — uncheckpointed, Catalyst derives it
+    // from scratch (md5 + parse_url chain) once per consumer
+    // (plan-verified three full scans).
+    val e = edges(spark, dir).localCheckpoint(false)
     val out = e.groupBy(col("src"))
       .agg(count(lit(1)).as("o_deg"), sum(col("w")).as("o_w"))
     val in = e.groupBy(col("dst"))

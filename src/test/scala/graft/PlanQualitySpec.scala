@@ -522,4 +522,55 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"pair construction degenerated to all-pairs:\n${p.take(2000)}")
   }
+
+  test("resample computes the hourly frame once and stays in two exchanges") {
+    // hourly feeds BOTH the span/grid side and the fill join — the
+    // checkpoint barrier must hold, or the corpus scans twice
+    val p = plan("q_resample")
+    val parquetScans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(parquetScans == 0,
+      s"hourly barrier lost — raw scans re-entered the plan ($parquetScans):\n${p.take(2000)}")
+    val exchanges = p.linesIterator.count(_.contains("- Exchange ("))
+    assert(exchanges <= 2,
+      s"resample shuffle budget exceeded ($exchanges):\n${p.take(2000)}")
+  }
+
+  test("degree stats read the edge table once; pagerank's lineage is cut") {
+    val pd = plan("g_degree")
+    val scans = pd.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 0,
+      s"edges barrier lost — the md5/parse_url derivation re-runs per consumer:\n${pd.take(2000)}")
+    assert(!pd.contains("BroadcastNestedLoopJoin") && !pd.contains("CartesianProduct"))
+    // pagerank returns a checkpointed frame: five iterations of
+    // lineage must NOT appear in the final plan
+    val pp = plan("g_pagerank")
+    assert(pp.contains("Scan ExistingRDD"), s"no checkpoint scan:\n${pp.take(1500)}")
+    val ex = pp.linesIterator.count(_.contains("- Exchange ("))
+    assert(ex <= 1, s"pagerank tail shuffles beyond the presentation sort ($ex):\n${pp.take(1500)}")
+  }
+
+  test("heavy hitters recount is joinless; the MG pass partial-aggregates map-side") {
+    val p = plan("t_heavy_hitters")
+    assert(!p.contains("Join"), s"candidate recount grew a join:\n${p.take(2000)}")
+    // the sketch pass itself: the MG aggregate must show a partial
+    // (map-side) phase before the single final-merge exchange
+    val toks = graft.core.Tables(spark, sf).documents
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextFunctions.words(
+          org.apache.spark.sql.functions.col("text"))).as("word"))
+    val mg = toks.agg(graft.functions.expr.SketchAggregates
+      .misraGries(org.apache.spark.sql.functions.col("word"),
+        graft.operators.TextAnalysis.HhK))
+      .queryExecution.explainString(FormattedMode)
+    assert(mg.contains("partial_graft_misra_gries"),
+      s"MG aggregate lost its map-side partial phase:\n${mg.take(2000)}")
+  }
+
+  test("bpe encode broadcasts the vocabulary onto per-doc words") {
+    val p = plan("t_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocabulary join not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side shuffle join crept in:\n${p.take(2000)}")
+  }
 }
