@@ -387,6 +387,86 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** d_audit — curation PROVENANCE: for every document, whether the
+    * composed pipeline keeps it and, if not, the FIRST rule (in
+    * precedence order: exact_dup → near_dup → low_quality → lang_und
+    * → blocked_domain) that drops it — the "why was my document
+    * removed" report data governance demands of a production
+    * curation pass, and the per-rule attrition accounting mixture
+    * design reads. PII is flagged (`pii_scrubbed`), not dropped —
+    * kept documents with detected PII go to the scrub pass, matching
+    * [[Pii.tPii]]'s semantics.
+    *
+    * Shape: every rule input is the SAME narrow (doc_id, flag) frame
+    * its standalone operator produces ([[TextAnalysis.qualityMetrics]]
+    * checkpointed exactly as [[dCurate]] does, the cluster labels,
+    * the blocklist verdicts, the PII counts), met by doc_id
+    * equi-joins — the audit costs the union of its rules' narrow
+    * frames plus id-keyed joins, never another corpus pass per rule.
+    * The precedence CASE is spelled identically in the oracle. */
+  def dAudit(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextAnalysis.docsSpread(spark, dir)
+    val quality = TextAnalysis.qualityMetrics(spark, dir)
+      .select("doc_id", "quality").localCheckpoint()
+    val lang = TextAnalysis.langPredictions(spark, dir)
+      .select("doc_id", "pred_lang").localCheckpoint()
+    val fp = d.select(col("doc_id"), md5(normText(col("text"))).as("content_fp"))
+    val rep = fp.groupBy("content_fp").agg(min("doc_id").as("rep_id"))
+    val exactDup = fp.join(rep, "content_fp")
+      .filter(col("doc_id") > col("rep_id"))
+      .select(col("doc_id"), lit(true).as("x_dup"))
+    val nearDup = Dedup.clusterLabels(spark, dir)
+      .filter(!col("is_keeper"))
+      .select(col("doc_id"), lit(true).as("n_dup"))
+    val blocked = WebCuration.dBlocklist(spark, dir)
+      .select(col("doc_id"), col("blocked"))
+    val pii = Pii.tPii(spark, dir).select(col("doc_id"), col("has_pii"))
+    val droppedBy = when(col("x_dup").isNotNull, "exact_dup")
+      .when(col("n_dup").isNotNull, "near_dup")
+      .when(col("quality") < QualityTau, "low_quality")
+      .when(col("pred_lang") === "und", "lang_und")
+      .when(col("blocked"), "blocked_domain")
+    d.select(col("doc_id"))
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .join(quality, "doc_id")
+      .join(lang, "doc_id")
+      .join(blocked, "doc_id")
+      .join(pii, "doc_id")
+      .select(col("doc_id"), droppedBy.as("dropped_by"), col("has_pii"))
+      .select(col("doc_id"), col("dropped_by").isNull.as("kept"),
+        col("dropped_by"),
+        (col("dropped_by").isNull && col("has_pii")).as("pii_scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  val dAuditSql: String =
+    s"""WITH q AS (SELECT doc_id, quality FROM (${TextAnalysis.tQualitySql}) x),
+       |l AS (SELECT doc_id, pred_lang FROM (${TextAnalysis.tLangIdSql}) x),
+       |fp AS (SELECT doc_id, md5($normSql) AS content_fp FROM documents),
+       |rep AS (SELECT content_fp, min(doc_id) AS rep_id FROM fp GROUP BY content_fp),
+       |xd AS (SELECT fp.doc_id FROM fp JOIN rep USING (content_fp)
+       |       WHERE fp.doc_id > rep.rep_id),
+       |nd AS (SELECT doc_id FROM (${Dedup.dClusterSql}) c WHERE NOT is_keeper),
+       |b AS (SELECT doc_id, blocked FROM (${WebCuration.dBlocklistSql}) x),
+       |p AS (SELECT doc_id, has_pii FROM (${Pii.tPiiSql}) x),
+       |verdict AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN d.doc_id IN (SELECT doc_id FROM xd) THEN 'exact_dup'
+       |         WHEN d.doc_id IN (SELECT doc_id FROM nd) THEN 'near_dup'
+       |         WHEN q.quality < $QualityTau THEN 'low_quality'
+       |         WHEN l.pred_lang = 'und' THEN 'lang_und'
+       |         WHEN b.blocked THEN 'blocked_domain'
+       |         ELSE NULL END AS dropped_by,
+       |    p.has_pii
+       |  FROM documents d
+       |  JOIN q USING (doc_id) JOIN l USING (doc_id)
+       |  JOIN b USING (doc_id) JOIN p USING (doc_id))
+       |SELECT doc_id, dropped_by IS NULL AS kept, dropped_by,
+       |  (dropped_by IS NULL AND has_pii) AS pii_scrubbed
+       |FROM verdict
+       |ORDER BY doc_id""".stripMargin
+
   val dCurateSql: String =
     s"""WITH q AS (SELECT doc_id, quality FROM (${TextAnalysis.tQualitySql}) x),
        |l AS (SELECT doc_id, pred_lang FROM (${TextAnalysis.tLangIdSql}) x),
@@ -708,6 +788,7 @@ object Curation {
     "d_reweight" -> dReweight,
     "t_scrub" -> tScrub,
     "d_curate" -> dCurate,
+    "d_audit" -> dAudit,
     "d_mix" -> dMix,
     "d_weighted_sample" -> dWeightedSample,
   )
@@ -721,6 +802,7 @@ object Curation {
     "d_reweight" -> dReweightSql,
     "t_scrub" -> tScrubSql,
     "d_curate" -> dCurateSql,
+    "d_audit" -> dAuditSql,
     "d_mix" -> dMixSql,
     "d_weighted_sample" -> dWeightedSampleSql,
   )

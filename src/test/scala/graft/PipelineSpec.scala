@@ -1184,6 +1184,27 @@ class PipelineSpec extends SparkSpec {
     assert(again.sortBy(t => (t._1, t._2)).sameElements(z.sortBy(t => (t._1, t._2))))
   }
 
+  test("d_audit: kept set is exactly d_curate's output minus blocked domains") {
+    import graft.operators.{Curation, WebCuration}
+    val audit = Curation.dAudit(spark, sf)
+      .select("doc_id", "kept").as[(Long, Boolean)].collect()
+    val auditKept = audit.collect { case (id, true) => id }.toSet
+    val curateKept = Curation.dCurate(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val blocked = WebCuration.dBlocklist(spark, sf)
+      .filter(col("blocked")).select("doc_id").as[Long].collect().toSet
+    assert(auditKept == (curateKept -- blocked),
+      s"audit kept diverged: extra=${auditKept -- (curateKept -- blocked)} " +
+        s"missing=${(curateKept -- blocked) -- auditKept}")
+    // every document gets a verdict, and dropped docs carry a rule
+    assert(audit.length == graft.core.Tables(spark, sf).documents.count())
+    val byRule = Curation.dAudit(spark, sf)
+      .filter(!col("kept")).groupBy("dropped_by").count()
+      .as[(String, Long)].collect().toMap
+    assert(byRule.keySet.forall(Set("exact_dup", "near_dup", "low_quality",
+      "lang_und", "blocked_domain")), s"unknown rule in $byRule")
+  }
+
   test("caption pairs: aligned positive, stride negative, exact cosine hardness") {
     import graft.multimodal.Multimodal
     val df = Multimodal.mCaptionPair(spark, sf).cache()
