@@ -388,6 +388,46 @@ object Similarity {
        |WHERE rk <= $TopK
        |ORDER BY query_id, rk""".stripMargin
 
+  /** Cosine radius for [[sAnnRange]] — a 4-decimal value, so the
+    * keep decision compares the same ROUNDED score both engines
+    * emit. */
+  val RangeTau = 0.25
+
+  /** s_ann_range — radius search, the OTHER canonical similarity
+    * query (top-k answers "the closest k whatever they look like";
+    * radius answers "everything actually similar", the semantics
+    * near-dup candidate pulls and threshold-based retrieval
+    * augmentation want): every corpus vector with cosine ≥
+    * [[RangeTau]] of each query, however many or few. Same shape as
+    * [[sAnnBrute]]'s scan — queries broadcast, corpus side narrow,
+    * one scan — but the tail is a FILTER, not per-query heaps +
+    * rank: no state at all, so the operator is embarrassingly
+    * parallel at any corpus size (the presentation sort is the only
+    * exchange; plan-asserted). The decision runs on the
+    * [[stableRound]]ed score (τ is a 4-decimal value), the same
+    * tolerance class as the brute top-k's rank ordering. At scale
+    * the LSH/IVF tiers bound WHICH vectors get scored; the radius
+    * tail is unchanged. */
+  def sAnnRange(spark: SparkSession, dir: String): DataFrame = {
+    val e = withUnit(embSpread(spark, dir), "embedding", "u")
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("u").as("qv"))
+    e.select(col("vec_id").as("neighbor_id"), col("u").as("nv"))
+      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", stableRound(dot(col("qv"), col("nv")), 4))
+      .filter(col("score") >= RangeTau)
+      .select("query_id", "neighbor_id", "score")
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  val sAnnRangeSql: String =
+    s"""SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |  floor((list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[])) * 1e4 + 0.5) / 1e4 AS score
+       |FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+       |WHERE q.vec_id < $NumQueries
+       |  AND floor((list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[])) * 1e4 + 0.5) / 1e4 >= $RangeTau
+       |ORDER BY query_id, neighbor_id""".stripMargin
+
   /** Coarse candidate pool per query for the int8 two-tier retrieval
     * — rescored exactly, so this is the only recall knob. */
   val Sq8Candidates = 50
@@ -960,6 +1000,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_dedup_embedding" -> dDedupEmbeddingKernel,
     "s_ann_brute" -> sAnnBrute,
+    "s_ann_range" -> sAnnRange,
     "s_ann_sq8" -> sAnnSq8,
     "s_ann_lsh" -> sAnnLsh,
     "s_ann_ivf" -> sAnnIvf,
@@ -973,6 +1014,7 @@ object Similarity {
   def oracles: Map[String, String] = Map(
     "d_dedup_embedding" -> dDedupEmbeddingSql,
     "s_ann_brute" -> sAnnBruteSql,
+    "s_ann_range" -> sAnnRangeSql,
     "s_ann_sq8" -> sAnnSq8Sql,
     "s_knn_graph" -> sKnnGraphSql,
     "d_decontaminate_emb" -> dDecontaminateEmbSql,

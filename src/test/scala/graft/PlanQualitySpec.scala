@@ -566,6 +566,23 @@ class PlanQualitySpec extends SparkSpec {
       s"MG aggregate lost its map-side partial phase:\n${mg.take(2000)}")
   }
 
+  test("radius search is a stateless broadcast scan — only the presentation sort shuffles") {
+    val p = plan("s_ann_range")
+    // the inequality join condition (query ≠ neighbor) with a 5-row
+    // broadcast side IS the intended broadcast scan — BNLJ here is
+    // the algorithm, not a degeneracy (contrast the pair-join specs,
+    // where BNLJ would mean corpus×corpus)
+    assert(p.contains("BroadcastExchange"),
+      s"queries not broadcast:\n${p.take(1500)}")
+    assert(!p.contains("Window") && !p.contains("HashAggregate"),
+      s"radius tail grew per-query state:\n${p.take(1500)}")
+    // budget: the two conditional Tables.spread local-layout
+    // repartitions (no-ops at scale) + the presentation sort
+    val exchanges = p.linesIterator.count(_.contains("- Exchange ("))
+    assert(exchanges <= 3,
+      s"radius search shuffles beyond spread + presentation ($exchanges):\n${p.take(1500)}")
+  }
+
   test("bpe encode broadcasts the vocabulary onto per-doc words") {
     val p = plan("t_bpe_encode")
     assert(p.contains("BroadcastHashJoin"),
