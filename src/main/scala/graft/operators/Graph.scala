@@ -239,13 +239,109 @@ object Graph {
        |ORDER BY domain""".stripMargin
   }
 
+  // ------------------------------------------------------------ hits
+
+  /** HITS mutual-reinforcement rounds. */
+  val HitsIterations = 4
+
+  /** g_hits — Kleinberg's hubs & authorities over the weighted domain
+    * graph (the complementary ranking to [[gPagerank]]: a hub links
+    * to good authorities, an authority is linked from good hubs —
+    * the directory-vs-destination distinction a quality prior can
+    * exploit). Each round: authority = in-fold of hub·w, hub =
+    * out-fold of authority·w, each L1-normalized. Same float-parity
+    * discipline as PageRank — contribution folds sorted by the far
+    * endpoint, the normalization total folds sorted by domain, every
+    * op spelled identically in the oracle's unrolled CTE chain —
+    * so four rounds of doubles stay bit-identical and the gate
+    * hash-matches. Same two-shuffle-per-round scale shape; nodes
+    * missing a side score 0 (coalesced at the end). */
+  def gHits(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).localCheckpoint(false)
+    val ns = nodes(e).localCheckpoint(false)
+    val nDf = broadcast(ns.agg(count(lit(1)).as("n")))
+    def foldSum(cs: Column): Column =
+      aggregate(coalesce(cs,
+          array().cast("array<struct<k:string,v:double>>")),
+        lit(0.0), (acc, x) => acc + x.getField("v"))
+    def normalized(raw: DataFrame, valCol: String): DataFrame = {
+      val tot = broadcast(raw
+        .agg(sort_array(collect_list(struct(col("domain").as("k"),
+          col(valCol).as("v")))).as("ts"))
+        .select(foldSum(col("ts")).as("t")))
+      raw.crossJoin(tot)
+        .select(col("domain"), (col(valCol) / col("t")).as(valCol.stripSuffix("_raw")))
+    }
+    var hub = ns.crossJoin(nDf)
+      .select(col("domain"), (lit(1.0) / col("n")).as("h"))
+      .localCheckpoint(false)
+    var auth: DataFrame = null
+    for (_ <- 1 to HitsIterations) {
+      val aRaw = e.join(hub, e("src") === hub("domain"))
+        .groupBy(col("dst"))
+        .agg(sort_array(collect_list(struct(col("src").as("k"),
+          (col("h") * col("w")).as("v")))).as("cs"))
+        .select(col("dst").as("domain"), foldSum(col("cs")).as("a_raw"))
+      auth = normalized(aRaw, "a_raw").localCheckpoint(false)
+      val hRaw = e.join(auth, e("dst") === auth("domain"))
+        .groupBy(col("src"))
+        .agg(sort_array(collect_list(struct(col("dst").as("k"),
+          (col("a") * col("w")).as("v")))).as("cs"))
+        .select(col("src").as("domain"), foldSum(col("cs")).as("h_raw"))
+      hub = normalized(hRaw, "h_raw").localCheckpoint(false)
+    }
+    ns.join(hub, Seq("domain"), "left")
+      .join(auth, Seq("domain"), "left")
+      .select(col("domain"),
+        stableRound(coalesce(col("h"), lit(0.0)), 8).as("hub"),
+        stableRound(coalesce(col("a"), lit(0.0)), 8).as("authority"))
+      .orderBy("domain")
+  }
+
+  val gHitsSql: String = {
+    def fold(listExpr: String): String =
+      s"list_reduce(list_prepend(0.0, COALESCE($listExpr, CAST([] AS DOUBLE[]))), (x, y) -> x + y)"
+    val iters = (1 to HitsIterations).map { i =>
+      val prevH = if (i == 1) "h0" else s"h${i - 1}"
+      s"""a${i}raw AS MATERIALIZED (
+         |  SELECT e.dst AS domain,
+         |    ${fold(s"list((p.h * e.w) ORDER BY e.src)")} AS a_raw
+         |  FROM edges e JOIN $prevH p ON e.src = p.domain
+         |  GROUP BY e.dst),
+         |a${i}t AS (SELECT ${fold("list(a_raw ORDER BY domain)")} AS t FROM a${i}raw),
+         |a$i AS MATERIALIZED (SELECT domain, a_raw / t.t AS a FROM a${i}raw CROSS JOIN a${i}t t),
+         |h${i}raw AS MATERIALIZED (
+         |  SELECT e.src AS domain,
+         |    ${fold(s"list((p.a * e.w) ORDER BY e.dst)")} AS h_raw
+         |  FROM edges e JOIN a$i p ON e.dst = p.domain
+         |  GROUP BY e.src),
+         |h${i}t AS (SELECT ${fold("list(h_raw ORDER BY domain)")} AS t FROM h${i}raw),
+         |h$i AS MATERIALIZED (SELECT domain, h_raw / t.t AS h FROM h${i}raw CROSS JOIN h${i}t t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH u AS ($withUrlSql),
+       |$edgesSql,
+       |$nodesSql,
+       |cnt AS (SELECT count(*)::BIGINT AS n FROM nodes),
+       |h0 AS (SELECT domain, 1.0 / cnt.n AS h FROM nodes CROSS JOIN cnt),
+       |$iters
+       |SELECT n.domain,
+       |  floor(COALESCE(h.h, 0.0) * 1e8 + 0.5) / 1e8 AS hub,
+       |  floor(COALESCE(a.a, 0.0) * 1e8 + 0.5) / 1e8 AS authority
+       |FROM nodes n
+       |LEFT JOIN h$HitsIterations h ON n.domain = h.domain
+       |LEFT JOIN a$HitsIterations a ON n.domain = a.domain
+       |ORDER BY n.domain""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_degree" -> gDegree,
     "g_pagerank" -> gPagerank,
+    "g_hits" -> gHits,
   )
 
   def oracles: Map[String, String] = Map(
     "g_degree" -> gDegreeSql,
     "g_pagerank" -> gPagerankSql,
+    "g_hits" -> gHitsSql,
   )
 }

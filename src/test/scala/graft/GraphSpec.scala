@@ -63,4 +63,45 @@ class GraphSpec extends SparkSpec {
     def run(): Seq[Row] = Graph.gPagerank(spark, sf).collect().toSeq
     assert(run() == run())
   }
+
+  test("g_hits: matches an independent reference iteration; scores L1-normalize") {
+    val e = Graph.edges(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.length
+    val bySrc = e.groupBy(_._1)
+    val byDst = e.groupBy(_._2)
+    var hub: Map[String, Double] = nodes.map(_ -> 1.0 / n).toMap
+    var auth: Map[String, Double] = Map.empty
+    for (_ <- 1 to Graph.HitsIterations) {
+      val aRaw = byDst.map { case (d, es) =>
+        d -> es.sortBy(_._1).foldLeft(0.0) { case (acc, (s, _, w)) =>
+          acc + hub(s) * w
+        }
+      }
+      val aTot = aRaw.toSeq.sortBy(_._1).foldLeft(0.0)(_ + _._2)
+      auth = aRaw.map { case (d, v) => d -> v / aTot }
+      val hRaw = bySrc.map { case (s, es) =>
+        s -> es.sortBy(_._2).foldLeft(0.0) { case (acc, (_, d, w)) =>
+          acc + auth(d) * w
+        }
+      }
+      val hTot = hRaw.toSeq.sortBy(_._1).foldLeft(0.0)(_ + _._2)
+      hub = hRaw.map { case (s, v) => s -> v / hTot }
+    }
+    def rnd8(x: Double): Double = math.floor(x * 1e8 + 0.5) / 1e8
+    val got = Graph.gHits(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach { d =>
+      val (gh, ga) = got(d)
+      assert(gh == rnd8(hub.getOrElse(d, 0.0)), s"$d hub: $gh")
+      assert(ga == rnd8(auth.getOrElse(d, 0.0)), s"$d authority: $ga")
+    }
+    // each side is a probability vector (L1 = 1) up to rounding
+    val hs = got.values.map(_._1).sum
+    val as = got.values.map(_._2).sum
+    assert(math.abs(hs - 1.0) < 1e-6 && math.abs(as - 1.0) < 1e-6,
+      s"normalization drifted: hubs=$hs auths=$as")
+  }
 }
