@@ -268,12 +268,79 @@ object Multimodal {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Scene-change threshold on the adjacent-frame edit distance
+    * (frames are [[FrameLen]] units long; measured adjacent-frame
+    * distances on the synthetic payloads span 15-32, mean ~26, so 27
+    * yields multi-frame scenes without degenerating to
+    * one-scene-per-frame). */
+  val SceneTau = 27
+
+  /** m_video_scene — scene segmentation over a media payload (the
+    * shot-boundary split a video pipeline runs before captioning or
+    * frame dedup): strided frames ([[mFrameSample]]'s grid), a scene
+    * boundary wherever the edit distance to the PREVIOUS frame
+    * reaches [[SceneTau]] (both engines implement classic Levenshtein
+    * — identical integers), scenes numbered by running boundary count,
+    * one row per scene with its start frame, length, and keyframe
+    * fingerprint. The real-codec swap changes the frame reader and
+    * the distance (histogram/SSIM), not the schema or the shape: ONE
+    * doc-keyed shuffle shared by the lag window, the scene-id running
+    * sum, and the per-scene aggregate. */
+  def mVideoScene(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir).documents
+    val frame = substr(col("text"), col("frame_idx") * FrameStride + 1, lit(FrameLen))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val frames = d.select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          floor((length(col("text")) - 1) / FrameStride).cast("int"))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        frame.as("frame"))
+    frames
+      .withColumn("dist", levenshtein(col("frame"),
+        lag(col("frame"), 1).over(byDoc)))
+      .withColumn("boundary",
+        (col("dist").isNull || col("dist") >= SceneTau).cast("long"))
+      .withColumn("scene_id",
+        sum(col("boundary")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)) - 1L)
+      .groupBy("doc_id", "scene_id")
+      .agg(min(col("frame_idx")).as("start_frame"),
+        count(lit(1)).as("n_frames"),
+        min(struct(col("frame_idx").as("i"), col("frame").as("f"))).as("kf"))
+      .select(col("doc_id"), col("scene_id"), col("start_frame"),
+        col("n_frames"), md5(col("kf.f")).as("keyframe_md5"))
+      .orderBy("doc_id", "scene_id")
+  }
+
+  val mVideoSceneSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, i::BIGINT AS frame_idx,
+       |    substr(text, (i * $FrameStride + 1)::BIGINT, $FrameLen) AS frame
+       |  FROM documents, unnest(range(0, 1 + (length(text) - 1) // $FrameStride)) t(i)),
+       |b AS (
+       |  SELECT doc_id, frame_idx, frame,
+       |    CASE WHEN lag(frame) OVER (PARTITION BY doc_id ORDER BY frame_idx) IS NULL
+       |              OR levenshtein(frame,
+       |                   lag(frame) OVER (PARTITION BY doc_id ORDER BY frame_idx)) >= $SceneTau
+       |         THEN 1 ELSE 0 END AS boundary
+       |  FROM f),
+       |s AS (
+       |  SELECT doc_id, frame_idx, frame,
+       |    (sum(boundary) OVER (PARTITION BY doc_id ORDER BY frame_idx
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT AS scene_id
+       |  FROM b)
+       |SELECT doc_id, scene_id, min(frame_idx)::BIGINT AS start_frame,
+       |  count(*)::BIGINT AS n_frames, md5(arg_min(frame, frame_idx)) AS keyframe_md5
+       |FROM s GROUP BY doc_id, scene_id
+       |ORDER BY doc_id, scene_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_binary_meta" -> mBinaryMeta,
     "m_frame_sample" -> mFrameSample,
     "m_resize" -> mResize,
     "m_shard_pack" -> mShardPack,
     "m_caption_pair" -> mCaptionPair,
+    "m_video_scene" -> mVideoScene,
   )
 
   def oracles: Map[String, String] = Map(
@@ -282,5 +349,6 @@ object Multimodal {
     "m_resize" -> mResizeSql,
     "m_shard_pack" -> mShardPackSql,
     "m_caption_pair" -> mCaptionPairSql,
+    "m_video_scene" -> mVideoSceneSql,
   )
 }
