@@ -94,7 +94,11 @@ object Multimodal {
     * op — no shuffle). */
   def mFrameSample(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents
-    d.select(col("doc_id"), col("text"),
+    // empty payloads emit NO frames: Spark's sequence(0, -1) would
+    // auto-step DOWN ([0, -1]) while the oracle's range(0, 0) is
+    // empty — the filter pins both engines to the same answer
+    d.filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
         explode(sequence(lit(0),
           floor((length(col("text")) - 1) / FrameStride).cast("int"))).as("frame_idx"))
       .select(
@@ -291,7 +295,10 @@ object Multimodal {
     val d = Tables(spark, dir).documents
     val frame = substr(col("text"), col("frame_idx") * FrameStride + 1, lit(FrameLen))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-    val frames = d.select(col("doc_id"), col("text"),
+    // same empty-payload guard as [[mFrameSample]] — sequence(0, -1)
+    // steps down where the oracle's range is empty
+    val frames = d.filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
         explode(sequence(lit(0),
           floor((length(col("text")) - 1) / FrameStride).cast("int"))).as("frame_idx"))
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),

@@ -375,13 +375,11 @@ object Curation {
       .select("doc_id", "quality").localCheckpoint()
     val lang = TextAnalysis.langPredictions(spark, dir)
       .select("doc_id", "pred_lang").localCheckpoint()
-    val fp = d.select(col("doc_id"), md5(normText(col("text"))).as("content_fp"))
-    val exactKeepers = fp.groupBy("content_fp").agg(min("doc_id").as("doc_id"))
     val clusterDups = Dedup.clusterLabels(spark, dir)
       .filter(!col("is_keeper")).select("doc_id")
     quality.join(lang, "doc_id")
       .filter(col("quality") >= QualityTau && col("pred_lang") =!= "und")
-      .join(exactKeepers.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(exactDupIds(d), Seq("doc_id"), "left_anti")
       .join(clusterDups, Seq("doc_id"), "left_anti")
       .select("doc_id", "pred_lang", "quality")
       .orderBy("doc_id")
@@ -404,17 +402,33 @@ object Curation {
     * equi-joins — the audit costs the union of its rules' narrow
     * frames plus id-keyed joins, never another corpus pass per rule.
     * The precedence CASE is spelled identically in the oracle. */
+  /** Exact-duplicate doc_ids: every doc whose content fingerprint has
+    * a smaller-id twin. ONE definition of the fingerprint + keeper
+    * rule shared by [[dCurate]] (as an anti-join) and [[dAudit]] (as
+    * a flag) — the two operators' dedup decisions, and the
+    * PipelineSpec invariant tying them, cannot drift apart. */
+  private def exactDupIds(d: DataFrame): DataFrame = {
+    val fp = d.select(col("doc_id"), md5(normText(col("text"))).as("content_fp"))
+    val rep = fp.groupBy("content_fp").agg(min("doc_id").as("rep_id"))
+    fp.join(rep, "content_fp")
+      .filter(col("doc_id") > col("rep_id"))
+      .select("doc_id")
+  }
+
+  /** The SQL twin of [[exactDupIds]] — CTE chain yielding `xd(doc_id)`. */
+  private val exactDupSqlCte: String =
+    s"""fp AS (SELECT doc_id, md5($normSql) AS content_fp FROM documents),
+       |xrep AS (SELECT content_fp, min(doc_id) AS rep_id FROM fp GROUP BY content_fp),
+       |xd AS (SELECT fp.doc_id FROM fp JOIN xrep USING (content_fp)
+       |       WHERE fp.doc_id > xrep.rep_id)""".stripMargin
+
   def dAudit(spark: SparkSession, dir: String): DataFrame = {
     val d = TextAnalysis.docsSpread(spark, dir)
     val quality = TextAnalysis.qualityMetrics(spark, dir)
       .select("doc_id", "quality").localCheckpoint()
     val lang = TextAnalysis.langPredictions(spark, dir)
       .select("doc_id", "pred_lang").localCheckpoint()
-    val fp = d.select(col("doc_id"), md5(normText(col("text"))).as("content_fp"))
-    val rep = fp.groupBy("content_fp").agg(min("doc_id").as("rep_id"))
-    val exactDup = fp.join(rep, "content_fp")
-      .filter(col("doc_id") > col("rep_id"))
-      .select(col("doc_id"), lit(true).as("x_dup"))
+    val exactDup = exactDupIds(d).withColumn("x_dup", lit(true))
     val nearDup = Dedup.clusterLabels(spark, dir)
       .filter(!col("is_keeper"))
       .select(col("doc_id"), lit(true).as("n_dup"))
@@ -443,10 +457,7 @@ object Curation {
   val dAuditSql: String =
     s"""WITH q AS (SELECT doc_id, quality FROM (${TextAnalysis.tQualitySql}) x),
        |l AS (SELECT doc_id, pred_lang FROM (${TextAnalysis.tLangIdSql}) x),
-       |fp AS (SELECT doc_id, md5($normSql) AS content_fp FROM documents),
-       |rep AS (SELECT content_fp, min(doc_id) AS rep_id FROM fp GROUP BY content_fp),
-       |xd AS (SELECT fp.doc_id FROM fp JOIN rep USING (content_fp)
-       |       WHERE fp.doc_id > rep.rep_id),
+       |$exactDupSqlCte,
        |nd AS (SELECT doc_id FROM (${Dedup.dClusterSql}) c WHERE NOT is_keeper),
        |b AS (SELECT doc_id, blocked FROM (${WebCuration.dBlocklistSql}) x),
        |p AS (SELECT doc_id, has_pii FROM (${Pii.tPiiSql}) x),
@@ -470,17 +481,14 @@ object Curation {
   val dCurateSql: String =
     s"""WITH q AS (SELECT doc_id, quality FROM (${TextAnalysis.tQualitySql}) x),
        |l AS (SELECT doc_id, pred_lang FROM (${TextAnalysis.tLangIdSql}) x),
-       |keepers AS (
-       |  SELECT min(doc_id) AS doc_id
-       |  FROM (SELECT doc_id, md5($normSql) AS content_fp FROM documents) f
-       |  GROUP BY content_fp),
+       |$exactDupSqlCte,
        |cluster_dups AS (
        |  SELECT doc_id FROM (${Dedup.dClusterSql}) c WHERE NOT is_keeper)
        |SELECT q.doc_id, l.pred_lang, q.quality
        |FROM q
        |JOIN l USING (doc_id)
-       |JOIN keepers USING (doc_id)
        |WHERE q.quality >= $QualityTau AND l.pred_lang <> 'und'
+       |  AND q.doc_id NOT IN (SELECT doc_id FROM xd)
        |  AND q.doc_id NOT IN (SELECT doc_id FROM cluster_dups)
        |ORDER BY doc_id""".stripMargin
 

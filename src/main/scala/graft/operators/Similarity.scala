@@ -360,14 +360,23 @@ object Similarity {
     * and the full scored corpus never shuffles — then a global
     * row_number over the ≤ partitions×queries×k partials. At a 100 TB
     * corpus the wide side of this plan stays scan-local. */
-  def sAnnBrute(spark: SparkSession, dir: String): DataFrame = {
+  /** The exact scored (query_id, neighbor_id, score) stream — ONE
+    * definition of the broadcast-queries/narrow-corpus scan and the
+    * stableRound(4) scoring rule, shared by the top-k ([[sAnnBrute]])
+    * and radius ([[sAnnRange]]) tails so the two operators' score
+    * columns cannot silently diverge (the [[heapPartials]]
+    * single-copy doctrine). */
+  private def bruteScored(spark: SparkSession, dir: String): DataFrame = {
     val e = withUnit(embSpread(spark, dir), "embedding", "u")
     val queries = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("u").as("qv"))
-    val scored = e.select(col("vec_id").as("neighbor_id"), col("u").as("nv"))
+    e.select(col("vec_id").as("neighbor_id"), col("u").as("nv"))
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("score", stableRound(dot(col("qv"), col("nv")), 4))
-    val partials = heapPartials(scored, TopK, "score")
+  }
+
+  def sAnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val partials = heapPartials(bruteScored(spark, dir), TopK, "score")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     partials.withColumn("rk", row_number().over(w).cast("long"))
@@ -408,17 +417,11 @@ object Similarity {
     * tolerance class as the brute top-k's rank ordering. At scale
     * the LSH/IVF tiers bound WHICH vectors get scored; the radius
     * tail is unchanged. */
-  def sAnnRange(spark: SparkSession, dir: String): DataFrame = {
-    val e = withUnit(embSpread(spark, dir), "embedding", "u")
-    val queries = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("u").as("qv"))
-    e.select(col("vec_id").as("neighbor_id"), col("u").as("nv"))
-      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", stableRound(dot(col("qv"), col("nv")), 4))
+  def sAnnRange(spark: SparkSession, dir: String): DataFrame =
+    bruteScored(spark, dir)
       .filter(col("score") >= RangeTau)
       .select("query_id", "neighbor_id", "score")
       .orderBy("query_id", "neighbor_id")
-  }
 
   val sAnnRangeSql: String =
     s"""SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
