@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.expr.{DotProduct, MinHashSigs, SimHash32, WordChunks, WordShingles, WordWindows}
+import graft.functions.expr.{DotProduct, MinHashSigs, MisraGries, SimHash32, WordChunks, WordShingles, WordWindows}
 
 /** Session extension registering graft's custom Catalyst expressions
   * as SQL functions, so `spark.sql("SELECT graft_dot(a, b) ...")`
@@ -55,6 +55,11 @@ object GraftExtensions {
     ("graft_word_windows",
       new ExpressionInfo(classOf[WordWindows].getName, "graft_word_windows"),
       (es: Seq[Expression]) => WordWindows(es(0), intArg(es(1), "n"))),
+    // an AggregateFunction builder: the analyzer wraps it in an
+    // AggregateExpression like any built-in aggregate
+    ("graft_misra_gries",
+      new ExpressionInfo(classOf[MisraGries].getName, "graft_misra_gries"),
+      (es: Seq[Expression]) => MisraGries(es(0), intArg(es(1), "k"))),
   )
 
   /** Register on an already-built session. */

@@ -43,5 +43,14 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT graft_word_windows(array('a','b','c','d'), 2) AS w")
       .head.getSeq[String](0)
     assert(wd == Seq("a b", "b c", "c d"), s"windows were $wd")
+
+    // the MG aggregate registers like a built-in aggregate: grouped
+    // use, exact on a stream narrower than the counter budget
+    val hh = spark.sql(
+      """SELECT graft_misra_gries(w, 8) AS s FROM (
+        |  SELECT explode(array('a','a','a','b','b','c')) AS w)""".stripMargin)
+      .head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(hh == Seq(("a", 3L), ("b", 2L), ("c", 1L)), s"mg summary was $hh")
   }
 }
