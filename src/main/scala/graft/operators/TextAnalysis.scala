@@ -804,8 +804,46 @@ object TextAnalysis {
        |WHERE cnt * (${HhK} + 1) > (SELECT n FROM nt)
        |ORDER BY cnt DESC, word""".stripMargin
 
+  /** t_lang_eval — language-ID evaluation against the corpus's own
+    * labels: the confusion matrix (labeled × predicted, with counts
+    * and per-labeled-language recall) every pipeline owes itself
+    * before trusting a heuristic classifier's routing decisions —
+    * the aggregate health check over [[langPredictions]]'s per-doc
+    * output. One keyed aggregation + a labeled-language total joined
+    * back; integer counts and one guarded division, linear at any
+    * scale. */
+  def tLangEval(spark: SparkSession, dir: String): DataFrame = {
+    val p = langPredictions(spark, dir)
+      .select(col("labeled_lang"), col("pred_lang"))
+    val cells = p.groupBy("labeled_lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+    val totals = p.groupBy("labeled_lang").agg(count(lit(1)).as("n_labeled"))
+    cells.join(totals, "labeled_lang")
+      .select(col("labeled_lang"), col("pred_lang"), col("n"),
+        col("n_labeled"),
+        (col("labeled_lang") === col("pred_lang")).as("correct"),
+        stableRound(col("n") / col("n_labeled").cast("double"), 4)
+          .as("share_of_labeled"))
+      .orderBy("labeled_lang", "pred_lang")
+  }
+
+  val tLangEvalSql: String =
+    s"""WITH p AS (SELECT labeled_lang, pred_lang FROM ($tLangIdSql) x),
+       |cells AS (
+       |  SELECT labeled_lang, pred_lang, count(*)::BIGINT AS n
+       |  FROM p GROUP BY 1, 2),
+       |totals AS (
+       |  SELECT labeled_lang, count(*)::BIGINT AS n_labeled
+       |  FROM p GROUP BY 1)
+       |SELECT c.labeled_lang, c.pred_lang, c.n, t.n_labeled,
+       |  (c.labeled_lang = c.pred_lang) AS correct,
+       |  floor((c.n / t.n_labeled::DOUBLE) * 1e4 + 0.5) / 1e4 AS share_of_labeled
+       |FROM cells c JOIN totals t USING (labeled_lang)
+       |ORDER BY labeled_lang, pred_lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_heavy_hitters" -> tHeavyHitters,
+    "t_lang_eval" -> tLangEval,
     "t_token_count" -> tTokenCount,
     "t_quality" -> tQuality,
     "t_lang_id" -> tLangId,
@@ -823,6 +861,7 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "t_heavy_hitters" -> tHeavyHittersSql,
+    "t_lang_eval" -> tLangEvalSql,
     "t_token_count" -> tTokenCountSql,
     "t_quality" -> tQualitySql,
     "t_lang_id" -> tLangIdSql,
