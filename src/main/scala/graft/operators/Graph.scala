@@ -31,12 +31,12 @@ import graft.operators.WebCuration.{withUrl, withUrlSql}
   * edges by src, re-aggregate contributions by dst — the standard
   * distributed power-iteration shape. Rank state is one row per
   * domain; iteration lineage is cut with localCheckpoint (the
-  * [[Dedup]] propagate-round discipline). The per-destination
-  * sorted-fold (collect incoming contributions, sort by source, fold
-  * left) exists for cross-engine FLOAT PARITY at the gate, bounded by
-  * in-degree; at web scale the documented swap is a plain `sum` —
-  * order-free, last-bit nondeterministic, semantically identical —
-  * or a hierarchical fold if bit-stable ranks are required.
+  * [[Dedup]] propagate-round discipline). Float reductions go through
+  * [[floatFree]]'s conf switch: the default per-destination
+  * sorted-fold exists for cross-engine FLOAT PARITY at the gate
+  * (row size bounded by in-degree); `graft.graph.floatMode=free`
+  * swaps every reduction for a plain order-free `sum` — map-side
+  * combined, constant row size, the skew-safe web-scale shape.
   */
 object Graph {
 
@@ -51,6 +51,61 @@ object Graph {
   val Iterations = 5
 
   private val Tlds = Seq("com", "org", "net", "io")
+
+  /** Float-summation mode for the iterative rankers, selected by the
+    * session conf `graft.graph.floatMode`:
+    *
+    *  - `parity` (default): every float reduction is the sorted-fold
+    *    discipline — contributions collect per key, sort by the far
+    *    endpoint, fold left from 0.0 — so ranks are bit-identical to
+    *    the unrolled-CTE DuckDB oracle and the driver's hash gate
+    *    proves the iteration exact. Row size grows with in-degree
+    *    (the collected neighborhood), fine up to the gate scale.
+    *  - `free`: plain order-free `sum` — map-side combined, constant
+    *    row size, the shape that survives a power-law web graph where
+    *    one hub's in-neighborhood must never land in a single row.
+    *    Last-bit nondeterministic under re-partitioning, semantically
+    *    identical; [[graft.GraphSpec]] pins rank-order equality and a
+    *    1e-9 value band against parity mode, and asserts the plan
+    *    carries no collect_list.
+    *
+    * Both modes share one plan skeleton (the fold happens inside the
+    * contribution frame either way), so the switch changes the
+    * aggregation expression only — never the join/shuffle structure. */
+  private def floatFree(spark: SparkSession): Boolean =
+    spark.conf.getOption("graft.graph.floatMode") match {
+      case Some("free") => true
+      case Some("parity") | None => false
+      case Some(other) =>
+        // A typo'd value must not silently run the default mode as if
+        // it were the requested one (the ngram.prefixOrder rule).
+        throw new IllegalArgumentException(
+          s"graft.graph.floatMode = '$other' (expected 'parity' or 'free')")
+    }
+
+  /** Per-key float reduction of `contrib` grouped by `group`: parity
+    * mode sorts the collected (far, contrib) structs by the far
+    * endpoint and folds left; free mode is a plain partial-aggregated
+    * sum. One (group, `out`) row per key either way. */
+  private def keyedFloatSum(free: Boolean, df: DataFrame, group: String,
+      far: Column, contrib: Column, out: String): DataFrame =
+    if (free) df.groupBy(col(group)).agg(sum(contrib).as(out))
+    else df.groupBy(col(group))
+      .agg(sort_array(collect_list(struct(far.as("k"), contrib.as("v"))))
+        .as("cs"))
+      .select(col(group),
+        aggregate(col("cs"), lit(0.0), (a, x) => a + x.getField("v")).as(out))
+
+  /** Whole-frame float total of `v` (one row, named `out`): parity
+    * mode folds sorted by `key`; free mode sums. Empty input yields
+    * 0.0 in both modes. */
+  private def globalFloatSum(free: Boolean, df: DataFrame, key: Column,
+      v: Column, out: String): DataFrame =
+    if (free) df.agg(coalesce(sum(v), lit(0.0)).as(out))
+    else df.agg(sort_array(collect_list(struct(key.as("k"), v.as("v"))))
+        .as("ts"))
+      .select(aggregate(col("ts"), lit(0.0), (a, x) => a + x.getField("v"))
+        .as(out))
 
   /** The derived weighted edge table: (src, dst, w) with self-loops
     * dropped, one row per distinct domain pair. */
@@ -165,6 +220,7 @@ object Graph {
     * stay bit-identical and the gate hash-matches with rounding only
     * as presentation. */
   def gPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val free = floatFree(spark)
     val e = edges(spark, dir).localCheckpoint(false)
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("o_w"))
     val nDf = broadcast(nodes(e).agg(count(lit(1)).as("n")))
@@ -175,25 +231,18 @@ object Graph {
         (lit(1.0) / col("n")).as("pr"))
       .localCheckpoint(false)
     for (_ <- 1 to Iterations) {
-      val dm = pr.filter(col("outw") === 0L)
-        .agg(sort_array(collect_list(struct(col("domain").as("d"),
-          col("pr").as("p")))).as("ds"))
-        .select(aggregate(col("ds"), lit(0.0),
-          (a, x) => a + x.getField("p")).as("dm"))
-      val contribs = e.join(pr, e("src") === pr("domain"))
-        .groupBy(col("dst"))
-        .agg(sort_array(collect_list(struct(col("src").as("s"),
-          ((col("pr") / col("outw")) * col("w")).as("c")))).as("cs"))
+      val dm = globalFloatSum(free, pr.filter(col("outw") === 0L),
+        col("domain"), col("pr"), "dm")
+      val contribs = keyedFloatSum(free,
+        e.join(pr, e("src") === pr("domain")), "dst",
+        col("src"), (col("pr") / col("outw")) * col("w"), "contrib")
       pr = pr.select(col("domain"), col("outw"))
         .join(contribs, col("domain") === col("dst"), "left")
         .crossJoin(broadcast(dm))
         .crossJoin(nDf)
         .select(col("domain"), col("outw"),
           (lit(0.15) / col("n") + lit(0.85) * (col("dm") / col("n")) +
-            lit(0.85) * aggregate(
-              coalesce(col("cs"),
-                array().cast("array<struct<s:string,c:double>>")),
-              lit(0.0), (a, x) => a + x.getField("c"))).as("pr"))
+            lit(0.85) * coalesce(col("contrib"), lit(0.0))).as("pr"))
         .localCheckpoint(false)
     }
     pr.select(col("domain"), col("outw").as("out_w"),
@@ -257,18 +306,13 @@ object Graph {
     * hash-matches. Same two-shuffle-per-round scale shape; nodes
     * missing a side score 0 (coalesced at the end). */
   def gHits(spark: SparkSession, dir: String): DataFrame = {
+    val free = floatFree(spark)
     val e = edges(spark, dir).localCheckpoint(false)
     val ns = nodes(e).localCheckpoint(false)
     val nDf = broadcast(ns.agg(count(lit(1)).as("n")))
-    def foldSum(cs: Column): Column =
-      aggregate(coalesce(cs,
-          array().cast("array<struct<k:string,v:double>>")),
-        lit(0.0), (acc, x) => acc + x.getField("v"))
     def normalized(raw: DataFrame, valCol: String): DataFrame = {
-      val tot = broadcast(raw
-        .agg(sort_array(collect_list(struct(col("domain").as("k"),
-          col(valCol).as("v")))).as("ts"))
-        .select(foldSum(col("ts")).as("t")))
+      val tot = broadcast(
+        globalFloatSum(free, raw, col("domain"), col(valCol), "t"))
       raw.crossJoin(tot)
         .select(col("domain"), (col(valCol) / col("t")).as(valCol.stripSuffix("_raw")))
     }
@@ -277,17 +321,15 @@ object Graph {
       .localCheckpoint(false)
     var auth: DataFrame = null
     for (_ <- 1 to HitsIterations) {
-      val aRaw = e.join(hub, e("src") === hub("domain"))
-        .groupBy(col("dst"))
-        .agg(sort_array(collect_list(struct(col("src").as("k"),
-          (col("h") * col("w")).as("v")))).as("cs"))
-        .select(col("dst").as("domain"), foldSum(col("cs")).as("a_raw"))
+      val aRaw = keyedFloatSum(free,
+        e.join(hub, e("src") === hub("domain")), "dst",
+        col("src"), col("h") * col("w"), "a_raw")
+        .withColumnRenamed("dst", "domain")
       auth = normalized(aRaw, "a_raw").localCheckpoint(false)
-      val hRaw = e.join(auth, e("dst") === auth("domain"))
-        .groupBy(col("src"))
-        .agg(sort_array(collect_list(struct(col("dst").as("k"),
-          (col("a") * col("w")).as("v")))).as("cs"))
-        .select(col("src").as("domain"), foldSum(col("cs")).as("h_raw"))
+      val hRaw = keyedFloatSum(free,
+        e.join(auth, e("dst") === auth("domain")), "src",
+        col("dst"), col("a") * col("w"), "h_raw")
+        .withColumnRenamed("src", "domain")
       hub = normalized(hRaw, "h_raw").localCheckpoint(false)
     }
     ns.join(hub, Seq("domain"), "left")
