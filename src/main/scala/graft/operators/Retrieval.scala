@@ -184,17 +184,28 @@ object Retrieval {
   /** Per-word impact bound table (word, uq): uq = ⌈U(w)·1e6⌉ where
     * U(w) = idf(w) · max over the corpus of the saturation factor —
     * the WAND/MaxScore upper bound on any document's contribution
-    * from word w. Corpus-wide metadata (one tf⋈dl pass + a word-keyed
-    * max), amortized like df itself at index-build time. CEILING
-    * quantization keeps the integer bound an upper bound. */
+    * from word w. CEILING quantization keeps the integer bound an
+    * upper bound.
+    *
+    * Only words some query carries ever consult their bound (the seed
+    * ranking and the upper-bound pass both join through the query-term
+    * table), so the saturation-max pass semi-joins tf down to those
+    * postings first — bounded by Σdf over the query terms, the same
+    * bound as the candidate stream itself, instead of a corpus-wide
+    * tf⋈dl pass. df rides in from the query-term table (which carries
+    * it out of the keyword ranking), so no second df aggregation runs.
+    * A static-index deployment would instead precompute all words at
+    * index-build time, amortized like df itself. */
   private[graft] def impactBounds(p: Bm25Parts): DataFrame = {
     val idf = log((lit(p.n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-    p.tf.join(p.dl, "doc_id")
+    val qwords = p.qterms.select(col("word"), col("df")).distinct()
+    p.tf.join(qwords.select("word"), Seq("word"), "left_semi")
+      .join(p.dl, "doc_id")
       .select(col("word"), (col("tf") * lit(2.2) /
         (col("tf") + lit(Bm25K1) * (lit(0.25) + lit(Bm25B) * (col("dl") / lit(p.avgdl)))))
         .as("sat"))
       .groupBy("word").agg(max(col("sat")).as("msat"))
-      .join(p.dfw, "word")
+      .join(qwords, "word")
       .select(col("word"), ceil(idf * col("msat") * lit(UbQ)).cast("long").as("uq"))
   }
 
