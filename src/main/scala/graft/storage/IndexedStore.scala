@@ -108,6 +108,23 @@ object IndexedStore {
   private val CommitLockFile = "_graft_commit.lock"
   private val LeaseDir = "_graft_leases"
 
+  /** The COMMIT LOG directory: one tiny JSON file per committed
+    * generation (`{"seq":N,"gen":"gen-00000N","prev":"..."|null}`),
+    * published atomically (tmp + rename) right after the manifest
+    * pointer swap — so an entry exists IFF its generation committed.
+    * This is the streamable half of the manifest protocol: a
+    * `readStream` tailing this directory observes exactly the
+    * committed-generation sequence (a crashed build's directory never
+    * gets an entry; an entry never precedes its pointer swap), the
+    * same discipline as a Delta-style transaction log. Entries are
+    * metadata-sized and append-only; a production deployment
+    * checkpoints/expires them with the same retention policy as the
+    * generations themselves. Granularity matches time travel:
+    * generation commits (write/compact), not in-generation mutation
+    * (append/tombstone — those are visible within the current
+    * generation, not as new commits). */
+  private[graft] val LogDir = "_graft_log"
+
   /** How long a crashed writer's commit lock blocks the store before
     * another writer may break it. A commit (generation build included)
     * must finish within this window or risk losing its lock to a
@@ -518,13 +535,14 @@ object IndexedStore {
     val kept = (prev.toSeq ++ committedChain(m).filterNot(prev.contains))
       .distinct.filterNot(_ == gen).take(retain)
     writeManifest(path, Some(gen), retain, gen +: kept)
+    appendCommitLog(path, gen, prev)
     val leased = leasedGenerations(path)
     f.listStatus(new HPath(path))
       .filter { s =>
         val n = s.getPath.getName
         n != gen && !kept.contains(n) && !leased.contains(n) &&
           n != ManifestFile && n != WriterTokenFile && n != CommitLockFile &&
-          n != LeaseDir && !(legacyGrace && !n.startsWith("gen-"))
+          n != LeaseDir && n != LogDir && !(legacyGrace && !n.startsWith("gen-"))
       }
       .foreach(s => f.delete(s.getPath, true))
   } finally {
@@ -535,6 +553,38 @@ object IndexedStore {
     // release is a no-op).
     releaseCommitLock(path, writerToken)
   }
+
+  /** Publish one [[LogDir]] entry for a committed generation. Runs
+    * inside the commit (after the pointer swap, before the sweep,
+    * still under the writer token), so the log order IS the commit
+    * order; the tmp+rename publish means a tailing reader never sees
+    * a partial entry. `seq` is the generation's own monotone number —
+    * idempotent if a crashed commit retries the same generation. */
+  private def appendCommitLog(path: String, gen: String,
+      prev: Option[String]): Unit = {
+    val f = hadoopFs(path)
+    val dir = new HPath(path, LogDir)
+    if (!f.exists(dir)) f.mkdirs(dir): Unit
+    val seq = gen.stripPrefix("gen-").toLong
+    val json = s"""{"seq":$seq,"gen":"$gen","prev":${
+      prev.map(p => "\"" + p + "\"").getOrElse("null")}}"""
+    // Dot-prefixed tmp name: Spark's file listing treats it as hidden,
+    // so a concurrent readStream tail can never observe the half-written
+    // file — only the renamed (atomic) final entry.
+    val tmp = new HPath(dir, s".$gen.json.tmp")
+    val out = f.create(tmp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, SparkSession.active.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new HPath(dir, s"$gen.json"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The commit-log directory for a store root (the `readStream`
+    * target — see [[graft.streaming.StoreStream]]). */
+  def commitLogDir(rootPath: String): String =
+    new HPath(rootPath, LogDir).toString
 
   /** Write `df` (which must carry a `__rowid` column, e.g. from
     * [[graft.core.Store]]) under `path` laid out by `primary`.
