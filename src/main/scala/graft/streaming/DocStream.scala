@@ -25,9 +25,13 @@ import graft.operators.Dedup
   * Determinism: within a micro-batch, bucket members process in
   * doc_id order; the single-file gate corpus arrives as one batch, so
   * the output is exactly the batch oracle (every bucket member except
-  * its minimum, labeled with that minimum). Across batches the
-  * representative is first-seen-then-minimum — the [[EventStream]]
-  * stFunnel caveat class, finalized the same way in production.
+  * its minimum, labeled with that minimum). Across batches, a
+  * later-arriving SMALLER doc_id takes over as representative and the
+  * displaced former representative is retro-emitted as a collision
+  * row — so the flagged set converges to the batch labeling under any
+  * batch split; the rep LABELS on earlier-flagged rows keep their
+  * at-emission value (first-seen-then-minimum — the [[EventStream]]
+  * stFunnel caveat class, finalized the same way in production).
   *
   * Like the batch candidate stage, emitted pairs are CANDIDATES
   * (band collisions); the exact-Jaccard verify join is the batch
@@ -55,8 +59,18 @@ object DocStream {
     * every arriving document that collides with an occupied band
     * bucket emits (doc_id, band, key, rep_id). */
   def stNearDup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val stream = docStream(spark, dir).select(col("doc_id"), col("text"))
+    EventStream.runToTable(nearDupPipeline(stream).toDF(), "append")
+      .orderBy("doc_id", "band")
+  }
+
+  /** The full banding + stateful-collision pipeline over any
+    * streaming (doc_id, text) frame — factored so the multi-batch
+    * spec can drive it through a MemoryStream (the file-sourced gate
+    * corpus always arrives as one batch). */
+  private[graft] def nearDupPipeline(
+      stream: DataFrame): org.apache.spark.sql.Dataset[NearDupOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val s = stream.sparkSession
     import s.implicits._
     val sigs = Dedup.sigsFromSets(Dedup.shinglesOf(stream))
@@ -67,19 +81,26 @@ object DocStream {
       .as[(Long, Seq[Long])].map(identity).toDF("doc_id", "sig")
     val bands = Dedup.bandKeys(sigs)
       .as[(Long, Int, String)].map(t => BandRow(t._2, t._3, t._1))
-    val out = bands
+    bands
       .groupByKey(b => (b.band, b.key))
       .flatMapGroupsWithState[Long, NearDupOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (bk: (Int, String), rows: Iterator[BandRow], state: GroupState[Long]) =>
           val docs = rows.map(_.doc_id).toSeq.sorted
-          val rep = math.min(state.getOption.getOrElse(Long.MaxValue), docs.head)
+          val prev = state.getOption
+          val rep = math.min(prev.getOrElse(Long.MaxValue), docs.head)
           state.update(rep)
-          docs.filter(_ != rep)
+          // A smaller-id arrival displacing the stored representative
+          // RETRO-EMITS the displaced doc: it collided with the
+          // newcomer's bucket but is no longer the minimum, and
+          // without this row neither side of that collision would
+          // ever be flagged. With it, the flagged SET converges to
+          // the batch labeling under any batch split (labels keep the
+          // first-seen-then-minimum caveat below).
+          val displaced = prev.filter(_ > rep)
+          (docs.filter(_ != rep) ++ displaced)
             .map(d => NearDupOut(d, bk._1.toLong, bk._2, rep)).iterator
       }
-    EventStream.runToTable(out.toDF(), "append")
-      .orderBy("doc_id", "band")
   }
 
   val stNearDupSql: String =

@@ -28,6 +28,35 @@ class DocStreamSpec extends SparkSpec {
     got.foreach { case (d, _, _, rep) => assert(rep < d) }
   }
 
+  test("cross-batch: a smaller-id arrival retro-emits the displaced representative") {
+    // Batch 1 admits doc 10 (bucket rep). Batch 2 delivers doc 5 with
+    // IDENTICAL text: 5 takes over as representative and the displaced
+    // 10 must be emitted as the collision row — without it neither doc
+    // is ever flagged and the stream silently diverges from the batch
+    // labeling (which flags 10 with rep 5).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.DocStream.nearDupPipeline(
+      mem.toDF.toDF("doc_id", "text"))
+    val name = "neardup_xbatch"
+    val q = out.toDF.writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    try {
+      val txt = "the quick brown fox jumps over the lazy dog and then naps"
+      mem.addData((10L, txt))
+      q.processAllAvailable()
+      assert(spark.table(name).isEmpty, "a lone admission must not flag")
+      mem.addData((5L, txt))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .as[(Long, Long, String, Long)].collect()
+      assert(rows.nonEmpty, "the displaced representative was swallowed")
+      assert(rows.forall { case (d, _, _, rep) => d == 10L && rep == 5L },
+        s"expected doc 10 flagged with rep 5, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("st_near_dup is deterministic across runs") {
     val a = DocStream.stNearDup(spark, sf).collect().toSeq
     val b = DocStream.stNearDup(spark, sf).collect().toSeq
