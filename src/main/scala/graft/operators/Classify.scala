@@ -77,26 +77,65 @@ object Classify {
   /** Fixed-point scale for exact (order-free) float reductions. */
   private val Q = 1e9
 
-  /** Learned model + per-iteration mean log-loss trace. No intercept:
+  /** Learned model + per-iteration loss trace (the ridge-regularized
+    * mean log-loss — the trained objective; see [[lossOf]]). No intercept:
     * Σ_b x_b = 1 per doc puts the all-ones direction in the feature
     * span, so a bias would be exactly collinear (see [[Ridge]]). */
   final case class Model(weights: Array[Double], losses: Seq[Double])
 
   /** Feature rows (doc_id, bucket, x, y): length-normalized hashed
-    * term frequency x = c_bucket / n_words, label y ∈ {0,1}. */
+    * term frequency x = c_bucket / n_words, label y ∈ {0,1}.
+    * `graft.classify.features=bigram` adds hashed word-BIGRAM grams to
+    * the same bucket space (x then normalizes by the doc's total gram
+    * count) — the signal unigram marginals cannot carry (word ORDER);
+    * ZipfBigramSpec measures the separation gap on a fixture whose
+    * classes are unigram-identical. Default stays unigram. */
   def features(spark: SparkSession, dir: String): DataFrame = {
-    val q = TextAnalysis.qualityMetrics(spark, dir)
+    val labels = TextAnalysis.qualityMetrics(spark, dir)
       .select(col("doc_id"), col("n_words"),
         (col("quality") >= Tau).cast("int").as("y"))
-    val counts = TextAnalysis.docsSpread(spark, dir)
-      .select(col("doc_id"),
-        explode(graft.functions.TextFunctions.words(col("text"))).as("word"))
+    featuresOf(TextAnalysis.docsSpread(spark, dir), labels,
+      spark.conf.getOption("graft.classify.features").getOrElse("unigram"))
+  }
+
+  /** The extraction pipeline over any (doc_id, text) docs frame and
+    * (doc_id, [n_words,] y) label frame — package-visible so the
+    * bigram-separation spec can inject its own labels. */
+  private[graft] def featuresOf(docs: DataFrame, labels: DataFrame,
+      mode: String): DataFrame = {
+    val w = graft.functions.TextFunctions.words(col("text"))
+    val grams = mode match {
+      case "unigram" => explode(w)
+      case "bigram" =>
+        // unigrams ++ joined adjacent pairs; slice needs a guard — a
+        // sub-2-word doc has no bigrams and a negative slice length
+        // throws rather than yielding empty
+        val bi = when(size(w) >= 2,
+          zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+            (a, b) => concat_ws("_", a, b)))
+          .otherwise(array().cast("array<string>"))
+        explode(concat(w, bi))
+      case other => throw new IllegalArgumentException(
+        s"graft.classify.features = '$other' (expected 'unigram' or 'bigram')")
+    }
+    val counts = docs
+      .select(col("doc_id"), grams.as("word"))
       .filter(length(col("word")) > 0)
       .select(col("doc_id"), pmod(xxhash64(col("word")), lit(Dim)).as("bucket"))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
-    counts.join(q, "doc_id")
-      .select(col("doc_id"), col("bucket"),
-        (col("c") / col("n_words")).as("x"), col("y"))
+    if (mode == "unigram")
+      // historical contract: normalize by the word count (what the
+      // rows-only gate and every recorded model were trained on)
+      counts.join(labels, "doc_id")
+        .select(col("doc_id"), col("bucket"),
+          (col("c") / col("n_words")).as("x"), col("y"))
+    else {
+      val totals = counts.groupBy("doc_id").agg(sum(col("c")).as("n_grams"))
+      counts.join(totals, "doc_id")
+        .join(labels.select("doc_id", "y"), "doc_id")
+        .select(col("doc_id"), col("bucket"),
+          (col("c") / col("n_grams")).as("x"), col("y"))
+    }
   }
 
   /** Scored frame (doc_id, y, p) for a given model: sorted-fold
@@ -116,8 +155,15 @@ object Classify {
           (a, t) => a + t.getField("t"))))).as("p"))
   }
 
-  /** Mean log-loss of a scored frame, via the exact fixed-point sum. */
-  private def lossOf(spark: SparkSession, scored: DataFrame, nDocs: Long): Double = {
+  /** Ridge-regularized mean log-loss of a scored frame (data term via
+    * the exact fixed-point sum, plus 0.5·Ridge·‖w‖²) — the SAME
+    * objective the Newton gradient/Hessian system optimizes, so the
+    * backtracking accept/reject decision and the reported loss trace
+    * are monotone on the objective actually being descended (at
+    * Ridge = 1e-6 the penalty is tiny, but an accept rule on a
+    * different objective is a latent invariant hole). */
+  private def lossOf(spark: SparkSession, scored: DataFrame, nDocs: Long,
+      w: Array[Double]): Double = {
     import spark.implicits._
     val q = scored.select(
         floor(-(col("y") * log(greatest(col("p"), lit(1e-12))) +
@@ -125,7 +171,7 @@ object Classify {
             log(greatest(lit(1.0) - col("p"), lit(1e-12)))) * Q + 0.5)
           .cast("long").as("lq"))
       .agg(sum(col("lq"))).as[Long].head()
-    q / Q / nDocs
+    q / Q / nDocs + 0.5 * Ridge * w.map(v => v * v).sum
   }
 
   /** Solve H·x = b by Gaussian elimination with partial pivoting —
@@ -166,7 +212,7 @@ object Classify {
     // gradient input (recomputing it was one redundant corpus job
     // per epoch on the top bench line)
     var scored = scoreWith(spark, feats, w).localCheckpoint(false)
-    var loss = lossOf(spark, scored, nDocs)
+    var loss = lossOf(spark, scored, nDocs, w)
     val losses = Seq.newBuilder[Double]
     val fa = feats.select(col("doc_id"), col("bucket").as("ba"), col("x").as("xa"))
     val fb = feats.select(col("doc_id"), col("bucket").as("bb"), col("x").as("xb"))
@@ -204,7 +250,7 @@ object Classify {
       while (!done) {
         val wc = Array.tabulate(Dim)(b => w(b) - step * delta(b))
         val sc = scoreWith(spark, feats, wc).localCheckpoint(false)
-        val lc = lossOf(spark, sc, nDocs)
+        val lc = lossOf(spark, sc, nDocs, wc)
         if (lc <= loss) {
           w = wc; loss = lc; scored = sc; done = true
         } else if (tries == Backtracks) {
@@ -230,12 +276,142 @@ object Classify {
       .orderBy("doc_id")
   }
 
+  /** Probability bins for the reliability diagram. */
+  val CalibBins = 10
+
+  /** d_classify_calib — reliability diagram (calibration curve) for
+    * the learned-curation scorer family: per probability decile,
+    * document count, positive count, mean predicted probability and
+    * empirical positive rate — the standard diagnosis of whether a
+    * quality filter's scores can be thresholded as probabilities
+    * (ECE/reliability analysis; Guo et al. 2017).
+    *
+    * The scorer under the hash gate is the CLOSED-FORM member of the
+    * family: multinomial Naive Bayes over the same md5-hashed feature
+    * buckets, Laplace-smoothed, trained by two count aggregations —
+    * one corpus pass, fully SQL-replayable, so the DuckDB oracle
+    * reproduces train + score + bin bit-for-bit (the IRLS model's
+    * 64×64 Newton solve has no SQL replay, which is why d_classify is
+    * rows-only; its own reliability diagram is pinned in ClassifySpec
+    * by a driver-side recompute instead). Float parity: smoothed
+    * ratios are exact integer-over-integer doubles, ln rides the
+    * [[TextAnalysis.tLogprob]] cross-engine discipline, per-doc
+    * evidence folds sorted by bucket, per-bin probability means fold
+    * sorted by doc_id, presentation rounding only.
+    *
+    * Scale shape: training is two keyed aggregations (Dim×2 and 2
+    * rows out), scoring is one broadcast join + doc-keyed fold, the
+    * diagram is a [[CalibBins]]-key aggregation — one corpus scan
+    * end-to-end, nothing corpus-sized ever collects. */
+  def dClassifyCalib(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labels = TextAnalysis.qualityMetrics(spark, dir)
+      .select(col("doc_id"), (col("quality") >= Tau).cast("int").as("y"))
+    val counts = TextAnalysis.docsSpread(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"),
+        pmod(graft.functions.TextFunctions.md5_32(col("word")), lit(Dim))
+          .as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+      .join(labels, "doc_id")
+      .localCheckpoint(false) // feeds train (2 aggs) AND score (1 join)
+    // class priors (docs) and token totals — 2 bounded rows each
+    val byClass = labels.groupBy("y").agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().toMap
+    val tokByClass = counts.groupBy("y").agg(sum(col("c")).as("n"))
+      .as[(Int, Long)].collect().toMap
+    val (d1, d0) = (byClass.getOrElse(1, 0L), byClass.getOrElse(0, 0L))
+    val (n1, n0) = (tokByClass.getOrElse(1, 0L), tokByClass.getOrElse(0, 0L))
+    require(d1 > 0 && d0 > 0, "calibration needs both classes present")
+    val prior = math.log(d1.toDouble / d0)
+    // per-bucket evidence weight: smoothed log-likelihood ratio
+    val bw = counts.groupBy("bucket").agg(
+        sum(when(col("y") === 1, col("c")).otherwise(0L)).as("c1"),
+        sum(when(col("y") === 0, col("c")).otherwise(0L)).as("c0"))
+      .select(col("bucket"),
+        (log((col("c1") + lit(1L)) / lit((n1 + Dim).toDouble)) -
+          log((col("c0") + lit(1L)) / lit((n0 + Dim).toDouble))).as("wb"))
+    val scored = counts.join(bw, "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("bucket").as("b"),
+          (col("c") * col("wb")).as("t")))).as("ts"),
+        first(col("y")).as("y"))
+      .select(col("y"),
+        (lit(1.0) / (lit(1.0) + exp(-(lit(prior) + aggregate(col("ts"),
+          lit(0.0), (a, t) => a + t.getField("t")))))).as("p"),
+        col("doc_id"))
+    scored
+      .select(least(floor(col("p") * CalibBins), lit(CalibBins - 1))
+          .cast("long").as("bin"),
+        col("y"), col("p"), col("doc_id"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).cast("long").as("n_pos"),
+        sort_array(collect_list(struct(col("doc_id").as("d"),
+          col("p").as("p")))).as("ps"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        stableRound(aggregate(col("ps"), lit(0.0),
+          (a, x) => a + x.getField("p")) / col("n_docs"), 6).as("avg_p"),
+        stableRound(col("n_pos") / col("n_docs").cast("double"), 6)
+          .as("frac_pos"))
+      .orderBy("bin")
+  }
+
+  val dClassifyCalibSql: String = {
+    import graft.functions.TextFunctions.normSql
+    s"""WITH q AS (SELECT doc_id, quality FROM (${TextAnalysis.tQualitySql}) x),
+       |lbl AS (SELECT doc_id, (quality >= $Tau)::INT AS y FROM q),
+       |cnt AS (
+       |  SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT % $Dim AS bucket,
+       |    count(*) AS c
+       |  FROM (SELECT doc_id, unnest(string_split($normSql, ' ')) AS word
+       |        FROM documents) u
+       |  WHERE length(word) > 0
+       |  GROUP BY 1, 2),
+       |f AS (SELECT cnt.*, lbl.y FROM cnt JOIN lbl USING (doc_id)),
+       |cls AS (SELECT
+       |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS d1,
+       |    sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS d0
+       |  FROM lbl),
+       |tok AS (SELECT
+       |    sum(CASE WHEN y = 1 THEN c ELSE 0 END)::BIGINT AS n1,
+       |    sum(CASE WHEN y = 0 THEN c ELSE 0 END)::BIGINT AS n0
+       |  FROM f),
+       |bw AS (
+       |  SELECT bucket,
+       |    ln((sum(CASE WHEN y = 1 THEN c ELSE 0 END) + 1) / (tok.n1 + $Dim)::DOUBLE) -
+       |    ln((sum(CASE WHEN y = 0 THEN c ELSE 0 END) + 1) / (tok.n0 + $Dim)::DOUBLE) AS wb
+       |  FROM f CROSS JOIN tok
+       |  GROUP BY bucket, tok.n1, tok.n0),
+       |scored AS (
+       |  SELECT f.doc_id, first(f.y) AS y,
+       |    1.0 / (1.0 + exp(-(ln(cls.d1 / cls.d0::DOUBLE) +
+       |      list_reduce(list_prepend(0.0, list(f.c * bw.wb ORDER BY f.bucket)),
+       |        (a, b) -> a + b)))) AS p
+       |  FROM f JOIN bw USING (bucket) CROSS JOIN cls
+       |  GROUP BY f.doc_id, cls.d1, cls.d0)
+       |SELECT least(floor(p * $CalibBins), ${CalibBins - 1})::BIGINT AS bin,
+       |  count(*)::BIGINT AS n_docs,
+       |  sum(y)::BIGINT AS n_pos,
+       |  floor((list_reduce(list_prepend(0.0, list(p ORDER BY doc_id)),
+       |    (a, b) -> a + b) / count(*)) * 1e6 + 0.5) / 1e6 AS avg_p,
+       |  floor((sum(y) / count(*)::DOUBLE) * 1e6 + 0.5) / 1e6 AS frac_pos
+       |FROM scored
+       |GROUP BY bin
+       |ORDER BY bin""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_classify" -> dClassify,
+    "d_classify_calib" -> dClassifyCalib,
   )
 
-  /** No SQL oracle: the scores come from iteratively-learned weights
-    * (each epoch's gradient feeds the next). Rows-only at the gate;
-    * ClassifySpec carries correctness. */
-  def oracles: Map[String, String] = Map.empty
+  /** d_classify has no SQL oracle: the scores come from iteratively-
+    * learned weights (each epoch's gradient feeds the next). Rows-only
+    * at the gate; ClassifySpec carries correctness. The calibration
+    * row's closed-form scorer IS SQL-replayable and hash-gates. */
+  def oracles: Map[String, String] = Map(
+    "d_classify_calib" -> dClassifyCalibSql,
+  )
 }

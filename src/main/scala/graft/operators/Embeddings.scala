@@ -496,6 +496,16 @@ object Embeddings {
     val n = gramRows.head.getLong(3)
     val byComp = pca.groupBy(_._1).toSeq.sortBy(_._1)
     val zCols = byComp.map { case (c, rows) =>
+      // A zero (or numerically negative) eigenvalue inside the kept
+      // components — possible on a low-rank or degenerate Gram
+      // sample — would whiten the whole corpus to Infinity/NaN
+      // through the 1/scale divide. Fail loudly instead: a sample
+      // whose top components are rank-deficient cannot support
+      // whitening at this component count.
+      require(rows.head._4 > 1e-12 * byComp.head._2.head._4.max(1.0),
+        s"whitening component $c has non-positive eigenvalue " +
+          s"${rows.head._4} — degenerate training sample; reduce the " +
+          "component count or re-sample")
       val scale = math.sqrt(rows.head._4 / n)
       val dot = rows.sortBy(_._2).map { case (_, dim, v, _) =>
         element_at(col("embedding"), dim + 1).cast("double") * lit(v)

@@ -55,6 +55,33 @@ class ClassifySpec extends SparkSpec {
     assert(acc > base + 0.05, s"accuracy $acc does not beat base rate $base")
   }
 
+  test("IRLS reliability diagram is well-formed (the spec-side calibration pin)") {
+    // d_classify_calib hash-gates the closed-form NB scorer (the SQL-
+    // replayable family member); the IRLS model's own calibration is
+    // pinned here instead: bin from the op's per-doc output and check
+    // the diagram's structural invariants + a loose ECE sanity bound.
+    val rows = Classify.dClassify(spark, sf)
+      .select("p", "y").collect()
+      .map(r => (r.getDouble(0), r.getInt(1)))
+    val n = rows.length
+    val bins = rows.groupBy { case (p, _) =>
+      math.min((p * Classify.CalibBins).toInt, Classify.CalibBins - 1)
+    }
+    assert(bins.valuesIterator.map(_.length).sum == n, "bins partition the corpus")
+    val ece = bins.valuesIterator.map { members =>
+      val avgP = members.map(_._1).sum / members.length
+      val frac = members.count(_._2 == 1).toDouble / members.length
+      members.length.toDouble / n * math.abs(avgP - frac)
+    }.sum
+    bins.foreach { case (b, members) =>
+      val avgP = members.map(_._1).sum / members.length
+      assert(avgP >= b.toDouble / Classify.CalibBins - 1e-9 &&
+        avgP < (b + 1).toDouble / Classify.CalibBins + 1e-9,
+        s"bin $b mean $avgP outside its own bounds")
+    }
+    assert(ece < 0.25, s"IRLS scores badly uncalibrated: ECE $ece")
+  }
+
   test("training is bit-exact deterministic across runs") {
     val again = Classify.train(spark,
       Classify.features(spark, sf).localCheckpoint(false), nDocs)
