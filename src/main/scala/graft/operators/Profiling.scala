@@ -21,11 +21,12 @@ import graft.core.Tables
   * (col_name, value) before the final count — both exchanges hash on
   * keys whose cardinality scales with the data, so no single-reducer
   * choke. At 100 TB the exact NDV is the one expensive term; the
-  * production swap is `approx_count_distinct` (a mergeable HLL sketch,
-  * single pass, no dedup exchange) — kept exact here because the gate
-  * hash-compares values and HLL implementations differ per engine
-  * (the [[Analytics]] q_approx_distinct precedent: sketches are
-  * rows-only by design; an exact profile stays hash-green).
+  * production swap — `graft.profile.ndv=approx`, a mergeable HLL
+  * sketch, single pass, no dedup exchange — is a conf switch. The
+  * DEFAULT stays exact because the gate hash-compares values and HLL
+  * implementations differ per engine (the [[Analytics]]
+  * q_approx_distinct precedent: sketches are rows-only by design; an
+  * exact profile stays hash-green).
   *
   * No float parity risk by construction: every statistic is a count or
   * an order statistic (min/max select existing values, they never
@@ -42,10 +43,24 @@ object Profiling {
     "l_orderkey", "l_partkey", "l_suppkey",
     "l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
-  /** q_profile — per-column (rows, nulls, exact NDV, min, max) over
+  /** q_profile — per-column (rows, nulls, NDV, min, max) over
     * lineitem. Output: (col_name, n_rows, n_null, ndv, min_val,
-    * max_val), one row per profiled column. */
+    * max_val), one row per profiled column.
+    *
+    * `graft.profile.ndv=approx` swaps the exact distinct aggregate for
+    * `approx_count_distinct` (mergeable HLL, rsd 5%) — the 100 TB
+    * path: a single pass with NO (col_name, value) dedup exchange, the
+    * one expensive term gone. Default stays exact so the hash gate
+    * keeps comparing true values (HLL estimates differ per engine —
+    * the q_approx_distinct precedent); ProfilingSpec pins the approx
+    * plan shape (no Expand-side dedup) and its relative error. */
   def qProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ndv = spark.conf.getOption("graft.profile.ndv") match {
+      case Some("approx") => approx_count_distinct(col("v"), 0.05)
+      case Some("exact") | None => countDistinct(col("v"))
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft.profile.ndv = '$other' (expected 'exact' or 'approx')")
+    }
     val li = Tables(spark, dir).lineitem
     val stackArgs = ProfileCols
       .map(c => s"'$c', cast($c as double)").mkString(", ")
@@ -55,7 +70,7 @@ object Profiling {
       .agg(
         count(lit(1)).as("n_rows"),
         (count(lit(1)) - count(col("v"))).as("n_null"),
-        countDistinct(col("v")).as("ndv"),
+        ndv.as("ndv"),
         min(col("v")).as("min_val"),
         max(col("v")).as("max_val"))
       .orderBy("col_name")

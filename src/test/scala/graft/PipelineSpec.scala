@@ -1063,6 +1063,42 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q_profile ndv=approx: HLL estimate in error band, dedup exchange gone") {
+    import graft.operators.Profiling
+    val exact = Profiling.qProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("ndv")).toMap
+    spark.conf.set("graft.profile.ndv", "approx")
+    try {
+      val df = Profiling.qProfile(spark, sf)
+      // the 100 TB shape: one aggregation pass, no partial-distinct
+      // Expand/dedup exchange on (col_name, value)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Expand") && plan.contains("approx_count_distinct"),
+        s"approx mode must plan the HLL sketch, not a distinct dedup:\n${plan.take(1500)}")
+      df.collect().foreach { r =>
+        val (c, got) = (r.getString(0), r.getAs[Long]("ndv"))
+        val truth = exact(c)
+        assert(math.abs(got - truth) <= math.max(2L, (truth * 0.15).toLong),
+          s"$c: approx ndv $got too far from exact $truth")
+      }
+      // everything except ndv stays exact in approx mode
+      val other = Profiling.qProfile(spark, sf).collect()
+        .map(r => (r.getString(0), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("n_null"), r.getAs[Double]("min_val"),
+          r.getAs[Double]("max_val"))).toSet
+      spark.conf.unset("graft.profile.ndv")
+      val exactOther = Profiling.qProfile(spark, sf).collect()
+        .map(r => (r.getString(0), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("n_null"), r.getAs[Double]("min_val"),
+          r.getAs[Double]("max_val"))).toSet
+      assert(other == exactOther)
+      intercept[IllegalArgumentException] {
+        spark.conf.set("graft.profile.ndv", "hll")
+        Profiling.qProfile(spark, sf)
+      }
+    } finally spark.conf.unset("graft.profile.ndv")
+  }
+
   test("blocklist verdicts: rule precedence, coverage, both classes present") {
     import graft.operators.WebCuration
     val df = WebCuration.dBlocklist(spark, sf).cache()
