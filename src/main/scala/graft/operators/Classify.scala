@@ -196,6 +196,10 @@ object Classify {
     x
   }
 
+  /** Every SampledNewtonMod-th doc (md5-selected) carries the Hessian
+    * in sampled mode — deterministic, content-independent. */
+  val SampledNewtonMod = 4
+
   /** Train the logistic model by distributed Newton / IRLS. `feats`
     * must carry (doc_id, bucket, x, y) and be cheap to rescan (the
     * caller checkpoints). Each iteration: one scored pass, then the
@@ -203,7 +207,20 @@ object Classify {
     * Hessian (Dim² keys — the per-doc nnz×nnz feature pair explode,
     * one shuffle), a driver-side D×D solve, and a backtracking halve
     * of the Newton step if the measured loss rises — accepted loss is
-    * monotone nonincreasing by construction. */
+    * monotone nonincreasing by construction.
+    *
+    * `graft.classify.hessian=sampled` estimates the curvature from a
+    * deterministic md5-selected 1/[[SampledNewtonMod]] doc subset
+    * (sampled Newton — Roosta-Khorasani & Mahoney 2016): the nnz²
+    * pair explode, the one superlinear term, shrinks by the sampling
+    * factor while the GRADIENT and the line-search loss stay exact
+    * over the full corpus — so every accepted step still descends the
+    * true objective and the monotone-loss invariant is untouched; an
+    * approximate direction costs extra iterations at worst, never
+    * correctness. Still bit-deterministic (the sample is a pure
+    * doc_id hash; reductions stay integer-quantized). Default stays
+    * exact — the gate-scale corpus doesn't need the estimate, and the
+    * recorded model/spec pins ride the exact path. */
   def train(spark: SparkSession, feats: DataFrame, nDocs: Long): Model = {
     import spark.implicits._
     var w = Array.fill(Dim)(0.0)
@@ -214,8 +231,20 @@ object Classify {
     var scored = scoreWith(spark, feats, w).localCheckpoint(false)
     var loss = lossOf(spark, scored, nDocs, w)
     val losses = Seq.newBuilder[Double]
-    val fa = feats.select(col("doc_id"), col("bucket").as("ba"), col("x").as("xa"))
-    val fb = feats.select(col("doc_id"), col("bucket").as("bb"), col("x").as("xb"))
+    val (hFeats, nHess) = spark.conf.getOption("graft.classify.hessian") match {
+      case Some("sampled") =>
+        val fh = feats.filter(pmod(graft.functions.TextFunctions.md5_32(
+          col("doc_id").cast("string")), lit(SampledNewtonMod)) === 0)
+          .localCheckpoint(false)
+        val n = fh.select("doc_id").distinct().count()
+        require(n > 0, "sampled-Newton subset is empty — corpus too small")
+        (fh, n)
+      case Some("exact") | None => (feats, nDocs)
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft.classify.hessian = '$other' (expected 'exact' or 'sampled')")
+    }
+    val fa = hFeats.select(col("doc_id"), col("bucket").as("ba"), col("x").as("xa"))
+    val fb = hFeats.select(col("doc_id"), col("bucket").as("bb"), col("x").as("xb"))
     for (_ <- 1 to Epochs) {
       val gradQ = feats.join(scored.select(col("doc_id"), col("p")), "doc_id")
         .select(col("bucket"),
@@ -235,7 +264,7 @@ object Classify {
       val g = Array.tabulate(Dim)(b =>
         gradQ.getOrElse(b.toLong, 0L) / Q / nDocs + Ridge * w(b))
       val h = Array.tabulate(Dim, Dim)((i, j) =>
-        hessQ.getOrElse((i.toLong, j.toLong), 0L) / Q / nDocs +
+        hessQ.getOrElse((i.toLong, j.toLong), 0L) / Q / nHess +
           (if (i == j) Ridge else 0.0))
       val delta = solve(h, g)
       // backtracking: halve the Newton step until the loss stops
