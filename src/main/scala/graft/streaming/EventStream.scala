@@ -94,6 +94,22 @@ object EventStream {
     streamDir.toString
   }
 
+  /** Production finalization switch (read from the CALLER's session,
+    * like the state-partition knob): `graft.streaming.finalize=
+    * eventtime` swaps the stateful operators' NoTimeout/emit-on-break
+    * discipline for a watermark + [[org.apache.spark.sql.streaming.
+    * GroupStateTimeout.EventTimeTimeout]] finalization — the trailing
+    * open session / open anomaly bucket is EMITTED once the event-time
+    * watermark passes its horizon, and the funnel defers emission to
+    * finalization so it is exact under out-of-order arrival. The
+    * default stays emit-on-break because that is what the batch oracle
+    * can check (a finalized trailing session exists in the stream but
+    * not in the batch-equivalence contract); the eventtime mode is
+    * spec-pinned ([[FinalizeSpec]]) against full batch recomputes with
+    * the watermark driven past the horizon. */
+  private[graft] def finalizeEventTime(rootSpark: SparkSession): Boolean =
+    rootSpark.conf.getOption("graft.streaming.finalize").contains("eventtime")
+
   private def eventStream(rootSpark: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(rootSpark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -118,6 +134,19 @@ object EventStream {
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
     try {
       q.processAllAvailable()
+      // processAllAvailable promises the DATA is consumed, but a
+      // watermark advance can schedule one more no-data batch (event-
+      // time timeouts — the finalize mode) that commits to the sink
+      // just after it returns: poll until the sink row count is stable.
+      var prev = -1L
+      var cur = spark.table(name).count()
+      val deadline = System.currentTimeMillis() + 30000L
+      while (cur != prev && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100L)
+        q.processAllAvailable()
+        prev = cur
+        cur = spark.table(name).count()
+      }
     } finally {
       q.stop()
     }
@@ -234,8 +263,14 @@ object EventStream {
       |ORDER BY n_events DESC, user_id
       |LIMIT 10""".stripMargin
 
-  /** Input/state/output records for the stateful sessionizer. */
-  final case class Ev(user_id: Long, ts_ns: Long)
+  /** Input/state/output records for the stateful sessionizer. The
+    * input records carry the event-time `ts` column alongside the
+    * nanosecond long because the finalize mode's EventTimeTimeout
+    * requires the WATERMARKED attribute to reach the stateful
+    * operator's child — a typed `.map` would mint fresh attributes and
+    * strip the watermark metadata, so inputs are shaped with
+    * `select(...).as[Ev]` (attribute-preserving) instead. */
+  final case class Ev(user_id: Long, ts_ns: Long, ts: java.sql.Timestamp)
   final case class OpenSession(start_ns: Long, end_ns: Long, n: Long)
   /** Session bounds are emitted in MICROSECONDS: DuckDB truncates
     * TIMESTAMP_NANOS parquet to µs on read, so µs is the finest
@@ -250,36 +285,73 @@ object EventStream {
     * stays in state. Emit-on-break makes the final output — every
     * session except each user's last — deterministic regardless of
     * micro-batch boundaries, so it oracle-checks against the batch
-    * sessionization. */
+    * sessionization. `graft.streaming.finalize=eventtime` swaps in the
+    * production finalization: a watermark + event-time timeout closes
+    * the trailing session too ([[sessionPipeline]], FinalizeSpec). */
   def stSessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val fin = finalizeEventTime(spark)
+    val src = eventStream(spark, dir)
+    val wm = if (fin) src.withWatermark("ts", "0 seconds") else src
+    val ds = wm.select(col("user_id"), col("ts_ns"), col("ts")).as[Ev]
+    runToTable(sessionPipeline(ds, fin).toDF(), "append")
+      .orderBy("user_id", "session_start_us")
+  }
+
+  /** The sessionizer core, shared by [[stSessionize]] and the
+    * MemoryStream specs. `finalize=true` requires a watermark on the
+    * input: each open session arms an event-time timeout at
+    * `end + gap`, so once the watermark passes the point where no
+    * event could extend the session, it is CLOSED and emitted — the
+    * production behavior that default emit-on-break mode (which never
+    * emits each user's last session) trades away for batch-oracle
+    * equivalence. Timed-out state is removed; a user's next event
+    * simply opens a fresh session. */
+  private[graft] def sessionPipeline(
+      ds: org.apache.spark.sql.Dataset[Ev],
+      finalize: Boolean): org.apache.spark.sql.Dataset[SessionOut] = {
+    import ds.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gap = graft.operators.Events.SessionGapNs
-    val ds = eventStream(spark, dir).select(col("user_id"), col("ts_ns")).as[(Long, Long)]
-    val out = ds.map(t => Ev(t._1, t._2))
-      .groupByKey(_.user_id)
+    val timeoutConf =
+      if (finalize) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (uid: Long, events: Iterator[Ev], state: GroupState[OpenSession]) =>
-          val sorted = events.toSeq.sortBy(_.ts_ns)
-          var open = state.getOption
-          val closed = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            open match {
-              case Some(s) if e.ts_ns - s.end_ns <= gap =>
-                open = Some(OpenSession(s.start_ns, e.ts_ns, s.n + 1))
-              case Some(s) =>
-                closed += SessionOut(uid, s.start_ns / 1000L, s.end_ns / 1000L, s.n)
-                open = Some(OpenSession(e.ts_ns, e.ts_ns, 1))
-              case None =>
-                open = Some(OpenSession(e.ts_ns, e.ts_ns, 1))
+          if (finalize && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.start_ns / 1000L, s.end_ns / 1000L, s.n))
+          } else {
+            val sorted = events.toSeq.sortBy(_.ts_ns)
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.ts_ns - s.end_ns <= gap =>
+                  open = Some(OpenSession(s.start_ns, e.ts_ns, s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(uid, s.start_ns / 1000L, s.end_ns / 1000L, s.n)
+                  open = Some(OpenSession(e.ts_ns, e.ts_ns, 1))
+                case None =>
+                  open = Some(OpenSession(e.ts_ns, e.ts_ns, 1))
+              }
             }
+            open.foreach { s =>
+              state.update(s)
+              if (finalize)
+                // past-watermark horizons (a late-arriving straggler
+                // session) clamp to wm+1 — setTimeoutTimestamp rejects
+                // timestamps at or before the current watermark
+                state.setTimeoutTimestamp(math.max(
+                  (s.end_ns + gap) / 1000000L,
+                  state.getCurrentWatermarkMs() + 1L))
+            }
+            closed.result().iterator
           }
-          open.foreach(state.update)
-          closed.result().iterator
       }
-    runToTable(out.toDF(), "append")
-      .orderBy("user_id", "session_start_us")
   }
 
   val stSessionizeSql: String = {
@@ -308,7 +380,8 @@ object EventStream {
 
   /** Input/state/output records for the stateful funnel. Long.MaxValue
     * is the "stage not reached" sentinel in state. */
-  final case class FEv(user_id: Long, event_type: String, ts_ns: Long)
+  final case class FEv(user_id: Long, event_type: String, ts_ns: Long,
+      ts: java.sql.Timestamp)
   final case class FunnelProgress(v: Long, c: Long, done: Boolean)
   final case class FunnelOut(user_id: Long, view_us: Long, click_us: Long,
       purchase_us: Long)
@@ -324,19 +397,34 @@ object EventStream {
     *
     * Deterministic vs the batch oracle when each user's events arrive
     * within one micro-batch (this harness's file source) or in
-    * event-time order; out-of-order arrival across batches would need
-    * the production variant — a watermark + event-time timeout
-    * finalizing each user — because a later-arriving earlier view
-    * can't retract an emitted conversion. Same caveat class as
+    * event-time order; out-of-order arrival across batches needs the
+    * production variant — `graft.streaming.finalize=eventtime` swaps
+    * in [[funnelFinalPipeline]], which defers emission to a
+    * watermark-driven timeout and is exact under any arrival order
+    * (FinalizeSpec) — because a later-arriving earlier view can't
+    * retract an emitted conversion. Same caveat class as
     * [[stSessionize]]'s per-batch sort. */
   def stFunnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val fin = finalizeEventTime(spark)
+    val src = eventStream(spark, dir)
+    val wm = if (fin) src.withWatermark("ts", "0 seconds") else src
+    val ds = wm.select(col("user_id"), col("event_type"), col("ts_ns"), col("ts"))
+      .as[FEv]
+    val out = if (fin) funnelFinalPipeline(ds) else funnelPipeline(ds)
+    runToTable(out.toDF(), "append")
+      .orderBy("user_id")
+  }
+
+  /** The default funnel core: emit the conversion the moment the
+    * chain completes within the arrived events (the real-time trigger;
+    * deterministic in event-time-order arrival — see [[stFunnel]]'s
+    * caveat). */
+  private[graft] def funnelPipeline(
+      ds: org.apache.spark.sql.Dataset[FEv]): org.apache.spark.sql.Dataset[FunnelOut] = {
+    import ds.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val ds = eventStream(spark, dir)
-      .select(col("user_id"), col("event_type"), col("ts_ns"))
-      .as[(Long, String, Long)]
-    val out = ds.map(t => FEv(t._1, t._2, t._3))
-      .groupByKey(_.user_id)
+    ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelProgress, FunnelOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, events: Iterator[FEv], state: GroupState[FunnelProgress]) =>
@@ -358,8 +446,84 @@ object EventStream {
           if (hit) Iterator(FunnelOut(uid, v / 1000L, c / 1000L, p / 1000L))
           else Iterator.empty
       }
-    runToTable(out.toDF(), "append")
-      .orderBy("user_id")
+  }
+
+  /** Finalizing-funnel state: the earliest view plus DOMINANCE-PRUNED
+    * stage buffers. Only the minimum view can ever matter (v only
+    * decreases); a kept click > the current qualifying click c can
+    * never become the chain's click (c stays eligible under any future
+    * smaller v), so the click buffer holds exactly the clicks ≤ c (all
+    * clicks while no click qualifies) — and symmetrically for
+    * purchases vs p. Buffers are ascending-sorted. */
+  final case class FunnelBuf(v: Long, clicks: Seq[Long], purchases: Seq[Long],
+      done: Boolean)
+
+  /** The finalizing funnel core (`graft.streaming.finalize=eventtime`;
+    * requires a watermark on the input): emission is DEFERRED to an
+    * event-time timeout just past the purchase timestamp, which makes
+    * the operator EXACT under out-of-order arrival across micro-batches
+    * — once the watermark passes p, every event with ts ≤ p has
+    * arrived (the watermark contract), and no event with ts > p can
+    * lower any of the chain's minima (v ≤ c ≤ p), so the emitted chain
+    * equals the batch funnel's regardless of arrival order. The price
+    * is latency (one watermark delay) and the pruned buffers in state
+    * — bounded by the user's pre-qualification click/purchase history
+    * rather than two longs. Trade real-time triggering for exactness
+    * by flipping the conf; both cores share FEv/FunnelOut. */
+  private[graft] def funnelFinalPipeline(
+      ds: org.apache.spark.sql.Dataset[FEv]): org.apache.spark.sql.Dataset[FunnelOut] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBuf, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, events: Iterator[FEv], state: GroupState[FunnelBuf]) =>
+          // the chain's minima over the pruned buffers: first click ≥ v,
+          // first purchase ≥ that click (buffers ascending)
+          def chain(st: FunnelBuf): Option[(Long, Long, Long)] =
+            if (st.v == Long.MaxValue) None
+            else st.clicks.find(_ >= st.v).flatMap { c =>
+              st.purchases.find(_ >= c).map(p => (st.v, c, p))
+            }
+          val st0 = state.getOption
+            .getOrElse(FunnelBuf(Long.MaxValue, Nil, Nil, done = false))
+          if (state.hasTimedOut) {
+            chain(st0) match {
+              case Some((v, c, p)) if !st0.done =>
+                state.update(FunnelBuf(st0.v, Nil, Nil, done = true))
+                Iterator.single(FunnelOut(uid, v / 1000L, c / 1000L, p / 1000L))
+              case _ =>
+                state.update(st0) // keep buffers; nothing finalized
+                Iterator.empty
+            }
+          } else if (st0.done) {
+            state.update(st0) // one conversion per user, mirroring default
+            Iterator.empty
+          } else {
+            val evs = events.toSeq
+            val v = evs.iterator.filter(_.event_type == "view").map(_.ts_ns)
+              .foldLeft(st0.v)(math.min)
+            val clicksAll = (st0.clicks ++
+              evs.iterator.filter(_.event_type == "click").map(_.ts_ns)).sorted
+            val clicks = clicksAll.find(_ >= v) match {
+              case Some(c) => clicksAll.filter(_ <= c)
+              case None => clicksAll
+            }
+            val purchAll = (st0.purchases ++
+              evs.iterator.filter(_.event_type == "purchase").map(_.ts_ns)).sorted
+            val purchases = clicks.find(_ >= v).flatMap(c => purchAll.find(_ >= c)) match {
+              case Some(p) => purchAll.filter(_ <= p)
+              case None => purchAll
+            }
+            val st = FunnelBuf(v, clicks, purchases, done = false)
+            state.update(st)
+            chain(st).foreach { case (_, _, p) =>
+              state.setTimeoutTimestamp(math.max(
+                p / 1000000L + 1L, state.getCurrentWatermarkMs() + 1L))
+            }
+            Iterator.empty
+          }
+      }
   }
 
   val stFunnelSql: String =
@@ -389,7 +553,7 @@ object EventStream {
     * detector. State per event_type: the Welford-free integer
     * sufficient statistics (n, Σc, Σc²) over CLOSED buckets plus the
     * currently-open bucket. */
-  final case class AEv(event_type: String, ts_ns: Long)
+  final case class AEv(event_type: String, ts_ns: Long, ts: java.sql.Timestamp)
   final case class AnomState(n: Long, s: Long, q: Long,
       openBucket: Long, openCount: Long)
   final case class AnomalyOut(event_type: String, hour_bucket: Long,
@@ -409,24 +573,47 @@ object EventStream {
     * float in the operator at all and the oracle reproduces it
     * bit-free. State per key is FIVE longs regardless of event
     * volume; each bucket is scored exactly once, the trailing open
-    * bucket is unreported (on a live stream a watermark + event-time
-    * timeout finalizes it — [[stSessionize]]'s caveat class, and the
-    * same in-event-time-order determinism caveat applies).
+    * bucket is unreported in the default mode (with
+    * `graft.streaming.finalize=eventtime` an event-time timeout at the
+    * bucket boundary closes and scores it as soon as the watermark
+    * passes — [[anomalyPipeline]]; the in-event-time-order determinism
+    * caveat still applies to the bucket fold itself).
     *
     * Scale: the only shuffle is the groupByKey on event_type; state
     * and output are O(keys), not O(events). A high-cardinality key
     * (per-endpoint, per-tenant) distributes the same way. */
   def stAnomaly(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val fin = finalizeEventTime(spark)
+    val src = eventStream(spark, dir)
+    val wm = if (fin) src.withWatermark("ts", "0 seconds") else src
+    val ds = wm.select(col("event_type"), col("ts_ns"), col("ts")).as[AEv]
+    runToTable(anomalyPipeline(ds, fin).toDF(), "append")
+      .orderBy("event_type", "hour_bucket")
+  }
+
+  /** The anomaly-scorer core, shared by [[stAnomaly]] and the
+    * MemoryStream specs. `finalize=true` requires a watermark on the
+    * input: the open bucket arms an event-time timeout at its bucket
+    * boundary, so once the watermark passes the end of the hour the
+    * bucket is CLOSED — scored, emitted, folded into the baseline —
+    * without waiting for the next bucket's first event (the default
+    * mode's close trigger, which leaves the trailing bucket unreported
+    * forever). The key's state itself persists across timeouts — the
+    * baseline statistics must survive quiet hours — so no new timeout
+    * is armed until the next event opens a bucket. */
+  private[graft] def anomalyPipeline(
+      ds: org.apache.spark.sql.Dataset[AEv],
+      finalize: Boolean): org.apache.spark.sql.Dataset[AnomalyOut] = {
+    import ds.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val ds = eventStream(spark, dir)
-      .select(col("event_type"), col("ts_ns")).as[(String, Long)]
-    val out = ds.map(t => AEv(t._1, t._2))
-      .groupByKey(_.event_type)
+    val timeoutConf =
+      if (finalize) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ds.groupByKey(_.event_type)
       .flatMapGroupsWithState[AnomState, AnomalyOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (etype: String, events: Iterator[AEv], state: GroupState[AnomState]) =>
-          val sorted = events.toSeq.sortBy(_.ts_ns)
           var st = state.getOption.getOrElse(AnomState(0L, 0L, 0L, Long.MinValue, 0L))
           val rows = Seq.newBuilder[AnomalyOut]
           def close(): Unit = if (st.openBucket != Long.MinValue) {
@@ -440,26 +627,34 @@ object EventStream {
             }
             st = AnomState(st.n + 1L, st.s + c, st.q + c * c, Long.MinValue, 0L)
           }
-          sorted.foreach { e =>
-            val b = e.ts_ns / HourNs
-            if (st.openBucket == Long.MinValue)
-              st = st.copy(openBucket = b, openCount = 1L)
-            else if (b == st.openBucket)
-              st = st.copy(openCount = st.openCount + 1L)
-            else if (b > st.openBucket) {
-              close()
-              st = st.copy(openBucket = b, openCount = 1L)
-            } else
-              // out-of-order arrival behind the open bucket: fold into
-              // the open bucket (in-event-time-order inputs — this
-              // harness and the oracle's assumption — never hit this)
-              st = st.copy(openCount = st.openCount + 1L)
+          if (finalize && state.hasTimedOut) {
+            close()
+            state.update(st)
+          } else {
+            val sorted = events.toSeq.sortBy(_.ts_ns)
+            sorted.foreach { e =>
+              val b = e.ts_ns / HourNs
+              if (st.openBucket == Long.MinValue)
+                st = st.copy(openBucket = b, openCount = 1L)
+              else if (b == st.openBucket)
+                st = st.copy(openCount = st.openCount + 1L)
+              else if (b > st.openBucket) {
+                close()
+                st = st.copy(openBucket = b, openCount = 1L)
+              } else
+                // out-of-order arrival behind the open bucket: fold into
+                // the open bucket (in-event-time-order inputs — this
+                // harness and the oracle's assumption — never hit this)
+                st = st.copy(openCount = st.openCount + 1L)
+            }
+            state.update(st)
+            if (finalize && st.openBucket != Long.MinValue)
+              state.setTimeoutTimestamp(math.max(
+                (st.openBucket + 1L) * HourNs / 1000000L,
+                state.getCurrentWatermarkMs() + 1L))
           }
-          state.update(st)
           rows.result().iterator
       }
-    runToTable(out.toDF(), "append")
-      .orderBy("event_type", "hour_bucket")
   }
 
   val stAnomalySql: String =
