@@ -119,10 +119,14 @@ object IndexedStore {
     * same discipline as a Delta-style transaction log. Entries are
     * metadata-sized and append-only; a production deployment
     * checkpoints/expires them with the same retention policy as the
-    * generations themselves. Granularity matches time travel:
-    * generation commits (write/compact), not in-generation mutation
-    * (append/tombstone — those are visible within the current
-    * generation, not as new commits). */
+    * generations themselves. Granularity is MUTATION-level: commit
+    * entries (write/compact, `<gen>.json`, sub 0, carrying the
+    * as-of-commit rowid high-water mark) plus in-generation mutation
+    * entries (`<gen>-append-<sub>.json` with the appended rowid range,
+    * `<gen>-delete-<sub>.json` naming the delete's tombstone files) —
+    * so a CDC tail observes appends and tombstone deletes at their own
+    * log positions instead of losing them inside (or entirely outside)
+    * the next generation diff. */
   private[graft] val LogDir = "_graft_log"
 
   /** How long a crashed writer's commit lock blocks the store before
@@ -562,22 +566,60 @@ object IndexedStore {
     * idempotent if a crashed commit retries the same generation. */
   private def appendCommitLog(path: String, gen: String,
       prev: Option[String]): Unit = {
+    val seq = gen.stripPrefix("gen-").toLong
+    // `hi` = the generation's rowid high-water mark at commit (from
+    // the stats pass). A CDC tail filters the commit snapshot to
+    // rowid ≤ hi, so later in-generation appends (which continue past
+    // the max — Store's autoincrement) can never leak into it.
+    val hi = Option(loadProps(new HPath(path, gen).toString)
+      .getProperty("maxrowid")).getOrElse("null")
+    publishLogEntry(path, s"$gen.json",
+      s"""{"seq":$seq,"gen":"$gen","prev":${
+        prev.map(p => "\"" + p + "\"").getOrElse("null")
+      },"kind":"commit","sub":0,"hi":$hi}""")
+  }
+
+  /** Publish one MUTATION entry (`kind` = `append` | `delete`) for the
+    * current generation — the sub-commit half of the CDC log: a store
+    * consumer otherwise only observes generation commits, but appends
+    * and tombstone deletes mutate the live generation between commits
+    * (and a tombstoned row never surfaces in a later gen-diff at all:
+    * both sides of the diff read it tombstone-free). Published AFTER
+    * the mutation's data has fully landed, so an entry exists IFF its
+    * rows/tombstones are readable — the same entry-iff-committed
+    * discipline as the commit entries. `sub` orders mutations within
+    * their generation (commit itself is sub 0); single-writer, like
+    * every in-generation mutation. Skipped for a legacy
+    * (pre-manifest) root store — there is no commit log to extend. */
+  private def appendMutationLog(rootPath: String, kind: String,
+      fields: String): Unit =
+    currentGenName(rootPath).foreach { gen =>
+      val f = hadoopFs(rootPath)
+      val dir = new HPath(rootPath, LogDir)
+      val sub =
+        if (!f.exists(dir)) 1
+        else f.listStatus(dir).map(_.getPath.getName)
+          .count(n => n.startsWith(s"$gen-") && n.endsWith(".json")) + 1
+      val seq = gen.stripPrefix("gen-").toLong
+      publishLogEntry(rootPath, s"$gen-$kind-$sub.json",
+        s"""{"seq":$seq,"gen":"$gen","kind":"$kind","sub":$sub,$fields}""")
+    }
+
+  /** Atomic (tmp + rename) publish of one [[LogDir]] entry. The
+    * dot-prefixed tmp name is hidden from Spark's file listing, so a
+    * concurrent readStream tail can never observe the half-written
+    * file — only the renamed final entry. */
+  private def publishLogEntry(path: String, name: String, json: String): Unit = {
     val f = hadoopFs(path)
     val dir = new HPath(path, LogDir)
     if (!f.exists(dir)) f.mkdirs(dir): Unit
-    val seq = gen.stripPrefix("gen-").toLong
-    val json = s"""{"seq":$seq,"gen":"$gen","prev":${
-      prev.map(p => "\"" + p + "\"").getOrElse("null")}}"""
-    // Dot-prefixed tmp name: Spark's file listing treats it as hidden,
-    // so a concurrent readStream tail can never observe the half-written
-    // file — only the renamed (atomic) final entry.
-    val tmp = new HPath(dir, s".$gen.json.tmp")
+    val tmp = new HPath(dir, s".$name.tmp")
     val out = f.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       f.getUri, SparkSession.active.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new HPath(dir, s"$gen.json"),
+    fc.rename(tmp, new HPath(dir, name),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
@@ -633,12 +675,19 @@ object IndexedStore {
       case other => Seq(other.column)
     }
     val statCols = (primaryCols ++ (statsOnly ++ secondary).map(_.column)).distinct
-    val aggs = count(lit(1)).as("__rows") +:
+    // maxrowid rides the same stats pass: it is the generation's
+    // as-of-commit rowid high-water mark, which the commit-log entry
+    // publishes so a CDC tail can read the commit-time snapshot even
+    // after later in-generation appends land (appends continue PAST
+    // the max — the Store autoincrement contract).
+    val aggs = count(lit(1)).as("__rows") +: max(col(RowId)).as("__maxrid") +:
       statCols.map(c => approx_count_distinct(col(c)).as(s"__ndv_$c"))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
     props.setProperty("rows", stats.getLong(0).toString)
+    if (!stats.isNullAt(1))
+      props.setProperty("maxrowid", stats.getLong(1).toString)
     statCols.zipWithIndex.foreach { case (c, i) =>
-      props.setProperty(s"ndv.$c", stats.getLong(i + 1).toString)
+      props.setProperty(s"ndv.$c", stats.getLong(i + 2).toString)
     }
     statsOnly.foreach {
       case HashIndex(c, _, inc) =>
@@ -1256,8 +1305,17 @@ object IndexedStore {
       writePostings(df, path, c, n, inc, overwrite = false)
     }
     bloomColumns(props).foreach(c => writeBloom(out, path, c, overwrite = false))
-    props.setProperty("rows", (props.getProperty("rows").toLong + df.count()).toString)
+    // one pass for the stats refresh AND the CDC entry's rowid range
+    // (an appended batch is a contiguous rowid run — Store numbers
+    // inserts after the current max)
+    val stats = df.agg(count(lit(1)), min(col(RowId)), max(col(RowId))).head()
+    props.setProperty("rows", (props.getProperty("rows").toLong + stats.getLong(0)).toString)
     storeProps(props, path)
+    // the append-level CDC record, published only once everything the
+    // entry promises (data, postings, blooms, stats) is on disk
+    if (stats.getLong(0) > 0L)
+      appendMutationLog(rootPath, "append",
+        s""""lo":${stats.getLong(1)},"hi":${stats.getLong(2)}""")
   }
 
   /** Delete matching rows by tombstoning their rowids (reference
@@ -1266,8 +1324,30 @@ object IndexedStore {
   def delete(spark: SparkSession, rootPath: String,
       conds: Seq[graft.core.Condition]): Unit = {
     val path = resolve(rootPath)
-    val victims = find(spark, path, conds).select(RowId)
-    victims.write.mode("append").parquet(new HPath(path, TombstoneDir).toString)
+    val victims = find(spark, path, conds).select(RowId).cache()
+    try {
+      // A no-op delete writes nothing and logs nothing — Spark would
+      // otherwise materialize a schema-only empty part file, and the
+      // file-diff below would publish a CDC entry describing no change.
+      if (victims.count() > 0L) {
+        val tdir = new HPath(path, TombstoneDir)
+        val f = hadoopFs(path)
+        def tombstoneFiles: Set[String] =
+          if (!f.exists(tdir)) Set.empty
+          else f.listStatus(tdir).map(_.getPath.getName)
+            .filter(_.endsWith(".parquet")).toSet
+        val before = tombstoneFiles
+        victims.write.mode("append").parquet(tdir.toString)
+        // The CDC record names exactly this delete's tombstone files —
+        // without it a tombstoned row would NEVER stream (both sides of
+        // every later gen-diff read it tombstone-free). Single-writer,
+        // like the tombstone append itself.
+        val added = (tombstoneFiles -- before).toSeq.sorted
+        if (added.nonEmpty)
+          appendMutationLog(rootPath, "delete",
+            s""""files":"${added.mkString(",")}"""")
+      }
+    } finally victims.unpersist(): Unit
   }
 
   /** Add a secondary hash index to a store that already has rows,

@@ -3,33 +3,53 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-import graft.core.{Store, Tables}
+import graft.core.{Condition, Store, Tables}
 import graft.storage.{HashIndex, IndexedStore}
 
 /** Streaming ingestion CDC over an [[IndexedStore]] — `readStream`
   * on the store's COMMIT LOG so a consumer observes exactly the
-  * committed-generation sequence, the Delta-transaction-log pattern
+  * committed mutation sequence, the Delta-transaction-log pattern
   * applied to the manifest protocol:
   *
-  *  - the log entry (`_graft_log/<gen>.json`) is published atomically
-  *    AFTER the manifest pointer swap, so a generation is visible to
-  *    the stream IFF it committed — a crashed build's directory, or a
-  *    build that finished but lost its writer token before the swap,
-  *    never produces an entry (spec-pinned with a complete-looking
-  *    stray generation);
-  *  - entries are metadata-sized (seq, gen, prev), so the stream
-  *    itself shuffles nothing corpus-scale: each micro-batch turns
-  *    its newly observed commits into row-level CDC with the
-  *    [[graft.operators.StorageOps.scGenDiff]] contract — rowids are
-  *    stable across commits (the append/rewrite discipline of
-  *    [[Store]]), so removed = prev ⟕̸ cur and added = cur ⟕̸ prev,
-  *    two rowid anti-joins per commit, no content comparison. The
-  *    first commit has no predecessor and streams as the initial
-  *    snapshot (every row `added`) — the standard CDC bootstrap.
+  *  - every log entry (a `.json` file under `_graft_log`) is
+  *    published atomically
+  *    AFTER the state it describes is readable — a commit entry after
+  *    the manifest pointer swap, a mutation entry after its rows /
+  *    tombstones have fully landed — so an entry exists IFF its change
+  *    is real (spec-pinned with a complete-looking stray generation);
+  *  - entries are metadata-sized (seq, sub, kind, rowid range /
+  *    tombstone-file names), so the stream itself shuffles nothing
+  *    corpus-scale: each micro-batch turns its newly observed entries
+  *    into row-level CDC, ordered by (seq, sub).
   *
-  * Scale shape: the tail reads O(commits) tiny files; each commit's
+  * Entry kinds ([[IndexedStore]] publishes all three):
+  *  - `commit` (sub 0): generation diff. The current side reads the
+  *    generation AS OF ITS COMMIT — raw files filtered to the entry's
+  *    rowid high-water mark `hi`, so in-generation appends that land
+  *    before the consumer gets here cannot leak in (they stream under
+  *    their own entries), and ignoring tombstones is exact because a
+  *    freshly committed generation has none. The previous side reads
+  *    the predecessor's FINAL state ([[IndexedStore.openAt]] +
+  *    find(Nil)) — frozen the instant this commit exists, and exactly
+  *    the state the mutation entries already reconciled the consumer
+  *    to, so the two anti-joins emit precisely the unstreamed
+  *    remainder (a compact after streamed appends/deletes diffs to
+  *    NOTHING — spec-pinned). The first commit has no predecessor and
+  *    streams as the initial snapshot — the standard CDC bootstrap.
+  *  - `append` (the [[IndexedStore.append]] record): the appended
+  *    batch is the entry's contiguous rowid run [lo, hi] (Store
+  *    numbers inserts past the current max), read straight from the
+  *    generation's files — `added` rows.
+  *  - `delete` (the [[IndexedStore.delete]] record): the entry names
+  *    the delete's own tombstone files; their rowids join the
+  *    generation's raw files (raw, because the store's reads are
+  *    tombstone-free — which is also why, without this entry, a
+  *    tombstoned row would never stream at all) — `removed` rows.
+  *
+  * Scale shape: the tail reads O(mutations) tiny files; each commit's
   * diff is two anti-joins between two generations of the SAME
-  * bucketed layout. The consumer must keep up within the store's
+  * bucketed layout, each append a rowid-range scan, each delete a
+  * tombstone-file join. The consumer must keep up within the store's
   * retention window (the sweep reclaims generations beyond it) —
   * the same contract every log-structured CDC source carries.
   */
@@ -37,12 +57,26 @@ object StoreStream {
 
   private val LogSchema = StructType(Seq(
     StructField("seq", LongType), StructField("gen", StringType),
-    StructField("prev", StringType)))
+    StructField("prev", StringType), StructField("kind", StringType),
+    StructField("sub", LongType), StructField("lo", LongType),
+    StructField("hi", LongType), StructField("files", StringType)))
 
   /** Columns the fixture CDC carries (the [[graft.operators.StorageOps]]
     * gen-diff projection; a generic deployment would keep the store's
     * full schema). */
   private val Keep = Seq(IndexedStore.RowId, "c_custkey", "c_mktsegment")
+
+  private def outSchema = StructType(
+    StructField("seq", LongType) +: StructField("sub", LongType) +:
+      StructField("change", StringType) +:
+      StructField(IndexedStore.RowId, LongType) +:
+      Seq(StructField("c_custkey", LongType),
+        StructField("c_mktsegment", StringType)))
+
+  /** One observed log entry (all kinds; absent JSON fields null). */
+  private[graft] final case class LogEntry(seq: Long, gen: String,
+      prev: Option[String], kind: String, sub: Long, lo: Option[Long],
+      hi: Option[Long], files: Option[String])
 
   /** The two-commit fixture store (v1 = full customer, v2 = a
     * curation rewrite without the BUILDING segment — the
@@ -60,29 +94,89 @@ object StoreStream {
     path
   }
 
-  /** Row-level CDC for one committed generation: the initial snapshot
-    * (`prev` absent) streams every row as `added`; later commits are
-    * the two stable-rowid anti-joins. */
-  private[graft] def diffFor(spark: SparkSession, path: String, seq: Long,
-      gen: String, prev: Option[String]): DataFrame = {
-    val cur = IndexedStore.openAt(spark, path, gen)
-      .find(Nil).select(Keep.head, Keep.tail: _*)
-    val changes = prev match {
-      case None => cur.withColumn("change", lit("added"))
-      case Some(p) =>
-        val past = IndexedStore.openAt(spark, path, p)
-          .find(Nil).select(Keep.head, Keep.tail: _*)
-        past.join(cur, Seq(IndexedStore.RowId), "left_anti")
-          .withColumn("change", lit("removed"))
-          .unionByName(cur.join(past, Seq(IndexedStore.RowId), "left_anti")
-            .withColumn("change", lit("added")))
+  /** The mutation-fixture halves, defined ONCE so the query fixture
+    * and the spec's step-by-step replays cannot diverge: the base
+    * store over customer WITHOUT the BUILDING segment, and the
+    * BUILDING batch carrying its continuation rowids
+    * ([[Store.insert]] numbers past the base max; the rowid anti-join
+    * isolates the appended run). */
+  private[graft] def mutationHalves(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val cust = Tables(spark, dir).customer
+    val base = Store.fromData(
+      cust.filter(col("c_mktsegment") =!= "BUILDING"), Seq("c_custkey"))
+    val appended = base.insert(cust.filter(col("c_mktsegment") === "BUILDING"))
+      .data.join(base.data.select(IndexedStore.RowId),
+        Seq(IndexedStore.RowId), "left_anti")
+    (base.data, appended)
+  }
+
+  /** The mutation-level fixture store: one generation write of the
+    * [[mutationHalves]] base, an [[IndexedStore.append]] of the
+    * BUILDING half, a tombstone [[IndexedStore.delete]] of MACHINERY,
+    * then a compact. The compact must stream an EMPTY diff: the
+    * mutation entries already carried every change, so the commit
+    * finds nothing left to reconcile. */
+  private def ingestMutStore(spark: SparkSession, dir: String): String = {
+    val path = graft.operators.StorageOps.scratch("ingestmut", dir)
+    graft.operators.StorageOps.buildOnce(path) {
+      val (base, appended) = mutationHalves(spark, dir)
+      IndexedStore.write(base, path, HashIndex("c_mktsegment", 8))
+      IndexedStore.append(appended, path)
+      IndexedStore.delete(spark, path, Seq(Condition.eq("c_mktsegment", "MACHINERY")))
+      IndexedStore.compact(spark, path)
     }
-    changes.select((lit(seq).as("seq") +: col("change") +: Keep.map(col)): _*)
+    path
+  }
+
+  /** Row-level CDC for one log entry, per the kind contract above. */
+  private[graft] def diffFor(spark: SparkSession, path: String,
+      e: LogEntry): DataFrame = {
+    val genDir = s"$path/${e.gen}"
+    def raw = spark.read.parquet(genDir)
+    val changes = e.kind match {
+      case "append" =>
+        raw.filter(col(IndexedStore.RowId).between(e.lo.get, e.hi.get))
+          .select(Keep.head, Keep.tail: _*).withColumn("change", lit("added"))
+      case "delete" =>
+        val rids = spark.read.parquet(
+          e.files.get.split(",").map(f => s"$genDir/_graft_tombstones/$f").toSeq: _*)
+        raw.join(rids, Seq(IndexedStore.RowId))
+          .select(Keep.head, Keep.tail: _*).withColumn("change", lit("removed"))
+      case _ =>
+        // A current-code commit entry ALWAYS carries `hi` when the
+        // generation had rows, so hi-absent means empty-at-commit —
+        // falling back to the generation's live state here would
+        // double-stream any in-generation append that landed before
+        // this consumer got here (it streams under its own entry).
+        // Only a legacy pre-kind entry (no mutation entries can
+        // coexist with it) may read the live state.
+        val cur = (e.kind, e.hi) match {
+          case (_, Some(hi)) => raw.filter(col(IndexedStore.RowId) <= hi)
+            .select(Keep.head, Keep.tail: _*)
+          case ("legacy", None) => IndexedStore.openAt(spark, path, e.gen)
+            .find(Nil).select(Keep.head, Keep.tail: _*)
+          case (_, None) => raw.filter(lit(false))
+            .select(Keep.head, Keep.tail: _*)
+        }
+        e.prev match {
+          case None => cur.withColumn("change", lit("added"))
+          case Some(p) =>
+            val past = IndexedStore.openAt(spark, path, p)
+              .find(Nil).select(Keep.head, Keep.tail: _*)
+            past.join(cur, Seq(IndexedStore.RowId), "left_anti")
+              .withColumn("change", lit("removed"))
+              .unionByName(cur.join(past, Seq(IndexedStore.RowId), "left_anti")
+                .withColumn("change", lit("added")))
+        }
+    }
+    changes.select((lit(e.seq).as("seq") +: lit(e.sub).as("sub") +:
+      col("change") +: Keep.map(col)): _*)
   }
 
   /** Start the CDC tail on `path`'s commit log. Returns the running
     * query and a thunk yielding everything observed so far (unordered;
-    * empty-schema frame before the first commit lands). Package-visible
+    * empty-schema frame before the first entry lands). Package-visible
     * so the spec can drive commits mid-stream. */
   private[graft] def startCdc(rootSpark: SparkSession, path: String):
       (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame) = {
@@ -92,41 +186,51 @@ object StoreStream {
     val parts = new scala.collection.mutable.ListBuffer[DataFrame]
     val q = entries.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // commit metadata only — tiny by construction; the row-level
-        // work stays distributed inside each diff's anti-joins
-        val commits = batch.select("seq", "gen", "prev").collect()
-          .sortBy(_.getLong(0))
+        // entry metadata only — tiny by construction; the row-level
+        // work stays distributed inside each entry's scan/joins
+        val es = batch
+          .select("seq", "gen", "prev", "kind", "sub", "lo", "hi", "files")
+          .collect()
+          .map(r => LogEntry(r.getLong(0), r.getString(1),
+            Option(r.getString(2)),
+            Option(r.getString(3)).getOrElse("legacy"),
+            if (r.isNullAt(4)) 0L else r.getLong(4),
+            if (r.isNullAt(5)) None else Some(r.getLong(5)),
+            if (r.isNullAt(6)) None else Some(r.getLong(6)),
+            Option(r.getString(7))))
+          .sortBy(e => (e.seq, e.sub))
         parts.synchronized {
-          commits.foreach { r =>
-            parts += diffFor(rootSpark, path, r.getLong(0), r.getString(1),
-              Option(r.getString(2)))
-          }
+          es.foreach(e => parts += diffFor(rootSpark, path, e))
         }
       }
       .start()
     val result = () => parts.synchronized {
       if (parts.isEmpty)
         rootSpark.createDataFrame(
-          rootSpark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(StructField("seq", LongType) +:
-            StructField("change", StringType) +:
-            StructField(IndexedStore.RowId, LongType) +:
-            Seq(StructField("c_custkey", LongType),
-              StructField("c_mktsegment", StringType))))
+          rootSpark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
       else parts.reduce(_.unionByName(_))
     }
     (q, result)
   }
 
+  private def tailToEnd(spark: SparkSession, path: String): DataFrame = {
+    val (q, result) = startCdc(spark, path)
+    try q.processAllAvailable() finally q.stop()
+    result().orderBy("seq", "sub", "change", IndexedStore.RowId)
+  }
+
   /** st_ingest — the driver-contract query: tail the fixture store's
     * commit log to completion and emit the full CDC history, ordered
     * for presentation. */
-  def stIngest(spark: SparkSession, dir: String): DataFrame = {
-    val path = ingestStore(spark, dir)
-    val (q, result) = startCdc(spark, path)
-    try q.processAllAvailable() finally q.stop()
-    result().orderBy("seq", "change", IndexedStore.RowId)
-  }
+  def stIngest(spark: SparkSession, dir: String): DataFrame =
+    tailToEnd(spark, ingestStore(spark, dir))
+
+  /** st_ingest_append — mutation-level CDC: the append and the
+    * tombstone delete stream at their own log positions, and the
+    * closing compact diffs to nothing (every change already
+    * streamed exactly once). */
+  def stIngestAppend(spark: SparkSession, dir: String): DataFrame =
+    tailToEnd(spark, ingestMutStore(spark, dir))
 
   private val custRowid =
     "row_number() OVER (ORDER BY c_custkey) - 1 AS __rowid"
@@ -137,18 +241,40 @@ object StoreStream {
   val stIngestSql: String =
     s"""WITH c AS (SELECT c_custkey, c_mktsegment, $custRowid FROM customer)
        |SELECT * FROM (
-       |  SELECT 1::BIGINT AS seq, 'added' AS change, __rowid, c_custkey, c_mktsegment
+       |  SELECT 1::BIGINT AS seq, 0::BIGINT AS sub, 'added' AS change, __rowid, c_custkey, c_mktsegment
        |  FROM c
        |  UNION ALL
-       |  SELECT 2::BIGINT AS seq, 'removed' AS change, __rowid, c_custkey, c_mktsegment
+       |  SELECT 2::BIGINT, 0::BIGINT, 'removed', __rowid, c_custkey, c_mktsegment
        |  FROM c WHERE c_mktsegment = 'BUILDING') t
-       |ORDER BY seq, change, __rowid""".stripMargin
+       |ORDER BY seq, sub, change, __rowid""".stripMargin
+
+  /** The mutation-level oracle: the base write's snapshot (rowids
+    * dense over the non-BUILDING rows), the append (continuation
+    * rowids over BUILDING — [[Store.insert]] numbering), the delete
+    * (MACHINERY removed), and NOTHING for the compact. */
+  val stIngestAppendSql: String =
+    s"""WITH nb AS (SELECT c_custkey, c_mktsegment, $custRowid
+       |      FROM customer WHERE c_mktsegment <> 'BUILDING'),
+       |  b AS (SELECT c_custkey, c_mktsegment,
+       |      (SELECT count(*) FROM nb) + row_number() OVER (ORDER BY c_custkey) - 1 AS __rowid
+       |      FROM customer WHERE c_mktsegment = 'BUILDING')
+       |SELECT * FROM (
+       |  SELECT 1::BIGINT AS seq, 0::BIGINT AS sub, 'added' AS change, __rowid, c_custkey, c_mktsegment
+       |  FROM nb
+       |  UNION ALL
+       |  SELECT 1::BIGINT, 1::BIGINT, 'added', __rowid, c_custkey, c_mktsegment FROM b
+       |  UNION ALL
+       |  SELECT 1::BIGINT, 2::BIGINT, 'removed', __rowid, c_custkey, c_mktsegment
+       |  FROM nb WHERE c_mktsegment = 'MACHINERY') t
+       |ORDER BY seq, sub, change, __rowid""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_ingest" -> stIngest,
+    "st_ingest_append" -> stIngestAppend,
   )
 
   def oracles: Map[String, String] = Map(
     "st_ingest" -> stIngestSql,
+    "st_ingest_append" -> stIngestAppendSql,
   )
 }

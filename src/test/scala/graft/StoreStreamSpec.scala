@@ -1,14 +1,16 @@
 package graft
 
 import org.apache.spark.sql.functions.col
-import graft.core.{Store, Tables}
+import graft.core.{Condition, Store, Tables}
 import graft.storage.{HashIndex, IndexedStore}
 import graft.streaming.StoreStream
 
 /** Commit-log CDC: the stream must observe exactly the committed
-  * generation sequence — incrementally as commits land mid-stream,
-  * never a crashed/unpublished build — and each commit's row-level
-  * diff must ride the stable-rowid contract sc_gen_diff pins. */
+  * mutation sequence — incrementally as commits land mid-stream,
+  * never a crashed/unpublished build — and each entry's row-level
+  * diff must ride the stable-rowid contract sc_gen_diff pins.
+  * Mutation-level entries (append/delete) must stream exactly once:
+  * at their own log position, never again inside a commit diff. */
 class StoreStreamSpec extends SparkSpec {
 
   private def freshRoot(tag: String): String = {
@@ -17,6 +19,10 @@ class StoreStreamSpec extends SparkSpec {
     d.toFile.deleteOnExit()
     d.resolve("store").toString
   }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("seq", "sub", "change", IndexedStore.RowId)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
 
   test("CDC observes commits incrementally, in order, as they land mid-stream") {
     val path = freshRoot("incr")
@@ -27,25 +33,24 @@ class StoreStreamSpec extends SparkSpec {
     val (q, result) = StoreStream.startCdc(spark, path)
     try {
       q.processAllAvailable()
-      val snap = result().collect()
-      assert(snap.map(_.getLong(0)).distinct.toSeq == Seq(1L),
+      val snap = rows(result())
+      assert(snap.map(_._1).distinct.toSeq == Seq(1L),
         "only the initial snapshot is committed yet")
       assert(snap.length == data.count(),
         "initial snapshot streams every row as added")
-      assert(snap.forall(_.getString(1) == "added"))
+      assert(snap.forall(_._3 == "added"))
       // a second commit lands while the stream is RUNNING
       IndexedStore.write(data.filter(col("c_mktsegment") =!= "BUILDING"),
         path, HashIndex("c_mktsegment", 4))
       q.processAllAvailable()
-      val all = result().collect()
-      val seq2 = all.filter(_.getLong(0) == 2L)
+      val seq2 = rows(result()).filter(_._1 == 2L)
       assert(seq2.nonEmpty, "the mid-stream commit was never observed")
-      assert(seq2.forall(_.getString(1) == "removed"),
+      assert(seq2.forall(_._3 == "removed"),
         "a pure curation shrink diffs as removals only")
       // rowid stability: the removed rowids are exactly v1's BUILDING rowids
       val expect = data.filter(col("c_mktsegment") === "BUILDING")
         .select(IndexedStore.RowId).collect().map(_.getLong(0)).toSet
-      assert(seq2.map(_.getLong(2)).toSet == expect)
+      assert(seq2.map(_._4).toSet == expect)
     } finally {
       q.stop()
       data.unpersist()
@@ -74,19 +79,79 @@ class StoreStreamSpec extends SparkSpec {
   }
 
   test("st_ingest matches an independent batch recompute of the commit history") {
-    val got = StoreStream.stIngest(spark, sf).collect()
+    val got = StoreStream.stIngest(spark, sf)
     val base = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey")).data
       .select(col(IndexedStore.RowId).as("rid"), col("c_custkey"), col("c_mktsegment"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     val expect =
-      base.map { case (rid, ck, seg) => (1L, "added", rid, ck, seg) } ++
-        base.collect { case (rid, ck, seg) if seg == "BUILDING" =>
-          (2L, "removed", rid, ck, seg)
+      base.map { case (rid, _, _) => (1L, 0L, "added", rid) } ++
+        base.collect { case (rid, _, seg) if seg == "BUILDING" =>
+          (2L, 0L, "removed", rid)
         }
-    val gotT = got.map(r =>
-      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val gotT = rows(got)
     assert(gotT.toSet == expect.toSet)
-    assert(gotT.toSeq == gotT.sortBy(t => (t._1, t._2, t._3)).toSeq,
-      "presentation order is (seq, change, rowid)")
+    assert(gotT.toSeq == gotT.sortBy(t => (t._1, t._2, t._3, t._4)).toSeq,
+      "presentation order is (seq, sub, change, rowid)")
+  }
+
+  test("append and delete stream at their own positions; a compact diffs to nothing") {
+    val path = freshRoot("mut")
+    val (base, appended0) = StoreStream.mutationHalves(spark, sf)
+    val appended = appended0.cache()
+    IndexedStore.write(base, path, HashIndex("c_mktsegment", 4))
+    val (q, result) = StoreStream.startCdc(spark, path)
+    try {
+      q.processAllAvailable()
+      assert(rows(result()).forall(t => t._1 == 1L && t._2 == 0L))
+      // the mutations land while the stream is RUNNING
+      IndexedStore.append(appended, path)
+      q.processAllAvailable()
+      val appRows = rows(result()).filter(_._2 == 1L)
+      assert(appRows.nonEmpty, "the append entry was never observed")
+      assert(appRows.forall(_._3 == "added"))
+      assert(appRows.map(_._4).toSet ==
+        appended.select(IndexedStore.RowId).collect().map(_.getLong(0)).toSet,
+        "the append streams exactly the appended rowid run")
+      IndexedStore.delete(spark, path,
+        Seq(Condition.eq("c_mktsegment", "MACHINERY")))
+      IndexedStore.compact(spark, path)
+      q.processAllAvailable()
+      val all = rows(result())
+      val delRows = all.filter(_._2 == 2L)
+      val machinery = base.filter(col("c_mktsegment") === "MACHINERY")
+        .select(IndexedStore.RowId).collect().map(_.getLong(0)).toSet
+      assert(delRows.forall(_._3 == "removed"))
+      assert(delRows.map(_._4).toSet == machinery,
+        "the delete streams exactly its tombstoned rowids")
+      assert(all.filter(_._1 == 2L).isEmpty,
+        "the compact found nothing left to reconcile — every change " +
+          "already streamed under its own entry")
+    } finally {
+      q.stop()
+      appended.unpersist()
+    }
+  }
+
+  test("a commit snapshot read AFTER later appends landed still excludes them") {
+    // A late-starting consumer processes the commit entry when the
+    // generation's files already contain appended rows: the entry's
+    // rowid high-water mark must fence them out of the snapshot (they
+    // stream under the append entry instead — exactly once).
+    val path = freshRoot("fence")
+    val (base, appended) = StoreStream.mutationHalves(spark, sf)
+    IndexedStore.write(base, path, HashIndex("c_mktsegment", 4))
+    IndexedStore.append(appended, path) // BEFORE the consumer starts
+    val (q, result) = StoreStream.startCdc(spark, path)
+    try {
+      q.processAllAvailable()
+      val all = rows(result())
+      val snap = all.filter(_._2 == 0L).map(_._4).toSet
+      val app = all.filter(_._2 == 1L).map(_._4).toSet
+      assert(snap == base.select(IndexedStore.RowId)
+        .collect().map(_.getLong(0)).toSet,
+        "snapshot = the generation as of its commit, appends fenced out")
+      assert((snap & app).isEmpty && all.map(t => (t._2, t._4)).distinct.length
+        == all.length, "every row streams exactly once")
+    } finally q.stop()
   }
 }
