@@ -308,31 +308,11 @@ object Classify {
   /** Probability bins for the reliability diagram. */
   val CalibBins = 10
 
-  /** d_classify_calib — reliability diagram (calibration curve) for
-    * the learned-curation scorer family: per probability decile,
-    * document count, positive count, mean predicted probability and
-    * empirical positive rate — the standard diagnosis of whether a
-    * quality filter's scores can be thresholded as probabilities
-    * (ECE/reliability analysis; Guo et al. 2017).
-    *
-    * The scorer under the hash gate is the CLOSED-FORM member of the
-    * family: multinomial Naive Bayes over the same md5-hashed feature
-    * buckets, Laplace-smoothed, trained by two count aggregations —
-    * one corpus pass, fully SQL-replayable, so the DuckDB oracle
-    * reproduces train + score + bin bit-for-bit (the IRLS model's
-    * 64×64 Newton solve has no SQL replay, which is why d_classify is
-    * rows-only; its own reliability diagram is pinned in ClassifySpec
-    * by a driver-side recompute instead). Float parity: smoothed
-    * ratios are exact integer-over-integer doubles, ln rides the
-    * [[TextAnalysis.tLogprob]] cross-engine discipline, per-doc
-    * evidence folds sorted by bucket, per-bin probability means fold
-    * sorted by doc_id, presentation rounding only.
-    *
-    * Scale shape: training is two keyed aggregations (Dim×2 and 2
-    * rows out), scoring is one broadcast join + doc-keyed fold, the
-    * diagram is a [[CalibBins]]-key aggregation — one corpus scan
-    * end-to-end, nothing corpus-sized ever collects. */
-  def dClassifyCalib(spark: SparkSession, dir: String): DataFrame = {
+  /** The closed-form Naive-Bayes member of the hashed-feature scorer
+    * family, scored over the corpus and assigned to its probability
+    * decile — the shared front half of [[dClassifyCalib]] and
+    * [[dClassifyRecal]]. Returns (bin, y, p, doc_id) per document. */
+  private def nbBinned(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val labels = TextAnalysis.qualityMetrics(spark, dir)
       .select(col("doc_id"), (col("quality") >= Tau).cast("int").as("y"))
@@ -362,7 +342,7 @@ object Classify {
       .select(col("bucket"),
         (log((col("c1") + lit(1L)) / lit((n1 + Dim).toDouble)) -
           log((col("c0") + lit(1L)) / lit((n0 + Dim).toDouble))).as("wb"))
-    val scored = counts.join(bw, "bucket")
+    counts.join(bw, "bucket")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("bucket").as("b"),
           (col("c") * col("wb")).as("t")))).as("ts"),
@@ -371,10 +351,37 @@ object Classify {
         (lit(1.0) / (lit(1.0) + exp(-(lit(prior) + aggregate(col("ts"),
           lit(0.0), (a, t) => a + t.getField("t")))))).as("p"),
         col("doc_id"))
-    scored
       .select(least(floor(col("p") * CalibBins), lit(CalibBins - 1))
           .cast("long").as("bin"),
         col("y"), col("p"), col("doc_id"))
+  }
+
+  /** d_classify_calib — reliability diagram (calibration curve) for
+    * the learned-curation scorer family: per probability decile,
+    * document count, positive count, mean predicted probability and
+    * empirical positive rate — the standard diagnosis of whether a
+    * quality filter's scores can be thresholded as probabilities
+    * (ECE/reliability analysis; Guo et al. 2017).
+    *
+    * The scorer under the hash gate is the CLOSED-FORM member of the
+    * family: multinomial Naive Bayes over the same md5-hashed feature
+    * buckets, Laplace-smoothed, trained by two count aggregations —
+    * one corpus pass, fully SQL-replayable, so the DuckDB oracle
+    * reproduces train + score + bin bit-for-bit (the IRLS model's
+    * 64×64 Newton solve has no SQL replay, which is why d_classify is
+    * rows-only; its own reliability diagram is pinned in ClassifySpec
+    * by a driver-side recompute instead). Float parity: smoothed
+    * ratios are exact integer-over-integer doubles, ln rides the
+    * [[TextAnalysis.tLogprob]] cross-engine discipline, per-doc
+    * evidence folds sorted by bucket, per-bin probability means fold
+    * sorted by doc_id, presentation rounding only.
+    *
+    * Scale shape: training is two keyed aggregations (Dim×2 and 2
+    * rows out), scoring is one broadcast join + doc-keyed fold, the
+    * diagram is a [[CalibBins]]-key aggregation — one corpus scan
+    * end-to-end, nothing corpus-sized ever collects. */
+  def dClassifyCalib(spark: SparkSession, dir: String): DataFrame =
+    nbBinned(spark, dir)
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"), sum(col("y")).cast("long").as("n_pos"),
         sort_array(collect_list(struct(col("doc_id").as("d"),
@@ -385,9 +392,73 @@ object Classify {
         stableRound(col("n_pos") / col("n_docs").cast("double"), 6)
           .as("frac_pos"))
       .orderBy("bin")
+
+  /** Isotonic (monotone nondecreasing) fit over a weighted bin frame
+    * — Pool-Adjacent-Violators expressed through its MINIMAX identity
+    * (Robertson/Wright/Dykstra, "Order Restricted Statistical
+    * Inference" §1.2):
+    *
+    *   iso(i) = max,,j≤i,, min,,k≥i,, pooledMean(j..k)
+    *
+    * with pooledMean(j..k) = Σ n_pos / Σ n_docs over the bin run.
+    * The identity turns the sequential pooling algorithm into three
+    * tiny joins over the bin grid ([[CalibBins]]² pairs — every join
+    * here is bounded by the bin count, never the corpus), which is
+    * what makes it SQL-replayable for the hash gate: pooled means are
+    * exact integer-over-integer doubles and min/max are order-free,
+    * so BOTH engines compute bit-identical values with no float-
+    * parity machinery at all. Input: (bin, n_docs, n_pos); output:
+    * (bin, iso_p). */
+  private[graft] def isotonicFit(bins: DataFrame): DataFrame = {
+    val b = bins.select(col("bin"), col("n_docs"), col("n_pos"))
+    val pooled = b.select(col("bin").as("j"))
+      .join(b.select(col("bin").as("k")), col("j") <= col("k"))
+      .join(b, col("bin").between(col("j"), col("k")))
+      .groupBy("j", "k")
+      .agg((sum(col("n_pos")) / sum(col("n_docs")).cast("double")).as("m"))
+    b.select(col("bin").as("i"))
+      .join(pooled, col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy("i", "j").agg(min(col("m")).as("mm"))
+      .groupBy("i").agg(max(col("mm")).as("iso_p"))
+      .select(col("i").as("bin"), col("iso_p"))
   }
 
-  val dClassifyCalibSql: String = {
+  /** d_classify_recal — isotonic RECALIBRATION of the scorer: the
+    * reliability diagram says how miscalibrated the probabilities
+    * are; this is the standard fix (isotonic regression / PAV —
+    * Zadrozny & Elkan 2002), fitting the best monotone map from
+    * predicted probability to empirical positive rate over the
+    * [[CalibBins]] deciles. Emits the diagram with its recalibrated
+    * probability column: a downstream curation threshold reads iso_p
+    * instead of the raw score and thresholds AS a probability.
+    *
+    * Same hash-gate discipline as [[dClassifyCalib]] (the closed-form
+    * NB scorer is fully SQL-replayable); the fit itself is exact in
+    * both engines via the minimax identity — see [[isotonicFit]].
+    * Monotonicity, the PAV pooling structure, and equality with the
+    * sequential stack algorithm are spec-pinned on random weighted
+    * fixtures (ClassifySpec).
+    *
+    * Scale shape: everything after the corpus scan operates on
+    * [[CalibBins]] rows; the fit's grid joins are bin-bounded. At
+    * 100 TB the diagram aggregation is the same single pass as
+    * d_classify_calib — recalibration adds zero corpus-sized work. */
+  def dClassifyRecal(spark: SparkSession, dir: String): DataFrame = {
+    val bins = nbBinned(spark, dir)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).cast("long").as("n_pos"))
+    bins.join(isotonicFit(bins), "bin")
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        stableRound(col("n_pos") / col("n_docs").cast("double"), 6)
+          .as("frac_pos"),
+        stableRound(col("iso_p"), 6).as("iso_p"))
+      .orderBy("bin")
+  }
+
+  /** The shared WITH-chain replaying the NB scorer (train + score) —
+    * the common front half of the calib and recal oracles. Ends at
+    * `scored(doc_id, y, p)`. */
+  private val nbScoredCtes: String = {
     import graft.functions.TextFunctions.normSql
     s"""WITH q AS (SELECT doc_id, quality FROM (${TextAnalysis.tQualitySql}) x),
        |lbl AS (SELECT doc_id, (quality >= $Tau)::INT AS y FROM q),
@@ -419,7 +490,11 @@ object Classify {
        |      list_reduce(list_prepend(0.0, list(f.c * bw.wb ORDER BY f.bucket)),
        |        (a, b) -> a + b)))) AS p
        |  FROM f JOIN bw USING (bucket) CROSS JOIN cls
-       |  GROUP BY f.doc_id, cls.d1, cls.d0)
+       |  GROUP BY f.doc_id, cls.d1, cls.d0)""".stripMargin
+  }
+
+  val dClassifyCalibSql: String =
+    s"""$nbScoredCtes
        |SELECT least(floor(p * $CalibBins), ${CalibBins - 1})::BIGINT AS bin,
        |  count(*)::BIGINT AS n_docs,
        |  sum(y)::BIGINT AS n_pos,
@@ -429,11 +504,39 @@ object Classify {
        |FROM scored
        |GROUP BY bin
        |ORDER BY bin""".stripMargin
-  }
+
+  /** The recal oracle: the shared scorer replay, binned, then the
+    * minimax isotonic fit as three grid joins. `b` is MATERIALIZED —
+    * DuckDB inlines multiply-referenced CTEs, and `b` is referenced
+    * four times on top of a corpus-scan chain. */
+  val dClassifyRecalSql: String =
+    s"""$nbScoredCtes,
+       |b AS MATERIALIZED (
+       |  SELECT least(floor(p * $CalibBins), ${CalibBins - 1})::BIGINT AS bin,
+       |    count(*)::BIGINT AS n_docs, sum(y)::BIGINT AS n_pos
+       |  FROM scored GROUP BY 1),
+       |pooled AS MATERIALIZED (
+       |  SELECT j.bin AS j, k.bin AS k,
+       |    sum(l.n_pos) / sum(l.n_docs)::DOUBLE AS m
+       |  FROM b j JOIN b k ON j.bin <= k.bin
+       |    JOIN b l ON l.bin BETWEEN j.bin AND k.bin
+       |  GROUP BY j.bin, k.bin),
+       |iso AS (
+       |  SELECT i, max(mm) AS iso_p FROM (
+       |    SELECT i.bin AS i, p.j, min(p.m) AS mm
+       |    FROM b i JOIN pooled p ON p.j <= i.bin AND p.k >= i.bin
+       |    GROUP BY i.bin, p.j) g
+       |  GROUP BY i)
+       |SELECT b.bin, b.n_docs, b.n_pos,
+       |  floor((b.n_pos / b.n_docs::DOUBLE) * 1e6 + 0.5) / 1e6 AS frac_pos,
+       |  floor(iso.iso_p * 1e6 + 0.5) / 1e6 AS iso_p
+       |FROM b JOIN iso ON iso.i = b.bin
+       |ORDER BY b.bin""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_classify" -> dClassify,
     "d_classify_calib" -> dClassifyCalib,
+    "d_classify_recal" -> dClassifyRecal,
   )
 
   /** d_classify has no SQL oracle: the scores come from iteratively-
@@ -442,5 +545,6 @@ object Classify {
     * row's closed-form scorer IS SQL-replayable and hash-gates. */
   def oracles: Map[String, String] = Map(
     "d_classify_calib" -> dClassifyCalibSql,
+    "d_classify_recal" -> dClassifyRecalSql,
   )
 }

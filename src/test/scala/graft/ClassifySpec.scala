@@ -107,6 +107,67 @@ class ClassifySpec extends SparkSpec {
     assert(ece < 0.25, s"IRLS scores badly uncalibrated: ECE $ece")
   }
 
+  test("isotonic minimax fit equals the sequential PAV stack algorithm") {
+    // d_classify_recal's fit is the minimax identity over the bin
+    // grid; the classical reference is the sequential pool-adjacent-
+    // violators stack. They must agree exactly (both are pooled
+    // integer-over-integer means) on arbitrary weighted inputs.
+    def pavStack(bins: Seq[(Long, Long, Long)]): Map[Long, Double] = {
+      // blocks of (binIds, n_docs, n_pos); merge while out of order
+      val stack = collection.mutable.Stack[(List[Long], Long, Long)]()
+      bins.sortBy(_._1).foreach { case (b, nd, np) =>
+        stack.push((List(b), nd, np))
+        while (stack.size > 1 && {
+          val top = stack(0); val below = stack(1)
+          below._3.toDouble / below._2 >= top._3.toDouble / top._2
+        }) {
+          val top = stack.pop(); val below = stack.pop()
+          stack.push((below._1 ++ top._1, below._2 + top._2, below._3 + top._3))
+        }
+      }
+      stack.toList.flatMap { case (ids, nd, np) =>
+        ids.map(_ -> np.toDouble / nd)
+      }.toMap
+    }
+    val rnd = new scala.util.Random(42)
+    (1 to 25).foreach { trial =>
+      val nBins = 1 + rnd.nextInt(Classify.CalibBins)
+      val bins = (0L until nBins.toLong).map { b =>
+        val nd = 1L + rnd.nextInt(50)
+        (b, nd, rnd.nextInt(nd.toInt + 1).toLong) // n_pos ≤ n_docs
+      }
+      val df = spark.createDataFrame(bins).toDF("bin", "n_docs", "n_pos")
+      val got = Classify.isotonicFit(df).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = pavStack(bins)
+      assert(got.keySet == want.keySet, s"trial $trial: bin set mismatch")
+      got.foreach { case (b, v) =>
+        assert(v == want(b),
+          s"trial $trial bin $b: minimax $v != PAV ${want(b)} on $bins")
+      }
+      val ordered = bins.map(_._1).sorted.map(got)
+      assert(ordered.zip(ordered.tail).forall { case (a, c) => a <= c },
+        s"trial $trial: fit not monotone: $ordered")
+    }
+  }
+
+  test("d_classify_recal emits a monotone recalibration over the NB diagram") {
+    val rows = Classify.dClassifyRecal(spark, sf)
+      .select("bin", "n_docs", "n_pos", "frac_pos", "iso_p").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    val iso = rows.map(_._5)
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b },
+      s"recalibrated probabilities not monotone: ${iso.mkString(",")}")
+    assert(iso.forall(p => p >= 0.0 && p <= 1.0))
+    // weighted means must agree: pooling preserves total mass
+    val totPos = rows.map(_._3).sum.toDouble
+    val isoMass = rows.map(r => r._5 * r._2).sum
+    assert(math.abs(isoMass - totPos) < 1e-6 * totPos + 1e-6,
+      "PAV must preserve the weighted mean (within presentation rounding)")
+  }
+
   test("training is bit-exact deterministic across runs") {
     val again = Classify.train(spark,
       Classify.features(spark, sf).localCheckpoint(false), nDocs)
