@@ -62,16 +62,19 @@ object StoreStream {
     StructField("hi", LongType), StructField("files", StringType)))
 
   /** Columns the fixture CDC carries (the [[graft.operators.StorageOps]]
-    * gen-diff projection; a generic deployment would keep the store's
-    * full schema). */
-  private val Keep = Seq(IndexedStore.RowId, "c_custkey", "c_mktsegment")
+    * gen-diff projection plus the balance — a VALUE column, so a
+    * consumer can maintain derived aggregates; a generic deployment
+    * would keep the store's full schema). */
+  private val Keep =
+    Seq(IndexedStore.RowId, "c_custkey", "c_mktsegment", "c_acctbal")
 
   private def outSchema = StructType(
     StructField("seq", LongType) +: StructField("sub", LongType) +:
       StructField("change", StringType) +:
       StructField(IndexedStore.RowId, LongType) +:
       Seq(StructField("c_custkey", LongType),
-        StructField("c_mktsegment", StringType)))
+        StructField("c_mktsegment", StringType),
+        StructField("c_acctbal", org.apache.spark.sql.types.DoubleType)))
 
   /** One observed log entry (all kinds; absent JSON fields null). */
   private[graft] final case class LogEntry(seq: Long, gen: String,
@@ -239,12 +242,12 @@ object StoreStream {
     * commit 2 removed exactly the BUILDING segment (the rewrite is a
     * pure shrink, so no 'added' rows exist for it). */
   val stIngestSql: String =
-    s"""WITH c AS (SELECT c_custkey, c_mktsegment, $custRowid FROM customer)
+    s"""WITH c AS (SELECT c_custkey, c_mktsegment, c_acctbal, $custRowid FROM customer)
        |SELECT * FROM (
-       |  SELECT 1::BIGINT AS seq, 0::BIGINT AS sub, 'added' AS change, __rowid, c_custkey, c_mktsegment
+       |  SELECT 1::BIGINT AS seq, 0::BIGINT AS sub, 'added' AS change, __rowid, c_custkey, c_mktsegment, c_acctbal
        |  FROM c
        |  UNION ALL
-       |  SELECT 2::BIGINT, 0::BIGINT, 'removed', __rowid, c_custkey, c_mktsegment
+       |  SELECT 2::BIGINT, 0::BIGINT, 'removed', __rowid, c_custkey, c_mktsegment, c_acctbal
        |  FROM c WHERE c_mktsegment = 'BUILDING') t
        |ORDER BY seq, sub, change, __rowid""".stripMargin
 
@@ -253,28 +256,67 @@ object StoreStream {
     * rowids over BUILDING — [[Store.insert]] numbering), the delete
     * (MACHINERY removed), and NOTHING for the compact. */
   val stIngestAppendSql: String =
-    s"""WITH nb AS (SELECT c_custkey, c_mktsegment, $custRowid
+    s"""WITH nb AS (SELECT c_custkey, c_mktsegment, c_acctbal, $custRowid
        |      FROM customer WHERE c_mktsegment <> 'BUILDING'),
-       |  b AS (SELECT c_custkey, c_mktsegment,
+       |  b AS (SELECT c_custkey, c_mktsegment, c_acctbal,
        |      (SELECT count(*) FROM nb) + row_number() OVER (ORDER BY c_custkey) - 1 AS __rowid
        |      FROM customer WHERE c_mktsegment = 'BUILDING')
        |SELECT * FROM (
-       |  SELECT 1::BIGINT AS seq, 0::BIGINT AS sub, 'added' AS change, __rowid, c_custkey, c_mktsegment
+       |  SELECT 1::BIGINT AS seq, 0::BIGINT AS sub, 'added' AS change, __rowid, c_custkey, c_mktsegment, c_acctbal
        |  FROM nb
        |  UNION ALL
-       |  SELECT 1::BIGINT, 1::BIGINT, 'added', __rowid, c_custkey, c_mktsegment FROM b
+       |  SELECT 1::BIGINT, 1::BIGINT, 'added', __rowid, c_custkey, c_mktsegment, c_acctbal FROM b
        |  UNION ALL
-       |  SELECT 1::BIGINT, 2::BIGINT, 'removed', __rowid, c_custkey, c_mktsegment
+       |  SELECT 1::BIGINT, 2::BIGINT, 'removed', __rowid, c_custkey, c_mktsegment, c_acctbal
        |  FROM nb WHERE c_mktsegment = 'MACHINERY') t
        |ORDER BY seq, sub, change, __rowid""".stripMargin
+
+  /** st_mview — incremental MATERIALIZED-VIEW maintenance over the
+    * mutation CDC, the canonical consumer of a change stream: a
+    * per-segment (row count, balance) view folded from the deltas —
+    * `added` contributes +1/+cents, `removed` −1/−cents — with no
+    * re-read of the store. Count and sum are self-maintainable
+    * aggregates (Gupta & Mumick's IVM classification), so the view is
+    * exactly a signed aggregation of the change stream; balances are
+    * quantized to integer cents (the SURVEY §6 fixed-point
+    * discipline), making the maintenance order-free and the result
+    * hash-exact against a batch recompute of the store's final state.
+    * A segment maintained down to zero rows leaves the view, matching
+    * the batch GROUP BY.
+    *
+    * Scale shape: the view update per micro-batch is one keyed
+    * aggregation of that batch's deltas — work proportional to the
+    * CHANGE volume, never the store size; that is the entire point of
+    * maintaining the view off the CDC rather than recomputing it. */
+  def stMview(spark: SparkSession, dir: String): DataFrame = {
+    val sign = when(col("change") === "added", 1L).otherwise(-1L)
+    val cents = floor(col("c_acctbal") * 100 + 0.5).cast("long")
+    tailToEnd(spark, ingestMutStore(spark, dir))
+      .groupBy("c_mktsegment")
+      .agg(sum(sign).as("n_rows"), sum(sign * cents).as("bal_cents"))
+      .filter(col("n_rows") > 0)
+      .orderBy("c_mktsegment")
+  }
+
+  /** The view oracle: the fixture's final state is customer minus the
+    * deleted MACHINERY segment (base sans BUILDING + appended
+    * BUILDING − MACHINERY). */
+  val stMviewSql: String =
+    """SELECT c_mktsegment,
+      |  count(*)::BIGINT AS n_rows,
+      |  CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
+      |FROM customer WHERE c_mktsegment <> 'MACHINERY'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_ingest" -> stIngest,
     "st_ingest_append" -> stIngestAppend,
+    "st_mview" -> stMview,
   )
 
   def oracles: Map[String, String] = Map(
     "st_ingest" -> stIngestSql,
     "st_ingest_append" -> stIngestAppendSql,
+    "st_mview" -> stMviewSql,
   )
 }

@@ -27,7 +27,8 @@ class StoreStreamSpec extends SparkSpec {
   test("CDC observes commits incrementally, in order, as they land mid-stream") {
     val path = freshRoot("incr")
     val data = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey")).data
-      .select(col(IndexedStore.RowId), col("c_custkey"), col("c_mktsegment"))
+      .select(col(IndexedStore.RowId), col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal"))
       .cache()
     IndexedStore.write(data, path, HashIndex("c_mktsegment", 4))
     val (q, result) = StoreStream.startCdc(spark, path)
@@ -130,6 +131,27 @@ class StoreStreamSpec extends SparkSpec {
       q.stop()
       appended.unpersist()
     }
+  }
+
+  test("st_mview equals a batch aggregate over the store's FINAL state") {
+    // The maintained view comes solely from folding the change
+    // stream; the independent check reads the store itself after the
+    // full mutation history and aggregates from scratch.
+    import org.apache.spark.sql.functions.{floor, sum}
+    val got = StoreStream.stMview(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // stMview built (or found) the fixture at the shared scratch root
+    val path = graft.operators.StorageOps.scratch("ingestmut", sf)
+    val want = IndexedStore.find(spark, path, Nil)
+      .groupBy("c_mktsegment")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+        sum(floor(col("c_acctbal") * 100 + 0.5).cast("long")).as("bal_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == want.toSet,
+      "view maintained from deltas diverged from the store's final state")
+    assert(!got.exists(_._1 == "MACHINERY"),
+      "a segment maintained to zero rows must leave the view")
   }
 
   test("a commit snapshot read AFTER later appends landed still excludes them") {
