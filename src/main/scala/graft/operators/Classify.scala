@@ -200,6 +200,51 @@ object Classify {
     * in sampled mode — deterministic, content-independent. */
   val SampledNewtonMod = 4
 
+  /** L-BFGS memory: correction pairs kept for the two-loop recursion. */
+  val LbfgsMem = 5
+
+  /** L-BFGS iteration budget: a first-order method buys its cheap
+    * iterations (no Dim²-keyed curvature pass) with more of them —
+    * the standard trade (measured on the gate corpus: 16 L-BFGS
+    * iterations reach the exact-Newton 6-iteration loss
+    * neighborhood; see ClassifySpec). */
+  val LbfgsEpochs = 16
+
+  /** The L-BFGS two-loop recursion (Nocedal & Wright, Algorithm 7.4):
+    * approximate H⁻¹·g from the last [[LbfgsMem]] (s, y) correction
+    * pairs — `hist` oldest-first — with the standard γ = sᵀy/yᵀy
+    * initial scaling. Driver-side O(mem·Dim) doubles on deterministic
+    * inputs, so the direction is bit-deterministic like everything
+    * else in the trainer. Empty history falls back to the raw
+    * gradient (first step = steepest descent under the line search). */
+  private def twoLoop(g: Array[Double],
+      hist: Seq[(Array[Double], Array[Double])]): Array[Double] = {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    if (hist.isEmpty) return g.clone()
+    val q = g.clone()
+    val alphas = new Array[Double](hist.length)
+    for (i <- hist.indices.reverse) {
+      val (s, y) = hist(i)
+      val a = dot(s, q) / dot(y, s)
+      alphas(i) = a
+      var k = 0; while (k < q.length) { q(k) -= a * y(k); k += 1 }
+    }
+    val (sL, yL) = hist.last
+    val gamma = dot(sL, yL) / dot(yL, yL)
+    var k = 0; while (k < q.length) { q(k) *= gamma; k += 1 }
+    for (i <- hist.indices) {
+      val (s, y) = hist(i)
+      val beta = dot(y, q) / dot(y, s)
+      val corr = alphas(i) - beta
+      var j = 0; while (j < q.length) { q(j) += corr * s(j); j += 1 }
+    }
+    q
+  }
+
   /** Train the logistic model by distributed Newton / IRLS. `feats`
     * must carry (doc_id, bucket, x, y) and be cheap to rescan (the
     * caller checkpoints). Each iteration: one scored pass, then the
@@ -218,7 +263,16 @@ object Classify {
     * true objective and the monotone-loss invariant is untouched; an
     * approximate direction costs extra iterations at worst, never
     * correctness. Still bit-deterministic (the sample is a pure
-    * doc_id hash; reductions stay integer-quantized). Default stays
+    * doc_id hash; reductions stay integer-quantized).
+    *
+    * `graft.classify.hessian=lbfgs` drops the curvature pass
+    * entirely: the direction comes from the [[twoLoop]] recursion
+    * over the last [[LbfgsMem]] (s, y) pairs of the EXACT quantized
+    * gradients — no Dim²-keyed shuffle at all, [[LbfgsEpochs]]
+    * cheaper iterations instead (each = one gradient reduction + the
+    * line-search scoring passes). Same monotone-loss and
+    * bit-determinism guarantees; the 100 TB pick when even a sampled
+    * nnz² pair explode is too wide (long documents). Default stays
     * exact — the gate-scale corpus doesn't need the estimate, and the
     * recorded model/spec pins ride the exact path. */
   def train(spark: SparkSession, feats: DataFrame, nDocs: Long): Model = {
@@ -231,42 +285,66 @@ object Classify {
     var scored = scoreWith(spark, feats, w).localCheckpoint(false)
     var loss = lossOf(spark, scored, nDocs, w)
     val losses = Seq.newBuilder[Double]
-    val (hFeats, nHess) = spark.conf.getOption("graft.classify.hessian") match {
-      case Some("sampled") =>
+    val mode = spark.conf.getOption("graft.classify.hessian").getOrElse("exact")
+    val (hFeats, nHess) = mode match {
+      case "sampled" =>
         val fh = feats.filter(pmod(graft.functions.TextFunctions.md5_32(
           col("doc_id").cast("string")), lit(SampledNewtonMod)) === 0)
           .localCheckpoint(false)
         val n = fh.select("doc_id").distinct().count()
         require(n > 0, "sampled-Newton subset is empty — corpus too small")
         (fh, n)
-      case Some("exact") | None => (feats, nDocs)
-      case Some(other) => throw new IllegalArgumentException(
-        s"graft.classify.hessian = '$other' (expected 'exact' or 'sampled')")
+      case "exact" | "lbfgs" => (feats, nDocs)
+      case other => throw new IllegalArgumentException(
+        s"graft.classify.hessian = '$other' (expected 'exact', 'sampled' or 'lbfgs')")
     }
     val fa = hFeats.select(col("doc_id"), col("bucket").as("ba"), col("x").as("xa"))
     val fb = hFeats.select(col("doc_id"), col("bucket").as("bb"), col("x").as("xb"))
-    for (_ <- 1 to Epochs) {
+    // L-BFGS state: correction pairs (oldest-first) and the previous
+    // accepted point/gradient — driver-side, LbfgsMem·Dim doubles
+    var hist = Vector.empty[(Array[Double], Array[Double])]
+    var prevW: Array[Double] = null
+    var prevG: Array[Double] = null
+    val nEpochs = if (mode == "lbfgs") LbfgsEpochs else Epochs
+    for (_ <- 1 to nEpochs) {
       val gradQ = feats.join(scored.select(col("doc_id"), col("p")), "doc_id")
         .select(col("bucket"),
           floor((col("p") - col("y")) * col("x") * Q + 0.5)
             .cast("long").as("gq"))
         .groupBy("bucket").agg(sum(col("gq")).as("g"))
         .as[(Long, Long)].collect().toMap
-      val hessQ = fa.join(fb, "doc_id")
-        .join(scored.select(col("doc_id"),
-          (col("p") * (lit(1.0) - col("p"))).as("s")), "doc_id")
-        .select(col("ba"), col("bb"),
-          floor(col("s") * col("xa") * col("xb") * Q + 0.5)
-            .cast("long").as("hq"))
-        .groupBy("ba", "bb").agg(sum(col("hq")).as("h"))
-        .as[(Long, Long, Long)].collect()
-        .map { case (i, j, v) => (i, j) -> v }.toMap
       val g = Array.tabulate(Dim)(b =>
         gradQ.getOrElse(b.toLong, 0L) / Q / nDocs + Ridge * w(b))
-      val h = Array.tabulate(Dim, Dim)((i, j) =>
-        hessQ.getOrElse((i.toLong, j.toLong), 0L) / Q / nHess +
-          (if (i == j) Ridge else 0.0))
-      val delta = solve(h, g)
+      val delta = if (mode == "lbfgs") {
+        // push the (s, y) pair of the PREVIOUS accepted step (the
+        // gradient just computed is this epoch's g_{k+1}); the
+        // curvature guard sᵀy > 0 keeps the implicit H₀ positive —
+        // a rejected step moves nothing and contributes no pair
+        if (prevW != null) {
+          val s = Array.tabulate(Dim)(b => w(b) - prevW(b))
+          val y = Array.tabulate(Dim)(b => g(b) - prevG(b))
+          val sy = s.iterator.zip(y.iterator).map { case (a, c) => a * c }.sum
+          if (sy > 1e-12) hist = (hist :+ (s, y)).takeRight(LbfgsMem)
+        }
+        prevW = w; prevG = g
+        twoLoop(g, hist)
+      } else {
+        // the Dim²-keyed curvature pass — the one superlinear term,
+        // absent entirely in lbfgs mode
+        val hessQ = fa.join(fb, "doc_id")
+          .join(scored.select(col("doc_id"),
+            (col("p") * (lit(1.0) - col("p"))).as("s")), "doc_id")
+          .select(col("ba"), col("bb"),
+            floor(col("s") * col("xa") * col("xb") * Q + 0.5)
+              .cast("long").as("hq"))
+          .groupBy("ba", "bb").agg(sum(col("hq")).as("h"))
+          .as[(Long, Long, Long)].collect()
+          .map { case (i, j, v) => (i, j) -> v }.toMap
+        val h = Array.tabulate(Dim, Dim)((i, j) =>
+          hessQ.getOrElse((i.toLong, j.toLong), 0L) / Q / nHess +
+            (if (i == j) Ridge else 0.0))
+        solve(h, g)
+      }
       // backtracking: halve the Newton step until the loss stops
       // rising; if no halving helps, REJECT the step and keep the
       // current point — the monotone-loss invariant holds "by

@@ -73,10 +73,33 @@ class ClassifySpec extends SparkSpec {
       val m2 = Classify.train(spark, feats, nDocs)
       assert(m1.weights.sameElements(m2.weights) && m1.losses == m2.losses,
         "sampled Newton must stay bit-deterministic")
-      spark.conf.set("graft.classify.hessian", "lbfgs")
+      spark.conf.set("graft.classify.hessian", "bogus")
       intercept[IllegalArgumentException] {
         Classify.train(spark, feats, nDocs)
       }
+    } finally spark.conf.unset("graft.classify.hessian")
+  }
+
+  test("L-BFGS mode reaches the Newton loss neighborhood with no curvature pass") {
+    // the third hessian mode: pure first-order — direction from the
+    // two-loop recursion over driver-held (s, y) pairs, so the Dim²-
+    // keyed Hessian shuffle (the one superlinear term) never runs;
+    // the price is more (cheaper) iterations, the standard L-BFGS
+    // trade. Gradient + line-search loss stay exact and integer-
+    // quantized, so the monotone invariant and bit-determinism carry
+    // over unchanged.
+    spark.conf.set("graft.classify.hessian", "lbfgs")
+    try {
+      val m1 = Classify.train(spark, feats, nDocs)
+      assert(m1.losses.length == Classify.LbfgsEpochs)
+      assert(m1.losses.zip(m1.losses.tail).forall { case (a, b) => b <= a },
+        s"loss rose under L-BFGS: ${m1.losses.mkString(", ")}")
+      assert(m1.losses.last <= model.losses.last * 1.05,
+        s"L-BFGS final loss ${m1.losses.last} not in the Newton " +
+          s"neighborhood ${model.losses.last}")
+      val m2 = Classify.train(spark, feats, nDocs)
+      assert(m1.weights.sameElements(m2.weights) && m1.losses == m2.losses,
+        "L-BFGS must stay bit-deterministic")
     } finally spark.conf.unset("graft.classify.hessian")
   }
 
