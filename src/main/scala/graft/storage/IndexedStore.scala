@@ -117,9 +117,11 @@ object IndexedStore {
     * committed-generation sequence (a crashed build's directory never
     * gets an entry; an entry never precedes its pointer swap), the
     * same discipline as a Delta-style transaction log. Entries are
-    * metadata-sized and append-only; a production deployment
-    * checkpoints/expires them with the same retention policy as the
-    * generations themselves. Granularity is MUTATION-level: commit
+    * metadata-sized; the retention sweep CHECKPOINTS the log in step
+    * with the generations ([[pruneCommitLog]]): swept generations'
+    * entries are deleted and the oldest retained commit entry is
+    * republished prev-less, becoming the bootstrap snapshot for
+    * late-attaching consumers. Granularity is MUTATION-level: commit
     * entries (write/compact, `<gen>.json`, sub 0, carrying the
     * as-of-commit rowid high-water mark) plus in-generation mutation
     * entries (`<gen>-append-<sub>.json` with the appended rowid range,
@@ -549,6 +551,7 @@ object IndexedStore {
           n != LeaseDir && n != LogDir && !(legacyGrace && !n.startsWith("gen-"))
       }
       .foreach(s => f.delete(s.getPath, true))
+    pruneCommitLog(path, (gen +: kept).toSet)
   } finally {
     // Every exit frees the lock if still ours: after a successful
     // swap, after an IO failure mid-sweep (the manifest protocol is
@@ -556,6 +559,48 @@ object IndexedStore {
     // verifyWriter abort (then the lock belongs to the winner and
     // release is a no-op).
     releaseCommitLock(path, writerToken)
+  }
+
+  /** Checkpoint the commit log against the retention sweep — the
+    * Delta-protocol log-compaction discipline applied to the CDC
+    * contract: entries whose generation the sweep just reclaimed are
+    * unreplayable (their files are gone) and are deleted with it, and
+    * the OLDEST retained commit entry — whose predecessor is now
+    * swept — is republished with `prev:null`, turning it into the
+    * bootstrap SNAPSHOT a late-attaching consumer starts from (the
+    * reader already treats a prev-less commit as the initial
+    * snapshot, hi-fenced to its as-of-commit rowids; the generation's
+    * own retained mutation entries then replay on top). Consumers
+    * attached before the sweep are unaffected: the file-stream source
+    * tracks entries by path, so a republish is invisible to them, and
+    * they already emitted the pruned prefix. A consumer that falls
+    * behind the retention window loses replayability — the contract
+    * every log-structured CDC (Delta/Kafka-compacted) carries.
+    * Idempotent: once the oldest entry's prev is null, re-pruning is
+    * a no-op. */
+  private def pruneCommitLog(path: String, keptGens: Set[String]): Unit = {
+    val f = hadoopFs(path)
+    val dir = new HPath(path, LogDir)
+    if (!f.exists(dir)) return
+    val EntryGen = """(gen-\d+)(?:-(?:append|delete)-\d+)?\.json""".r
+    val entries = f.listStatus(dir).map(_.getPath.getName).collect {
+      case n @ EntryGen(g) => (n, g)
+    }
+    entries.filterNot(e => keptGens.contains(e._2))
+      .foreach { case (n, _) => f.delete(new HPath(dir, n), false): Unit }
+    // republish the oldest surviving commit entry as the snapshot base
+    entries.filter { case (n, g) => keptGens.contains(g) && n == s"$g.json" }
+      .sortBy(_._2).headOption.foreach { case (n, _) =>
+        val in = f.open(new HPath(dir, n))
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val prevField = """"prev":"(gen-\d+)"""".r
+        prevField.findFirstMatchIn(body).foreach { m =>
+          if (!keptGens.contains(m.group(1)))
+            publishLogEntry(path, n,
+              prevField.replaceFirstIn(body, """"prev":null"""))
+        }
+      }
   }
 
   /** Publish one [[LogDir]] entry for a committed generation. Runs

@@ -132,6 +132,30 @@ object StoreStream {
     path
   }
 
+  /** The checkpoint fixture store: THREE commits (full customer,
+    * sans BUILDING, sans BUILDING+AUTOMOBILE) under the default
+    * retention of one predecessor — the third commit's sweep reclaims
+    * generation 1 and [[IndexedStore]] checkpoints the log with it:
+    * gen 1's entry is deleted and gen 2's is republished prev-less.
+    * A consumer attaching HERE (the st_ingest_late query) bootstraps
+    * from gen 2 as its initial snapshot and replays gen 3's diff —
+    * it never needs the swept generation. */
+  private def ingestLateStore(spark: SparkSession, dir: String): String = {
+    val path = graft.operators.StorageOps.scratch("ingestlate", dir)
+    graft.operators.StorageOps.buildOnce(path) {
+      val store = Store.fromData(Tables(spark, dir).customer, Seq("c_custkey"))
+      IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
+      IndexedStore.write(
+        store.data.filter(col("c_mktsegment") =!= "BUILDING"),
+        path, HashIndex("c_mktsegment", 8))
+      IndexedStore.write(
+        store.data.filter(col("c_mktsegment") =!= "BUILDING" &&
+          col("c_mktsegment") =!= "AUTOMOBILE"),
+        path, HashIndex("c_mktsegment", 8))
+    }
+    path
+  }
+
   /** Row-level CDC for one log entry, per the kind contract above. */
   private[graft] def diffFor(spark: SparkSession, path: String,
       e: LogEntry): DataFrame = {
@@ -203,7 +227,13 @@ object StoreStream {
             Option(r.getString(7))))
           .sortBy(e => (e.seq, e.sub))
         parts.synchronized {
-          es.foreach(e => parts += diffFor(rootSpark, path, e))
+          // each diff MATERIALIZES inside its micro-batch (eager
+          // checkpoint): a CDC consumer owns its rows at observation
+          // time — a lazily-held plan would dangle once the retention
+          // sweep reclaims the generation it reads (the keep-up
+          // contract, made literal)
+          es.foreach(e =>
+            parts += diffFor(rootSpark, path, e).localCheckpoint(true))
         }
       }
       .start()
@@ -271,6 +301,16 @@ object StoreStream {
        |  FROM nb WHERE c_mktsegment = 'MACHINERY') t
        |ORDER BY seq, sub, change, __rowid""".stripMargin
 
+  /** st_ingest_late — the LATE-consumer contract: attach after the
+    * retention sweep reclaimed the oldest generation. The checkpointed
+    * log starts at the republished prev-less entry, so the tail
+    * bootstraps from that generation's snapshot (every row `added`,
+    * hi-fenced) and replays the remaining diffs — the swept
+    * generation is never needed, and the stream's net state equals an
+    * early consumer's (spec-pinned). */
+  def stIngestLate(spark: SparkSession, dir: String): DataFrame =
+    tailToEnd(spark, ingestLateStore(spark, dir))
+
   /** st_mview — incremental MATERIALIZED-VIEW maintenance over the
     * mutation CDC, the canonical consumer of a change stream: a
     * per-segment (row count, balance) view folded from the deltas —
@@ -298,6 +338,20 @@ object StoreStream {
       .orderBy("c_mktsegment")
   }
 
+  /** The late-consumer oracle: the checkpointed history is gen 2's
+    * snapshot (non-BUILDING rows, original rowids) then gen 3's
+    * shrink (AUTOMOBILE removed). Nothing from seq 1 — the swept
+    * generation is exactly what a late consumer never sees. */
+  val stIngestLateSql: String =
+    s"""WITH c AS (SELECT c_custkey, c_mktsegment, c_acctbal, $custRowid FROM customer)
+       |SELECT * FROM (
+       |  SELECT 2::BIGINT AS seq, 0::BIGINT AS sub, 'added' AS change, __rowid, c_custkey, c_mktsegment, c_acctbal
+       |  FROM c WHERE c_mktsegment <> 'BUILDING'
+       |  UNION ALL
+       |  SELECT 3::BIGINT, 0::BIGINT, 'removed', __rowid, c_custkey, c_mktsegment, c_acctbal
+       |  FROM c WHERE c_mktsegment = 'AUTOMOBILE') t
+       |ORDER BY seq, sub, change, __rowid""".stripMargin
+
   /** The view oracle: the fixture's final state is customer minus the
     * deleted MACHINERY segment (base sans BUILDING + appended
     * BUILDING − MACHINERY). */
@@ -311,12 +365,14 @@ object StoreStream {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_ingest" -> stIngest,
     "st_ingest_append" -> stIngestAppend,
+    "st_ingest_late" -> stIngestLate,
     "st_mview" -> stMview,
   )
 
   def oracles: Map[String, String] = Map(
     "st_ingest" -> stIngestSql,
     "st_ingest_append" -> stIngestAppendSql,
+    "st_ingest_late" -> stIngestLateSql,
     "st_mview" -> stMviewSql,
   )
 }

@@ -133,6 +133,50 @@ class StoreStreamSpec extends SparkSpec {
     }
   }
 
+  test("the retention sweep checkpoints the log; a late consumer bootstraps") {
+    val path = freshRoot("late")
+    val data = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey")).data
+      .cache()
+    def netState(rows: Array[(Long, Long, String, Long)]): Map[Long, Int] =
+      rows.groupBy(_._4).view
+        .mapValues(_.map(t => if (t._3 == "added") 1 else -1).sum)
+        .filter(_._2 != 0).toMap
+    try {
+      IndexedStore.write(data, path, HashIndex("c_mktsegment", 4))
+      // the EARLY consumer observes the full history as it happens
+      val (q1, r1) = StoreStream.startCdc(spark, path)
+      val early = try {
+        IndexedStore.write(data.filter(col("c_mktsegment") =!= "BUILDING"),
+          path, HashIndex("c_mktsegment", 4))
+        IndexedStore.write(data.filter(col("c_mktsegment") =!= "BUILDING" &&
+            col("c_mktsegment") =!= "AUTOMOBILE"),
+          path, HashIndex("c_mktsegment", 4))
+        q1.processAllAvailable()
+        rows(r1())
+      } finally q1.stop()
+      assert(early.map(_._1).distinct.sorted.toSeq == Seq(1L, 2L, 3L),
+        "the early consumer saw every commit")
+      // the third commit swept gen 1; its log entry must be gone and
+      // gen 2's must have become the prev-less snapshot base
+      val logDir = new java.io.File(s"$path/_graft_log")
+      val names = logDir.listFiles().map(_.getName).filter(_.endsWith(".json"))
+      assert(!names.contains("gen-000001.json"),
+        "the swept generation's log entry must be checkpointed away")
+      val g2 = scala.io.Source.fromFile(new java.io.File(logDir, "gen-000002.json"))
+      val body = try g2.mkString finally g2.close()
+      assert(body.contains("\"prev\":null"),
+        s"the oldest retained entry must be republished prev-less: $body")
+      // the LATE consumer starts from the checkpoint
+      val (q2, r2) = StoreStream.startCdc(spark, path)
+      val late = try { q2.processAllAvailable(); rows(r2()) } finally q2.stop()
+      assert(late.map(_._1).min == 2L, "the late consumer never sees seq 1")
+      assert(late.filter(_._1 == 2L).forall(_._3 == "added"),
+        "the checkpointed entry replays as an initial snapshot")
+      assert(netState(late) == netState(early),
+        "early and late consumers must converge to the same net state")
+    } finally data.unpersist(): Unit
+  }
+
   test("st_mview equals a batch aggregate over the store's FINAL state") {
     // The maintained view comes solely from folding the change
     // stream; the independent check reads the store itself after the
