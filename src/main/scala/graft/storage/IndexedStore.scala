@@ -102,7 +102,7 @@ final case class ZOrderNIndex(columns: Seq[String], bits: Int = 2)
 object IndexedStore {
   private val BucketCol = "__bucket"
   private val StatsFile = "_graft_stats.properties"
-  private val TombstoneDir = "_graft_tombstones"
+  private[graft] val TombstoneDir = "_graft_tombstones"
   private val ManifestFile = "_graft_manifest.properties"
   private val WriterTokenFile = "_graft_writer.token"
   private val CommitLockFile = "_graft_commit.lock"
@@ -541,6 +541,24 @@ object IndexedStore {
     val kept = (prev.toSeq ++ committedChain(m).filterNot(prev.contains))
       .distinct.filterNot(_ == gen).take(retain)
     writeManifest(path, Some(gen), retain, gen +: kept)
+    // heal crash-orphaned mutations of the outgoing generation BEFORE
+    // its successor's commit entry publishes: the commit diff assumes
+    // consumers reconciled to prev's final state, so an unlogged
+    // append/delete there would desynchronize them permanently. The
+    // one-column rowid scan is noise next to the commit's own rewrite.
+    prev.foreach { p =>
+      val maxRid =
+        if (genLogEntries(path, p).exists { case (n, b) =>
+          n == s"$p.json" && b.contains("\"kind\"") })
+          scala.util.Try {
+            val r = SparkSession.active.read
+              .parquet(new HPath(path, p).toString)
+              .agg(max(col(RowId))).head()
+            if (r.isNullAt(0)) None else Some(r.getLong(0))
+          }.toOption.flatten
+        else None
+      reconcileMutationLog(path, p, maxRid)
+    }
     appendCommitLog(path, gen, prev)
     val leased = leasedGenerations(path)
     f.listStatus(new HPath(path))
@@ -571,11 +589,13 @@ object IndexedStore {
     * reader already treats a prev-less commit as the initial
     * snapshot, hi-fenced to its as-of-commit rowids; the generation's
     * own retained mutation entries then replay on top). Consumers
-    * attached before the sweep are unaffected: the file-stream source
-    * tracks entries by path, so a republish is invisible to them, and
-    * they already emitted the pruned prefix. A consumer that falls
-    * behind the retention window loses replayability — the contract
-    * every log-structured CDC (Delta/Kafka-compacted) carries.
+    * attached before the sweep AND current through the pruned prefix
+    * are unaffected: the file-stream source tracks entries by path,
+    * so a republish is invisible to them, and they already emitted
+    * those diffs. A consumer that falls behind the retention window
+    * loses replayability — with retention 1 the keep-up window is a
+    * single commit — the contract every log-structured CDC
+    * (Delta/Kafka-compacted) carries.
     * Idempotent: once the oldest entry's prev is null, re-pruning is
     * a no-op. */
   private def pruneCommitLog(path: String, keptGens: Set[String]): Unit = {
@@ -639,16 +659,105 @@ object IndexedStore {
   private def appendMutationLog(rootPath: String, kind: String,
       fields: String): Unit =
     currentGenName(rootPath).foreach { gen =>
-      val f = hadoopFs(rootPath)
-      val dir = new HPath(rootPath, LogDir)
-      val sub =
-        if (!f.exists(dir)) 1
-        else f.listStatus(dir).map(_.getPath.getName)
-          .count(n => n.startsWith(s"$gen-") && n.endsWith(".json")) + 1
-      val seq = gen.stripPrefix("gen-").toLong
-      publishLogEntry(rootPath, s"$gen-$kind-$sub.json",
-        s"""{"seq":$seq,"gen":"$gen","kind":"$kind","sub":$sub,$fields}""")
+      // mutation-level CDC only for generations COMMITTED BY THE
+      // CURRENT LOG FORMAT: a legacy (pre-kind) commit entry replays
+      // as the generation's live state at the consumer, so
+      // per-mutation entries on top would double-stream the same
+      // rows; a legacy store keeps the legacy contract (mutations
+      // surface through the next commit diff) until its next commit
+      if (genLogEntries(rootPath, gen).exists { case (n, body) =>
+        n == s"$gen.json" && body.contains("\"kind\"")
+      }) publishMutationEntry(rootPath, gen, kind, fields)
     }
+
+  /** Publish `kind` for `gen` at the next free sub position. */
+  private def publishMutationEntry(rootPath: String, gen: String,
+      kind: String, fields: String): Unit = {
+    val sub = genLogEntries(rootPath, gen).count(_._1 != s"$gen.json") + 1
+    val seq = gen.stripPrefix("gen-").toLong
+    publishLogEntry(rootPath, s"$gen-$kind-$sub.json",
+      s"""{"seq":$seq,"gen":"$gen","kind":"$kind","sub":$sub,$fields}""")
+  }
+
+  /** All of `gen`'s published log entries, (name, body) pairs. */
+  private def genLogEntries(rootPath: String,
+      gen: String): Seq[(String, String)] = {
+    val f = hadoopFs(rootPath)
+    val dir = new HPath(rootPath, LogDir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath).filter { p =>
+      val n = p.getName
+      n == s"$gen.json" || (n.startsWith(s"$gen-") && n.endsWith(".json"))
+    }.toSeq.map { p =>
+      val in = f.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      (p.getName, body)
+    }
+  }
+
+  /** The highest rowid the log already covers for `gen` (its commit
+    * entry's high-water mark and every logged append's) — None when
+    * the generation has no current-format commit entry. */
+  private def coveredHi(entries: Seq[(String, String)],
+      gen: String): Option[Long] = {
+    if (!entries.exists { case (n, b) =>
+      n == s"$gen.json" && b.contains("\"kind\"") }) return None
+    val HiRe = """"hi":(-?\d+)""".r
+    val his = entries.collect {
+      case (n, b) if n == s"$gen.json" || n.contains("-append-") =>
+        HiRe.findFirstMatchIn(b).map(_.group(1).toLong)
+    }.flatten
+    // a hi-less commit entry = empty at commit → covered through -1
+    Some(if (his.isEmpty) -1L else his.max)
+  }
+
+  /** Tombstone files already named by `gen`'s logged delete entries. */
+  private def loggedTombstoneFiles(entries: Seq[(String, String)]): Set[String] = {
+    val FilesRe = """"files":"([^"]*)"""".r
+    entries.iterator.filter(_._1.contains("-delete-")).flatMap { case (_, b) =>
+      FilesRe.findFirstMatchIn(b).toSeq.flatMap(_.group(1).split(",").toSeq)
+    }.toSet
+  }
+
+  /** CRASH RECOVERY for the mutation log (single-writer): a mutation's
+    * data lands before its log entry publishes, so a crash in between
+    * leaves a change visible to store readers but absent from the CDC
+    * — and no later commit diff can emit it (both diff sides carry
+    * it). Heal by publishing CATCH-UP entries for anything readable
+    * but unlogged: tombstone files no delete entry names, and — when
+    * `actualMaxRowId` is known — the rowid run past the log's covered
+    * high-water mark (a crashed append; visible rows imply the batch
+    * fully landed, Spark's job-commit protocol). Mutation paths call
+    * this with the facts they already have for free (the append's own
+    * lo, the delete's directory listing); [[commitAndSweep]] calls it
+    * with a one-column scan of the outgoing generation, so EVERY
+    * crash window heals at the next commit at the latest. Catch-up
+    * entries restore the NET state, not the original mutation order
+    * (delete-before-append is possible where the crash interleaved
+    * them the other way); signed folds commute, so consumers
+    * converge regardless. No-op for a legacy-format generation (no
+    * mutation entries there at all). */
+  private def reconcileMutationLog(rootPath: String, gen: String,
+      actualMaxRowId: Option[Long]): Unit = {
+    val entries = genLogEntries(rootPath, gen)
+    coveredHi(entries, gen).foreach { covered =>
+      val f = hadoopFs(rootPath)
+      val tdir = new HPath(new HPath(rootPath, gen), TombstoneDir)
+      val actual =
+        if (!f.exists(tdir)) Set.empty[String]
+        else f.listStatus(tdir).map(_.getPath.getName)
+          .filter(_.endsWith(".parquet")).toSet
+      val orphaned = (actual -- loggedTombstoneFiles(entries)).toSeq.sorted
+      if (orphaned.nonEmpty)
+        publishMutationEntry(rootPath, gen, "delete",
+          s""""files":"${orphaned.mkString(",")}"""")
+      actualMaxRowId.filter(_ > covered).foreach { max =>
+        publishMutationEntry(rootPath, gen, "append",
+          s""""lo":${covered + 1},"hi":$max""")
+      }
+    }
+  }
 
   /** Atomic (tmp + rename) publish of one [[LogDir]] entry. The
     * dot-prefixed tmp name is hidden from Spark's file listing, so a
@@ -1358,9 +1467,24 @@ object IndexedStore {
     storeProps(props, path)
     // the append-level CDC record, published only once everything the
     // entry promises (data, postings, blooms, stats) is on disk
-    if (stats.getLong(0) > 0L)
-      appendMutationLog(rootPath, "append",
-        s""""lo":${stats.getLong(1)},"hi":${stats.getLong(2)}""")
+    if (stats.getLong(0) > 0L) {
+      val (n, lo, hi) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+      // the CDC entry PUBLISHES [lo,hi] as the batch — a gappy or
+      // overlapping batch would silently stream foreign rows, so the
+      // Store.insert numbering contract is enforced, not assumed
+      require(n == hi - lo + 1, s"append batch rowids must be one " +
+        s"contiguous run ($n rows over [$lo,$hi]) — the Store.insert " +
+        "numbering contract the CDC entry publishes")
+      currentGenName(rootPath).foreach { gen =>
+        val covered = coveredHi(genLogEntries(rootPath, gen), gen)
+        require(covered.forall(lo > _), s"append batch [$lo,$hi] " +
+          s"overlaps rowids the log already covers (≤${covered.getOrElse(-1L)})")
+        // free crash-recovery check: this batch's lo bounds any
+        // unlogged predecessor run (a crashed earlier append)
+        reconcileMutationLog(rootPath, gen, Some(lo - 1))
+      }
+      appendMutationLog(rootPath, "append", s""""lo":$lo,"hi":$hi""")
+    }
   }
 
   /** Delete matching rows by tombstoning their rowids (reference
@@ -1381,6 +1505,11 @@ object IndexedStore {
           if (!f.exists(tdir)) Set.empty
           else f.listStatus(tdir).map(_.getPath.getName)
             .filter(_.endsWith(".parquet")).toSet
+        // free crash-recovery check: tombstone files no delete entry
+        // names yet are a crashed delete's — catch them up before
+        // this delete adds its own
+        currentGenName(rootPath).foreach(g =>
+          reconcileMutationLog(rootPath, g, None))
         val before = tombstoneFiles
         victims.write.mode("append").parquet(tdir.toString)
         // The CDC record names exactly this delete's tombstone files —

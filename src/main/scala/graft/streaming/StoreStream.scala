@@ -166,8 +166,8 @@ object StoreStream {
         raw.filter(col(IndexedStore.RowId).between(e.lo.get, e.hi.get))
           .select(Keep.head, Keep.tail: _*).withColumn("change", lit("added"))
       case "delete" =>
-        val rids = spark.read.parquet(
-          e.files.get.split(",").map(f => s"$genDir/_graft_tombstones/$f").toSeq: _*)
+        val rids = spark.read.parquet(e.files.get.split(",")
+          .map(f => s"$genDir/${IndexedStore.TombstoneDir}/$f").toSeq: _*)
         raw.join(rids, Seq(IndexedStore.RowId))
           .select(Keep.head, Keep.tail: _*).withColumn("change", lit("removed"))
       case _ =>
@@ -183,8 +183,14 @@ object StoreStream {
             .select(Keep.head, Keep.tail: _*)
           case ("legacy", None) => IndexedStore.openAt(spark, path, e.gen)
             .find(Nil).select(Keep.head, Keep.tail: _*)
-          case (_, None) => raw.filter(lit(false))
-            .select(Keep.head, Keep.tail: _*)
+          case (_, None) =>
+            // empty-at-commit: the generation directory may hold NO
+            // parquet part files at all, so build the empty frame
+            // from the entry's own schema instead of reading the dir
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(outSchema.fields.filterNot(f =>
+                Seq("seq", "sub", "change").contains(f.name))))
         }
         e.prev match {
           case None => cur.withColumn("change", lit("added"))

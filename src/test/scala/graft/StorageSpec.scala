@@ -241,10 +241,18 @@ class StorageSpec extends SparkSpec {
         Option(f.listFiles()).toSeq.flatten.exists(dirExists(_, name))
     assert(dirExists(new java.io.File(path), "_graft_idx_c_nationkey"),
       "backfilled posting dir missing")
-    // appends keep feeding the post-hoc index too
-    IndexedStore.append(store.data.filter(col("c_custkey") <= 0), path) // empty batch ok
-    assert(IndexedStore.find(spark, path, Seq(Condition.eq("c_nationkey", 7))).count() ==
-      probe.count())
+    // appends keep feeding the post-hoc index too: a REAL
+    // continuation batch (fresh rowids past the store max — the
+    // overlap guard rejects anything else) must surface through the
+    // backfilled postings
+    val more = store.insert(cust.limit(50)).data
+      .join(store.data.select(IndexedStore.RowId),
+        Seq(IndexedStore.RowId), "left_anti").cache()
+    try {
+      IndexedStore.append(more, path)
+      assert(IndexedStore.find(spark, path, Seq(Condition.eq("c_nationkey", 7))).count() ==
+        probe.count() + more.filter(col("c_nationkey") === 7).count())
+    } finally more.unpersist(): Unit
   }
 
   test("manifest pointer swaps generations on compact and sweeps the old one") {

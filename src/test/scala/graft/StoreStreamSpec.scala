@@ -146,8 +146,15 @@ class StoreStreamSpec extends SparkSpec {
       // the EARLY consumer observes the full history as it happens
       val (q1, r1) = StoreStream.startCdc(spark, path)
       val early = try {
+        // drain after EACH commit: with retention 1 the keep-up
+        // window is a single commit — the consumer must process an
+        // entry before the sweep that prunes it can run (the CDC
+        // keep-up contract; a consumer that falls behind loses the
+        // pruned prefix)
+        q1.processAllAvailable()
         IndexedStore.write(data.filter(col("c_mktsegment") =!= "BUILDING"),
           path, HashIndex("c_mktsegment", 4))
+        q1.processAllAvailable()
         IndexedStore.write(data.filter(col("c_mktsegment") =!= "BUILDING" &&
             col("c_mktsegment") =!= "AUTOMOBILE"),
           path, HashIndex("c_mktsegment", 4))
@@ -175,6 +182,39 @@ class StoreStreamSpec extends SparkSpec {
       assert(netState(late) == netState(early),
         "early and late consumers must converge to the same net state")
     } finally data.unpersist(): Unit
+  }
+
+  test("a crash-orphaned mutation is caught up by the next commit's reconcile") {
+    // the crash window: a mutation's data lands before its log entry
+    // publishes — simulate by deleting the entries after the fact.
+    // The change is visible to store readers but absent from the CDC,
+    // and no commit diff can ever emit it (both diff sides carry it);
+    // the next commit's reconcile must publish catch-up entries.
+    val path = freshRoot("crash")
+    val (base, appended) = StoreStream.mutationHalves(spark, sf)
+    IndexedStore.write(base, path, HashIndex("c_mktsegment", 4))
+    IndexedStore.append(appended, path)
+    IndexedStore.delete(spark, path,
+      Seq(Condition.eq("c_mktsegment", "MACHINERY")))
+    val logDir = new java.io.File(s"$path/_graft_log")
+    logDir.listFiles()
+      .filter(f => f.getName.contains("-append-") || f.getName.contains("-delete-"))
+      .foreach(f => assert(f.delete()))
+    IndexedStore.compact(spark, path)
+    val names = logDir.listFiles().map(_.getName).toSeq
+    assert(names.exists(_.contains("-append-")),
+      "the reconcile must publish a catch-up append entry")
+    assert(names.exists(_.contains("-delete-")),
+      "the reconcile must publish a catch-up delete entry")
+    val (q, result) = StoreStream.startCdc(spark, path)
+    val all = try { q.processAllAvailable(); rows(result()) } finally q.stop()
+    val net = all.groupBy(_._4).view
+      .mapValues(_.map(t => if (t._3 == "added") 1 else -1).sum)
+      .filter(_._2 != 0).keySet.toSet
+    val want = IndexedStore.find(spark, path, Nil)
+      .select(IndexedStore.RowId).collect().map(_.getLong(0)).toSet
+    assert(net == want,
+      "a tail over the healed log must converge to the store's final state")
   }
 
   test("st_mview equals a batch aggregate over the store's FINAL state") {
