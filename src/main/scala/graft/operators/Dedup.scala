@@ -438,23 +438,13 @@ object Dedup {
       .filter(col("inter") * 10 >= col("un") * JaccardTauNum)
       .withColumn("jaccard", stableRound(col("inter") / col("un"), 6))
 
-  def dDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    // Candidate generation shuffles ids only; the (large) shingle
-    // arrays are joined back just for the verification of survivors.
-    val bands = bandKeys(minhashSigs(spark, dir))
-      // Materialization barrier: without it CollapseProject re-inlines
-      // the signature expression into both join sides and every band
-      // struct, recomputing the md5+minhash work many times over.
-      // (doc_id, band, key) is tiny — 4 rows per doc.
-      .cache()
-    val cand = bands.as("a").join(bands.as("b"), Seq("band", "key"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .dropDuplicates("id1", "id2")
-    verifyJaccard(cand, shingleSets(spark, dir))
+  def dDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    // Candidate generation shuffles ids only ([[minhashCandidates]]);
+    // the (large) shingle arrays are joined back just for the
+    // verification of survivors.
+    verifyJaccard(minhashCandidates(spark, dir), shingleSets(spark, dir))
       .select("id1", "id2", "jaccard")
       .orderBy("id1", "id2")
-  }
 
   val dDedupMinhashSql: String =
     s"""WITH sets AS ($shingleSetsSql),
@@ -470,6 +460,88 @@ object Dedup {
        |WHERE len(list_intersect(sa.shing, sb.shing)) * 10 >=
        |    (len(sa.shing) + len(sb.shing) - len(list_intersect(sa.shing, sb.shing))) * $JaccardTauNum
        |ORDER BY id1, id2""".stripMargin
+
+  /** Raw LSH band-collision candidate pairs (id1 < id2), BEFORE the
+    * exact-Jaccard verify — shared by [[dDedupMinhash]] and the
+    * candidate-quality audit so the banding under audit is the
+    * banding in production. */
+  private[graft] def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val bands = bandKeys(minhashSigs(spark, dir))
+      // same materialization barrier as dDedupMinhash: without it
+      // CollapseProject re-inlines the signature work per join side
+      .cache()
+    bands.as("a").join(bands.as("b"), Seq("band", "key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .dropDuplicates("id1", "id2")
+  }
+
+  /** d_dedup_eval — candidate-QUALITY audit of the MinHash/LSH tier:
+    * the raw band-collision pairs scored against the exact τ-Jaccard
+    * pair set (complete by the AllPairs prefix-filter theorem —
+    * [[dDedupNgram]]), emitting one row of TP/FP/FN counts with
+    * precision and recall. This is the eval the banding parameters
+    * (bands × rows/band) are chosen BY: the S-curve says what recall
+    * to expect at τ, and this measures it on the real corpus — the
+    * t_lang_eval / d_classify_calib evaluation pattern applied to the
+    * dedup family. Counts are integers and the two rates are exact
+    * integer-over-integer doubles, so the row hash-gates.
+    *
+    * Scale shape: both inputs are the production pipelines (linear,
+    * bucketed — never all-pairs); the audit adds one id-pair
+    * equi-join and three bounded aggregations on top. At 100 TB this
+    * runs on a SAMPLE of the corpus by the same train-on-sample
+    * discipline as PQ/Gram — recall is a per-pair property, so a
+    * doc-sampled estimate is unbiased for the pairs it retains. */
+  def dDedupEval(spark: SparkSession, dir: String): DataFrame = {
+    val truth = dDedupNgram(spark, dir).select("id1", "id2")
+    val cand = minhashCandidates(spark, dir)
+    val tp = cand.join(truth, Seq("id1", "id2"))
+      .agg(count(lit(1)).as("tp"))
+    cand.agg(count(lit(1)).as("n_cand"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(tp)
+      .select(col("n_cand"), col("n_truth"), col("tp"),
+        (col("n_cand") - col("tp")).as("fp"),
+        (col("n_truth") - col("tp")).as("fn"),
+        stableRound(col("tp") / col("n_cand").cast("double"), 6).as("prec"),
+        stableRound(col("tp") / col("n_truth").cast("double"), 6).as("recall"))
+  }
+
+  /** The eval oracle: the minhash candidate CTEs + the unfiltered
+    * ngram truth CTEs over the SAME shingle sets, then three scalar
+    * counts. `sets`/`cand`/`truth` are MATERIALIZED — each is
+    * referenced more than once and DuckDB re-evaluates inlined CTEs
+    * per reference. */
+  val dDedupEvalSql: String =
+    s"""WITH sets AS MATERIALIZED ($shingleSetsSql),
+       |$minhashSigsSql,
+       |$bandsSqlCte,
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id id1, b.doc_id id2
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+       |hsets AS MATERIALIZED (SELECT doc_id,
+       |  list_distinct(list_transform(shing, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS hs
+       |  FROM sets),
+       |posts AS (SELECT doc_id, unnest(hs) AS h FROM hsets),
+       |ncand AS (
+       |  SELECT DISTINCT a.doc_id id1, b.doc_id id2
+       |  FROM posts a JOIN posts b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |truth AS MATERIALIZED (
+       |  SELECT id1, id2 FROM ncand
+       |  JOIN hsets s1 ON id1 = s1.doc_id
+       |  JOIN hsets s2 ON id2 = s2.doc_id
+       |  WHERE len(list_intersect(s1.hs, s2.hs)) * 10 >=
+       |    (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs))) * $JaccardTauNum)
+       |SELECT n_cand, n_truth, tp,
+       |  n_cand - tp AS fp,
+       |  n_truth - tp AS fn,
+       |  floor((tp / n_cand::DOUBLE) * 1e6 + 0.5) / 1e6 AS prec,
+       |  floor((tp / n_truth::DOUBLE) * 1e6 + 0.5) / 1e6 AS recall
+       |FROM (SELECT
+       |  (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+       |  (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+       |  (SELECT count(*) FROM cand JOIN truth USING (id1, id2))::BIGINT AS tp) t""".stripMargin
 
   // ---------------------------------------------------------- SimHash
 
@@ -1128,6 +1200,7 @@ object Dedup {
     "d_dedup_ngram" -> dDedupNgram,
     "d_dedup_incr" -> dDedupIncr,
     "d_dedup_minhash" -> dDedupMinhash,
+    "d_dedup_eval" -> dDedupEval,
     "d_dedup_simhash" -> dDedupSimhash,
     "d_dedup_chunk" -> dDedupChunk,
     "d_boilerplate" -> dBoilerplate,
@@ -1145,6 +1218,7 @@ object Dedup {
     "d_dedup_ngram" -> dDedupNgramSql,
     "d_dedup_incr" -> dDedupIncrSql,
     "d_dedup_minhash" -> dDedupMinhashSql,
+    "d_dedup_eval" -> dDedupEvalSql,
     "d_dedup_simhash" -> dDedupSimhashSql,
     "d_dedup_chunk" -> dDedupChunkSql,
     "d_boilerplate" -> dBoilerplateSql,

@@ -14,6 +14,26 @@ import graft.operators.Dedup
   */
 class ZipfNgramSpec extends SparkSpec {
 
+  test("d_dedup_eval counts reconcile with driver-side set arithmetic") {
+    // The audit's TP/FP/FN must equal plain set operations over its
+    // two inputs, recomputed independently here (collect + Scala sets
+    // vs the op's join + aggregations).
+    val ev = Dedup.dDedupEval(spark, sf).head()
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = pairs(Dedup.minhashCandidates(spark, sf))
+    val truth = pairs(Dedup.dDedupNgram(spark, sf))
+    assert(ev.getLong(0) == cand.size && ev.getLong(1) == truth.size)
+    assert(ev.getLong(2) == (cand & truth).size, "tp = |cand ∩ truth|")
+    assert(ev.getLong(3) == (cand -- truth).size, "fp = |cand \\ truth|")
+    assert(ev.getLong(4) == (truth -- cand).size, "fn = |truth \\ cand|")
+    // every VERIFIED minhash pair is a true pair by construction —
+    // so the audit's tp bounds the production dedup's output
+    val verified = pairs(Dedup.dDedupMinhash(spark, sf))
+    assert(verified.subsetOf(truth) && verified.size <= ev.getLong(2))
+  }
+
   test("df-order prefixes cut candidate volume on a Zipfian corpus, result-identical") {
     val rnd = new scala.util.Random(20260813L)
     // Default sizes keep the suite fast; GRAFT_ZIPF_DOCS scales the
