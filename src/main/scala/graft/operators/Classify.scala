@@ -489,13 +489,17 @@ object Classify {
     * (bin, iso_p). */
   private[graft] def isotonicFit(bins: DataFrame): DataFrame = {
     val b = bins.select(col("bin"), col("n_docs"), col("n_pos"))
+    // the grid sides are CalibBins-row frames, but they descend from
+    // corpus-scale aggregations whose size ESTIMATES block the
+    // auto-broadcast — without the explicit hints Spark plans a
+    // CartesianProduct (plan-asserted in PlanQualitySpec)
     val pooled = b.select(col("bin").as("j"))
-      .join(b.select(col("bin").as("k")), col("j") <= col("k"))
-      .join(b, col("bin").between(col("j"), col("k")))
+      .join(broadcast(b.select(col("bin").as("k"))), col("j") <= col("k"))
+      .join(broadcast(b), col("bin").between(col("j"), col("k")))
       .groupBy("j", "k")
       .agg((sum(col("n_pos")) / sum(col("n_docs")).cast("double")).as("m"))
     b.select(col("bin").as("i"))
-      .join(pooled, col("j") <= col("i") && col("k") >= col("i"))
+      .join(broadcast(pooled), col("j") <= col("i") && col("k") >= col("i"))
       .groupBy("i", "j").agg(min(col("m")).as("mm"))
       .groupBy("i").agg(max(col("mm")).as("iso_p"))
       .select(col("i").as("bin"), col("iso_p"))

@@ -427,6 +427,37 @@ class PlanQualitySpec extends SparkSpec {
       s"bigram LM shuffle budget exceeded ($hashExchanges hash exchanges):\n${p.take(2500)}")
   }
 
+  test("dedup eval joins pairs on keys — all-pairs only via the 1-row scalars") {
+    val p = plan("d_dedup_eval")
+    assert(!p.contains("CartesianProduct"),
+      s"d_dedup_eval degenerated to a cartesian product:\n${p.take(2000)}")
+    // the only nested-loop joins allowed are the two 1-row scalar
+    // crossJoins assembling the single output row (n_cand × n_truth
+    // × tp); the candidate and truth sides themselves must meet on
+    // (band,key) / h / (id1,id2) equi-joins
+    // FormattedMode lists each operator twice (tree + detail block)
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) / 2
+    assert(bnlj <= 2,
+      s"expected at most the 2 scalar-assembly nested loops, got $bnlj:\n${p.take(2500)}")
+    assert(!p.contains("Window"), "pair counting must not plan a window")
+  }
+
+  test("isotonic recalibration: corpus side stays keyed; grids are bin-bounded") {
+    val p = plan("d_classify_recal")
+    assert(!p.contains("CartesianProduct"),
+      s"d_classify_recal planned a cartesian product:\n${p.take(2000)}")
+    // the minimax grid joins (j≤k, j≤i≤k) are deliberate non-equi
+    // joins over CalibBins-row frames — nested-loop is the right
+    // physical shape there; the corpus-scale half (score + bin) must
+    // contribute no window and no nested loop of its own, so the
+    // total stays bounded by the grid's three
+    // FormattedMode lists each operator twice (tree + detail block)
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) / 2
+    assert(bnlj <= 3,
+      s"expected at most the 3 bin-grid nested loops, got $bnlj:\n${p.take(2500)}")
+    assert(!p.contains("Window"), "recal must not plan a window")
+  }
+
   test("domain budget shuffles once on the domain key") {
     val p = plan("d_domain_budget")
     assert(!p.contains("Join"), s"domain cap grew a join:\n${p.take(1500)}")
