@@ -78,10 +78,16 @@ object Classify {
   private val Q = 1e9
 
   /** Learned model + per-iteration loss trace (the ridge-regularized
-    * mean log-loss — the trained objective; see [[lossOf]]). No intercept:
+    * mean log-loss — the trained objective; see [[lossOf]]). `steps`
+    * records each epoch's accepted line-search step (0.0 = rejected,
+    * model unmoved) — the telemetry a Wolfe-search decision needs
+    * (see the SURVEY §16 measurement: the two-loop direction accepts
+    * step 1 essentially always, so a stricter accept rule has nothing
+    * to improve on this objective). No intercept:
     * Σ_b x_b = 1 per doc puts the all-ones direction in the feature
     * span, so a bias would be exactly collinear (see [[Ridge]]). */
-  final case class Model(weights: Array[Double], losses: Seq[Double])
+  final case class Model(weights: Array[Double], losses: Seq[Double],
+      steps: Seq[Double])
 
   /** Feature rows (doc_id, bucket, x, y): length-normalized hashed
     * term frequency x = c_bucket / n_words, label y ∈ {0,1}.
@@ -285,6 +291,7 @@ object Classify {
     var scored = scoreWith(spark, feats, w).localCheckpoint(false)
     var loss = lossOf(spark, scored, nDocs, w)
     val losses = Seq.newBuilder[Double]
+    val steps = Seq.newBuilder[Double]
     val mode = spark.conf.getOption("graft.classify.hessian").getOrElse("exact")
     val (hFeats, nHess) = mode match {
       case "sampled" =>
@@ -360,13 +367,15 @@ object Classify {
         val lc = lossOf(spark, sc, nDocs, wc)
         if (lc <= loss) {
           w = wc; loss = lc; scored = sc; done = true
+          steps += step
         } else if (tries == Backtracks) {
           done = true // keep w/loss/scored unchanged
+          steps += 0.0
         } else { step /= 2; tries += 1 }
       }
       losses += loss
     }
-    Model(w, losses.result())
+    Model(w, losses.result(), steps.result())
   }
 
   /** d_classify — train on the weak labels, score every document:

@@ -280,9 +280,96 @@ object Retrieval {
     scoreTail(spark, p, cand.join(surv, Seq("qid", "doc_id"), "left_semi"))
   }
 
+  /** RRF constant (Cormack/Clarke/Buettcher 2009's k=60 — the value
+    * every production fusion stack defaults to). */
+  val RrfK = 60
+
+  /** t_hybrid_rrf — HYBRID lexical+vector retrieval via reciprocal-
+    * rank fusion, the standard first-stage of a modern RAG/search
+    * stack: each seed query retrieves a lexical top-k (the [[tBm25]]
+    * ranking over `documents`) and a vector top-k (exact cosine over
+    * the id-aligned `embeddings` table, same seed set), and the two
+    * rank lists fuse by RRF — score(d) = Σ_arms 1/(k + rank_arm(d)),
+    * k = [[RrfK]], missing arm contributing 0 — re-ranked to the
+    * fused top-[[Bm25TopK]].
+    *
+    * Scale shape: each arm keeps its own scan discipline (BM25's
+    * candidate stream bounded by Σdf over broadcast query terms; the
+    * vector arm a broadcast-queries narrow corpus scan with bounded
+    * per-partition heaps — the [[Similarity.sAnnBrute]] plan), and
+    * the FUSION works on rank lists only — two ≤ |Q|·k-row frames,
+    * join and window costs independent of corpus size. That is the
+    * whole point of late fusion at 100 TB: modalities never meet at
+    * corpus scale, only at rank-list scale.
+    *
+    * Float parity: ranks are integers, so the fused score is the sum
+    * of two correctly-rounded double divisions spelled in the same
+    * order in both engines; ranking ties break on doc_id. */
+  def tHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val lex = tBm25(spark, dir)
+      .select(col("qid"), col("doc_id"), col("rk").as("rl"))
+    // vector arm: same seed ids over the id-aligned embeddings table
+    val e = Similarity.withUnit(
+      Tables.spread(Tables(spark, dir).embeddings), "embedding", "u")
+    val qv = e.filter(col("vec_id") % Bm25QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("u").as("qv"))
+    val scored = e.select(col("vec_id").as("neighbor_id"), col("u").as("nv"))
+      .join(broadcast(qv), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", stableRound(Similarity.dot(col("qv"), col("nv")), 4))
+    val wv = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val vec = Similarity.heapPartials(scored, Bm25TopK, "score")
+      .withColumn("rv", row_number().over(wv).cast("long"))
+      .filter(col("rv") <= Bm25TopK)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
+        col("rv"))
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        stableRound(
+          when(col("rl").isNotNull, lit(1.0) / (lit(RrfK) + col("rl")))
+            .otherwise(lit(0.0)) +
+          when(col("rv").isNotNull, lit(1.0) / (lit(RrfK) + col("rv")))
+            .otherwise(lit(0.0)), 6).as("rrf"))
+      .withColumn("rk", row_number().over(wf).cast("long"))
+      .filter(col("rk") <= Bm25TopK)
+      .select(col("qid"), col("rk"), col("doc_id"), col("rrf"))
+      .orderBy("qid", "rk")
+  }
+
+  val tHybridRrfSql: String =
+    s"""WITH lex AS (
+       |$tBm25Sql
+       |),
+       |vec AS (
+       |  SELECT qid, doc_id, rv FROM (
+       |    SELECT q.vec_id AS qid, n.vec_id AS doc_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY floor((list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[])) * 1e4 + 0.5) / 1e4 DESC,
+       |                 n.vec_id)::BIGINT AS rv
+       |    FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+       |    WHERE q.vec_id % $Bm25QueryMod = 0) t
+       |  WHERE rv <= $Bm25TopK),
+       |f AS (
+       |  SELECT coalesce(lex.qid, vec.qid) AS qid,
+       |    coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+       |    ${stableRoundSql(
+            s"coalesce(1.0::DOUBLE / ($RrfK + lex.rk), 0.0) + " +
+              s"coalesce(1.0::DOUBLE / ($RrfK + vec.rv), 0.0)", 6)} AS rrf
+       |  FROM lex FULL OUTER JOIN vec
+       |    ON lex.qid = vec.qid AND lex.doc_id = vec.doc_id)
+       |SELECT qid, rk, doc_id, rrf FROM (
+       |  SELECT qid, doc_id, rrf,
+       |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id)::BIGINT AS rk
+       |  FROM f) t
+       |WHERE rk <= $Bm25TopK
+       |ORDER BY qid, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_bm25" -> tBm25,
     "t_bm25_maxscore" -> tBm25MaxScore,
+    "t_hybrid_rrf" -> tHybridRrf,
   )
 
   def oracles: Map[String, String] = Map(
@@ -291,5 +378,6 @@ object Retrieval {
     // shared oracle is the point (pruning that changed results would
     // hash-mismatch at the gate)
     "t_bm25_maxscore" -> tBm25Sql,
+    "t_hybrid_rrf" -> tHybridRrfSql,
   )
 }

@@ -312,7 +312,7 @@ object Similarity {
     * — the discipline that keeps the scored corpus from ever
     * shuffling. ONE definition (brute/sq8/pq/ivfpq) so the retention
     * rule cannot silently diverge between operators. */
-  private def heapPartials(scored: DataFrame, c: Int, valueCol: String): DataFrame = {
+  private[operators] def heapPartials(scored: DataFrame, c: Int, valueCol: String): DataFrame = {
     val s = scored.sparkSession
     import s.implicits._
     scored.select(col("query_id"), col("neighbor_id"), col(valueCol))

@@ -16,8 +16,9 @@ object StorageOps {
     val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     // v-tag: bump when the on-disk store format changes so stale
     // scratch stores from an older layout can never serve a probe.
-    // v3: manifest-pointer generations.
-    new java.io.File(sys.props("java.io.tmpdir"), s"graft_store_v3_${name}_$sfTag").getPath
+    // v3: manifest-pointer generations. v4: file-checkpointed commit
+    // log (read-through-log stores).
+    new java.io.File(sys.props("java.io.tmpdir"), s"graft_store_v4_${name}_$sfTag").getPath
   }
 
   /** Run `build` once per scratch path, guarded by a `_done` marker
@@ -419,6 +420,36 @@ object StorageOps {
       .orderBy("change", rid)
   }
 
+  /** READ-THROUGH-LOG — the Delta-style "files visible iff logged"
+    * discipline made a gate query: the store's full mutation surface
+    * (a generation commit, an in-generation append, a tombstone
+    * delete) is exercised and then read back through [[IndexedStore
+    * .open]], whose file set comes from the commit log (the commit's
+    * file checkpoint + the append entry's file names; tombstones from
+    * the delete entry) — the data directory is never listed. The
+    * result must be the exact net state, which the oracle recomputes
+    * from the raw table: base rowids over the non-BUILDING rows, the
+    * appended BUILDING run on its continuation rowids, MACHINERY
+    * tombstoned out. Scale shape: resolving the view reads ONE
+    * checkpoint file + O(mutations) tiny entries regardless of how
+    * many data part-files accumulate — the object-store LIST a plain
+    * directory read pays is gone, and a crashed (unlogged) mutation
+    * is invisible instead of readable-but-unstreamable. */
+  def scLogRead(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val path = scratch("logread", dir)
+    buildOnce(path) {
+      val (base, appended) = graft.streaming.StoreStream.mutationHalves(spark, dir)
+      IndexedStore.write(base, path, HashIndex("c_mktsegment", 8))
+      IndexedStore.append(appended, path)
+      IndexedStore.delete(spark, path, Seq(Condition.eq("c_mktsegment", "MACHINERY")))
+    }
+    IndexedStore.open(spark, path).find(Nil)
+      .select(col(IndexedStore.RowId), col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal"))
+      .orderBy(IndexedStore.RowId)
+  }
+
   /** Equality probe on a column with NO layout/postings, served by the
     * per-bucket Bloom-filter sidecar: the probe consults the tiny
     * sidecar and scans only the buckets whose filter passes (for a
@@ -455,6 +486,7 @@ object StorageOps {
     "sc_compacted" -> scCompacted,
     "sc_time_travel" -> scTimeTravel,
     "sc_gen_diff" -> scGenDiff,
+    "sc_log_read" -> scLogRead,
     "sc_source_roundtrip" -> scSourceRoundtrip,
     "sc_bucketed_join" -> scBucketedJoin,
     "sc_schema_evolution" -> scSchemaEvolution,
@@ -544,6 +576,20 @@ object StorageOps {
          |FROM (SELECT *, $custRowid FROM customer) t
          |WHERE c_mktsegment = 'BUILDING'
          |ORDER BY change, __rowid""".stripMargin,
+    // the net state after write(sans BUILDING) + append(BUILDING,
+    // continuation rowids — the Store.insert numbering) +
+    // delete(MACHINERY), as the log-gated read must serve it
+    "sc_log_read" ->
+      """WITH nb AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    row_number() OVER (ORDER BY c_custkey) - 1 AS __rowid
+        |  FROM customer WHERE c_mktsegment <> 'BUILDING'),
+        | b AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    (SELECT count(*) FROM nb) + row_number() OVER (ORDER BY c_custkey) - 1 AS __rowid
+        |  FROM customer WHERE c_mktsegment = 'BUILDING')
+        |SELECT __rowid, c_custkey, c_mktsegment, c_acctbal
+        |FROM (SELECT * FROM nb UNION ALL SELECT * FROM b) t
+        |WHERE c_mktsegment <> 'MACHINERY'
+        |ORDER BY __rowid""".stripMargin,
     "sc_bucketed_join" ->
       """SELECT c_mktsegment, floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS sum_price,
         |  count(*) AS n_orders

@@ -131,6 +131,31 @@ object IndexedStore {
     * the next generation diff. */
   private[graft] val LogDir = "_graft_log"
 
+  /** The CHECKPOINT directory: one tiny parquet per committed
+    * generation (`_graft_ckpt/<gen>.parquet`, a single `path` column
+    * naming every data file the generation held at its commit,
+    * relative to the generation dir). Together with the mutation
+    * entries' file names this makes the log the AUTHORITATIVE file
+    * inventory — Delta's checkpoint.parquet discipline — and [[open]]
+    * reads THROUGH it: a reader's file set is assembled from
+    * checkpoint + logged appends (tombstones from logged deletes)
+    * instead of listing the directory, so a file is visible IFF its
+    * log entry published ("entry iff committed", now extended to
+    * reads) and the per-file LIST an object store charges for a
+    * directory scan is replaced by one metadata-file read no matter
+    * how many mutation part-files accumulate. Kept in its own
+    * `_`-prefixed sibling of [[LogDir]] (not inside it) so the CDC
+    * `readStream` tailing the log's JSON entries never trips over a
+    * parquet directory. Lives and dies with its generation: the
+    * retention sweep prunes checkpoints alongside log entries. A
+    * generation with no checkpointed commit entry (legacy store,
+    * crashed commit) falls back to directory listing — the
+    * pre-checkpoint behavior. At very large file counts the reader's
+    * collected file list is driver-memory-bound like every
+    * Spark-provided file index; the checkpoint itself stays one
+    * columnar file. */
+  private[graft] val CkptDir = "_graft_ckpt"
+
   /** How long a crashed writer's commit lock blocks the store before
     * another writer may break it. A commit (generation build included)
     * must finish within this window or risk losing its lock to a
@@ -464,7 +489,8 @@ object IndexedStore {
     try out.write(expiry.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    new LeasedStore(new OpenStore(spark, new HPath(rootPath, gen).toString),
+    new LeasedStore(new OpenStore(spark, new HPath(rootPath, gen).toString,
+        logView(spark, rootPath, gen)),
       new Lease(rootPath, gen, file))
   }
 
@@ -545,20 +571,11 @@ object IndexedStore {
     // its successor's commit entry publishes: the commit diff assumes
     // consumers reconciled to prev's final state, so an unlogged
     // append/delete there would desynchronize them permanently. The
-    // one-column rowid scan is noise next to the commit's own rewrite.
-    prev.foreach { p =>
-      val maxRid =
-        if (genLogEntries(path, p).exists { case (n, b) =>
-          n == s"$p.json" && b.contains("\"kind\"") })
-          scala.util.Try {
-            val r = SparkSession.active.read
-              .parquet(new HPath(path, p).toString)
-              .agg(max(col(RowId))).head()
-            if (r.isNullAt(0)) None else Some(r.getLong(0))
-          }.toOption.flatten
-        else None
-      reconcileMutationLog(path, p, maxRid)
-    }
+    // file-diff reconcile is one listing against the log's inventory
+    // (MaxValue = "a crashed append may exist anywhere — check"),
+    // reading only the orphan files themselves.
+    prev.foreach(p => reconcileMutationLog(path, p, Some(Long.MaxValue)))
+    writeCheckpoint(path, gen)
     appendCommitLog(path, gen, prev)
     val leased = leasedGenerations(path)
     f.listStatus(new HPath(path))
@@ -566,7 +583,8 @@ object IndexedStore {
         val n = s.getPath.getName
         n != gen && !kept.contains(n) && !leased.contains(n) &&
           n != ManifestFile && n != WriterTokenFile && n != CommitLockFile &&
-          n != LeaseDir && n != LogDir && !(legacyGrace && !n.startsWith("gen-"))
+          n != LeaseDir && n != LogDir && n != CkptDir &&
+          !(legacyGrace && !n.startsWith("gen-"))
       }
       .foreach(s => f.delete(s.getPath, true))
     pruneCommitLog(path, (gen +: kept).toSet)
@@ -600,6 +618,17 @@ object IndexedStore {
     * a no-op. */
   private def pruneCommitLog(path: String, keptGens: Set[String]): Unit = {
     val f = hadoopFs(path)
+    // checkpoints live and die with their generation's log entries
+    val ck = new HPath(path, CkptDir)
+    if (f.exists(ck)) {
+      val CkName = """(gen-\d+)\.parquet""".r
+      f.listStatus(ck).map(_.getPath)
+        .filter(p => p.getName match {
+          case CkName(g) => !keptGens.contains(g)
+          case _ => false
+        })
+        .foreach(p => f.delete(p, true): Unit)
+    }
     val dir = new HPath(path, LogDir)
     if (!f.exists(dir)) return
     val EntryGen = """(gen-\d+)(?:-(?:append|delete)-\d+)?\.json""".r
@@ -638,10 +667,13 @@ object IndexedStore {
     // the max — Store's autoincrement) can never leak into it.
     val hi = Option(loadProps(new HPath(path, gen).toString)
       .getProperty("maxrowid")).getOrElse("null")
+    // `ckpt` promises the generation's file checkpoint is readable
+    // ([[writeCheckpoint]] ran first) — the gate readers and the
+    // reconcile use for every file-granular log feature.
     publishLogEntry(path, s"$gen.json",
       s"""{"seq":$seq,"gen":"$gen","prev":${
         prev.map(p => "\"" + p + "\"").getOrElse("null")
-      },"kind":"commit","sub":0,"hi":$hi}""")
+      },"kind":"commit","sub":0,"hi":$hi,"ckpt":1}""")
   }
 
   /** Publish one MUTATION entry (`kind` = `append` | `delete`) for the
@@ -722,27 +754,35 @@ object IndexedStore {
 
   /** CRASH RECOVERY for the mutation log (single-writer): a mutation's
     * data lands before its log entry publishes, so a crash in between
-    * leaves a change visible to store readers but absent from the CDC
-    * — and no later commit diff can emit it (both diff sides carry
-    * it). Heal by publishing CATCH-UP entries for anything readable
-    * but unlogged: tombstone files no delete entry names, and — when
-    * `actualMaxRowId` is known — the rowid run past the log's covered
-    * high-water mark (a crashed append; visible rows imply the batch
-    * fully landed, Spark's job-commit protocol). Mutation paths call
-    * this with the facts they already have for free (the append's own
-    * lo, the delete's directory listing); [[commitAndSweep]] calls it
-    * with a one-column scan of the outgoing generation, so EVERY
-    * crash window heals at the next commit at the latest. Catch-up
-    * entries restore the NET state, not the original mutation order
-    * (delete-before-append is possible where the crash interleaved
-    * them the other way); signed folds commute, so consumers
-    * converge regardless. No-op for a legacy-format generation (no
-    * mutation entries there at all). */
+    * leaves a change on disk but absent from the CDC — and no later
+    * commit diff can emit it (both diff sides carry it). Heal by
+    * publishing CATCH-UP entries for anything landed but unlogged:
+    * tombstone files no delete entry names, and the data files the
+    * checkpoint + logged appends don't cover (a crashed append; the
+    * files imply the batch fully landed, Spark's job-commit
+    * protocol). The file diff is one directory listing against the
+    * log's inventory — never a corpus scan; only the orphan files
+    * themselves are read, for the catch-up entry's rowid range.
+    * `appendFloor` is the caller's free bound on where a crashed
+    * append's rows could end: [[append]] passes its own batch's
+    * `lo - 1` (a gap exists iff that exceeds the covered high-water
+    * mark — the common no-crash case skips the diff entirely),
+    * [[commitAndSweep]] passes `Long.MaxValue` ("unknown — check"),
+    * [[delete]] passes None (tombstone catch-up only). So EVERY crash
+    * window heals at the next commit at the latest — and because
+    * reads now go THROUGH the log ([[logView]]), an unlogged change
+    * is simply invisible until its catch-up publishes: readers and
+    * CDC can never disagree. Catch-up entries restore the NET state,
+    * not the original mutation order (delete-before-append is
+    * possible where the crash interleaved them the other way); signed
+    * folds commute, so consumers converge regardless. No-op for a
+    * legacy-format generation (no mutation entries there at all). */
   private def reconcileMutationLog(rootPath: String, gen: String,
-      actualMaxRowId: Option[Long]): Unit = {
+      appendFloor: Option[Long]): Unit = {
     val entries = genLogEntries(rootPath, gen)
     coveredHi(entries, gen).foreach { covered =>
       val f = hadoopFs(rootPath)
+      val genPath = new HPath(rootPath, gen).toString
       val tdir = new HPath(new HPath(rootPath, gen), TombstoneDir)
       val actual =
         if (!f.exists(tdir)) Set.empty[String]
@@ -752,9 +792,20 @@ object IndexedStore {
       if (orphaned.nonEmpty)
         publishMutationEntry(rootPath, gen, "delete",
           s""""files":"${orphaned.mkString(",")}"""")
-      actualMaxRowId.filter(_ > covered).foreach { max =>
-        publishMutationEntry(rootPath, gen, "append",
-          s""""lo":${covered + 1},"hi":$max""")
+      if (ckptFormat(entries, gen) && appendFloor.exists(_ > covered)) {
+        val spark = SparkSession.active
+        val coveredFiles = checkpointFiles(spark, rootPath, gen).toSet ++
+          loggedAppendFiles(entries)
+        val orphanData = listDataFiles(genPath).filterNot(coveredFiles)
+        if (orphanData.nonEmpty) {
+          val r = spark.read.option("basePath", genPath)
+            .parquet(orphanData.map(x => s"$genPath/$x"): _*)
+            .agg(min(col(RowId)), max(col(RowId))).head()
+          if (!r.isNullAt(0))
+            publishMutationEntry(rootPath, gen, "append",
+              s""""lo":${r.getLong(0)},"hi":${r.getLong(1)},""" +
+                s""""files":"${orphanData.mkString(",")}"""")
+        }
       }
     }
   }
@@ -781,6 +832,96 @@ object IndexedStore {
     * target — see [[graft.streaming.StoreStream]]). */
   def commitLogDir(rootPath: String): String =
     new HPath(rootPath, LogDir).toString
+
+  // ------------------------------------------- read-through-log view
+
+  /** Every DATA file currently under a generation dir (relative
+    * paths, `__bucket=N/part-....parquet`), hidden/_-prefixed
+    * segments excluded — the facts a checkpoint records and the
+    * reconcile diffs against. Files appear here only after Spark's
+    * job commit (tasks write under `_temporary`, excluded), the same
+    * visibility the whole crash-recovery contract rests on. */
+  private def listDataFiles(genPath: String): Seq[String] = {
+    val f = hadoopFs(genPath)
+    val root = f.makeQualified(new HPath(genPath))
+    if (!f.exists(root)) return Seq.empty
+    val prefix = root.toString + "/"
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = f.listFiles(root, true)
+    while (it.hasNext) {
+      val full = it.next().getPath.toString
+      if (full.startsWith(prefix)) {
+        val rel = full.stripPrefix(prefix)
+        val segs = rel.split("/")
+        // the bucket partition dir itself is `_`-prefixed by design;
+        // the hidden-file exclusion applies BELOW it (tmp files,
+        // _SUCCESS markers, crashed jobs' _temporary trees)
+        if (segs.head.startsWith(s"$BucketCol=") && rel.endsWith(".parquet") &&
+            !segs.tail.exists(s => s.startsWith("_") || s.startsWith(".")))
+          buf += rel
+      }
+    }
+    buf.toSeq.sorted
+  }
+
+  private def checkpointPath(rootPath: String, gen: String): String =
+    new HPath(new HPath(rootPath, CkptDir), s"$gen.parquet").toString
+
+  /** Snapshot the generation's data-file inventory into its
+    * [[CkptDir]] checkpoint — called inside the commit, BEFORE the
+    * commit entry publishes, so an entry carrying `"ckpt":1` promises
+    * a readable checkpoint (entry-iff-ready, like every other log
+    * artifact). One listing per commit; readers never list again. */
+  private def writeCheckpoint(rootPath: String, gen: String): Unit = {
+    val spark = SparkSession.active
+    val files = listDataFiles(new HPath(rootPath, gen).toString)
+    spark.createDataset(files)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("path").coalesce(1)
+      .write.mode("overwrite").parquet(checkpointPath(rootPath, gen))
+  }
+
+  private def checkpointFiles(spark: SparkSession, rootPath: String,
+      gen: String): Seq[String] =
+    spark.read.parquet(checkpointPath(rootPath, gen))
+      .collect().map(_.getString(0)).toSeq
+
+  /** True when `gen`'s commit entry promises a file checkpoint —
+    * the gate for every file-granular log feature (read-through-log,
+    * file-diff reconcile, append file tracking). */
+  private def ckptFormat(entries: Seq[(String, String)], gen: String): Boolean =
+    entries.exists { case (n, b) =>
+      n == s"$gen.json" && b.contains("\"ckpt\":1")
+    }
+
+  /** Data files named by `gen`'s logged append entries (own and
+    * catch-up alike). */
+  private def loggedAppendFiles(entries: Seq[(String, String)]): Set[String] = {
+    val FilesRe = """"files":"([^"]*)"""".r
+    entries.iterator.filter(_._1.contains("-append-")).flatMap { case (_, b) =>
+      FilesRe.findFirstMatchIn(b).toSeq.flatMap(_.group(1).split(",").toSeq)
+    }.filter(_.nonEmpty).toSet
+  }
+
+  /** The log-resolved view of one generation: exactly the data files
+    * the commit checkpoint + logged appends cover, and the tombstone
+    * files the logged deletes name. None when the generation predates
+    * file tracking (legacy store, pre-checkpoint commit entry, or a
+    * crashed commit whose entry never published) — the reader then
+    * falls back to directory listing, the pre-checkpoint behavior. */
+  private[graft] final case class LogView(dataFiles: Seq[String],
+      tombstoneFiles: Seq[String])
+
+  private def logView(spark: SparkSession, rootPath: String,
+      gen: String): Option[LogView] = {
+    if (!java.lang.Boolean.parseBoolean(
+        spark.conf.get("graft.store.logRead", "true"))) return None
+    val entries = genLogEntries(rootPath, gen)
+    if (!ckptFormat(entries, gen)) None
+    else Some(LogView(
+      (checkpointFiles(spark, rootPath, gen) ++
+        loggedAppendFiles(entries)).distinct.sorted,
+      loggedTombstoneFiles(entries).toSeq.sorted))
+  }
 
   /** Write `df` (which must carry a `__rowid` column, e.g. from
     * [[graft.core.Store]]) under `path` laid out by `primary`.
@@ -1208,9 +1349,25 @@ object IndexedStore {
     * the generation until release or TTL expiry. (The reference gets
     * this for free from ownership — a borrowed `Store` cannot be
     * invalidated, lib.rs — the distributed analog has to be an
-    * explicit lease.) */
+    * explicit lease.)
+    *
+    * Reads go THROUGH the commit log where one exists ([[logView]]):
+    * the handle's file set comes from the generation's checkpoint +
+    * logged mutation entries, never a data-directory listing — a file
+    * is visible IFF its entry published, closing the crash window by
+    * construction (`graft.store.logRead=false` forces the listing
+    * fallback; legacy stores always use it). The resolved view makes
+    * the handle a consistent SNAPSHOT: in-generation mutations that
+    * land after open() are not visible through it (open again to see
+    * them) — the distributed analog of the reference's borrow rule
+    * that no mutation can happen while a shared `&Store` is live. */
   def open(spark: SparkSession, path: String): OpenStore =
-    new OpenStore(spark, resolve(path))
+    currentGenName(path) match {
+      case Some(g) =>
+        new OpenStore(spark, new HPath(path, g).toString,
+          logView(spark, path, g))
+      case None => new OpenStore(spark, path, None)
+    }
 
   /** Time travel: open a NAMED generation (one of [[generations]])
     * instead of the one the manifest points at. Every generation is a
@@ -1224,14 +1381,36 @@ object IndexedStore {
         "— commit sweeps keep only the retention window (setRetention) " +
         "plus leased generations (openLeased); this one is not on disk " +
         "in the committed chain")
-    new OpenStore(spark, new HPath(rootPath, gen).toString)
+    new OpenStore(spark, new HPath(rootPath, gen).toString,
+      logView(spark, rootPath, gen))
   }
 
-  /** An opened store: sidecar + file listings resolved once, probes
-    * plan against reused readers. */
-  final class OpenStore private[IndexedStore] (spark: SparkSession, path: String) {
+  /** An opened store: sidecar + file inventory resolved once, probes
+    * plan against reused readers. With a [[LogView]] the base frame
+    * reads exactly the logged files (basePath keeps the bucket
+    * partition column parseable) and tombstones come from the logged
+    * delete entries; without one (legacy store, pre-checkpoint
+    * generation) both fall back to directory listing. */
+  final class OpenStore private[IndexedStore] (spark: SparkSession, path: String,
+      view: Option[LogView]) {
     private val props = loadProps(path)
-    private val base = spark.read.parquet(path)
+    private val base = view match {
+      case Some(v) if v.dataFiles.nonEmpty =>
+        spark.read.option("basePath", path)
+          .parquet(v.dataFiles.map(f => s"$path/$f"): _*)
+      // a generation committed empty with no logged appends has no
+      // files to hand the reader; the directory read reproduces the
+      // pre-checkpoint behavior (schema from whatever is there)
+      case _ => spark.read.parquet(path)
+    }
+    private def antiTs(df: DataFrame): DataFrame = view match {
+      case Some(v) if v.tombstoneFiles.isEmpty => df
+      case Some(v) =>
+        val ts = spark.read.parquet(
+          v.tombstoneFiles.map(f => s"$path/$TombstoneDir/$f"): _*)
+        df.join(broadcast(ts), Seq(RowId), "left_anti")
+      case None => antiTombstone(spark, path, df)
+    }
     private val postings = scala.collection.mutable.Map.empty[String, DataFrame]
     private def posting(c: String): DataFrame =
       postings.getOrElseUpdate(c, spark.read.parquet(postingDir(path, c)))
@@ -1341,7 +1520,7 @@ object IndexedStore {
           case None => base
         }
     }
-    val live = antiTombstone(spark, path, pruned)
+    val live = antiTs(pruned)
     live.filter(graft.core.Condition.all(conds)).drop(BucketCol)
     }
 
@@ -1409,7 +1588,7 @@ object IndexedStore {
             .filter(col(BucketCol) === pmod(hash(typed), lit(n)))
             .withColumnRenamed("__key", c)
             .filter(col(c) === typed)
-          antiTombstone(spark, path, rows)
+          antiTs(rows)
             .filter(graft.core.Condition.all(conds))
             .select(projection.map(col): _*)
         case None =>
@@ -1437,6 +1616,38 @@ object IndexedStore {
     val path = resolve(rootPath)
     val props = loadProps(path)
     val layout = props.getProperty("layout").split(":", 3)
+    // one pass for the stats refresh AND the CDC entry's rowid range
+    // (an appended batch is a contiguous rowid run — Store numbers
+    // inserts after the current max); computed from the INPUT, before
+    // any write, so the numbering contract rejects a bad batch with
+    // nothing landed and the crash-recovery reconcile below cannot
+    // mistake this batch's own files for a crashed predecessor's
+    val stats = df.agg(count(lit(1)), min(col(RowId)), max(col(RowId))).head()
+    val genOpt = currentGenName(rootPath)
+    val tracked = genOpt.exists(g =>
+      ckptFormat(genLogEntries(rootPath, g), g))
+    if (stats.getLong(0) > 0L) {
+      val (n, lo, hi) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+      // the CDC entry PUBLISHES [lo,hi] as the batch — a gappy or
+      // overlapping batch would silently stream foreign rows, so the
+      // Store.insert numbering contract is enforced, not assumed
+      require(n == hi - lo + 1, s"append batch rowids must be one " +
+        s"contiguous run ($n rows over [$lo,$hi]) — the Store.insert " +
+        "numbering contract the CDC entry publishes")
+      genOpt.foreach { gen =>
+        val covered = coveredHi(genLogEntries(rootPath, gen), gen)
+        require(covered.forall(lo > _), s"append batch [$lo,$hi] " +
+          s"overlaps rowids the log already covers (≤${covered.getOrElse(-1L)})")
+        // free crash-recovery check: this batch's lo bounds any
+        // unlogged predecessor run (a crashed earlier append)
+        reconcileMutationLog(rootPath, gen, Some(lo - 1))
+      }
+    }
+    // file tracking: the listing diff around the data write is what
+    // the append entry names, making the appended files visible to
+    // log-gated readers (a production impl would capture them from
+    // the committer's task manifests instead of a second LIST)
+    val before = if (tracked) listDataFiles(path).toSet else Set.empty[String]
     val out = layout(0) match {
       case "hash" =>
         df.withColumn(BucketCol, pmod(hash(col(layout(1))), lit(layout(2).toInt)))
@@ -1452,6 +1663,9 @@ object IndexedStore {
           .sortWithinPartitions(col(colsN.head))
     }
     out.write.mode("append").partitionBy(BucketCol).parquet(path)
+    val added =
+      if (tracked) (listDataFiles(path).toSet -- before).toSeq.sorted
+      else Seq.empty[String]
     // Maintain every secondary posting index and bloom sidecar,
     // mirroring the reference's on-insert index updates
     // (lib.rs:178-187).
@@ -1459,31 +1673,15 @@ object IndexedStore {
       writePostings(df, path, c, n, inc, overwrite = false)
     }
     bloomColumns(props).foreach(c => writeBloom(out, path, c, overwrite = false))
-    // one pass for the stats refresh AND the CDC entry's rowid range
-    // (an appended batch is a contiguous rowid run — Store numbers
-    // inserts after the current max)
-    val stats = df.agg(count(lit(1)), min(col(RowId)), max(col(RowId))).head()
     props.setProperty("rows", (props.getProperty("rows").toLong + stats.getLong(0)).toString)
     storeProps(props, path)
     // the append-level CDC record, published only once everything the
     // entry promises (data, postings, blooms, stats) is on disk
     if (stats.getLong(0) > 0L) {
-      val (n, lo, hi) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
-      // the CDC entry PUBLISHES [lo,hi] as the batch — a gappy or
-      // overlapping batch would silently stream foreign rows, so the
-      // Store.insert numbering contract is enforced, not assumed
-      require(n == hi - lo + 1, s"append batch rowids must be one " +
-        s"contiguous run ($n rows over [$lo,$hi]) — the Store.insert " +
-        "numbering contract the CDC entry publishes")
-      currentGenName(rootPath).foreach { gen =>
-        val covered = coveredHi(genLogEntries(rootPath, gen), gen)
-        require(covered.forall(lo > _), s"append batch [$lo,$hi] " +
-          s"overlaps rowids the log already covers (≤${covered.getOrElse(-1L)})")
-        // free crash-recovery check: this batch's lo bounds any
-        // unlogged predecessor run (a crashed earlier append)
-        reconcileMutationLog(rootPath, gen, Some(lo - 1))
-      }
-      appendMutationLog(rootPath, "append", s""""lo":$lo,"hi":$hi""")
+      val (lo, hi) = (stats.getLong(1), stats.getLong(2))
+      val filesField =
+        if (added.nonEmpty) s""","files":"${added.mkString(",")}"""" else ""
+      appendMutationLog(rootPath, "append", s""""lo":$lo,"hi":$hi$filesField""")
     }
   }
 

@@ -100,6 +100,14 @@ class ClassifySpec extends SparkSpec {
       val m2 = Classify.train(spark, feats, nDocs)
       assert(m1.weights.sameElements(m2.weights) && m1.losses == m2.losses,
         "L-BFGS must stay bit-deterministic")
+      // the §16 Wolfe-search measurement: a stricter (Wolfe) accept
+      // rule only pays when plain backtracking shrinks or rejects
+      // steps the curvature condition would have kept — record the
+      // accepted step trace; if it is ~all 1.0 (the well-scaled
+      // two-loop direction accepting its natural step), a Wolfe
+      // search has nothing to improve here
+      assert(m1.steps.length == Classify.LbfgsEpochs)
+      info(s"accepted L-BFGS steps: ${m1.steps.mkString(", ")}")
     } finally spark.conf.unset("graft.classify.hessian")
   }
 

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.core.{Condition, Store, Tables}
+import graft.storage.{HashIndex, IndexedStore}
+import graft.streaming.StoreStream
+
+/** Read-through-log: a store reader's file set comes from the commit
+  * log (the commit's file checkpoint + logged mutation entries), not
+  * a data-directory listing — so a file is visible IFF its log entry
+  * published, the same entry-iff-committed discipline the CDC stream
+  * already pins, now extended to batch reads. These tests pin the
+  * "iff" in both directions (an unlogged append is INVISIBLE until
+  * its catch-up entry heals it; an unlogged delete does not hide
+  * rows), the exact file inventory (via `inputFiles`), the legacy
+  * fallback, and the log-vs-listing equivalence on a store with a
+  * long mutation tail. */
+class LogViewSpec extends SparkSpec {
+
+  private def freshRoot(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_logview_$tag")
+    d.toFile.deleteOnExit()
+    d.resolve("store").toString
+  }
+
+  private def rids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select(IndexedStore.RowId).collect().map(_.getLong(0)).toSet
+
+  private def logDir(path: String) = new java.io.File(s"$path/_graft_log")
+
+  test("an unlogged (crashed) append is invisible until its catch-up entry heals it") {
+    val path = freshRoot("crashapp")
+    val (base, appended0) = StoreStream.mutationHalves(spark, sf)
+    val appended = appended0.cache()
+    try {
+      IndexedStore.write(base, path, HashIndex("c_mktsegment", 4))
+      IndexedStore.append(appended, path)
+      // simulate the crash window: the append's data landed but its
+      // log entry never published
+      logDir(path).listFiles().filter(_.getName.contains("-append-"))
+        .foreach(f => assert(f.delete()))
+      val baseRids = rids(base.select(IndexedStore.RowId))
+      val appRids = rids(appended.select(IndexedStore.RowId))
+      assert(rids(IndexedStore.open(spark, path).find(Nil)) == baseRids,
+        "a log-gated reader must NOT see the unlogged append's rows")
+      // the next commit's reconcile publishes the catch-up entry...
+      IndexedStore.compact(spark, path)
+      // ...so readers and CDC converge on the healed state
+      assert(rids(IndexedStore.open(spark, path).find(Nil)) == baseRids ++ appRids,
+        "after the reconcile the appended rows are visible again")
+    } finally appended.unpersist(): Unit
+  }
+
+  test("an unlogged (crashed) delete does not hide rows; the reconcile applies it") {
+    val path = freshRoot("crashdel")
+    val data = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey")).data
+    IndexedStore.write(data, path, HashIndex("c_mktsegment", 4))
+    val all = rids(IndexedStore.open(spark, path).find(Nil))
+    IndexedStore.delete(spark, path, Seq(Condition.eq("c_mktsegment", "MACHINERY")))
+    val machinery = rids(data.filter(col("c_mktsegment") === "MACHINERY"))
+    assert(rids(IndexedStore.open(spark, path).find(Nil)) == all -- machinery)
+    // crash window: tombstones landed, entry lost
+    logDir(path).listFiles().filter(_.getName.contains("-delete-"))
+      .foreach(f => assert(f.delete()))
+    assert(rids(IndexedStore.open(spark, path).find(Nil)) == all,
+      "tombstones apply IFF logged — an unlogged delete must not hide rows")
+    // any later mutation's reconcile (here: another delete) heals it
+    IndexedStore.delete(spark, path, Seq(Condition.eq("c_mktsegment", "FURNITURE")))
+    val furniture = rids(data.filter(col("c_mktsegment") === "FURNITURE"))
+    assert(rids(IndexedStore.open(spark, path).find(Nil)) ==
+      all -- machinery -- furniture,
+      "the reconcile republishes the orphaned tombstone files")
+  }
+
+  test("the reader's file inventory is exactly checkpoint + logged appends") {
+    val path = freshRoot("inventory")
+    val (base, appended) = StoreStream.mutationHalves(spark, sf)
+    IndexedStore.write(base, path, HashIndex("c_mktsegment", 4))
+    IndexedStore.append(appended, path)
+    val gen = IndexedStore.generations(path).last
+    val genDir = new java.io.File(s"$path/$gen")
+    // ground truth: every data part-file physically under the gen dir
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val physical = walk(genDir)
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .filter(_.getPath.contains("/__bucket="))
+      .map(_.getCanonicalPath).toSet
+    val read = IndexedStore.open(spark, path).find(Nil).inputFiles
+      .map(p => new java.io.File(new java.net.URI(p).getPath).getCanonicalPath)
+      .toSet
+    assert(read == physical,
+      "log-resolved inventory diverged from the physical data files")
+  }
+
+  test("a legacy (pre-manifest) store still reads through the listing fallback") {
+    val path = freshRoot("legacy")
+    val data = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey")).data
+    IndexedStore.writeLegacyForTest(data, path, HashIndex("c_mktsegment", 4))
+    assert(rids(IndexedStore.open(spark, path).find(Nil)) == rids(data))
+  }
+
+  test("log-gated and listing reads agree after a long mutation tail (and the gated open never lists data files)") {
+    // the §16-3 measuring fixture: many small appends → many part
+    // files and log entries; both read modes must serve the same
+    // state, and the gated mode resolves its inventory from ONE
+    // checkpoint + the entries instead of a recursive directory LIST
+    // (at object-store scale the listing is the dominating metadata
+    // cost; locally we record the wall ratio informationally).
+    val path = freshRoot("tail")
+    val data = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey")).data.cache()
+    try {
+      val n = data.count()
+      IndexedStore.write(data, path, HashIndex("c_mktsegment", 4))
+      val batches = 12
+      (0 until batches).foreach { i =>
+        val b = data.limit(10).drop(IndexedStore.RowId)
+        val renum = Store.fromData(b, Seq("c_custkey")).data
+          .withColumn(IndexedStore.RowId, col(IndexedStore.RowId) + (n + 10L * i))
+          .coalesce(1)
+        IndexedStore.append(renum, path)
+      }
+      def timedCount(logRead: Boolean): (Long, Double) = {
+        spark.conf.set("graft.store.logRead", logRead.toString)
+        val t = System.nanoTime()
+        val c = IndexedStore.open(spark, path).find(Nil).count()
+        (c, (System.nanoTime() - t) / 1e9)
+      }
+      try {
+        val (cGated, tGated) = timedCount(logRead = true)
+        val (cListed, tListed) = timedCount(logRead = false)
+        assert(cGated == n + 10L * batches && cGated == cListed,
+          "the two read modes must serve identical state")
+        info(f"open+count with ${batches + 1} mutations: " +
+          f"log-gated $tGated%.2fs vs listing $tListed%.2fs")
+      } finally spark.conf.set("graft.store.logRead", "true")
+    } finally data.unpersist(): Unit
+  }
+
+  test("sc_log_read matches an independent recompute of the net state") {
+    val got = graft.operators.StorageOps.scLogRead(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val cust = Tables(spark, sf).customer
+    val (base, appended) = StoreStream.mutationHalves(spark, sf)
+    val expect = (base.collect() ++ appended.collect())
+      .map(r => (r.getAs[Long](IndexedStore.RowId), r.getAs[Long]("c_custkey"),
+        r.getAs[String]("c_mktsegment")))
+      .filter(_._3 != "MACHINERY").sortBy(_._1)
+    assert(got.toSeq == expect.toSeq)
+    assert(got.length < cust.count(), "the delete removed something")
+  }
+}

@@ -170,7 +170,13 @@ class StorageSpec extends SparkSpec {
     assert(fb.count() == viaBase.count())
     // tombstones exclude rows from covering reads exactly as from base
     IndexedStore.delete(spark, path, conds)
-    assert(h.findCovering(conds, proj).count() == 0,
+    // an open handle is a SNAPSHOT (its file view resolved from the
+    // commit log at open): the pre-delete handle keeps serving the
+    // state it opened...
+    assert(h.findCovering(conds, proj).count() == viaBase.count(),
+      "an open handle must serve its open-time snapshot")
+    // ...and a fresh open observes the delete
+    assert(IndexedStore.open(spark, path).findCovering(conds, proj).count() == 0,
       "covering read served tombstoned rows")
   }
 
