@@ -310,7 +310,7 @@ object Retrieval {
       .select(col("qid"), col("doc_id"), col("rk").as("rl"))
     // vector arm: same seed ids over the id-aligned embeddings table
     val e = Similarity.withUnit(
-      Tables.spread(Tables(spark, dir).embeddings), "embedding", "u")
+      Similarity.embSpread(spark, dir), "embedding", "u")
     val qv = e.filter(col("vec_id") % Bm25QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("u").as("qv"))
     val scored = e.select(col("vec_id").as("neighbor_id"), col("u").as("nv"))

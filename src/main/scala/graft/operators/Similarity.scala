@@ -38,7 +38,7 @@ object Similarity {
     * scoring pipelines never run in one task — see [[Tables.spread]]
     * for the conditional no-shuffle-at-scale semantics, on which the
     * "corpus never shuffles" claims below rest. */
-  private def embSpread(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def embSpread(spark: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables(spark, dir).embeddings)
 
   /** Adds `unitCol`: the vector scaled to unit L2 norm (double).

@@ -54,7 +54,7 @@ object StorageOps {
       "sc_index_secondary", "sc_index_covering", "sc_index_add",
       "sc_bloom_probe", "sc_zorder",
       "sc_hilbert", "sc_zorder3", "sc_compacted", "sc_time_travel",
-      "sc_gen_diff", "sc_bucketed_join", "sc_schema_evolution")
+      "sc_gen_diff", "sc_log_read", "sc_bucketed_join", "sc_schema_evolution")
       .foreach(q => queries(q)(spark, dir).write.format("noop").mode("overwrite").save())
   }
 

@@ -792,19 +792,61 @@ object IndexedStore {
       if (orphaned.nonEmpty)
         publishMutationEntry(rootPath, gen, "delete",
           s""""files":"${orphaned.mkString(",")}"""")
-      if (ckptFormat(entries, gen) && appendFloor.exists(_ > covered)) {
-        val spark = SparkSession.active
-        val coveredFiles = checkpointFiles(spark, rootPath, gen).toSet ++
-          loggedAppendFiles(entries)
-        val orphanData = listDataFiles(genPath).filterNot(coveredFiles)
-        if (orphanData.nonEmpty) {
-          val r = spark.read.option("basePath", genPath)
-            .parquet(orphanData.map(x => s"$genPath/$x"): _*)
-            .agg(min(col(RowId)), max(col(RowId))).head()
-          if (!r.isNullAt(0))
+      if (ckptFormat(entries, gen)) {
+        if (appendFloor.exists(_ > covered)) {
+          val spark = SparkSession.active
+          val coveredFiles = checkpointFiles(spark, rootPath, gen).toSet ++
+            loggedAppendFiles(entries)
+          val orphanData = listDataFiles(genPath).filterNot(coveredFiles)
+          // per-file rowid ranges (one tiny agg per orphan — crash
+          // debris is rare and small by construction): HEAL files whose
+          // whole range lies past the covered mark; files whose whole
+          // range is ALREADY covered are a duplicate write the log never
+          // acknowledged (a recovering writer re-numbered its retry off
+          // the log's high-water mark while the crashed copy's files
+          // still sat on disk) — publishing them would double-serve
+          // those rowids to every log reader and double-emit them in the
+          // CDC, so they are DELETED instead: the log is authoritative,
+          // and an unlogged file the log already covers can only ever be
+          // debris. Rowless orphans (an aborted empty write) are debris
+          // too. A range STRADDLING the mark is impossible under the
+          // contiguous-run append contract; if one ever appears it is
+          // left untouched (invisible to log readers, surfaced again by
+          // every future reconcile) rather than guessed at.
+          val ranged = orphanData.map { rel =>
+            val r = spark.read.parquet(s"$genPath/$rel")
+              .agg(min(col(RowId)), max(col(RowId))).head()
+            (rel, if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1))))
+          }
+          val heal = ranged.collect { case (rel, Some((lo, hi))) if lo > covered => (rel, lo, hi) }
+          val debris = ranged.collect {
+            case (rel, None) => rel
+            case (rel, Some((_, hi))) if hi <= covered => rel
+          }
+          debris.foreach(rel =>
+            f.delete(new HPath(genPath, rel), false): Unit)
+          if (heal.nonEmpty)
             publishMutationEntry(rootPath, gen, "append",
-              s""""lo":${r.getLong(0)},"hi":${r.getLong(1)},""" +
-                s""""files":"${orphanData.mkString(",")}"""")
+              s""""lo":${heal.map(_._2).min},"hi":${heal.map(_._3).max},""" +
+                s""""files":"${heal.map(_._1).mkString(",")}"""")
+        }
+      } else {
+        // pre-checkpoint (kind-format, no file inventory) generation:
+        // keep the original rowid-based heal — the appending caller's
+        // free bound directly, or (at commit, floor = MaxValue) one
+        // one-column scan for the actual high-water mark — catch-up
+        // anchored at covered+1 as before
+        val actualMax = appendFloor match {
+          case Some(Long.MaxValue) => scala.util.Try {
+            val r = SparkSession.active.read.parquet(genPath)
+              .agg(max(col(RowId))).head()
+            if (r.isNullAt(0)) None else Some(r.getLong(0))
+          }.toOption.flatten
+          case other => other
+        }
+        actualMax.filter(_ > covered).foreach { max =>
+          publishMutationEntry(rootPath, gen, "append",
+            s""""lo":${covered + 1},"hi":$max""")
         }
       }
     }
@@ -1398,10 +1440,14 @@ object IndexedStore {
       case Some(v) if v.dataFiles.nonEmpty =>
         spark.read.option("basePath", path)
           .parquet(v.dataFiles.map(f => s"$path/$f"): _*)
-      // a generation committed empty with no logged appends has no
-      // files to hand the reader; the directory read reproduces the
-      // pre-checkpoint behavior (schema from whatever is there)
-      case _ => spark.read.parquet(path)
+      // a generation committed empty with no logged appends: serve an
+      // EMPTY frame, not a directory fallback — any parquet physically
+      // there is by definition unlogged (a crashed append), and the
+      // visible-iff-logged contract must hold in exactly that window;
+      // schema comes from whatever the directory holds when inferable
+      // (a truly file-less directory fails the read, as it always did)
+      case Some(_) => spark.read.parquet(path).filter(lit(false))
+      case None => spark.read.parquet(path)
     }
     private def antiTs(df: DataFrame): DataFrame = view match {
       case Some(v) if v.tombstoneFiles.isEmpty => df
@@ -1411,7 +1457,22 @@ object IndexedStore {
         df.join(broadcast(ts), Seq(RowId), "left_anti")
       case None => antiTombstone(spark, path, df)
     }
-    private val postings = scala.collection.mutable.Map.empty[String, DataFrame]
+    // Posting frames are resolved AT OPEN (spark.read.parquet lists
+    // the posting dir and pins its file index immediately), so the
+    // handle's snapshot contract covers the covering-read path too —
+    // lazily-resolved postings would surface a post-open append's
+    // posting files through findCovering while find() hides its data
+    // files. A posting dir that fails to load at open (e.g. an index
+    // whose backfill is racing) falls back to lazy resolution, the
+    // pre-snapshot behavior.
+    private val postings = {
+      val m = scala.collection.mutable.Map.empty[String, DataFrame]
+      secondaryColumns(props).foreach { case (c, _, _) =>
+        scala.util.Try(spark.read.parquet(postingDir(path, c)))
+          .foreach(df => m(c) = df)
+      }
+      m
+    }
     private def posting(c: String): DataFrame =
       postings.getOrElseUpdate(c, spark.read.parquet(postingDir(path, c)))
 
@@ -1623,9 +1684,11 @@ object IndexedStore {
     // nothing landed and the crash-recovery reconcile below cannot
     // mistake this batch's own files for a crashed predecessor's
     val stats = df.agg(count(lit(1)), min(col(RowId)), max(col(RowId))).head()
-    val genOpt = currentGenName(rootPath)
-    val tracked = genOpt.exists(g =>
-      ckptFormat(genLogEntries(rootPath, g), g))
+    // ONE log-dir read serves the format check and the high-water
+    // mark; only the (rare) crash-recovery reconcile re-lists
+    val genEntries = currentGenName(rootPath)
+      .map(g => (g, genLogEntries(rootPath, g)))
+    val tracked = genEntries.exists { case (g, es) => ckptFormat(es, g) }
     if (stats.getLong(0) > 0L) {
       val (n, lo, hi) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
       // the CDC entry PUBLISHES [lo,hi] as the batch — a gappy or
@@ -1634,13 +1697,15 @@ object IndexedStore {
       require(n == hi - lo + 1, s"append batch rowids must be one " +
         s"contiguous run ($n rows over [$lo,$hi]) — the Store.insert " +
         "numbering contract the CDC entry publishes")
-      genOpt.foreach { gen =>
-        val covered = coveredHi(genLogEntries(rootPath, gen), gen)
+      genEntries.foreach { case (gen, es) =>
+        val covered = coveredHi(es, gen)
         require(covered.forall(lo > _), s"append batch [$lo,$hi] " +
           s"overlaps rowids the log already covers (≤${covered.getOrElse(-1L)})")
         // free crash-recovery check: this batch's lo bounds any
-        // unlogged predecessor run (a crashed earlier append)
-        reconcileMutationLog(rootPath, gen, Some(lo - 1))
+        // unlogged predecessor run (a crashed earlier append); skipped
+        // entirely when the bound proves no gap exists
+        if (covered.exists(c => lo - 1 > c))
+          reconcileMutationLog(rootPath, gen, Some(lo - 1))
       }
     }
     // file tracking: the listing diff around the data write is what
@@ -1784,7 +1849,15 @@ object IndexedStore {
     val cur = resolve(rootPath)
     val props = loadProps(cur)
     val layout = props.getProperty("layout").split(":", 3)
-    val live = antiTombstone(spark, cur, spark.read.parquet(cur)).drop(BucketCol)
+    // Heal the outgoing generation FIRST, then rebuild from the
+    // log-gated view: catch-ups make crashed-but-unlogged mutations
+    // part of the net state before the read, and crash DEBRIS the
+    // reconcile swept (duplicate rowids the log already covers) can
+    // never be resurrected into the new generation — a directory read
+    // here would bake such duplicates in permanently.
+    currentGenName(rootPath).foreach(g =>
+      reconcileMutationLog(rootPath, g, Some(Long.MaxValue)))
+    val live = open(spark, rootPath).find(Nil)
     val spec: IndexSpec = layout(0) match {
       case "hash" => HashIndex(layout(1), layout(2).toInt)
       case "range" => RangeIndex(layout(1))

@@ -72,6 +72,59 @@ class LogViewSpec extends SparkSpec {
       "the reconcile republishes the orphaned tombstone files")
   }
 
+  test("a re-numbered retry after a crashed append never double-serves rowids") {
+    // the recovery flow read-through-log creates: an append's files
+    // land, its entry is lost, and the recovering writer re-numbers
+    // its retry off the log's high-water mark — writing the SAME
+    // rowids again. The crashed copy must stay invisible, and the
+    // next commit's reconcile must sweep it as debris (publishing it
+    // would double-serve the range to readers and the CDC) rather
+    // than catch it up.
+    val path = freshRoot("retry")
+    val (base, appended0) = StoreStream.mutationHalves(spark, sf)
+    val appended = appended0.cache()
+    try {
+      IndexedStore.write(base, path, HashIndex("c_mktsegment", 4))
+      IndexedStore.append(appended, path)
+      logDir(path).listFiles().filter(_.getName.contains("-append-"))
+        .foreach(f => assert(f.delete()))
+      IndexedStore.append(appended, path) // the retry, same rowids
+      val want = rids(base) ++ rids(appended)
+      def allRids() = IndexedStore.open(spark, path).find(Nil)
+        .select(IndexedStore.RowId).collect().map(_.getLong(0)).toSeq
+      val got = allRids()
+      assert(got.toSet == want && got.length == want.size,
+        "the crashed duplicate copy leaked into a log-gated read")
+      IndexedStore.compact(spark, path)
+      val healed = allRids()
+      assert(healed.toSet == want && healed.length == want.size,
+        "the reconcile published or resurrected the duplicate copy " +
+          "instead of sweeping it as debris")
+    } finally appended.unpersist(): Unit
+  }
+
+  test("an empty-committed generation stays empty when unlogged files land") {
+    // the visible-iff-logged contract in the empty corner: the
+    // checkpoint lists zero files, so a crashed (unlogged) append's
+    // parquet in the directory must NOT surface through the reader's
+    // schema-only fallback
+    val path = freshRoot("emptygen")
+    val cust = Tables(spark, sf).customer
+    val empty = Store.fromData(cust.filter(col("c_custkey") < 0), Seq("c_custkey")).data
+    IndexedStore.write(empty, path, HashIndex("c_mktsegment", 4))
+    val batch = Store.fromData(cust, Seq("c_custkey")).data
+    IndexedStore.append(batch, path)
+    logDir(path).listFiles().filter(_.getName.contains("-append-"))
+      .foreach(f => assert(f.delete()))
+    assert(IndexedStore.open(spark, path).find(Nil).count() == 0,
+      "unlogged files surfaced through the empty-generation read")
+    // the commit-time heal makes them visible (min rowid past the
+    // empty generation's covered mark of -1 → a catch-up, not debris)
+    IndexedStore.compact(spark, path)
+    assert(rids(IndexedStore.open(spark, path).find(Nil)) == rids(batch),
+      "the reconcile failed to catch up the crashed append")
+  }
+
   test("the reader's file inventory is exactly checkpoint + logged appends") {
     val path = freshRoot("inventory")
     val (base, appended) = StoreStream.mutationHalves(spark, sf)
