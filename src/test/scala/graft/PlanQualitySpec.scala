@@ -621,4 +621,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"corpus-side shuffle join crept in:\n${p.take(2000)}")
   }
+
+  test("hybrid RRF fuses rank lists; each arm keeps its scan discipline") {
+    val p = plan("t_hybrid_rrf")
+    // vector arm: broadcast queries + per-partition bounded heap —
+    // the s_ann_brute plan; its ≠-condition broadcast join is the one
+    // tolerated nested loop (the algorithm, not a degeneracy)
+    assert(p.contains("MapPartitions"),
+      s"vector arm's per-partition top-k stage missing:\n${p.take(2000)}")
+    val bnlj = p.linesIterator.count(_.contains("- BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1 && !p.contains("CartesianProduct"),
+      s"fusion or lexical arm degenerated to nested loops ($bnlj):\n${p.take(2500)}")
+    // the fusion itself joins two rank lists — an equi-join, never a
+    // corpus-touching op
+    assert(p.contains("FullOuter"),
+      s"rank-list fusion join missing:\n${p.take(2000)}")
+  }
+
+  test("log-gated store read anti-joins logged tombstones via broadcast") {
+    val p = plan("sc_log_read")
+    assert(p.contains("LeftAnti"),
+      s"tombstone anti-join missing:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"tombstone set not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side shuffle join crept in:\n${p.take(2000)}")
+  }
 }
