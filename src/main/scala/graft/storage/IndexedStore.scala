@@ -883,9 +883,40 @@ object IndexedStore {
     * reconcile diffs against. Files appear here only after Spark's
     * job commit (tasks write under `_temporary`, excluded), the same
     * visibility the whole crash-recovery contract rests on. */
+  /** Keep a data file (relative path `__bucket=N/...`): the bucket
+    * partition dir itself is `_`-prefixed by design; the hidden-file
+    * exclusion applies BELOW it (tmp files, _SUCCESS markers, crashed
+    * jobs' _temporary trees). */
+  private def isDataFile(rel: String): Boolean = {
+    val segs = rel.split("/")
+    segs.head.startsWith(s"$BucketCol=") && rel.endsWith(".parquet") &&
+      !segs.tail.exists(s => s.startsWith("_") || s.startsWith("."))
+  }
+
   private def listDataFiles(genPath: String): Seq[String] = {
     val f = hadoopFs(genPath)
     val root = f.makeQualified(new HPath(genPath))
+    if (root.toUri.getScheme == "file") {
+      // local fast path: Hadoop's LocalFileSystem materializes a full
+      // (fork-per-file) permission-bearing status for every listed
+      // entry — ~10 ms/file, which turned each append's before/after
+      // diff into the dominant cost (measured). A plain java.io walk
+      // reads the same names in microseconds; remote filesystems
+      // (HDFS, s3a) keep the FileSystem listing below.
+      val base = new java.io.File(root.toUri.getPath)
+      if (!base.isDirectory) return Seq.empty
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      def walk(d: java.io.File, rel: String): Unit = {
+        val children = d.listFiles()
+        if (children != null) children.foreach { c =>
+          val r = if (rel.isEmpty) c.getName else s"$rel/${c.getName}"
+          if (c.isDirectory) walk(c, r)
+          else if (isDataFile(r)) buf += r
+        }
+      }
+      walk(base, "")
+      return buf.toSeq.sorted
+    }
     if (!f.exists(root)) return Seq.empty
     val prefix = root.toString + "/"
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -894,13 +925,7 @@ object IndexedStore {
       val full = it.next().getPath.toString
       if (full.startsWith(prefix)) {
         val rel = full.stripPrefix(prefix)
-        val segs = rel.split("/")
-        // the bucket partition dir itself is `_`-prefixed by design;
-        // the hidden-file exclusion applies BELOW it (tmp files,
-        // _SUCCESS markers, crashed jobs' _temporary trees)
-        if (segs.head.startsWith(s"$BucketCol=") && rel.endsWith(".parquet") &&
-            !segs.tail.exists(s => s.startsWith("_") || s.startsWith(".")))
-          buf += rel
+        if (isDataFile(rel)) buf += rel
       }
     }
     buf.toSeq.sorted
@@ -922,10 +947,28 @@ object IndexedStore {
       .write.mode("overwrite").parquet(checkpointPath(rootPath, gen))
   }
 
+  /** Driver-side checkpoint cache: a generation's checkpoint is
+    * IMMUTABLE once its commit entry exists (writeCheckpoint's only
+    * overwrite happens before the entry publishes, and every read
+    * here is gated on that entry), so caching by path is safe and
+    * saves one small Spark job per open on a hot store. Crudely
+    * bounded — a process opening hundreds of distinct stores clears
+    * and refills. */
+  private val ckptCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
   private def checkpointFiles(spark: SparkSession, rootPath: String,
-      gen: String): Seq[String] =
-    spark.read.parquet(checkpointPath(rootPath, gen))
-      .collect().map(_.getString(0)).toSeq
+      gen: String): Seq[String] = {
+    val p = checkpointPath(rootPath, gen)
+    val hit = ckptCache.get(p)
+    if (hit != null) hit
+    else {
+      val v = spark.read.parquet(p).collect().map(_.getString(0)).toSeq
+      if (ckptCache.size > 256) ckptCache.clear()
+      ckptCache.put(p, v)
+      v
+    }
+  }
 
   /** True when `gen`'s commit entry promises a file checkpoint —
     * the gate for every file-granular log feature (read-through-log,
