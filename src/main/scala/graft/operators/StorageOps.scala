@@ -54,7 +54,8 @@ object StorageOps {
       "sc_index_secondary", "sc_index_covering", "sc_index_add",
       "sc_bloom_probe", "sc_zorder",
       "sc_hilbert", "sc_zorder3", "sc_compacted", "sc_time_travel",
-      "sc_gen_diff", "sc_log_read", "sc_bucketed_join", "sc_schema_evolution")
+      "sc_gen_diff", "sc_log_read", "sc_zonemap", "sc_bucketed_join",
+      "sc_schema_evolution")
       .foreach(q => queries(q)(spark, dir).write.format("noop").mode("overwrite").save())
   }
 
@@ -450,6 +451,61 @@ object StorageOps {
       .orderBy(IndexedStore.RowId)
   }
 
+  /** ZONE-MAP file skipping — the Iceberg/Delta data-skipping tier
+    * made a gate query: the store's commit checkpoint (and each
+    * append's zone sidecar) records per-file min/max bounds of every
+    * stats-tracked column, and a range probe prunes FILES inside
+    * surviving buckets before any parquet footer opens. The fixture
+    * is the canonical case zone maps exist for: a fact table laid out
+    * by KEY (hash buckets on l_orderkey — useless for a date probe)
+    * receiving TIME-ORDERED appends, so each append's files span a
+    * narrow l_shipdate band. The probe asks for one year; every base
+    * file and every other append's files are pruned by their bounds
+    * (ZoneMapSpec asserts the files-read drop), and the kept files are
+    * re-filtered exactly like every other access path — superset +
+    * re-filter, results identical with the tier off. At 100 TB this
+    * is the difference between opening every footer in the surviving
+    * buckets and opening only the time band's. */
+  def scZoneMap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val path = scratch("zonemap", dir)
+    val rid = IndexedStore.RowId
+    buildOnce(path) {
+      val li = Tables(spark, dir).lineitem
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+      def slice(lo: String, hi: String) =
+        li.filter(col("l_shipdate") >= lit(lo).cast("timestamp") &&
+          col("l_shipdate") < lit(hi).cast("timestamp"))
+      val base = Store
+        .fromData(slice("1992-01-01", "1995-01-01"), Seq("l_orderkey", "l_linenumber"))
+        .data
+      IndexedStore.write(base, path, HashIndex("l_orderkey", 8),
+        statsOnly = Seq(RangeIndex("l_shipdate", 8)))
+      var offset = base.count()
+      Seq(("1995-01-01", "1996-01-01"), ("1996-01-01", "1997-01-01"),
+          ("1997-01-01", "1999-01-01")).foreach { case (lo, hi) =>
+        val batch = Store
+          .fromData(slice(lo, hi), Seq("l_orderkey", "l_linenumber"))
+          .data.withColumn(rid, col(rid) + offset)
+          // one input partition per batch: a time-ordered ingest lands
+          // as a handful of files per bucket, not partitions × buckets
+          .coalesce(1)
+        IndexedStore.append(batch, path)
+        offset += batch.count()
+      }
+    }
+    // LocalDateTime probe: l_shipdate reads back as TIMESTAMP_NTZ
+    // (pyarrow timestamp[us]); an NTZ-typed literal keeps both the
+    // engine compare and the zone-map bound compare timezone-free
+    IndexedStore.find(spark, path, Seq(
+        Condition.between("l_shipdate",
+          java.time.LocalDateTime.parse("1996-01-01T00:00:00"),
+          java.time.LocalDateTime.parse("1997-01-01T00:00:00"),
+          minIncl = true, maxIncl = false)))
+      .select(rid, "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+      .orderBy(rid)
+  }
+
   /** Equality probe on a column with NO layout/postings, served by the
     * per-bucket Bloom-filter sidecar: the probe consults the tiny
     * sidecar and scans only the buckets whose filter passes (for a
@@ -487,6 +543,7 @@ object StorageOps {
     "sc_time_travel" -> scTimeTravel,
     "sc_gen_diff" -> scGenDiff,
     "sc_log_read" -> scLogRead,
+    "sc_zonemap" -> scZoneMap,
     "sc_source_roundtrip" -> scSourceRoundtrip,
     "sc_bucketed_join" -> scBucketedJoin,
     "sc_schema_evolution" -> scSchemaEvolution,
@@ -589,6 +646,19 @@ object StorageOps {
         |SELECT __rowid, c_custkey, c_mktsegment, c_acctbal
         |FROM (SELECT * FROM nb UNION ALL SELECT * FROM b) t
         |WHERE c_mktsegment <> 'MACHINERY'
+        |ORDER BY __rowid""".stripMargin,
+    // the store is built as base (1992-94, rowids by orderkey/
+    // linenumber) + one time-ordered append per later band, so the
+    // 1996 band's rowids continue after every earlier row — zone maps
+    // are an access path and must not change what comes back
+    "sc_zonemap" ->
+      """SELECT (SELECT count(*) FROM lineitem
+        |        WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00')
+        |    + row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS __rowid,
+        |  l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |ORDER BY __rowid""".stripMargin,
     "sc_bucketed_join" ->
       """SELECT c_mktsegment, floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS sum_price,

@@ -621,7 +621,9 @@ object IndexedStore {
     // checkpoints live and die with their generation's log entries
     val ck = new HPath(path, CkptDir)
     if (f.exists(ck)) {
-      val CkName = """(gen-\d+)\.parquet""".r
+      // main checkpoints and append zone sidecars alike — both are
+      // keyed by their generation and die with its log entries
+      val CkName = """(gen-\d+)(?:-append-[^.]+)?\.parquet""".r
       f.listStatus(ck).map(_.getPath)
         .filter(p => p.getName match {
           case CkName(g) => !keptGens.contains(g)
@@ -938,14 +940,155 @@ object IndexedStore {
     * [[CkptDir]] checkpoint — called inside the commit, BEFORE the
     * commit entry publishes, so an entry carrying `"ckpt":1` promises
     * a readable checkpoint (entry-iff-ready, like every other log
-    * artifact). One listing per commit; readers never list again. */
+    * artifact). One listing per commit; readers never list again.
+    *
+    * ZONE MAPS ride the same checkpoint: alongside each file's path
+    * the checkpoint records per-file `__zmin_<c>`/`__zmax_<c>` bounds
+    * for every stats-tracked column (`ndv.<c>` sidecar keys — the
+    * layout's primary columns plus statsOnly/secondary declarations)
+    * whose type supports ordered bounds — the Iceberg/Delta
+    * data-skipping tier. A probe then prunes FILES inside surviving
+    * buckets before any parquet footer opens ([[OpenStore.find]]).
+    * The stats cost one column-pruned read-back of the generation per
+    * commit (min/max of a handful of columns, grouped by file); the
+    * inventory itself stays complete by construction — stats are
+    * left-joined onto the listing, so a file the stats pass misses
+    * (zero-row part, unreadable column) is checkpointed with null
+    * bounds and simply never pruned. */
   private def writeCheckpoint(rootPath: String, gen: String): Unit = {
     val spark = SparkSession.active
-    val files = listDataFiles(new HPath(rootPath, gen).toString)
-    spark.createDataset(files)(org.apache.spark.sql.Encoders.STRING)
-      .toDF("path").coalesce(1)
+    val genPath = new HPath(rootPath, gen).toString
+    val files = listDataFiles(genPath)
+    val inventory = spark
+      .createDataset(files)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("path")
+    val withZones =
+      if (files.isEmpty) inventory
+      else zoneStatsFrame(spark, gen, genPath,
+          files.map(f => s"$genPath/$f"), loadProps(genPath)) match {
+        case Some(stats) => inventory.join(stats, Seq("path"), "left")
+        case None => inventory
+      }
+    withZones.coalesce(1)
       .write.mode("overwrite").parquet(checkpointPath(rootPath, gen))
   }
+
+  /** Per-file min/max bounds of the tracked stats columns over
+    * `absFiles` — one column-pruned scan grouped by file. None when
+    * no tracked column has a zone-supported type, or when the
+    * read-back fails (heterogeneous schema-evolution files): zone
+    * maps are an optimization tier, never a reason a commit fails. */
+  private def zoneStatsFrame(spark: SparkSession, gen: String,
+      basePath: String, absFiles: Seq[String],
+      props: Properties): Option[DataFrame] = scala.util.Try {
+    val df = spark.read.option("basePath", basePath).parquet(absFiles: _*)
+    val zCols = zoneColumns(props).filter(c =>
+      df.schema.fields.exists(f => f.name == c && zoneSupported(f.dataType)))
+    if (zCols.isEmpty) None
+    else {
+      val aggs = zCols.flatMap(c =>
+        Seq(min(col(c)).as(s"__zmin_$c"), max(col(c)).as(s"__zmax_$c")))
+      // input_file_name → the checkpoint's gen-relative path form
+      // (`__bucket=N/part-…`): everything after the generation dir,
+      // which appears exactly once in any data-file path.
+      Some(df.groupBy(org.apache.spark.sql.functions
+          .substring_index(org.apache.spark.sql.functions.input_file_name(),
+            s"/$gen/", -1).as("path"))
+        .agg(aggs.head, aggs.tail: _*))
+    }
+  }.toOption.flatten
+
+  /** Columns the store keeps NDV stats for — the layout's primary
+    * columns plus every statsOnly/secondary declaration; exactly the
+    * set a user declared query-relevant, so exactly the set worth
+    * zone bounds. */
+  private def zoneColumns(props: Properties): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    props.stringPropertyNames.asScala.toSeq
+      .filter(_.startsWith("ndv.")).map(_.stripPrefix("ndv.")).sorted
+  }
+
+  /** Types with a total order both engines agree on driver-side.
+    * Strings are included but guarded at compare time ([[zoneCmp]]):
+    * surrogate-pair code units are where Java's UTF-16 ordering and
+    * parquet's UTF-8 byte ordering diverge, and a divergent compare
+    * must admit, not prune. */
+  private def zoneSupported(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | StringType | DateType | TimestampType |
+           TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** Inclusive per-file bounds of one column (nulls ignored, like the
+    * min/max that produced them — a row with a null probe column can
+    * never match a constant comparison, so pruning on non-null bounds
+    * stays exact). */
+  private[graft] final case class ZoneRange(min: Any, max: Any)
+
+  /** Driver-side total-order compare of a probe constant against a
+    * checkpointed bound. None = incomparable (type mismatch the
+    * engine would coerce, a surrogate-pair string where UTF-16 and
+    * UTF-8 orders can diverge) — and None always ADMITS the file:
+    * zone maps may only prune on an ordering that provably matches
+    * the engine's. */
+  private[graft] def zoneCmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      val integral = Seq(x, y).forall {
+        case _: java.lang.Long | _: java.lang.Integer |
+             _: java.lang.Short | _: java.lang.Byte => true
+        case _ => false
+      }
+      if (integral) Some(java.lang.Long.compare(x.longValue, y.longValue))
+      else Some(java.lang.Double.compare(x.doubleValue, y.doubleValue))
+    case (x: String, y: String) =>
+      if ((x + y).exists(Character.isSurrogate)) None
+      else Some(Integer.signum(x.compareTo(y)))
+    case (x: java.sql.Timestamp, y: java.sql.Timestamp) => Some(x.compareTo(y))
+    case (x: java.sql.Date, y: java.sql.Date) => Some(x.compareTo(y))
+    case (x: java.time.Instant, y: java.time.Instant) => Some(x.compareTo(y))
+    case (x: java.time.LocalDate, y: java.time.LocalDate) => Some(x.compareTo(y))
+    // TIMESTAMP_NTZ bounds (what a pyarrow `timestamp[us]` column
+    // reads back as): wall-clock, timezone-free. Only same-kind
+    // compares — a Timestamp↔LocalDateTime compare would smuggle the
+    // session timezone into a pruning decision.
+    case (x: java.time.LocalDateTime, y: java.time.LocalDateTime) =>
+      Some(x.compareTo(y))
+    case _ => None
+  }
+
+  /** Can a file with `zones` bounds contain a row satisfying every
+    * condition? Conditions over columns without bounds (or with
+    * incomparable values) admit; any single disproof prunes — the
+    * standard zone-map overlap test, conservative by construction. */
+  private[graft] def zoneAdmits(zones: Map[String, ZoneRange],
+      conds: Seq[graft.core.Condition]): Boolean = {
+    import graft.core.{Comparison, Value}
+    conds.forall { cond =>
+      zones.get(cond.column) match {
+        case None => true
+        case Some(ZoneRange(lo, hi)) => cond.cmp match {
+          case Comparison.Equal(Value.Const(v)) =>
+            zoneCmp(v, lo).forall(_ >= 0) && zoneCmp(v, hi).forall(_ <= 0)
+          case Comparison.Less(Value.Const(v), orEq) =>
+            zoneCmp(lo, v).forall(c => if (orEq) c <= 0 else c < 0)
+          case Comparison.Greater(Value.Const(v), orEq) =>
+            zoneCmp(hi, v).forall(c => if (orEq) c >= 0 else c > 0)
+          case Comparison.Between(Value.Const(l), lIncl, Value.Const(h), hIncl) =>
+            zoneCmp(hi, l).forall(c => if (lIncl) c >= 0 else c > 0) &&
+              zoneCmp(lo, h).forall(c => if (hIncl) c <= 0 else c < 0)
+          case _ => true
+        }
+      }
+    }
+  }
+
+  private final case class CkptData(paths: Seq[String],
+      zones: Map[String, Map[String, ZoneRange]])
 
   /** Driver-side checkpoint cache: a generation's checkpoint is
     * IMMUTABLE once its commit entry exists (writeCheckpoint's only
@@ -953,22 +1096,38 @@ object IndexedStore {
     * here is gated on that entry), so caching by path is safe and
     * saves one small Spark job per open on a hot store. Crudely
     * bounded — a process opening hundreds of distinct stores clears
-    * and refills. */
+    * and refills. Append zone sidecars share the cache under the same
+    * immutability argument (written before their entry publishes). */
   private val ckptCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+    new java.util.concurrent.ConcurrentHashMap[String, CkptData]()
 
-  private def checkpointFiles(spark: SparkSession, rootPath: String,
-      gen: String): Seq[String] = {
-    val p = checkpointPath(rootPath, gen)
+  private def readCkptData(spark: SparkSession, p: String): CkptData = {
     val hit = ckptCache.get(p)
     if (hit != null) hit
     else {
-      val v = spark.read.parquet(p).collect().map(_.getString(0)).toSeq
+      val df = spark.read.parquet(p)
+      val zCols = df.schema.fieldNames
+        .filter(_.startsWith("__zmin_")).map(_.stripPrefix("__zmin_"))
+      val rows = df.collect()
+      val zones = rows.iterator.map { r =>
+        val path = r.getAs[String]("path")
+        val ranges = zCols.flatMap { c =>
+          val lo = r.getAs[Any](s"__zmin_$c")
+          val hi = r.getAs[Any](s"__zmax_$c")
+          if (lo == null || hi == null) None else Some(c -> ZoneRange(lo, hi))
+        }.toMap
+        path -> ranges
+      }.filter(_._2.nonEmpty).toMap
+      val v = CkptData(rows.map(_.getAs[String]("path")).toSeq, zones)
       if (ckptCache.size > 256) ckptCache.clear()
       ckptCache.put(p, v)
       v
     }
   }
+
+  private def checkpointFiles(spark: SparkSession, rootPath: String,
+      gen: String): Seq[String] =
+    readCkptData(spark, checkpointPath(rootPath, gen)).paths
 
   /** True when `gen`'s commit entry promises a file checkpoint —
     * the gate for every file-granular log feature (read-through-log,
@@ -989,12 +1148,16 @@ object IndexedStore {
 
   /** The log-resolved view of one generation: exactly the data files
     * the commit checkpoint + logged appends cover, and the tombstone
-    * files the logged deletes name. None when the generation predates
-    * file tracking (legacy store, pre-checkpoint commit entry, or a
+    * files the logged deletes name. `zones` maps each data file to its
+    * per-column min/max bounds where the checkpoint (or an append's
+    * zone sidecar) recorded them — a file absent from the map is
+    * simply never pruned. None when the generation predates file
+    * tracking (legacy store, pre-checkpoint commit entry, or a
     * crashed commit whose entry never published) — the reader then
     * falls back to directory listing, the pre-checkpoint behavior. */
   private[graft] final case class LogView(dataFiles: Seq[String],
-      tombstoneFiles: Seq[String])
+      tombstoneFiles: Seq[String],
+      zones: Map[String, Map[String, ZoneRange]])
 
   private def logView(spark: SparkSession, rootPath: String,
       gen: String): Option[LogView] = {
@@ -1002,10 +1165,24 @@ object IndexedStore {
         spark.conf.get("graft.store.logRead", "true"))) return None
     val entries = genLogEntries(rootPath, gen)
     if (!ckptFormat(entries, gen)) None
-    else Some(LogView(
-      (checkpointFiles(spark, rootPath, gen) ++
-        loggedAppendFiles(entries)).distinct.sorted,
-      loggedTombstoneFiles(entries).toSeq.sorted))
+    else {
+      val ckpt = readCkptData(spark, checkpointPath(rootPath, gen))
+      // append zone sidecars, each promised by its entry's zmap field
+      // (entry-iff-ready, like every log artifact); a sidecar that
+      // fails to load costs pruning on its files, never correctness
+      val ZmapRe = """"zmap":"([^"]+)"""".r
+      val appendZones = entries.iterator.flatMap { case (_, b) =>
+        ZmapRe.findFirstMatchIn(b).map(_.group(1))
+      }.flatMap { name =>
+        scala.util.Try(readCkptData(spark,
+          new HPath(new HPath(rootPath, CkptDir), name).toString).zones)
+          .getOrElse(Map.empty)
+      }.toMap
+      Some(LogView(
+        (ckpt.paths ++ loggedAppendFiles(entries)).distinct.sorted,
+        loggedTombstoneFiles(entries).toSeq.sorted,
+        ckpt.zones ++ appendZones))
+    }
   }
 
   /** Write `df` (which must carry a `__rowid` column, e.g. from
@@ -1519,12 +1696,45 @@ object IndexedStore {
     private def posting(c: String): DataFrame =
       postings.getOrElseUpdate(c, spark.read.parquet(postingDir(path, c)))
 
+    /** ZONE-MAP file skipping: rebuild the base reader over only the
+      * files whose checkpointed min/max bounds can overlap the probe
+      * conditions — pruning INSIDE surviving buckets, before any
+      * parquet footer opens (the Iceberg/Delta data-skipping tier;
+      * row-group stats then prune further inside the kept files). A
+      * file without bounds for a probed column is always admitted, so
+      * the result is a superset and the find() re-filter keeps it
+      * exact — the same contract as every other access path here.
+      * `graft.store.zonemap=false` disables the tier. */
+    private def zonePrunedBase(conds: Seq[graft.core.Condition]): DataFrame =
+      view match {
+        case Some(v) if v.dataFiles.nonEmpty && v.zones.nonEmpty &&
+            conds.nonEmpty && java.lang.Boolean.parseBoolean(
+              spark.conf.get("graft.store.zonemap", "true")) =>
+          val keep = v.dataFiles.filter(f =>
+            zoneAdmits(v.zones.getOrElse(f, Map.empty), conds))
+          if (keep.size == v.dataFiles.size) base
+          else if (keep.isEmpty) base.filter(lit(false))
+          else {
+            val slim = spark.read.option("basePath", path)
+              .parquet(keep.map(f => s"$path/$f"): _*)
+            // schema-evolution guard: the slimmer reader must still
+            // carry every column the full view does (parquet schema
+            // inference follows the file set) — otherwise skip the
+            // tier rather than change what a probe can select
+            if (slim.schema.fieldNames.sorted.sameElements(
+                base.schema.fieldNames.sorted)) slim
+            else base
+          }
+        case _ => base
+      }
+
     /** Read rows matching the ANDed conditions through the best index.
       * The index path yields a superset (bucket-pruned scan); every
       * condition is always re-applied, exactly like the reference's
       * post-filter (lib.rs:130-137). Tombstoned rowids are anti-joined
       * out. */
     def find(conds: Seq[graft.core.Condition]): DataFrame = {
+    val base = zonePrunedBase(conds)
     val layout = props.getProperty("layout").split(":", 3)
     val chosen = chooseIndexIn(props, conds)
     val pruned = chosen match {
@@ -1784,12 +1994,29 @@ object IndexedStore {
     props.setProperty("rows", (props.getProperty("rows").toLong + stats.getLong(0)).toString)
     storeProps(props, path)
     // the append-level CDC record, published only once everything the
-    // entry promises (data, postings, blooms, stats) is on disk
+    // entry promises (data, postings, blooms, stats, zone sidecar) is
+    // on disk
     if (stats.getLong(0) > 0L) {
       val (lo, hi) = (stats.getLong(1), stats.getLong(2))
       val filesField =
         if (added.nonEmpty) s""","files":"${added.mkString(",")}"""" else ""
-      appendMutationLog(rootPath, "append", s""""lo":$lo,"hi":$hi$filesField""")
+      // zone sidecar for the appended files (named by the batch's lo
+      // rowid — unique per append under the contiguous-run contract),
+      // written BEFORE the entry that promises it; the stats pass
+      // reads back only this batch's own files, column-pruned
+      val zmapField = genEntries.collect { case (gen, _) if added.nonEmpty =>
+        val name = s"$gen-append-z$lo.parquet"
+        zoneStatsFrame(SparkSession.active, gen, path,
+            added.map(f => s"$path/$f"), props) match {
+          case Some(zs) =>
+            zs.coalesce(1).write.mode("overwrite")
+              .parquet(new HPath(new HPath(rootPath, CkptDir), name).toString)
+            s""","zmap":"$name""""
+          case None => ""
+        }
+      }.getOrElse("")
+      appendMutationLog(rootPath, "append",
+        s""""lo":$lo,"hi":$hi$filesField$zmapField""")
     }
   }
 
