@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -305,10 +305,19 @@ object Retrieval {
     * Float parity: ranks are integers, so the fused score is the sum
     * of two correctly-rounded double divisions spelled in the same
     * order in both engines; ranking ties break on doc_id. */
-  def tHybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    val lex = tBm25(spark, dir)
-      .select(col("qid"), col("doc_id"), col("rk").as("rl"))
-    // vector arm: same seed ids over the id-aligned embeddings table
+  def tHybridRrf(spark: SparkSession, dir: String): DataFrame =
+    fuse(lexArm(spark, dir), vecArm(spark, dir), lit(1.0), lit(1.0))
+
+  /** The lexical arm's rank list: [[tBm25]]'s top-k as (qid, doc_id,
+    * rl). */
+  private[graft] def lexArm(spark: SparkSession, dir: String): DataFrame =
+    tBm25(spark, dir).select(col("qid"), col("doc_id"), col("rk").as("rl"))
+
+  /** The vector arm's rank list: exact cosine top-k over the
+    * id-aligned `embeddings` table, same seed ids, as (qid, doc_id,
+    * rv) — broadcast queries, narrow corpus scan, bounded
+    * per-partition heaps (the [[Similarity.sAnnBrute]] plan). */
+  private[graft] def vecArm(spark: SparkSession, dir: String): DataFrame = {
     val e = Similarity.withUnit(
       Similarity.embSpread(spark, dir), "embedding", "u")
     val qv = e.filter(col("vec_id") % Bm25QueryMod === 0)
@@ -318,19 +327,29 @@ object Retrieval {
       .withColumn("score", stableRound(Similarity.dot(col("qv"), col("nv")), 4))
     val wv = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    val vec = Similarity.heapPartials(scored, Bm25TopK, "score")
+    Similarity.heapPartials(scored, Bm25TopK, "score")
       .withColumn("rv", row_number().over(wv).cast("long"))
       .filter(col("rv") <= Bm25TopK)
       .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
         col("rv"))
+  }
+
+  /** Shared late-fusion skeleton: full-outer-join the two rank lists,
+    * score = wl/(k+rl) + wv/(k+rv) (missing arm contributes 0),
+    * re-rank to the fused top-[[Bm25TopK]]. `attach` lets a caller
+    * join per-run state (e.g. learned weights — a broadcast 1-row
+    * frame) onto the rank pairs before scoring; fusion cost stays
+    * rank-list-sized either way. */
+  private def fuse(lex: DataFrame, vec: DataFrame, wl: Column, wv: Column,
+      attach: DataFrame => DataFrame = identity): DataFrame = {
     val wf = Window.partitionBy(col("qid"))
       .orderBy(col("rrf").desc, col("doc_id"))
-    lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+    attach(lex.join(vec, Seq("qid", "doc_id"), "full_outer"))
       .select(col("qid"), col("doc_id"),
         stableRound(
-          when(col("rl").isNotNull, lit(1.0) / (lit(RrfK) + col("rl")))
+          when(col("rl").isNotNull, wl / (lit(RrfK) + col("rl")))
             .otherwise(lit(0.0)) +
-          when(col("rv").isNotNull, lit(1.0) / (lit(RrfK) + col("rv")))
+          when(col("rv").isNotNull, wv / (lit(RrfK) + col("rv")))
             .otherwise(lit(0.0)), 6).as("rrf"))
       .withColumn("rk", row_number().over(wf).cast("long"))
       .filter(col("rk") <= Bm25TopK)
@@ -338,27 +357,95 @@ object Retrieval {
       .orderBy("qid", "rk")
   }
 
-  val tHybridRrfSql: String =
-    s"""WITH lex AS (
-       |$tBm25Sql
-       |),
-       |vec AS (
-       |  SELECT qid, doc_id, rv FROM (
+  /** Fixed per-arm weights for [[tHybridWrrf]]: lexical-heavy, the
+    * common production prior for keyword-like corpora. Spelled once;
+    * the SQL oracle renders the same literals. */
+  private[graft] val WrrfLex = 0.7
+  private[graft] val WrrfVec = 0.3
+
+  /** t_hybrid_wrrf — weighted reciprocal-rank fusion: identical
+    * late-fusion shape to [[tHybridRrf]] but each arm's reciprocal
+    * rank is scaled by a fixed prior weight (wl/(k+rl) + wv/(k+rv)).
+    * Float parity: each term is one double literal divided by an
+    * integer, correctly rounded and spelled in the same order in both
+    * engines — the same discipline the unweighted fusion proved. */
+  def tHybridWrrf(spark: SparkSession, dir: String): DataFrame =
+    fuse(lexArm(spark, dir), vecArm(spark, dir), lit(WrrfLex), lit(WrrfVec))
+
+  /** t_hybrid_learned — fusion weights LEARNED from the corpus
+    * instead of fixed: each arm's weight is its share of
+    * weak-relevance hits, where the weak label for (q, d) is "same
+    * `source` as the query doc" (the documents table's provenance
+    * column — the standard weak-supervision proxy when no click log
+    * exists). wl = hitsLex/(hitsLex+hitsVec), wv likewise; fused
+    * score = wl/(k+rl) + wv/(k+rv). Training is CLOSED-FORM — two
+    * integer hit counts over the rank lists joined to a broadcast
+    * (doc_id, source) dimension — so the whole train+fuse pipeline
+    * replays exactly in SQL and the gate hash-match proves the
+    * learned weights, not just the fusion ([[Classify]]'s ln-parity
+    * discipline, applied to fusion). Scale shape: labels and hits
+    * live on the rank lists (|Q|·k rows); the corpus is never
+    * rescanned. Per-segment weights (by lang, by query class) are a
+    * groupBy on the same hit frame — the pooled variant is the gate.
+    * An IRLS refinement over rank features is the documented
+    * extension; on two monotone features it reduces to the same
+    * arm-preference ordering this ratio already captures. */
+  def tHybridLearned(spark: SparkSession, dir: String): DataFrame = {
+    // each arm feeds BOTH the hit counting and the fusion — cache the
+    // (tiny, |Q|·k-row) rank lists so the expensive arm pipelines run
+    // once, not twice
+    val lexL = lexArm(spark, dir).cache()
+    val vecL = vecArm(spark, dir).cache()
+    val src = graft.core.Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"))
+    def hits(arm: DataFrame, name: String): DataFrame =
+      arm.join(broadcast(src.select(col("doc_id").as("qid"),
+          col("source").as("qsrc"))), "qid")
+        .join(broadcast(src.select(col("doc_id"),
+          col("source").as("dsrc"))), "doc_id")
+        .agg(coalesce(sum(when(col("qsrc") === col("dsrc"), lit(1L))
+          .otherwise(lit(0L))), lit(0L)).as(name))
+    val w = hits(lexL, "hl")
+      .crossJoin(hits(vecL, "hv"))
+      .select(
+        when(col("hl") + col("hv") === 0, lit(0.5))
+          .otherwise(col("hl").cast("double") /
+            (col("hl") + col("hv")).cast("double")).as("wl"),
+        when(col("hl") + col("hv") === 0, lit(0.5))
+          .otherwise(col("hv").cast("double") /
+            (col("hl") + col("hv")).cast("double")).as("wv"))
+    fuse(lexL, vecL, col("wl"), col("wv"),
+      attach = _.crossJoin(broadcast(w)))
+  }
+
+  private val vecArmSql: String =
+    s"""  SELECT qid, doc_id, rv FROM (
        |    SELECT q.vec_id AS qid, n.vec_id AS doc_id,
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY floor((list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[])) * 1e4 + 0.5) / 1e4 DESC,
        |                 n.vec_id)::BIGINT AS rv
        |    FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
        |    WHERE q.vec_id % $Bm25QueryMod = 0) t
-       |  WHERE rv <= $Bm25TopK),
+       |  WHERE rv <= $Bm25TopK""".stripMargin
+
+  /** One fusion oracle for all three hybrid variants: the weight
+    * expressions (and any extra training CTEs feeding them) are the
+    * only thing that varies — exactly mirroring [[fuse]]. */
+  private def hybridFusionSql(wl: String, wv: String,
+      extraCtes: String = "", weightJoin: String = ""): String =
+    s"""WITH lex AS (
+       |$tBm25Sql
+       |),
+       |vec AS (
+       |$vecArmSql)$extraCtes,
        |f AS (
        |  SELECT coalesce(lex.qid, vec.qid) AS qid,
        |    coalesce(lex.doc_id, vec.doc_id) AS doc_id,
        |    ${stableRoundSql(
-            s"coalesce(1.0::DOUBLE / ($RrfK + lex.rk), 0.0) + " +
-              s"coalesce(1.0::DOUBLE / ($RrfK + vec.rv), 0.0)", 6)} AS rrf
+            s"coalesce($wl / ($RrfK + lex.rk), 0.0) + " +
+              s"coalesce($wv / ($RrfK + vec.rv), 0.0)", 6)} AS rrf
        |  FROM lex FULL OUTER JOIN vec
-       |    ON lex.qid = vec.qid AND lex.doc_id = vec.doc_id)
+       |    ON lex.qid = vec.qid AND lex.doc_id = vec.doc_id$weightJoin)
        |SELECT qid, rk, doc_id, rrf FROM (
        |  SELECT qid, doc_id, rrf,
        |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id)::BIGINT AS rk
@@ -366,10 +453,35 @@ object Retrieval {
        |WHERE rk <= $Bm25TopK
        |ORDER BY qid, rk""".stripMargin
 
+  val tHybridRrfSql: String =
+    hybridFusionSql("1.0::DOUBLE", "1.0::DOUBLE")
+
+  val tHybridWrrfSql: String =
+    hybridFusionSql(s"$WrrfLex::DOUBLE", s"$WrrfVec::DOUBLE")
+
+  val tHybridLearnedSql: String = hybridFusionSql("w.wl", "w.wv",
+    extraCtes = s""",
+       |src AS (SELECT doc_id, source FROM documents),
+       |lh AS (
+       |  SELECT coalesce(sum(CASE WHEN q.source = d.source THEN 1 ELSE 0 END), 0)::BIGINT AS hl
+       |  FROM lex JOIN src q ON lex.qid = q.doc_id
+       |           JOIN src d ON lex.doc_id = d.doc_id),
+       |vh AS (
+       |  SELECT coalesce(sum(CASE WHEN q.source = d.source THEN 1 ELSE 0 END), 0)::BIGINT AS hv
+       |  FROM vec JOIN src q ON vec.qid = q.doc_id
+       |           JOIN src d ON vec.doc_id = d.doc_id),
+       |w AS (
+       |  SELECT CASE WHEN hl + hv = 0 THEN 0.5 ELSE hl::DOUBLE / (hl + hv)::DOUBLE END AS wl,
+       |    CASE WHEN hl + hv = 0 THEN 0.5 ELSE hv::DOUBLE / (hl + hv)::DOUBLE END AS wv
+       |  FROM lh, vh)""".stripMargin,
+    weightJoin = " CROSS JOIN w")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_bm25" -> tBm25,
     "t_bm25_maxscore" -> tBm25MaxScore,
     "t_hybrid_rrf" -> tHybridRrf,
+    "t_hybrid_wrrf" -> tHybridWrrf,
+    "t_hybrid_learned" -> tHybridLearned,
   )
 
   def oracles: Map[String, String] = Map(
@@ -379,5 +491,7 @@ object Retrieval {
     // hash-mismatch at the gate)
     "t_bm25_maxscore" -> tBm25Sql,
     "t_hybrid_rrf" -> tHybridRrfSql,
+    "t_hybrid_wrrf" -> tHybridWrrfSql,
+    "t_hybrid_learned" -> tHybridLearnedSql,
   )
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import graft.core.Tables
+import graft.operators.Retrieval
+
+/** Hybrid-fusion variants beyond the shared DuckDB oracle: the fused
+  * rankings are recomputed driver-side from the raw arm rank lists
+  * (an independent implementation of weighting + RRF + re-rank), the
+  * learned weights are pinned to the arms' weak-relevance hit shares,
+  * and the learned pipeline's plan stays rank-list-sized. */
+class FusionSpec extends SparkSpec {
+
+  private val K = Retrieval.RrfK
+  private val TopK = Retrieval.Bm25TopK
+
+  private def stable6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Driver-side reference fusion over collected arm maps. */
+  private def refFuse(lex: Map[(Long, Long), Long], vec: Map[(Long, Long), Long],
+      wl: Double, wv: Double): Seq[(Long, Long, Long, Double)] = {
+    val pairs = (lex.keySet ++ vec.keySet).toSeq
+    val scored = pairs.map { case (q, d) =>
+      val s = lex.get((q, d)).map(r => wl / (K + r)).getOrElse(0.0) +
+        vec.get((q, d)).map(r => wv / (K + r)).getOrElse(0.0)
+      (q, d, stable6(s))
+    }
+    scored.groupBy(_._1).toSeq.flatMap { case (q, ds) =>
+      ds.sortBy { case (_, d, s) => (-s, d) }.take(TopK).zipWithIndex
+        .map { case ((_, d, s), i) => (q, i + 1L, d, s) }
+    }.sortBy(t => (t._1, t._2))
+  }
+
+  private def armMap(df: org.apache.spark.sql.DataFrame,
+      rankCol: String): Map[(Long, Long), Long] =
+    df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id")) ->
+      r.getAs[Long](rankCol)).toMap
+
+  private lazy val lex = armMap(Retrieval.lexArm(spark, sf), "rl")
+  private lazy val vec = armMap(Retrieval.vecArm(spark, sf), "rv")
+  private lazy val srcOf = Tables(spark, sf).documents
+    .select("doc_id", "source").collect()
+    .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+
+  private def collectFused(name: String): Seq[(Long, Long, Long, Double)] =
+    SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rk"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("rrf"))).toSeq
+
+  test("weighted RRF matches an independent recompute at its fixed weights") {
+    val expected = refFuse(lex, vec, Retrieval.WrrfLex, Retrieval.WrrfVec)
+    val actual = collectFused("t_hybrid_wrrf")
+    assert(actual == expected)
+    // and the weights matter: the lexical-heavy fusion differs from
+    // uniform RRF on this corpus (otherwise the op demonstrates nothing)
+    assert(actual != collectFused("t_hybrid_rrf"),
+      "0.7/0.3 fusion collapsed to the uniform ranking")
+  }
+
+  test("learned fusion weights are the arms' weak-relevance hit shares") {
+    val hl = lex.count { case ((q, d), _) => srcOf(q) == srcOf(d) }
+    val hv = vec.count { case ((q, d), _) => srcOf(q) == srcOf(d) }
+    assert(hl + hv > 0, "gate corpus produced no weak-relevance hits")
+    val wl = hl.toDouble / (hl + hv)
+    val wv = hv.toDouble / (hl + hv)
+    assert(wl > 0.0 && wl < 1.0, s"degenerate learned weight $wl")
+    val expected = refFuse(lex, vec, wl, wv)
+    assert(collectFused("t_hybrid_learned") == expected)
+  }
+
+  test("learned fusion trains and fuses on rank lists — corpus never re-joined") {
+    spark.catalog.clearCache()
+    val p = SparkEntry.queries("t_hybrid_learned")(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    // tolerated nested loops: the two 1-row weight cross joins
+    // (hl×hv and the attach) plus the vector arm's ≠-condition
+    // broadcast join, which the formatted explain re-prints inside
+    // the cached arm's InMemoryRelation dump
+    val bnlj = p.linesIterator.count(_.contains("- BroadcastNestedLoopJoin"))
+    assert(bnlj <= 4 && !p.contains("CartesianProduct"),
+      s"fusion degenerated beyond the tolerated nested loops ($bnlj):\n${p.take(2500)}")
+    assert(p.contains("FullOuter"), s"rank-list fusion join missing:\n${p.take(2000)}")
+    // hit counting joins the (doc_id, source) dimension via broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"weak-label dimension join not broadcast:\n${p.take(2000)}")
+    // the arms are cached rank lists — each expensive arm pipeline
+    // materializes once for hit counting and is REUSED by the fusion
+    assert(p.contains("InMemoryTableScan"),
+      s"arm rank lists not cached — arms would run twice:\n${p.take(2000)}")
+  }
+}
