@@ -418,6 +418,44 @@ object Retrieval {
       attach = _.crossJoin(broadcast(w)))
   }
 
+  /** t_rerank — SECOND-STAGE reranking over the fused first-stage
+    * list: the hybrid top-k ([[tHybridRrf]]) is re-scored by exact
+    * query-containment — |distinct words of the query doc ∩ distinct
+    * words of the candidate| / |query words| — and re-ranked by
+    * (containment desc, first-stage score desc, doc_id). This is the
+    * cascade every production retrieval stack runs: a cheap first
+    * stage scans the corpus, an expensive exact feature touches ONLY
+    * the |Q|·k survivors. The containment feature here reads the
+    * shared tokenize frame semi-joined down to the fused candidates —
+    * the same shape a cross-encoder rerank would use to re-read just
+    * k documents per query at 100 TB (feature cost ∝ |Q|·k, never
+    * corpus). Containment is integer/integer (one exact double
+    * division), so the rerank is hash-green end-to-end on top of the
+    * already-hash-green fusion. */
+  def tRerank(spark: SparkSession, dir: String): DataFrame = {
+    val p = bm25Parts(spark, dir)
+    // the fused list is both the candidate filter and the output
+    // spine — cache the (|Q|·k)-row frame, not the corpus
+    val fused = tHybridRrf(spark, dir).cache()
+    val qwords = p.tf.filter(col("doc_id") % Bm25QueryMod === 0)
+      .select(col("doc_id").as("qid"), col("word"))
+    val qn = qwords.groupBy("qid").agg(count(lit(1)).as("qn"))
+    val cwords = p.tf.select(col("doc_id"), col("word"))
+      .join(fused.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+    val ov = qwords.join(cwords, "word")
+      .groupBy("qid", "doc_id").agg(count(lit(1)).as("ov"))
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("cont").desc, col("rrf").desc, col("doc_id"))
+    fused.join(ov, Seq("qid", "doc_id"), "left")
+      .join(qn, "qid")
+      .select(col("qid"), col("doc_id"), col("rrf"),
+        stableRound(coalesce(col("ov"), lit(0L)).cast("double") /
+          col("qn").cast("double"), 6).as("cont"))
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .select(col("qid"), col("rk"), col("doc_id"), col("cont"))
+      .orderBy("qid", "rk")
+  }
+
   private val vecArmSql: String =
     s"""  SELECT qid, doc_id, rv FROM (
        |    SELECT q.vec_id AS qid, n.vec_id AS doc_id,
@@ -476,12 +514,40 @@ object Retrieval {
        |  FROM lh, vh)""".stripMargin,
     weightJoin = " CROSS JOIN w")
 
+  val tRerankSql: String =
+    s"""WITH fused AS (
+       |$tHybridRrfSql
+       |),
+       |w2 AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |tf2 AS (SELECT doc_id, word
+       |        FROM (SELECT doc_id, unnest(w) AS word FROM w2) u GROUP BY 1, 2),
+       |qw AS (SELECT doc_id AS qid, word FROM tf2 WHERE doc_id % $Bm25QueryMod = 0),
+       |qn AS (SELECT qid, count(*) AS qn FROM qw GROUP BY 1),
+       |cw AS (SELECT doc_id, word FROM tf2
+       |       WHERE doc_id IN (SELECT doc_id FROM fused)),
+       |ov AS (SELECT qw.qid, cw.doc_id, count(*) AS ov
+       |       FROM qw JOIN cw ON qw.word = cw.word GROUP BY 1, 2),
+       |r AS (
+       |  SELECT f.qid, f.doc_id, f.rrf,
+       |    ${stableRoundSql("coalesce(ov.ov, 0)::DOUBLE / qn.qn::DOUBLE", 6)} AS cont
+       |  FROM fused f JOIN qn ON f.qid = qn.qid
+       |  LEFT JOIN ov ON f.qid = ov.qid AND f.doc_id = ov.doc_id)
+       |SELECT qid, rk, doc_id, cont FROM (
+       |  SELECT qid, doc_id, cont,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cont DESC, rrf DESC, doc_id)::BIGINT AS rk
+       |  FROM r) t
+       |WHERE rk <= $Bm25TopK
+       |ORDER BY qid, rk""".stripMargin
+
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_bm25" -> tBm25,
     "t_bm25_maxscore" -> tBm25MaxScore,
     "t_hybrid_rrf" -> tHybridRrf,
     "t_hybrid_wrrf" -> tHybridWrrf,
     "t_hybrid_learned" -> tHybridLearned,
+    "t_rerank" -> tRerank,
   )
 
   def oracles: Map[String, String] = Map(
@@ -493,5 +559,6 @@ object Retrieval {
     "t_hybrid_rrf" -> tHybridRrfSql,
     "t_hybrid_wrrf" -> tHybridWrrfSql,
     "t_hybrid_learned" -> tHybridLearnedSql,
+    "t_rerank" -> tRerankSql,
   )
 }

@@ -68,6 +68,34 @@ class FusionSpec extends SparkSpec {
     assert(collectFused("t_hybrid_learned") == expected)
   }
 
+  test("second-stage rerank matches an independent containment recompute") {
+    // reference: containment = |qwords ∩ dwords| / |qwords| over the
+    // normalized word sets, re-ranked by (cont desc, rrf desc, doc_id)
+    val wordSets = Tables(spark, sf).documents
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.TextFunctions.words(
+          org.apache.spark.sql.functions.col("text")).as("ws"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[String]]("ws").toSet).toMap
+    val fused = collectFused("t_hybrid_rrf")
+    val expected = fused.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      val qs = wordSets(q)
+      rows.map { case (_, _, d, rrf) =>
+        (q, d, stable6(qs.intersect(wordSets(d)).size.toDouble / qs.size), rrf)
+      }.sortBy { case (_, d, c, rrf) => (-c, -rrf, d) }.zipWithIndex
+        .map { case ((_, d, c, _), i) => (q, i + 1L, d, c) }
+    }.sortBy(t => (t._1, t._2))
+    val actual = SparkEntry.queries("t_rerank")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rk"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("cont"))).toSeq
+    assert(actual == expected)
+    // the rerank must actually move something on the gate corpus —
+    // otherwise the second stage demonstrates nothing
+    assert(actual.map(t => (t._1, t._3)) != fused.map(t => (t._1, t._3)),
+      "containment rerank left every fused ranking unchanged")
+  }
+
   test("learned fusion trains and fuses on rank lists — corpus never re-joined") {
     spark.catalog.clearCache()
     val p = SparkEntry.queries("t_hybrid_learned")(spark, sf)
