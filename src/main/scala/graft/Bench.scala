@@ -27,6 +27,60 @@ object Bench {
     * through a hash layout vs a full scan (same store shape, layout on
     * a column the probe doesn't use, so index choice falls back to
     * scan — the "no index" arm). */
+  /** Data files read by an EXECUTED frame's scans (AQE-unwrapped). */
+  private def filesReadOf(df: org.apache.spark.sql.DataFrame): Double = {
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        unwrap(a.executedPlan)
+      case other => other +: other.children.flatMap(unwrap)
+    }
+    unwrap(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }.sum.toDouble
+  }
+
+  /** Zone-map tier measurement on the sc_zonemap gate store (prebuilt
+    * by prepare()): the same one-year Between probe with the tier on
+    * vs off. files-read is the number that scales (the tier prunes
+    * footer opens inside surviving buckets); wall at gate size is
+    * job-overhead-bound like every point op. Empty on any failure —
+    * a missing fixture must not kill the bench record. */
+  private def zoneOps(spark: SparkSession, sfDir: String): Map[String, Double] =
+    scala.util.Try {
+      import graft.core.Condition
+      import graft.storage.IndexedStore
+      val path = graft.operators.StorageOps.scratch("zonemap", sfDir)
+      val conds = Seq(Condition.between("l_shipdate",
+        java.time.LocalDateTime.parse("1996-01-01T00:00:00"),
+        java.time.LocalDateTime.parse("1997-01-01T00:00:00"),
+        minIncl = true, maxIncl = false))
+      val prev = spark.conf.getOption("graft.store.zonemap")
+      def probe(on: Boolean): (Double, Double) = {
+        spark.conf.set("graft.store.zonemap", on.toString)
+        val t = System.nanoTime()
+        val df = IndexedStore.open(spark, path).find(conds)
+        df.collect(): Unit
+        ((System.nanoTime() - t) / 1e9, filesReadOf(df))
+      }
+      try {
+        val (secOn, filesOn) = probe(on = true)
+        val (secOff, filesOff) = probe(on = false)
+        Map(
+          "zmap_files_read_on" -> filesOn,
+          "zmap_files_read_off" -> filesOff,
+          "zmap_probe_sec_on" -> secOn,
+          "zmap_probe_sec_off" -> secOff)
+      } finally prev match {
+        case Some(v) => spark.conf.set("graft.store.zonemap", v)
+        case None => spark.conf.unset("graft.store.zonemap")
+      }
+    }.recover { case e =>
+      System.err.println(s"[bench] zone_ops skipped: ${e.getMessage}")
+      Map.empty[String, Double]
+    }.get
+
   private def pointOps(spark: SparkSession, sfDir: String): Map[String, Double] = {
     import graft.core.{Condition, Store, Tables}
     import graft.storage.{HashIndex, IndexedStore}
@@ -80,16 +134,7 @@ object Bench {
       val df = IndexedStore.open(spark, path)
         .find(Seq(Condition.eq("l_orderkey", keys.head)))
       df.collect(): Unit
-      def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          unwrap(a.executedPlan)
-        case other => other +: other.children.flatMap(unwrap)
-      }
-      unwrap(df.queryExecution.executedPlan).collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          f.metrics("numFiles").value
-      }.sum.toDouble
+      filesReadOf(df)
     }
     val filesIdx = filesRead(idxPath)
     val filesScan = filesRead(scanPath)
@@ -127,7 +172,8 @@ object Bench {
       "probe_speedup" -> probeScanSec / probeIdxSec,
       "probe_files_read_indexed" -> filesIdx,
       "probe_files_read_scan" -> filesScan,
-      "append_rows_per_sec" -> 5.0 * batchRows / appendSec)
+      "append_rows_per_sec" -> 5.0 * batchRows / appendSec) ++
+      zoneOps(spark, sfDir)
   }
 
   /** Total JVM GC wall-time so far, summed over collectors. Sampled
