@@ -27,8 +27,9 @@ object Bench {
     * through a hash layout vs a full scan (same store shape, layout on
     * a column the probe doesn't use, so index choice falls back to
     * scan — the "no index" arm). */
-  /** Data files read by an EXECUTED frame's scans (AQE-unwrapped). */
-  private def filesReadOf(df: org.apache.spark.sql.DataFrame): Double = {
+  /** Data files read by an EXECUTED frame's scans (AQE-unwrapped).
+    * private[graft]: ZoneMapSpec counts through the same helper. */
+  private[graft] def filesReadOf(df: org.apache.spark.sql.DataFrame): Double = {
     def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
         : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>

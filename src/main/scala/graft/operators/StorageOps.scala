@@ -466,34 +466,44 @@ object StorageOps {
     * re-filter, results identical with the tier off. At 100 TB this
     * is the difference between opening every footer in the surviving
     * buckets and opening only the time band's. */
-  def scZoneMap(spark: SparkSession, dir: String): DataFrame = {
+  /** Build the banded zone-map fixture at `path`: a key-hashed store
+    * over lineitem's (key, quantity, shipdate) slice, base = pre-1995
+    * rows, then one TIME-ORDERED append per later shipdate band with
+    * continuation rowids — each band's files carry a narrow shipdate
+    * zone. Shared by [[scZoneMap]], ZoneMapSpec, and Bench's zoneOps
+    * measurement so all three exercise the identical store shape. */
+  private[graft] def buildZoneBands(spark: SparkSession, dir: String,
+      path: String): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
+    val rid = IndexedStore.RowId
+    val li = Tables(spark, dir).lineitem
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+    def slice(lo: String, hi: String) =
+      li.filter(col("l_shipdate") >= lit(lo).cast("timestamp") &&
+        col("l_shipdate") < lit(hi).cast("timestamp"))
+    val base = Store
+      .fromData(slice("1992-01-01", "1995-01-01"), Seq("l_orderkey", "l_linenumber"))
+      .data
+    IndexedStore.write(base, path, HashIndex("l_orderkey", 8),
+      statsOnly = Seq(RangeIndex("l_shipdate", 8)))
+    var offset = base.count()
+    Seq(("1995-01-01", "1996-01-01"), ("1996-01-01", "1997-01-01"),
+        ("1997-01-01", "1999-01-01")).foreach { case (lo, hi) =>
+      val batch = Store
+        .fromData(slice(lo, hi), Seq("l_orderkey", "l_linenumber"))
+        .data.withColumn(rid, col(rid) + offset)
+        // one input partition per batch: a time-ordered ingest lands
+        // as a handful of files per bucket, not partitions × buckets
+        .coalesce(1)
+      IndexedStore.append(batch, path)
+      offset += batch.count()
+    }
+  }
+
+  def scZoneMap(spark: SparkSession, dir: String): DataFrame = {
     val path = scratch("zonemap", dir)
     val rid = IndexedStore.RowId
-    buildOnce(path) {
-      val li = Tables(spark, dir).lineitem
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
-      def slice(lo: String, hi: String) =
-        li.filter(col("l_shipdate") >= lit(lo).cast("timestamp") &&
-          col("l_shipdate") < lit(hi).cast("timestamp"))
-      val base = Store
-        .fromData(slice("1992-01-01", "1995-01-01"), Seq("l_orderkey", "l_linenumber"))
-        .data
-      IndexedStore.write(base, path, HashIndex("l_orderkey", 8),
-        statsOnly = Seq(RangeIndex("l_shipdate", 8)))
-      var offset = base.count()
-      Seq(("1995-01-01", "1996-01-01"), ("1996-01-01", "1997-01-01"),
-          ("1997-01-01", "1999-01-01")).foreach { case (lo, hi) =>
-        val batch = Store
-          .fromData(slice(lo, hi), Seq("l_orderkey", "l_linenumber"))
-          .data.withColumn(rid, col(rid) + offset)
-          // one input partition per batch: a time-ordered ingest lands
-          // as a handful of files per bucket, not partitions × buckets
-          .coalesce(1)
-        IndexedStore.append(batch, path)
-        offset += batch.count()
-      }
-    }
+    buildOnce(path) { buildZoneBands(spark, dir, path) }
     // LocalDateTime probe: l_shipdate reads back as TIMESTAMP_NTZ
     // (pyarrow timestamp[us]); an NTZ-typed literal keeps both the
     // engine compare and the zone-map bound compare timezone-free

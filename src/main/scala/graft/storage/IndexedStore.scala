@@ -962,16 +962,33 @@ object IndexedStore {
     val inventory = spark
       .createDataset(files)(org.apache.spark.sql.Encoders.STRING)
       .toDF("path")
-    val withZones =
-      if (files.isEmpty) inventory
-      else zoneStatsFrame(spark, gen, genPath,
-          files.map(f => s"$genPath/$f"), loadProps(genPath)) match {
-        case Some(stats) => inventory.join(stats, Seq("path"), "left")
-        case None => inventory
+    val ckpt = checkpointPath(rootPath, gen)
+    // The zone-stats write EXECUTES the stats scan, so the whole
+    // attempt — not just plan construction — must be fallible without
+    // failing the commit (e.g. batches that wrote a stats column with
+    // physically different parquet types). On any failure the
+    // inventory-only checkpoint overwrites whatever partial output
+    // the failed attempt left.
+    val wroteZones = zonemapEnabled(spark) && files.nonEmpty &&
+      zoneStatsFrame(spark, gen, genPath,
+          files.map(f => s"$genPath/$f"), loadProps(genPath)).exists { stats =>
+        scala.util.Try {
+          inventory.join(stats, Seq("path"), "left").coalesce(1)
+            .write.mode("overwrite").parquet(ckpt)
+        }.isSuccess
       }
-    withZones.coalesce(1)
-      .write.mode("overwrite").parquet(checkpointPath(rootPath, gen))
+    if (!wroteZones)
+      inventory.coalesce(1).write.mode("overwrite").parquet(ckpt)
   }
+
+  /** One switch for the whole zone-map tier: stats production at
+    * commit/append, sidecar loading at open, and probe-time pruning.
+    * Read from the active session at each site, so a store written
+    * with the tier off simply has inventory-only checkpoints (its
+    * files are never pruned — conservative admission covers it). */
+  private def zonemapEnabled(spark: SparkSession): Boolean =
+    java.lang.Boolean.parseBoolean(
+      spark.conf.get("graft.store.zonemap", "true"))
 
   /** Per-file min/max bounds of the tracked stats columns over
     * `absFiles` — one column-pruned scan grouped by file. None when
@@ -1032,19 +1049,48 @@ object IndexedStore {
 
   /** Driver-side total-order compare of a probe constant against a
     * checkpointed bound. None = incomparable (type mismatch the
-    * engine would coerce, a surrogate-pair string where UTF-16 and
-    * UTF-8 orders can diverge) — and None always ADMITS the file:
-    * zone maps may only prune on an ordering that provably matches
-    * the engine's. */
+    * engine would coerce differently, a surrogate-pair string where
+    * UTF-16 and UTF-8 orders can diverge) — and None always ADMITS
+    * the file: zone maps may only prune on an ordering that provably
+    * matches the engine's.
+    *
+    * Numeric compares MIRROR Catalyst's binary-comparison coercion,
+    * not a convenient widening: integral×integral compares as long
+    * (what the engine does), any float/double operand promotes both
+    * to double (ditto — and −0.0 normalizes to 0.0 first, because
+    * SQL equality says they match while Double.compare orders them),
+    * and decimal×decimal / decimal×integral compare EXACTLY via
+    * BigDecimal (the engine keeps these in decimal — rounding them
+    * through doubleValue could prune a file whose decimal bound
+    * differs from the probe only past double precision). */
   private[graft] def zoneCmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: java.lang.Number, y: java.lang.Number) =>
-      val integral = Seq(x, y).forall {
+      def kind(n: java.lang.Number): Int = n match {
         case _: java.lang.Long | _: java.lang.Integer |
-             _: java.lang.Short | _: java.lang.Byte => true
-        case _ => false
+             _: java.lang.Short | _: java.lang.Byte => 0 // integral
+        case _: java.math.BigDecimal => 1
+        case _: java.lang.Double | _: java.lang.Float => 2
+        case _ => 3
       }
-      if (integral) Some(java.lang.Long.compare(x.longValue, y.longValue))
-      else Some(java.lang.Double.compare(x.doubleValue, y.doubleValue))
+      (kind(x), kind(y)) match {
+        case (3, _) | (_, 3) => None // unknown Number subtype: admit
+        case (0, 0) => Some(java.lang.Long.compare(x.longValue, y.longValue))
+        case (1, 1) => Some(Integer.signum(x.asInstanceOf[java.math.BigDecimal]
+          .compareTo(y.asInstanceOf[java.math.BigDecimal])))
+        case (1, 0) => Some(Integer.signum(x.asInstanceOf[java.math.BigDecimal]
+          .compareTo(java.math.BigDecimal.valueOf(y.longValue))))
+        case (0, 1) => Some(Integer.signum(java.math.BigDecimal
+          .valueOf(x.longValue)
+          .compareTo(y.asInstanceOf[java.math.BigDecimal])))
+        case _ =>
+          // at least one true float operand: the engine promotes the
+          // comparison to double, so a double compare is exact here
+          def d(n: java.lang.Number): Double = {
+            val v = n.doubleValue
+            if (v == 0.0) 0.0 else v // −0.0 → 0.0 (SQL equality)
+          }
+          Some(java.lang.Double.compare(d(x), d(y)))
+      }
     case (x: String, y: String) =>
       if ((x + y).exists(Character.isSurrogate)) None
       else Some(Integer.signum(x.compareTo(y)))
@@ -1169,9 +1215,12 @@ object IndexedStore {
       val ckpt = readCkptData(spark, checkpointPath(rootPath, gen))
       // append zone sidecars, each promised by its entry's zmap field
       // (entry-iff-ready, like every log artifact); a sidecar that
-      // fails to load costs pruning on its files, never correctness
+      // fails to load costs pruning on its files, never correctness.
+      // With the tier off, skip the sidecar reads entirely — pruning
+      // is disabled anyway and open() shouldn't pay for it.
       val ZmapRe = """"zmap":"([^"]+)"""".r
-      val appendZones = entries.iterator.flatMap { case (_, b) =>
+      val appendZones = if (!zonemapEnabled(spark)) Map.empty[String, Map[String, ZoneRange]]
+      else entries.iterator.flatMap { case (_, b) =>
         ZmapRe.findFirstMatchIn(b).map(_.group(1))
       }.flatMap { name =>
         scala.util.Try(readCkptData(spark,
@@ -1708,8 +1757,7 @@ object IndexedStore {
     private def zonePrunedBase(conds: Seq[graft.core.Condition]): DataFrame =
       view match {
         case Some(v) if v.dataFiles.nonEmpty && v.zones.nonEmpty &&
-            conds.nonEmpty && java.lang.Boolean.parseBoolean(
-              spark.conf.get("graft.store.zonemap", "true")) =>
+            conds.nonEmpty && IndexedStore.zonemapEnabled(spark) =>
           val keep = v.dataFiles.filter(f =>
             zoneAdmits(v.zones.getOrElse(f, Map.empty), conds))
           if (keep.size == v.dataFiles.size) base
@@ -2003,17 +2051,22 @@ object IndexedStore {
       // zone sidecar for the appended files (named by the batch's lo
       // rowid — unique per append under the contiguous-run contract),
       // written BEFORE the entry that promises it; the stats pass
-      // reads back only this batch's own files, column-pruned
-      val zmapField = genEntries.collect { case (gen, _) if added.nonEmpty =>
-        val name = s"$gen-append-z$lo.parquet"
-        zoneStatsFrame(SparkSession.active, gen, path,
-            added.map(f => s"$path/$f"), props) match {
-          case Some(zs) =>
-            zs.coalesce(1).write.mode("overwrite")
-              .parquet(new HPath(new HPath(rootPath, CkptDir), name).toString)
-            s""","zmap":"$name""""
-          case None => ""
-        }
+      // reads back only this batch's own files, column-pruned. The
+      // write executes the scan, so the whole attempt is fallible:
+      // a failure just drops the zmap field (files admitted, never
+      // pruned) — an append must not fail for an optimization tier.
+      val zmapField = genEntries.collect {
+        case (gen, _) if added.nonEmpty &&
+            zonemapEnabled(SparkSession.active) =>
+          val name = s"$gen-append-z$lo.parquet"
+          zoneStatsFrame(SparkSession.active, gen, path,
+              added.map(f => s"$path/$f"), props).flatMap { zs =>
+            scala.util.Try {
+              zs.coalesce(1).write.mode("overwrite")
+                .parquet(new HPath(new HPath(rootPath, CkptDir), name).toString)
+              s""","zmap":"$name""""
+            }.toOption
+          }.getOrElse("")
       }.getOrElse("")
       appendMutationLog(rootPath, "append",
         s""""lo":$lo,"hi":$hi$filesField$zmapField""")

@@ -3,11 +3,9 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
-import graft.core.{Comparison, Condition, Store, Tables, Value}
-import graft.storage.{HashIndex, IndexedStore, RangeIndex}
+import graft.core.{Comparison, Condition, Value}
+import graft.storage.IndexedStore
 
 /** Zone-map file skipping (the checkpoint's per-file min/max tier):
   * a probe reads strictly fewer FILES with the tier on, results are
@@ -21,44 +19,19 @@ class ZoneMapSpec extends SparkSpec {
 
   private def numFilesRead(df: DataFrame): Long = {
     df.collect()
-    def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
-      case other => other +: other.children.flatMap(unwrap)
-    }
-    unwrap(df.queryExecution.executedPlan).collect {
-      case f: FileSourceScanExec => f.metrics("numFiles").value
-    }.sum
+    Bench.filesReadOf(df).toLong
   }
 
   // l_shipdate reads back as TIMESTAMP_NTZ (pyarrow timestamp[us]) —
   // NTZ probes keep engine and zone-bound compares timezone-free
   private def ts(s: String) = java.time.LocalDateTime.parse(s)
 
-  /** The gate fixture: key-hash layout, stats-only range column,
-    * time-ordered appends — one band per append. */
+  /** The gate fixture, built by the SAME code as sc_zonemap and the
+    * bench zoneOps measurement (StorageOps.buildZoneBands) — the spec
+    * must test the store shape the gate ships. */
   private def buildBandedStore(): String = {
     val path = tmp()
-    val li = Tables(spark, sf).lineitem
-      .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
-    def slice(lo: String, hi: String) =
-      li.filter(col("l_shipdate") >= lit(lo).cast("timestamp") &&
-        col("l_shipdate") < lit(hi).cast("timestamp"))
-    val base = Store
-      .fromData(slice("1992-01-01", "1995-01-01"), Seq("l_orderkey", "l_linenumber"))
-      .data
-    IndexedStore.write(base, path, HashIndex("l_orderkey", 8),
-      statsOnly = Seq(RangeIndex("l_shipdate", 8)))
-    var offset = base.count()
-    Seq(("1995-01-01", "1996-01-01"), ("1996-01-01", "1997-01-01"),
-        ("1997-01-01", "1999-01-01")).foreach { case (lo, hi) =>
-      val batch = Store
-        .fromData(slice(lo, hi), Seq("l_orderkey", "l_linenumber"))
-        .data.withColumn(IndexedStore.RowId,
-          col(IndexedStore.RowId) + offset)
-        .coalesce(1)
-      IndexedStore.append(batch, path)
-      offset += batch.count()
-    }
+    graft.operators.StorageOps.buildZoneBands(spark, sf, path)
     path
   }
 
@@ -190,5 +163,24 @@ class ZoneMapSpec extends SparkSpec {
     assert(zoneCmp("😀", "z").isEmpty)
     assert(zoneCmp(1.5, 2).contains(-1))
     assert(zoneCmp(3L, 3).contains(0))
+  }
+
+  test("zoneCmp mirrors engine coercion: exact decimals, −0.0, mixed floats") {
+    import IndexedStore.zoneCmp
+    def bd(s: String) = new java.math.BigDecimal(s)
+    // decimals past double precision compare EXACTLY (a doubleValue
+    // round-trip would call these equal and misprune)
+    assert(zoneCmp(bd("100.000000000000000002"),
+      bd("100.000000000000000001")).contains(1))
+    assert(zoneCmp(bd("100.000000000000000001"),
+      bd("100.000000000000000001")).contains(0))
+    // decimal × integral stays exact through BigDecimal
+    assert(zoneCmp(bd("9007199254740993"), 9007199254740992L).contains(1))
+    assert(zoneCmp(42L, bd("42.0")).contains(0))
+    // SQL equality: −0.0 matches 0.0 (Double.compare alone orders them)
+    assert(zoneCmp(-0.0, 0.0).contains(0))
+    assert(zoneCmp(0.0, -0.0).contains(0))
+    // a float operand promotes the comparison to double, like the engine
+    assert(zoneCmp(2.5f, 2L).contains(1))
   }
 }
