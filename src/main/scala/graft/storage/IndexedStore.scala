@@ -1015,14 +1015,32 @@ object IndexedStore {
     }
   }.toOption.flatten
 
-  /** Columns the store keeps NDV stats for — the layout's primary
-    * columns plus every statsOnly/secondary declaration; exactly the
-    * set a user declared query-relevant, so exactly the set worth
-    * zone bounds. */
+  /** Columns worth zone bounds: every indexed/declared column
+    * (`kind.*` sidecar keys — statsOnly, secondary, range primary)
+    * EXCEPT primaries whose layout makes per-file bounds useless —
+    * a hash primary scatters its values uniformly across buckets
+    * (every file's zone spans the whole domain: pure stats cost,
+    * zero pruning — measured 6× on the commit and 4× on append
+    * throughput when tracked anyway), and curve primaries are
+    * already pruned cell-wise by the grid walk. The range primary
+    * keeps its zones: appends make buckets multi-file, and per-file
+    * bounds prune inside them. A store with no trackable column
+    * (e.g. a plain hash store with no statsOnly declarations) writes
+    * inventory-only checkpoints and pays NOTHING for the tier. */
   private def zoneColumns(props: Properties): Seq[String] = {
     import scala.jdk.CollectionConverters._
-    props.stringPropertyNames.asScala.toSeq
-      .filter(_.startsWith("ndv.")).map(_.stripPrefix("ndv.")).sorted
+    val declared = props.stringPropertyNames.asScala.toSeq
+      .filter(_.startsWith("kind.")).map(_.stripPrefix("kind."))
+    val excluded = Option(props.getProperty("layout")).toSeq.flatMap { l =>
+      val parts = l.split(":")
+      parts(0) match {
+        case "hash" => Seq(parts(1))
+        case "zorder" | "hilbert" => Seq(parts(1), parts(2))
+        case "zordern" => parts(1).split(",").toSeq
+        case _ => Seq.empty // range primary keeps its zones
+      }
+    }
+    (declared.toSet -- excluded).toSeq.sorted
   }
 
   /** Types with a total order both engines agree on driver-side.
