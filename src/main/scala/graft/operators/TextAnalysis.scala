@@ -483,6 +483,123 @@ object TextAnalysis {
        |FROM s
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ jsd
+
+  /** Fold mode for [[tJsd]]'s per-source divergence sum, conf
+    * `graft.text.jsdFold` — the [[Graph]] `floatMode` pattern:
+    * `parity` (default) collects each source's per-word terms sorted
+    * ascending and folds from 0.0, making the divergence bit-identical
+    * to the oracle (row size bounded by the VOCABULARY — fine to
+    * ~10⁶ words); `free` is a plain map-side-combined `sum` — constant
+    * row size, the shape for a 10⁷⁺-word web vocabulary, last-bit
+    * nondeterministic, rank-pinned against parity in PipelineSpec. */
+  private def jsdFree(spark: SparkSession): Boolean =
+    spark.conf.getOption("graft.text.jsdFold") match {
+      case Some("free") => true
+      case Some("parity") | None => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft.text.jsdFold = '$other' (expected 'parity' or 'free')")
+    }
+
+  /** t_jsd — per-source DISTRIBUTION DRIFT: the Jensen–Shannon
+    * divergence (bits) between each source's unigram word
+    * distribution and the REST of the corpus — the data-mixing
+    * telemetry a pre-training pipeline reads before setting mixture
+    * weights (d_mix / d_reweight): a source whose JSD spikes is
+    * distributionally anomalous (wrong language, template flood,
+    * scraper drift) and gets inspected before it gets weighted.
+    * JSD(P‖R) = ½ΣP·ln(P/M) + ½ΣR·ln(R/M), M = (P+R)/2 — symmetric,
+    * bounded by ln 2, zero iff the source matches the rest exactly.
+    *
+    * Shape: ONE corpus scan → (source, word) counts (map-side
+    * combined, cached — three consumers); the vocabulary grid is
+    * corpus-vocab × sources built by broadcasting the per-source
+    * totals (a handful of rows) onto the word-count frame, so the
+    * grid is vocab-bounded — never corpus-bounded — and rest-counts
+    * are pure integer subtraction C−c_s against the broadcast corpus
+    * totals. Float parity: probabilities are integer-over-integer
+    * doubles spelled identically in both engines; zero counts route
+    * through the same CASE guards (0·ln0 := 0); the per-source fold
+    * follows [[jsdFree]]. */
+  def tJsd(spark: SparkSession, dir: String): DataFrame = {
+    val free = jsdFree(spark)
+    val d = docsSpread(spark, dir)
+    val counts = d.select(col("source"), explode(words(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("cs"))
+      .cache()
+    val corpus = counts.groupBy("word").agg(sum("cs").as("c"))
+    val perSrc = counts.groupBy("source")
+      .agg(sum("cs").as("ns"), count(lit(1)).as("nv"))
+    val tot = counts.agg(sum("cs").as("nn"))
+    val grid = corpus
+      .crossJoin(broadcast(perSrc.select(col("source"), col("ns"))))
+      .join(counts.select(col("source"), col("word"), col("cs")),
+        Seq("source", "word"), "left")
+      .select(col("source"), col("ns"), col("c"),
+        coalesce(col("cs"), lit(0L)).as("cs"))
+      .crossJoin(broadcast(tot))
+    val ps = when(col("cs") > 0,
+      col("cs").cast("double") / col("ns").cast("double")).otherwise(lit(0.0))
+    val pr = when(col("c") - col("cs") > 0,
+      (col("c") - col("cs")).cast("double") /
+        (col("nn") - col("ns")).cast("double")).otherwise(lit(0.0))
+    val probs = grid.select(col("source"), ps.as("ps"), pr.as("pr"))
+    val m = (col("ps") + col("pr")) / lit(2.0)
+    val terms = probs.select(col("source"),
+      (lit(0.5) * when(col("ps") > 0, col("ps") * log(col("ps") / m))
+        .otherwise(lit(0.0)) +
+        lit(0.5) * when(col("pr") > 0, col("pr") * log(col("pr") / m))
+          .otherwise(lit(0.0))).as("term"))
+    val folded =
+      if (free) terms.groupBy("source").agg(sum("term").as("s"))
+      else terms.groupBy("source")
+        .agg(sort_array(collect_list(col("term"))).as("ts"))
+        .select(col("source"),
+          aggregate(col("ts"), lit(0.0), (a, t) => a + t).as("s"))
+    folded.join(perSrc, "source")
+      .select(col("source"), col("ns").cast("long").as("n_words"),
+        col("nv").cast("long").as("n_distinct_words"),
+        stableRound(col("s") / log(lit(2.0)), 6).as("jsd_bits"))
+      .orderBy("source")
+  }
+
+  val tJsdSql: String =
+    s"""WITH w AS (SELECT source, string_split($normSql, ' ') AS w FROM documents),
+       |counts AS (
+       |  SELECT source, word, count(*)::BIGINT AS cs
+       |  FROM (SELECT source, unnest(w) AS word FROM w) u
+       |  GROUP BY source, word),
+       |corpus AS (SELECT word, sum(cs)::BIGINT AS c FROM counts GROUP BY word),
+       |per_src AS (
+       |  SELECT source, sum(cs)::BIGINT AS ns, count(*)::BIGINT AS nv
+       |  FROM counts GROUP BY source),
+       |tot AS (SELECT sum(cs)::BIGINT AS nn FROM counts),
+       |grid AS (
+       |  SELECT p.source, p.ns, v.c, COALESCE(k.cs, 0)::BIGINT AS cs
+       |  FROM corpus v
+       |  CROSS JOIN per_src p
+       |  LEFT JOIN counts k ON k.source = p.source AND k.word = v.word),
+       |probs AS (
+       |  SELECT source,
+       |    CASE WHEN cs > 0 THEN cs::DOUBLE / ns::DOUBLE ELSE 0.0 END AS ps,
+       |    CASE WHEN c - cs > 0
+       |         THEN (c - cs)::DOUBLE / (nn - ns)::DOUBLE ELSE 0.0 END AS pr
+       |  FROM grid CROSS JOIN tot),
+       |terms AS (
+       |  SELECT source,
+       |    0.5 * (CASE WHEN ps > 0
+       |           THEN ps * ln(ps / ((ps + pr) / 2.0)) ELSE 0.0 END)
+       |    + 0.5 * (CASE WHEN pr > 0
+       |             THEN pr * ln(pr / ((ps + pr) / 2.0)) ELSE 0.0 END) AS term
+       |  FROM probs),
+       |g AS (SELECT source, list(term ORDER BY term) AS ts
+       |      FROM terms GROUP BY source)
+       |SELECT g.source, p.ns AS n_words, p.nv AS n_distinct_words,
+       |  floor((list_reduce(list_prepend(0.0, ts), (a, b) -> a + b)
+       |    / ln(2.0)) * 1e6 + 0.5) / 1e6 AS jsd_bits
+       |FROM g JOIN per_src p ON g.source = p.source
+       |ORDER BY g.source""".stripMargin
+
   // ---------------------------------------------------- readability
 
   /** t_readability — Flesch Reading Ease per doc, from the classic
@@ -857,6 +974,7 @@ object TextAnalysis {
     "t_keywords" -> tKeywords,
     "t_bigram_lm" -> tBigramLm,
     "t_readability" -> tReadability,
+    "t_jsd" -> tJsd,
   )
 
   def oracles: Map[String, String] = Map(
@@ -875,5 +993,6 @@ object TextAnalysis {
     "t_keywords" -> tKeywordsSql,
     "t_bigram_lm" -> tBigramLmSql,
     "t_readability" -> tReadabilitySql,
+    "t_jsd" -> tJsdSql,
   )
 }

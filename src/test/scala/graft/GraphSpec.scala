@@ -150,4 +150,54 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(hs - 1.0) < 1e-6 && math.abs(as - 1.0) < 1e-6,
       s"normalization drifted: hubs=$hs auths=$as")
   }
+
+  test("g_cc: star contraction matches a driver-side union-find on the same backbone") {
+    val e = Graph.edges(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    // same integer backbone rule the operator pins: w·ne ≥ Σw
+    val ne = e.length.toLong
+    val tw = e.map(_._3).sum
+    val bb = e.filter { case (_, _, w) => w * ne >= tw }
+    val parent = scala.collection.mutable.Map(nodes.map(d => d -> d): _*)
+    def find(x: String): String =
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    bb.foreach { case (s, d, _) =>
+      val (rs, rd) = (find(s), find(d))
+      if (rs != rd) parent(if (rs < rd) rd else rs) = if (rs < rd) rs else rd
+    }
+    // union-find roots are path-order-dependent; the CONTRACT is the
+    // min member per component, so relabel each root to its min.
+    val byRoot = nodes.groupBy(find)
+    val expectComp = byRoot.flatMap { case (_, ms) =>
+      val m = ms.min; ms.toSeq.map(_ -> m)
+    }
+    val expectSize = byRoot.map { case (_, ms) => ms.min -> ms.length.toLong }
+    val got = Graph.gCc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == nodes.toSeq, "one ordered row per node")
+    got.foreach { case (d, comp, sz) =>
+      assert(comp == expectComp(d), s"$d: comp $comp want ${expectComp(d)}")
+      assert(sz == expectSize(comp), s"$d: size $sz want ${expectSize(comp)}")
+    }
+    // the gate corpus exercises both shapes: a real multi-node
+    // component and singleton isolates
+    assert(expectSize.values.max > 1, "backbone must keep a multi-node component")
+    assert(expectSize.values.min == 1L, "thresholding must isolate someone")
+  }
+
+  test("g_cc: labeling is a fixpoint — every backbone edge is intra-component") {
+    val lbl = Graph.gCc(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val e = Graph.edges(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val ne = e.length.toLong
+    val tw = e.map(_._3).sum
+    e.filter { case (_, _, w) => w * ne >= tw }.foreach { case (s, d, _) =>
+      assert(lbl(s) == lbl(d), s"backbone edge $s->$d crosses components")
+    }
+    // component labels are members of their own component
+    lbl.values.toSet.foreach { (c: String) => assert(lbl(c) == c) }
+  }
 }

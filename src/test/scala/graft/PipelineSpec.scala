@@ -1298,4 +1298,68 @@ class PipelineSpec extends SparkSpec {
     // flag consistency
     assert(df.filter(col("is_anomaly") =!= (col("dev2") > col("bound"))).count() == 0)
   }
+
+  test("t_jsd matches a driver-side reference JSD exactly; bounded by 1 bit") {
+    // Reference: plain-Scala word counts per source, same guarded
+    // term expression, same ascending-term fold, same ⌊x·1e6+½⌋
+    // rounding — agreement is exact, not approximate.
+    val docs = graft.core.Tables(spark, sf).documents
+      .select(col("source"),
+        graft.functions.TextFunctions.words(col("text")).as("w"))
+      .as[(String, Seq[String])].collect()
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+    docs.foreach { case (s, ws) =>
+      ws.foreach(w => counts((s, w)) = counts.getOrElse((s, w), 0L) + 1L)
+    }
+    val corpusC = counts.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
+    val nsBySrc = counts.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val nvBySrc = counts.groupBy(_._1._1).map { case (s, m) => s -> m.size.toLong }
+    val nn = corpusC.values.sum
+    val expect = nsBySrc.keys.map { s =>
+      val ns = nsBySrc(s)
+      val terms = corpusC.toSeq.map { case (w, c) =>
+        val cs = counts.getOrElse((s, w), 0L)
+        val ps = if (cs > 0) cs.toDouble / ns.toDouble else 0.0
+        val pr = if (c - cs > 0) (c - cs).toDouble / (nn - ns).toDouble else 0.0
+        val m = (ps + pr) / 2.0
+        0.5 * (if (ps > 0) ps * math.log(ps / m) else 0.0) +
+          0.5 * (if (pr > 0) pr * math.log(pr / m) else 0.0)
+      }
+      val jsd = terms.sorted.foldLeft(0.0)(_ + _) / math.log(2.0)
+      s -> math.floor(jsd * 1e6 + 0.5) / 1e6
+    }.toMap
+    val got = TextAnalysis.tJsd(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (s, (nw, nv, jsd)) =>
+      assert(nw == nsBySrc(s) && nv == nvBySrc(s), s"$s totals")
+      assert(jsd == expect(s), s"$s: jsd $jsd want ${expect(s)}")
+      assert(jsd >= 0.0 && jsd <= 1.0, s"$s: JSD out of [0,1] bits: $jsd")
+    }
+    // the synthetic sources genuinely differ, but none is alien
+    assert(got.values.exists(_._3 > 0.0), "some source must diverge from the rest")
+  }
+
+  test("t_jsd free fold mode: same ranking as parity, plan carries no collect_list") {
+    val parity = TextAnalysis.tJsd(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    spark.conf.set("graft.text.jsdFold", "free")
+    try {
+      val freeDf = TextAnalysis.tJsd(spark, sf)
+      val plan = freeDf.queryExecution.executedPlan.toString
+      assert(!plan.contains("collect_list"),
+        "free mode must not collect per-source term lists")
+      val free = freeDf.collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      assert(free.keySet == parity.keySet)
+      free.foreach { case (s, v) =>
+        assert(math.abs(v - parity(s)) < 1e-9, s"$s: free $v vs parity ${parity(s)}")
+      }
+    } finally spark.conf.unset("graft.text.jsdFold")
+    intercept[IllegalArgumentException] {
+      spark.conf.set("graft.text.jsdFold", "fre")
+      try TextAnalysis.tJsd(spark, sf)
+      finally spark.conf.unset("graft.text.jsdFold")
+    }
+  }
 }
