@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shared distributed connected-components machinery: alternating
+  * large-star/small-star contraction (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC 2014).
+  *
+  * The complement to [[Dedup]]'s min-label `propagate`: propagation
+  * does one hop per materialized round, which is right for the
+  * shallow star/clique components dup graphs produce, but a
+  * DEEP-CHAIN component (mirror rings, redirect chains, block-matrix
+  * band graphs) costs O(diameter) rounds. Contraction converges in
+  * O(log² n) rounds on ANY diameter, and every aggregation is a
+  * map-side-combined `groupBy().min()` — no per-node neighborhood
+  * ever collects into one row, so a power-law hub costs the same as
+  * a leaf. Used directly by [[Graph.gCc]] and behind
+  * `graft.cluster.ccMode=star` by [[Dedup.clusterLabels]];
+  * [[graft.GraphSpec]] pins star ≡ union-find and the round bound on
+  * a 255-node chain (propagation's worst case).
+  */
+object Components {
+
+  /** Round-limit safety net: alternating star rounds converge in
+    * O(log² n) (Kiveris et al. 2014, thm 3) — 25 covers any graph
+    * that fits in a cluster; hitting it means a bug, so it throws
+    * rather than emitting a not-yet-fixpoint labeling. */
+  val MaxRounds = 25
+
+  /** Component labels for an undirected pair set. Input columns
+    * `(a, b)` of any one orderable type; output one `(node, comp)`
+    * row per distinct ENDPOINT (callers owning isolated nodes attach
+    * them with a left join + coalesce-to-self), comp = the component
+    * minimum — the same labeling contract as `propagate`, so the two
+    * algorithms are interchangeable and spec-comparable. Per round:
+    *
+    *  - large-star: each node u computes m = min(Γ(u) ∪ {u}) (a
+    *    grouped min over the symmetric edge list) and every strictly
+    *    LARGER neighbor v re-links to m — emitted canonically as
+    *    (m, v) since m ≤ u < v;
+    *  - small-star: each node b computes m = min of its SMALLER
+    *    neighbors (grouped min over the (a < b) orientation) and all
+    *    of them, plus b itself, link to m.
+    *
+    * Both steps preserve connectivity and monotonically shrink the
+    * potential Σ rank, so the pair set reaches a fixpoint — checked
+    * by set equality (two `exceptAll` counts) against the previous
+    * round, which proves the fixpoint since each round is a pure
+    * function of the set; lineage is cut per round (localCheckpoint,
+    * the `propagate` discipline). At the fixpoint the pairs form
+    * stars centered at each component's minimum. */
+  def starLabels(pairs: DataFrame): DataFrame = starLabelsRounds(pairs)._1
+
+  /** [[starLabels]] plus the number of contraction rounds taken —
+    * for specs that pin the O(log) round bound. */
+  private[graft] def starLabelsRounds(pairsIn: DataFrame): (DataFrame, Int) = {
+    val nodes = pairsIn.select(col("a").as("node"))
+      .unionByName(pairsIn.select(col("b").as("node")))
+      .distinct().localCheckpoint(false)
+    var pairs = pairsIn
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint(false)
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0) {
+      rounds += 1
+      if (rounds > MaxRounds) throw new IllegalStateException(
+        s"star contraction not converged after $MaxRounds rounds")
+      val sym = pairs.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
+      // large-star: min over each symmetric neighborhood (and self),
+      // larger neighbors re-link to it. m ≤ u < v ⇒ (m, v) canonical.
+      val lsMin = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val ls = sym.join(lsMin, "u").filter(col("v") > col("u"))
+        .filter(col("m") =!= col("v"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .distinct().localCheckpoint(false)
+      // small-star on the (a < b) orientation: b's smaller neighbors
+      // and b itself re-link to b's min smaller neighbor.
+      val ssMin = ls.groupBy("b").agg(min(col("a")).as("m"))
+      val ss = ls.join(ssMin, "b")
+        .select(col("m"), col("a").as("v"))
+        .unionByName(ssMin.select(col("m"), col("b").as("v")))
+        .filter(col("m") =!= col("v"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .distinct().localCheckpoint(false)
+      changed = ss.exceptAll(pairs).count() + pairs.exceptAll(ss).count()
+      pairs = ss
+    }
+    // Fixpoint pairs are stars (root, child); defensive grouped min
+    // keeps the labeling single-valued even mid-refactor.
+    val roots = pairs.groupBy(col("b").as("node"))
+      .agg(min(col("a")).as("root"))
+    val lbl = nodes.join(roots, Seq("node"), "left")
+      .select(col("node"), coalesce(col("root"), col("node")).as("comp"))
+    (lbl, rounds)
+  }
+}

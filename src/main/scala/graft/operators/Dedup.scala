@@ -715,13 +715,47 @@ object Dedup {
     * Spark's ContextCleaner once the dropped frames are GC'd. */
   private[graft] def clearLabelCache(): Unit = labelCache.clear()
 
+  /** CC algorithm for [[clusterLabels]], conf `graft.cluster.ccMode`
+    * — both produce the identical min-of-component labeling (integer
+    * ids, no float hazard), so BOTH are hash-green; the choice is a
+    * round-complexity bet on component SHAPE:
+    *
+    *  - `minlabel` (default): [[propagate]] — one hop per
+    *    materialized round, right for the shallow star/clique
+    *    components dup graphs overwhelmingly produce (2-3 rounds);
+    *  - `star`: [[Components.starLabels]] — O(log²) rounds on ANY
+    *    diameter, the safe mode when near-dup chains are long
+    *    (A≈B≈C≈… content drift, mirror rings); GraphSpec pins it ≡
+    *    union-find and ≤ 8 rounds on a 255-chain where propagation
+    *    would need ~128 hops. */
+  private def ccStar(spark: SparkSession): Boolean =
+    spark.conf.getOption("graft.cluster.ccMode") match {
+      case Some("star") => true
+      case Some("minlabel") | None => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft.cluster.ccMode = '$other' (expected 'minlabel' or 'star')")
+    }
+
   /** Unordered cluster labels (composable form — [[Curation]] anti-
     * joins on the non-keepers without paying a presentation sort). */
-  def clusterLabels(spark: SparkSession, dir: String): DataFrame =
-    labelCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
-      propagate(dDedupMinhash(spark, dir).select("id1", "id2"))
+  def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    val star = ccStar(spark)
+    // mode in the memo key: a conf flip mid-session must recompute,
+    // not serve the other algorithm's (identical, but differently
+    // checkpointed) frame
+    val key = spark.sparkContext.applicationId + (if (star) "/star" else "")
+    labelCache.getOrElseUpdate((key, dir), {
+      val pairs = dDedupMinhash(spark, dir).select("id1", "id2")
+      val labels =
+        if (star) Components
+          .starLabels(pairs.select(col("id1").as("a"), col("id2").as("b")))
+          .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+        else propagate(pairs)
+      labels
         .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
-        .select("doc_id", "cluster_id", "is_keeper"))
+        .select("doc_id", "cluster_id", "is_keeper")
+    })
+  }
 
   /** INCREMENTAL near-dup clustering — the streaming-curation shape:
     * the corpus is split into a BASE (md5(doc_id) % 100 < 90) and a

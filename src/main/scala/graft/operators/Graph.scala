@@ -377,13 +377,6 @@ object Graph {
 
   // -------------------------------------------- connected components
 
-  /** Round-limit safety net for the star contraction: alternating
-    * large-star/small-star converges in O(log² n) rounds (Kiveris et
-    * al. 2014, thm 3) — 25 covers any graph that fits in a cluster;
-    * hitting it means a bug, so it throws rather than emitting a
-    * not-yet-fixpoint labeling. */
-  val CcMaxRounds = 25
-
   /** g_cc — connected components over the STRONG-EDGE BACKBONE of the
     * domain graph (the community step of a crawl-curation pipeline:
     * threshold away weak cross-links, then cluster what remains; the
@@ -393,78 +386,24 @@ object Graph {
     * grow with the corpus but so does their mean) and division-free,
     * so the cut reproduces bit-for-bit in the oracle.
     *
-    * Components come from ALTERNATING LARGE-STAR/SMALL-STAR
-    * contraction (Kiveris et al., "Connected Components in MapReduce
-    * and Beyond", SoCC 2014) — the web-scale CC algorithm, chosen
-    * over plain min-label propagation ([[Dedup]]'s `propagate`, right
-    * for shallow dup cliques) because contraction converges in
-    * O(log²) rounds on ANY diameter and every aggregation here is a
-    * map-side-combined `groupBy().min()` — no per-node neighborhood
-    * ever collects into one row, so a power-law hub costs the same as
-    * a leaf (the g_pagerank `floatMode=free` skew rule, built in
-    * rather than switched). Per round:
-    *
-    *  - large-star: each node u computes m = min(Γ(u) ∪ {u}) (a
-    *    grouped min over the symmetric edge list) and every strictly
-    *    LARGER neighbor v re-links to m — emitted canonically as
-    *    (m, v) since m ≤ u < v;
-    *  - small-star: each node b computes m = min of its SMALLER
-    *    neighbors (grouped min over the (a < b) orientation) and all
-    *    of them, plus b itself, link to m.
-    *
-    * Both steps preserve connectivity and monotonically shrink the
-    * potential Σ rank, so the pair set reaches a fixpoint — checked
-    * by set equality (two `exceptAll` counts) against the previous
-    * round, which proves the fixpoint since each round is a pure
-    * function of the set. At the fixpoint the pairs form stars
-    * centered at each component's MIN domain; nodes with no backbone
-    * edge are their own singleton component. Output labels are
-    * strings + integer sizes — hash-green with zero parity machinery.
+    * Components come from [[Components.starLabels]]'s alternating
+    * large-star/small-star contraction — the web-scale CC algorithm
+    * (O(log²) rounds on any diameter, grouped-min aggregations only,
+    * skew-safe by construction); nodes with no backbone edge attach
+    * as their own singleton component. Output labels are strings +
+    * integer sizes — hash-green with zero parity machinery.
     * [[graft.GraphSpec]] additionally pins the star labeling ≡ a
     * driver-side union-find on the same backbone. */
   def gCc(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir).localCheckpoint(false)
     val tot = broadcast(
       e.agg(count(lit(1)).as("ne"), sum(col("w")).as("tw")))
-    var pairs = e.crossJoin(tot)
+    val bb = e.crossJoin(tot)
       .filter(col("w") * col("ne") >= col("tw"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct().localCheckpoint(false)
-    var rounds = 0
-    var changed = 1L
-    while (changed > 0) {
-      rounds += 1
-      if (rounds > CcMaxRounds) throw new IllegalStateException(
-        s"g_cc star contraction not converged after $CcMaxRounds rounds")
-      val sym = pairs.select(col("a").as("u"), col("b").as("v"))
-        .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
-      // large-star: min over each symmetric neighborhood (and self),
-      // larger neighbors re-link to it. m ≤ u < v ⇒ (m, v) canonical.
-      val lsMin = sym.groupBy("u").agg(min(col("v")).as("mv"))
-        .select(col("u"), least(col("mv"), col("u")).as("m"))
-      val ls = sym.join(lsMin, "u").filter(col("v") > col("u"))
-        .filter(col("m") =!= col("v"))
-        .select(col("m").as("a"), col("v").as("b"))
-        .distinct().localCheckpoint(false)
-      // small-star on the (a < b) orientation: b's smaller neighbors
-      // and b itself re-link to b's min smaller neighbor.
-      val ssMin = ls.groupBy("b").agg(min(col("a")).as("m"))
-      val ss = ls.join(ssMin, "b")
-        .select(col("m"), col("a").as("v"))
-        .unionByName(ssMin.select(col("m"), col("b").as("v")))
-        .filter(col("m") =!= col("v"))
-        .select(col("m").as("a"), col("v").as("b"))
-        .distinct().localCheckpoint(false)
-      changed = ss.exceptAll(pairs).count() + pairs.exceptAll(ss).count()
-      pairs = ss
-    }
-    // Fixpoint pairs are stars (root, child); defensive grouped min
-    // keeps the labeling single-valued even mid-refactor.
-    val roots = pairs.groupBy(col("b").as("domain"))
-      .agg(min(col("a")).as("root"))
-    val lbl = nodes(e).join(roots, Seq("domain"), "left")
+      .select(col("src").as("a"), col("dst").as("b"))
+    val starred = Components.starLabels(bb)
+      .select(col("node").as("domain"), col("comp").as("root"))
+    val lbl = nodes(e).join(starred, Seq("domain"), "left")
       .select(col("domain"), coalesce(col("root"), col("domain")).as("comp"))
       .localCheckpoint(false)
     val sizes = lbl.groupBy("comp").agg(count(lit(1)).as("comp_size"))

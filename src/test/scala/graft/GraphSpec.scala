@@ -187,6 +187,19 @@ class GraphSpec extends SparkSpec {
     assert(expectSize.values.min == 1L, "thresholding must isolate someone")
   }
 
+  test("star contraction: a 255-node chain (propagation's worst case) converges in O(log) rounds") {
+    import SparkSpec.spark.implicits._
+    // a pure path graph has diameter 254: min-label propagation would
+    // need ~128 two-hop materialized rounds to carry label 0 to the
+    // far end; contraction halves the structure every round
+    val chain = (0 until 254).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+    val (lbl, rounds) = graft.operators.Components.starLabelsRounds(chain)
+    val got = lbl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 255, s"one label per chain node, got ${got.size}")
+    assert(got.values.forall(_ == 0L), "every node must label to the chain min")
+    assert(rounds <= 10, s"contraction took $rounds rounds on a 254-diameter chain")
+  }
+
   test("g_cc: labeling is a fixpoint — every backbone edge is intra-component") {
     val lbl = Graph.gCc(spark, sf).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap

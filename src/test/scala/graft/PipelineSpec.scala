@@ -1299,6 +1299,23 @@ class PipelineSpec extends SparkSpec {
     assert(df.filter(col("is_anomaly") =!= (col("dev2") > col("bound"))).count() == 0)
   }
 
+  test("d_cluster star mode is bit-identical to min-label propagation") {
+    val base = Dedup.dCluster(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    spark.conf.set("graft.cluster.ccMode", "star")
+    try {
+      val star = Dedup.dCluster(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(star == base,
+        s"modes diverge: extra=${star -- base} missing=${base -- star}")
+    } finally spark.conf.unset("graft.cluster.ccMode")
+    intercept[IllegalArgumentException] {
+      spark.conf.set("graft.cluster.ccMode", "minlable")
+      try Dedup.dCluster(spark, sf)
+      finally spark.conf.unset("graft.cluster.ccMode")
+    }
+  }
+
   test("t_jsd matches a driver-side reference JSD exactly; bounded by 1 bit") {
     // Reference: plain-Scala word counts per source, same guarded
     // term expression, same ascending-term fold, same ⌊x·1e6+½⌋

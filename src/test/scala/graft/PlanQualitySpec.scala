@@ -647,4 +647,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"corpus-side shuffle join crept in:\n${p.take(2000)}")
   }
+
+  test("jsd grid is vocab-bounded: totals broadcast, no cartesian, one corpus scan") {
+    val p = plan("t_jsd")
+    assert(!p.contains("CartesianProduct"),
+      s"grid build degenerated to a cartesian:\n${p.take(2000)}")
+    // per-source totals and the 1-row corpus total attach as
+    // broadcasts (BNLJ on a handful of rows); the (source, word)
+    // grid↔counts meet must stay a hash join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"totals not broadcast:\n${p.take(2000)}")
+    // the cached counts frame is the single reader of the corpus:
+    // every consumer (corpus vocab, per-source totals, grid probe)
+    // must reuse it, not re-derive the explode
+    val docScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(docScans <= 1, s"corpus scanned $docScans times:\n${p.take(2000)}")
+  }
+
+  test("cc labeling joins stay hash joins over checkpointed stars — no cartesian, no collect") {
+    // building the frame runs the contraction loop; the asserted plan
+    // is the final labeling stage
+    val p = plan("g_cc")
+    assert(!p.contains("CartesianProduct"),
+      s"labeling degenerated to all-pairs:\n${p.take(2000)}")
+    assert(!p.contains("collect_list"),
+      s"a neighborhood collected into one row:\n${p.take(2000)}")
+  }
 }
