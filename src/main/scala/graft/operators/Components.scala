@@ -22,11 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** Round-limit safety net: alternating star rounds converge in
-    * O(log² n) (Kiveris et al. 2014, thm 3) — 25 covers any graph
-    * that fits in a cluster; hitting it means a bug, so it throws
-    * rather than emitting a not-yet-fixpoint labeling. */
-  val MaxRounds = 25
+  /** Round-limit safety net: measured rounds grow as ≈log₂(n)+1 on
+    * chains (256-node: 9, 1024: 11, 8192: 14 — GraphSpec), so 64
+    * covers any graph addressable by Long ids with headroom; hitting
+    * it means an oscillation bug, so it throws rather than emitting a
+    * not-yet-fixpoint labeling. */
+  val MaxRounds = 64
 
   /** Component labels for an undirected pair set. Input columns
     * `(a, b)` of any one orderable type; output one `(node, comp)`
@@ -55,12 +56,20 @@ object Components {
   /** [[starLabels]] plus the number of contraction rounds taken —
     * for specs that pin the O(log) round bound. */
   private[graft] def starLabelsRounds(pairsIn: DataFrame): (DataFrame, Int) = {
-    val nodes = pairsIn.select(col("a").as("node"))
-      .unionByName(pairsIn.select(col("b").as("node")))
-      .distinct().localCheckpoint(false)
-    var pairs = pairsIn
+    // ONE eager materialization of the caller's lineage (which may be
+    // an expensive candidate+verify pipeline): both the node set and
+    // the working pair set derive from this checkpointed frame —
+    // separate lazy checkpoints would each re-execute the input.
+    // Self-loops survive canonicalization so a node with only
+    // self-edges still gets its singleton label.
+    val canon = pairsIn
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
+      .localCheckpoint()
+    val nodes = canon.select(col("a").as("node"))
+      .unionByName(canon.select(col("b").as("node")))
+      .distinct()
+    var pairs = canon
       .filter(col("a") =!= col("b"))
       .distinct().localCheckpoint(false)
     var rounds = 0
@@ -75,8 +84,8 @@ object Components {
       // larger neighbors re-link to it. m ≤ u < v ⇒ (m, v) canonical.
       val lsMin = sym.groupBy("u").agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
+      // (m, v) is never a self-pair here: m ≤ u and v > u force m < v
       val ls = sym.join(lsMin, "u").filter(col("v") > col("u"))
-        .filter(col("m") =!= col("v"))
         .select(col("m").as("a"), col("v").as("b"))
         .distinct().localCheckpoint(false)
       // small-star on the (a < b) orientation: b's smaller neighbors

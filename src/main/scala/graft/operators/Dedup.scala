@@ -726,8 +726,8 @@ object Dedup {
     *  - `star`: [[Components.starLabels]] — O(log²) rounds on ANY
     *    diameter, the safe mode when near-dup chains are long
     *    (A≈B≈C≈… content drift, mirror rings); GraphSpec pins it ≡
-    *    union-find and ≤ 8 rounds on a 255-chain where propagation
-    *    would need ~128 hops. */
+    *    union-find, and measures 9 rounds on a 255-chain (spec bound
+    *    ≤ 10) where propagation would need ~128 two-hop rounds. */
   private def ccStar(spark: SparkSession): Boolean =
     spark.conf.getOption("graft.cluster.ccMode") match {
       case Some("star") => true

@@ -512,7 +512,8 @@ object TextAnalysis {
     * bounded by ln 2, zero iff the source matches the rest exactly.
     *
     * Shape: ONE corpus scan → (source, word) counts (map-side
-    * combined, cached — three consumers); the vocabulary grid is
+    * combined, cached — the corpus-vocab, per-source-total, and
+    * grid-probe consumers all reuse it); the vocabulary grid is
     * corpus-vocab × sources built by broadcasting the per-source
     * totals (a handful of rows) onto the word-count frame, so the
     * grid is vocab-bounded — never corpus-bounded — and rest-counts
@@ -530,7 +531,10 @@ object TextAnalysis {
     val corpus = counts.groupBy("word").agg(sum("cs").as("c"))
     val perSrc = counts.groupBy("source")
       .agg(sum("cs").as("ns"), count(lit(1)).as("nv"))
-    val tot = counts.agg(sum("cs").as("nn"))
+    // Σ over per-source totals ≡ Σ over the vocab frame (integer
+    // arithmetic) and folds a handful of rows instead of re-scanning
+    // the cached (source, word) frame a fourth time.
+    val tot = perSrc.agg(sum("ns").as("nn"))
     val grid = corpus
       .crossJoin(broadcast(perSrc.select(col("source"), col("ns"))))
       .join(counts.select(col("source"), col("word"), col("cs")),

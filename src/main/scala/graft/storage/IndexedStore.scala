@@ -1157,16 +1157,39 @@ object IndexedStore {
   /** Driver-side checkpoint cache: a generation's checkpoint is
     * IMMUTABLE once its commit entry exists (writeCheckpoint's only
     * overwrite happens before the entry publishes, and every read
-    * here is gated on that entry), so caching by path is safe and
-    * saves one small Spark job per open on a hot store. Crudely
-    * bounded — a process opening hundreds of distinct stores clears
-    * and refills. Append zone sidecars share the cache under the same
-    * immutability argument (written before their entry publishes). */
+    * here is gated on that entry) — but the PATH is not a stable
+    * identity: a store deleted and recreated at the same location
+    * (test harnesses, CI scratch dirs, the point-ops bench) reuses
+    * gen-000001 and would be served the dead store's file inventory.
+    * The key therefore carries a filesystem signature of the
+    * checkpoint directory (names + lengths + mtimes — one listStatus
+    * per open, far cheaper than the Spark job a hit saves); a
+    * recreated checkpoint has a different signature and misses.
+    * Crudely bounded — a process opening hundreds of distinct stores
+    * clears and refills. Append zone sidecars share the cache under
+    * the same immutability argument (written before their entry
+    * publishes). */
   private val ckptCache =
     new java.util.concurrent.ConcurrentHashMap[String, CkptData]()
 
+  /** Cheap content signature of a checkpoint parquet directory. An
+    * unstatable path yields a non-repeating token, so the entry can
+    * never be served stale — the read below will surface the real
+    * error. */
+  private def ckptSignature(spark: SparkSession, p: String): String =
+    try {
+      val hp = new HPath(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(hp)
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .sorted.mkString("|").hashCode.toString
+    } catch {
+      case _: Exception => s"unstat-${System.nanoTime()}"
+    }
+
   private def readCkptData(spark: SparkSession, p: String): CkptData = {
-    val hit = ckptCache.get(p)
+    val key = p + "#" + ckptSignature(spark, p)
+    val hit = ckptCache.get(key)
     if (hit != null) hit
     else {
       val df = spark.read.parquet(p)
@@ -1184,7 +1207,7 @@ object IndexedStore {
       }.filter(_._2.nonEmpty).toMap
       val v = CkptData(rows.map(_.getAs[String]("path")).toSeq, zones)
       if (ckptCache.size > 256) ckptCache.clear()
-      ckptCache.put(p, v)
+      ckptCache.put(key, v)
       v
     }
   }

@@ -202,4 +202,26 @@ class LogViewSpec extends SparkSpec {
     assert(got.toSeq == expect.toSeq)
     assert(got.length < cust.count(), "the delete removed something")
   }
+
+  test("a store recreated at the same path is never served the dead store's checkpoint") {
+    // the point-ops bench regression: run N+1 deletes and rebuilds the
+    // scratch store at one path, reusing gen-000001 — a path-keyed
+    // checkpoint cache then hands readers the deleted file inventory
+    // (PATH_NOT_FOUND on first collect)
+    val path = freshRoot("recreate")
+    val cust = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey")).data
+    val a = cust.filter(col("c_mktsegment") =!= "BUILDING")
+    val b = cust.filter(col("c_mktsegment") === "BUILDING")
+    IndexedStore.write(a, path, HashIndex("c_mktsegment", 4))
+    assert(rids(IndexedStore.open(spark, path).find(Nil)) == rids(a),
+      "first store must read back its own rows")
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      assert(f.delete(), s"couldn't delete $f")
+    }
+    rmrf(new java.io.File(path))
+    IndexedStore.write(b, path, HashIndex("c_mktsegment", 4))
+    assert(rids(IndexedStore.open(spark, path).find(Nil)) == rids(b),
+      "the recreated store must serve ITS inventory, not the dead store's")
+  }
 }

@@ -659,10 +659,17 @@ class PlanQualitySpec extends SparkSpec {
       s"totals not broadcast:\n${p.take(2000)}")
     // the cached counts frame is the single reader of the corpus:
     // every consumer (corpus vocab, per-source totals, grid probe)
-    // must reuse it, not re-derive the explode
-    val docScans = p.linesIterator.count(l =>
-      l.contains("Scan parquet") && l.contains("documents"))
-    assert(docScans <= 1, s"corpus scanned $docScans times:\n${p.take(2000)}")
+    // must reuse it, not re-derive the explode. In FormattedMode the
+    // shared cache renders as InMemoryTableScans whose bodies all
+    // reference ONE scan node — count the DISTINCT "(n) Scan parquet"
+    // detail headers (dropping the cache would give each consumer its
+    // own scan node id).
+    assert(p.contains("InMemoryTableScan"),
+      s"counts frame not cached:\n${p.take(2000)}")
+    val scanHeaders = p.linesIterator
+      .filter(_.matches("""\(\d+\) Scan parquet\s*""")).toSeq.distinct
+    assert(scanHeaders.size == 1,
+      s"corpus scanned via ${scanHeaders.size} distinct scan nodes:\n$scanHeaders")
   }
 
   test("cc labeling joins stay hash joins over checkpointed stars — no cartesian, no collect") {
