@@ -66,6 +66,11 @@ object Bench {
         ((System.nanoTime() - t) / 1e9, filesReadOf(df))
       }
       try {
+        // untimed warm-up: the first open pays the cold log read +
+        // checkpoint/sidecar load jobs; without it the first TIMED arm
+        // (on) carries that one-time cost and reads slower than off
+        // despite pruning 3× the files
+        probe(on = true)
         val (secOn, filesOn) = probe(on = true)
         val (secOff, filesOff) = probe(on = false)
         Map(
