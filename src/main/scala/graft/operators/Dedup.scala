@@ -745,17 +745,23 @@ object Dedup {
     // checkpointed) frame
     val key = spark.sparkContext.applicationId + (if (star) "/star" else "")
     labelCache.getOrElseUpdate((key, dir), {
-      val pairs = dDedupMinhash(spark, dir).select("id1", "id2")
-      val labels =
-        if (star) Components
-          .starLabels(pairs.select(col("id1").as("a"), col("id2").as("b")))
-          .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
-        else propagate(pairs)
-      labels
+      cc(spark, dDedupMinhash(spark, dir).select("id1", "id2"))
         .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
         .select("doc_id", "cluster_id", "is_keeper")
     })
   }
+
+  /** Conf-dispatched connected components over an (id1, id2) pair set
+    * — [[propagate]] or [[Components.starLabels]] per [[ccStar]]; the
+    * single entry point for [[clusterLabels]] AND [[dClusterIncr]]'s
+    * base/reduced graphs, so a mode choice applies to the whole
+    * clustering family (both produce the identical min-label
+    * output). */
+  private def cc(spark: SparkSession, pairs: DataFrame): DataFrame =
+    if (ccStar(spark)) Components
+      .starLabels(pairs.select(col("id1").as("a"), col("id2").as("b")))
+      .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+    else propagate(pairs)
 
   /** INCREMENTAL near-dup clustering — the streaming-curation shape:
     * the corpus is split into a BASE (md5(doc_id) % 100 < 90) and a
@@ -796,7 +802,7 @@ object Dedup {
     // Eager checkpoints (not caches): both materialize here, while
     // `bands` is still cached, and neither needs caller-side release.
     val deltaPairs = verified(deltaCand).localCheckpoint()
-    val baseLabels = propagate(verified(baseCand))
+    val baseLabels = cc(spark, verified(baseCand))
     // Reduced edges: base endpoints collapse to their component label;
     // a doc with no base label (delta, or base-but-unclustered) is its
     // own node. Labels are base doc ids, so node ids never collide.
@@ -811,7 +817,7 @@ object Dedup {
       .select(least(col("a"), col("b")).as("id1"),
         greatest(col("a"), col("b")).as("id2"))
       .dropDuplicates("id1", "id2")
-    val reducedLabels = propagate(reducedPairs)
+    val reducedLabels = cc(spark, reducedPairs)
     val rl = reducedLabels.select(col("cluster_id").as("rlbl"), col("doc_id").as("node"))
     // Output domain = endpoints of the full pair graph: every
     // base-clustered doc, plus delta-edge endpoints not already there.

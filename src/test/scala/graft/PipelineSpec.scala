@@ -1300,14 +1300,18 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("d_cluster star mode is bit-identical to min-label propagation") {
-    val base = Dedup.dCluster(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val base = rows(Dedup.dCluster(spark, sf))
+    val baseIncr = rows(Dedup.dClusterIncr(spark, sf))
     spark.conf.set("graft.cluster.ccMode", "star")
     try {
-      val star = Dedup.dCluster(spark, sf).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val star = rows(Dedup.dCluster(spark, sf))
       assert(star == base,
         s"modes diverge: extra=${star -- base} missing=${base -- star}")
+      // the conf routes the whole clustering family, incremental included
+      assert(rows(Dedup.dClusterIncr(spark, sf)) == baseIncr,
+        "incremental clustering must follow the same mode and agree")
     } finally spark.conf.unset("graft.cluster.ccMode")
     intercept[IllegalArgumentException] {
       spark.conf.set("graft.cluster.ccMode", "minlable")
