@@ -46,8 +46,10 @@ object Components {
     *
     * Both steps preserve connectivity and monotonically shrink the
     * potential Σ rank, so the pair set reaches a fixpoint — checked
-    * by set equality (two `exceptAll` counts) against the previous
-    * round, which proves the fixpoint since each round is a pure
+    * by set equality against the previous round (count move, then a
+    * one-direction `exceptAll` only when the count stalls — both
+    * frames are distinct sets, so equal counts + empty difference ⟺
+    * equality), which proves the fixpoint since each round is a pure
     * function of the set; lineage is cut per round (localCheckpoint,
     * the `propagate` discipline). At the fixpoint the pairs form
     * stars centered at each component's minimum. */
@@ -73,8 +75,9 @@ object Components {
       .filter(col("a") =!= col("b"))
       .distinct().localCheckpoint(false)
     var rounds = 0
-    var changed = 1L
-    while (changed > 0) {
+    var prevCount = pairs.count()
+    var changed = true
+    while (changed) {
       rounds += 1
       if (rounds > MaxRounds) throw new IllegalStateException(
         s"star contraction not converged after $MaxRounds rounds")
@@ -97,7 +100,15 @@ object Components {
         .filter(col("m") =!= col("v"))
         .select(col("m").as("a"), col("v").as("b"))
         .distinct().localCheckpoint(false)
-      changed = ss.exceptAll(pairs).count() + pairs.exceptAll(ss).count()
+      // Fixpoint check in as few jobs as the round allows: both sets
+      // are distinct, so equal counts + empty one-direction exceptAll
+      // ⟺ set equality. The ss.count() doubles as the checkpoint
+      // materialization job; the (more expensive) exceptAll join runs
+      // only on rounds where the count stopped moving — typically just
+      // the final confirming round.
+      val ssCount = ss.count()
+      changed = ssCount != prevCount || !ss.exceptAll(pairs).isEmpty
+      prevCount = ssCount
       pairs = ss
     }
     // Fixpoint pairs are stars (root, child); defensive grouped min

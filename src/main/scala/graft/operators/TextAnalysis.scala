@@ -604,6 +604,106 @@ object TextAnalysis {
        |FROM g JOIN per_src p ON g.source = p.source
        |ORDER BY g.source""".stripMargin
 
+  // ---------------------------------------------------------- drift
+
+  /** t_drift — TWO-SNAPSHOT distribution drift per source: the
+    * Jensen–Shannon divergence (bits) between an incoming batch's
+    * unigram distribution and the accumulated corpus, per source —
+    * what an ingest monitor computes per crawl snapshot before the
+    * batch is admitted (the temporal complement to [[tJsd]]'s
+    * cross-source divergence; a spike = the scraper broke, the site
+    * redesigned, the language mix flipped). Snapshots come from the
+    * same md5(doc_id) % 100 split the incremental dedup family pins
+    * (base < 90 ≤ delta), so the fixture is deterministic and the
+    * "batch" is genuinely held out of the "accumulated" side.
+    *
+    * Shape: ONE corpus scan → (source, word) rows carrying BOTH
+    * snapshot counts from a single grouped aggregation (conditional
+    * sums — no second scan, no join to build the base/delta split);
+    * per-source totals broadcast back; sources present in only one
+    * snapshot are dropped (no batch → nothing to monitor, inner join
+    * on the totals). The per-source vocabulary is the grid — never
+    * corpus-bounded — and the JSD term/fold/parity discipline is
+    * [[tJsd]]'s verbatim (integer-over-integer probabilities, shared
+    * CASE guards, ascending-term parity fold under [[jsdFree]]'s
+    * conf, order-free sum in `free` mode). */
+  def tDrift(spark: SparkSession, dir: String): DataFrame = {
+    val free = jsdFree(spark)
+    val d = docsSpread(spark, dir)
+    val isDelta = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100) >= 90
+    val counts = d
+      .select(col("source"), isDelta.as("is_delta"),
+        explode(words(col("text"))).as("word"))
+      .groupBy("source", "word")
+      .agg(sum(when(col("is_delta"), lit(0L)).otherwise(lit(1L))).as("cb"),
+        sum(when(col("is_delta"), lit(1L)).otherwise(lit(0L))).as("cd"))
+      .cache()
+    val perSrc = counts.groupBy("source")
+      .agg(sum("cb").as("nb"), sum("cd").as("nd"))
+      .filter(col("nb") > 0 && col("nd") > 0)
+    val grid = counts.join(broadcast(perSrc), "source")
+    val pb = when(col("cb") > 0,
+      col("cb").cast("double") / col("nb").cast("double")).otherwise(lit(0.0))
+    val pd = when(col("cd") > 0,
+      col("cd").cast("double") / col("nd").cast("double")).otherwise(lit(0.0))
+    val probs = grid.select(col("source"), pb.as("pb"), pd.as("pd"))
+    val m = (col("pb") + col("pd")) / lit(2.0)
+    val terms = probs.select(col("source"),
+      (lit(0.5) * when(col("pb") > 0, col("pb") * log(col("pb") / m))
+        .otherwise(lit(0.0)) +
+        lit(0.5) * when(col("pd") > 0, col("pd") * log(col("pd") / m))
+          .otherwise(lit(0.0))).as("term"))
+    val folded =
+      if (free) terms.groupBy("source").agg(sum("term").as("s"))
+      else terms.groupBy("source")
+        .agg(sort_array(collect_list(col("term"))).as("ts"))
+        .select(col("source"),
+          aggregate(col("ts"), lit(0.0), (a, t) => a + t).as("s"))
+    folded.join(perSrc, "source")
+      .select(col("source"), col("nb").cast("long").as("base_words"),
+        col("nd").cast("long").as("delta_words"),
+        stableRound(col("s") / log(lit(2.0)), 6).as("jsd_bits"))
+      .orderBy("source")
+  }
+
+  val tDriftSql: String =
+    s"""WITH w AS (
+       |  SELECT source,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 >= 90
+       |      AS is_delta,
+       |    string_split($normSql, ' ') AS w
+       |  FROM documents),
+       |counts AS (
+       |  SELECT source, word,
+       |    sum(CASE WHEN is_delta THEN 0 ELSE 1 END)::BIGINT AS cb,
+       |    sum(CASE WHEN is_delta THEN 1 ELSE 0 END)::BIGINT AS cd
+       |  FROM (SELECT source, is_delta, unnest(w) AS word FROM w) u
+       |  GROUP BY source, word),
+       |per_src AS (
+       |  SELECT source, sum(cb)::BIGINT AS nb, sum(cd)::BIGINT AS nd
+       |  FROM counts GROUP BY source
+       |  HAVING sum(cb) > 0 AND sum(cd) > 0),
+       |probs AS (
+       |  SELECT k.source,
+       |    CASE WHEN cb > 0 THEN cb::DOUBLE / nb::DOUBLE ELSE 0.0 END AS pb,
+       |    CASE WHEN cd > 0 THEN cd::DOUBLE / nd::DOUBLE ELSE 0.0 END AS pd
+       |  FROM counts k JOIN per_src p ON k.source = p.source),
+       |terms AS (
+       |  SELECT source,
+       |    0.5 * (CASE WHEN pb > 0
+       |           THEN pb * ln(pb / ((pb + pd) / 2.0)) ELSE 0.0 END)
+       |    + 0.5 * (CASE WHEN pd > 0
+       |             THEN pd * ln(pd / ((pb + pd) / 2.0)) ELSE 0.0 END) AS term
+       |  FROM probs),
+       |g AS (SELECT source, list(term ORDER BY term) AS ts
+       |      FROM terms GROUP BY source)
+       |SELECT g.source, p.nb AS base_words, p.nd AS delta_words,
+       |  floor((list_reduce(list_prepend(0.0, ts), (a, b) -> a + b)
+       |    / ln(2.0)) * 1e6 + 0.5) / 1e6 AS jsd_bits
+       |FROM g JOIN per_src p ON g.source = p.source
+       |ORDER BY g.source""".stripMargin
+
   // ---------------------------------------------------- readability
 
   /** t_readability — Flesch Reading Ease per doc, from the classic
@@ -979,6 +1079,7 @@ object TextAnalysis {
     "t_bigram_lm" -> tBigramLm,
     "t_readability" -> tReadability,
     "t_jsd" -> tJsd,
+    "t_drift" -> tDrift,
   )
 
   def oracles: Map[String, String] = Map(
@@ -998,5 +1099,6 @@ object TextAnalysis {
     "t_bigram_lm" -> tBigramLmSql,
     "t_readability" -> tReadabilitySql,
     "t_jsd" -> tJsdSql,
+    "t_drift" -> tDriftSql,
   )
 }

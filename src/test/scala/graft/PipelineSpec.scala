@@ -1362,6 +1362,57 @@ class PipelineSpec extends SparkSpec {
     assert(got.values.exists(_._3 > 0.0), "some source must diverge from the rest")
   }
 
+  test("t_drift matches a driver-side two-snapshot reference exactly") {
+    val docs = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.words(col("text")).as("w"))
+      .as[(Long, String, Seq[String])].collect()
+    // the incremental-dedup family's split: delta = md5 bucket ≥ 90
+    def isDelta(id: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = h.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 100 >= 90
+    }
+    val cb = scala.collection.mutable.Map[(String, String), Long]()
+    val cd = scala.collection.mutable.Map[(String, String), Long]()
+    docs.foreach { case (id, s, ws) =>
+      val m = if (isDelta(id)) cd else cb
+      ws.foreach(w => m((s, w)) = m.getOrElse((s, w), 0L) + 1L)
+    }
+    val sources = (cb.keys ++ cd.keys).map(_._1).toSet
+    val expect = sources.flatMap { s =>
+      val nb = cb.collect { case ((`s`, _), c) => c }.sum
+      val nd = cd.collect { case ((`s`, _), c) => c }.sum
+      if (nb == 0 || nd == 0) None
+      else {
+        val vocab = (cb.keys ++ cd.keys).collect { case (`s`, w) => w }.toSet
+        val terms = vocab.toSeq.map { w =>
+          val b = cb.getOrElse((s, w), 0L)
+          val dl = cd.getOrElse((s, w), 0L)
+          val pb = if (b > 0) b.toDouble / nb.toDouble else 0.0
+          val pd = if (dl > 0) dl.toDouble / nd.toDouble else 0.0
+          val m = (pb + pd) / 2.0
+          0.5 * (if (pb > 0) pb * math.log(pb / m) else 0.0) +
+            0.5 * (if (pd > 0) pd * math.log(pd / m) else 0.0)
+        }
+        val jsd = terms.sorted.foldLeft(0.0)(_ + _) / math.log(2.0)
+        Some(s -> (nb, nd, math.floor(jsd * 1e6 + 0.5) / 1e6))
+      }
+    }.toMap
+    val got = TextAnalysis.tDrift(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == expect.keySet,
+      s"sources diverge: extra=${got.keySet -- expect.keySet} missing=${expect.keySet -- got.keySet}")
+    got.foreach { case (s, v) =>
+      assert(v == expect(s), s"$s: got $v want ${expect(s)}")
+      assert(v._3 >= 0.0 && v._3 <= 1.0, s"$s: JSD out of [0,1] bits")
+    }
+    // the held-out batch genuinely differs from its base somewhere
+    assert(got.values.exists(_._3 > 0.0), "some source must drift")
+  }
+
   test("t_jsd free fold mode: same ranking as parity, plan carries no collect_list") {
     val parity = TextAnalysis.tJsd(spark, sf).collect()
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
