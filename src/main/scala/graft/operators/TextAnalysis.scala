@@ -501,6 +501,19 @@ object TextAnalysis {
         s"graft.text.jsdFold = '$other' (expected 'parity' or 'free')")
     }
 
+  /** Per-source reduction of a (source, term) frame to (source, s)
+    * under [[jsdFree]]'s mode — THE one copy of the JSD fold's parity
+    * spelling ([[tJsd]] and [[tDrift]] both gate on it): parity
+    * collects terms sorted ascending and folds from 0.0 (what the
+    * oracles' `list(term ORDER BY term)` + `list_reduce` replay);
+    * free is a plain map-side-combined sum. */
+  private def foldJsdTerms(terms: DataFrame, free: Boolean): DataFrame =
+    if (free) terms.groupBy("source").agg(sum("term").as("s"))
+    else terms.groupBy("source")
+      .agg(sort_array(collect_list(col("term"))).as("ts"))
+      .select(col("source"),
+        aggregate(col("ts"), lit(0.0), (a, t) => a + t).as("s"))
+
   /** t_jsd — per-source DISTRIBUTION DRIFT: the Jensen–Shannon
     * divergence (bits) between each source's unigram word
     * distribution and the REST of the corpus — the data-mixing
@@ -554,13 +567,7 @@ object TextAnalysis {
         .otherwise(lit(0.0)) +
         lit(0.5) * when(col("pr") > 0, col("pr") * log(col("pr") / m))
           .otherwise(lit(0.0))).as("term"))
-    val folded =
-      if (free) terms.groupBy("source").agg(sum("term").as("s"))
-      else terms.groupBy("source")
-        .agg(sort_array(collect_list(col("term"))).as("ts"))
-        .select(col("source"),
-          aggregate(col("ts"), lit(0.0), (a, t) => a + t).as("s"))
-    folded.join(perSrc, "source")
+    foldJsdTerms(terms, free).join(perSrc, "source")
       .select(col("source"), col("ns").cast("long").as("n_words"),
         col("nv").cast("long").as("n_distinct_words"),
         stableRound(col("s") / log(lit(2.0)), 6).as("jsd_bits"))
@@ -630,8 +637,7 @@ object TextAnalysis {
   def tDrift(spark: SparkSession, dir: String): DataFrame = {
     val free = jsdFree(spark)
     val d = docsSpread(spark, dir)
-    val isDelta = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100) >= 90
+    val isDelta = (md5_32(col("doc_id").cast("string")) % 100) >= 90
     val counts = d
       .select(col("source"), isDelta.as("is_delta"),
         explode(words(col("text"))).as("word"))
@@ -654,13 +660,7 @@ object TextAnalysis {
         .otherwise(lit(0.0)) +
         lit(0.5) * when(col("pd") > 0, col("pd") * log(col("pd") / m))
           .otherwise(lit(0.0))).as("term"))
-    val folded =
-      if (free) terms.groupBy("source").agg(sum("term").as("s"))
-      else terms.groupBy("source")
-        .agg(sort_array(collect_list(col("term"))).as("ts"))
-        .select(col("source"),
-          aggregate(col("ts"), lit(0.0), (a, t) => a + t).as("s"))
-    folded.join(perSrc, "source")
+    foldJsdTerms(terms, free).join(perSrc, "source")
       .select(col("source"), col("nb").cast("long").as("base_words"),
         col("nd").cast("long").as("delta_words"),
         stableRound(col("s") / log(lit(2.0)), 6).as("jsd_bits"))

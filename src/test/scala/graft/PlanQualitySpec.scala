@@ -672,6 +672,23 @@ class PlanQualitySpec extends SparkSpec {
       s"corpus scanned via ${scanHeaders.size} distinct scan nodes:\n$scanHeaders")
   }
 
+  test("drift carries both snapshots in one conditional-sum aggregation — one scan, no split join") {
+    val p = plan("t_drift")
+    assert(!p.contains("CartesianProduct"),
+      s"snapshot meet degenerated to a cartesian:\n${p.take(2000)}")
+    // both snapshot counts ride ONE grouped aggregation over the
+    // cached explode — a base/delta self-join would re-scan the corpus
+    assert(p.contains("InMemoryTableScan"),
+      s"counts frame not cached:\n${p.take(2000)}")
+    val scanHeaders = p.linesIterator
+      .filter(_.matches("""\(\d+\) Scan parquet\s*""")).toSeq.distinct
+    assert(scanHeaders.size == 1,
+      s"corpus scanned via ${scanHeaders.size} distinct scan nodes:\n$scanHeaders")
+    // per-source totals attach as a broadcast, never a shuffle join
+    assert(!p.contains("SortMergeJoin"),
+      s"totals meet shuffled:\n${p.take(2000)}")
+  }
+
   test("cc labeling joins stay hash joins over checkpointed stars — no cartesian, no collect") {
     // building the frame runs the contraction loop; the asserted plan
     // is the final labeling stage
