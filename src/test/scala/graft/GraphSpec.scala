@@ -200,6 +200,46 @@ class GraphSpec extends SparkSpec {
     assert(rounds <= 10, s"contraction took $rounds rounds on a 254-diameter chain")
   }
 
+  test("star contraction equals union-find on seeded random graphs of varied shape") {
+    import SparkSpec.spark.implicits._
+    val rng = new scala.util.Random(42)
+    // shapes chosen to stress different contraction behavior: sparse
+    // (forest-like, many components), dense (one giant component),
+    // two chains + isolates via self-loops, and a clique
+    val cases: Seq[Seq[(Long, Long)]] = Seq(
+      // sparse random
+      Seq.fill(40)((rng.nextInt(60).toLong, rng.nextInt(60).toLong)),
+      // dense random
+      Seq.fill(300)((rng.nextInt(50).toLong, rng.nextInt(50).toLong)),
+      // two disjoint chains + self-loop isolates (the scaladoc's
+      // singleton contract: a node with only self-edges still labels)
+      (0L until 29L).map(i => (i, i + 1)) ++
+        (100L until 129L).map(i => (i, i + 1)) ++
+        Seq((500L, 500L), (501L, 501L)),
+      // clique
+      (for (i <- 0 until 12; j <- i + 1 until 12) yield (i.toLong, j.toLong)),
+    )
+    cases.zipWithIndex.foreach { case (edges, ci) =>
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val parent = scala.collection.mutable.Map(nodes.map(d => d -> d): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = nodes.groupBy(find).flatMap { case (_, ms) =>
+        val m = ms.min; ms.map(_ -> m)
+      }
+      val got = graft.operators.Components
+        .starLabels(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect,
+        s"case $ci diverges: ${(got.toSet -- expect.toSet).take(5)} vs ${(expect.toSet -- got.toSet).take(5)}")
+    }
+  }
+
   test("g_cc: labeling is a fixpoint — every backbone edge is intra-component") {
     val lbl = Graph.gCc(spark, sf).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
