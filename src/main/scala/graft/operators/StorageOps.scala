@@ -18,7 +18,21 @@ object StorageOps {
     // scratch stores from an older layout can never serve a probe.
     // v3: manifest-pointer generations. v4: file-checkpointed commit
     // log (read-through-log stores).
-    new java.io.File(sys.props("java.io.tmpdir"), s"graft_store_v4_${name}_$sfTag").getPath
+    // Source fingerprint: scratch stores derive from the sf dir's
+    // parquet, and the `_done` markers outlive a testdata
+    // regeneration at the same path — without this, every sc_* probe
+    // would serve the OLD corpus against an oracle reading the new
+    // one (the checkpoint-cache recreate bug, one level up). Name:
+    // length:mtime of the source files is cheap (one listFiles per
+    // call) and changes whenever the driver rewrites testdata.
+    val src = Option(new java.io.File(dir).listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .sorted.mkString("|"))
+      .getOrElse("")
+    val fp = Integer.toHexString(src.hashCode)
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_store_v4_${name}_${sfTag}_$fp").getPath
   }
 
   /** Run `build` once per scratch path, guarded by a `_done` marker

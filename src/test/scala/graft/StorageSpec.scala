@@ -693,4 +693,20 @@ class StorageSpec extends SparkSpec {
     assert(scanned.nonEmpty && scanned.forall(_.contains("gen=2")),
       s"gen probe read outside its generation: ${scanned.filterNot(_.contains("gen=2")).take(3)}")
   }
+
+  test("scratch paths change when the source testdata is rewritten in place") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scratch_fp").toFile
+    dir.deleteOnExit()
+    val t = new java.io.File(dir, "customer.parquet")
+    java.nio.file.Files.write(t.toPath, Array[Byte](1, 2, 3))
+    val before = graft.operators.StorageOps.scratch("hash", dir.getPath)
+    assert(before == graft.operators.StorageOps.scratch("hash", dir.getPath),
+      "same source must yield a stable scratch path")
+    // simulate the driver regenerating testdata at the same path
+    java.nio.file.Files.write(t.toPath, Array[Byte](1, 2, 3, 4))
+    assert(t.setLastModified(t.lastModified() + 2000))
+    val after = graft.operators.StorageOps.scratch("hash", dir.getPath)
+    assert(after != before,
+      "a rewritten source must invalidate the scratch store (its _done marker outlives the data)")
+  }
 }
