@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Shared distributed connected-components machinery: alternating
@@ -22,11 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** Round-limit safety net: measured rounds grow as ≈log₂(n)+1 on
-    * chains (256-node: 9, 1024: 11, 8192: 14 — GraphSpec), so 64
-    * covers any graph addressable by Long ids with headroom; hitting
-    * it means an oscillation bug, so it throws rather than emitting a
-    * not-yet-fixpoint labeling. */
+  /** Default round-limit safety net, overridable via the session conf
+    * `graft.cc.maxRounds`. Measured rounds grow as ≈log₂(n)+1 on
+    * chains (256-node: 9, 1024: 11, 8192: 14 — GraphSpec); the PROVEN
+    * bound is only O(log² n) (Kiveris et al. 2014, thm 3), so a
+    * pathological-but-valid graph could legitimately need more than
+    * any fixed constant — hence the conf escape hatch rather than a
+    * hard cap. Hitting the limit throws (a not-yet-fixpoint labeling
+    * must never be emitted); the message names the conf. */
   val MaxRounds = 64
 
   /** Component labels for an undirected pair set. Input columns
@@ -74,13 +77,16 @@ object Components {
     var pairs = canon
       .filter(col("a") =!= col("b"))
       .distinct().localCheckpoint(false)
+    val maxRounds = SparkSession.active.conf
+      .getOption("graft.cc.maxRounds").map(_.toInt).getOrElse(MaxRounds)
     var rounds = 0
     var prevCount = pairs.count()
     var changed = true
     while (changed) {
       rounds += 1
-      if (rounds > MaxRounds) throw new IllegalStateException(
-        s"star contraction not converged after $MaxRounds rounds")
+      if (rounds > maxRounds) throw new IllegalStateException(
+        s"star contraction not converged after $maxRounds rounds " +
+          "(raise graft.cc.maxRounds if the graph is legitimately this deep)")
       val sym = pairs.select(col("a").as("u"), col("b").as("v"))
         .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
       // large-star: min over each symmetric neighborhood (and self),
@@ -112,11 +118,16 @@ object Components {
       pairs = ss
     }
     // Fixpoint pairs are stars (root, child); defensive grouped min
-    // keeps the labeling single-valued even mid-refactor.
+    // keeps the labeling single-valued even mid-refactor. The result
+    // is CHECKPOINTED: callers reference it repeatedly (Dedup's label
+    // memo serves every curation consumer; dClusterIncr joins it four
+    // times) and must get stored blocks, not a recompute recipe —
+    // the propagate() contract.
     val roots = pairs.groupBy(col("b").as("node"))
       .agg(min(col("a")).as("root"))
     val lbl = nodes.join(roots, Seq("node"), "left")
       .select(col("node"), coalesce(col("root"), col("node")).as("comp"))
+      .localCheckpoint(false)
     (lbl, rounds)
   }
 }

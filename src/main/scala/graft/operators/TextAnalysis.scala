@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -501,6 +501,16 @@ object TextAnalysis {
         s"graft.text.jsdFold = '$other' (expected 'parity' or 'free')")
     }
 
+  /** One JSD term 0.5·p·ln(p/m) + 0.5·q·ln(q/m), m = (p+q)/2, with
+    * the 0·ln0 := 0 CASE guards — THE one copy of the term's parity
+    * spelling; both [[tJsd]] and [[tDrift]] (and their oracles' CASE
+    * twins) gate on this exact op sequence. */
+  private def jsdTerm(p: Column, q: Column): Column = {
+    val m = (p + q) / lit(2.0)
+    lit(0.5) * when(p > 0, p * log(p / m)).otherwise(lit(0.0)) +
+      lit(0.5) * when(q > 0, q * log(q / m)).otherwise(lit(0.0))
+  }
+
   /** Per-source reduction of a (source, term) frame to (source, s)
     * under [[jsdFree]]'s mode — THE one copy of the JSD fold's parity
     * spelling ([[tJsd]] and [[tDrift]] both gate on it): parity
@@ -561,12 +571,8 @@ object TextAnalysis {
       (col("c") - col("cs")).cast("double") /
         (col("nn") - col("ns")).cast("double")).otherwise(lit(0.0))
     val probs = grid.select(col("source"), ps.as("ps"), pr.as("pr"))
-    val m = (col("ps") + col("pr")) / lit(2.0)
     val terms = probs.select(col("source"),
-      (lit(0.5) * when(col("ps") > 0, col("ps") * log(col("ps") / m))
-        .otherwise(lit(0.0)) +
-        lit(0.5) * when(col("pr") > 0, col("pr") * log(col("pr") / m))
-          .otherwise(lit(0.0))).as("term"))
+      jsdTerm(col("ps"), col("pr")).as("term"))
     foldJsdTerms(terms, free).join(perSrc, "source")
       .select(col("source"), col("ns").cast("long").as("n_words"),
         col("nv").cast("long").as("n_distinct_words"),
@@ -654,12 +660,8 @@ object TextAnalysis {
     val pd = when(col("cd") > 0,
       col("cd").cast("double") / col("nd").cast("double")).otherwise(lit(0.0))
     val probs = grid.select(col("source"), pb.as("pb"), pd.as("pd"))
-    val m = (col("pb") + col("pd")) / lit(2.0)
     val terms = probs.select(col("source"),
-      (lit(0.5) * when(col("pb") > 0, col("pb") * log(col("pb") / m))
-        .otherwise(lit(0.0)) +
-        lit(0.5) * when(col("pd") > 0, col("pd") * log(col("pd") / m))
-          .otherwise(lit(0.0))).as("term"))
+      jsdTerm(col("pb"), col("pd")).as("term"))
     foldJsdTerms(terms, free).join(perSrc, "source")
       .select(col("source"), col("nb").cast("long").as("base_words"),
         col("nd").cast("long").as("delta_words"),

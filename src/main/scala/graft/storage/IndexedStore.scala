@@ -1184,7 +1184,9 @@ object IndexedStore {
         .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
         .sorted.mkString("|").hashCode.toString
     } catch {
-      case _: Exception => s"unstat-${System.nanoTime()}"
+      // NonFatal: an interrupt (job cancellation) must propagate, not
+      // be converted into a cache-miss token
+      case scala.util.control.NonFatal(_) => s"unstat-${System.nanoTime()}"
     }
 
   private def readCkptData(spark: SparkSession, p: String): CkptData = {
