@@ -434,11 +434,84 @@ object Graph {
        |FROM lbl l JOIN sz s USING (comp)
        |ORDER BY l.domain""".stripMargin
 
+  /** g_cc_stats — per-component structure statistics over the same
+    * strong-edge backbone as [[gCc]]: node count, undirected intra-
+    * edge count (every backbone edge is intra-component by
+    * definition of CC), and density 2m/(n·(n−1)) — the shape signal
+    * a curation pipeline reads off each cluster (a near-clique of
+    * mirror domains curates differently from a sparse hub-and-spoke
+    * neighborhood). All inputs are integers; density is one exact
+    * integer-over-integer double division — hash-green. Scale: two
+    * grouped integer aggregations over the labeled backbone (edges
+    * join the label frame once on one endpoint); output is one row
+    * per component. */
+  def gCcStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).localCheckpoint(false)
+    val tot = broadcast(
+      e.agg(count(lit(1)).as("ne"), sum(col("w")).as("tw")))
+    val bb = e.crossJoin(tot)
+      .filter(col("w") * col("ne") >= col("tw"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint(false)
+    val starred = Components.starLabels(bb)
+      .select(col("node").as("domain"), col("comp").as("root"))
+    val lbl = nodes(e).join(starred, Seq("domain"), "left")
+      .select(col("domain"), coalesce(col("root"), col("domain")).as("comp"))
+      .localCheckpoint(false)
+    val sizes = lbl.groupBy("comp").agg(count(lit(1)).as("n_nodes"))
+    // one endpoint suffices: both ends of a backbone edge share a comp
+    val edgeCounts = bb
+      .join(lbl.select(col("domain").as("a"), col("comp")), "a")
+      .groupBy("comp").agg(count(lit(1)).as("n_edges"))
+    sizes.join(edgeCounts, Seq("comp"), "left")
+      .select(col("comp"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .withColumn("density",
+        when(col("n_nodes") > 1,
+          (lit(2.0) * col("n_edges").cast("double")) /
+            (col("n_nodes") * (col("n_nodes") - 1)).cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy("comp")
+  }
+
+  val gCcStatsSql: String =
+    s"""WITH RECURSIVE u AS ($withUrlSql),
+       |$edgesSql,
+       |$nodesSql,
+       |tot AS (SELECT count(*)::BIGINT AS ne, sum(w)::BIGINT AS tw
+       |        FROM edges),
+       |bb AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges CROSS JOIN tot
+       |  WHERE w * ne >= tw AND src <> dst),
+       |sym AS (SELECT a, b FROM bb UNION SELECT b, a FROM bb),
+       |reach(src, dst) AS (
+       |  SELECT domain, domain FROM nodes
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN sym e ON r.dst = e.a),
+       |lbl AS (SELECT src AS domain, min(dst) AS comp
+       |        FROM reach GROUP BY src),
+       |sz AS (SELECT comp, count(*)::BIGINT AS n_nodes
+       |       FROM lbl GROUP BY comp),
+       |ec AS (SELECT l.comp, count(*)::BIGINT AS n_edges
+       |       FROM bb JOIN lbl l ON bb.a = l.domain GROUP BY l.comp)
+       |SELECT s.comp, s.n_nodes,
+       |  COALESCE(ec.n_edges, 0)::BIGINT AS n_edges,
+       |  CASE WHEN s.n_nodes > 1
+       |       THEN (2.0 * COALESCE(ec.n_edges, 0)::DOUBLE)
+       |            / (s.n_nodes * (s.n_nodes - 1))::DOUBLE
+       |       ELSE 0.0 END AS density
+       |FROM sz s LEFT JOIN ec ON s.comp = ec.comp
+       |ORDER BY s.comp""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_degree" -> gDegree,
     "g_pagerank" -> gPagerank,
     "g_hits" -> gHits,
     "g_cc" -> gCc,
+    "g_cc_stats" -> gCcStats,
   )
 
   def oracles: Map[String, String] = Map(
@@ -446,5 +519,6 @@ object Graph {
     "g_pagerank" -> gPagerankSql,
     "g_hits" -> gHitsSql,
     "g_cc" -> gCcSql,
+    "g_cc_stats" -> gCcStatsSql,
   )
 }

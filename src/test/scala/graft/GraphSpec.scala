@@ -240,6 +240,44 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("g_cc_stats: sizes, intra-edge counts and density match a driver recompute") {
+    val e = Graph.edges(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val ne = e.length.toLong
+    val tw = e.map(_._3).sum
+    val bb = e.filter { case (_, _, w) => w * ne >= tw }
+      .map { case (s, d, _) => if (s < d) (s, d) else (d, s) }
+      .filter { case (a, b) => a != b }.distinct
+    val parent = scala.collection.mutable.Map(nodes.map(d => d -> d): _*)
+    def find(x: String): String =
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    bb.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(if (ra < rb) rb else ra) = if (ra < rb) ra else rb
+    }
+    val byComp = nodes.groupBy(find).map { case (_, ms) => ms.min -> ms }
+    val compOf = byComp.flatMap { case (m, ms) => ms.toSeq.map(_ -> m) }
+    val edgeCnt = bb.groupBy { case (a, _) => compOf(a) }
+      .map { case (c, es) => c -> es.length.toLong }
+    val got = Graph.gCcStats(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == byComp.keySet.toSet)
+    byComp.foreach { case (c, ms) =>
+      val n = ms.length.toLong
+      val m = edgeCnt.getOrElse(c, 0L)
+      val density = if (n > 1) (2.0 * m) / (n * (n - 1)).toDouble else 0.0
+      assert(got(c) == ((n, m, density)), s"$c: ${got(c)} want ($n, $m, $density)")
+      // a backbone edge never crosses components, so m ≤ n(n−1)/2
+      assert(2 * m <= n * (n - 1) || n == 1)
+    }
+    // the gate corpus has a dense multi-node component and singletons
+    assert(got.values.exists(v => v._1 > 1 && v._3 > 0.0))
+    assert(got.values.exists(v => v._1 == 1 && v._2 == 0 && v._3 == 0.0))
+  }
+
   test("g_cc: labeling is a fixpoint — every backbone edge is intra-component") {
     val lbl = Graph.gCc(spark, sf).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
