@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Shared distributed connected-components machinery: alternating
@@ -77,8 +77,17 @@ object Components {
     var pairs = canon
       .filter(col("a") =!= col("b"))
       .distinct().localCheckpoint(false)
-    val maxRounds = SparkSession.active.conf
-      .getOption("graft.cc.maxRounds").map(_.toInt).getOrElse(MaxRounds)
+    val maxRounds = pairsIn.sparkSession.conf
+      .getOption("graft.cc.maxRounds")
+      .map { raw =>
+        // A malformed value must fail naming the conf, not as a bare
+        // NumberFormatException (the floatMode/ngram.prefixOrder rule).
+        try raw.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.cc.maxRounds = '$raw' (expected a positive integer)")
+        }
+      }
+      .getOrElse(MaxRounds)
     var rounds = 0
     var prevCount = pairs.count()
     var changed = true

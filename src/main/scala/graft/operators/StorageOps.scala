@@ -30,9 +30,36 @@ object StorageOps {
         .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
         .sorted.mkString("|"))
       .getOrElse("")
-    val fp = Integer.toHexString(src.hashCode)
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_store_v4_${name}_${sfTag}_$fp").getPath
+    // Full md5, not String.hashCode: a 32-bit collision between two
+    // testdata generations would silently serve a stale store.
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(src.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val stem = s"graft_store_v4_${name}_$sfTag"
+    val path = new java.io.File(sys.props("java.io.tmpdir"), s"${stem}_$fp").getPath
+    sweepStale(stem, fp)
+    path
+  }
+
+  /** Delete scratch siblings built from an OLDER testdata generation
+    * (same name+sf stem, different source fingerprint) — without this
+    * every regeneration leaks a full store + `_done` marker in tmpdir
+    * forever. Once per distinct live path per JVM; the sibling match
+    * is an exact stem + 32-hex-fp (+ optional `_done`) pattern so a
+    * prefix-related stem (sf0.01 vs sf0.001) can never be swept. */
+  private val sweptStems = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def sweepStale(stem: String, liveFp: String): Unit =
+    if (sweptStems.add(s"${stem}_$liveFp")) {
+      val re = (java.util.regex.Pattern.quote(stem + "_") +
+        "[0-9a-f]{32}(_done)?").r
+      Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => re.matches(f.getName) && !f.getName.startsWith(s"${stem}_$liveFp"))
+        .foreach(rmTree)
+    }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(): Unit
   }
 
   /** Run `build` once per scratch path, guarded by a `_done` marker
