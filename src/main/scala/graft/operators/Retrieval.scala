@@ -181,103 +181,112 @@ object Retrieval {
   /** Fixed-point scale for the integer pruning bound. */
   private val UbQ = 1e6
 
-  /** Per-word impact bound table (word, uq): uq = ⌈U(w)·1e6⌉ where
-    * U(w) = idf(w) · max over the corpus of the saturation factor —
-    * the WAND/MaxScore upper bound on any document's contribution
-    * from word w. CEILING quantization keeps the integer bound an
-    * upper bound.
-    *
-    * Only words some query carries ever consult their bound (the seed
-    * ranking and the upper-bound pass both join through the query-term
-    * table), so the saturation-max pass semi-joins tf down to those
-    * postings first — bounded by Σdf over the query terms, the same
-    * bound as the candidate stream itself, instead of a corpus-wide
-    * tf⋈dl pass. df rides in from the query-term table (which carries
-    * it out of the keyword ranking), so no second df aggregation runs.
-    * A static-index deployment would instead precompute all words at
-    * index-build time, amortized like df itself. */
-  private[graft] def impactBounds(p: Bm25Parts): DataFrame = {
-    val idf = log((lit(p.n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-    val qwords = p.qterms.select(col("word"), col("df")).distinct()
-    p.tf.join(qwords.select("word"), Seq("word"), "left_semi")
-      .join(p.dl, "doc_id")
-      .select(col("word"), (col("tf") * lit(2.2) /
-        (col("tf") + lit(Bm25K1) * (lit(0.25) + lit(Bm25B) * (col("dl") / lit(p.avgdl)))))
-        .as("sat"))
-      .groupBy("word").agg(max(col("sat")).as("msat"))
-      .join(qwords, "word")
-      .select(col("word"), ceil(idf * col("msat") * lit(UbQ)).cast("long").as("uq"))
-  }
-
   /** Query terms whose postings seed the pruning threshold. One term
     * is too brittle on a natural vocabulary (the single top-impact
     * term is rare by construction — its df can be < k, leaving θ
-    * unset); a handful fills k while keeping the seed pass bounded by
-    * their Σdf. */
+    * unset); a handful fills k while keeping the seed phase bounded. */
   private[graft] val SeedTerms = 4
 
-  /** The MaxScore survivor set for a candidate stream: per query, a
-    * threshold θ comes from scoring ONLY the [[SeedTerms]] top-impact
-    * terms' postings (per-doc Σ⌊term·1e6⌋ over matched seed terms —
-    * an integer partial score that lower-bounds the true kth best),
-    * then a document survives iff the integer upper bound Σ⌈U·1e6⌉
-    * over its matched query terms reaches θ. Exact by construction —
-    * Σceil ≥ true·1e6, θ ≤ ⌊kth-best true·1e6⌋, and the ±1-quantum
-    * rounding-tie case closes because both sides are INTEGERS (an
-    * integer > θ−1 is ≥ θ) — and the pruning decision never rides on
-    * float summation order. Queries with fewer than k seed-phase docs
-    * keep everything (θ = −∞). */
-  private[graft] def maxScoreSurvivors(spark: SparkSession, p: Bm25Parts,
-      cand: DataFrame, impacts: DataFrame): DataFrame = {
-    import spark.implicits._
-    // seed phase: each query's few highest-impact terms
-    val topWin = Window.partitionBy(col("qid"))
-      .orderBy(col("uq").desc, col("word"))
-    val topTerm = p.qterms.join(impacts, "word")
-      .withColumn("trk", row_number().over(topWin))
-      .filter(col("trk") <= SeedTerms)
-      .select(col("qid"), col("word"), col("df"))
-    val thetaWin = Window.partitionBy(col("qid"))
-      .orderBy(col("pq").desc)
-    val theta = topTerm.join(p.tf, "word")
+  /** The fused MaxScore candidate aggregate: one (qid, doc_id) row per
+    * candidate pair carrying everything the pruning decision and the
+    * exact tail need — `ts` (the sorted exact term list), `ub` (the
+    * integer upper bound Σ⌈U(w)·1e6⌉ over matched terms), `pq` (the
+    * integer seed partial score Σ⌊term·1e6⌋ over matched seed terms;
+    * null when none matched) and `thetaq` (the query's pruning
+    * threshold — the [[Bm25TopK]]-th best pq, null when fewer than k
+    * docs matched a seed term: keep-all fallback).
+    *
+    * Stage economy — this used to be four separate pipelines (impact
+    * bounds off a tf semi-join, a seed-phase postings⋈dl join, an
+    * upper-bound aggregation, then a survivor semi-join feeding a
+    * SECOND (qid, doc) shuffle in the exact tail), whose fixed job
+    * count made the op lose 2× to its unpruned twin on a loaded bench
+    * host despite pruning. Now ONE postings⋈dl pass computes the exact
+    * per-(qid, word, doc) term, is hash-repartitioned on qid, and
+    * every downstream consumer rides that single exchange: the impact
+    * bound is ⌈1e6·max(term)⌉ per word (a map-side-combined regroup of
+    * the same cached frame — idf > 0 makes per-row max(idf·sat) ≡
+    * idf·max(sat), and correctly-rounded multiplication is monotone,
+    * so the bound is bit-identical to the two-step form and tighter
+    * than a corpus-wide one: the max runs over exactly the scored
+    * pairs), seed membership joins back as a broadcast ≤|Q|·SeedTerms
+    * flag table, the (qid, doc) aggregation needs no new exchange
+    * (hash(qid) already clusters it), and θ is two stacked windows on
+    * the aggregate's own partitioning instead of a self-join.
+    *
+    * Exactness is unchanged from the two-phase form: pq ≤ ⌊true·1e6⌋
+    * (a positive-term subset, and Σfloor ≤ floor of the real sum), so
+    * θ — the kth best pq — lower-bounds the kth best true score; ub ≥
+    * true·1e6 (per-term ceiling of a per-word max); both sides are
+    * integers, so the ±1-quantum tie closes; pruning never rides on
+    * float summation order. */
+  private[graft] def maxScoreAgg(spark: SparkSession, p: Bm25Parts): DataFrame = {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val scored = p.qterms.join(p.tf, "word")
       .filter(col("doc_id") =!= col("qid"))
       .join(p.dl, "doc_id")
-      .select(col("qid"), col("doc_id"),
-        floor(termExpr(p.n, p.avgdl) * lit(UbQ)).cast("long").as("pqt"))
+      .select(col("qid"), col("word"), col("doc_id"),
+        termExpr(p.n, p.avgdl).as("term"))
+      .repartition(parts, col("qid"))
+      .cache()
+    val impacts = scored.groupBy("word")
+      .agg(ceil(max(col("term")) * lit(UbQ)).cast("long").as("uq"))
+    // seed phase: each query's few highest-impact terms, as a flag
+    val topWin = Window.partitionBy(col("qid"))
+      .orderBy(col("uq").desc, col("word"))
+    val seedTerms = p.qterms.join(impacts, "word")
+      .withColumn("trk", row_number().over(topWin))
+      .filter(col("trk") <= SeedTerms)
+      .select(col("qid"), col("word"), lit(true).as("seed"))
+    // θ without a self-join: rank docs by seed partial score, then
+    // spread the kth value across the query's rows. desc_nulls_last
+    // puts no-seed-match docs after every ranked one, so a query with
+    // < k seed-phase docs finds pq null at rank k ⇒ thetaq null.
+    val thetaWin = Window.partitionBy(col("qid"))
+      .orderBy(col("pq").desc_nulls_last)
+    val qWin = Window.partitionBy(col("qid"))
+    scored
+      .join(broadcast(impacts), "word")
+      .join(broadcast(seedTerms), Seq("qid", "word"), "left")
       .groupBy("qid", "doc_id")
-      .agg(sum(col("pqt")).as("pq"))
+      .agg(
+        sort_array(collect_list(col("term"))).as("ts"),
+        sum(col("uq")).as("ub"),
+        sum(when(col("seed"), floor(col("term") * lit(UbQ)).cast("long"))).as("pq"))
       .withColumn("prk", row_number().over(thetaWin))
-      .filter(col("prk") === Bm25TopK)
-      .select(col("qid"), col("pq").as("thetaq"))
-    // upper-bound pass: cheap integer sum per (qid, doc) — no dl join,
-    // no float fold; survivors enter the exact tail only
-    cand.join(impacts.select("word", "uq"), "word")
-      .groupBy("qid", "doc_id")
-      .agg(sum(col("uq")).as("ub"))
-      .join(theta, Seq("qid"), "left")
-      .filter(col("thetaq").isNull || col("ub") >= col("thetaq"))
-      .select("qid", "doc_id")
+      .withColumn("thetaq",
+        max(when(col("prk") === lit(Bm25TopK), col("pq"))).over(qWin))
   }
+
+  /** The pruning predicate over [[maxScoreAgg]]'s columns. */
+  private[graft] def maxScoreKeep: Column =
+    col("thetaq").isNull || col("ub") >= col("thetaq")
 
   /** t_bm25_maxscore — the same exact top-k as [[tBm25]] (same SQL
     * oracle — the gate's hash-match IS the exactness proof) with
     * WAND/MaxScore-style candidate pruning adapted to a batch engine:
     * documents whose matched-term impact bounds cannot reach the
-    * query's seed-phase threshold never enter the expensive exact
-    * aggregation (the dl join, the sorted float fold, the (qid, doc)
-    * shuffle). On the degenerate uniform-vocabulary driver corpus the
-    * bound prunes little (every term's postings are dense and scores
-    * are flat — measured in ZipfBm25Spec); on a Zipfian corpus the
-    * threshold separates and the exact phase shrinks — the same
-    * corpus-shape story as d_dedup_ngram's prefix filter, measured
-    * the same way. */
+    * query's seed-phase threshold never enter the exact float fold or
+    * the rank window. On the degenerate uniform-vocabulary driver
+    * corpus the bound prunes little (every term's postings are dense
+    * and scores are flat — measured in ZipfBm25Spec); on a mixed
+    * Zipfian corpus the threshold separates and the exact phase
+    * shrinks — the same corpus-shape story as d_dedup_ngram's prefix
+    * filter, measured the same way. The whole op is ONE candidate
+    * exchange plus windows on its own partitioning ([[maxScoreAgg]]). */
   def tBm25MaxScore(spark: SparkSession, dir: String): DataFrame = {
     val p = bm25Parts(spark, dir)
-    val cand = p.qterms.join(p.tf, "word")
-      .filter(col("doc_id") =!= col("qid"))
-      .cache()
-    val surv = maxScoreSurvivors(spark, p, cand, impactBounds(p))
-    scoreTail(spark, p, cand.join(surv, Seq("qid", "doc_id"), "left_semi"))
+    val rkWin = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    maxScoreAgg(spark, p)
+      .filter(maxScoreKeep)
+      .select(col("qid"), col("doc_id"),
+        stableRound(aggregate(col("ts"), lit(0.0), (acc, t) => acc + t), 6)
+          .as("score"))
+      .withColumn("rk", row_number().over(rkWin).cast("long"))
+      .filter(col("rk") <= Bm25TopK)
+      .select(col("qid"), col("rk"), col("doc_id"), col("score"))
+      .orderBy("qid", "rk")
   }
 
   /** RRF constant (Cormack/Clarke/Buettcher 2009's k=60 — the value

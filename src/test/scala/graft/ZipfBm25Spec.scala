@@ -136,11 +136,9 @@ class ZipfBm25Spec extends SparkSpec {
         "maxscore diverged from exact bm25 on the mixed corpus")
       def pruneStats(d: String): (Long, Long) = {
         val p = Retrieval.bm25Parts(spark, d)
-        val cand = p.qterms.join(p.tf, "word")
-          .filter(col("doc_id") =!= col("qid"))
-        val full = cand.select("qid", "doc_id").distinct().count()
-        val surv = Retrieval.maxScoreSurvivors(
-          spark, p, cand, Retrieval.impactBounds(p)).count()
+        val agg = Retrieval.maxScoreAgg(spark, p)
+        val full = agg.count()
+        val surv = agg.filter(Retrieval.maxScoreKeep).count()
         (full, surv)
       }
       val (fu, su) = pruneStats(sf)
