@@ -734,18 +734,27 @@ object Similarity {
     * shared by [[sAnnIvf]] and [[sAnnIvfPq]], so the "same centroids,
     * same tie convention" identity between them is structural, not a
     * documentation promise. */
-  private def ivfCellsDesc(cents: Array[Seq[Double]])(v: Column): Column =
+  private[operators] def ivfCellsDesc(cents: Array[Seq[Double]])(v: Column): Column =
     sort_array(array(cents.zipWithIndex.map { case (cv, i) =>
       struct(dot(v, typedLit(cv)).as("d"), lit(i).as("cid"))
     }: _*), asc = false)
 
-  def sAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+  def sAnnIvf(spark: SparkSession, dir: String): DataFrame =
+    sAnnIvfFrom(spark, dir, persisted = true)
+
+  /** [[sAnnIvf]] with the index source exposed — persisted = the
+    * registered sidecar-served path; in-session = the parity spec's
+    * baseline. The probe reads (vec_id, u, cid) off the index frame
+    * (the IVF-flat inverted file: at 10⁹ vectors the per-query read
+    * is nprobe/K of THAT, with no assignment pass); only the tiny
+    * query set still evaluates the cell ranking, off the loaded
+    * centroids. */
+  private[graft] def sAnnIvfFrom(spark: SparkSession, dir: String,
+      persisted: Boolean): DataFrame = {
     val e = withUnit(embSpread(spark, dir), "embedding", "u")
-    // the same sample pull + Lloyd refinement the PQ family trains
-    // on — trainedModels keeps the ivf/ivfpq centroid identity
-    val cellsDesc = ivfCellsDesc(trainedModels(e, PqKmeansIters)._1) _
-    val corpus = e.select(col("vec_id"), col("u"),
-      element_at(cellsDesc(col("embedding")), 1).getField("cid").as("cid"))
+    val (cells, _, codes) = annIndex(spark, dir, persisted)
+    val cellsDesc = ivfCellsDesc(cells) _
+    val corpus = codes.select(col("vec_id"), col("u"), col("cid"))
     val queriesDf = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("u").as("qv"),
         explode(transform(slice(cellsDesc(col("embedding")), 1, IvfProbe),
@@ -836,6 +845,12 @@ object Similarity {
     cents
   }
 
+  /** Training-pass counter — [[graft.AnnIndexSpec]] asserts the
+    * sidecar-served probe path runs ZERO training passes (the
+    * build-once/probe-many contract). Counts [[trainedModels]] calls;
+    * never read by any operator. */
+  private[graft] val trainCount = new java.util.concurrent.atomic.AtomicLong
+
   /** The trained retrieval models — (IVF cell centroids, PQ codebook)
     * — from ONE md5-ordered sample pull ([[pqSeeds]], so the Lloyd
     * inits ARE the previous rounds' seed centroids: iters = 0
@@ -843,7 +858,8 @@ object Similarity {
     * spherical k-means over the full-dim unit sample; PQ codebooks
     * are plain k-means per subvector slice. One collect serves both
     * models, preserving the ivf/ivfpq same-centroids identity. */
-  private def trainedModels(e: DataFrame, iters: Int): (Array[Seq[Double]], PqBook) = {
+  private[operators] def trainedModels(e: DataFrame, iters: Int): (Array[Seq[Double]], PqBook) = {
+    trainCount.incrementAndGet(): Unit
     val sample = pqSeeds(e, PqTrainSample).map(_.toArray)
     val cells = lloydIp(sample, sample.take(IvfCells), iters, spherical = true)
     val book: PqBook = Array.tabulate(PqSubspaces) { m =>
@@ -853,6 +869,40 @@ object Similarity {
     }
     (cells.map(_.toSeq), book)
   }
+
+  /** The (vec_id, u, cid, c0..c{M-1}) INDEX FRAME — one row per corpus
+    * vector carrying its IVF home cell, its unit vector (the IVF-flat
+    * inverted-file payload the exact tiers rescore from) and its PQ
+    * codes. ONE definition: the in-session probe paths localCheckpoint
+    * it; [[VectorIndex.build]] writes the identical select as the
+    * persisted parquet sidecar — so served-from-disk and
+    * computed-in-session probes are bit-identical by construction
+    * (training is deterministic, and doubles round-trip parquet
+    * exactly). */
+  private[operators] def codeFrame(e: DataFrame, cells: Array[Seq[Double]],
+      book: PqBook): DataFrame = {
+    val cellsDesc = ivfCellsDesc(cells) _
+    e.select(col("vec_id") +: col("u") +:
+      element_at(cellsDesc(col("embedding")), 1).getField("cid").as("cid") +:
+      (0 until PqSubspaces).map(m => pqCodeOf(book)(col("u"), m).as(s"c$m")): _*)
+  }
+
+  /** The ANN index triple (IVF cells, PQ codebook, index frame).
+    * persisted = load the [[VectorIndex]] parquet sidecars (build them
+    * once if absent) — NO training or coding pass on the probe path,
+    * the registered ops' route; in-session = train + code per session,
+    * the parity/recall specs' baseline. */
+  private[graft] def annIndex(spark: SparkSession, dir: String,
+      persisted: Boolean): (Array[Seq[Double]], PqBook, DataFrame) =
+    if (persisted) {
+      val path = VectorIndex.build(spark, dir)
+      val (cells, book) = VectorIndex.models(spark, path)
+      (cells, book, VectorIndex.codes(spark, path))
+    } else {
+      val e = withUnit(embSpread(spark, dir), "embedding", "u")
+      val (cells, book) = trainedModels(e, PqKmeansIters)
+      (cells, book, codeFrame(e, cells, book).localCheckpoint(false))
+    }
 
   /** s_ann_pq — product-quantization ANN (asymmetric distance
     * computation), the standard MEMORY-resident retrieval tier at
@@ -884,7 +934,7 @@ object Similarity {
     * vectors through one id equi-join. */
   /** Codebook: per subspace, (centroid subvector, ½|c|²) — the adj
     * term folded in for the argmin-L2-as-argmax trick. */
-  private type PqBook = Array[Array[(Seq[Double], Double)]]
+  private[operators] type PqBook = Array[Array[(Seq[Double], Double)]]
 
   /** The md5-ordered deterministic corpus sample — [[trainedModels]]
     * trains every retrieval model from one pull of this, and the
@@ -913,7 +963,7 @@ object Similarity {
     * code, same code ids bit-for-bit (the dot's op order over the
     * first 8 components is unchanged; the +(−half) tail is the same
     * IEEE add the subtraction performed). */
-  private def pqCodeOf(book: PqBook)(v: Column, m: Int): Column = {
+  private[operators] def pqCodeOf(book: PqBook)(v: Column, m: Int): Column = {
     val augCents = typedLit(book(m).map { case (cv, half) => cv :+ (-half) })
     val augSub = concat(pqSubv(v, m), array(lit(1.0)))
     val adjs = transform(augCents, c => dot(augSub, c))
@@ -930,30 +980,45 @@ object Similarity {
     }.reduce(_ + _)
 
   def sAnnPq(spark: SparkSession, dir: String): DataFrame =
-    sAnnPqIters(spark, dir, PqKmeansIters)
+    sAnnPqFrom(spark, dir, persisted = true)
+
+  /** [[sAnnPq]] with the index source exposed. The code table IS the
+    * index — the persisted path reads it off the parquet sidecar
+    * (9 ints per vector, no coding pass; the in-session path
+    * lazy-localCheckpoints the same frame) so the ×Q broadcast join
+    * downstream replays codes instead of re-evaluating the 8 argmin
+    * passes per (vector, query) pair. At 10⁹ vectors this is the 8 GB
+    * RAM-resident table the scaladoc describes; recomputing it per
+    * query (or per SESSION — the pre-sidecar behavior) is the one way
+    * to lose PQ's whole point. */
+  private[graft] def sAnnPqFrom(spark: SparkSession, dir: String,
+      persisted: Boolean): DataFrame = {
+    val e = withUnit(embSpread(spark, dir), "embedding", "u")
+    val (_, codebook, codes) = annIndex(spark, dir, persisted)
+    pqProbe(e, codebook, codes)
+  }
 
   /** [[sAnnPq]] with the Lloyd iteration count exposed — iters = 0 is
     * the raw-seed codebook (rounds ≤ 6 behavior); KmeansRecallSpec
-    * measures the recall curve across counts. */
+    * measures the recall curve across counts. Always in-session (the
+    * sidecar persists only the production iteration count). */
   private[graft] def sAnnPqIters(spark: SparkSession, dir: String, iters: Int): DataFrame = {
     val e = withUnit(embSpread(spark, dir), "embedding", "u")
-    val codebook = trainedModels(e, iters)._2
-    // The code table IS the index — materialize it (lazy
-    // localCheckpoint, ContextCleaner-released) so the ×Q broadcast
-    // join downstream replays 9 ints per vector instead of
-    // re-evaluating the 8 argmin sort_arrays per (vector, query)
-    // pair. At 10⁹ vectors this is the 8 GB RAM-resident table the
-    // scaladoc describes; recomputing it per query is the one way to
-    // lose PQ's whole point.
-    val coded = e.select(col("vec_id") +:
-      (0 until PqSubspaces).map(m => pqCodeOf(codebook)(col("u"), m).as(s"c$m")): _*)
-      .localCheckpoint(false)
+    val (cells, codebook) = trainedModels(e, iters)
+    pqProbe(e, codebook, codeFrame(e, cells, codebook).localCheckpoint(false))
+  }
+
+  /** The shared PQ probe tail: ADC-score the code table against the
+    * broadcast query set, bounded heaps, exact rescore. `codes` must
+    * carry (vec_id, u, c0..c{M-1}) — the rescore reads `u` off the
+    * index frame, so the corpus parquet is never re-read. */
+  private def pqProbe(e: DataFrame, codebook: PqBook, codes: DataFrame): DataFrame = {
     val queries = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("u").as("qv"))
-    val scored = coded.join(broadcast(queries), col("query_id") =!= col("vec_id"))
+    val scored = codes.join(broadcast(queries), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         pqAdc(codebook).as("coarse"))
-    rescoreTopK(e, heapPartials(scored, PqCandidates, "coarse"), PqCandidates)
+    rescoreTopK(codes, heapPartials(scored, PqCandidates, "coarse"), PqCandidates)
   }
 
   /** s_ann_ivfpq — the composed billion-scale index (FAISS-IVFPQ
@@ -972,18 +1037,14 @@ object Similarity {
     * — no dedup pass); ADC ranks them (floats touch nothing yet),
     * the top [[PqCandidates]] rescore exactly. Rows-only + recall
     * spec, per the LSH/IVF/PQ precedent. */
-  def sAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+  def sAnnIvfPq(spark: SparkSession, dir: String): DataFrame =
+    sAnnIvfPqFrom(spark, dir, persisted = true)
+
+  private[graft] def sAnnIvfPqFrom(spark: SparkSession, dir: String,
+      persisted: Boolean): DataFrame = {
     val e = withUnit(embSpread(spark, dir), "embedding", "u")
-    val (cells, codebook) = trainedModels(e, PqKmeansIters)
+    val (cells, codebook, codes) = annIndex(spark, dir, persisted)
     val cellsDesc = ivfCellsDesc(cells) _
-    // materialized for the same reason as sAnnPq's code table: the
-    // (cid, codes) rows are the index; the probe join must replay
-    // them, not re-run cell assignment + 8 argmin sort_arrays
-    val corpus = e.select(
-      col("vec_id") +:
-        element_at(cellsDesc(col("embedding")), 1).getField("cid").as("cid") +:
-        (0 until PqSubspaces).map(m => pqCodeOf(codebook)(col("u"), m).as(s"c$m")): _*)
-      .localCheckpoint(false)
     val queriesDf = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("u").as("qv"),
         explode(transform(slice(cellsDesc(col("embedding")), 1, IvfProbe),
@@ -993,11 +1054,11 @@ object Similarity {
     // nprobe/K of the corpus is still ~N/2 scored rows — ranking them
     // through a Q-partition window alone would single-reduce each
     // query's half-corpus (the exact hazard the pq plan spec pins).
-    val scored = corpus.join(broadcast(queriesDf), Seq("cid"))
+    val scored = codes.join(broadcast(queriesDf), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         pqAdc(codebook).as("coarse"))
-    rescoreTopK(e, heapPartials(scored, PqCandidates, "coarse"), PqCandidates)
+    rescoreTopK(codes, heapPartials(scored, PqCandidates, "coarse"), PqCandidates)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
