@@ -517,12 +517,13 @@ object TextAnalysis {
     * collects terms sorted ascending and folds from 0.0 (what the
     * oracles' `list(term ORDER BY term)` + `list_reduce` replay);
     * free is a plain map-side-combined sum. */
-  private def foldJsdTerms(terms: DataFrame, free: Boolean): DataFrame =
-    if (free) terms.groupBy("source").agg(sum("term").as("s"))
-    else terms.groupBy("source")
+  private def foldJsdTerms(terms: DataFrame, free: Boolean,
+      keys: Seq[String]): DataFrame =
+    if (free) terms.groupBy(keys.map(col): _*).agg(sum("term").as("s"))
+    else terms.groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(col("term"))).as("ts"))
-      .select(col("source"),
-        aggregate(col("ts"), lit(0.0), (a, t) => a + t).as("s"))
+      .select(keys.map(col) :+
+        aggregate(col("ts"), lit(0.0), (a, t) => a + t).as("s"): _*)
 
   /** t_jsd — per-source DISTRIBUTION DRIFT: the Jensen–Shannon
     * divergence (bits) between each source's unigram word
@@ -545,39 +546,61 @@ object TextAnalysis {
     * doubles spelled identically in both engines; zero counts route
     * through the same CASE guards (0·ln0 := 0); the per-source fold
     * follows [[jsdFree]]. */
-  def tJsd(spark: SparkSession, dir: String): DataFrame = {
+  def tJsd(spark: SparkSession, dir: String): DataFrame =
+    jsdBySegments(spark, dir, Seq("source"))
+
+  /** t_jsd_seg — [[tJsd]] at SEGMENT granularity: the divergence of
+    * each (source, lang) cell's unigram distribution vs the rest of
+    * the corpus. The telemetry a mixing pipeline actually pages on —
+    * a source can look distributionally calm pooled while one of its
+    * language slices floods templates (or flips language) — and the
+    * segment keys are exactly the keys d_mix/d_reweight weight on.
+    * Same skeleton, one groupBy change: the grid is corpus-vocab ×
+    * SEGMENTS, so cost scales with segment count, not a new scan. */
+  def tJsdSeg(spark: SparkSession, dir: String): DataFrame =
+    jsdBySegments(spark, dir, Seq("source", "lang"))
+
+  /** The shared per-segment JSD skeleton ([[tJsd]] scaladoc): one
+    * corpus scan → (segment, word) counts; vocab-bounded grid via
+    * broadcast segment totals; integer-over-integer probabilities;
+    * the [[jsdFree]]-gated fold. `segCols` is the segment key —
+    * ("source") for the pooled gate row, ("source", "lang") for the
+    * segmented one. */
+  private def jsdBySegments(spark: SparkSession, dir: String,
+      segCols: Seq[String]): DataFrame = {
     val free = jsdFree(spark)
     val d = docsSpread(spark, dir)
-    val counts = d.select(col("source"), explode(words(col("text"))).as("word"))
-      .groupBy("source", "word").agg(count(lit(1)).as("cs"))
+    val seg = segCols.map(col)
+    val counts = d.select(seg :+ explode(words(col("text"))).as("word"): _*)
+      .groupBy((segCols :+ "word").map(col): _*).agg(count(lit(1)).as("cs"))
       .cache()
     val corpus = counts.groupBy("word").agg(sum("cs").as("c"))
-    val perSrc = counts.groupBy("source")
+    val perSrc = counts.groupBy(seg: _*)
       .agg(sum("cs").as("ns"), count(lit(1)).as("nv"))
-    // Σ over per-source totals ≡ Σ over the vocab frame (integer
+    // Σ over per-segment totals ≡ Σ over the vocab frame (integer
     // arithmetic) and folds a handful of rows instead of re-scanning
-    // the cached (source, word) frame a fourth time.
+    // the cached (segment, word) frame a fourth time.
     val tot = perSrc.agg(sum("ns").as("nn"))
     val grid = corpus
-      .crossJoin(broadcast(perSrc.select(col("source"), col("ns"))))
-      .join(counts.select(col("source"), col("word"), col("cs")),
-        Seq("source", "word"), "left")
-      .select(col("source"), col("ns"), col("c"),
-        coalesce(col("cs"), lit(0L)).as("cs"))
+      .crossJoin(broadcast(perSrc.select(seg :+ col("ns"): _*)))
+      .join(counts.select(seg ++ Seq(col("word"), col("cs")): _*),
+        segCols :+ "word", "left")
+      .select(seg ++ Seq(col("ns"), col("c"),
+        coalesce(col("cs"), lit(0L)).as("cs")): _*)
       .crossJoin(broadcast(tot))
     val ps = when(col("cs") > 0,
       col("cs").cast("double") / col("ns").cast("double")).otherwise(lit(0.0))
     val pr = when(col("c") - col("cs") > 0,
       (col("c") - col("cs")).cast("double") /
         (col("nn") - col("ns")).cast("double")).otherwise(lit(0.0))
-    val probs = grid.select(col("source"), ps.as("ps"), pr.as("pr"))
-    val terms = probs.select(col("source"),
-      jsdTerm(col("ps"), col("pr")).as("term"))
-    foldJsdTerms(terms, free).join(perSrc, "source")
-      .select(col("source"), col("ns").cast("long").as("n_words"),
+    val probs = grid.select(seg ++ Seq(ps.as("ps"), pr.as("pr")): _*)
+    val terms = probs.select(seg :+
+      jsdTerm(col("ps"), col("pr")).as("term"): _*)
+    foldJsdTerms(terms, free, segCols).join(perSrc, segCols)
+      .select(seg ++ Seq(col("ns").cast("long").as("n_words"),
         col("nv").cast("long").as("n_distinct_words"),
-        stableRound(col("s") / log(lit(2.0)), 6).as("jsd_bits"))
-      .orderBy("source")
+        stableRound(col("s") / log(lit(2.0)), 6).as("jsd_bits")): _*)
+      .orderBy(seg: _*)
   }
 
   val tJsdSql: String =
@@ -616,6 +639,46 @@ object TextAnalysis {
        |    / ln(2.0)) * 1e6 + 0.5) / 1e6 AS jsd_bits
        |FROM g JOIN per_src p ON g.source = p.source
        |ORDER BY g.source""".stripMargin
+
+  /** [[tJsdSql]] with the (source, lang) segment key — the same CTE
+    * chain, every GROUP BY/JOIN widened by the lang column. */
+  val tJsdSegSql: String =
+    s"""WITH w AS (SELECT source, lang, string_split($normSql, ' ') AS w FROM documents),
+       |counts AS (
+       |  SELECT source, lang, word, count(*)::BIGINT AS cs
+       |  FROM (SELECT source, lang, unnest(w) AS word FROM w) u
+       |  GROUP BY source, lang, word),
+       |corpus AS (SELECT word, sum(cs)::BIGINT AS c FROM counts GROUP BY word),
+       |per_seg AS (
+       |  SELECT source, lang, sum(cs)::BIGINT AS ns, count(*)::BIGINT AS nv
+       |  FROM counts GROUP BY source, lang),
+       |tot AS (SELECT sum(cs)::BIGINT AS nn FROM counts),
+       |grid AS (
+       |  SELECT p.source, p.lang, p.ns, v.c, COALESCE(k.cs, 0)::BIGINT AS cs
+       |  FROM corpus v
+       |  CROSS JOIN per_seg p
+       |  LEFT JOIN counts k ON k.source = p.source AND k.lang = p.lang
+       |    AND k.word = v.word),
+       |probs AS (
+       |  SELECT source, lang,
+       |    CASE WHEN cs > 0 THEN cs::DOUBLE / ns::DOUBLE ELSE 0.0 END AS ps,
+       |    CASE WHEN c - cs > 0
+       |         THEN (c - cs)::DOUBLE / (nn - ns)::DOUBLE ELSE 0.0 END AS pr
+       |  FROM grid CROSS JOIN tot),
+       |terms AS (
+       |  SELECT source, lang,
+       |    0.5 * (CASE WHEN ps > 0
+       |           THEN ps * ln(ps / ((ps + pr) / 2.0)) ELSE 0.0 END)
+       |    + 0.5 * (CASE WHEN pr > 0
+       |             THEN pr * ln(pr / ((ps + pr) / 2.0)) ELSE 0.0 END) AS term
+       |  FROM probs),
+       |g AS (SELECT source, lang, list(term ORDER BY term) AS ts
+       |      FROM terms GROUP BY source, lang)
+       |SELECT g.source, g.lang, p.ns AS n_words, p.nv AS n_distinct_words,
+       |  floor((list_reduce(list_prepend(0.0, ts), (a, b) -> a + b)
+       |    / ln(2.0)) * 1e6 + 0.5) / 1e6 AS jsd_bits
+       |FROM g JOIN per_seg p ON g.source = p.source AND g.lang = p.lang
+       |ORDER BY g.source, g.lang""".stripMargin
 
   // ---------------------------------------------------------- drift
 
@@ -662,7 +725,7 @@ object TextAnalysis {
     val probs = grid.select(col("source"), pb.as("pb"), pd.as("pd"))
     val terms = probs.select(col("source"),
       jsdTerm(col("pb"), col("pd")).as("term"))
-    foldJsdTerms(terms, free).join(perSrc, "source")
+    foldJsdTerms(terms, free, Seq("source")).join(perSrc, "source")
       .select(col("source"), col("nb").cast("long").as("base_words"),
         col("nd").cast("long").as("delta_words"),
         stableRound(col("s") / log(lit(2.0)), 6).as("jsd_bits"))
@@ -1081,6 +1144,7 @@ object TextAnalysis {
     "t_bigram_lm" -> tBigramLm,
     "t_readability" -> tReadability,
     "t_jsd" -> tJsd,
+    "t_jsd_seg" -> tJsdSeg,
     "t_drift" -> tDrift,
   )
 
@@ -1101,6 +1165,7 @@ object TextAnalysis {
     "t_bigram_lm" -> tBigramLmSql,
     "t_readability" -> tReadabilitySql,
     "t_jsd" -> tJsdSql,
+    "t_jsd_seg" -> tJsdSegSql,
     "t_drift" -> tDriftSql,
   )
 }
