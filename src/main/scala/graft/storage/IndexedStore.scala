@@ -1151,7 +1151,7 @@ object IndexedStore {
     }
   }
 
-  private final case class CkptData(paths: Seq[String],
+  private[graft] final case class CkptData(paths: Seq[String],
       zones: Map[String, Map[String, ZoneRange]])
 
   /** Driver-side checkpoint cache: a generation's checkpoint is
@@ -1189,7 +1189,7 @@ object IndexedStore {
       case scala.util.control.NonFatal(_) => s"unstat-${System.nanoTime()}"
     }
 
-  private def readCkptData(spark: SparkSession, p: String): CkptData = {
+  private[graft] def readCkptData(spark: SparkSession, p: String): CkptData = {
     val key = p + "#" + ckptSignature(spark, p)
     val hit = ckptCache.get(key)
     if (hit != null) hit

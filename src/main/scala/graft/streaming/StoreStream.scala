@@ -207,6 +207,67 @@ object StoreStream {
       col("change") +: Keep.map(col)): _*)
   }
 
+  /** Collect an entry frame into (seq, sub)-ordered [[LogEntry]]s —
+    * shared by the streaming tail's micro-batches and [[logEntries]]. */
+  private def parseEntries(df: DataFrame): Seq[LogEntry] =
+    df.select("seq", "gen", "prev", "kind", "sub", "lo", "hi", "files")
+      .collect()
+      .map(r => LogEntry(r.getLong(0), r.getString(1),
+        Option(r.getString(2)),
+        Option(r.getString(3)).getOrElse("legacy"),
+        if (r.isNullAt(4)) 0L else r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        Option(r.getString(7))))
+      .sortBy(e => (e.seq, e.sub)).toSeq
+
+  /** Batch read of `path`'s commit log as parsed entries — the
+    * spec-side complement of the streaming tail (the sweep-boundary
+    * spec captures pre-sweep entries with it). */
+  private[graft] def logEntries(spark: SparkSession, path: String): Seq[LogEntry] =
+    parseEntries(spark.read.schema(LogSchema)
+      .json(IndexedStore.commitLogDir(path)))
+
+  /** The generations a diff for `e` must read: its own, and the
+    * predecessor a commit entry diffs against. */
+  private def gensRead(e: LogEntry): Seq[String] = e.gen +: e.prev.toSeq
+
+  /** Throw the KEEP-UP-CONTRACT error if any generation `e`'s diff
+    * reads has been reclaimed by the retention sweep. */
+  private def assertGensLive(spark: SparkSession, path: String,
+      e: LogEntry, when: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val swept = gensRead(e).filterNot { g =>
+      val p = new org.apache.hadoop.fs.Path(path, g)
+      p.getFileSystem(conf).exists(p)
+    }
+    if (swept.nonEmpty) throw new IllegalStateException(
+      s"CDC consumer lagged past the retention window: generation(s) " +
+        s"${swept.mkString(", ")} needed by log entry (seq=${e.seq}, " +
+        s"sub=${e.sub}, kind=${e.kind}) were swept $when at $path. " +
+        "The keep-up contract requires a tail to process entries within " +
+        "the store's retention window (IndexedStore.setRetention); " +
+        "restart the tail to bootstrap from the republished prev-less " +
+        "snapshot entry.")
+  }
+
+  /** [[diffFor]] with the SWEPT-WHILE-ATTACHED failure surface made
+    * loud: the generations the diff reads are checked before the read
+    * (a lagging consumer gets the contract error, not PATH_NOT_FOUND)
+    * and re-checked AFTER the eager materialization — a sweep racing
+    * the read could otherwise hand back a PARTIAL diff that looks
+    * complete (the one way this CDC could silently emit wrong rows).
+    * Materialization is eager (localCheckpoint) for the same reason:
+    * a lazily-held plan would dangle once the sweep reclaims the
+    * generation it reads. */
+  private[graft] def materializeDiff(spark: SparkSession, path: String,
+      e: LogEntry): DataFrame = {
+    assertGensLive(spark, path, e, "before its diff was read")
+    val out = diffFor(spark, path, e).localCheckpoint(true)
+    assertGensLive(spark, path, e, "WHILE its diff was being read")
+    out
+  }
+
   /** Start the CDC tail on `path`'s commit log. Returns the running
     * query and a thunk yielding everything observed so far (unordered;
     * empty-schema frame before the first entry lands). Package-visible
@@ -221,25 +282,12 @@ object StoreStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // entry metadata only — tiny by construction; the row-level
         // work stays distributed inside each entry's scan/joins
-        val es = batch
-          .select("seq", "gen", "prev", "kind", "sub", "lo", "hi", "files")
-          .collect()
-          .map(r => LogEntry(r.getLong(0), r.getString(1),
-            Option(r.getString(2)),
-            Option(r.getString(3)).getOrElse("legacy"),
-            if (r.isNullAt(4)) 0L else r.getLong(4),
-            if (r.isNullAt(5)) None else Some(r.getLong(5)),
-            if (r.isNullAt(6)) None else Some(r.getLong(6)),
-            Option(r.getString(7))))
-          .sortBy(e => (e.seq, e.sub))
+        val es = parseEntries(batch)
         parts.synchronized {
-          // each diff MATERIALIZES inside its micro-batch (eager
-          // checkpoint): a CDC consumer owns its rows at observation
-          // time — a lazily-held plan would dangle once the retention
-          // sweep reclaims the generation it reads (the keep-up
-          // contract, made literal)
-          es.foreach(e =>
-            parts += diffFor(rootSpark, path, e).localCheckpoint(true))
+          // each diff materializes inside its micro-batch, guarded by
+          // the swept-while-attached check (materializeDiff's scaladoc
+          // — the keep-up contract, made literal and loud)
+          es.foreach(e => parts += materializeDiff(rootSpark, path, e))
         }
       }
       .start()

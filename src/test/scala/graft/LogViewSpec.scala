@@ -224,4 +224,36 @@ class LogViewSpec extends SparkSpec {
     assert(rids(IndexedStore.open(spark, path).find(Nil)) == rids(b),
       "the recreated store must serve ITS inventory, not the dead store's")
   }
+
+  test("checkpoint read holds one bounded file list at 10^4+ files") {
+    // The documented scale limit (SURVEY §18.3 / VERDICT r7 #4): the
+    // log view materializes the generation's file list on the driver
+    // — like every Spark file index, and like Delta. This pins the
+    // footprint SHAPE on a synthetic 2·10⁴-file checkpoint: the
+    // retained structure is the relative-path strings plus Seq
+    // overhead (~150 B/file measured), held ONCE per checkpoint (the
+    // signature-keyed cache returns the same driver object), with no
+    // per-file Row/FileStatus residue. Extrapolation gives the
+    // documented ceiling: ~10⁷ files ≈ 1.5-2 GB driver — past that, a
+    // custom FileIndex streaming the checkpoint is the real fix.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_scale_")
+    dir.toFile.deleteOnExit()
+    val p = s"$dir/gen-000001.parquet"
+    val s = spark
+    import s.implicits._
+    val n = 20000
+    (0 until n).map(i => f"__bucket=${i % 64}/part-$i%05d-c000.snappy.parquet")
+      .toDF("path").repartition(4).write.parquet(p)
+    val ck = IndexedStore.readCkptData(spark, p)
+    assert(ck.paths.length == n)
+    assert(ck.zones.isEmpty, "no zone columns were written — none may be retained")
+    // held once: the unchanged checkpoint is served the SAME driver
+    // object on re-read, not a second copy
+    assert(IndexedStore.readCkptData(spark, p) eq ck,
+      "re-reading an unchanged checkpoint must hit the driver cache")
+    val bytes = org.apache.spark.util.SizeEstimator.estimate(ck)
+    info(f"checkpoint driver footprint: $bytes B for $n files (${bytes.toDouble / n}%.0f B/file)")
+    assert(bytes < 500L * n,
+      s"checkpoint footprint $bytes B for $n files — per-file residue has grown")
+  }
 }

@@ -260,4 +260,76 @@ class StoreStreamSpec extends SparkSpec {
         == all.length, "every row streams exactly once")
     } finally q.stop()
   }
+
+  test("a consumer lagging one sweep fails LOUD on the contract, never a silent wrong diff") {
+    // The exact failure surface of the keep-up contract (VERDICT r7
+    // #5): a tail holds an entry whose predecessor generation the
+    // retention sweep reclaims before (or while) the diff reads it.
+    // The existing late-attach case covers a consumer who never SAW
+    // the swept entry; this pins the consumer who saw it and lagged.
+    val path = freshRoot("sweep")
+    val cust = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey"))
+      .data.cache()
+    try {
+      IndexedStore.write(cust, path, HashIndex("c_mktsegment", 4))
+      IndexedStore.write(cust.filter(col("c_mktsegment") =!= "BUILDING"),
+        path, HashIndex("c_mktsegment", 4))
+      // the lagging consumer captured gen 2's entry pre-sweep: it
+      // still names gen 1 as the diff's previous side
+      val stale = StoreStream.logEntries(spark, path).filter(_.seq == 2L)
+      assert(stale.nonEmpty && stale.head.prev.nonEmpty,
+        "fixture: gen 2's commit entry must carry a prev")
+      // third commit: the default retention sweeps gen 1
+      IndexedStore.write(cust.filter(col("c_mktsegment") =!= "BUILDING" &&
+        col("c_mktsegment") =!= "AUTOMOBILE"),
+        path, HashIndex("c_mktsegment", 4))
+      val sweptGen = stale.head.prev.get
+      assert(!new java.io.File(path, sweptGen).exists(),
+        s"fixture: the sweep must have reclaimed $sweptGen")
+      val ex = intercept[IllegalStateException] {
+        StoreStream.materializeDiff(spark, path, stale.head)
+      }
+      assert(ex.getMessage.contains("retention window") &&
+        ex.getMessage.contains(sweptGen) &&
+        ex.getMessage.contains("setRetention"),
+        s"error must name the contract and the swept generation, got: ${ex.getMessage}")
+    } finally cust.unpersist(): Unit
+  }
+
+  test("tail throughput: measured entries/s over a mutation run (the keep-up budget)") {
+    // Quantifies the keep-up contract: how fast a cold tail absorbs
+    // log entries. Entries are metadata-sized, so the rate is bound
+    // by per-entry fixed job costs (scan + localCheckpoint per diff),
+    // not data volume — the measured number goes in SURVEY §10k.
+    val path = freshRoot("rate")
+    val (base, appended0) = StoreStream.mutationHalves(spark, sf)
+    val appended = appended0.cache()
+    try {
+      IndexedStore.write(base, path, HashIndex("c_mktsegment", 4))
+      val ids = appended.select(IndexedStore.RowId)
+        .orderBy(IndexedStore.RowId).collect().map(_.getLong(0))
+      // 12 consecutive rowid slices — each append a contiguous run,
+      // per the append contract
+      val k = 12
+      val cuts = (0 to k).map(i => ids((i * (ids.length - 1)) / k))
+      val ranges = (0 until k).map(i =>
+        (if (i == 0) cuts(0) else cuts(i) + 1, cuts(i + 1)))
+      ranges.foreach { case (lo, hi) =>
+        IndexedStore.append(
+          appended.filter(col(IndexedStore.RowId).between(lo, hi)), path)
+      }
+      val t0 = System.nanoTime()
+      val (q, result) = StoreStream.startCdc(spark, path)
+      try q.processAllAvailable() finally q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val entries = 1 + k
+      info(f"cold tail absorbed $entries entries in $sec%.2f s — ${entries / sec}%.1f entries/s")
+      val got = rows(result())
+      assert(got.length == cust.count(),
+        "every base row + every appended row streams exactly once")
+      assert(got.forall(_._3 == "added"))
+    } finally appended.unpersist(): Unit
+  }
+
+  private lazy val cust = Tables(spark, sf).customer
 }
