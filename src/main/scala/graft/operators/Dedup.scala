@@ -744,6 +744,7 @@ object Dedup {
     // not serve the other algorithm's (identical, but differently
     // checkpointed) frame
     val key = spark.sparkContext.applicationId + (if (star) "/star" else "")
+    if (labelCache.contains((key, dir))) graft.core.CacheStats.hit()
     labelCache.getOrElseUpdate((key, dir), {
       cc(spark, dDedupMinhash(spark, dir).select("id1", "id2"))
         .withColumn("is_keeper", col("doc_id") === col("cluster_id"))

@@ -19,12 +19,17 @@ object ShortcutOps {
     * be served a dead handle. */
   private val stores = scala.collection.concurrent.TrieMap.empty[(String, String, String), Store]
 
+  private def memoStore(key: (String, String, String))(build: => Store): Store = {
+    if (stores.contains(key)) graft.core.CacheStats.hit()
+    stores.getOrElseUpdate(key, build)
+  }
+
   private def customerStore(spark: SparkSession, dir: String): Store =
-    stores.getOrElseUpdate((spark.sparkContext.applicationId, "customer", dir),
+    memoStore((spark.sparkContext.applicationId, "customer", dir))(
       Store.fromData(Tables(spark, dir).customer, Seq("c_custkey")).materialized)
 
   private def lineitemStore(spark: SparkSession, dir: String): Store =
-    stores.getOrElseUpdate((spark.sparkContext.applicationId, "lineitem", dir),
+    memoStore((spark.sparkContext.applicationId, "lineitem", dir))(
       Store.fromData(Tables(spark, dir).lineitem,
         Seq("l_orderkey", "l_linenumber")).materialized)
 
