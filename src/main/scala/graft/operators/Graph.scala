@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.Parity.stableRound
@@ -445,7 +446,11 @@ object Graph {
     * grouped integer aggregations over the labeled backbone (edges
     * join the label frame once on one endpoint); output is one row
     * per component. */
-  def gCcStats(spark: SparkSession, dir: String): DataFrame = {
+  /** The canonical strong-edge backbone (a < b, distinct, self-loops
+    * cut) and the full per-node component labeling — the shared front
+    * half of [[gCcStats]] and [[gCcDiameter]]. */
+  private def backboneLabeled(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val e = edges(spark, dir).localCheckpoint(false)
     val tot = broadcast(
       e.agg(count(lit(1)).as("ne"), sum(col("w")).as("tw")))
@@ -460,6 +465,11 @@ object Graph {
     val lbl = nodes(e).join(starred, Seq("domain"), "left")
       .select(col("domain"), coalesce(col("root"), col("domain")).as("comp"))
       .localCheckpoint(false)
+    (bb, lbl)
+  }
+
+  def gCcStats(spark: SparkSession, dir: String): DataFrame = {
+    val (bb, lbl) = backboneLabeled(spark, dir)
     val sizes = lbl.groupBy("comp").agg(count(lit(1)).as("n_nodes"))
     // one endpoint suffices: both ends of a backbone edge share a comp
     val edgeCounts = bb
@@ -506,12 +516,135 @@ object Graph {
        |FROM sz s LEFT JOIN ec ON s.comp = ec.comp
        |ORDER BY s.comp""".stripMargin
 
+  /** Multi-source BFS over the symmetric backbone, one source per
+    * component: `seeds` is (comp, node), output is (comp, node, d)
+    * with d = the hop distance from the component's seed. One
+    * materialized round per BFS level (frontier ⋈ edges, minus
+    * visited — grouped/distinct aggregations only, no neighborhood
+    * ever collects into a row), so the loop costs O(eccentricity)
+    * rounds; web-graph eccentricities are small (~20 on crawl
+    * graphs), and the cap is conf-escapable for pathological chains
+    * ([[Components.MaxRounds]] rationale). */
+  private def bfsFrom(spark: SparkSession, seeds: DataFrame,
+      sym: DataFrame): DataFrame = {
+    val maxRounds = spark.conf.getOption("graft.graph.bfsMaxRounds")
+      .map { raw =>
+        try raw.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.graph.bfsMaxRounds = '$raw' (expected a positive integer)")
+        }
+      }.getOrElse(1024)
+    var visited = seeds.withColumn("d", lit(0L)).localCheckpoint(false)
+    var frontier = visited.select("comp", "node")
+    var rounds = 0
+    var done = false
+    while (!done) {
+      rounds += 1
+      if (rounds > maxRounds) throw new IllegalStateException(
+        s"BFS not converged after $maxRounds rounds (raise " +
+          "graft.graph.bfsMaxRounds if the graph is legitimately this deep)")
+      val next = frontier.join(sym, col("node") === col("x"))
+        .select(col("comp"), col("y").as("node"))
+        .distinct()
+        .join(visited.select("comp", "node"), Seq("comp", "node"), "left_anti")
+        .withColumn("d", lit(rounds.toLong))
+        .localCheckpoint(false)
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.unionByName(next).localCheckpoint(false)
+        frontier = next.select("comp", "node")
+      }
+    }
+    visited
+  }
+
+  /** g_cc_diameter — per-component DIAMETER ESTIMATE over the same
+    * strong-edge backbone, by the classic double-sweep BFS (Magnien/
+    * Latapy/Habib 2009): BFS #1 from each component's min-label root
+    * finds its farthest node u (ties → min domain, deterministic);
+    * BFS #2 from u reports ecc(u) as `diameter_lb` — EXACT on trees,
+    * a lower bound within a small factor in practice everywhere else
+    * (the standard estimator; an exact diameter is all-pairs BFS, the
+    * thing nobody runs on a web graph). The structural depth signal
+    * next to [[gCcStats]]' density: a diameter-2 near-clique of
+    * mirror domains vs a long redirect/ring chain of the same size
+    * curate differently.
+    *
+    * All distances are integer hop counts and every pick is
+    * tie-broken — hash-green with zero parity machinery. The oracle
+    * replays both sweeps as bounded recursive walks (min-over-walks =
+    * BFS distance; the d < |nodes| bound terminates cycles). Scale:
+    * 2×eccentricity materialized rounds of grouped/distinct joins on
+    * the backbone — each round edge-linear, skew-safe. */
+  def gCcDiameter(spark: SparkSession, dir: String): DataFrame = {
+    val (bb, lbl) = backboneLabeled(spark, dir)
+    val sym = bb.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(bb.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint(false)
+    val roots = lbl.select(col("comp")).distinct()
+      .select(col("comp"), col("comp").as("node"))
+    val d1 = bfsFrom(spark, roots, sym)
+    val wU = Window.partitionBy(col("comp"))
+      .orderBy(col("d").desc, col("node"))
+    val far = d1.withColumn("rk", row_number().over(wU))
+      .filter(col("rk") === 1).select("comp", "node")
+    val d2 = bfsFrom(spark, far, sym)
+    val diam = d2.groupBy("comp").agg(max(col("d")).as("diameter_lb"))
+    val sizes = lbl.groupBy("comp").agg(count(lit(1)).as("n_nodes"))
+    sizes.join(diam, Seq("comp"), "left")
+      .select(col("comp"), col("n_nodes"),
+        coalesce(col("diameter_lb"), lit(0L)).as("diameter_lb"))
+      .orderBy("comp")
+  }
+
+  val gCcDiameterSql: String =
+    s"""WITH RECURSIVE u AS ($withUrlSql),
+       |$edgesSql,
+       |$nodesSql,
+       |tot AS (SELECT count(*)::BIGINT AS ne, sum(w)::BIGINT AS tw
+       |        FROM edges),
+       |bb AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges CROSS JOIN tot
+       |  WHERE w * ne >= tw AND src <> dst),
+       |sym AS (SELECT a, b FROM bb UNION SELECT b, a FROM bb),
+       |reach(src, dst) AS (
+       |  SELECT domain, domain FROM nodes
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN sym e ON r.dst = e.a),
+       |lbl AS (SELECT src AS domain, min(dst) AS comp
+       |        FROM reach GROUP BY src),
+       |roots AS (SELECT DISTINCT comp FROM lbl),
+       |walk1(comp, node, d) AS (
+       |  SELECT comp, comp, 0 FROM roots
+       |  UNION
+       |  SELECT w.comp, e.b, w.d + 1 FROM walk1 w JOIN sym e ON w.node = e.a
+       |  WHERE w.d < (SELECT count(*) FROM nodes)),
+       |d1 AS (SELECT comp, node, min(d) AS d FROM walk1 GROUP BY comp, node),
+       |far AS (SELECT comp, node FROM (
+       |  SELECT comp, node,
+       |    row_number() OVER (PARTITION BY comp ORDER BY d DESC, node) AS rk
+       |  FROM d1) t WHERE rk = 1),
+       |walk2(comp, node, d) AS (
+       |  SELECT comp, node, 0 FROM far
+       |  UNION
+       |  SELECT w.comp, e.b, w.d + 1 FROM walk2 w JOIN sym e ON w.node = e.a
+       |  WHERE w.d < (SELECT count(*) FROM nodes)),
+       |d2 AS (SELECT comp, node, min(d) AS d FROM walk2 GROUP BY comp, node),
+       |diam AS (SELECT comp, max(d)::BIGINT AS diameter_lb FROM d2 GROUP BY comp),
+       |sz AS (SELECT comp, count(*)::BIGINT AS n_nodes FROM lbl GROUP BY comp)
+       |SELECT s.comp, s.n_nodes,
+       |  COALESCE(dm.diameter_lb, 0)::BIGINT AS diameter_lb
+       |FROM sz s LEFT JOIN diam dm ON s.comp = dm.comp
+       |ORDER BY s.comp""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_degree" -> gDegree,
     "g_pagerank" -> gPagerank,
     "g_hits" -> gHits,
     "g_cc" -> gCc,
     "g_cc_stats" -> gCcStats,
+    "g_cc_diameter" -> gCcDiameter,
   )
 
   def oracles: Map[String, String] = Map(
@@ -520,5 +653,6 @@ object Graph {
     "g_hits" -> gHitsSql,
     "g_cc" -> gCcSql,
     "g_cc_stats" -> gCcStatsSql,
+    "g_cc_diameter" -> gCcDiameterSql,
   )
 }

@@ -278,6 +278,55 @@ class GraphSpec extends SparkSpec {
     assert(got.values.exists(v => v._1 == 1 && v._2 == 0 && v._3 == 0.0))
   }
 
+  test("g_cc_diameter: double-sweep bound brackets the exact all-pairs diameter") {
+    // Driver reference: exact per-component diameter by all-pairs BFS
+    // over the same integer backbone (tiny at sf0.001). The operator's
+    // double-sweep value must satisfy the estimator's guarantee:
+    // diam/2 ≤ ecc(u) ≤ diam (ecc of ANY node is ≥ diam/2).
+    val e = Graph.edges(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val ne = e.length.toLong
+    val tw = e.map(_._3).sum
+    val bb = e.filter { case (_, _, w) => w * ne >= tw }
+      .map { case (s, d, _) => if (s < d) (s, d) else (d, s) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = (bb ++ bb.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSeq }
+    def ecc(s: String): Int = {
+      val dist = scala.collection.mutable.Map(s -> 0)
+      var frontier = Seq(s)
+      while (frontier.nonEmpty)
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Nil))
+          .filterNot(dist.contains).distinct
+          .map { n => dist(n) = dist(frontier.head) + 1; n }
+      dist.values.max
+    }
+    val parent = scala.collection.mutable.Map(nodes.map(d => d -> d): _*)
+    def find(x: String): String =
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    bb.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(if (ra < rb) rb else ra) = if (ra < rb) ra else rb
+    }
+    val byComp = nodes.groupBy(find).map { case (_, ms) => ms.min -> ms }
+    val exact = byComp.map { case (c, ms) =>
+      c -> (if (ms.length == 1) 0 else ms.map(ecc).max)
+    }
+    val got = Graph.gCcDiameter(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == exact.keySet.toSet)
+    exact.foreach { case (c, d) =>
+      val (n, lb) = got(c)
+      assert(n == byComp(c).length.toLong)
+      assert(lb <= d && 2 * lb >= d,
+        s"$c: double-sweep $lb outside [⌈$d/2⌉, $d]")
+    }
+    // the gate corpus must exercise a non-trivial diameter
+    assert(exact.values.max >= 1, "backbone has no multi-node component")
+  }
+
   test("g_cc: labeling is a fixpoint — every backbone edge is intra-component") {
     val lbl = Graph.gCc(spark, sf).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
