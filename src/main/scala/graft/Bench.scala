@@ -66,12 +66,14 @@ object Bench {
         ((System.nanoTime() - t) / 1e9, filesReadOf(df))
       }
       try {
-        // untimed warm-up with pruning OFF: it reads the superset of
-        // files, so BOTH timed arms start with the log/checkpoint/
-        // sidecar state and every data file warm — warming with the
-        // on arm would leave the off arm's non-pruned files cold and
-        // overstate the tier's wall-time win
+        // untimed warm-up of BOTH arms: OFF reads the superset of data
+        // files (warming the on arm's subset too), but the on arm also
+        // loads the append ZONE SIDECARS the off path deliberately
+        // skips (IndexedStore reads them only when the tier is on), so
+        // each arm must run once untimed or the first timed arm pays
+        // someone's one-time cold cost
         probe(on = false)
+        probe(on = true)
         val (secOn, filesOn) = probe(on = true)
         val (secOff, filesOff) = probe(on = false)
         Map(

@@ -81,11 +81,15 @@ object Components {
       .getOption("graft.cc.maxRounds")
       .map { raw =>
         // A malformed value must fail naming the conf, not as a bare
-        // NumberFormatException (the floatMode/ngram.prefixOrder rule).
-        try raw.toInt catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"graft.cc.maxRounds = '$raw' (expected a positive integer)")
+        // NumberFormatException (the floatMode/ngram.prefixOrder rule)
+        // — and 0/negative would surface as a bogus "not converged
+        // after 0 rounds" convergence error, so reject it here too.
+        val n = try raw.toInt catch {
+          case _: NumberFormatException => -1
         }
+        if (n <= 0) throw new IllegalArgumentException(
+          s"graft.cc.maxRounds = '$raw' (expected a positive integer)")
+        n
       }
       .getOrElse(MaxRounds)
     var rounds = 0

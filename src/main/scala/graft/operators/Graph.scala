@@ -529,10 +529,10 @@ object Graph {
       sym: DataFrame): DataFrame = {
     val maxRounds = spark.conf.getOption("graft.graph.bfsMaxRounds")
       .map { raw =>
-        try raw.toInt catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"graft.graph.bfsMaxRounds = '$raw' (expected a positive integer)")
-        }
+        val n = try raw.toInt catch { case _: NumberFormatException => -1 }
+        if (n <= 0) throw new IllegalArgumentException(
+          s"graft.graph.bfsMaxRounds = '$raw' (expected a positive integer)")
+        n
       }.getOrElse(1024)
     var visited = seeds.withColumn("d", lit(0L)).localCheckpoint(false)
     var frontier = visited.select("comp", "node")

@@ -880,10 +880,18 @@ object Similarity {
     * (training is deterministic, and doubles round-trip parquet
     * exactly). */
   private[operators] def codeFrame(e: DataFrame, cells: Array[Seq[Double]],
+      book: PqBook): DataFrame =
+    codeFrameOpt(e, Some(cells), book)
+
+  /** [[codeFrame]] with the cell assignment optional: a PQ-only
+    * consumer ([[sAnnPqIters]]' recall loop) must not be charged the
+    * 16-dot cell ranking per corpus vector for a cid column it never
+    * reads. */
+  private def codeFrameOpt(e: DataFrame, cells: Option[Array[Seq[Double]]],
       book: PqBook): DataFrame = {
-    val cellsDesc = ivfCellsDesc(cells) _
-    e.select(col("vec_id") +: col("u") +:
-      element_at(cellsDesc(col("embedding")), 1).getField("cid").as("cid") +:
+    val cid = cells.toSeq.map(cs =>
+      element_at(ivfCellsDesc(cs)(col("embedding")), 1).getField("cid").as("cid"))
+    e.select(Seq(col("vec_id"), col("u")) ++ cid ++
       (0 until PqSubspaces).map(m => pqCodeOf(book)(col("u"), m).as(s"c$m")): _*)
   }
 
@@ -1004,8 +1012,8 @@ object Similarity {
     * sidecar persists only the production iteration count). */
   private[graft] def sAnnPqIters(spark: SparkSession, dir: String, iters: Int): DataFrame = {
     val e = withUnit(embSpread(spark, dir), "embedding", "u")
-    val (cells, codebook) = trainedModels(e, iters)
-    pqProbe(e, codebook, codeFrame(e, cells, codebook).localCheckpoint(false))
+    val codebook = trainedModels(e, iters)._2
+    pqProbe(e, codebook, codeFrameOpt(e, None, codebook).localCheckpoint(false))
   }
 
   /** The shared PQ probe tail: ADC-score the code table against the

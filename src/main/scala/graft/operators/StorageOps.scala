@@ -44,16 +44,26 @@ object StorageOps {
     * (same name+sf stem, different source fingerprint) — without this
     * every regeneration leaks a full store + `_done` marker in tmpdir
     * forever. Once per distinct live path per JVM; the sibling match
-    * is an exact stem + 32-hex-fp (+ optional `_done`) pattern so a
-    * prefix-related stem (sf0.01 vs sf0.001) can never be swept. */
+    * is an exact stem + 1-32-hex-fp (+ optional `_done`) pattern —
+    * {1,32} so legacy Integer.toHexString-era leaks (1-8 hex) are
+    * reclaimed too, exactness so a prefix-related stem (sf0.01 vs
+    * sf0.001) can never be swept. Siblings touched within the last
+    * hour are left alone: a CONCURRENT JVM (parallel bench/test runs
+    * sharing tmpdir) may be mid-read or mid-build on them, and
+    * destroying live state is worse than leaking a stale store for
+    * one more hour. */
+  private val SweepGraceMs = 60L * 60L * 1000L
   private val sweptStems = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def sweepStale(stem: String, liveFp: String): Unit =
     if (sweptStems.add(s"${stem}_$liveFp")) {
       val re = (java.util.regex.Pattern.quote(stem + "_") +
-        "[0-9a-f]{32}(_done)?").r
+        "[0-9a-f]{1,32}(_done)?").r
+      val cutoff = System.currentTimeMillis() - SweepGraceMs
       Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
         .getOrElse(Array.empty)
-        .filter(f => re.matches(f.getName) && !f.getName.startsWith(s"${stem}_$liveFp"))
+        .filter(f => re.matches(f.getName) &&
+          !f.getName.startsWith(s"${stem}_$liveFp") &&
+          f.lastModified() < cutoff)
         .foreach(rmTree)
     }
 

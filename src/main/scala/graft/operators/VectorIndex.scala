@@ -32,12 +32,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object VectorIndex {
 
-  /** Build the sidecars once per (testdata generation, sf dir);
-    * returns the index root. Subsequent calls (and sessions, until
-    * the source parquet changes) see the `_done` marker and return
-    * immediately — build-once/probe-many. */
+  /** Index-format tag folded into the scratch name: the source
+    * fingerprint covers the DATA, this covers the TRAINING — every
+    * constant the models depend on, plus a version literal to bump on
+    * any algorithmic change to lloydIp / the sampling / the coding
+    * (without it, a code change would be served a stale index trained
+    * by the old code wherever tmpdir outlives the build). */
+  private def formatTag: String = {
+    import Similarity._
+    s"annindex_v1_i${PqKmeansIters}_c${IvfCells}_" +
+      s"${PqSubspaces}x${PqCodebook}_s$PqTrainSample"
+  }
+
+  /** Build the sidecars once per (testdata generation, training
+    * format, sf dir); returns the index root. Subsequent calls (and
+    * sessions, until the source parquet or the training constants
+    * change) see the `_done` marker and return immediately —
+    * build-once/probe-many. */
   def build(spark: SparkSession, dir: String): String = {
-    val path = StorageOps.scratch("annindex", dir)
+    val path = StorageOps.scratch(formatTag, dir)
     StorageOps.buildOnce(path) {
       val e = Similarity.withUnit(Similarity.embSpread(spark, dir), "embedding", "u")
       val (cells, book) = Similarity.trainedModels(e, Similarity.PqKmeansIters)
