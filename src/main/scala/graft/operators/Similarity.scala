@@ -879,7 +879,7 @@ object Similarity {
     * computed-in-session probes are bit-identical by construction
     * (training is deterministic, and doubles round-trip parquet
     * exactly). */
-  private[operators] def codeFrame(e: DataFrame, cells: Array[Seq[Double]],
+  private[graft] def codeFrame(e: DataFrame, cells: Array[Seq[Double]],
       book: PqBook): DataFrame =
     codeFrameOpt(e, Some(cells), book)
 

@@ -108,4 +108,22 @@ object VectorIndex {
     * scan of the codes sidecar. */
   def codes(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/codes.parquet")
+
+  /** APPEND-DELTA index maintenance: code `delta` (vec_id, embedding
+    * — new vectors, caller guarantees ids disjoint from the indexed
+    * corpus) against the FROZEN models and append to the codes
+    * sidecar. Work ∝ |delta|; the codebooks are untouched — the
+    * d_dedup_incr incremental discipline applied to the vector index,
+    * and exactly how FAISS-style deployments grow an IVF/PQ index
+    * between retrains (add_with_ids against a trained quantizer).
+    * While the codebooks are frozen this is bit-identical to recoding
+    * the grown corpus from scratch ([[graft.AnnIndexSpec]] pins it);
+    * when corpus drift makes the frozen cells/codebooks stale, the
+    * move is a rebuild — delete the index root, [[build]] again. */
+  def appendCodes(spark: SparkSession, path: String, delta: DataFrame): Unit = {
+    val (cells, book) = models(spark, path)
+    val e = Similarity.withUnit(delta, "embedding", "u")
+    Similarity.codeFrame(e, cells, book)
+      .write.mode("append").parquet(s"$path/codes.parquet")
+  }
 }

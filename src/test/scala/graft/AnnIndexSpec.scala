@@ -46,6 +46,41 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("append-delta coding is bit-identical to a frozen-codebook recode") {
+    // The growing-corpus maintenance path: new vectors are coded
+    // against the FROZEN models and appended (work ∝ |delta|, no
+    // retraining). While the codebooks are frozen this must equal
+    // recoding the grown corpus from scratch through the same select.
+    import org.apache.spark.sql.functions.col
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_annappend_")
+    val dir = dirPath.toString
+    try {
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val base = emb.filter(col("vec_id") < 400)
+      val delta = emb.filter(col("vec_id") >= 400)
+      assert(delta.count() > 0, "fixture: the delta half must be non-empty")
+      base.write.parquet(s"$dir/embeddings.parquet")
+      val path = VectorIndex.build(spark, dir)
+      Similarity.trainCount.set(0L)
+      VectorIndex.appendCodes(spark, path, delta)
+      assert(Similarity.trainCount.get() == 0L,
+        "append-delta coding ran a training pass")
+      val got = VectorIndex.codes(spark, path)
+        .orderBy("vec_id").collect().toSeq
+      val (cells, book) = VectorIndex.models(spark, path)
+      val want = Similarity.codeFrame(
+          Similarity.withUnit(emb, "embedding", "u"), cells, book)
+        .orderBy("vec_id").collect().toSeq
+      assert(got.length == emb.count())
+      assert(got == want,
+        "appended codes diverge from a frozen-codebook recode of the grown corpus")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach(p => { java.nio.file.Files.deleteIfExists(p): Unit })
+    }
+  }
+
   test("sidecar-served probes are bit-identical to in-session training") {
     for ((name, f) <- Seq[(String, Boolean => org.apache.spark.sql.DataFrame)](
         "s_ann_ivf" -> (p => Similarity.sAnnIvfFrom(spark, sf, p)),
