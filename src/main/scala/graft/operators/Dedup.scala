@@ -508,6 +508,81 @@ object Dedup {
         stableRound(col("tp") / col("n_truth").cast("double"), 6).as("recall"))
   }
 
+  /** The (bands, rows/band) factorizations of [[NumPerms]] the tuner
+    * scores — the whole signature budget spent each way. */
+  private[graft] val LshTuneConfigs: Seq[(Int, Int)] =
+    Seq(1, 2, 4, 8, 16).filter(NumPerms % _ == 0)
+      .map(r => (NumPerms / r, r)).sortBy(_._1)
+
+  /** Binary-exponentiation power with a FIXED operation tree, spelled
+    * with the identical structure in [[powSqlStr]]: multiplication is
+    * correctly rounded (pow() is not guaranteed to be), so the float
+    * result is bit-equal across engines. */
+  private def powCol(x: Column, n: Int): Column =
+    if (n == 1) x
+    else if (n % 2 == 0) { val h = powCol(x, n / 2); h * h }
+    else powCol(x, n - 1) * x
+
+  private def powSqlStr(x: String, n: Int): String =
+    if (n == 1) x
+    else if (n % 2 == 0) { val h = powSqlStr(x, n / 2); s"($h * $h)" }
+    else s"(${powSqlStr(x, n - 1)} * $x)"
+
+  /** d_lsh_tune — the (bands × rows/band) S-curve choice, made
+    * MEASURABLE on the corpus's own duplicate distribution: for every
+    * factorization of the [[NumPerms]] signature budget, the expected
+    * LSH recall at τ — mean over the exact τ-true pairs ([[dDedupNgram]],
+    * complete by the prefix-filter theorem) of the collision
+    * probability 1 − (1 − s^r)^b at each pair's MEASURED Jaccard s.
+    * This is the number the banding parameter is chosen BY before
+    * burning compute at 100 TB (d_dedup_eval then audits the choice
+    * against actual band collisions): more rows/band sharpens the
+    * S-curve (fewer false candidates) at the cost of recall on
+    * borderline-τ pairs — the tuner shows exactly how much recall
+    * each sharpening step costs on THIS corpus, not on a textbook
+    * uniform assumption.
+    *
+    * Float parity: s is the already-hash-green stableRounded Jaccard;
+    * powers are computed by binary exponentiation with the identical
+    * op tree in both engines (never pow()); the per-config mean folds
+    * in (id1, id2) order. Scale: everything is the truth-pair frame
+    * (corpus-linear to produce, tiny to fold) × 5 configs; at 100 TB
+    * it runs on a doc sample like d_dedup_eval — per-pair expectation
+    * is unbiased on retained pairs. */
+  def dLshTune(spark: SparkSession, dir: String): DataFrame = {
+    val truth = dDedupNgram(spark, dir).select("id1", "id2", "jaccard").cache()
+    LshTuneConfigs.map { case (b, r) =>
+      val prob = lit(1.0) - powCol(lit(1.0) - powCol(col("jaccard"), r), b)
+      truth.select(struct(col("id1"), col("id2"), prob.as("p")).as("s"))
+        .agg(sort_array(collect_list(col("s"))).as("ps"),
+          count(lit(1)).as("n"))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          lit(b == Bands).as("is_current"),
+          col("n").as("n_truth"),
+          stableRound(
+            aggregate(col("ps"), lit(0.0), (a, x) => a + x.getField("p")) /
+              col("n").cast("double"), 6).as("exp_recall"))
+    }.reduce(_.unionByName(_)).orderBy("bands")
+  }
+
+  val dLshTuneSql: String = {
+    val arms = LshTuneConfigs.map { case (b, r) =>
+      val prob = s"1.0 - ${powSqlStr(s"(1.0 - ${powSqlStr("jaccard", r)})", b)}"
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+         |  ${if (b == Bands) "TRUE" else "FALSE"} AS is_current,
+         |  count(*)::BIGINT AS n_truth,
+         |  ${graft.functions.Parity.stableRoundSql(
+              s"list_reduce(list_prepend(0.0, list($prob ORDER BY id1, id2)), (a, b) -> a + b) / count(*)::DOUBLE",
+              6)} AS exp_recall
+         |FROM truth""".stripMargin
+    }
+    s"""WITH truth AS (
+       |$dDedupNgramSql
+       |)
+       |${arms.mkString("\nUNION ALL\n")}
+       |ORDER BY bands""".stripMargin
+  }
+
   /** The eval oracle: the minhash candidate CTEs + the unfiltered
     * ngram truth CTEs over the SAME shingle sets, then three scalar
     * counts. `sets`/`cand`/`truth` are MATERIALIZED — each is
@@ -1242,6 +1317,7 @@ object Dedup {
     "d_dedup_incr" -> dDedupIncr,
     "d_dedup_minhash" -> dDedupMinhash,
     "d_dedup_eval" -> dDedupEval,
+    "d_lsh_tune" -> dLshTune,
     "d_dedup_simhash" -> dDedupSimhash,
     "d_dedup_chunk" -> dDedupChunk,
     "d_boilerplate" -> dBoilerplate,
@@ -1260,6 +1336,7 @@ object Dedup {
     "d_dedup_incr" -> dDedupIncrSql,
     "d_dedup_minhash" -> dDedupMinhashSql,
     "d_dedup_eval" -> dDedupEvalSql,
+    "d_lsh_tune" -> dLshTuneSql,
     "d_dedup_simhash" -> dDedupSimhashSql,
     "d_dedup_chunk" -> dDedupChunkSql,
     "d_boilerplate" -> dBoilerplateSql,

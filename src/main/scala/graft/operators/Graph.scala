@@ -534,8 +534,10 @@ object Graph {
           s"graft.graph.bfsMaxRounds = '$raw' (expected a positive integer)")
         n
       }.getOrElse(1024)
-    var visited = seeds.withColumn("d", lit(0L)).localCheckpoint(false)
-    var frontier = visited.select("comp", "node")
+    val levels = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var prev = seeds.limit(0).localCheckpoint(false)
+    var frontier = seeds.localCheckpoint(false)
+    levels += frontier.withColumn("d", lit(0L))
     var rounds = 0
     var done = false
     while (!done) {
@@ -543,19 +545,25 @@ object Graph {
       if (rounds > maxRounds) throw new IllegalStateException(
         s"BFS not converged after $maxRounds rounds (raise " +
           "graft.graph.bfsMaxRounds if the graph is legitimately this deep)")
+      // BFS level property: a frontier node's neighbor sits at level
+      // r−1, r, or r+1 — so excluding the last TWO frontiers is a
+      // complete visited-set exclusion. Anti-joining the FULL visited
+      // set instead would be O(V) per round → O(V·rounds) total; this
+      // keeps the whole traversal O(E).
       val next = frontier.join(sym, col("node") === col("x"))
         .select(col("comp"), col("y").as("node"))
         .distinct()
-        .join(visited.select("comp", "node"), Seq("comp", "node"), "left_anti")
-        .withColumn("d", lit(rounds.toLong))
+        .join(frontier, Seq("comp", "node"), "left_anti")
+        .join(prev, Seq("comp", "node"), "left_anti")
         .localCheckpoint(false)
       if (next.isEmpty) done = true
       else {
-        visited = visited.unionByName(next).localCheckpoint(false)
-        frontier = next.select("comp", "node")
+        levels += next.withColumn("d", lit(rounds.toLong))
+        prev = frontier
+        frontier = next
       }
     }
-    visited
+    levels.reduce(_.unionByName(_))
   }
 
   /** g_cc_diameter — per-component DIAMETER ESTIMATE over the same

@@ -550,6 +550,67 @@ object Retrieval {
        |ORDER BY qid, rk""".stripMargin
 
 
+  /** t_retrieval_eval — per-segment retrieval QUALITY over the rank
+    * lists: for each arm (lexical BM25, vector cosine) and each query
+    * source segment, the weak-relevance hit rate (share of retrieved
+    * (q, d) pairs where d shares the query doc's `source` — the same
+    * weak label [[tHybridLearned]] trains on). This is the eval loop
+    * the retrieval family owes itself (the [[Dedup]] d_dedup_eval /
+    * t_lang_eval discipline): the segment-level numbers say WHERE an
+    * arm is weak — exactly what decides per-segment fusion weights,
+    * probe depths, or index rebuilds — where the pooled learned
+    * weight only says which arm wins on average.
+    *
+    * Scale shape: everything after the arms runs on the |Q|·k rank
+    * lists joined to a broadcast (doc_id, source) dimension — the
+    * corpus is never rescanned (the late-fusion rule applied to
+    * evaluation). Counts are integers; the rate is one exact int/int
+    * double division, stableRounded — hash-green. */
+  def tRetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val src = graft.core.Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"))
+    def evalArm(arm: DataFrame, name: String): DataFrame =
+      arm.join(broadcast(src.select(col("doc_id").as("qid"),
+          col("source").as("qsrc"))), "qid")
+        .join(broadcast(src.select(col("doc_id"),
+          col("source").as("dsrc"))), "doc_id")
+        .groupBy(col("qsrc"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("qsrc") === col("dsrc"), lit(1L))
+            .otherwise(lit(0L))).as("hits"))
+        .select(lit(name).as("arm"), col("qsrc"), col("n_pairs"), col("hits"),
+          stableRound(col("hits").cast("double") /
+            col("n_pairs").cast("double"), 6).as("hit_rate"))
+    evalArm(lexArm(spark, dir), "lex")
+      .unionByName(evalArm(vecArm(spark, dir), "vec"))
+      .orderBy("arm", "qsrc")
+  }
+
+  val tRetrievalEvalSql: String =
+    s"""WITH lex AS (
+       |$tBm25Sql
+       |),
+       |vec AS (
+       |$vecArmSql),
+       |src AS (SELECT doc_id, source FROM documents),
+       |le AS (
+       |  SELECT 'lex' AS arm, q.source AS qsrc, count(*)::BIGINT AS n_pairs,
+       |    sum(CASE WHEN q.source = d.source THEN 1 ELSE 0 END)::BIGINT AS hits
+       |  FROM lex JOIN src q ON lex.qid = q.doc_id
+       |           JOIN src d ON lex.doc_id = d.doc_id
+       |  GROUP BY 2),
+       |ve AS (
+       |  SELECT 'vec' AS arm, q.source AS qsrc, count(*)::BIGINT AS n_pairs,
+       |    sum(CASE WHEN q.source = d.source THEN 1 ELSE 0 END)::BIGINT AS hits
+       |  FROM vec JOIN src q ON vec.qid = q.doc_id
+       |           JOIN src d ON vec.doc_id = d.doc_id
+       |  GROUP BY 2),
+       |u AS (SELECT * FROM le UNION ALL SELECT * FROM ve)
+       |SELECT arm, qsrc, n_pairs, hits,
+       |  ${stableRoundSql("hits::DOUBLE / n_pairs::DOUBLE", 6)} AS hit_rate
+       |FROM u
+       |ORDER BY arm, qsrc""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_bm25" -> tBm25,
     "t_bm25_maxscore" -> tBm25MaxScore,
@@ -557,6 +618,7 @@ object Retrieval {
     "t_hybrid_wrrf" -> tHybridWrrf,
     "t_hybrid_learned" -> tHybridLearned,
     "t_rerank" -> tRerank,
+    "t_retrieval_eval" -> tRetrievalEval,
   )
 
   def oracles: Map[String, String] = Map(
@@ -569,5 +631,6 @@ object Retrieval {
     "t_hybrid_wrrf" -> tHybridWrrfSql,
     "t_hybrid_learned" -> tHybridLearnedSql,
     "t_rerank" -> tRerankSql,
+    "t_retrieval_eval" -> tRetrievalEvalSql,
   )
 }

@@ -703,33 +703,53 @@ object TextAnalysis {
     * [[tJsd]]'s verbatim (integer-over-integer probabilities, shared
     * CASE guards, ascending-term parity fold under [[jsdFree]]'s
     * conf, order-free sum in `free` mode). */
-  def tDrift(spark: SparkSession, dir: String): DataFrame = {
+  def tDrift(spark: SparkSession, dir: String): DataFrame =
+    driftBySegments(spark, dir, Seq("source"))
+
+  /** t_drift_seg — [[tDrift]] at SEGMENT granularity: per (source,
+    * lang) JSD between the incoming batch and the accumulated corpus.
+    * The ingest-monitor complement of [[tJsdSeg]]: a source's crawl
+    * can look temporally calm pooled while one language slice's
+    * scraper breaks — and the segment key is what the admit/reweight
+    * decision acts on. Same skeleton, one groupBy change. */
+  def tDriftSeg(spark: SparkSession, dir: String): DataFrame =
+    driftBySegments(spark, dir, Seq("source", "lang"))
+
+  /** The shared two-snapshot drift skeleton ([[tDrift]] scaladoc):
+    * ONE grouped aggregation carries BOTH snapshot counts as
+    * conditional sums; per-segment totals broadcast back; segments
+    * present in only one snapshot are dropped (no batch → nothing to
+    * monitor); term/fold/parity discipline is [[jsdBySegments]]'
+    * verbatim. */
+  private def driftBySegments(spark: SparkSession, dir: String,
+      segCols: Seq[String]): DataFrame = {
     val free = jsdFree(spark)
     val d = docsSpread(spark, dir)
+    val seg = segCols.map(col)
     val isDelta = (md5_32(col("doc_id").cast("string")) % 100) >= 90
     val counts = d
-      .select(col("source"), isDelta.as("is_delta"),
-        explode(words(col("text"))).as("word"))
-      .groupBy("source", "word")
+      .select(seg ++ Seq(isDelta.as("is_delta"),
+        explode(words(col("text"))).as("word")): _*)
+      .groupBy((segCols :+ "word").map(col): _*)
       .agg(sum(when(col("is_delta"), lit(0L)).otherwise(lit(1L))).as("cb"),
         sum(when(col("is_delta"), lit(1L)).otherwise(lit(0L))).as("cd"))
       .cache()
-    val perSrc = counts.groupBy("source")
+    val perSeg = counts.groupBy(seg: _*)
       .agg(sum("cb").as("nb"), sum("cd").as("nd"))
       .filter(col("nb") > 0 && col("nd") > 0)
-    val grid = counts.join(broadcast(perSrc), "source")
+    val grid = counts.join(broadcast(perSeg), segCols)
     val pb = when(col("cb") > 0,
       col("cb").cast("double") / col("nb").cast("double")).otherwise(lit(0.0))
     val pd = when(col("cd") > 0,
       col("cd").cast("double") / col("nd").cast("double")).otherwise(lit(0.0))
-    val probs = grid.select(col("source"), pb.as("pb"), pd.as("pd"))
-    val terms = probs.select(col("source"),
-      jsdTerm(col("pb"), col("pd")).as("term"))
-    foldJsdTerms(terms, free, Seq("source")).join(perSrc, "source")
-      .select(col("source"), col("nb").cast("long").as("base_words"),
+    val probs = grid.select(seg ++ Seq(pb.as("pb"), pd.as("pd")): _*)
+    val terms = probs.select(seg :+
+      jsdTerm(col("pb"), col("pd")).as("term"): _*)
+    foldJsdTerms(terms, free, segCols).join(perSeg, segCols)
+      .select(seg ++ Seq(col("nb").cast("long").as("base_words"),
         col("nd").cast("long").as("delta_words"),
-        stableRound(col("s") / log(lit(2.0)), 6).as("jsd_bits"))
-      .orderBy("source")
+        stableRound(col("s") / log(lit(2.0)), 6).as("jsd_bits")): _*)
+      .orderBy(seg: _*)
   }
 
   val tDriftSql: String =
@@ -768,6 +788,44 @@ object TextAnalysis {
        |    / ln(2.0)) * 1e6 + 0.5) / 1e6 AS jsd_bits
        |FROM g JOIN per_src p ON g.source = p.source
        |ORDER BY g.source""".stripMargin
+
+  /** [[tDriftSql]] with the (source, lang) segment key. */
+  val tDriftSegSql: String =
+    s"""WITH w AS (
+       |  SELECT source, lang,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 >= 90
+       |      AS is_delta,
+       |    string_split($normSql, ' ') AS w
+       |  FROM documents),
+       |counts AS (
+       |  SELECT source, lang, word,
+       |    sum(CASE WHEN is_delta THEN 0 ELSE 1 END)::BIGINT AS cb,
+       |    sum(CASE WHEN is_delta THEN 1 ELSE 0 END)::BIGINT AS cd
+       |  FROM (SELECT source, lang, is_delta, unnest(w) AS word FROM w) u
+       |  GROUP BY source, lang, word),
+       |per_seg AS (
+       |  SELECT source, lang, sum(cb)::BIGINT AS nb, sum(cd)::BIGINT AS nd
+       |  FROM counts GROUP BY source, lang
+       |  HAVING sum(cb) > 0 AND sum(cd) > 0),
+       |probs AS (
+       |  SELECT k.source, k.lang,
+       |    CASE WHEN cb > 0 THEN cb::DOUBLE / nb::DOUBLE ELSE 0.0 END AS pb,
+       |    CASE WHEN cd > 0 THEN cd::DOUBLE / nd::DOUBLE ELSE 0.0 END AS pd
+       |  FROM counts k JOIN per_seg p ON k.source = p.source AND k.lang = p.lang),
+       |terms AS (
+       |  SELECT source, lang,
+       |    0.5 * (CASE WHEN pb > 0
+       |           THEN pb * ln(pb / ((pb + pd) / 2.0)) ELSE 0.0 END)
+       |    + 0.5 * (CASE WHEN pd > 0
+       |             THEN pd * ln(pd / ((pb + pd) / 2.0)) ELSE 0.0 END) AS term
+       |  FROM probs),
+       |g AS (SELECT source, lang, list(term ORDER BY term) AS ts
+       |      FROM terms GROUP BY source, lang)
+       |SELECT g.source, g.lang, p.nb AS base_words, p.nd AS delta_words,
+       |  floor((list_reduce(list_prepend(0.0, ts), (a, b) -> a + b)
+       |    / ln(2.0)) * 1e6 + 0.5) / 1e6 AS jsd_bits
+       |FROM g JOIN per_seg p ON g.source = p.source AND g.lang = p.lang
+       |ORDER BY g.source, g.lang""".stripMargin
 
   // ---------------------------------------------------- readability
 
@@ -1146,6 +1204,7 @@ object TextAnalysis {
     "t_jsd" -> tJsd,
     "t_jsd_seg" -> tJsdSeg,
     "t_drift" -> tDrift,
+    "t_drift_seg" -> tDriftSeg,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1167,5 +1226,6 @@ object TextAnalysis {
     "t_jsd" -> tJsdSql,
     "t_jsd_seg" -> tJsdSegSql,
     "t_drift" -> tDriftSql,
+    "t_drift_seg" -> tDriftSegSql,
   )
 }

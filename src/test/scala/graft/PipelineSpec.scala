@@ -1434,4 +1434,29 @@ class PipelineSpec extends SparkSpec {
       finally spark.conf.unset("graft.text.jsdFold")
     }
   }
+
+  test("d_lsh_tune: recall falls as rows/band sharpen; independent recompute agrees") {
+    val rows = Dedup.dLshTune(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getBoolean(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Dedup.LshTuneConfigs.map(_._1),
+      "one row per budget factorization, bands ascending")
+    assert(rows.count(_._3) == 1, "exactly one row is the production config")
+    assert(rows.forall(t => t._5 >= 0.0 && t._5 <= 1.0))
+    // the S-curve trade: spending the budget on MORE bands of FEWER
+    // rows can only raise expected recall (1-(1-s^r)^b at fixed b·r
+    // is decreasing in r for s in (0,1])
+    val byRows = rows.sortBy(_._2).map(_._5)
+    assert(byRows.zip(byRows.tail).forall { case (lo, hi) => lo >= hi },
+      s"expected recall must fall as rows/band grow: ${byRows.toSeq}")
+    // independent recompute: driver-side mean of 1-(1-s^r)^b over the
+    // operator's own truth pairs (plain math.pow is fine here — the
+    // spec allows float noise; the ORACLE is the bit-exact check)
+    val truth = Dedup.dDedupNgram(spark, sf)
+      .select("jaccard").collect().map(_.getDouble(0))
+    rows.foreach { case (b, r, _, n, got) =>
+      assert(n == truth.length.toLong)
+      val want = truth.map(s => 1.0 - math.pow(1.0 - math.pow(s, r), b)).sum / n
+      assert(math.abs(got - want) < 1e-6, s"($b,$r): $got vs $want")
+    }
+  }
 }
