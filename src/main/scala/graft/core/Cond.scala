@@ -25,6 +25,14 @@ sealed trait Value {
     case Value.Const(v)    => lit(v)
     case Value.ColRef(name) => col(name)
   }
+
+  /** Human-readable rendering — the reference's `Display` impl
+    * (src/cmp.rs:79-86: a column ref renders bracketed, a constant
+    * bare) with column names in place of indices. */
+  def describe: String = this match {
+    case Value.Const(v)     => s"$v"
+    case Value.ColRef(name) => s"[$name]"
+  }
 }
 
 object Value {
@@ -54,6 +62,28 @@ object Comparison {
 }
 
 final case class Condition(column: String, cmp: Comparison) {
+  /** `"[col] = x"` / `"[a] = [b]"` — the reference's `Display`
+    * rendering (src/cmp.rs:88-100, pinned by its `display` test);
+    * the range forms extend it with comparison operators and
+    * `std::ops::Bound`-style interval brackets (inclusive `[ ]`,
+    * exclusive `( )`). */
+  def describe: String = {
+    val c = s"[$column]"
+    cmp match {
+      case Comparison.Equal(v)          => s"$c = ${v.describe}"
+      case Comparison.Less(v, true)     => s"$c <= ${v.describe}"
+      case Comparison.Less(v, false)    => s"$c < ${v.describe}"
+      case Comparison.Greater(v, true)  => s"$c >= ${v.describe}"
+      case Comparison.Greater(v, false) => s"$c > ${v.describe}"
+      case Comparison.Between(min, minIncl, max, maxIncl) =>
+        val lo = if (minIncl) "[" else "("
+        val hi = if (maxIncl) "]" else ")"
+        s"$c in $lo${min.describe}, ${max.describe}$hi"
+    }
+  }
+
+  override def toString: String = describe
+
   def toColumn: Column = {
     val c = col(column)
     cmp match {

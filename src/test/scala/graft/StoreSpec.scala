@@ -101,4 +101,20 @@ class StoreSpec extends SparkSpec {
       .join(s2.data.select(col("__rowid").as("r2"), col("c_custkey")), "c_custkey")
     assert(j.filter(col("r1") =!= col("r2")).count() == 0)
   }
+
+  test("display: conditions render like the reference's Display impl") {
+    // reference src/cmp.rs:175-189 (`display` test): a column ref
+    // renders bracketed, a constant bare — names instead of indices
+    import graft.core.{Comparison, Value}
+    assert(Condition("c0", Comparison.Equal(Value.column("c1"))).describe
+      == "[c0] = [c1]")
+    assert(Condition.eq("c0", "a").describe == "[c0] = a")
+    // the range extensions use Bound-style interval brackets
+    assert(Condition.between("k", 1, 5, minIncl = true, maxIncl = false)
+      .describe == "[k] in [1, 5)")
+    assert(Condition("k", Comparison.Greater(Value.of(0), orEqual = true))
+      .describe == "[k] >= 0")
+    // toString IS the rendering (the Display contract)
+    assert(Condition.eq("c0", "a").toString == "[c0] = a")
+  }
 }
