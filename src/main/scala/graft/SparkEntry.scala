@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.Multimodal
 import graft.operators.{Analytics, Classify, Curation, Dedup, Embeddings, Events, Graph, Pii, Profiling, Retrieval, ShortcutOps, Similarity, StorageOps, TextAnalysis, Tokenizer, WebCuration}
-import graft.streaming.{DocStream, EventStream, StoreStream}
+import graft.streaming.{DocStream, EventStream, StoreStream, VectorStream}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -20,7 +20,7 @@ object SparkEntry {
       Curation.queries ++ Embeddings.queries ++ WebCuration.queries ++
       Pii.queries ++ Retrieval.queries ++ Profiling.queries ++
       Tokenizer.queries ++ Graph.queries ++ Classify.queries ++
-      DocStream.queries ++ StoreStream.queries
+      DocStream.queries ++ StoreStream.queries ++ VectorStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -31,5 +31,5 @@ object SparkEntry {
       Curation.oracles ++ Embeddings.oracles ++ WebCuration.oracles ++
       Pii.oracles ++ Retrieval.oracles ++ Profiling.oracles ++
       Tokenizer.oracles ++ Graph.oracles ++ Classify.oracles ++
-      DocStream.oracles ++ StoreStream.oracles
+      DocStream.oracles ++ StoreStream.oracles ++ VectorStream.oracles
 }

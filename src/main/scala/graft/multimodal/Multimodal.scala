@@ -341,6 +341,141 @@ object Multimodal {
        |FROM s GROUP BY doc_id, scene_id
        |ORDER BY doc_id, scene_id""".stripMargin
 
+  /** Number of feature bins in the [[mPhash]] perceptual hash (one
+    * hash bit per bin). */
+  val PhashBins = 64
+
+  /** Minimum decoded-feature count for a payload to participate in
+    * [[mPhash]] banding: a near-empty payload has a near-zero
+    * histogram whose bands are all zero, and every such payload would
+    * land in the same band buckets — the one skew hazard of the
+    * banding join, excluded at the source (mirrored in the oracle). */
+  val PhashMinFeatures = 8
+
+  /** m_phash — perceptual-hash near-duplicate pairs over the binary
+    * media column: the image-dedup stage of a multimodal pipeline
+    * (LAION-style corpora dedup images by pHash before training).
+    * The real-codec pipeline decodes the payload to a feature
+    * histogram (luminance patches, color moments); this container has
+    * no codecs, so the STUB feature extractor tokenizes the decoded
+    * payload and buckets token hashes into [[PhashBins]] bins — a
+    * deterministic, engine-replayable histogram with the same
+    * locality property (near-identical payloads → near-identical
+    * histograms). Everything downstream is the production shape:
+    *
+    *  1. average-hash bits: bit_i = hist_i > mean(hist), computed as
+    *     the pure-integer `hist_i * 64 > total` (no float appears
+    *     anywhere in the operator — exact parity by construction);
+    *  2. the 64-bit signature lives as 4 × 16-bit band values (never
+    *     one BIGINT, so no sign-bit/shift-semantics hazards);
+    *  3. banding generates candidates — exact equality on any 16-bit
+    *     band, pigeonhole-complete for hamming ≤ [[graft.operators.Dedup.HammingK]]
+    *     (4 bands, ≤ 3 flipped bits leave ≥ 1 band intact);
+    *  4. exact verification: Σ_b bit_count(xor) ≤ K.
+    *
+    * Distribution: the signature is computed in a NARROW map (the
+    * histogram folds over the materialized bin array per row — no
+    * explode, no (doc, bin) shuffle), so the only exchanges are the
+    * banding self-join's hash partitioning on (band, value) — linear
+    * in corpus size, never all-pairs — plus the candidate-pair
+    * dedup. 16-bit bands give 65 536 buckets per band: at 10⁹ docs
+    * that is ~15 k docs/bucket from hash dispersion alone, and a
+    * pathological hot band value is AQE's skew-join case. The
+    * signature frame is cached because the 4-band union scans it four
+    * times. Differs from [[graft.operators.Dedup.dDedupSimhash]]
+    * (random-hyperplane SimHash over word hashes) in the hash family:
+    * aHash binarizes a FEATURE HISTOGRAM against its own mean — the
+    * perceptual-hash construction that survives a codec swap (the
+    * histogram becomes pixel patches; nothing downstream moves).
+    *
+    * Reference surface: near-dup pair generation as in the MinHash /
+    * SimHash family (SURVEY §2 dedup rows); no shortcut analog (the
+    * reference has no media types — this is 100 TB-brief surface). */
+  def mPhash(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{md5_32, words}
+    import graft.operators.Dedup.HammingK
+    val d = Tables(spark, dir).documents
+    // binary payload in (the multimodal contract); the stub "decode"
+    // is byte-exact UTF-8 here, a codec everywhere else
+    val payloads = d.select(col("doc_id"),
+      encode(col("text"), "UTF-8").cast("binary").as("payload"))
+    // materialized bin array — a plain attribute, so the 64 histogram
+    // folds below reference it without re-running the md5 chain
+    // (the shinglesFromWords projection discipline)
+    val bins = payloads.select(col("doc_id"),
+      transform(words(decode(col("payload"), "UTF-8")),
+        w => pmod(md5_32(w), lit(PhashBins.toLong))).as("bins"))
+    val hist = bins.select(col("doc_id"),
+      size(col("bins")).cast("long").as("tot"),
+      transform(sequence(lit(0), lit(PhashBins - 1)),
+        i => size(filter(col("bins"), b => b === i)).cast("long")).as("h"))
+    val sig = hist.filter(col("tot") >= PhashMinFeatures)
+      .select(col("doc_id") +: (0 until 4).map { b =>
+        (0 until 16).map { i =>
+          when(element_at(col("h"), 16 * b + i + 1) * 64 > col("tot"),
+            lit(1L << i)).otherwise(lit(0L))
+        }.reduce(_ + _).as(s"s$b")
+      }: _*)
+      .cache()
+    val banded = (0 until 4).map { b =>
+      sig.select(col("doc_id"), col("s0"), col("s1"), col("s2"), col("s3"),
+        lit(b).as("band"), col(s"s$b").as("bv"))
+    }.reduce(_ unionByName _)
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bv"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.s0").as("x0"), col("a.s1").as("x1"),
+        col("a.s2").as("x2"), col("a.s3").as("x3"),
+        col("b.s0").as("y0"), col("b.s1").as("y1"),
+        col("b.s2").as("y2"), col("b.s3").as("y3"))
+      .dropDuplicates("id1", "id2")
+    cand.withColumn("hamming",
+        (0 until 4).map(i =>
+          bit_count(col(s"x$i").bitwiseXOR(col(s"y$i")))).reduce(_ + _)
+          .cast("long"))
+      .filter(col("hamming") <= HammingK)
+      .select("id1", "id2", "hamming")
+      .orderBy("id1", "id2")
+  }
+
+  val mPhashSql: String = {
+    import graft.functions.TextFunctions.normSql
+    val bandSums = (0 until 4).map { b =>
+      s"sum(CASE WHEN bin // 16 = $b THEN bit << (bin % 16) ELSE 0 END)::BIGINT AS s$b"
+    }.mkString(",\n|          ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT % $PhashBins AS bin
+       |  FROM (SELECT doc_id, unnest(string_split($normSql, ' ')) AS w
+       |        FROM documents) e),
+       |hist AS (SELECT doc_id, bin, count(*)::BIGINT AS h
+       |         FROM toks GROUP BY doc_id, bin),
+       |tot AS (SELECT doc_id, sum(h)::BIGINT AS tot FROM hist GROUP BY doc_id
+       |        HAVING sum(h) >= ${PhashMinFeatures}),
+       |bits AS (
+       |  SELECT h.doc_id, h.bin,
+       |    CASE WHEN h.h * 64 > t.tot THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+       |  FROM hist h JOIN tot t USING (doc_id)),
+       |sig AS (SELECT doc_id,
+       |          $bandSums
+       |        FROM bits GROUP BY doc_id),
+       |bands AS (SELECT doc_id, s0, s1, s2, s3, b,
+       |            CASE b WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END AS bv
+       |          FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id id1, b.doc_id id2,
+       |    a.s0 x0, a.s1 x1, a.s2 x2, a.s3 x3,
+       |    b.s0 y0, b.s1 y1, b.s2 y2, b.s3 y3
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+       |    AND a.doc_id < b.doc_id)
+       |SELECT id1, id2,
+       |  (bit_count(xor(x0, y0)) + bit_count(xor(x1, y1)) +
+       |   bit_count(xor(x2, y2)) + bit_count(xor(x3, y3)))::BIGINT AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(x0, y0)) + bit_count(xor(x1, y1)) +
+       |      bit_count(xor(x2, y2)) + bit_count(xor(x3, y3)) <= ${graft.operators.Dedup.HammingK}
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_binary_meta" -> mBinaryMeta,
     "m_frame_sample" -> mFrameSample,
@@ -348,6 +483,7 @@ object Multimodal {
     "m_shard_pack" -> mShardPack,
     "m_caption_pair" -> mCaptionPair,
     "m_video_scene" -> mVideoScene,
+    "m_phash" -> mPhash,
   )
 
   def oracles: Map[String, String] = Map(
@@ -357,5 +493,6 @@ object Multimodal {
     "m_shard_pack" -> mShardPackSql,
     "m_caption_pair" -> mCaptionPairSql,
     "m_video_scene" -> mVideoSceneSql,
+    "m_phash" -> mPhashSql,
   )
 }

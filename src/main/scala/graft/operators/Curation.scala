@@ -787,7 +787,82 @@ object Curation {
       |FROM documents
       |ORDER BY pos""".stripMargin
 
+  /** Number of perplexity buckets (CCNet's head/middle/tail). */
+  val PplBuckets = 3
+
+  /** See [[graft.operators.TextAnalysis.budgetPack]]'s caller-owned
+    * unpersist contract — same pinning discipline as [[lastOrderCache]]. */
+  private var lastPplCache: Option[org.apache.spark.sql.Dataset[(Long, Double)]] = None
+
+  /** d_ppl_bucket — CCNet-style perplexity bucketing: every document
+    * ranked by its LM score ([[graft.operators.TextAnalysis.logprobScored]]'s
+    * unigram logprob — the cheap perplexity proxy; a real pipeline
+    * swaps in a KenLM score without touching the ranking) and split
+    * into head / middle / tail terciles, best-scoring docs first —
+    * the quality tiers CCNet samples from when composing a pretraining
+    * mix (head kept, middle sampled, tail dropped or down-weighted).
+    *
+    * The global rank is the [[dOrder]] two-pass discipline applied to
+    * a SCORE key: range-partition by (logprob10 DESC, doc_id) — one
+    * exchange — per-partition counts to the driver (parts longs,
+    * bounded), then each partition emits ranks from its prefix offset.
+    * Never a global ORDER BY window pulling the corpus through one
+    * reducer; at 100 TB the range sampler sees the score distribution
+    * exactly like any sort. Bucket = ⌊rank·K/N⌋ (0-based rank),
+    * integer arithmetic only — provably ntile(K) semantics (first
+    * N mod K buckets take the extra row), which is what the oracle
+    * replays. Ordering parity: logprob10 is the stableRound(4) score
+    * (bit-identical doubles in both engines), ties broken by doc_id.
+    * FOUR operators now share the pinned-cache invariant
+    * ([[graft.operators.TextAnalysis.budgetPack]], [[dBudget]],
+    * [[dOrder]], and this rank) — a change to the pinning discipline
+    * in one must land in all four. */
+  def dPplBucket(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lastPplCache.foreach(_.unpersist())
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pinned = TextAnalysis.logprobScored(spark, dir)
+      .select(col("doc_id"), col("logprob10"))
+      .repartitionByRange(parts, col("logprob10").desc, col("doc_id"))
+      .sortWithinPartitions(col("logprob10").desc, col("doc_id"))
+      .as[(Long, Double)]
+      .cache()
+    lastPplCache = Some(pinned)
+    val partCounts = pinned.mapPartitions(it =>
+      Iterator.single(it.size.toLong)).collect()
+    val offsets = partCounts.scanLeft(0L)(_ + _)
+    val n = math.max(offsets.last, 1L)
+    val k = PplBuckets.toLong
+    pinned.toDF("doc_id", "logprob10")
+      .withColumn("pid", spark_partition_id())
+      .as[(Long, Double, Int)]
+      .mapPartitions { it =>
+        var run = 0L
+        it.map { case (id, lp, pid) =>
+          val pos = offsets(pid) + run
+          run += 1L
+          (id, lp, pos * k / n + 1L)
+        }
+      }
+      .toDF("doc_id", "logprob10", "bucket_idx")
+      .withColumn("bucket",
+        when(col("bucket_idx") === 1L, "head")
+          .when(col("bucket_idx") === 2L, "middle")
+          .otherwise("tail"))
+      .orderBy("doc_id")
+  }
+
+  val dPplBucketSql: String =
+    s"""${TextAnalysis.logprobCoreSql}
+       |SELECT doc_id, logprob10,
+       |  ntile($PplBuckets) OVER (ORDER BY logprob10 DESC, doc_id)::BIGINT AS bucket_idx,
+       |  CASE ntile($PplBuckets) OVER (ORDER BY logprob10 DESC, doc_id)
+       |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM s
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_ppl_bucket" -> dPplBucket,
     "d_order" -> dOrder,
     "d_sample" -> dSample,
     "d_dsir" -> dDsir,
@@ -802,6 +877,7 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    "d_ppl_bucket" -> dPplBucketSql,
     "d_order" -> dOrderSql,
     "d_sample" -> dSampleSql,
     "d_dsir" -> dDsirSql,

@@ -436,7 +436,15 @@ object TextAnalysis {
     * built with the identical op sequence in both engines, the
     * per-doc term list sorts ascending (ties are identical doubles),
     * and the fold starts from 0.0. */
-  def tLogprob(spark: SparkSession, dir: String): DataFrame = {
+  def tLogprob(spark: SparkSession, dir: String): DataFrame =
+    logprobScored(spark, dir).orderBy("doc_id")
+
+  /** The [[tLogprob]] pipeline without the presentation sort — the
+    * unordered (doc_id, n_words, logprob10, low_prob) frame, shared
+    * with [[graft.operators.Curation.dPplBucket]]'s tercile ranking.
+    * Docs with zero normalized words never enter `counts` and so are
+    * absent here (and from every consumer) — same in the oracle. */
+  private[operators] def logprobScored(spark: SparkSession, dir: String): DataFrame = {
     val d = docsSpread(spark, dir)
     val counts = d.select(col("doc_id"), explode(words(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
@@ -457,10 +465,14 @@ object TextAnalysis {
         stableRound(aggregate(col("ts"), lit(0.0), (acc, t) => acc + t)
           / col("n_words") / log(lit(10.0)), 4).as("logprob10"))
       .withColumn("low_prob", col("logprob10") < LogprobTau)
-      .orderBy("doc_id")
   }
 
-  val tLogprobSql: String =
+  /** CTE chain ending in `s(doc_id, n_words, logprob10)` — the ONE
+    * SQL copy of the [[logprobScored]] pipeline, shared by the
+    * t_logprob and d_ppl_bucket oracles (the [[graft.functions.TextFunctions.normSql]]
+    * single-copy discipline: a private duplicate could silently drift
+    * from the Spark side in one consumer only). */
+  val logprobCoreSql: String =
     s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
        |counts AS (
        |  SELECT doc_id, word, count(*) AS n
@@ -478,7 +490,10 @@ object TextAnalysis {
        |  SELECT doc_id, n_words,
        |    floor((list_reduce(list_prepend(0.0, ts), (a, b) -> a + b)
        |      / n_words / ln(10)) * 1e4 + 0.5) / 1e4 AS logprob10
-       |  FROM g)
+       |  FROM g)""".stripMargin
+
+  val tLogprobSql: String =
+    s"""$logprobCoreSql
        |SELECT doc_id, n_words, logprob10, logprob10 < $LogprobTau AS low_prob
        |FROM s
        |ORDER BY doc_id""".stripMargin

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, StorageOps, VectorIndex}
+
+/** Streaming vector-index maintenance — the continuous-ingestion
+  * variant of [[VectorIndex.appendCodes]]: embeddings ARRIVE as a
+  * stream and each micro-batch is coded against the FROZEN models and
+  * appended to a delta segment of the persisted index. This is how a
+  * production vector store grows between retrains (the FAISS
+  * main+delta segment model: the trained quantizer is immutable, new
+  * vectors land in an append segment, probes scan both), driven by
+  * Structured Streaming instead of a batch job.
+  *
+  * Exactly-once: the delta segment is written by the streaming PARQUET
+  * FILE SINK with a checkpoint under the index root — the sink's
+  * `_spark_metadata` commit log makes every arriving source file
+  * appear in the segment exactly once, across micro-batches, restarts,
+  * and re-attached consumers (a re-run finds the source already
+  * checkpointed and appends nothing). No hand-rolled idempotence: this
+  * is the contract the file sink exists to provide, and it is why the
+  * ingest appends to a SEPARATE `codes_delta.parquet` rather than into
+  * the batch-written `codes.parquet` (whose [[StorageOps.buildOnce]]
+  * discipline requires idempotent rebuilds that a blind append would
+  * violate; batch readers of the delta segment respect the sink's
+  * metadata log, so a crashed micro-batch's orphan files are invisible).
+  *
+  * Honesty of the fixture: the frozen models are trained on the BASE
+  * slice only (vec_id % [[DeltaMod]] != 0 — the corpus as it existed
+  * "before" the stream), never on the streamed delta; training after
+  * the fact would peek at data the production quantizer cannot have
+  * seen. Coding is stateless per row (unit-normalize + nearest-cell +
+  * PQ codes — pure column expressions with the models baked in as
+  * literals), so the stream needs no watermark and no state store;
+  * work is ∝ arrival volume, and the base corpus is never rescanned.
+  *
+  * No SQL oracle BY DESIGN (cell ids and PQ codes are k-means
+  * artifacts — the s_ann_ivf/pq rows-only class); the spec pins the
+  * streamed segment bit-identical to a batch frozen-codebook coding of
+  * the same delta, and the output equal to a batch recount of the
+  * grown index. */
+object VectorStream {
+
+  /** Every DeltaMod-th vector (by id) is the streamed delta; the rest
+    * are the pre-existing corpus the models train on. */
+  val DeltaMod = 10L
+
+  /** Base-slice index root: a scratch embeddings table holding only
+    * the base slice (so [[VectorIndex.build]]'s training sample and
+    * coding pass can never see the delta), indexed with the standard
+    * build-once sidecar discipline. */
+  private[graft] def baseIndex(spark: SparkSession, dir: String): String = {
+    val baseDir = StorageOps.scratch("emb_base", dir)
+    StorageOps.buildOnce(baseDir) {
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(pmod(col("vec_id"), lit(DeltaMod)) =!= 0L)
+        .write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
+    }
+    VectorIndex.build(spark, baseDir)
+  }
+
+  /** st_ann_ingest — stream the delta slice into the persisted index
+    * and report the grown index's per-cell occupancy: (cid, n_base,
+    * n_delta, n_total), one row per IVF cell. A skewed n_delta/n_base
+    * ratio in one cell is the drift signal that schedules a retrain
+    * ([[VectorIndex.appendCodes]]'s rebuild note). */
+  def stAnnIngest(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventStream.streamSession(spark)
+    val path = baseIndex(ss, dir)
+    val (cells, book) = VectorIndex.models(ss, path)
+    val schema = ss.read.parquet(s"$dir/embeddings.parquet").schema
+    val streamDir = EventStream.linkedStreamDir(
+      dir, "graft_emb_stream", "embeddings.parquet")
+    val delta = ss.readStream.schema(schema).parquet(streamDir)
+      .filter(pmod(col("vec_id"), lit(DeltaMod)) === 0L)
+    val coded = Similarity.codeFrame(
+      Similarity.withUnit(delta, "embedding", "u"), cells, book)
+    val q = coded.writeStream.format("parquet")
+      .option("checkpointLocation", s"$path/codes_delta_ckpt")
+      .option("path", s"$path/codes_delta.parquet")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val base = VectorIndex.codes(ss, path).select(col("cid"), lit("base").as("seg"))
+    val grown = ss.read.parquet(s"$path/codes_delta.parquet")
+      .select(col("cid"), lit("delta").as("seg"))
+      .unionByName(base)
+    grown.groupBy("cid")
+      .agg(sum(when(col("seg") === "base", 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("seg") === "delta", 1L).otherwise(0L)).as("n_delta"),
+        count(lit(1)).as("n_total"))
+      .orderBy("cid")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_ann_ingest" -> stAnnIngest,
+  )
+
+  /** No SQL oracles: the rows-only-by-design learned-artifact class. */
+  def oracles: Map[String, String] = Map.empty
+}

@@ -92,4 +92,45 @@ class AnnIndexSpec extends SparkSpec {
         s"$name: persisted and in-session results diverge")
     }
   }
+
+  test("st_ann_ingest: streamed segment ≡ batch frozen-codebook coding, exactly-once on re-run") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.VectorStream
+    val out = VectorStream.stAnnIngest(spark, sf).collect().toSeq
+    val path = VectorStream.baseIndex(spark, sf)
+    // the streamed delta segment must be bit-identical to coding the
+    // same delta in batch against the same frozen models — the
+    // appendCodes parity contract carried over the streaming boundary
+    val (cells, book) = VectorIndex.models(spark, path)
+    val delta = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(pmod(col("vec_id"), lit(VectorStream.DeltaMod)) === 0L)
+    Similarity.trainCount.set(0L)
+    val want = Similarity.codeFrame(
+        Similarity.withUnit(delta, "embedding", "u"), cells, book)
+      .orderBy("vec_id").collect().toSeq
+    assert(want.nonEmpty, "fixture: the streamed delta slice must be non-empty")
+    val got = spark.read.parquet(s"$path/codes_delta.parquet")
+      .orderBy("vec_id").collect().toSeq
+    assert(got == want,
+      "streamed delta segment diverges from the batch frozen-codebook coding")
+    // models were trained on the BASE slice only — never the delta
+    val baseIds = VectorIndex.codes(spark, path)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(baseIds.forall(_ % VectorStream.DeltaMod != 0L),
+      "a delta vector leaked into the base index")
+    // output is the per-cell recount of the grown (base + delta) index
+    assert(out.map(r => r.getAs[Long]("n_total")).sum ==
+      baseIds.size.toLong + want.length.toLong)
+    assert(out.forall(r =>
+      r.getAs[Long]("n_base") + r.getAs[Long]("n_delta") == r.getAs[Long]("n_total")))
+    // re-attaching the consumer reprocesses NOTHING: the file sink's
+    // commit log already holds the source, so the segment and the
+    // report are unchanged (the exactly-once contract)
+    val again = VectorStream.stAnnIngest(spark, sf).collect().toSeq
+    assert(again == out, "re-run changed the ingest report")
+    assert(spark.read.parquet(s"$path/codes_delta.parquet").count() ==
+      want.length.toLong, "re-run appended duplicate codes")
+    assert(Similarity.trainCount.get() == 0L,
+      "streamed ingest ran a training pass after the base build")
+  }
 }

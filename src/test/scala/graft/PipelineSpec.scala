@@ -1459,4 +1459,78 @@ class PipelineSpec extends SparkSpec {
       assert(math.abs(got - want) < 1e-6, s"($b,$r): $got vs $want")
     }
   }
+
+  test("m_phash: banding reproduces the exact hamming-ball pair set") {
+    import graft.multimodal.Multimodal
+    // independent driver reference: re-derive every signature from the
+    // raw text and brute-force ALL pairs — banding must be exactly the
+    // hamming ≤ K ball (pigeonhole completeness) with exact distances
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val docs = graft.core.Tables(spark, sf).documents
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val sigs = docs.flatMap { case (id, text) =>
+      val norm = text.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .replaceAll(" +", " ").trim
+      val bins = norm.split(" ", -1).map(w =>
+        java.lang.Long.parseLong(md5Hex(w).substring(0, 8), 16) % Multimodal.PhashBins)
+      val tot = bins.length.toLong
+      if (tot < Multimodal.PhashMinFeatures) None
+      else {
+        val h = new Array[Long](Multimodal.PhashBins)
+        bins.foreach(b => h(b.toInt) += 1L)
+        val bands = Array.tabulate(4) { b =>
+          (0 until 16).map(i => if (h(16 * b + i) * 64 > tot) 1L << i else 0L).sum
+        }
+        Some(id -> bands)
+      }
+    }
+    val expected = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      (idA, sa) = sigs(i); (idB, sb) = sigs(j)
+      ham = (0 until 4).map(b => java.lang.Long.bitCount(sa(b) ^ sb(b))).sum
+      if ham <= graft.operators.Dedup.HammingK
+    } yield {
+      val (lo, hi) = if (idA < idB) (idA, idB) else (idB, idA)
+      (lo, hi, ham.toLong)
+    }).toSet
+    val got = Multimodal.mPhash(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "fixture degenerate: no near-dup pairs at all")
+    assert(got == expected,
+      s"banding diverged from the exact hamming ball: " +
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
+  test("d_ppl_bucket: terciles are ntile of the logprob ranking, partition-invariant") {
+    val scored = TextAnalysis.tLogprob(spark, sf)
+      .select("doc_id", "logprob10").as[(Long, Double)].collect()
+    val n = scored.length
+    assert(n > 0)
+    val expected = scored.sortBy { case (id, lp) => (-lp, id) }
+      .zipWithIndex.map { case ((id, lp), pos) =>
+        (id, lp, pos.toLong * Curation.PplBuckets / n + 1L)
+      }.toSet
+    val got = Curation.dPplBucket(spark, sf)
+      .select("doc_id", "logprob10", "bucket_idx")
+      .as[(Long, Double, Long)].collect()
+    assert(got.toSet == expected, "bucket assignment diverged from the driver rank")
+    // bucket sizes: ntile semantics — earlier buckets take the
+    // remainder, sizes differ by at most one
+    val sizes = got.groupBy(_._3).toSeq.sortBy(_._1).map(_._2.length)
+    assert(sizes.length == Curation.PplBuckets)
+    assert(sizes.max - sizes.min <= 1 && sizes == sizes.sorted.reverse,
+      s"not an ntile split: $sizes")
+    // the distributed two-pass rank must not depend on the partition
+    // count (range boundaries move; buckets must not)
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val again = Curation.dPplBucket(spark, sf)
+        .select("doc_id", "logprob10", "bucket_idx")
+        .as[(Long, Double, Long)].collect()
+      assert(again.toSet == got.toSet, "buckets changed with partition count")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
 }

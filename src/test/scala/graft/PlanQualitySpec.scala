@@ -698,4 +698,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("collect_list"),
       s"a neighborhood collected into one row:\n${p.take(2000)}")
   }
+
+  test("phash candidates come from the banding equi-join, never all-pairs") {
+    val p = plan("m_phash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"phash degenerated to all-pairs:\n${p.take(2000)}")
+    // the signature frame is cached once and scanned by the 4-band
+    // union — without it the histogram fold re-runs per band
+    assert(p.contains("InMemoryTableScan"),
+      s"signature frame not cached:\n${p.take(2000)}")
+    // signatures are a narrow map: the only exchanges are the banding
+    // join's (band, value) hash partitioning and the pair dedup — no
+    // (doc, bin) explode shuffle feeding the histogram
+    assert(!p.contains("Window"), s"phash grew a window:\n${p.take(2000)}")
+  }
+
+  test("ppl bucketing never plans a global window or a join") {
+    val p = plan("d_ppl_bucket")
+    assert(!p.contains("Window"),
+      s"global rank regressed to an ORDER BY window:\n${p.take(1500)}")
+    // the scored input joins word→corpus-frequency upstream; the RANK
+    // stage itself must stay join-free past the cached scored frame
+    assert(p.contains("InMemoryTableScan"),
+      s"pinned range-partitioned frame not cached:\n${p.take(1500)}")
+  }
 }
