@@ -646,6 +646,111 @@ object Graph {
        |FROM sz s LEFT JOIN diam dm ON s.comp = dm.comp
        |ORDER BY s.comp""".stripMargin
 
+  // ------------------------------------------------------- triangles
+
+  /** g_triangles — per-domain triangle counts and local clustering
+    * coefficients over the undirected link graph: the link-farm /
+    * community signal web curation reads next to PageRank (spam
+    * neighborhoods are triangle-dense cliques; genuine hub domains
+    * have low clustering at high degree — the ratio separates them).
+    *
+    * Algorithm: the degree-ordered wedge join (Suri & Vassilvitskii,
+    * WWW'11 — "the curse of the last reducer" construction, also
+    * Schank–Wagner's `forward`): orient every undirected edge from its
+    * lower endpoint to its higher endpoint under the TOTAL order
+    * (degree, name); wedges enumerate as the oriented self-join on the
+    * source; a wedge closes into a triangle iff its two upper
+    * endpoints are themselves an oriented edge. Each triangle is
+    * produced exactly once (its vertices form a chain in the total
+    * order), and — the scale property the ordering buys — per-node
+    * wedge work is bounded by the ORIENTED out-degree, O(√m) on any
+    * graph, so a 10⁸-follower hub contributes O(m) wedges instead of
+    * the O(deg²) that kills the naive node-iterator. All joins are
+    * hash equi-joins on domain keys; the wedge filter reuses the same
+    * (deg, name) order so the closing probe is a plain two-column
+    * equi-join. Output is integer counts plus a clustering ratio of
+    * two identical integers (correctly-rounded IEEE division both
+    * engines, then stableRound(6)).
+    *
+    * Reference surface: none (shortcut has no graph ops) — 100 TB
+    * brief surface like the rest of [[Graph]]. */
+  def gTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).localCheckpoint(false)
+    val und = e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
+    val lower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(lower, col("a")).otherwise(col("b")).as("u"),
+        when(lower, col("b")).otherwise(col("a")).as("v"),
+        when(lower, col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint(false)
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.u") === col("y.u") &&
+          (col("x.dv") < col("y.dv") ||
+            (col("x.dv") === col("y.dv") && col("x.v") < col("y.v"))))
+      .select(col("x.u").as("t1"), col("x.v").as("t2"), col("y.v").as("t3"))
+    val tris = wedges.join(
+      oriented.select(col("u").as("t2"), col("v").as("t3")), Seq("t2", "t3"))
+    val cnt = tris
+      .select(explode(array(col("t1"), col("t2"), col("t3"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("tri"))
+    deg.join(cnt, Seq("v"), "left")
+      .select(col("v").as("domain"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          stableRound(lit(2.0) * coalesce(col("tri"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+      .orderBy("domain")
+  }
+
+  val gTrianglesSql: String =
+    s"""WITH u AS ($withUrlSql),
+       |$edgesSql,
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges),
+       |deg AS (
+       |  SELECT v, count(*)::BIGINT AS deg
+       |  FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) t
+       |  GROUP BY v),
+       |ori AS (
+       |  SELECT
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND und.a < und.b)
+       |         THEN und.a ELSE und.b END AS u,
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND und.a < und.b)
+       |         THEN und.b ELSE und.a END AS v,
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND und.a < und.b)
+       |         THEN db.deg ELSE da.deg END AS dv
+       |  FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+       |tri AS (
+       |  SELECT x.u AS t1, x.v AS t2, y.v AS t3
+       |  FROM ori x JOIN ori y ON x.u = y.u
+       |    AND (x.dv < y.dv OR (x.dv = y.dv AND x.v < y.v))
+       |  JOIN ori c ON c.u = x.v AND c.v = y.v),
+       |cnt AS (
+       |  SELECT v, count(*)::BIGINT AS tri
+       |  FROM (SELECT t1 AS v FROM tri UNION ALL SELECT t2 FROM tri
+       |        UNION ALL SELECT t3 FROM tri) e
+       |  GROUP BY v)
+       |SELECT d.v AS domain, d.deg,
+       |  COALESCE(c.tri, 0)::BIGINT AS n_triangles,
+       |  CASE WHEN d.deg >= 2
+       |       THEN floor((2.0 * COALESCE(c.tri, 0) / (d.deg * (d.deg - 1))) * 1e6 + 0.5) / 1e6
+       |       ELSE 0.0 END AS clustering
+       |FROM deg d LEFT JOIN cnt c ON c.v = d.v
+       |ORDER BY domain""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_degree" -> gDegree,
     "g_pagerank" -> gPagerank,
@@ -653,6 +758,7 @@ object Graph {
     "g_cc" -> gCc,
     "g_cc_stats" -> gCcStats,
     "g_cc_diameter" -> gCcDiameter,
+    "g_triangles" -> gTriangles,
   )
 
   def oracles: Map[String, String] = Map(
@@ -662,5 +768,6 @@ object Graph {
     "g_cc" -> gCcSql,
     "g_cc_stats" -> gCcStatsSql,
     "g_cc_diameter" -> gCcDiameterSql,
+    "g_triangles" -> gTrianglesSql,
   )
 }

@@ -340,4 +340,32 @@ class GraphSpec extends SparkSpec {
     // component labels are members of their own component
     lbl.values.toSet.foreach { (c: String) => assert(lbl(c) == c) }
   }
+
+  test("g_triangles: degree-ordered wedges match brute-force triangle enumeration") {
+    val adj = Graph.edges(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .flatMap { case (s, d) => Seq((s, d), (d, s)) }
+      .groupBy(_._1)
+      .map { case (v, arr) => v -> (arr.map(_._2).toSet - v) }
+    // brute force: for every vertex, triangles among its neighbors
+    val triOf = adj.map { case (v, ns) =>
+      v -> (for {
+        a <- ns.toSeq; b <- ns.toSeq if a < b && adj(a).contains(b)
+      } yield 1).size.toLong
+    }
+    val got = Graph.gTriangles(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet == adj.keySet)
+    got.foreach { case (v, deg, tri, cc) =>
+      assert(deg == adj(v).size.toLong, s"$v degree")
+      assert(tri == triOf(v), s"$v triangles: got $tri want ${triOf(v)}")
+      val want = if (deg >= 2)
+        math.floor(2.0 * tri / (deg * (deg - 1)) * 1e6 + 0.5) / 1e6 else 0.0
+      assert(cc == want, s"$v clustering")
+    }
+    // the fixture must exercise actual triangles and a mix of densities
+    assert(got.map(_._3).sum > 0, "fixture degenerate: no triangles at all")
+    // global consistency: per-vertex counts sum to 3× the triangle count
+    assert(got.map(_._3).sum % 3 == 0)
+  }
 }
