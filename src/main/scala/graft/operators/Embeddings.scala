@@ -173,9 +173,18 @@ object Embeddings {
       .toDF(k1, k2, "sub", "n", "s")
   }
 
-  def eCentroid(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val e = Tables(spark, dir).embeddings
+  def eCentroid(spark: SparkSession, dir: String): DataFrame =
+    centroidFrame(spark, dir).orderBy("label", "dim")
+
+  /** The [[eCentroid]] pipeline without the presentation sort —
+    * unordered (label, dim, centroid, n_vectors), shared with
+    * [[eSilhouette]]'s per-label prototypes. Centroids are EXACT
+    * (no rounding): downstream consumers fold further floats off
+    * them and round once at their own output. */
+  private[operators] def centroidFrame(spark: SparkSession, dir: String): DataFrame =
+    centroidOf(spark, Tables(spark, dir).embeddings)
+
+  private[graft] def centroidOf(spark: SparkSession, e: DataFrame): DataFrame = {
     val exploded = e.select(col("label"),
         pmod(col("vec_id"), lit(CentroidSubs.toLong)).cast("int").as("sub"),
         posexplode(col("embedding")))
@@ -189,11 +198,14 @@ object Embeddings {
         (aggregate(col("ss"), lit(0.0), (acc, x) => acc + x.getField("s"))
           / col("n_vectors")).as("centroid"),
         col("n_vectors"))
-      .orderBy("label", "dim")
   }
 
-  val eCentroidSql: String =
-    s"""WITH v AS (
+  /** CTE chain ending in `cells(label, dim, n_vectors, total)` — the
+    * ONE SQL copy of the hierarchical centroid fold, shared by the
+    * e_centroid and e_silhouette oracles (the normSql single-copy
+    * discipline). */
+  val centroidCellsSql: String =
+    s"""v AS (
        |  SELECT label, vec_id % $CentroidSubs AS sub, i - 1 AS dim, x::DOUBLE AS v
        |  FROM (SELECT label, vec_id, unnest(embedding) AS x,
        |        generate_subscripts(embedding, 1) AS i FROM embeddings) u),
@@ -204,9 +216,123 @@ object Embeddings {
        |cells AS (
        |  SELECT label, dim, sum(n)::BIGINT AS n_vectors,
        |    list_reduce(list_prepend(0.0, list(s ORDER BY sub)), (a, b) -> a + b) AS total
-       |  FROM subs GROUP BY 1, 2)
+       |  FROM subs GROUP BY 1, 2)""".stripMargin
+
+  val eCentroidSql: String =
+    s"""WITH $centroidCellsSql
        |SELECT label, dim, total / n_vectors AS centroid, n_vectors
        |FROM cells ORDER BY label, dim""".stripMargin
+
+  // ----------------------------------------------------- e_silhouette
+
+  /** e_silhouette — per-label SIMPLIFIED SILHOUETTE over the embedding
+    * space: for every vector, a = distance to its own label's exact
+    * centroid, b = distance to the nearest OTHER label's centroid,
+    * s = (b − a) / max(a, b); reported as the per-label mean — the
+    * cluster-coherence gate a pipeline reads before trusting label
+    * columns for SemDeDup scoping, per-label sampling, or IVF
+    * training (low silhouette ⟹ the labels don't separate in
+    * embedding space and label-scoped dedup will leak duplicates
+    * across labels).
+    *
+    * "Simplified" (Hruschka et al.) replaces full silhouette's
+    * all-pairs O(N²) neighbor means with distances to the K label
+    * centroids — the only formulation that scales: centroids come
+    * from the [[centroidFrame]] hierarchical exact fold, attach as a
+    * ONE-ROW broadcast (K·D doubles), and every per-vector distance
+    * folds NARROWLY over the centroid array — no N×K shuffle, no
+    * all-pairs anything; the one keyed exchange is the per-label mean.
+    *
+    * Parity: distances fold ascending-dim from 0.0 (zip_with array
+    * order ≡ the oracle's ORDER BY dim), float→double casts sit at
+    * the same op (x::DOUBLE − c), sqrt/÷ are correctly-rounded IEEE,
+    * min over identical doubles is order-free, the per-label mean
+    * rides the [[streamSubFold]] hierarchical pinned fold (never a
+    * per-label value list in one row), and the single round is
+    * stableRound(6) at the output.
+    *
+    * On the synthetic corpus the gate records the NEGATIVE diagnostic:
+    * the `label` column is not an embedding-space clustering
+    * (silhouette ≈ 0, slightly negative — the honest "don't scope
+    * dedup by this column" answer); the spec demonstrates the
+    * separated-cluster positive case on a synthetic frame. */
+  def eSilhouette(spark: SparkSession, dir: String): DataFrame =
+    silhouetteOf(spark, Tables(spark, dir).embeddings)
+
+  private[graft] def silhouetteOf(spark: SparkSession, e: DataFrame): DataFrame = {
+    val cents = centroidOf(spark, e)
+      .groupBy(col("label").as("clabel"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("cs"))
+      .select(col("clabel"), transform(col("cs"),
+        x => x.getField("centroid")).as("cvec"))
+      // one row: the K (clabel, cvec) prototypes — the tLogprob
+      // scalar-broadcast pattern, not an all-pairs hazard
+      .agg(array_sort(collect_list(struct(col("clabel"), col("cvec")))).as("cents"))
+    val withD = e.select(col("vec_id"), col("label"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"),
+        transform(col("cents"), c => struct(
+          c.getField("clabel").as("cl"),
+          sqrt(aggregate(zip_with(col("embedding"), c.getField("cvec"),
+            (x, cc) => (x - cc) * (x - cc)), lit(0.0), (acc, t) => acc + t))
+            .as("d"))).as("dists"))
+    val sv = withD
+      .select(col("vec_id"), col("label"),
+        array_min(transform(filter(col("dists"),
+          x => x.getField("cl") === col("label")), x => x.getField("d"))).as("a"),
+        array_min(transform(filter(col("dists"),
+          x => x.getField("cl") =!= col("label")), x => x.getField("d"))).as("b"))
+      .select(col("label"), lit(0).as("zero"),
+        pmod(col("vec_id"), lit(CentroidSubs.toLong)).cast("int").as("sub"),
+        when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)).as("v"))
+    streamSubFold(spark, sv, "label", "zero")
+      .groupBy("label")
+      .agg(sum("n").cast("long").as("n_vectors"),
+        sort_array(collect_list(struct(col("sub"), col("s")))).as("ss"))
+      .select(col("label"), col("n_vectors"),
+        stableRound(aggregate(col("ss"), lit(0.0),
+          (acc, x) => acc + x.getField("s")) / col("n_vectors"), 6)
+          .as("silhouette"))
+      .orderBy("label")
+  }
+
+  val eSilhouetteSql: String =
+    s"""WITH $centroidCellsSql,
+       |cents AS (SELECT label AS clabel, dim, total / n_vectors AS c FROM cells),
+       |ev AS (
+       |  SELECT vec_id, label, i - 1 AS dim, x::DOUBLE AS x
+       |  FROM (SELECT vec_id, label, unnest(embedding) AS x,
+       |        generate_subscripts(embedding, 1) AS i FROM embeddings) u),
+       |grid AS (
+       |  SELECT ev.vec_id, ev.label, c.clabel,
+       |    sqrt(list_reduce(list_prepend(0.0,
+       |      list((ev.x - c.c) * (ev.x - c.c) ORDER BY ev.dim)),
+       |      (a, b) -> a + b)) AS d
+       |  FROM ev JOIN cents c ON c.dim = ev.dim
+       |  GROUP BY ev.vec_id, ev.label, c.clabel),
+       |ab AS (
+       |  SELECT vec_id, label,
+       |    min(CASE WHEN clabel = label THEN d END) AS a,
+       |    min(CASE WHEN clabel <> label THEN d END) AS b
+       |  FROM grid GROUP BY 1, 2),
+       |sv AS (
+       |  SELECT label, vec_id % $CentroidSubs AS sub,
+       |    CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+       |         ELSE 0.0 END AS s
+       |  FROM ab),
+       |ssub AS (
+       |  SELECT label, sub, count(*) AS n,
+       |    list_reduce(list_prepend(0.0, list(s ORDER BY s)), (a, b) -> a + b) AS t
+       |  FROM sv GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT label, sum(n)::BIGINT AS n_vectors,
+       |    list_reduce(list_prepend(0.0, list(t ORDER BY sub)), (a, b) -> a + b) AS tot
+       |  FROM ssub GROUP BY 1)
+       |SELECT label, n_vectors,
+       |  floor((tot / n_vectors) * 1e6 + 0.5) / 1e6 AS silhouette
+       |FROM agg ORDER BY label""".stripMargin
 
   // ---------------------------------------------------------- e_gram
 
@@ -528,6 +654,7 @@ object Embeddings {
     "e_rproject" -> eRproject,
     "e_pca" -> ePca,
     "e_whiten" -> eWhiten,
+    "e_silhouette" -> eSilhouette,
   )
 
   def oracles: Map[String, String] = Map(
@@ -536,6 +663,7 @@ object Embeddings {
     "e_centroid" -> eCentroidSql,
     "e_gram" -> eGramSql,
     "e_rproject" -> eRprojectSql,
+    "e_silhouette" -> eSilhouetteSql,
     // e_pca: no SQL eigensolver exists — rows-only at the gate;
     // PipelineSpec carries the correctness burden (see ePca scaladoc).
   )

@@ -1503,6 +1503,67 @@ class PipelineSpec extends SparkSpec {
         s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
   }
 
+  test("e_silhouette: matches a driver recompute of simplified silhouette") {
+    import graft.operators.Embeddings
+    val rows = graft.core.Tables(spark, sf).embeddings
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val byLabel = rows.groupBy(_._2)
+    val cents = byLabel.map { case (l, vs) =>
+      val d = vs.head._3.length
+      l -> Array.tabulate(d)(i => vs.map(_._3(i)).sum / vs.length)
+    }
+    def dist(x: Array[Double], c: Array[Double]): Double =
+      math.sqrt(x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val want = byLabel.map { case (l, vs) =>
+      val ss = vs.map { case (_, _, x) =>
+        val a = dist(x, cents(l))
+        val b = cents.collect { case (m, c) if m != l => dist(x, c) }.min
+        if (math.max(a, b) > 0) (b - a) / math.max(a, b) else 0.0
+      }
+      l -> (vs.length.toLong, ss.sum / ss.size)
+    }
+    val got = Embeddings.eSilhouette(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet == want.keySet)
+    got.foreach { case (l, n, s) =>
+      assert(n == want(l)._1, s"label $l count")
+      // driver recompute is float-noisy (unpinned order); the oracle
+      // carries the bit-exact check — here a tight band suffices
+      assert(math.abs(s - want(l)._2) < 1e-6, s"label $l: $s vs ${want(l)._2}")
+      assert(s >= -1.0 && s <= 1.0)
+    }
+    // the corpus records the NEGATIVE diagnostic: the label column is
+    // not an embedding clustering, so coherence sits at ≈ 0 — exactly
+    // the "don't scope dedup by this column" answer the gate is for
+    assert(got.map(_._3).forall(s => math.abs(s) < 0.05),
+      s"random labels should score ≈ 0 (${got.mkString(", ")})")
+  }
+
+  test("e_silhouette: separated synthetic clusters score near 1, mixed labels near 0") {
+    import graft.operators.Embeddings
+    // 3 tight clusters far apart: coherent labels → s ≈ 1 for all
+    val base = Map(0 -> Array(10f, 0f, 0f), 1 -> Array(0f, 10f, 0f), 2 -> Array(0f, 0f, 10f))
+    val rows = (0 until 60).map { i =>
+      val l = i % 3
+      val x = base(l).clone()
+      x(i % x.length) += (i % 5) * 0.01f // small deterministic jitter
+      (i.toLong, l, x.toSeq)
+    }
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val good = Embeddings.silhouetteOf(spark, df).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(good.keySet == Set(0, 1, 2))
+    assert(good.values.forall(_ > 0.9), s"separated clusters must score near 1: $good")
+    // the same points with labels decoupled from position (blocks of
+    // 20 ids, each spanning all three position clusters) → ≈ 0 or worse
+    val mixed = rows.map { case (id, _, x) => (id, (id / 20L).toInt, x) }
+      .toDF("vec_id", "label", "embedding")
+    val bad = Embeddings.silhouetteOf(spark, mixed).collect().map(_.getDouble(2))
+    assert(bad.forall(_ < 0.5), s"decoupled labels must not look coherent: ${bad.toSeq}")
+  }
+
   test("d_ppl_bucket: terciles are ntile of the logprob ranking, partition-invariant") {
     val scored = TextAnalysis.tLogprob(spark, sf)
       .select("doc_id", "logprob10").as[(Long, Double)].collect()
