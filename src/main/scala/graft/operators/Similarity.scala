@@ -1069,8 +1069,46 @@ object Similarity {
     rescoreTopK(codes, heapPartials(scored, PqCandidates, "coarse"), PqCandidates)
   }
 
+  // -------------------------------------------------------- ann eval
+
+  /** s_ann_eval — recall@k of every approximate tier against the
+    * exact brute-force truth, as a queryable artifact: (tier,
+    * n_truth, n_hits, recall) per tier. This is the [[graft.operators.Dedup]]
+    * d_dedup_eval / t_retrieval_eval measured-evaluation discipline
+    * applied to the ANN family — the number the probe-depth /
+    * banding / codebook knobs are actually tuned against, computed
+    * by the engine itself instead of living only in a spec
+    * (KmeansRecallSpec pins the bounds; this row REPORTS the curve).
+    *
+    * Cost shape: every arm's rank list is |Q|·k rows — the joins and
+    * counts here are corpus-size-independent; the arms themselves are
+    * the existing tier pipelines (sidecar-served — no training).
+    * No SQL oracle BY DESIGN (the tiers are k-means/LSH artifacts —
+    * the s_ann_* rows-only class); the output is deterministic
+    * because every arm is, and the spec replays the joins. */
+  def sAnnEval(spark: SparkSession, dir: String): DataFrame = {
+    val truth = sAnnBrute(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val arms: Seq[(String, DataFrame)] = Seq(
+      "lsh" -> sAnnLsh(spark, dir),
+      "ivf" -> sAnnIvf(spark, dir),
+      "sq8" -> sAnnSq8(spark, dir),
+      "pq" -> sAnnPq(spark, dir),
+      "ivfpq" -> sAnnIvfPq(spark, dir))
+    arms.map { case (tier, arm) =>
+      val hits = arm.select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(lit(tier).as("tier"), col("n_truth"), col("n_hits"),
+          stableRound(col("n_hits").cast("double") /
+            col("n_truth").cast("double"), 6).as("recall"))
+    }.reduce(_ unionByName _).orderBy("tier")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_dedup_embedding" -> dDedupEmbeddingKernel,
+    "s_ann_eval" -> sAnnEval,
     "s_ann_brute" -> sAnnBrute,
     "s_ann_range" -> sAnnRange,
     "s_ann_sq8" -> sAnnSq8,

@@ -31,4 +31,32 @@ class KmeansRecallSpec extends SparkSpec {
     // iterations 1-3 — pin well above the family's 0.5 floor
     assert(refined >= 0.7, s"refined PQ recall $refined below 0.7 ($curve)")
   }
+
+  test("s_ann_eval reports each tier's true recall vs brute force") {
+    val got = Similarity.sAnnEval(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set("lsh", "ivf", "sq8", "pq", "ivfpq"))
+    val brute = Similarity.sAnnBrute(spark, sf)
+      .select("query_id", "neighbor_id").cache()
+    val total = brute.count()
+    val arms = Map[String, org.apache.spark.sql.DataFrame](
+      "lsh" -> Similarity.sAnnLsh(spark, sf),
+      "ivf" -> Similarity.sAnnIvf(spark, sf),
+      "sq8" -> Similarity.sAnnSq8(spark, sf),
+      "pq" -> Similarity.sAnnPq(spark, sf),
+      "ivfpq" -> Similarity.sAnnIvfPq(spark, sf))
+    arms.foreach { case (tier, arm) =>
+      val hits = arm.select("query_id", "neighbor_id")
+        .join(brute, Seq("query_id", "neighbor_id")).count()
+      val (nTruth, nHits, recall) = got(tier)
+      assert(nTruth == total, s"$tier truth size")
+      assert(nHits == hits, s"$tier hits: $nHits vs $hits")
+      assert(recall ==
+        math.floor(hits.toDouble / total * 1e6 + 0.5) / 1e6, s"$tier recall")
+      assert(recall >= 0.5, s"$tier below the family's 0.5 recall floor")
+    }
+    brute.unpersist()
+    // sq8 quantizes scores but never drops candidates — exact recall
+    assert(got("sq8")._3 == 1.0, "sq8 must be recall-exact")
+  }
 }
