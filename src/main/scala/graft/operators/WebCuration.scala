@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.functions.Parity.stableRound
 
 /** URL / domain curation over the `documents` table — the per-domain
   * bookkeeping a web-scale training pipeline runs: parse URLs into
@@ -224,14 +225,91 @@ object WebCuration {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Digit share of path characters above which a URL looks like a
+    * session-id / machine-generated path (the C4/RefinedWeb URL-filter
+    * heuristic class). On md5-hex paths the share is distributed
+    * around 10/16, so the threshold genuinely splits the corpus. */
+  val UrlDigitTau = 0.6
+
+  /** Path depth above which a URL is considered deep navigation. */
+  val UrlMaxDepth = 2
+
+  /** t_url_quality — per-URL quality features + keep decision: the
+    * URL-filter stage crawl pipelines run BEFORE fetching or keeping
+    * content (RefinedWeb §3.1 / C4 filter most documents on URL
+    * features alone — it is the cheapest filter in the stack because
+    * it reads no content at all): path depth, path length, query-
+    * parameter count, tracking-parameter presence, digit share of the
+    * path (session-id / machine-generated paths are digit-heavy), and
+    * the resulting keep flag — drop tracking links, deep navigation,
+    * and digit-heavy paths. Entirely a narrow map over the scan
+    * (string ops on the url column; `parse_url` is Spark's native
+    * codegen'd expression) — zero shuffles at any corpus size beyond
+    * the presentation sort. The rules are named constants; a real
+    * deployment extends the rule set, not the shape.
+    *
+    * Float parity: digit_frac is a ratio of two small integers —
+    * correctly-rounded IEEE division is bit-identical in both
+    * engines, rounded once at the output (stableRound(4)). */
+  def tUrlQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = withUrl(Tables(spark, dir).documents.select(col("doc_id"), col("source")))
+    val p = d.select(col("doc_id"), col("url"),
+      parse_url(col("url"), lit("PATH")).as("path"),
+      parse_url(col("url"), lit("QUERY")).as("q"))
+    val chars = length(regexp_replace(col("path"), "/", ""))
+    val digits = length(regexp_replace(col("path"), "[^0-9]", ""))
+    p.select(
+        col("doc_id"), col("url"),
+        (length(col("path")) - length(regexp_replace(col("path"), "/", "")))
+          .cast("long").as("path_depth"),
+        chars.cast("long").as("path_chars"),
+        // the derived URLs carry at most one param; production rules
+        // count '&'-separated pairs the same way
+        when(col("q").isNull, 0L)
+          .otherwise(length(col("q")) - length(call_function("replace",
+            col("q"), lit("&"), lit(""))) + 1L).cast("long").as("n_params"),
+        coalesce(col("q").startsWith("ref="), lit(false)).as("is_tracking"),
+        stableRound(digits.cast("double") / chars.cast("double"), 4)
+          .as("digit_frac"))
+      .withColumn("keep",
+        !col("is_tracking") && col("path_depth") <= UrlMaxDepth &&
+          col("digit_frac") <= UrlDigitTau)
+      .orderBy("doc_id")
+  }
+
+  val tUrlQualitySql: String =
+    s"""WITH u AS ($withUrlSql),
+       |p AS (
+       |  SELECT doc_id, url,
+       |    regexp_extract(url, '^https://[^/?#]+(/[^?#]*)', 1) AS path,
+       |    CASE WHEN contains(url, '?')
+       |         THEN regexp_extract(url, '[?](.*)$$', 1) END AS q
+       |  FROM u),
+       |f AS (
+       |  SELECT doc_id, url,
+       |    (length(path) - length(replace(path, '/', '')))::BIGINT AS path_depth,
+       |    length(replace(path, '/', ''))::BIGINT AS path_chars,
+       |    (CASE WHEN q IS NULL THEN 0
+       |          ELSE length(q) - length(replace(q, '&', '')) + 1 END)::BIGINT AS n_params,
+       |    COALESCE(q LIKE 'ref=%', false) AS is_tracking,
+       |    floor((length(regexp_replace(path, '[^0-9]', '', 'g'))::DOUBLE /
+       |           length(replace(path, '/', ''))::DOUBLE) * 1e4 + 0.5) / 1e4 AS digit_frac
+       |  FROM p)
+       |SELECT f.*,
+       |  (NOT is_tracking AND path_depth <= $UrlMaxDepth
+       |     AND digit_frac <= $UrlDigitTau) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_url_extract" -> tUrlExtract,
+    "t_url_quality" -> tUrlQuality,
     "d_domain_budget" -> dDomainBudget,
     "d_blocklist" -> dBlocklist,
   )
 
   def oracles: Map[String, String] = Map(
     "t_url_extract" -> tUrlExtractSql,
+    "t_url_quality" -> tUrlQualitySql,
     "d_domain_budget" -> dDomainBudgetSql,
     "d_blocklist" -> dBlocklistSql,
   )

@@ -713,6 +713,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), s"phash grew a window:\n${p.take(2000)}")
   }
 
+  test("url quality filter is a pure narrow map — no join, window, or aggregate") {
+    val p = plan("t_url_quality")
+    assert(!p.contains("Join"), s"url filter grew a join:\n${p.take(1500)}")
+    assert(!p.contains("Window"), s"url filter grew a window:\n${p.take(1500)}")
+    assert(!p.contains("HashAggregate"),
+      s"url filter grew an aggregate:\n${p.take(1500)}")
+    // the only exchange is the presentation sort's range partitioning
+    assert(!p.contains("hashpartitioning("),
+      s"url filter shuffled:\n${p.take(1500)}")
+  }
+
   test("ppl bucketing never plans a global window or a join") {
     val p = plan("d_ppl_bucket")
     assert(!p.contains("Window"),
