@@ -347,9 +347,17 @@ object Multimodal {
 
   /** Minimum decoded-feature count for a payload to participate in
     * [[mPhash]] banding: a near-empty payload has a near-zero
-    * histogram whose bands are all zero, and every such payload would
-    * land in the same band buckets — the one skew hazard of the
-    * banding join, excluded at the source (mirrored in the oracle). */
+    * histogram whose bands are ALL zero, so the whole class piles
+    * into the same four buckets. This filter removes that degenerate
+    * population (mirrored in the oracle); it does NOT eliminate
+    * zero-valued bands entirely — any doc whose tokens simply never
+    * hash into one band's 16 bins contributes a (band, 0) row
+    * (P ≈ (48/64)^n for n distinct tokens, ~10% at n=8, vanishing
+    * for normal documents), and those rows cannot be dropped without
+    * losing recall (a pair's only intact band may be the zero band).
+    * The residual (band, 0) bucket is the banding join's skew case —
+    * AQE skew-join splitting territory, bounded by that population's
+    * square, same class as the salt-explode joins elsewhere. */
   val PhashMinFeatures = 8
 
   /** m_phash — perceptual-hash near-duplicate pairs over the binary

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.Parity.{stableRound, stableRoundSql}
@@ -718,67 +718,76 @@ object Curation {
        |FROM s CROSS JOIN base
        |ORDER BY doc_id""".stripMargin
 
-  /** See [[graft.operators.TextAnalysis.budgetPack]]'s caller-owned
-    * unpersist contract — the pinned range-partitioned frame must
-    * stay cached between the count pass and the rank pass. */
-  private var lastOrderCache: Option[org.apache.spark.sql.Dataset[(Long, String)]] = None
+  /** Pinned frames of in-flight [[rankPinned]] calls, one slot per
+    * operator (see [[graft.operators.TextAnalysis.budgetPack]]'s
+    * caller-owned unpersist contract — the pinned range-partitioned
+    * frame must stay cached between the count pass and the rank
+    * pass; a new call to the SAME operator releases its predecessor). */
+  private val rankPins = java.util.Collections.synchronizedMap(
+    new java.util.HashMap[String, DataFrame]())
+
+  /** The two-pass distributed GLOBAL RANK shared by [[dOrder]] and
+    * [[dPplBucket]] (the [[graft.operators.TextAnalysis.budgetPack]]
+    * discipline applied to positions): range-partition `df` by
+    * `sortExprs` (ONE exchange), pin the sampled range boundaries with
+    * a cache held across both passes (repartitionByRange samples —
+    * unpinned, the rank pass could see different partitions than the
+    * count pass), collect per-partition counts to the driver (parts
+    * longs — bounded), then each partition emits dense positions from
+    * its prefix offset — never a global ORDER BY window pulling the
+    * corpus through one reducer. Returns (input columns + `pos`,
+    * total row count); the output is ALREADY in global pos order
+    * partition-wise (range partitioning + the local counter), and the
+    * trailing in-partition sort lets consumers SEE that order without
+    * an exchange (the round-7 review's catch — a full orderBy would
+    * re-shuffle purely for presentation). Extracting this helper made
+    * the pinning invariant STRUCTURAL for the rank call sites; the
+    * prefix-sum variants ([[graft.operators.TextAnalysis.budgetPack]],
+    * [[dBudget]]) still carry it by the documented convention. */
+  private def rankPinned(spark: SparkSession, slot: String, df: DataFrame,
+      sortExprs: Seq[Column]): (DataFrame, Long) = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    Option(rankPins.remove(slot)).foreach(_.unpersist())
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pinned = df.repartitionByRange(parts, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+      .cache()
+    rankPins.put(slot, pinned): Unit
+    val partCounts = pinned.mapPartitions(
+      it => Iterator.single(it.size.toLong))(Encoders.scalaLong).collect()
+    val offsets = partCounts.scanLeft(0L)(_ + _)
+    val outSchema = StructType(
+      pinned.schema.fields :+ StructField("pos", LongType, nullable = false))
+    val ranked = pinned.withColumn("pid", spark_partition_id())
+      .mapPartitions { it =>
+        var run = 0L
+        it.map { r =>
+          val pos = offsets(r.getInt(r.length - 1)) + run
+          run += 1L
+          Row.fromSeq(r.toSeq.dropRight(1) :+ pos)
+        }
+      }(Encoders.row(outSchema))
+      .sortWithinPartitions("pos")
+    (ranked, offsets.last)
+  }
 
   /** d_order — deterministic global TRAINING ORDER: every document
     * ranked by a salted md5 of its id (the shuffle-before-training
     * step every epoch pipeline runs; deterministic, so any worker —
     * or a re-run — reproduces the same order with no shuffle files
-    * to keep). The global rank is the [[graft.operators.TextAnalysis.budgetPack]]
-    * two-pass discipline applied to COUNTS: range-partition by the
-    * md5 key (one exchange), per-partition counts to the driver
-    * (parts longs — bounded), then each partition emits positions
-    * from its prefix offset — never a global ORDER BY window pulling
-    * the corpus through one reducer. The pinned cache holds the
-    * sampled range boundaries fixed across the two passes
-    * (repartitionByRange samples — unpinned, the rank pass could see
-    * different partitions than the count pass). THREE operators share
-    * this cache-pinning invariant ([[graft.operators.TextAnalysis.budgetPack]],
-    * [[dBudget]]'s keyed prefix sum, and this rank) — a change to the
-    * pinning discipline in one must land in all three.
+    * to keep), through the shared [[rankPinned]] two-pass rank.
     *
     * Output: (doc_id, shuffle_key, pos) — pos is a dense permutation
     * 0..n-1 in (shuffle_key, doc_id) order, identical at any
     * partition count (spec-pinned) and identical in DuckDB (md5 hex
     * is ASCII, so string order ≡ binary order in both engines). */
   def dOrder(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    lastOrderCache.foreach(_.unpersist())
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val pinned = Tables(spark, dir).documents
+    val keyed = Tables(spark, dir).documents
       .select(col("doc_id"),
-        md5(concat(lit("ord:"), col("doc_id").cast("string"))).as("k"))
-      .repartitionByRange(parts, col("k"), col("doc_id"))
-      .sortWithinPartitions("k", "doc_id")
-      .as[(Long, String)]
-      .cache()
-    lastOrderCache = Some(pinned)
-    val partCounts = pinned.mapPartitions(it =>
-      Iterator.single(it.size.toLong)).collect()
-    val offsets = partCounts.scanLeft(0L)(_ + _)
-    pinned.toDF("doc_id", "k")
-      .withColumn("pid", spark_partition_id())
-      .as[(Long, String, Int)]
-      .mapPartitions { it =>
-        var run = 0L
-        it.map { case (id, k, pid) =>
-          val pos = offsets(pid) + run
-          run += 1L
-          (id, k, pos)
-        }
-      }
-      .toDF("doc_id", "shuffle_key", "pos")
-      // ALREADY in global pos order: partition i's positions all
-      // precede partition i+1's (range partitioning) and ascend
-      // within each partition (the local counter) — an orderBy here
-      // would re-shuffle the whole corpus purely for presentation
-      // (the round-7 review's catch). The in-partition sort is a
-      // no-op pass that lets downstream consumers SEE the order
-      // without an exchange; the gate's checker sorts anyway.
-      .sortWithinPartitions("pos")
+        md5(concat(lit("ord:"), col("doc_id").cast("string"))).as("shuffle_key"))
+    rankPinned(spark, "order", keyed,
+      Seq(col("shuffle_key"), col("doc_id")))._1
   }
 
   val dOrderSql: String =
@@ -790,10 +799,6 @@ object Curation {
   /** Number of perplexity buckets (CCNet's head/middle/tail). */
   val PplBuckets = 3
 
-  /** See [[graft.operators.TextAnalysis.budgetPack]]'s caller-owned
-    * unpersist contract — same pinning discipline as [[lastOrderCache]]. */
-  private var lastPplCache: Option[org.apache.spark.sql.Dataset[(Long, Double)]] = None
-
   /** d_ppl_bucket — CCNet-style perplexity bucketing: every document
     * ranked by its LM score ([[graft.operators.TextAnalysis.logprobScored]]'s
     * unigram logprob — the cheap perplexity proxy; a real pipeline
@@ -802,53 +807,30 @@ object Curation {
     * the quality tiers CCNet samples from when composing a pretraining
     * mix (head kept, middle sampled, tail dropped or down-weighted).
     *
-    * The global rank is the [[dOrder]] two-pass discipline applied to
-    * a SCORE key: range-partition by (logprob10 DESC, doc_id) — one
-    * exchange — per-partition counts to the driver (parts longs,
-    * bounded), then each partition emits ranks from its prefix offset.
-    * Never a global ORDER BY window pulling the corpus through one
-    * reducer; at 100 TB the range sampler sees the score distribution
-    * exactly like any sort. Bucket = ⌊rank·K/N⌋ (0-based rank),
-    * integer arithmetic only — provably ntile(K) semantics (first
-    * N mod K buckets take the extra row), which is what the oracle
-    * replays. Ordering parity: logprob10 is the stableRound(4) score
-    * (bit-identical doubles in both engines), ties broken by doc_id.
-    * FOUR operators now share the pinned-cache invariant
-    * ([[graft.operators.TextAnalysis.budgetPack]], [[dBudget]],
-    * [[dOrder]], and this rank) — a change to the pinning discipline
-    * in one must land in all four. */
+    * The global rank is the shared [[rankPinned]] two-pass discipline
+    * applied to a SCORE key: range-partition by (logprob10 DESC,
+    * doc_id), per-partition counts, prefix-offset positions — never a
+    * global ORDER BY window pulling the corpus through one reducer;
+    * at 100 TB the range sampler sees the score distribution exactly
+    * like any sort. Bucket = ⌊pos·K/N⌋ + 1 (0-based pos), integer
+    * arithmetic only — provably ntile(K) semantics (first N mod K
+    * buckets take the extra row), which is what the oracle replays.
+    * Ordering parity: logprob10 is the stableRound(4) score
+    * (bit-identical doubles in both engines), ties broken by doc_id. */
   def dPplBucket(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    lastPplCache.foreach(_.unpersist())
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val pinned = TextAnalysis.logprobScored(spark, dir)
+    val scored = TextAnalysis.logprobScored(spark, dir)
       .select(col("doc_id"), col("logprob10"))
-      .repartitionByRange(parts, col("logprob10").desc, col("doc_id"))
-      .sortWithinPartitions(col("logprob10").desc, col("doc_id"))
-      .as[(Long, Double)]
-      .cache()
-    lastPplCache = Some(pinned)
-    val partCounts = pinned.mapPartitions(it =>
-      Iterator.single(it.size.toLong)).collect()
-    val offsets = partCounts.scanLeft(0L)(_ + _)
-    val n = math.max(offsets.last, 1L)
-    val k = PplBuckets.toLong
-    pinned.toDF("doc_id", "logprob10")
-      .withColumn("pid", spark_partition_id())
-      .as[(Long, Double, Int)]
-      .mapPartitions { it =>
-        var run = 0L
-        it.map { case (id, lp, pid) =>
-          val pos = offsets(pid) + run
-          run += 1L
-          (id, lp, pos * k / n + 1L)
-        }
-      }
-      .toDF("doc_id", "logprob10", "bucket_idx")
+    val (ranked, total) = rankPinned(spark, "ppl", scored,
+      Seq(col("logprob10").desc, col("doc_id")))
+    val n = math.max(total, 1L)
+    ranked
+      .withColumn("bucket_idx",
+        expr(s"pos * $PplBuckets div $n + 1").cast("long"))
       .withColumn("bucket",
         when(col("bucket_idx") === 1L, "head")
           .when(col("bucket_idx") === 2L, "middle")
           .otherwise("tail"))
+      .select("doc_id", "logprob10", "bucket_idx", "bucket")
       .orderBy("doc_id")
   }
 

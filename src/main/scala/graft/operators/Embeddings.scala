@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.Parity.stableRound
+import graft.functions.Parity.{stableRound, stableRoundSql}
 import graft.operators.Similarity.dot
 
 /** Embedding-column transforms over the `embeddings` table — the
@@ -284,8 +284,13 @@ object Embeddings {
           x => x.getField("cl") =!= col("label")), x => x.getField("d"))).as("b"))
       .select(col("label"), lit(0).as("zero"),
         pmod(col("vec_id"), lit(CentroidSubs.toLong)).cast("int").as("sub"),
-        when(greatest(col("a"), col("b")) > 0,
-          (col("b") - col("a")) / greatest(col("a"), col("b")))
+        // b is NULL when the frame has a single distinct label (no
+        // "other" centroid exists) — silhouette is undefined there;
+        // report the no-structure answer 0 instead of letting the
+        // null crash the non-nullable fold downstream
+        when(col("b").isNull, lit(0.0))
+          .when(greatest(col("a"), col("b")) > 0,
+            (col("b") - col("a")) / greatest(col("a"), col("b")))
           .otherwise(lit(0.0)).as("v"))
     streamSubFold(spark, sv, "label", "zero")
       .groupBy("label")
@@ -319,7 +324,8 @@ object Embeddings {
        |  FROM grid GROUP BY 1, 2),
        |sv AS (
        |  SELECT label, vec_id % $CentroidSubs AS sub,
-       |    CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+       |    CASE WHEN b IS NULL THEN 0.0
+       |         WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
        |         ELSE 0.0 END AS s
        |  FROM ab),
        |ssub AS (
@@ -331,7 +337,7 @@ object Embeddings {
        |    list_reduce(list_prepend(0.0, list(t ORDER BY sub)), (a, b) -> a + b) AS tot
        |  FROM ssub GROUP BY 1)
        |SELECT label, n_vectors,
-       |  floor((tot / n_vectors) * 1e6 + 0.5) / 1e6 AS silhouette
+       |  ${stableRoundSql("tot / n_vectors", 6)} AS silhouette
        |FROM agg ORDER BY label""".stripMargin
 
   // ---------------------------------------------------------- e_gram

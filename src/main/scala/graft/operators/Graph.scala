@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.Parity.stableRound
+import graft.functions.Parity.{stableRound, stableRoundSql}
 import graft.operators.WebCuration.{withUrl, withUrlSql}
 
 /** Link-graph curation over the documents corpus — the web-graph
@@ -746,7 +746,7 @@ object Graph {
        |SELECT d.v AS domain, d.deg,
        |  COALESCE(c.tri, 0)::BIGINT AS n_triangles,
        |  CASE WHEN d.deg >= 2
-       |       THEN floor((2.0 * COALESCE(c.tri, 0) / (d.deg * (d.deg - 1))) * 1e6 + 0.5) / 1e6
+       |       THEN ${stableRoundSql("2.0 * COALESCE(c.tri, 0) / (d.deg * (d.deg - 1))", 6)}
        |       ELSE 0.0 END AS clustering
        |FROM deg d LEFT JOIN cnt c ON c.v = d.v
        |ORDER BY domain""".stripMargin

@@ -38,7 +38,7 @@ object VectorIndex {
     * any algorithmic change to lloydIp / the sampling / the coding
     * (without it, a code change would be served a stale index trained
     * by the old code wherever tmpdir outlives the build). */
-  private def formatTag: String = {
+  private[graft] def formatTag: String = {
     import Similarity._
     s"annindex_v1_i${PqKmeansIters}_c${IvfCells}_" +
       s"${PqSubspaces}x${PqCodebook}_s$PqTrainSample"
@@ -51,23 +51,33 @@ object VectorIndex {
     * build-once/probe-many. */
   def build(spark: SparkSession, dir: String): String = {
     val path = StorageOps.scratch(formatTag, dir)
-    StorageOps.buildOnce(path) {
-      val e = Similarity.withUnit(Similarity.embSpread(spark, dir), "embedding", "u")
-      val (cells, book) = Similarity.trainedModels(e, Similarity.PqKmeansIters)
-      val centRows: Seq[(String, Int, Int, Seq[Double])] =
-        cells.toSeq.zipWithIndex.map { case (c, i) => ("cell", -1, i, c) } ++
-          (0 until Similarity.PqSubspaces).flatMap { m =>
-            book(m).toSeq.zipWithIndex.map { case ((cv, _), i) => ("pq", m, i, cv) }
-          }
-      val s = spark
-      import s.implicits._
-      centRows.toDF("kind", "m", "cid", "vec")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/centroids.parquet")
-      Similarity.codeFrame(e, cells, book)
-        .write.mode("overwrite").parquet(s"$path/codes.parquet")
-    }
+    StorageOps.buildOnce(path) { writeSidecars(spark, dir, path) }
     path
+  }
+
+  /** Train models over `srcDir`'s embeddings table and write both
+    * sidecars under `path` — the [[build]] body, exposed so a caller
+    * with its own scratch root (the streaming ingest's base-slice
+    * index) can host the sidecars INSIDE that root instead of nesting
+    * a second fingerprinted path under the first (nested roots embed
+    * the outer fingerprint in their sweep stem and escape
+    * [[StorageOps]]'s stale-sibling sweep forever). */
+  private[graft] def writeSidecars(spark: SparkSession, srcDir: String,
+      path: String): Unit = {
+    val e = Similarity.withUnit(Similarity.embSpread(spark, srcDir), "embedding", "u")
+    val (cells, book) = Similarity.trainedModels(e, Similarity.PqKmeansIters)
+    val centRows: Seq[(String, Int, Int, Seq[Double])] =
+      cells.toSeq.zipWithIndex.map { case (c, i) => ("cell", -1, i, c) } ++
+        (0 until Similarity.PqSubspaces).flatMap { m =>
+          book(m).toSeq.zipWithIndex.map { case ((cv, _), i) => ("pq", m, i, cv) }
+        }
+    val s = spark
+    import s.implicits._
+    centRows.toDF("kind", "m", "cid", "vec")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids.parquet")
+    Similarity.codeFrame(e, cells, book)
+      .write.mode("overwrite").parquet(s"$path/codes.parquet")
   }
 
   /** Driver-side model cache, keyed by the index root. The scratch

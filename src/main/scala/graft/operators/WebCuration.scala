@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.Parity.stableRound
+import graft.functions.Parity.{stableRound, stableRoundSql}
 
 /** URL / domain curation over the `documents` table — the per-domain
   * bookkeeping a web-scale training pipeline runs: parse URLs into
@@ -292,8 +292,9 @@ object WebCuration {
        |    (CASE WHEN q IS NULL THEN 0
        |          ELSE length(q) - length(replace(q, '&', '')) + 1 END)::BIGINT AS n_params,
        |    COALESCE(q LIKE 'ref=%', false) AS is_tracking,
-       |    floor((length(regexp_replace(path, '[^0-9]', '', 'g'))::DOUBLE /
-       |           length(replace(path, '/', ''))::DOUBLE) * 1e4 + 0.5) / 1e4 AS digit_frac
+       |    ${stableRoundSql(
+                "length(regexp_replace(path, '[^0-9]', '', 'g'))::DOUBLE /\n" +
+                "           length(replace(path, '/', ''))::DOUBLE", 4)} AS digit_frac
        |  FROM p)
        |SELECT f.*,
        |  (NOT is_tracking AND path_depth <= $UrlMaxDepth

@@ -46,18 +46,24 @@ object VectorStream {
     * are the pre-existing corpus the models train on. */
   val DeltaMod = 10L
 
-  /** Base-slice index root: a scratch embeddings table holding only
-    * the base slice (so [[VectorIndex.build]]'s training sample and
-    * coding pass can never see the delta), indexed with the standard
-    * build-once sidecar discipline. */
+  /** Base-slice index root: ONE scratch root holding the base-slice
+    * embeddings table AND its index sidecars (so
+    * [[VectorIndex.writeSidecars]]'s training sample and coding pass
+    * can never see the delta). A single root — named by both the
+    * training format and the source fingerprint — keeps the whole
+    * artifact inside one sweep stem; nesting a second fingerprinted
+    * path under the first would embed the outer fingerprint in the
+    * inner stem and leak a full index copy past the stale-sibling
+    * sweep on every testdata regeneration. */
   private[graft] def baseIndex(spark: SparkSession, dir: String): String = {
-    val baseDir = StorageOps.scratch("emb_base", dir)
-    StorageOps.buildOnce(baseDir) {
+    val root = StorageOps.scratch(s"emb_base_${VectorIndex.formatTag}", dir)
+    StorageOps.buildOnce(root) {
       spark.read.parquet(s"$dir/embeddings.parquet")
         .filter(pmod(col("vec_id"), lit(DeltaMod)) =!= 0L)
-        .write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
+        .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
+      VectorIndex.writeSidecars(spark, root, root)
     }
-    VectorIndex.build(spark, baseDir)
+    root
   }
 
   /** st_ann_ingest — stream the delta slice into the persisted index

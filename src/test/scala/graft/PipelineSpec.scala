@@ -1562,6 +1562,13 @@ class PipelineSpec extends SparkSpec {
       .toDF("vec_id", "label", "embedding")
     val bad = Embeddings.silhouetteOf(spark, mixed).collect().map(_.getDouble(2))
     assert(bad.forall(_ < 0.5), s"decoupled labels must not look coherent: ${bad.toSeq}")
+    // degenerate single-label input: b has no "other" centroid — the
+    // operator must report the no-structure 0, not crash on the null
+    val one = rows.map { case (id, _, x) => (id, 7, x) }
+      .toDF("vec_id", "label", "embedding")
+    val single = Embeddings.silhouetteOf(spark, one).collect()
+    assert(single.length == 1 && single.head.getDouble(2) == 0.0,
+      s"single-label silhouette must be 0: ${single.toSeq}")
   }
 
   test("d_ppl_bucket: terciles are ntile of the logprob ranking, partition-invariant") {
