@@ -566,50 +566,79 @@ object Retrieval {
     * corpus is never rescanned (the late-fusion rule applied to
     * evaluation). Counts are integers; the rate is one exact int/int
     * double division, stableRounded — hash-green. */
-  def tRetrievalEval(spark: SparkSession, dir: String): DataFrame = {
-    val src = graft.core.Tables(spark, dir).documents
-      .select(col("doc_id"), col("source"))
+  def tRetrievalEval(spark: SparkSession, dir: String): DataFrame =
+    retrievalEvalBy(spark, dir, byLang = false)
+
+  /** t_retrieval_eval_seg — the same eval rolled up by QUERY LANGUAGE
+    * instead of source: the cross-source aggregation the per-source
+    * row cannot show (each query doc carries a near-unique source, so
+    * the source grid is per-query; languages genuinely pool several
+    * queries). A lang whose hit rate collapses in one arm is the
+    * concrete trigger for per-lang fusion weights or a per-lang index
+    * rebuild. Same |Q|·k-bounded shape; only the groupBy key moves. */
+  def tRetrievalEvalSeg(spark: SparkSession, dir: String): DataFrame =
+    retrievalEvalBy(spark, dir, byLang = true)
+
+  /** Shared skeleton of the two eval rows: hit labels stay the weak
+    * source-match either way; `byLang` swaps the grouping from the
+    * per-source grid to the per-language rollup. */
+  private def retrievalEvalBy(spark: SparkSession, dir: String,
+      byLang: Boolean): DataFrame = {
+    val docs = graft.core.Tables(spark, dir).documents
+    val segCols = if (byLang) Seq("qlang") else Seq("qsrc")
+    val qdim = docs.select(col("doc_id").as("qid"),
+      col("source").as("qsrc"),
+      col("lang").as("qlang"))
     def evalArm(arm: DataFrame, name: String): DataFrame =
-      arm.join(broadcast(src.select(col("doc_id").as("qid"),
-          col("source").as("qsrc"))), "qid")
-        .join(broadcast(src.select(col("doc_id"),
+      arm.join(broadcast(qdim), "qid")
+        .join(broadcast(docs.select(col("doc_id"),
           col("source").as("dsrc"))), "doc_id")
-        .groupBy(col("qsrc"))
+        .groupBy(segCols.map(col): _*)
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("qsrc") === col("dsrc"), lit(1L))
             .otherwise(lit(0L))).as("hits"))
-        .select(lit(name).as("arm"), col("qsrc"), col("n_pairs"), col("hits"),
+        .select(lit(name).as("arm") +: segCols.map(col) ++: Seq(
+          col("n_pairs"), col("hits"),
           stableRound(col("hits").cast("double") /
-            col("n_pairs").cast("double"), 6).as("hit_rate"))
+            col("n_pairs").cast("double"), 6).as("hit_rate")): _*)
     evalArm(lexArm(spark, dir), "lex")
       .unionByName(evalArm(vecArm(spark, dir), "vec"))
-      .orderBy("arm", "qsrc")
+      .orderBy("arm" +: segCols map col: _*)
   }
 
-  val tRetrievalEvalSql: String =
+  /** Shared SQL skeleton of the two eval oracles (the ONE copy, like
+    * the Spark-side [[retrievalEvalBy]]). */
+  private def retrievalEvalSqlBy(byLang: Boolean): String = {
+    val qsel = if (byLang) "q.lang AS qlang" else "q.source AS qsrc"
+    val gb = "GROUP BY 2"
+    val segOut = if (byLang) "qlang" else "qsrc"
     s"""WITH lex AS (
        |$tBm25Sql
        |),
        |vec AS (
        |$vecArmSql),
-       |src AS (SELECT doc_id, source FROM documents),
+       |src AS (SELECT doc_id, source, lang FROM documents),
        |le AS (
-       |  SELECT 'lex' AS arm, q.source AS qsrc, count(*)::BIGINT AS n_pairs,
+       |  SELECT 'lex' AS arm, $qsel, count(*)::BIGINT AS n_pairs,
        |    sum(CASE WHEN q.source = d.source THEN 1 ELSE 0 END)::BIGINT AS hits
        |  FROM lex JOIN src q ON lex.qid = q.doc_id
        |           JOIN src d ON lex.doc_id = d.doc_id
-       |  GROUP BY 2),
+       |  $gb),
        |ve AS (
-       |  SELECT 'vec' AS arm, q.source AS qsrc, count(*)::BIGINT AS n_pairs,
+       |  SELECT 'vec' AS arm, $qsel, count(*)::BIGINT AS n_pairs,
        |    sum(CASE WHEN q.source = d.source THEN 1 ELSE 0 END)::BIGINT AS hits
        |  FROM vec JOIN src q ON vec.qid = q.doc_id
        |           JOIN src d ON vec.doc_id = d.doc_id
-       |  GROUP BY 2),
+       |  $gb),
        |u AS (SELECT * FROM le UNION ALL SELECT * FROM ve)
-       |SELECT arm, qsrc, n_pairs, hits,
+       |SELECT arm, $segOut, n_pairs, hits,
        |  ${stableRoundSql("hits::DOUBLE / n_pairs::DOUBLE", 6)} AS hit_rate
        |FROM u
-       |ORDER BY arm, qsrc""".stripMargin
+       |ORDER BY arm, $segOut""".stripMargin
+  }
+
+  val tRetrievalEvalSql: String = retrievalEvalSqlBy(byLang = false)
+  val tRetrievalEvalSegSql: String = retrievalEvalSqlBy(byLang = true)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_bm25" -> tBm25,
@@ -619,6 +648,7 @@ object Retrieval {
     "t_hybrid_learned" -> tHybridLearned,
     "t_rerank" -> tRerank,
     "t_retrieval_eval" -> tRetrievalEval,
+    "t_retrieval_eval_seg" -> tRetrievalEvalSeg,
   )
 
   def oracles: Map[String, String] = Map(
@@ -632,5 +662,6 @@ object Retrieval {
     "t_hybrid_learned" -> tHybridLearnedSql,
     "t_rerank" -> tRerankSql,
     "t_retrieval_eval" -> tRetrievalEvalSql,
+    "t_retrieval_eval_seg" -> tRetrievalEvalSegSql,
   )
 }
