@@ -400,8 +400,22 @@ object Multimodal {
     * SimHash family (SURVEY §2 dedup rows); no shortcut analog (the
     * reference has no media types — this is 100 TB-brief surface). */
   def mPhash(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions.{md5_32, words}
     import graft.operators.Dedup.HammingK
+    phashCand(spark, dir)
+      .withColumn("hamming",
+        (0 until 4).map(i =>
+          bit_count(col(s"x$i").bitwiseXOR(col(s"y$i")))).reduce(_ + _)
+          .cast("long"))
+      .filter(col("hamming") <= HammingK)
+      .select("id1", "id2", "hamming")
+      .orderBy("id1", "id2")
+  }
+
+  /** The signature + banding candidate pipeline shared by [[mPhash]]
+    * and [[mPhashEval]]: distinct band-collision pairs carrying both
+    * signatures, BEFORE the exact hamming verify. */
+  private def phashCand(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{md5_32, words}
     val d = Tables(spark, dir).documents
     // binary payload in (the multimodal contract); the stub "decode"
     // is byte-exact UTF-8 here, a codec everywhere else
@@ -429,7 +443,7 @@ object Multimodal {
       sig.select(col("doc_id"), col("s0"), col("s1"), col("s2"), col("s3"),
         lit(b).as("band"), col(s"s$b").as("bv"))
     }.reduce(_ unionByName _)
-    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bv"))
+    banded.as("a").join(banded.as("b"), Seq("band", "bv"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         col("a.s0").as("x0"), col("a.s1").as("x1"),
@@ -437,16 +451,42 @@ object Multimodal {
         col("b.s0").as("y0"), col("b.s1").as("y1"),
         col("b.s2").as("y2"), col("b.s3").as("y3"))
       .dropDuplicates("id1", "id2")
-    cand.withColumn("hamming",
+  }
+
+  /** m_phash_eval — candidate-quality audit of the perceptual-hash
+    * banding (the [[graft.operators.Dedup]] d_dedup_eval discipline
+    * applied to the multimodal near-dup): band-collision candidates
+    * vs hamming-verified pairs as one row (n_cand, n_pairs, fp,
+    * precision) — the measured number the 4×16-bit banding choice
+    * rides on (wider bands ⇒ fewer, dirtier buckets ⇒ lower
+    * precision and more verify work; narrower ⇒ more buckets and
+    * recall risk). RECALL is structural here, not measured: 4 bands
+    * are pigeonhole-complete for hamming ≤ 3 (PipelineSpec
+    * brute-forces the exact ball), so truth ⊆ candidates and fn = 0
+    * by theorem — the one number d_dedup_eval must estimate that
+    * this audit gets for free. Cost: the same banding pipeline plus
+    * two counts — no extra corpus pass. */
+  def mPhashEval(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup.HammingK
+    val cand = phashCand(spark, dir)
+      .withColumn("hamming",
         (0 until 4).map(i =>
           bit_count(col(s"x$i").bitwiseXOR(col(s"y$i")))).reduce(_ + _)
           .cast("long"))
-      .filter(col("hamming") <= HammingK)
-      .select("id1", "id2", "hamming")
-      .orderBy("id1", "id2")
+    cand.agg(
+        count(lit(1)).as("n_cand"),
+        sum(when(col("hamming") <= HammingK, 1L).otherwise(0L)).as("n_pairs"))
+      .select(col("n_cand"), col("n_pairs"),
+        (col("n_cand") - col("n_pairs")).as("fp"),
+        graft.functions.Parity.stableRound(
+          col("n_pairs").cast("double") / col("n_cand").cast("double"), 6)
+          .as("precision"))
   }
 
-  val mPhashSql: String = {
+  /** CTE chain ending in `cand(id1, id2, x0..x3, y0..y3)` — the ONE
+    * SQL copy of the signature + banding pipeline, shared by the
+    * m_phash and m_phash_eval oracles. */
+  private val mPhashCoreSql: String = {
     import graft.functions.TextFunctions.normSql
     val bandSums = (0 until 4).map { b =>
       s"sum(CASE WHEN bin // 16 = $b THEN bit << (bin % 16) ELSE 0 END)::BIGINT AS s$b"
@@ -474,15 +514,29 @@ object Multimodal {
        |    a.s0 x0, a.s1 x1, a.s2 x2, a.s3 x3,
        |    b.s0 y0, b.s1 y1, b.s2 y2, b.s3 y3
        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
-       |    AND a.doc_id < b.doc_id)
-       |SELECT id1, id2,
-       |  (bit_count(xor(x0, y0)) + bit_count(xor(x1, y1)) +
-       |   bit_count(xor(x2, y2)) + bit_count(xor(x3, y3)))::BIGINT AS hamming
-       |FROM cand
-       |WHERE bit_count(xor(x0, y0)) + bit_count(xor(x1, y1)) +
-       |      bit_count(xor(x2, y2)) + bit_count(xor(x3, y3)) <= ${graft.operators.Dedup.HammingK}
-       |ORDER BY id1, id2""".stripMargin
+       |    AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  private val hammingSql: String =
+    "bit_count(xor(x0, y0)) + bit_count(xor(x1, y1)) + " +
+      "bit_count(xor(x2, y2)) + bit_count(xor(x3, y3))"
+
+  val mPhashSql: String =
+    s"""$mPhashCoreSql
+       |SELECT id1, id2, ($hammingSql)::BIGINT AS hamming
+       |FROM cand
+       |WHERE $hammingSql <= ${graft.operators.Dedup.HammingK}
+       |ORDER BY id1, id2""".stripMargin
+
+  val mPhashEvalSql: String =
+    s"""$mPhashCoreSql
+       |SELECT n_cand, n_pairs, n_cand - n_pairs AS fp,
+       |  ${graft.functions.Parity.stableRoundSql(
+             "n_pairs::DOUBLE / n_cand::DOUBLE", 6)} AS precision
+       |FROM (SELECT count(*)::BIGINT AS n_cand,
+       |        sum(CASE WHEN $hammingSql <= ${graft.operators.Dedup.HammingK}
+       |            THEN 1 ELSE 0 END)::BIGINT AS n_pairs
+       |      FROM cand) t""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_binary_meta" -> mBinaryMeta,
@@ -492,6 +546,7 @@ object Multimodal {
     "m_caption_pair" -> mCaptionPair,
     "m_video_scene" -> mVideoScene,
     "m_phash" -> mPhash,
+    "m_phash_eval" -> mPhashEval,
   )
 
   def oracles: Map[String, String] = Map(
@@ -502,5 +557,6 @@ object Multimodal {
     "m_caption_pair" -> mCaptionPairSql,
     "m_video_scene" -> mVideoSceneSql,
     "m_phash" -> mPhashSql,
+    "m_phash_eval" -> mPhashEvalSql,
   )
 }
