@@ -478,6 +478,89 @@ object Curation {
        |FROM verdict
        |ORDER BY doc_id""".stripMargin
 
+  /** d_datacard — the per-source DATASET REPORT CARD every corpus
+    * release ships (HuggingFace dataset cards, Dolma's summary
+    * tables): one row per source with volume (docs, word tokens),
+    * the curation outcome (kept count and rate from [[dAudit]]'s
+    * verdicts), scrub load (kept-with-PII), language mix (modal
+    * predicted language with a deterministic count-then-lexicographic
+    * tie-break), and mean quality score. A composition over the SAME
+    * narrow per-doc frames the standalone operators produce — the
+    * card costs the audit plus id-keyed joins and ONE per-source
+    * aggregation, never an extra corpus pass per metric.
+    *
+    * Parity: counts are integers; pct_kept is one int/int division;
+    * mean_quality folds the per-doc stableRound(4) scores sorted
+    * ascending from 0.0 (ties are identical doubles) — the per-source
+    * collect_list row is bounded by docs-per-source at gate scale,
+    * and the 100 TB swap is the [[graft.operators.Embeddings]]
+    * hierarchical sub-fold, a drop-in since the values are already
+    * per-doc scalars. The top-lang window runs over (source, lang)
+    * COUNTS — a bounded grid, not corpus rows. */
+  def dDatacard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = Tables(spark, dir).documents.select(col("doc_id"), col("source"))
+    val audit = dAudit(spark, dir).select("doc_id", "kept", "pii_scrubbed")
+    val q = TextAnalysis.qualityMetrics(spark, dir)
+      .select("doc_id", "n_words", "quality")
+    val lang = TextAnalysis.langPredictions(spark, dir)
+      .select("doc_id", "pred_lang")
+    val base = src.join(audit, "doc_id").join(q, "doc_id").join(lang, "doc_id")
+      .localCheckpoint(false)
+    val lc = base.groupBy("source", "pred_lang").agg(count(lit(1)).as("cnt"))
+    val wTop = Window.partitionBy("source")
+      .orderBy(col("cnt").desc, col("pred_lang"))
+    val top = lc.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("pred_lang").as("top_lang"),
+        col("cnt").as("top_lang_n"))
+    base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").cast("long").as("n_tokens"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("pii_scrubbed"), 1L).otherwise(0L)).as("n_pii_scrub"),
+        sort_array(collect_list(col("quality"))).as("qs"))
+      .join(top, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_kept"),
+        stableRound(col("n_kept").cast("double") /
+          col("n_docs").cast("double"), 4).as("pct_kept"),
+        col("n_pii_scrub"), col("top_lang"), col("top_lang_n"),
+        stableRound(aggregate(col("qs"), lit(0.0), (a, x) => a + x)
+          / col("n_docs"), 4).as("mean_quality"))
+      .orderBy("source")
+  }
+
+  val dDatacardSql: String =
+    s"""WITH a AS (SELECT doc_id, kept, pii_scrubbed FROM ($dAuditSql) x),
+       |dq AS (SELECT doc_id, n_words, quality FROM (${TextAnalysis.tQualitySql}) x),
+       |dl AS (SELECT doc_id, pred_lang FROM (${TextAnalysis.tLangIdSql}) x),
+       |base AS (
+       |  SELECT d.source, a.kept, a.pii_scrubbed, dq.n_words, dq.quality,
+       |    dl.pred_lang
+       |  FROM documents d JOIN a USING (doc_id)
+       |    JOIN dq USING (doc_id) JOIN dl USING (doc_id)),
+       |lc AS (SELECT source, pred_lang, count(*)::BIGINT AS cnt
+       |       FROM base GROUP BY 1, 2),
+       |top AS (
+       |  SELECT source, pred_lang AS top_lang, cnt AS top_lang_n
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY source
+       |          ORDER BY cnt DESC, pred_lang) AS rk FROM lc) t
+       |  WHERE rk = 1),
+       |agg AS (
+       |  SELECT source, count(*)::BIGINT AS n_docs,
+       |    sum(n_words)::BIGINT AS n_tokens,
+       |    sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |    sum(CASE WHEN pii_scrubbed THEN 1 ELSE 0 END)::BIGINT AS n_pii_scrub,
+       |    list_reduce(list_prepend(0.0, list(quality ORDER BY quality)),
+       |      (x, y) -> x + y) AS qsum
+       |  FROM base GROUP BY 1)
+       |SELECT agg.source, n_docs, n_tokens, n_kept,
+       |  ${stableRoundSql("n_kept::DOUBLE / n_docs::DOUBLE", 4)} AS pct_kept,
+       |  n_pii_scrub, top_lang, top_lang_n,
+       |  ${stableRoundSql("qsum / n_docs", 4)} AS mean_quality
+       |FROM agg JOIN top USING (source)
+       |ORDER BY source""".stripMargin
+
   val dCurateSql: String =
     s"""WITH q AS (SELECT doc_id, quality FROM (${TextAnalysis.tQualitySql}) x),
        |l AS (SELECT doc_id, pred_lang FROM (${TextAnalysis.tLangIdSql}) x),
@@ -854,6 +937,7 @@ object Curation {
     "t_scrub" -> tScrub,
     "d_curate" -> dCurate,
     "d_audit" -> dAudit,
+    "d_datacard" -> dDatacard,
     "d_mix" -> dMix,
     "d_weighted_sample" -> dWeightedSample,
   )
@@ -869,6 +953,7 @@ object Curation {
     "t_scrub" -> tScrubSql,
     "d_curate" -> dCurateSql,
     "d_audit" -> dAuditSql,
+    "d_datacard" -> dDatacardSql,
     "d_mix" -> dMixSql,
     "d_weighted_sample" -> dWeightedSampleSql,
   )
