@@ -399,13 +399,17 @@ object Multimodal {
     * Reference surface: near-dup pair generation as in the MinHash /
     * SimHash family (SURVEY §2 dedup rows); no shortcut analog (the
     * reference has no media types — this is 100 TB-brief surface). */
+  /** Exact hamming distance over the 4 carried band pairs — the ONE
+    * Spark copy, mirroring [[hammingSql]]. */
+  private def hammingCol: org.apache.spark.sql.Column =
+    (0 until 4).map(i =>
+      bit_count(col(s"x$i").bitwiseXOR(col(s"y$i")))).reduce(_ + _)
+      .cast("long")
+
   def mPhash(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup.HammingK
     phashCand(spark, dir)
-      .withColumn("hamming",
-        (0 until 4).map(i =>
-          bit_count(col(s"x$i").bitwiseXOR(col(s"y$i")))).reduce(_ + _)
-          .cast("long"))
+      .withColumn("hamming", hammingCol)
       .filter(col("hamming") <= HammingK)
       .select("id1", "id2", "hamming")
       .orderBy("id1", "id2")
@@ -468,18 +472,19 @@ object Multimodal {
     * two counts — no extra corpus pass. */
   def mPhashEval(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup.HammingK
-    val cand = phashCand(spark, dir)
-      .withColumn("hamming",
-        (0 until 4).map(i =>
-          bit_count(col(s"x$i").bitwiseXOR(col(s"y$i")))).reduce(_ + _)
-          .cast("long"))
+    val cand = phashCand(spark, dir).withColumn("hamming", hammingCol)
+    // coalesce: sum over ZERO candidate rows is NULL in both engines —
+    // an empty banding must read 0 pairs / 0 fp / vacuous precision 1,
+    // not NULLs the hash gate can't distinguish from the oracle's own
     cand.agg(
         count(lit(1)).as("n_cand"),
-        sum(when(col("hamming") <= HammingK, 1L).otherwise(0L)).as("n_pairs"))
+        coalesce(sum(when(col("hamming") <= HammingK, 1L).otherwise(0L)),
+          lit(0L)).as("n_pairs"))
       .select(col("n_cand"), col("n_pairs"),
         (col("n_cand") - col("n_pairs")).as("fp"),
-        graft.functions.Parity.stableRound(
-          col("n_pairs").cast("double") / col("n_cand").cast("double"), 6)
+        when(col("n_cand") === 0L, lit(1.0))
+          .otherwise(graft.functions.Parity.stableRound(
+            col("n_pairs").cast("double") / col("n_cand").cast("double"), 6))
           .as("precision"))
   }
 
@@ -531,11 +536,12 @@ object Multimodal {
   val mPhashEvalSql: String =
     s"""$mPhashCoreSql
        |SELECT n_cand, n_pairs, n_cand - n_pairs AS fp,
-       |  ${graft.functions.Parity.stableRoundSql(
-             "n_pairs::DOUBLE / n_cand::DOUBLE", 6)} AS precision
+       |  CASE WHEN n_cand = 0 THEN 1.0
+       |       ELSE ${graft.functions.Parity.stableRoundSql(
+                  "n_pairs::DOUBLE / n_cand::DOUBLE", 6)} END AS precision
        |FROM (SELECT count(*)::BIGINT AS n_cand,
-       |        sum(CASE WHEN $hammingSql <= ${graft.operators.Dedup.HammingK}
-       |            THEN 1 ELSE 0 END)::BIGINT AS n_pairs
+       |        COALESCE(sum(CASE WHEN $hammingSql <= ${graft.operators.Dedup.HammingK}
+       |            THEN 1 ELSE 0 END), 0)::BIGINT AS n_pairs
        |      FROM cand) t""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

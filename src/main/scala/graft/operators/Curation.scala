@@ -422,10 +422,19 @@ object Curation {
        |xd AS (SELECT fp.doc_id FROM fp JOIN xrep USING (content_fp)
        |       WHERE fp.doc_id > xrep.rep_id)""".stripMargin
 
-  def dAudit(spark: SparkSession, dir: String): DataFrame = {
+  def dAudit(spark: SparkSession, dir: String): DataFrame =
+    auditWithInputs(spark, dir)._1
+
+  /** [[dAudit]] plus its two checkpointed corpus-pass inputs (quality
+    * metrics incl. n_words, language predictions) — [[dDatacard]]
+    * reuses them directly; localCheckpointed frames are invisible to
+    * CacheManager, so re-deriving them there would run both corpus
+    * scans twice. */
+  private def auditWithInputs(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
     val d = TextAnalysis.docsSpread(spark, dir)
     val quality = TextAnalysis.qualityMetrics(spark, dir)
-      .select("doc_id", "quality").localCheckpoint()
+      .select("doc_id", "n_words", "quality").localCheckpoint()
     val lang = TextAnalysis.langPredictions(spark, dir)
       .select("doc_id", "pred_lang").localCheckpoint()
     val exactDup = exactDupIds(d).withColumn("x_dup", lit(true))
@@ -440,7 +449,7 @@ object Curation {
       .when(col("quality") < QualityTau, "low_quality")
       .when(col("pred_lang") === "und", "lang_und")
       .when(col("blocked"), "blocked_domain")
-    d.select(col("doc_id"))
+    val audit = d.select(col("doc_id"))
       .join(exactDup, Seq("doc_id"), "left")
       .join(nearDup, Seq("doc_id"), "left")
       .join(quality, "doc_id")
@@ -452,6 +461,7 @@ object Curation {
         col("dropped_by"),
         (col("dropped_by").isNull && col("has_pii")).as("pii_scrubbed"))
       .orderBy("doc_id")
+    (audit, quality, lang)
   }
 
   val dAuditSql: String =
@@ -500,11 +510,11 @@ object Curation {
   def dDatacard(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val src = Tables(spark, dir).documents.select(col("doc_id"), col("source"))
-    val audit = dAudit(spark, dir).select("doc_id", "kept", "pii_scrubbed")
-    val q = TextAnalysis.qualityMetrics(spark, dir)
-      .select("doc_id", "n_words", "quality")
-    val lang = TextAnalysis.langPredictions(spark, dir)
-      .select("doc_id", "pred_lang")
+    // the audit's own checkpointed quality/lang frames ride along —
+    // localCheckpoints are invisible to CacheManager, so re-deriving
+    // them here would run both corpus scans a second time
+    val (auditAll, q, lang) = auditWithInputs(spark, dir)
+    val audit = auditAll.select("doc_id", "kept", "pii_scrubbed")
     val base = src.join(audit, "doc_id").join(q, "doc_id").join(lang, "doc_id")
       .localCheckpoint(false)
     val lc = base.groupBy("source", "pred_lang").agg(count(lit(1)).as("cnt"))

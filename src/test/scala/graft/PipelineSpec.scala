@@ -1571,6 +1571,79 @@ class PipelineSpec extends SparkSpec {
       s"single-label silhouette must be 0: ${single.toSeq}")
   }
 
+  test("m_phash_eval reconciles with the verified pair set; recall is structural") {
+    import graft.multimodal.Multimodal
+    val ev = Multimodal.mPhashEval(spark, sf).head()
+    val nPairs = Multimodal.mPhash(spark, sf).count()
+    // n_pairs is exactly the m_phash output (the verified pairs); the
+    // m_phash brute-force test pins output == the exact hamming ball,
+    // so fn = 0 (the pigeonhole theorem) follows from these two
+    assert(ev.getAs[Long]("n_pairs") == nPairs)
+    val nCand = ev.getAs[Long]("n_cand")
+    assert(nCand >= nPairs && ev.getAs[Long]("fp") == nCand - nPairs)
+    assert(ev.getAs[Double]("precision") ==
+      math.floor(nPairs.toDouble / nCand * 1e6 + 0.5) / 1e6)
+  }
+
+  test("retrieval eval rollups partition the same pair set (source vs lang totals)") {
+    import graft.operators.Retrieval
+    def totals(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+      df.collect().groupBy(_.getString(0)).map { case (arm, rows) =>
+        arm -> (rows.map(_.getAs[Long]("n_pairs")).sum,
+          rows.map(_.getAs[Long]("hits")).sum)
+      }
+    val pooled = totals(Retrieval.tRetrievalEval(spark, sf))
+    val byLang = totals(Retrieval.tRetrievalEvalSeg(spark, sf))
+    assert(pooled.keySet == Set("lex", "vec") && byLang.keySet == pooled.keySet)
+    // both groupings partition the identical (arm, q, d) pair set
+    assert(pooled == byLang, s"rollup totals diverge: $pooled vs $byLang")
+    // per-row rate formula
+    Retrieval.tRetrievalEvalSeg(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Double]("hit_rate") ==
+        math.floor(r.getAs[Long]("hits").toDouble /
+          r.getAs[Long]("n_pairs") * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  test("d_datacard reconciles with a driver rollup of its input frames") {
+    val src = graft.core.Tables(spark, sf).documents
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val audit = Curation.dAudit(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(3))).toMap
+    val qm = TextAnalysis.qualityMetrics(spark, sf)
+      .select("doc_id", "n_words", "quality").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val lang = TextAnalysis.langPredictions(spark, sf)
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySrc = src.keys.toSeq.groupBy(src)
+    val got = Curation.dDatacard(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (s, ids) =>
+      val r = got(s)
+      assert(r.getAs[Long]("n_docs") == ids.size.toLong, s"$s n_docs")
+      assert(r.getAs[Long]("n_tokens") == ids.map(qm(_)._1).sum, s"$s n_tokens")
+      val kept = ids.count(audit(_)._1).toLong
+      assert(r.getAs[Long]("n_kept") == kept, s"$s n_kept")
+      assert(r.getAs[Double]("pct_kept") ==
+        math.floor(kept.toDouble / ids.size * 1e4 + 0.5) / 1e4, s"$s pct_kept")
+      assert(r.getAs[Long]("n_pii_scrub") == ids.count(audit(_)._2).toLong)
+      // modal lang with the documented count-desc-then-lexicographic
+      // tie-break, recomputed independently
+      val (wantLang, wantN) = ids.groupBy(lang).view.mapValues(_.size)
+        .toSeq.minBy { case (l, n) => (-n, l) }
+      assert(r.getAs[String]("top_lang") == wantLang, s"$s top_lang")
+      assert(r.getAs[Long]("top_lang_n") == wantN.toLong, s"$s top_lang_n")
+      // mean folds the sorted per-doc scores — replaying the same
+      // order makes the double exact, not approximate
+      val folded = ids.map(qm(_)._2).sorted.foldLeft(0.0)(_ + _)
+      assert(r.getAs[Double]("mean_quality") ==
+        math.floor(folded / ids.size * 1e4 + 0.5) / 1e4, s"$s mean_quality")
+    }
+  }
+
   test("d_ppl_bucket: terciles are ntile of the logprob ranking, partition-invariant") {
     val scored = TextAnalysis.tLogprob(spark, sf)
       .select("doc_id", "logprob10").as[(Long, Double)].collect()
