@@ -408,17 +408,30 @@ object Multimodal {
 
   def mPhash(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup.HammingK
-    phashCand(spark, dir)
+    // verify BEFORE the pair dedup: hamming is per-row arithmetic
+    // (identical for every duplicate of a pair, so filter∘distinct ≡
+    // distinct∘filter exactly) while the dedup is a shuffle — at
+    // measured precision 0.07 the filter shrinks that exchange ~14×.
+    // m_phash_eval, which needs the DISTINCT candidate count, pays the
+    // full dedup on its own path.
+    phashCandRaw(spark, dir)
       .withColumn("hamming", hammingCol)
       .filter(col("hamming") <= HammingK)
+      .dropDuplicates("id1", "id2")
       .select("id1", "id2", "hamming")
       .orderBy("id1", "id2")
   }
 
-  /** The signature + banding candidate pipeline shared by [[mPhash]]
-    * and [[mPhashEval]]: distinct band-collision pairs carrying both
-    * signatures, BEFORE the exact hamming verify. */
-  private def phashCand(spark: SparkSession, dir: String): DataFrame = {
+  /** Distinct band-collision pairs carrying both signatures, BEFORE
+    * the exact hamming verify — [[mPhashEval]]'s candidate set. */
+  private def phashCand(spark: SparkSession, dir: String): DataFrame =
+    phashCandRaw(spark, dir).dropDuplicates("id1", "id2")
+
+  /** The signature + banding pipeline shared by [[mPhash]] and
+    * [[mPhashEval]]: band-collision pair rows (up to one per matching
+    * band — NOT deduplicated; both consumers choose where the
+    * distinct goes relative to their filters). */
+  private def phashCandRaw(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.{md5_32, words}
     val d = Tables(spark, dir).documents
     // binary payload in (the multimodal contract); the stub "decode"
@@ -454,7 +467,6 @@ object Multimodal {
         col("a.s2").as("x2"), col("a.s3").as("x3"),
         col("b.s0").as("y0"), col("b.s1").as("y1"),
         col("b.s2").as("y2"), col("b.s3").as("y3"))
-      .dropDuplicates("id1", "id2")
   }
 
   /** m_phash_eval — candidate-quality audit of the perceptual-hash
