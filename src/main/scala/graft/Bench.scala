@@ -452,7 +452,11 @@ object Bench {
     // via `sbt runMain` from the checkout), then print again as the
     // very last thing the process says.
     println(json)
-    try {
+    // BENCH_LOCAL.json is the committed FULL-REGISTRY record; a
+    // SPARK_GRAFT_ONLY-restricted dev run must not clobber it with a
+    // 2-query file (that exact accident happened once — the record
+    // was restored from git).
+    if (only.isEmpty) try {
       val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", ".")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outDir, "BENCH_LOCAL.json"),

@@ -653,13 +653,17 @@ object Dedup {
       sims.select(col("doc_id"), col("s"), lit(b).as("band"),
         (shiftright(col("s"), 8 * b).bitwiseAND(lit(255L))).as("bv"))
     }.reduce(_ unionByName _)
-    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bv"))
+    // verify BEFORE the pair dedup (the m_phash reorder): hamming is
+    // per-row arithmetic, identical across a pair's duplicate band
+    // rows, so filter∘distinct ≡ distinct∘filter exactly — and the
+    // filter shrinks the dedup exchange by the banding's 1/precision
+    banded.as("a").join(banded.as("b"), Seq("band", "bv"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         col("a.s").as("s1"), col("b.s").as("s2"))
-      .dropDuplicates("id1", "id2")
-    cand.withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
       .filter(col("hamming") <= HammingK)
+      .dropDuplicates("id1", "id2")
       .select("id1", "id2", "hamming")
       .orderBy("id1", "id2")
   }
