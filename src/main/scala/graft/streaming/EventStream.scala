@@ -108,7 +108,15 @@ object EventStream {
     * spec-pinned ([[FinalizeSpec]]) against full batch recomputes with
     * the watermark driven past the horizon. */
   private[graft] def finalizeEventTime(rootSpark: SparkSession): Boolean =
-    rootSpark.conf.getOption("graft.streaming.finalize").contains("eventtime")
+    rootSpark.conf.getOption("graft.streaming.finalize") match {
+      case Some("eventtime") => true
+      case Some("break") | None => false
+      case Some(other) =>
+        // A typo'd value must not silently run the default mode as if
+        // it were the requested one (the ngram.prefixOrder rule).
+        throw new IllegalArgumentException(
+          s"graft.streaming.finalize = '$other' (expected 'break' or 'eventtime')")
+    }
 
   private def eventStream(rootSpark: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(rootSpark)

@@ -713,6 +713,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), s"phash grew a window:\n${p.take(2000)}")
   }
 
+  test("triangle counting stays on hash equi-joins — no all-pairs, no window") {
+    val p = plan("g_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge join degenerated to all-pairs:\n${p.take(2000)}")
+    assert(!p.contains("Window"), s"triangles grew a window:\n${p.take(1500)}")
+  }
+
+  test("silhouette distances fold narrowly — one broadcast, no N×K shuffle join") {
+    val p = plan("e_silhouette")
+    // the K prototypes attach as a one-row broadcast; a SortMergeJoin
+    // or shuffled hash join here would mean the grid materialized as
+    // N×K shuffled rows instead of a per-row array fold
+    assert(!p.contains("SortMergeJoin"),
+      s"centroid attach shuffled:\n${p.take(2000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"prototypes not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("Window"), s"silhouette grew a window:\n${p.take(1500)}")
+  }
+
   test("url quality filter is a pure narrow map — no join, window, or aggregate") {
     val p = plan("t_url_quality")
     assert(!p.contains("Join"), s"url filter grew a join:\n${p.take(1500)}")
