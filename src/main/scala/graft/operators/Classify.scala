@@ -101,7 +101,8 @@ object Classify {
       .select(col("doc_id"), col("n_words"),
         (col("quality") >= Tau).cast("int").as("y"))
     featuresOf(TextAnalysis.docsSpread(spark, dir), labels,
-      spark.conf.getOption("graft.classify.features").getOrElse("unigram"))
+      graft.core.Confs.enumConf(spark, "graft.classify.features",
+        "unigram", "unigram", "bigram"))
   }
 
   /** The extraction pipeline over any (doc_id, text) docs frame and
@@ -292,7 +293,8 @@ object Classify {
     var loss = lossOf(spark, scored, nDocs, w)
     val losses = Seq.newBuilder[Double]
     val steps = Seq.newBuilder[Double]
-    val mode = spark.conf.getOption("graft.classify.hessian").getOrElse("exact")
+    val mode = graft.core.Confs.enumConf(spark, "graft.classify.hessian",
+      "exact", "exact", "sampled", "lbfgs")
     val (hFeats, nHess) = mode match {
       case "sampled" =>
         val fh = feats.filter(pmod(graft.functions.TextFunctions.md5_32(
@@ -301,9 +303,7 @@ object Classify {
         val n = fh.select("doc_id").distinct().count()
         require(n > 0, "sampled-Newton subset is empty — corpus too small")
         (fh, n)
-      case "exact" | "lbfgs" => (feats, nDocs)
-      case other => throw new IllegalArgumentException(
-        s"graft.classify.hessian = '$other' (expected 'exact', 'sampled' or 'lbfgs')")
+      case _ => (feats, nDocs)
     }
     val fa = hFeats.select(col("doc_id"), col("bucket").as("ba"), col("x").as("xa"))
     val fb = hFeats.select(col("doc_id"), col("bucket").as("bb"), col("x").as("xb"))

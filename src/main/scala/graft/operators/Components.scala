@@ -77,21 +77,8 @@ object Components {
     var pairs = canon
       .filter(col("a") =!= col("b"))
       .distinct().localCheckpoint(false)
-    val maxRounds = pairsIn.sparkSession.conf
-      .getOption("graft.cc.maxRounds")
-      .map { raw =>
-        // A malformed value must fail naming the conf, not as a bare
-        // NumberFormatException (the floatMode/ngram.prefixOrder rule)
-        // — and 0/negative would surface as a bogus "not converged
-        // after 0 rounds" convergence error, so reject it here too.
-        val n = try raw.toInt catch {
-          case _: NumberFormatException => -1
-        }
-        if (n <= 0) throw new IllegalArgumentException(
-          s"graft.cc.maxRounds = '$raw' (expected a positive integer)")
-        n
-      }
-      .getOrElse(MaxRounds)
+    val maxRounds = graft.core.Confs.intConf(
+      pairsIn.sparkSession, "graft.cc.maxRounds", MaxRounds)
     var rounds = 0
     var prevCount = pairs.count()
     var changed = true

@@ -179,8 +179,9 @@ object Dedup {
     * Prefix length ℓ = |s| − ⌈τ·|s|⌉ + 1, with ⌈τ·sz⌉ = (3·sz+9) div 10
     * in exact integer arithmetic (τ = 3/10 = JaccardTau). */
   private[graft] def ngramPrefix(spark: SparkSession, sets: DataFrame): DataFrame = {
-    val prefix = spark.conf.getOption("graft.ngram.prefixOrder") match {
-      case Some("df") =>
+    val prefix = graft.core.Confs.enumConf(spark,
+        "graft.ngram.prefixOrder", "hash", "hash", "df") match {
+      case "df" =>
         // df-ascending canonical order: rank every posting by (df, h)
         // and keep each doc's ℓ rarest tokens. One df aggregation +
         // one per-doc rank window more than the hash order; prefixes
@@ -203,12 +204,7 @@ object Dedup {
           // storage for the application lifetime. (doc_id, h) pairs
           // only, ~ℓ per doc, so the materialization is small.
           .localCheckpoint(false)
-      case Some("hash") | None => hashPrefix(sets)
-      case Some(other) =>
-        // A typo'd value must not silently bench the default plan as
-        // if it were the requested one.
-        throw new IllegalArgumentException(
-          s"graft.ngram.prefixOrder = '$other' (expected 'hash' or 'df')")
+      case _ => hashPrefix(sets)
     }
     prefix
   }
@@ -808,12 +804,8 @@ object Dedup {
     *    union-find, and measures 9 rounds on a 255-chain (spec bound
     *    ≤ 10) where propagation would need ~128 two-hop rounds. */
   private def ccStar(spark: SparkSession): Boolean =
-    spark.conf.getOption("graft.cluster.ccMode") match {
-      case Some("star") => true
-      case Some("minlabel") | None => false
-      case Some(other) => throw new IllegalArgumentException(
-        s"graft.cluster.ccMode = '$other' (expected 'minlabel' or 'star')")
-    }
+    graft.core.Confs.enumConf(spark, "graft.cluster.ccMode",
+      "minlabel", "minlabel", "star") == "star"
 
   /** Unordered cluster labels (composable form — [[Curation]] anti-
     * joins on the non-keepers without paying a presentation sort). */

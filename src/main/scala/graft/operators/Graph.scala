@@ -74,15 +74,8 @@ object Graph {
     * contribution frame either way), so the switch changes the
     * aggregation expression only — never the join/shuffle structure. */
   private def floatFree(spark: SparkSession): Boolean =
-    spark.conf.getOption("graft.graph.floatMode") match {
-      case Some("free") => true
-      case Some("parity") | None => false
-      case Some(other) =>
-        // A typo'd value must not silently run the default mode as if
-        // it were the requested one (the ngram.prefixOrder rule).
-        throw new IllegalArgumentException(
-          s"graft.graph.floatMode = '$other' (expected 'parity' or 'free')")
-    }
+    graft.core.Confs.enumConf(spark, "graft.graph.floatMode",
+      "parity", "parity", "free") == "free"
 
   /** Per-key float reduction of `contrib` grouped by `group`: parity
     * mode sorts the collected (far, contrib) structs by the far
@@ -527,13 +520,8 @@ object Graph {
     * ([[Components.MaxRounds]] rationale). */
   private def bfsFrom(spark: SparkSession, seeds: DataFrame,
       sym: DataFrame): DataFrame = {
-    val maxRounds = spark.conf.getOption("graft.graph.bfsMaxRounds")
-      .map { raw =>
-        val n = try raw.toInt catch { case _: NumberFormatException => -1 }
-        if (n <= 0) throw new IllegalArgumentException(
-          s"graft.graph.bfsMaxRounds = '$raw' (expected a positive integer)")
-        n
-      }.getOrElse(1024)
+    val maxRounds = graft.core.Confs.intConf(
+      spark, "graft.graph.bfsMaxRounds", 1024)
     val levels = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var prev = seeds.limit(0).localCheckpoint(false)
     var frontier = seeds.localCheckpoint(false)

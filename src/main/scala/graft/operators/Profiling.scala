@@ -55,11 +55,10 @@ object Profiling {
     * the q_approx_distinct precedent); ProfilingSpec pins the approx
     * plan shape (no Expand-side dedup) and its relative error. */
   def qProfile(spark: SparkSession, dir: String): DataFrame = {
-    val ndv = spark.conf.getOption("graft.profile.ndv") match {
-      case Some("approx") => approx_count_distinct(col("v"), 0.05)
-      case Some("exact") | None => countDistinct(col("v"))
-      case Some(other) => throw new IllegalArgumentException(
-        s"graft.profile.ndv = '$other' (expected 'exact' or 'approx')")
+    val ndv = graft.core.Confs.enumConf(spark, "graft.profile.ndv",
+        "exact", "exact", "approx") match {
+      case "approx" => approx_count_distinct(col("v"), 0.05)
+      case _ => countDistinct(col("v"))
     }
     val li = Tables(spark, dir).lineitem
     val stackArgs = ProfileCols

@@ -509,12 +509,8 @@ object TextAnalysis {
     * row size, the shape for a 10⁷⁺-word web vocabulary, last-bit
     * nondeterministic, rank-pinned against parity in PipelineSpec. */
   private def jsdFree(spark: SparkSession): Boolean =
-    spark.conf.getOption("graft.text.jsdFold") match {
-      case Some("free") => true
-      case Some("parity") | None => false
-      case Some(other) => throw new IllegalArgumentException(
-        s"graft.text.jsdFold = '$other' (expected 'parity' or 'free')")
-    }
+    graft.core.Confs.enumConf(spark, "graft.text.jsdFold",
+      "parity", "parity", "free") == "free"
 
   /** One JSD term 0.5·p·ln(p/m) + 0.5·q·ln(q/m), m = (p+q)/2, with
     * the 0·ln0 := 0 CASE guards — THE one copy of the term's parity

@@ -986,22 +986,8 @@ object IndexedStore {
     * Read from the active session at each site, so a store written
     * with the tier off simply has inventory-only checkpoints (its
     * files are never pruned — conservative admission covers it). */
-  /** Strict boolean conf read: `parseBoolean` maps any typo to false
-    * silently (a typo'd `graft.store.zonemap=ture` would quietly turn
-    * the tier off) — the ngram.prefixOrder validation rule applies to
-    * booleans too. */
-  private def boolConf(spark: SparkSession, key: String,
-      default: Boolean): Boolean =
-    spark.conf.getOption(key) match {
-      case None => default
-      case Some("true") => true
-      case Some("false") => false
-      case Some(other) => throw new IllegalArgumentException(
-        s"$key = '$other' (expected 'true' or 'false')")
-    }
-
   private def zonemapEnabled(spark: SparkSession): Boolean =
-    boolConf(spark, "graft.store.zonemap", default = true)
+    graft.core.Confs.boolConf(spark, "graft.store.zonemap", default = true)
 
   /** Per-file min/max bounds of the tracked stats columns over
     * `absFiles` — one column-pruned scan grouped by file. None when
@@ -1263,7 +1249,8 @@ object IndexedStore {
 
   private def logView(spark: SparkSession, rootPath: String,
       gen: String): Option[LogView] = {
-    if (!boolConf(spark, "graft.store.logRead", default = true)) return None
+    if (!graft.core.Confs.boolConf(spark, "graft.store.logRead",
+        default = true)) return None
     val entries = genLogEntries(rootPath, gen)
     if (!ckptFormat(entries, gen)) None
     else {

@@ -54,10 +54,20 @@ object EventStream {
     // sets graft.streaming.statePartitions between queries must see it
     // apply to the next stream, as it did when the conf was read
     // per-query.
-    val stateParts = sys.env.get("GRAFT_STREAM_PARTITIONS")
-      .orElse(spark.conf.getOption("graft.streaming.statePartitions"))
-      .getOrElse(math.max(8, spark.sparkContext.defaultParallelism / 4).toString)
-    s.conf.set("spark.sql.shuffle.partitions", stateParts)
+    // both the env override and the conf validate as positive ints
+    // naming their own key — a typo'd width must not surface as
+    // Spark's own spark.sql.shuffle.partitions parse error
+    val stateParts = sys.env.get("GRAFT_STREAM_PARTITIONS") match {
+      case Some(raw) =>
+        val n = try raw.toInt catch { case _: NumberFormatException => -1 }
+        if (n < 1) throw new IllegalArgumentException(
+          s"GRAFT_STREAM_PARTITIONS = '$raw' (expected an integer >= 1)")
+        n
+      case None => graft.core.Confs.intConf(spark,
+        "graft.streaming.statePartitions",
+        math.max(8, spark.sparkContext.defaultParallelism / 4))
+    }
+    s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
     s
   }
 
@@ -108,15 +118,8 @@ object EventStream {
     * spec-pinned ([[FinalizeSpec]]) against full batch recomputes with
     * the watermark driven past the horizon. */
   private[graft] def finalizeEventTime(rootSpark: SparkSession): Boolean =
-    rootSpark.conf.getOption("graft.streaming.finalize") match {
-      case Some("eventtime") => true
-      case Some("break") | None => false
-      case Some(other) =>
-        // A typo'd value must not silently run the default mode as if
-        // it were the requested one (the ngram.prefixOrder rule).
-        throw new IllegalArgumentException(
-          s"graft.streaming.finalize = '$other' (expected 'break' or 'eventtime')")
-    }
+    graft.core.Confs.enumConf(rootSpark, "graft.streaming.finalize",
+      "break", "break", "eventtime") == "eventtime"
 
   private def eventStream(rootSpark: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(rootSpark)
