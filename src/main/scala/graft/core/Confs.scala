@@ -15,14 +15,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Confs {
 
-  /** The conf's value, which must be `default` (when unset) or one of
-    * `allowed`. */
+  /** The conf's value: `default` when unset, else one of `default`
+    * or `allowed` (the default is implicitly allowed — call sites
+    * don't repeat it). */
   def enumConf(spark: SparkSession, key: String, default: String,
       allowed: String*): String = {
+    val ok = default +: allowed
     val v = spark.conf.getOption(key).getOrElse(default)
-    if (allowed.contains(v)) v
+    if (ok.contains(v)) v
     else throw new IllegalArgumentException(
-      s"$key = '$v' (expected ${allowed.map(a => s"'$a'").mkString(" or ")})")
+      s"$key = '$v' (expected ${ok.map(a => s"'$a'").mkString(" or ")})")
   }
 
   /** Strict boolean: only true/false in any case, never the
@@ -38,21 +40,26 @@ object Confs {
       }
     }
 
-  /** Strict bounded int: malformed values and values below `min` both
-    * name the conf (a bare NumberFormatException names nothing, and a
-    * non-positive round cap would surface as a bogus convergence
-    * error downstream). */
+  /** Strict bounded int parse of a RAW value (the core shared by
+    * [[intConf]] and env-var readers — one copy of the contract):
+    * malformed values and values below `min` both name the key (a
+    * bare NumberFormatException names nothing, and a non-positive
+    * round cap would surface as a bogus convergence error
+    * downstream). */
+  def parseInt(key: String, raw: String, min: Int = 1): Int = {
+    val n =
+      try raw.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$key = '$raw' (expected an integer >= $min)")
+      }
+    if (n < min) throw new IllegalArgumentException(
+      s"$key = '$raw' (expected an integer >= $min)")
+    n
+  }
+
+  /** Strict bounded int session conf. */
   def intConf(spark: SparkSession, key: String, default: Int,
       min: Int = 1): Int =
-    spark.conf.getOption(key).map { raw =>
-      val n =
-        try raw.toInt
-        catch { case _: NumberFormatException =>
-          throw new IllegalArgumentException(
-            s"$key = '$raw' (expected an integer >= $min)")
-        }
-      if (n < min) throw new IllegalArgumentException(
-        s"$key = '$raw' (expected an integer >= $min)")
-      n
-    }.getOrElse(default)
+    spark.conf.getOption(key).map(parseInt(key, _, min)).getOrElse(default)
 }

@@ -102,7 +102,7 @@ object Classify {
         (col("quality") >= Tau).cast("int").as("y"))
     featuresOf(TextAnalysis.docsSpread(spark, dir), labels,
       graft.core.Confs.enumConf(spark, "graft.classify.features",
-        "unigram", "unigram", "bigram"))
+        "unigram", "bigram"))
   }
 
   /** The extraction pipeline over any (doc_id, text) docs frame and
@@ -294,7 +294,7 @@ object Classify {
     val losses = Seq.newBuilder[Double]
     val steps = Seq.newBuilder[Double]
     val mode = graft.core.Confs.enumConf(spark, "graft.classify.hessian",
-      "exact", "exact", "sampled", "lbfgs")
+      "exact", "sampled", "lbfgs")
     val (hFeats, nHess) = mode match {
       case "sampled" =>
         val fh = feats.filter(pmod(graft.functions.TextFunctions.md5_32(

@@ -180,7 +180,7 @@ object Dedup {
     * in exact integer arithmetic (τ = 3/10 = JaccardTau). */
   private[graft] def ngramPrefix(spark: SparkSession, sets: DataFrame): DataFrame = {
     val prefix = graft.core.Confs.enumConf(spark,
-        "graft.ngram.prefixOrder", "hash", "hash", "df") match {
+        "graft.ngram.prefixOrder", "hash", "df") match {
       case "df" =>
         // df-ascending canonical order: rank every posting by (df, h)
         // and keep each doc's ℓ rarest tokens. One df aggregation +
@@ -805,7 +805,7 @@ object Dedup {
     *    ≤ 10) where propagation would need ~128 two-hop rounds. */
   private def ccStar(spark: SparkSession): Boolean =
     graft.core.Confs.enumConf(spark, "graft.cluster.ccMode",
-      "minlabel", "minlabel", "star") == "star"
+      "minlabel", "star") == "star"
 
   /** Unordered cluster labels (composable form — [[Curation]] anti-
     * joins on the non-keepers without paying a presentation sort). */

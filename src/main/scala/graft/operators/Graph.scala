@@ -75,7 +75,7 @@ object Graph {
     * aggregation expression only — never the join/shuffle structure. */
   private def floatFree(spark: SparkSession): Boolean =
     graft.core.Confs.enumConf(spark, "graft.graph.floatMode",
-      "parity", "parity", "free") == "free"
+      "parity", "free") == "free"
 
   /** Per-key float reduction of `contrib` grouped by `group`: parity
     * mode sorts the collected (far, contrib) structs by the far

@@ -56,7 +56,7 @@ object Profiling {
     * plan shape (no Expand-side dedup) and its relative error. */
   def qProfile(spark: SparkSession, dir: String): DataFrame = {
     val ndv = graft.core.Confs.enumConf(spark, "graft.profile.ndv",
-        "exact", "exact", "approx") match {
+        "exact", "approx") match {
       case "approx" => approx_count_distinct(col("v"), 0.05)
       case _ => countDistinct(col("v"))
     }

@@ -510,7 +510,7 @@ object TextAnalysis {
     * nondeterministic, rank-pinned against parity in PipelineSpec. */
   private def jsdFree(spark: SparkSession): Boolean =
     graft.core.Confs.enumConf(spark, "graft.text.jsdFold",
-      "parity", "parity", "free") == "free"
+      "parity", "free") == "free"
 
   /** One JSD term 0.5·p·ln(p/m) + 0.5·q·ln(q/m), m = (p+q)/2, with
     * the 0·ln0 := 0 CASE guards — THE one copy of the term's parity

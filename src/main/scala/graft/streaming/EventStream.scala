@@ -59,10 +59,7 @@ object EventStream {
     // Spark's own spark.sql.shuffle.partitions parse error
     val stateParts = sys.env.get("GRAFT_STREAM_PARTITIONS") match {
       case Some(raw) =>
-        val n = try raw.toInt catch { case _: NumberFormatException => -1 }
-        if (n < 1) throw new IllegalArgumentException(
-          s"GRAFT_STREAM_PARTITIONS = '$raw' (expected an integer >= 1)")
-        n
+        graft.core.Confs.parseInt("GRAFT_STREAM_PARTITIONS", raw)
       case None => graft.core.Confs.intConf(spark,
         "graft.streaming.statePartitions",
         math.max(8, spark.sparkContext.defaultParallelism / 4))
@@ -119,7 +116,7 @@ object EventStream {
     * the watermark driven past the horizon. */
   private[graft] def finalizeEventTime(rootSpark: SparkSession): Boolean =
     graft.core.Confs.enumConf(rootSpark, "graft.streaming.finalize",
-      "break", "break", "eventtime") == "eventtime"
+      "break", "eventtime") == "eventtime"
 
   private def eventStream(rootSpark: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(rootSpark)
