@@ -113,11 +113,86 @@ object DocStream {
        |WHERE bd.doc_id > rep.rep_id
        |ORDER BY doc_id, band""".stripMargin
 
+  final case class DomRow(reg_domain: String, doc_id: Long)
+  final case class AdmitOut(doc_id: Long, reg_domain: String, admit_seq: Long)
+
+  /** st_domain_budget — ingest-time per-domain QUOTA enforcement, the
+    * streaming twin of [[graft.operators.WebCuration.dDomainBudget]]
+    * and the admission-control pattern a continuously-fed crawl
+    * pipeline runs at the door (stop pulling from a domain the moment
+    * its budget is spent — BEFORE paying dedup/quality/storage for
+    * docs that would be cut anyway; the batch operator can only cut
+    * after the fact). State is ONE counter per occupied domain —
+    * bounded by domain cardinality, never corpus size, keyed exactly
+    * like the batch shuffle.
+    *
+    * Admission is first-come-first-served BY NATURE (an admitted doc
+    * cannot be un-admitted when a "better" one arrives later — that
+    * re-ranking is the batch operator's job at rebuild time). Within
+    * a micro-batch, members process in doc_id order; the single-file
+    * gate corpus arrives as one batch, so the admitted set equals the
+    * batch rank-by-doc_id oracle exactly. Across batches the FCFS
+    * caveat is the [[stNearDup]] first-seen class, spec-pinned with a
+    * MemoryStream split: the per-domain count never exceeds the cap
+    * under any batch boundary. */
+  def stDomainBudget(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.WebCuration
+    val stream = docStream(spark, dir).select(col("doc_id"), col("source"))
+    val domains = WebCuration.withUrl(stream)
+      .select(col("doc_id"),
+        regexp_replace(parse_url(col("url"), lit("HOST")), "^www\\.", "")
+          .as("reg_domain"))
+    EventStream.runToTable(budgetPipeline(domains).toDF(), "append")
+      .orderBy("doc_id")
+  }
+
+  /** The stateful admission core over any streaming (doc_id,
+    * reg_domain) frame — factored for the multi-batch spec. */
+  private[graft] def budgetPipeline(
+      domains: DataFrame): org.apache.spark.sql.Dataset[AdmitOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = domains.sparkSession
+    import s.implicits._
+    val cap = graft.operators.WebCuration.DomainCap.toLong
+    domains.select(col("reg_domain"), col("doc_id")).as[DomRow]
+      .groupByKey(_.reg_domain)
+      .flatMapGroupsWithState[Long, AdmitOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (dom: String, rows: Iterator[DomRow], state: GroupState[Long]) =>
+          val ids = rows.map(_.doc_id).toSeq.sorted
+          var n = state.getOption.getOrElse(0L)
+          val out = ids.flatMap { id =>
+            if (n < cap) { n += 1L; Some(AdmitOut(id, dom, n)) } else None
+          }
+          state.update(n)
+          out.iterator
+      }
+  }
+
+  val stDomainBudgetSql: String = {
+    import graft.operators.WebCuration
+    s"""WITH u AS (${WebCuration.withUrlSql}),
+       |p AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_extract(url, '^https://([^/?#]+)', 1),
+       |                   '^www\\.', '') AS reg_domain
+       |  FROM u)
+       |SELECT doc_id, reg_domain, rn AS admit_seq
+       |FROM (SELECT doc_id, reg_domain,
+       |        row_number() OVER (PARTITION BY reg_domain
+       |          ORDER BY doc_id)::BIGINT AS rn
+       |      FROM p) t
+       |WHERE rn <= ${WebCuration.DomainCap}
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_near_dup" -> stNearDup,
+    "st_domain_budget" -> stDomainBudget,
   )
 
   def oracles: Map[String, String] = Map(
     "st_near_dup" -> stNearDupSql,
+    "st_domain_budget" -> stDomainBudgetSql,
   )
 }

@@ -62,4 +62,55 @@ class DocStreamSpec extends SparkSpec {
     val b = DocStream.stNearDup(spark, sf).collect().toSeq
     assert(a == b)
   }
+
+  test("st_domain_budget: the cap holds under any batch boundary, FCFS admission") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cap = graft.operators.WebCuration.DomainCap
+    val mem = MemoryStream[(String, Long)]
+    val out = DocStream.budgetPipeline(mem.toDF.toDF("reg_domain", "doc_id"))
+    val name = "dombudget_xbatch"
+    val q = out.toDF.writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    try {
+      // batch 1: two docs on domain a (both admitted), one on b
+      mem.addData(("a", 10L), ("a", 11L), ("b", 20L))
+      q.processAllAvailable()
+      // batch 2: domain a gets three more — only ONE seat remains,
+      // and FCFS means the earliest id of the batch takes it even
+      // though a smaller id (5) arrives in the same batch
+      mem.addData(("a", 5L), ("a", 30L), ("a", 31L), ("b", 21L))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .as[(Long, String, Long)].collect()
+      val byDom = rows.groupBy(_._2)
+      assert(byDom("a").map(_._1).toSet == Set(10L, 11L, 5L),
+        s"domain a admissions: ${byDom("a").toSeq}")
+      assert(byDom("b").map(_._1).toSet == Set(20L, 21L))
+      byDom.values.foreach { admitted =>
+        assert(admitted.length <= cap, s"cap breached: ${admitted.toSeq}")
+        // admit_seq is the running per-domain counter, dense from 1
+        assert(admitted.map(_._3).sorted.sameElements(1L to admitted.length.toLong))
+      }
+    } finally q.stop()
+  }
+
+  test("st_domain_budget equals the batch rank on the single-batch corpus") {
+    import org.apache.spark.sql.functions._
+    val got = DocStream.stDomainBudget(spark, sf)
+      .as[(Long, String, Long)].collect().toSet
+    val expect = graft.operators.WebCuration.withUrl(
+        graft.core.Tables(spark, sf).documents.select(col("doc_id"), col("source")))
+      .select(col("doc_id"),
+        regexp_replace(parse_url(col("url"), lit("HOST")), "^www\\.", "")
+          .as("reg_domain"))
+      .as[(Long, String)].collect()
+      .groupBy(_._2).iterator.flatMap { case (dom, rows) =>
+        rows.map(_._1).sorted.take(graft.operators.WebCuration.DomainCap)
+          .zipWithIndex.map { case (id, i) => (id, dom, i + 1L) }
+      }.toSet
+    assert(got == expect,
+      s"stream vs batch rank diverged: extra=${got -- expect} missing=${expect -- got}")
+    assert(got.nonEmpty)
+  }
 }
