@@ -282,6 +282,15 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] ingest-base prepare failed: ${e.getMessage}")
       }
+    // the τ-pair truth parquet is a build-once artifact shared by the
+    // dedup audit/tuning consumers — prepared here so d_dedup_eval and
+    // d_lsh_tune time their audit math, not a third and fourth rebuild
+    // of the AllPairs pipeline (d_dedup_ngram keeps its live timed line)
+    if (selected.exists(q => Set("d_dedup_eval", "d_lsh_tune").contains(q._1)))
+      try { graft.operators.Dedup.ngramTruth(spark, sfDir): Unit }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ngram-truth prepare failed: ${e.getMessage}")
+      }
     val spill = new SpillListener
     spark.sparkContext.addSparkListener(spill)
     // 1-min system load at each query's start: per-query numbers swing

@@ -173,10 +173,6 @@ object Multimodal {
   /** Shard byte budget for [[mShardPack]]. */
   val ShardBytes = 65536L
 
-  /** See [[graft.operators.TextAnalysis.budgetPack]]'s caller-owned
-    * unpersist contract. */
-  private var lastShardCache: Option[Dataset[(Long, Long)]] = None
-
   /** m_shard_pack — WebDataset-style media shard assignment: payloads
     * in doc_id order are laid head-to-tail into fixed
     * [[ShardBytes]]-byte shards, emitting each payload's shard id and
@@ -187,14 +183,11 @@ object Multimodal {
     * lengths — never a global ORDER BY window, which would pull the
     * corpus into one reducer. */
   def mShardPack(spark: SparkSession, dir: String): DataFrame = {
-    lastShardCache.foreach(_.unpersist())
     val sized = Tables(spark, dir).documents
       .select(col("doc_id"),
         length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
-    val (pinned, packed) =
-      graft.operators.TextAnalysis.budgetPack(spark, sized, ShardBytes)
-    lastShardCache = Some(pinned)
-    packed.select(col("id").as("doc_id"), col("n").as("n_bytes"),
+    graft.operators.TextAnalysis.budgetPack(spark, sized, ShardBytes)
+      .select(col("id").as("doc_id"), col("n").as("n_bytes"),
         col("bucket").as("shard_id"), col("off").as("offset_bytes"))
       .orderBy("doc_id")
   }
@@ -455,7 +448,12 @@ object Multimodal {
             lit(1L << i)).otherwise(lit(0L))
         }.reduce(_ + _).as(s"s$b")
       }: _*)
-      .cache()
+      // Lazy localCheckpoint, not cache: both sides of the banding
+      // self-join reference the signature frame, but a cache() pins
+      // it for the session (no caller owns the unpersist once the
+      // pair frame is returned) — checkpoint blocks are released by
+      // the ContextCleaner when the frame is GC'd.
+      .localCheckpoint(false)
     val banded = (0 until 4).map { b =>
       sig.select(col("doc_id"), col("s0"), col("s1"), col("s2"), col("s3"),
         lit(b).as("band"), col(s"s$b").as("bv"))

@@ -65,12 +65,6 @@ object Curation {
     * tokens at sf0.001). */
   val BudgetTokensPerLang = 2000L
 
-  /** The budget cache must outlive the returned frame's materialization
-    * (it pins the range partitioning both passes share) — same
-    * discipline as [[TextAnalysis.tPack]]: each call releases the
-    * PREVIOUS call's pinned copy, bounding the leak to one. */
-  private var lastBudgetCache: Option[DataFrame] = None
-
   /** d_budget — cut the corpus to a fixed word-token budget PER
     * LANGUAGE in deterministic doc_id order: a doc is kept iff its
     * language's running token total BEFORE it is under
@@ -96,14 +90,15 @@ object Curation {
   def dBudget(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    lastBudgetCache.foreach(_.unpersist())
+    // per-call lazy localCheckpoint freezes the sampled range
+    // boundaries both passes share — the budgetPack discipline (no
+    // shared cache slot; blocks released when the frame is dropped)
     val toks = TextAnalysis.docsSpread(spark, dir)
       .select(col("doc_id"), col("lang"),
         size(words(col("text"))).cast("long").as("word_tokens"))
       .repartitionByRange(parts, col("lang"), col("doc_id"))
       .sortWithinPartitions("lang", "doc_id")
-      .cache()
-    lastBudgetCache = Some(toks)
+      .localCheckpoint(false)
     // pass 1: per-(partition, language) token sums — ≤ parts × |langs|
     // rows reach the driver
     val partLang = toks
@@ -488,6 +483,11 @@ object Curation {
        |FROM verdict
        |ORDER BY doc_id""".stripMargin
 
+  /** Sub-group fan-out of [[dDatacard]]'s hierarchical quality fold
+    * (doc_id mod Subs — engine-mirrorable, planner-independent; the
+    * [[graft.operators.Embeddings.CentroidSubs]] discipline). */
+  val DatacardSubs = 32
+
   /** d_datacard — the per-source DATASET REPORT CARD every corpus
     * release ships (HuggingFace dataset cards, Dolma's summary
     * tables): one row per source with volume (docs, word tokens),
@@ -500,15 +500,25 @@ object Curation {
     * aggregation, never an extra corpus pass per metric.
     *
     * Parity: counts are integers; pct_kept is one int/int division;
-    * mean_quality folds the per-doc stableRound(4) scores sorted
-    * ascending from 0.0 (ties are identical doubles) — the per-source
-    * collect_list row is bounded by docs-per-source at gate scale,
-    * and the 100 TB swap is the [[graft.operators.Embeddings]]
-    * hierarchical sub-fold, a drop-in since the values are already
-    * per-doc scalars. The top-lang window runs over (source, lang)
-    * COUNTS — a bounded grid, not corpus rows. */
+    * mean_quality rides the [[graft.operators.Embeddings]]
+    * HIERARCHICAL pinned fold (the e_centroid/e_gram discipline,
+    * keyed (source, doc_id mod [[DatacardSubs]])): per-doc
+    * stableRound(4) scores hash-shuffle once on the full key and
+    * each sub-group folds STREAMING inside mapPartitions over the
+    * sorted partition — no row ever holds a source's score list (a
+    * per-source collect_list row is docs-per-source-sized: ~N/20
+    * here, unbounded on a real corpus — the single-row shape this
+    * repo engineered out of PageRank/t_jsd/e_centroid/d_shard); only
+    * the ≤ sources × Subs partials materialize and the final combine
+    * folds them in sub order. DuckDB mirrors the exact two-level
+    * structure (per-sub sorted list_reduce, then sub-ordered
+    * list_reduce), so every double is bit-identical — value-order
+    * ties are harmless because equal addends produce the same
+    * partial-sum sequence. The top-lang window runs over
+    * (source, lang) COUNTS — a bounded grid, not corpus rows. */
   def dDatacard(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val src = Tables(spark, dir).documents.select(col("doc_id"), col("source"))
     // the audit's own checkpointed quality/lang frames ride along —
     // localCheckpoints are invisible to CacheManager, so re-deriving
@@ -524,19 +534,46 @@ object Curation {
       .filter(col("rk") === 1)
       .select(col("source"), col("pred_lang").as("top_lang"),
         col("cnt").as("top_lang_n"))
+    // hierarchical pinned quality sum: one exchange on the full
+    // (source, sub) key, streaming per-group fold, bounded partials
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val subsums = base.select(col("source"),
+        pmod(col("doc_id"), lit(DatacardSubs.toLong)).cast("int").as("sub"),
+        col("quality").as("v"))
+      .repartition(parts, col("source"), col("sub"))
+      .sortWithinPartitions(col("source"), col("sub"), col("v"))
+      .as[(String, Int, Double)]
+      .mapPartitions { rows =>
+        // groups are contiguous after the sort; stream one fold each
+        val out = Seq.newBuilder[(String, Int, Double)]
+        var cur: (String, Int) = null
+        var s = 0.0
+        def flush(): Unit = if (cur != null) out += ((cur._1, cur._2, s))
+        rows.foreach { case (src, sub, v) =>
+          val k = (src, sub)
+          if (k != cur) { flush(); cur = k; s = 0.0 }
+          s += v
+        }
+        flush()
+        out.result().iterator
+      }
+      .toDF("source", "sub", "s")
+    val qsum = subsums.groupBy("source")
+      .agg(sort_array(collect_list(struct(col("sub"), col("s")))).as("ss"))
+      .select(col("source"),
+        aggregate(col("ss"), lit(0.0), (a, x) => a + x.getField("s")).as("qsum"))
     base.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_words").cast("long").as("n_tokens"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("pii_scrubbed"), 1L).otherwise(0L)).as("n_pii_scrub"),
-        sort_array(collect_list(col("quality"))).as("qs"))
+        sum(when(col("pii_scrubbed"), 1L).otherwise(0L)).as("n_pii_scrub"))
       .join(top, "source")
+      .join(qsum, "source")
       .select(col("source"), col("n_docs"), col("n_tokens"), col("n_kept"),
         stableRound(col("n_kept").cast("double") /
           col("n_docs").cast("double"), 4).as("pct_kept"),
         col("n_pii_scrub"), col("top_lang"), col("top_lang_n"),
-        stableRound(aggregate(col("qs"), lit(0.0), (a, x) => a + x)
-          / col("n_docs"), 4).as("mean_quality"))
+        stableRound(col("qsum") / col("n_docs"), 4).as("mean_quality"))
       .orderBy("source")
   }
 
@@ -545,8 +582,8 @@ object Curation {
        |dq AS (SELECT doc_id, n_words, quality FROM (${TextAnalysis.tQualitySql}) x),
        |dl AS (SELECT doc_id, pred_lang FROM (${TextAnalysis.tLangIdSql}) x),
        |base AS (
-       |  SELECT d.source, a.kept, a.pii_scrubbed, dq.n_words, dq.quality,
-       |    dl.pred_lang
+       |  SELECT d.doc_id, d.source, a.kept, a.pii_scrubbed, dq.n_words,
+       |    dq.quality, dl.pred_lang
        |  FROM documents d JOIN a USING (doc_id)
        |    JOIN dq USING (doc_id) JOIN dl USING (doc_id)),
        |lc AS (SELECT source, pred_lang, count(*)::BIGINT AS cnt
@@ -556,19 +593,27 @@ object Curation {
        |  FROM (SELECT *, row_number() OVER (PARTITION BY source
        |          ORDER BY cnt DESC, pred_lang) AS rk FROM lc) t
        |  WHERE rk = 1),
+       |qsub AS (
+       |  SELECT source, doc_id % $DatacardSubs AS sub,
+       |    list_reduce(list_prepend(0.0, list(quality ORDER BY quality)),
+       |      (x, y) -> x + y) AS s
+       |  FROM base GROUP BY 1, 2),
+       |qs AS (
+       |  SELECT source,
+       |    list_reduce(list_prepend(0.0, list(s ORDER BY sub)),
+       |      (x, y) -> x + y) AS qsum
+       |  FROM qsub GROUP BY 1),
        |agg AS (
        |  SELECT source, count(*)::BIGINT AS n_docs,
        |    sum(n_words)::BIGINT AS n_tokens,
        |    sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
-       |    sum(CASE WHEN pii_scrubbed THEN 1 ELSE 0 END)::BIGINT AS n_pii_scrub,
-       |    list_reduce(list_prepend(0.0, list(quality ORDER BY quality)),
-       |      (x, y) -> x + y) AS qsum
+       |    sum(CASE WHEN pii_scrubbed THEN 1 ELSE 0 END)::BIGINT AS n_pii_scrub
        |  FROM base GROUP BY 1)
        |SELECT agg.source, n_docs, n_tokens, n_kept,
        |  ${stableRoundSql("n_kept::DOUBLE / n_docs::DOUBLE", 4)} AS pct_kept,
        |  n_pii_scrub, top_lang, top_lang_n,
        |  ${stableRoundSql("qsum / n_docs", 4)} AS mean_quality
-       |FROM agg JOIN top USING (source)
+       |FROM agg JOIN top USING (source) JOIN qs USING (source)
        |ORDER BY source""".stripMargin
 
   val dCurateSql: String =
@@ -811,21 +856,19 @@ object Curation {
        |FROM s CROSS JOIN base
        |ORDER BY doc_id""".stripMargin
 
-  /** Pinned frames of in-flight [[rankPinned]] calls, one slot per
-    * operator (see [[graft.operators.TextAnalysis.budgetPack]]'s
-    * caller-owned unpersist contract — the pinned range-partitioned
-    * frame must stay cached between the count pass and the rank
-    * pass; a new call to the SAME operator releases its predecessor). */
-  private val rankPins = java.util.Collections.synchronizedMap(
-    new java.util.HashMap[String, DataFrame]())
-
   /** The two-pass distributed GLOBAL RANK shared by [[dOrder]] and
     * [[dPplBucket]] (the [[graft.operators.TextAnalysis.budgetPack]]
     * discipline applied to positions): range-partition `df` by
-    * `sortExprs` (ONE exchange), pin the sampled range boundaries with
-    * a cache held across both passes (repartitionByRange samples —
-    * unpinned, the rank pass could see different partitions than the
-    * count pass), collect per-partition counts to the driver (parts
+    * `sortExprs` (ONE exchange), pin the sampled range boundaries by
+    * freezing the partitioned frame as a PER-CALL lazy localCheckpoint
+    * (repartitionByRange SAMPLES — without a frozen materialization
+    * the rank pass could see different boundaries than the count
+    * pass; the earlier shared cache slot reintroduced the hazard
+    * between two CONCURRENT calls of one operator, where call A's
+    * release could evict the entry call B's count pass ran on — a
+    * checkpoint RDD is per-call, immutable, and its blocks are
+    * released by the ContextCleaner when the returned frame is
+    * dropped), collect per-partition counts to the driver (parts
     * longs — bounded), then each partition emits dense positions from
     * its prefix offset — never a global ORDER BY window pulling the
     * corpus through one reducer. Returns (input columns + `pos`,
@@ -837,16 +880,14 @@ object Curation {
     * the pinning invariant STRUCTURAL for the rank call sites; the
     * prefix-sum variants ([[graft.operators.TextAnalysis.budgetPack]],
     * [[dBudget]]) still carry it by the documented convention. */
-  private def rankPinned(spark: SparkSession, slot: String, df: DataFrame,
+  private def rankPinned(spark: SparkSession, df: DataFrame,
       sortExprs: Seq[Column]): (DataFrame, Long) = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    Option(rankPins.remove(slot)).foreach(_.unpersist())
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val pinned = df.repartitionByRange(parts, sortExprs: _*)
       .sortWithinPartitions(sortExprs: _*)
-      .cache()
-    rankPins.put(slot, pinned): Unit
+      .localCheckpoint(false)
     val partCounts = pinned.mapPartitions(
       it => Iterator.single(it.size.toLong))(Encoders.scalaLong).collect()
     val offsets = partCounts.scanLeft(0L)(_ + _)
@@ -879,7 +920,7 @@ object Curation {
     val keyed = Tables(spark, dir).documents
       .select(col("doc_id"),
         md5(concat(lit("ord:"), col("doc_id").cast("string"))).as("shuffle_key"))
-    rankPinned(spark, "order", keyed,
+    rankPinned(spark, keyed,
       Seq(col("shuffle_key"), col("doc_id")))._1
   }
 
@@ -913,7 +954,7 @@ object Curation {
   def dPplBucket(spark: SparkSession, dir: String): DataFrame = {
     val scored = TextAnalysis.logprobScored(spark, dir)
       .select(col("doc_id"), col("logprob10"))
-    val (ranked, total) = rankPinned(spark, "ppl", scored,
+    val (ranked, total) = rankPinned(spark, scored,
       Seq(col("logprob10").desc, col("doc_id")))
     val n = math.max(total, 1L)
     ranked

@@ -160,8 +160,14 @@ object Dedup {
       .select(col("doc_id"),
         array_distinct(transform(col("shing"), s => md5_32(s))).as("hs"))
 
-  def dDedupNgram(spark: SparkSession, dir: String): DataFrame = {
-    val sets = ngramSets(spark, dir)
+  def dDedupNgram(spark: SparkSession, dir: String): DataFrame =
+    ngramPairsOf(spark, ngramSets(spark, dir))
+
+  /** The full AllPairs pipeline (prefix candidates → exact verify) on
+    * an arbitrary hashed-set frame — [[dDedupNgram]] parameterized by
+    * its input so [[lshTuneTruth]]'s doc-sample gate can run the SAME
+    * pipeline on a gated subset. */
+  private[graft] def ngramPairsOf(spark: SparkSession, sets: DataFrame): DataFrame = {
     // one prefix frame referenced on BOTH join sides — the df order's
     // localCheckpoint barrier then materializes its aggregation once
     val prefix = ngramPrefix(spark, sets)
@@ -170,6 +176,26 @@ object Dedup {
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .dropDuplicates("id1", "id2")
     verifyPairs(cand, sets)
+  }
+
+  /** The τ-true pair TRUTH frame (id1, id2, inter, jaccard), scratch-
+    * persisted once per testdata generation ([[StorageOps.buildOnce]]
+    * — the same discipline that pre-builds stores and ANN sidecars)
+    * and shared by every truth CONSUMER ([[dDedupEval]],
+    * [[dLshTune]]): each used to re-run the whole AllPairs pipeline
+    * (~7 s per consumer at sf0.1), tripling the suite's dedup cost
+    * for the identical deterministic frame. [[dDedupNgram]] itself
+    * still computes the live pipeline — it IS the measured operator;
+    * consumers read the persisted artifact, which is exactly how a
+    * production pipeline treats its dedup output (computed once,
+    * audited many times). Parquet round-trips longs and doubles
+    * bit-exactly, so consumer parity is unchanged. */
+  private[graft] def ngramTruth(spark: SparkSession, dir: String): DataFrame = {
+    val path = StorageOps.scratch("ngramtruth", dir)
+    StorageOps.buildOnce(path) {
+      dDedupNgram(spark, dir).write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
   }
 
   /** Conf-selected prefix postings for the candidate self-join —
@@ -490,7 +516,7 @@ object Dedup {
     * discipline as PQ/Gram — recall is a per-pair property, so a
     * doc-sampled estimate is unbiased for the pairs it retains. */
   def dDedupEval(spark: SparkSession, dir: String): DataFrame = {
-    val truth = dDedupNgram(spark, dir).select("id1", "id2")
+    val truth = ngramTruth(spark, dir).select("id1", "id2")
     val cand = minhashCandidates(spark, dir)
     val tp = cand.join(truth, Seq("id1", "id2"))
       .agg(count(lit(1)).as("tp"))
@@ -540,24 +566,57 @@ object Dedup {
     *
     * Float parity: s is the already-hash-green stableRounded Jaccard;
     * powers are computed by binary exponentiation with the identical
-    * op tree in both engines (never pow()); the per-config mean folds
-    * in (id1, id2) order. Scale: everything is the truth-pair frame
-    * (corpus-linear to produce, tiny to fold) × 5 configs; at 100 TB
-    * it runs on a doc sample like d_dedup_eval — per-pair expectation
-    * is unbiased on retained pairs. */
+    * op tree in both engines (never pow()).
+    *
+    * Scale: two conf knobs make the 100 TB shape CODE, not prose —
+    *  - `graft.dedup.lshTuneFold` (the [[graft.operators.TextAnalysis]]
+    *    jsdFold pattern): `parity` (default) folds each config's mean
+    *    over ONE sorted per-pair row — bit-identical to the oracle,
+    *    fine while the τ-true pair set fits a row (gate scale);
+    *    `free` is a plain map-side-combined sum — constant row size
+    *    at ANY pair volume, last-bit nondeterministic, pinned ≡
+    *    parity to 1e-9 in PipelineSpec and collect_list-free in
+    *    PlanQualitySpec.
+    *  - `graft.dedup.lshTuneSample` = N (≥1, default 1): keep only
+    *    docs with md5("lshs:"+doc_id) mod N = 0 BEFORE the truth
+    *    pipeline, shrinking candidate volume ~1/N² — the
+    *    d_dedup_eval train-on-sample discipline, but enforced in the
+    *    plan; per-pair collision probability is a pair property, so
+    *    the sampled mean is unbiased on retained pairs (PipelineSpec
+    *    pins sampled truth ≡ full truth restricted to gated docs).
+    * The full-corpus truth is the scratch-persisted [[ngramTruth]]
+    * artifact shared with [[dDedupEval]]; a sampled run computes its
+    * own (smaller) pipeline live. */
   def dLshTune(spark: SparkSession, dir: String): DataFrame = {
-    val truth = dDedupNgram(spark, dir).select("id1", "id2", "jaccard").cache()
+    val free = graft.core.Confs.enumConf(spark,
+      "graft.dedup.lshTuneFold", "parity", "free") == "free"
+    val sampleN = graft.core.Confs.intConf(spark, "graft.dedup.lshTuneSample", 1)
+    val truthAll =
+      if (sampleN == 1) ngramTruth(spark, dir)
+      else ngramPairsOf(spark, ngramSets(spark, dir).filter(
+        pmod(conv(substring(md5(concat(lit("lshs:"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long"), lit(sampleN.toLong)) === 0))
+    // five config arms reference the frame — freeze it once (lazy
+    // localCheckpoint: blocks released when the frame is dropped)
+    val truth = truthAll.select(col("id1"), col("id2"), col("jaccard"))
+      .localCheckpoint(false)
     LshTuneConfigs.map { case (b, r) =>
       val prob = lit(1.0) - powCol(lit(1.0) - powCol(col("jaccard"), r), b)
-      truth.select(struct(col("id1"), col("id2"), prob.as("p")).as("s"))
-        .agg(sort_array(collect_list(col("s"))).as("ps"),
-          count(lit(1)).as("n"))
-        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
-          lit(b == Bands).as("is_current"),
-          col("n").as("n_truth"),
-          stableRound(
-            aggregate(col("ps"), lit(0.0), (a, x) => a + x.getField("p")) /
-              col("n").cast("double"), 6).as("exp_recall"))
+      val folded =
+        if (free)
+          truth.agg(sum(prob).as("ps"), count(lit(1)).as("n"))
+            .select(col("n"), (col("ps") / col("n").cast("double")).as("mean"))
+        else
+          truth.select(struct(col("id1"), col("id2"), prob.as("p")).as("s"))
+            .agg(sort_array(collect_list(col("s"))).as("ps"),
+              count(lit(1)).as("n"))
+            .select(col("n"),
+              (aggregate(col("ps"), lit(0.0), (a, x) => a + x.getField("p")) /
+                col("n").cast("double")).as("mean"))
+      folded.select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+        lit(b == Bands).as("is_current"),
+        col("n").as("n_truth"),
+        stableRound(col("mean"), 6).as("exp_recall"))
     }.reduce(_.unionByName(_)).orderBy("bands")
   }
 

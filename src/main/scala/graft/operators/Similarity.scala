@@ -1087,8 +1087,14 @@ object Similarity {
     * the s_ann_* rows-only class); the output is deterministic
     * because every arm is, and the spec replays the joins. */
   def sAnnEval(spark: SparkSession, dir: String): DataFrame = {
+    // Lazy localCheckpoint, not cache: the truth frame (|Q|·k rows)
+    // is referenced by all five arms' joins plus its own count, but a
+    // cache() here would pin it for the session (nobody owns the
+    // unpersist once this frame is returned) — checkpoint blocks are
+    // released by the ContextCleaner when the frame is GC'd, the
+    // ngramPrefix discipline.
     val truth = sAnnBrute(spark, dir)
-      .select(col("query_id"), col("neighbor_id")).cache()
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(false)
     val arms: Seq[(String, DataFrame)] = Seq(
       "lsh" -> sAnnLsh(spark, dir),
       "ivf" -> sAnnIvf(spark, dir),

@@ -197,12 +197,6 @@ object TextAnalysis {
   /** Tokens per training context window for [[tPack]]. */
   val PackBudget = 256L
 
-  /** The pack cache must outlive the returned frame's materialization
-    * (it pins the range partitioning both passes share), so each call
-    * releases the PREVIOUS call's cache instead — bounding the leak to
-    * one pinned copy per session. */
-  private var lastPackCache: Option[org.apache.spark.sql.Dataset[(Long, Long)]] = None
-
   /** The shared budget packer: (id, size) rows in id order are laid
     * head-to-tail into fixed-`budget` buckets, emitting each id's
     * bucket and in-bucket offset — the machinery behind both token
@@ -216,18 +210,21 @@ object TextAnalysis {
     * sum, the ~numPartitions per-partition totals are prefixed on the
     * driver, and a second narrow pass adds each partition's base
     * offset — two narrow passes plus one tiny collect, correct at any
-    * scale. The returned PINNED dataset is the cache that keeps both
-    * passes on identical partitions (pid consistency) — the caller
-    * owns its unpersist lifecycle. */
+    * scale. The range-partitioned frame is frozen as a PER-CALL lazy
+    * localCheckpoint so both passes read identical partitions (pid
+    * consistency) with no shared mutable cache slot — a slot let one
+    * call's release evict the pinned copy a CONCURRENT call's first
+    * pass had already counted; checkpoint blocks are instead released
+    * by the ContextCleaner when the returned frame is dropped. */
   private[graft] def budgetPack(spark: SparkSession, sized: DataFrame,
-      budget: Long): (org.apache.spark.sql.Dataset[(Long, Long)], DataFrame) = {
+      budget: Long): DataFrame = {
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val pinned = sized.toDF("id", "n")
       .repartitionByRange(parts, col("id"))
       .sortWithinPartitions("id")
       .as[(Long, Long)]
-      .cache()
+      .localCheckpoint(false)
     val partSums = pinned.mapPartitions { it =>
       Iterator.single(it.map(_._2).sum)
     }.collect()
@@ -244,22 +241,19 @@ object TextAnalysis {
         }
       }
       .toDF("id", "n", "bucket", "off")
-    (pinned, out)
+    out
   }
 
   /** Concatenation packing: documents in doc_id order are laid
     * head-to-tail into fixed 256-token context windows (the standard
     * pretraining packing), emitting each doc's pack id and offset —
     * [[budgetPack]] over word-token counts. */
-  def tPack(spark: SparkSession, dir: String): DataFrame = {
-    lastPackCache.foreach(_.unpersist())
-    val (pinned, packed) = budgetPack(spark,
+  def tPack(spark: SparkSession, dir: String): DataFrame =
+    budgetPack(spark,
       tTokenCount(spark, dir).select(col("doc_id"), col("word_tokens")), PackBudget)
-    lastPackCache = Some(pinned)
-    packed.select(col("id").as("doc_id"), col("n").as("n_tokens"),
+      .select(col("id").as("doc_id"), col("n").as("n_tokens"),
         col("bucket").as("pack_id"), col("off").as("pack_offset"))
       .orderBy("doc_id")
-  }
 
   val tPackSql: String =
     s"""SELECT doc_id, word_tokens AS n_tokens,

@@ -250,11 +250,25 @@ object WebCuration {
     *
     * Float parity: digit_frac is a ratio of two small integers —
     * correctly-rounded IEEE division is bit-identical in both
-    * engines, rounded once at the output (stableRound(4)). */
-  def tUrlQuality(spark: SparkSession, dir: String): DataFrame = {
-    val d = withUrl(Tables(spark, dir).documents.select(col("doc_id"), col("source")))
+    * engines, rounded once at the output (stableRound(4)). A zero
+    * path ('/' or '' — never produced by the synthetic withUrl, but
+    * routine on a real crawl) routes through an explicit CASE to 0.0
+    * in BOTH engines: an unguarded 0/0 is NaN in Spark vs NULL in
+    * DuckDB, and the keep flag would diverge on exactly the corpus
+    * swap this operator exists for. */
+  def tUrlQuality(spark: SparkSession, dir: String): DataFrame =
+    urlQualityOf(withUrl(
+      Tables(spark, dir).documents.select(col("doc_id"), col("source"))))
+
+  /** The feature map on an arbitrary (doc_id, url) frame —
+    * [[tUrlQuality]] minus the synthetic-URL derivation, so the spec
+    * can drive corpus shapes withUrl never emits (empty / bare-slash
+    * paths). */
+  private[graft] def urlQualityOf(d: DataFrame): DataFrame = {
+    // path coalesced to '': a pathless URL must read as depth 0 /
+    // 0 chars, not poison every feature (and the keep flag) to NULL
     val p = d.select(col("doc_id"), col("url"),
-      parse_url(col("url"), lit("PATH")).as("path"),
+      coalesce(parse_url(col("url"), lit("PATH")), lit("")).as("path"),
       parse_url(col("url"), lit("QUERY")).as("q"))
     val chars = length(regexp_replace(col("path"), "/", ""))
     val digits = length(regexp_replace(col("path"), "[^0-9]", ""))
@@ -269,7 +283,8 @@ object WebCuration {
           .otherwise(length(col("q")) - length(call_function("replace",
             col("q"), lit("&"), lit(""))) + 1L).cast("long").as("n_params"),
         coalesce(col("q").startsWith("ref="), lit(false)).as("is_tracking"),
-        stableRound(digits.cast("double") / chars.cast("double"), 4)
+        when(chars === 0, lit(0.0))
+          .otherwise(stableRound(digits.cast("double") / chars.cast("double"), 4))
           .as("digit_frac"))
       .withColumn("keep",
         !col("is_tracking") && col("path_depth") <= UrlMaxDepth &&
@@ -292,9 +307,10 @@ object WebCuration {
        |    (CASE WHEN q IS NULL THEN 0
        |          ELSE length(q) - length(replace(q, '&', '')) + 1 END)::BIGINT AS n_params,
        |    COALESCE(q LIKE 'ref=%', false) AS is_tracking,
-       |    ${stableRoundSql(
+       |    CASE WHEN length(replace(path, '/', '')) = 0 THEN 0.0
+       |         ELSE ${stableRoundSql(
                 "length(regexp_replace(path, '[^0-9]', '', 'g'))::DOUBLE /\n" +
-                "           length(replace(path, '/', ''))::DOUBLE", 4)} AS digit_frac
+                "           length(replace(path, '/', ''))::DOUBLE", 4)} END AS digit_frac
        |  FROM p)
        |SELECT f.*,
        |  (NOT is_tracking AND path_depth <= $UrlMaxDepth

@@ -327,6 +327,26 @@ class GraphSpec extends SparkSpec {
     assert(exact.values.max >= 1, "backbone has no multi-node component")
   }
 
+  test("graft.graph.bfsMaxRounds is strictly validated and actually caps the loop") {
+    // strict-reader contract: malformed and below-min values throw
+    // NAMING the key at query time, never run a silent default
+    Seq("abc", "0", "-3").foreach { bad =>
+      spark.conf.set("graft.graph.bfsMaxRounds", bad)
+      try {
+        val e = intercept[IllegalArgumentException](Graph.gCcDiameter(spark, sf).collect())
+        assert(e.getMessage.contains("graft.graph.bfsMaxRounds"), e.getMessage)
+      } finally spark.conf.unset("graft.graph.bfsMaxRounds")
+    }
+    // the cap is live: the gate backbone has eccentricity ≥ 2 (asserted
+    // by the diameter test above), so a 1-round budget must fail LOUDLY
+    // with the escape hatch named — never return a truncated distance
+    spark.conf.set("graft.graph.bfsMaxRounds", "1")
+    try {
+      val e = intercept[IllegalStateException](Graph.gCcDiameter(spark, sf).collect())
+      assert(e.getMessage.contains("graft.graph.bfsMaxRounds"), e.getMessage)
+    } finally spark.conf.unset("graft.graph.bfsMaxRounds")
+  }
+
   test("g_cc: labeling is a fixpoint — every backbone edge is intra-component") {
     val lbl = Graph.gCc(spark, sf).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap

@@ -1119,6 +1119,29 @@ class PipelineSpec extends SparkSpec {
     assert(df.filter(!col("blocked")).count() > 0, "all docs blocked — degenerate")
   }
 
+  test("url_quality survives zero-path URLs: digit_frac 0.0, never NaN/NULL") {
+    // Corpus-swap guard: withUrl's synthetic paths always carry ≥4
+    // chars, but a real crawl routinely yields '/' and '' paths —
+    // an unguarded 0/0 is NaN in Spark vs NULL in DuckDB and the
+    // keep flag diverges between engines.
+    val urls = Seq(
+      (1L, "https://example.com/"),           // bare-slash path: 0 chars
+      (2L, "https://example.com"),            // no path at all
+      (3L, "https://example.com/?ref=x"),     // 0-char path + tracking
+      (4L, "https://example.com/a1/22")       // control: 4 chars, 3 digits
+    ).toDF("doc_id", "url")
+    val got = graft.operators.WebCuration.urlQualityOf(urls)
+      .select("doc_id", "digit_frac", "is_tracking", "keep")
+      .as[(Long, Double, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+    Seq(1L, 2L, 3L).foreach { id =>
+      val (_, frac, _, _) = got(id)
+      assert(!frac.isNaN && frac == 0.0, s"doc $id digit_frac = $frac")
+    }
+    assert(got(1L)._4 && got(2L)._4, "zero-path non-tracking URLs must keep")
+    assert(!got(3L)._4, "tracking rule must still fire on a zero-path URL")
+    assert(got(4L)._2 == 0.75 && !got(4L)._4, "digit-heavy control path must drop")
+  }
+
   test("e_rproject equals the driver-side Rademacher projection exactly") {
     import graft.operators.Embeddings
     val got = Embeddings.eRproject(spark, sf)
@@ -1456,6 +1479,59 @@ class PipelineSpec extends SparkSpec {
     rows.foreach { case (b, r, _, n, got) =>
       assert(n == truth.length.toLong)
       val want = truth.map(s => 1.0 - math.pow(1.0 - math.pow(s, r), b)).sum / n
+      assert(math.abs(got - want) < 1e-6, s"($b,$r): $got vs $want")
+    }
+  }
+
+  test("d_lsh_tune free fold ≡ parity fold; free plans no truth-set row") {
+    // the jsdFold twin: `free` swaps the oracle-bit-exact single-row
+    // sorted fold for a map-side-combined sum (the 100 TB shape) —
+    // same counts, means equal to summation-order noise
+    val parity = Dedup.dLshTune(spark, sf).collect()
+      .map(r => (r.getInt(0), (r.getLong(3), r.getDouble(4)))).toMap
+    spark.conf.set("graft.dedup.lshTuneFold", "free")
+    val free =
+      try Dedup.dLshTune(spark, sf).collect()
+        .map(r => (r.getInt(0), (r.getLong(3), r.getDouble(4)))).toMap
+      finally spark.conf.unset("graft.dedup.lshTuneFold")
+    assert(free.keySet == parity.keySet)
+    parity.foreach { case (b, (n, recall)) =>
+      assert(free(b)._1 == n, s"bands=$b: n_truth ${free(b)._1} vs $n")
+      assert(math.abs(free(b)._2 - recall) <= 1e-9,
+        s"bands=$b: free ${free(b)._2} vs parity $recall")
+    }
+    intercept[IllegalArgumentException] {
+      spark.conf.set("graft.dedup.lshTuneFold", "fre")
+      try Dedup.dLshTune(spark, sf)
+      finally spark.conf.unset("graft.dedup.lshTuneFold")
+    }
+  }
+
+  test("d_lsh_tune doc-sample gate ≡ full truth restricted to gated docs") {
+    // the sampled run must equal the full pipeline restricted to
+    // pairs whose BOTH endpoints pass the md5 gate — the property
+    // that makes the per-pair expectation unbiased on retained pairs
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(x => f"${x & 0xff}%02x").mkString
+    val n = 2
+    def gated(id: Long): Boolean =
+      java.lang.Long.parseLong(md5Hex(s"lshs:$id").substring(0, 8), 16) % n == 0
+    val fullGated = Dedup.dDedupNgram(spark, sf)
+      .select("id1", "id2", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .filter(p => gated(p._1) && gated(p._2))
+    assert(fullGated.nonEmpty, "gate left no pairs — test fixture degenerate")
+    spark.conf.set("graft.dedup.lshTuneSample", n.toString)
+    val rows =
+      try Dedup.dLshTune(spark, sf).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(3), r.getDouble(4)))
+      finally spark.conf.unset("graft.dedup.lshTuneSample")
+    rows.foreach { case (b, r, nTruth, got) =>
+      assert(nTruth == fullGated.length.toLong,
+        s"($b,$r): sampled n_truth $nTruth vs gated full ${fullGated.length}")
+      val want = fullGated
+        .map(p => 1.0 - math.pow(1.0 - math.pow(p._3, r), b)).sum / nTruth
       assert(math.abs(got - want) < 1e-6, s"($b,$r): $got vs $want")
     }
   }

@@ -703,10 +703,11 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("m_phash")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"phash degenerated to all-pairs:\n${p.take(2000)}")
-    // the signature frame is cached once and scanned by the 4-band
-    // union — without it the histogram fold re-runs per band
-    assert(p.contains("InMemoryTableScan"),
-      s"signature frame not cached:\n${p.take(2000)}")
+    // the signature frame is frozen once (lazy localCheckpoint — an
+    // ExistingRDD scan) and read by the 4-band union — without the
+    // barrier the histogram fold re-runs per band
+    assert(p.contains("ExistingRDD") || p.contains("InMemoryTableScan"),
+      s"signature frame not materialized once:\n${p.take(2000)}")
     // signatures are a narrow map: the only exchanges are the banding
     // join's (band, value) hash partitioning and the pair dedup — no
     // (doc, bin) explode shuffle feeding the histogram
@@ -748,8 +749,41 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"),
       s"global rank regressed to an ORDER BY window:\n${p.take(1500)}")
     // the scored input joins word→corpus-frequency upstream; the RANK
-    // stage itself must stay join-free past the cached scored frame
-    assert(p.contains("InMemoryTableScan"),
-      s"pinned range-partitioned frame not cached:\n${p.take(1500)}")
+    // stage itself must stay join-free past the frozen scored frame
+    // (per-call lazy localCheckpoint — an ExistingRDD scan)
+    assert(p.contains("ExistingRDD") || p.contains("InMemoryTableScan"),
+      s"pinned range-partitioned frame not materialized:\n${p.take(1500)}")
+  }
+
+  test("datacard streams the sub-group quality folds — no source-sized row") {
+    val p = plan("d_datacard")
+    assert(p.contains("MapPartitions"),
+      s"streaming per-sub fold stage missing:\n${p.take(2000)}")
+    // the only collect_list is over the ≤ DatacardSubs (sub, s)
+    // partials — a per-source collect_list over raw quality scores is
+    // the docs-per-source row this plan exists to avoid
+    val clLines = p.linesIterator.filter(_.contains("collect_list")).mkString("\n")
+    assert(clLines.nonEmpty && clLines.linesIterator.forall(_.contains("sub")),
+      s"collect_list must only gather sub partials:\n$clLines")
+    assert(!p.contains("collect_list(quality"),
+      s"raw per-source quality list is back:\n$clLines")
+  }
+
+  test("lsh tuner in free mode: no whole-truth-set row, plain partial-agg sum") {
+    // the parity fold's collect_list gathers EVERY τ-true pair into
+    // one row per config — fine at gate scale, the single-reducer
+    // shape at 100 TB; free mode must fold with a map-side-combined
+    // sum and no pair list anywhere in the plan
+    spark.conf.set("graft.dedup.lshTuneFold", "free")
+    try {
+      spark.catalog.clearCache()
+      val p = SparkEntry.queries("d_lsh_tune")(spark, sf)
+        .queryExecution.explainString(FormattedMode)
+      assert(!p.contains("collect_list"),
+        s"free-mode tuner still gathers the truth set into a row:\n${p.take(2500)}")
+      assert(!p.contains("sort_array"),
+        s"free-mode tuner still sorts a pair list:\n${p.take(2500)}")
+      assert(!p.contains("Window"), "tuner must not plan a window")
+    } finally spark.conf.unset("graft.dedup.lshTuneFold")
   }
 }

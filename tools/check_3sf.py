@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Three-SF correctness sweep → CORRECTNESS_3SF.json.
+
+Runs graft.Verify + the DuckDB oracle compare (tools/check_oracle.py)
+at sf0.001 / sf0.01 / sf0.1 and writes one machine-checkable artifact:
+
+    {"summary": {"sf0.01": {"total": N, "hash_green": N, ...}, ...},
+     "per_sf":  {"sf0.01": {<query>: {rows_match, ..., err}, ...}, ...}}
+
+This makes the "hash-green at all three scale factors" claim a
+committed, re-checkable record instead of a survey note. Driver-side
+tooling only — not part of the library.
+
+Usage: python3 tools/check_3sf.py [sf ...]   (default: 0.001 0.01 0.1)
+"""
+import json, os, subprocess, sys
+
+def main(sfs):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    per_sf = {}
+    for sf in sfs:
+        vdir = f"/tmp/graft_v3sf_{sf}"
+        subprocess.run(["rm", "-rf", vdir], check=True)
+        env = dict(os.environ, SPARK_GRAFT_CPUS=env_cpus())
+        r = subprocess.run(
+            ["sbt", f"runMain graft.Verify /root/testdata/sf{sf} {vdir}"],
+            cwd=repo, env=env)
+        if r.returncode != 0:
+            print(f"[3sf] Verify exited {r.returncode} at sf{sf} "
+                  "(per-query failures recorded below)")
+        jp = f"{vdir}/correctness.json"
+        subprocess.run(
+            [sys.executable, f"{repo}/tools/check_oracle.py",
+             f"/root/testdata/sf{sf}", vdir, "--json", jp], check=False)
+        per_sf[f"sf{sf}"] = json.load(open(jp))
+    summary = {}
+    for sf, recs in per_sf.items():
+        summary[sf] = {
+            "total": len(recs),
+            "hash_green": sum(1 for v in recs.values() if v["hash_match"]),
+            "rows_only": sum(1 for v in recs.values() if v["err"] == "no_oracle"),
+            "fail": sum(1 for v in recs.values()
+                        if v["hash_match"] is False
+                        or v["err"] not in (None, "no_oracle")),
+        }
+    with open(f"{repo}/CORRECTNESS_3SF.json", "w") as f:
+        json.dump({"summary": summary, "per_sf": per_sf}, f,
+                  indent=1, sort_keys=True)
+    print(json.dumps(summary, indent=1, sort_keys=True))
+    return 1 if any(s["fail"] for s in summary.values()) else 0
+
+def env_cpus():
+    return os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:] or ["0.001", "0.01", "0.1"]))

@@ -1,13 +1,16 @@
 #!/usr/bin/env python3
 """Local emulation of the driver's correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--json path]
 
 Reads each <verifyOutDir>/<name>/ parquet result (written by
 graft.Verify), runs the matching oracle SQL from oracle_sql.json in
 DuckDB over the source tables in <sfDir>, sorts columns by name and
-rows by all columns, and compares values exactly. Driver-side tooling
-only — not part of the library.
+rows by all columns, and compares values exactly. With --json, also
+writes a per-query record in the driver's CORRECTNESS_r{N}.json shape
+(rows_match / schema_match / hash_match / spark_rows / oracle_rows /
+err) so multi-SF sweeps are machine-checkable (tools/check_3sf.py).
+Driver-side tooling only — not part of the library.
 """
 import json, sys, glob, math
 import duckdb
@@ -20,16 +23,23 @@ def norm(v):
         return v + 0.0
     return v
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_path=None):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = n_rowsonly = 0
+    records = {}
+    def rec(name, rows_match=None, schema_match=None, hash_match=None,
+            spark_rows=None, oracle_rows=None, err=None):
+        records[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                         "hash_match": hash_match, "spark_rows": spark_rows,
+                         "oracle_rows": oracle_rows, "err": err}
     produced = {d.rstrip("/").split("/")[-1] for d in glob.glob(f"{out_dir}/*/")}
     for name in sorted(set(oracles) - produced):
         print(f"[FAIL] {name}: no output written (query threw in Verify)")
+        rec(name, err="no output written (query threw in Verify)")
         n_bad += 1
     import os
     for d in sorted(glob.glob(f"{out_dir}/*/")):
@@ -42,6 +52,7 @@ def main(sf_dir, out_dir):
         if os.path.isfile(marker):
             msg = open(marker, errors="replace").read().strip().splitlines()
             print(f"[FAIL] {name}: query threw in Verify: {msg[0] if msg else '?'}")
+            rec(name, err=f"query threw in Verify: {msg[0] if msg else '?'}")
             n_bad += 1
             continue
         try:
@@ -51,10 +62,12 @@ def main(sf_dir, out_dir):
             got = con.sql(f"SELECT {got_sel} FROM got_rel ORDER BY ALL").fetchall()
         except Exception as e:
             print(f"[FAIL] {name}: unreadable output: {e}")
+            rec(name, err=f"unreadable output: {e}")
             n_bad += 1
             continue
         if name not in oracles:
             print(f"[rows-only] {name}: {len(got)} rows")
+            rec(name, spark_rows=len(got), err="no_oracle")
             n_rowsonly += 1
             continue
         try:
@@ -64,10 +77,13 @@ def main(sf_dir, out_dir):
             exp = con.sql(f"SELECT {exp_sel} FROM exp_rel ORDER BY ALL").fetchall()
         except Exception as e:
             print(f"[FAIL] {name}: oracle SQL error: {e}")
+            rec(name, spark_rows=len(got), err=f"oracle SQL error: {e}")
             n_bad += 1
             continue
         if got_cols != exp_cols:
             print(f"[FAIL] {name}: columns differ: spark={got_cols} oracle={exp_cols}")
+            rec(name, rows_match=len(got) == len(exp), schema_match=False,
+                hash_match=False, spark_rows=len(got), oracle_rows=len(exp))
             n_bad += 1
             continue
         # The driver's hash is dtype-sensitive (DuckDB HUGEINT vs Spark
@@ -79,16 +95,22 @@ def main(sf_dir, out_dir):
             for c, gt, et in zip(got_cols, got_types, exp_types):
                 if gt != et:
                     print(f"    {c}: spark={gt} oracle={et}")
+            rec(name, rows_match=len(got) == len(exp), schema_match=False,
+                hash_match=False, spark_rows=len(got), oracle_rows=len(exp))
             n_bad += 1
             continue
         g = [tuple(norm(v) for v in r) for r in got]
         e = [tuple(norm(v) for v in r) for r in exp]
         if g == e:
             print(f"[ok] {name}: {len(g)} rows hash-match")
+            rec(name, rows_match=True, schema_match=True, hash_match=True,
+                spark_rows=len(g), oracle_rows=len(e))
             n_ok += 1
         else:
             n_bad += 1
             print(f"[FAIL] {name}: {len(g)} spark rows vs {len(e)} oracle rows")
+            rec(name, rows_match=len(g) == len(e), schema_match=True,
+                hash_match=False, spark_rows=len(g), oracle_rows=len(e))
             gs, es = set(g), set(e)
             for r in list(gs - es)[:3]:
                 print(f"    spark-only:  {r}")
@@ -101,7 +123,14 @@ def main(sf_dir, out_dir):
                         print(f"    first row diff at {i}: spark={rg} oracle={re_}")
                         break
     print(f"\n{n_ok} ok, {n_bad} FAIL, {n_rowsonly} rows-only")
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(records, f, indent=1, sort_keys=True)
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if a != "--json"]
+    jp = None
+    if "--json" in sys.argv:
+        jp = args.pop(2) if len(args) > 2 else None
+    sys.exit(main(args[0], args[1], jp))
