@@ -689,6 +689,97 @@ object Curation {
        |ORDER BY doc_id, epoch""".stripMargin
   }
 
+  /** [[dMixPlan]]'s target mixture, in basis points of 10000: named
+    * sources get explicit shares, every other source splits the
+    * remainder evenly. Repeat factors above [[MixPlanMaxRepeat]] cap
+    * (a tiny prized source must not be duplicated unboundedly —
+    * epoching past ~4 repeats measurably degrades models). */
+  val MixPlanTargetsBps: Seq[(String, Int)] =
+    Seq("src0" -> 1500, "src1" -> 1000, "src2" -> 500)
+  val MixPlanMaxRepeat = 4.0
+
+  /** d_mix_plan — the mixture PLANNING step upstream of [[dMix]]:
+    * given target per-source token shares and the corpus's measured
+    * token counts, the per-source repeat factor w_s = target_s ·
+    * T / tokens_s that realizes the target, with the cap applied and
+    * the expected post-mix token count — the table a pretraining run
+    * reviews before burning compute on the actual mix ([[dMix]] then
+    * EXECUTES repeat factors; this derives them from a target).
+    *
+    * Shape: one map-side-combined per-source token aggregation (the
+    * only corpus-sized exchange) + a 1-row broadcast of (total,
+    * unnamed-source count) — source-catalog-sized output, any scale.
+    *
+    * Parity: token counts are integers; target shares are exact
+    * integer-over-integer divisions (named: bps/10⁴; others: the
+    * remainder split over the DATA-derived unnamed-source count);
+    * nat_share/repeat factors are single correctly-rounded double
+    * expressions spelled identically in both engines, rounded once;
+    * the cap compares already-rounded doubles and expected_tokens is
+    * floor(w·n + 0.5) on those — integer-exact either side. */
+  def dMixPlan(spark: SparkSession, dir: String): DataFrame = {
+    val named = MixPlanTargetsBps.map(_._1)
+    val othersBps = 10000 - MixPlanTargetsBps.map(_._2).sum
+    val toks = TextAnalysis.docsSpread(spark, dir)
+      .select(col("source"), size(words(col("text"))).cast("long").as("w"))
+      .groupBy("source").agg(sum("w").as("n_tokens"))
+    val totals = toks.agg(sum("n_tokens").cast("long").as("t_total"),
+      sum(when(!col("source").isInCollection(named), 1L).otherwise(0L))
+        .cast("long").as("n_other"))
+    val tgt = MixPlanTargetsBps.foldRight(
+        lit(othersBps).cast("double") /
+          (lit(10000.0) * col("n_other").cast("double"))) {
+      case ((s, bps), acc) =>
+        when(col("source") === s, lit(bps).cast("double") / lit(10000.0))
+          .otherwise(acc)
+    }
+    toks.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_tokens"),
+        stableRound(col("n_tokens").cast("double") /
+          col("t_total").cast("double"), 6).as("nat_share"),
+        stableRound(tgt, 6).as("target_share"),
+        stableRound(tgt * col("t_total").cast("double") /
+          col("n_tokens").cast("double"), 4).as("repeat_raw"))
+      .select(col("source"), col("n_tokens"), col("nat_share"),
+        col("target_share"), col("repeat_raw"),
+        least(col("repeat_raw"), lit(MixPlanMaxRepeat)).as("repeat_factor"),
+        (col("repeat_raw") > MixPlanMaxRepeat).as("capped"))
+      .withColumn("expected_tokens",
+        floor(col("repeat_factor") * col("n_tokens").cast("double") + lit(0.5))
+          .cast("long"))
+      .orderBy("source")
+  }
+
+  val dMixPlanSql: String = {
+    val named = MixPlanTargetsBps.map { case (s, _) => s"'$s'" }.mkString(", ")
+    val othersBps = 10000 - MixPlanTargetsBps.map(_._2).sum
+    val tgtCase = MixPlanTargetsBps
+      .map { case (s, bps) => s"WHEN source = '$s' THEN $bps::DOUBLE / 10000.0" }
+      .mkString("CASE ", " ",
+        s" ELSE $othersBps::DOUBLE / (10000.0 * n_other::DOUBLE) END")
+    s"""WITH toks AS (
+       |  SELECT source, sum(len(string_split($normSql, ' ')))::BIGINT AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (
+       |  SELECT sum(n_tokens)::BIGINT AS t_total,
+       |    sum(CASE WHEN source NOT IN ($named) THEN 1 ELSE 0 END)::BIGINT AS n_other
+       |  FROM toks),
+       |p AS (
+       |  SELECT source, n_tokens,
+       |    ${stableRoundSql("n_tokens::DOUBLE / t_total::DOUBLE", 6)} AS nat_share,
+       |    ${stableRoundSql(s"($tgtCase)", 6)} AS target_share,
+       |    ${stableRoundSql(
+              s"($tgtCase) * t_total::DOUBLE / n_tokens::DOUBLE", 4)} AS repeat_raw
+       |  FROM toks CROSS JOIN tot)
+       |SELECT source, n_tokens, nat_share, target_share, repeat_raw,
+       |  least(repeat_raw, $MixPlanMaxRepeat) AS repeat_factor,
+       |  repeat_raw > $MixPlanMaxRepeat AS capped,
+       |  floor(least(repeat_raw, $MixPlanMaxRepeat) * n_tokens::DOUBLE + 0.5)::BIGINT
+       |    AS expected_tokens
+       |FROM p
+       |ORDER BY source""".stripMargin
+  }
+
   /** Sample size for d_weighted_sample. */
   val WeightedSampleK = 50
 
@@ -990,6 +1081,7 @@ object Curation {
     "d_audit" -> dAudit,
     "d_datacard" -> dDatacard,
     "d_mix" -> dMix,
+    "d_mix_plan" -> dMixPlan,
     "d_weighted_sample" -> dWeightedSample,
   )
 
@@ -1006,6 +1098,7 @@ object Curation {
     "d_audit" -> dAuditSql,
     "d_datacard" -> dDatacardSql,
     "d_mix" -> dMixSql,
+    "d_mix_plan" -> dMixPlanSql,
     "d_weighted_sample" -> dWeightedSampleSql,
   )
 }

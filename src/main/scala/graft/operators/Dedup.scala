@@ -1312,7 +1312,13 @@ object Dedup {
     * doc_id, whose cardinality scales with the corpus. No all-pairs
     * anywhere. Output: (doc_id, span_start, span_end, n_windows),
     * end exclusive in word positions. */
-  def dDupSpans(spark: SparkSession, dir: String): DataFrame = {
+  def dDupSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpanFrame(spark, dir).orderBy("doc_id", "span_start")
+
+  /** The [[dDupSpans]] pipeline without the presentation sort —
+    * shared with [[dSpanScrub]], which consumes the spans instead of
+    * reporting them. */
+  private def dupSpanFrame(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val L = DupSpanWords
     val wins = TextAnalysis.docsSpread(spark, dir)
@@ -1337,8 +1343,71 @@ object Dedup {
         (max(col("i")) + L).as("span_end"),
         count(lit(1)).as("n_windows"))
       .select("doc_id", "span_start", "span_end", "n_windows")
-      .orderBy("doc_id", "span_start")
   }
+
+  /** d_span_scrub — the REWRITE pass [[dDupSpans]]'s report implies
+    * (the [[dBoilerplate]] relationship, at sliding-window
+    * granularity): every word inside a cross-doc duplicated span is
+    * dropped and the survivors reassemble in position order — the
+    * exact-substring dedup rewrite (Lee et al. 2022) that catches
+    * copies straddling the chunk boundaries [[dBoilerplate]]'s
+    * non-overlapping grid misses. Output: (doc_id, clean_text,
+    * n_words, n_dropped).
+    *
+    * Shape: the span pipeline (linear, fp-bucketed — see
+    * [[dDupSpans]]) plus ONE doc-keyed equi-join attaching each doc's
+    * span array (bounded by the doc's own length / L — the
+    * d_boilerplate per-doc-row class) and a narrow per-row HOF filter
+    * over the word array; no extra corpus shuffle. Spans are maximal
+    * and non-touching by construction, so n_dropped = Σ(end − start)
+    * counts each dropped word exactly once.
+    *
+    * Parity: pure string/integer arithmetic — 0-based word positions
+    * on the same normalized split both engines use everywhere, no
+    * floats anywhere. */
+  def dSpanScrub(spark: SparkSession, dir: String): DataFrame = {
+    val spanArr = dupSpanFrame(spark, dir)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e")))).as("spans"))
+    TextAnalysis.docsSpread(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .join(spanArr, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("spans").isNull, array_join(col("w"), " "))
+          .otherwise(array_join(expr(
+            """transform(
+              |  filter(transform(w, (x, i) -> struct(x as x, cast(i as bigint) as i)),
+              |         p -> not exists(spans, sp -> p.i >= sp.s and p.i < sp.e)),
+              |  p -> p.x)""".stripMargin), " "))
+          .as("clean_text"),
+        size(col("w")).cast("long").as("n_words"),
+        coalesce(expr(
+          "aggregate(spans, cast(0 as bigint), (a, sp) -> a + (sp.e - sp.s))"),
+          lit(0L)).as("n_dropped"))
+      .orderBy("doc_id")
+  }
+
+  // lazy: embeds dDupSpansSql, which is declared below (object vals
+  // initialize in declaration order — an eager val would embed null)
+  lazy val dSpanScrubSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |sp AS (SELECT doc_id, span_start AS s, span_end AS e
+       |       FROM ($dDupSpansSql) x),
+       |pos AS (
+       |  SELECT doc_id, i, w[i + 1] AS word
+       |  FROM w, LATERAL (SELECT unnest(range(len(w))) AS i) t),
+       |keptw AS (
+       |  SELECT p.doc_id, p.i, p.word FROM pos p
+       |  WHERE NOT EXISTS (SELECT 1 FROM sp
+       |    WHERE sp.doc_id = p.doc_id AND p.i >= sp.s AND p.i < sp.e)),
+       |ka AS (SELECT doc_id, array_to_string(list(word ORDER BY i), ' ') AS clean_text
+       |       FROM keptw GROUP BY 1),
+       |dr AS (SELECT doc_id, sum(e - s)::BIGINT AS n_dropped FROM sp GROUP BY 1)
+       |SELECT w.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+       |  len(w.w)::BIGINT AS n_words, coalesce(dr.n_dropped, 0)::BIGINT AS n_dropped
+       |FROM w LEFT JOIN ka USING (doc_id) LEFT JOIN dr USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   val dDupSpansSql: String =
     s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
@@ -1367,6 +1436,7 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_dup_spans" -> dDupSpans,
+    "d_span_scrub" -> dSpanScrub,
     "d_dedup_exact" -> dDedupExact,
     "d_dedup_ngram" -> dDedupNgram,
     "d_dedup_incr" -> dDedupIncr,
@@ -1386,6 +1456,7 @@ object Dedup {
 
   def oracles: Map[String, String] = Map(
     "d_dup_spans" -> dDupSpansSql,
+    "d_span_scrub" -> dSpanScrubSql,
     "d_dedup_exact" -> dDedupExactSql,
     "d_dedup_ngram" -> dDedupNgramSql,
     "d_dedup_incr" -> dDedupIncrSql,

@@ -87,11 +87,90 @@ object Profiling {
        |FROM lineitem""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  /** Join keys [[qSkewAudit]] profiles and how many heavy hitters it
+    * reports per key. */
+  val SkewCols: Seq[String] = Seq("l_orderkey", "l_partkey", "l_suppkey")
+  val SkewTopK = 5
+
+  /** q_skew_audit — per-join-key SKEW PROFILE: the pre-flight a
+    * 100 TB join runs before choosing its physical strategy (salt or
+    * not, AQE skew thresholds, broadcast viability). For each audited
+    * key column: its [[SkewTopK]] heaviest values with exact counts,
+    * the value's share of the table, and `skew_x` = count ÷ mean
+    * (= cnt·ndv/rows) — the multiple of a perfectly uniform key the
+    * hot value represents. q_salted_join is the CURE; this is the
+    * DIAGNOSIS that says which keys need it.
+    *
+    * Shape: one stack unpivot → ONE map-side-combined (col, key)
+    * count (the only corpus-sized exchange), frozen once (the counts
+    * frame feeds the per-column totals and every top-K arm); each
+    * column's heavy hitters come from orderBy+limit, which Spark
+    * plans as TakeOrderedAndProject — per-partition bounded heaps
+    * merged on the driver, NEVER a rank window over a whole column's
+    * ndv-sized count frame (three partitions = three single
+    * reducers; plan-asserted). Totals attach as a 3-row broadcast.
+    *
+    * Parity: counts/ndv/rows are integers; share and skew_x are
+    * single correctly-rounded double expressions spelled identically
+    * in both engines (ndv rides a double MULTIPLY, not an integer
+    * one — immune to bigint overflow at any scale), rounded once.
+    * Ties at the top-K boundary break on (cnt desc, key asc) — total
+    * order, deterministic in both engines. */
+  def qSkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.stableRound
+    val li = Tables(spark, dir).lineitem
+    val stackArgs = SkewCols.map(c => s"'$c', cast($c as bigint)").mkString(", ")
+    // lazy localCheckpoint: the counts frame is read by the totals agg
+    // and one top-K arm per column — the ngramPrefix barrier
+    // discipline (blocks released when the frame drops)
+    val counts = li
+      .select(expr(s"stack(${SkewCols.length}, $stackArgs) as (col_name, k)"))
+      .groupBy("col_name", "k").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val totals = counts.groupBy("col_name")
+      .agg(sum("cnt").cast("long").as("n_rows"), count(lit(1)).as("ndv"))
+    val topk = SkewCols.map { c =>
+      counts.filter(col("col_name") === c)
+        .orderBy(col("cnt").desc, col("k"))
+        .limit(SkewTopK)
+    }.reduce(_ unionByName _)
+    topk.join(broadcast(totals), "col_name")
+      .select(col("col_name"), col("k").as("key"), col("cnt"),
+        col("n_rows"), col("ndv"),
+        stableRound(col("cnt").cast("double") /
+          col("n_rows").cast("double"), 6).as("share"),
+        stableRound(col("cnt").cast("double") * col("ndv").cast("double") /
+          col("n_rows").cast("double"), 4).as("skew_x"))
+      .orderBy(col("col_name"), col("cnt").desc, col("key"))
+  }
+
+  val qSkewAuditSql: String = {
+    import graft.functions.Parity.stableRoundSql
+    val unions = SkewCols.map(c =>
+      s"SELECT '$c' AS col_name, $c::BIGINT AS k FROM lineitem")
+      .mkString("\nUNION ALL ")
+    s"""WITH c AS (
+       |  SELECT col_name, k, count(*)::BIGINT AS cnt
+       |  FROM ($unions) u GROUP BY 1, 2),
+       |t AS (SELECT col_name, sum(cnt)::BIGINT AS n_rows,
+       |        count(*)::BIGINT AS ndv FROM c GROUP BY 1),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY col_name
+       |        ORDER BY cnt DESC, k) AS rk FROM c)
+       |SELECT r.col_name, k AS key, cnt, n_rows, ndv,
+       |  ${stableRoundSql("cnt::DOUBLE / n_rows::DOUBLE", 6)} AS share,
+       |  ${stableRoundSql("cnt::DOUBLE * ndv::DOUBLE / n_rows::DOUBLE", 4)} AS skew_x
+       |FROM r JOIN t USING (col_name)
+       |WHERE rk <= $SkewTopK
+       |ORDER BY col_name, cnt DESC, key""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> qProfile,
+    "q_skew_audit" -> qSkewAudit,
   )
 
   def oracles: Map[String, String] = Map(
     "q_profile" -> qProfileSql,
+    "q_skew_audit" -> qSkewAuditSql,
   )
 }

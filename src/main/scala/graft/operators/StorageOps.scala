@@ -17,7 +17,8 @@ object StorageOps {
     // v-tag: bump when the on-disk store format changes so stale
     // scratch stores from an older layout can never serve a probe.
     // v3: manifest-pointer generations. v4: file-checkpointed commit
-    // log (read-through-log stores).
+    // log (read-through-log stores). v5: checkpoints record
+    // __flen/__fmtime so the CkptFileIndex distributed read engages.
     // Source fingerprint: scratch stores derive from the sf dir's
     // parquet, and the `_done` markers outlive a testdata
     // regeneration at the same path — without this, every sc_* probe
@@ -34,7 +35,7 @@ object StorageOps {
     // testdata generations would silently serve a stale store.
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest(src.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val stem = s"graft_store_v4_${name}_$sfTag"
+    val stem = s"graft_store_v5_${name}_$sfTag"
     val path = new java.io.File(sys.props("java.io.tmpdir"), s"${stem}_$fp").getPath
     sweepStale(stem, fp)
     path

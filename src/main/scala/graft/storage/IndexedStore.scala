@@ -587,7 +587,12 @@ object IndexedStore {
           !(legacyGrace && !n.startsWith("gen-"))
       }
       .foreach(s => f.delete(s.getPath, true))
-    pruneCommitLog(path, (gen +: kept).toSet)
+    // leased generations keep their LOG artifacts too: the directory
+    // filter above already retains their data, and a leased reader
+    // resolves its file set through the checkpoint — possibly lazily,
+    // per probe ([[CkptFileIndex]]) — so a checkpoint that dies before
+    // its lease leaves a pinned generation unreadable
+    pruneCommitLog(path, (gen +: kept).toSet ++ leased)
   } finally {
     // Every exit frees the lock if still ours: after a successful
     // swap, after an IO failure mid-sweep (the manifest protocol is
@@ -895,7 +900,13 @@ object IndexedStore {
       !segs.tail.exists(s => s.startsWith("_") || s.startsWith("."))
   }
 
-  private def listDataFiles(genPath: String): Seq[String] = {
+  private def listDataFiles(genPath: String): Seq[String] =
+    listDataFileStatus(genPath).map(_._1)
+
+  /** Recursive data-file listing with (relative path, length, mtime)
+    * — the status triple the checkpoint records so readers can plan
+    * splits without ever stat'ing data files ([[CkptFileIndex]]). */
+  private[graft] def listDataFileStatus(genPath: String): Seq[(String, Long, Long)] = {
     val f = hadoopFs(genPath)
     val root = f.makeQualified(new HPath(genPath))
     if (root.toUri.getScheme == "file") {
@@ -907,30 +918,31 @@ object IndexedStore {
       // (HDFS, s3a) keep the FileSystem listing below.
       val base = new java.io.File(root.toUri.getPath)
       if (!base.isDirectory) return Seq.empty
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
       def walk(d: java.io.File, rel: String): Unit = {
         val children = d.listFiles()
         if (children != null) children.foreach { c =>
           val r = if (rel.isEmpty) c.getName else s"$rel/${c.getName}"
           if (c.isDirectory) walk(c, r)
-          else if (isDataFile(r)) buf += r
+          else if (isDataFile(r)) buf += ((r, c.length(), c.lastModified()))
         }
       }
       walk(base, "")
-      return buf.toSeq.sorted
+      return buf.toSeq.sortBy(_._1)
     }
     if (!f.exists(root)) return Seq.empty
     val prefix = root.toString + "/"
-    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     val it = f.listFiles(root, true)
     while (it.hasNext) {
-      val full = it.next().getPath.toString
+      val st = it.next()
+      val full = st.getPath.toString
       if (full.startsWith(prefix)) {
         val rel = full.stripPrefix(prefix)
-        if (isDataFile(rel)) buf += rel
+        if (isDataFile(rel)) buf += ((rel, st.getLen, st.getModificationTime))
       }
     }
-    buf.toSeq.sorted
+    buf.toSeq.sortBy(_._1)
   }
 
   private def checkpointPath(rootPath: String, gen: String): String =
@@ -958,10 +970,19 @@ object IndexedStore {
   private def writeCheckpoint(rootPath: String, gen: String): Unit = {
     val spark = SparkSession.active
     val genPath = new HPath(rootPath, gen).toString
-    val files = listDataFiles(genPath)
+    val statuses = listDataFileStatus(genPath)
+    val files = statuses.map(_._1)
+    // `__flen`/`__fmtime` ride the inventory so a reader can plan
+    // parquet splits straight off the checkpoint — no per-file stat,
+    // the [[CkptFileIndex]] contract (pre-v5 checkpoints lack them
+    // and readers fall back to the collected-inventory path).
     val inventory = spark
-      .createDataset(files)(org.apache.spark.sql.Encoders.STRING)
-      .toDF("path")
+      .createDataset(statuses)(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+      .toDF("path", "__flen", "__fmtime")
     val ckpt = checkpointPath(rootPath, gen)
     // The zone-stats write EXECUTES the stats scan, so the whole
     // attempt — not just plan construction — must be fallible without
@@ -986,7 +1007,7 @@ object IndexedStore {
     * Read from the active session at each site, so a store written
     * with the tier off simply has inventory-only checkpoints (its
     * files are never pruned — conservative admission covers it). */
-  private def zonemapEnabled(spark: SparkSession): Boolean =
+  private[graft] def zonemapEnabled(spark: SparkSession): Boolean =
     graft.core.Confs.boolConf(spark, "graft.store.zonemap", default = true)
 
   /** Per-file min/max bounds of the tracked stats columns over
@@ -1243,25 +1264,40 @@ object IndexedStore {
     * tracking (legacy store, pre-checkpoint commit entry, or a
     * crashed commit whose entry never published) — the reader then
     * falls back to directory listing, the pre-checkpoint behavior. */
+  private[graft] sealed trait StoreView { def tombstoneFiles: Seq[String] }
+
   private[graft] final case class LogView(dataFiles: Seq[String],
       tombstoneFiles: Seq[String],
-      zones: Map[String, Map[String, ZoneRange]])
+      zones: Map[String, Map[String, ZoneRange]]) extends StoreView
+
+  /** The DISTRIBUTED-read sibling of [[LogView]]: instead of a
+    * collected inventory, the reader carries the checkpoint parquet's
+    * location and lets a [[CkptFileIndex]] evaluate listing + zone
+    * pruning on executors ([[CkptFileIndex]] scaladoc — the last
+    * driver-memory watch item). Only the bounded parts stay
+    * driver-side: post-checkpoint append files (O(mutations), stat'ed
+    * once with their sidecar zones) and tombstone file names. Chosen
+    * by [[logView]] when `graft.store.ckptFileIndex` is on AND the
+    * checkpoint records file lengths (v5+); pre-v5 checkpoints fall
+    * back to the collected path. */
+  private[graft] final case class CkptView(ckptParquet: String,
+      extras: Seq[CkptFileIndex.ExtraFile],
+      tombstoneFiles: Seq[String]) extends StoreView
 
   private def logView(spark: SparkSession, rootPath: String,
-      gen: String): Option[LogView] = {
+      gen: String): Option[StoreView] = {
     if (!graft.core.Confs.boolConf(spark, "graft.store.logRead",
         default = true)) return None
     val entries = genLogEntries(rootPath, gen)
     if (!ckptFormat(entries, gen)) None
     else {
-      val ckpt = readCkptData(spark, checkpointPath(rootPath, gen))
       // append zone sidecars, each promised by its entry's zmap field
       // (entry-iff-ready, like every log artifact); a sidecar that
       // fails to load costs pruning on its files, never correctness.
       // With the tier off, skip the sidecar reads entirely — pruning
       // is disabled anyway and open() shouldn't pay for it.
       val ZmapRe = """"zmap":"([^"]+)"""".r
-      val appendZones = if (!zonemapEnabled(spark)) Map.empty[String, Map[String, ZoneRange]]
+      def appendZones = if (!zonemapEnabled(spark)) Map.empty[String, Map[String, ZoneRange]]
       else entries.iterator.flatMap { case (_, b) =>
         ZmapRe.findFirstMatchIn(b).map(_.group(1))
       }.flatMap { name =>
@@ -1269,10 +1305,53 @@ object IndexedStore {
           new HPath(new HPath(rootPath, CkptDir), name).toString).zones)
           .getOrElse(Map.empty)
       }.toMap
-      Some(LogView(
-        (ckpt.paths ++ loggedAppendFiles(entries)).distinct.sorted,
-        loggedTombstoneFiles(entries).toSeq.sorted,
-        ckpt.zones ++ appendZones))
+      val ckptPath = checkpointPath(rootPath, gen)
+      // Distributed-read path: keep the inventory OUT of the driver
+      // when the checkpoint can serve split planning itself (v5+,
+      // records __flen). Any failure assembling it (unstatable append
+      // file, unreadable footer) falls back to the collected view —
+      // the read must never get a weaker answer from a stronger tier.
+      val ckptView: Option[StoreView] =
+        if (!ckptFileIndexEnabled(spark)) None
+        else scala.util.Try {
+          if (!spark.read.parquet(ckptPath).schema.fieldNames.contains("__flen")) None
+          else {
+            val genPath = new HPath(rootPath, gen).toString
+            val zonesByFile = appendZones
+            val extras = loggedAppendFiles(entries).toSeq.sorted.map { f =>
+              val (len, mtime) = statDataFile(genPath, f)
+              CkptFileIndex.ExtraFile(f, len, mtime,
+                zonesByFile.getOrElse(f, Map.empty))
+            }
+            Some(CkptView(ckptPath, extras,
+              loggedTombstoneFiles(entries).toSeq.sorted))
+          }
+        }.toOption.flatten
+      ckptView.orElse {
+        val ckpt = readCkptData(spark, ckptPath)
+        Some(LogView(
+          (ckpt.paths ++ loggedAppendFiles(entries)).distinct.sorted,
+          loggedTombstoneFiles(entries).toSeq.sorted,
+          ckpt.zones ++ appendZones))
+      }
+    }
+  }
+
+  /** The distributed checkpoint read ([[CkptFileIndex]]); `false`
+    * forces the collected-inventory path. */
+  private def ckptFileIndexEnabled(spark: SparkSession): Boolean =
+    graft.core.Confs.boolConf(spark, "graft.store.ckptFileIndex", default = true)
+
+  /** (length, mtime) of one generation-relative data file — used only
+    * for the O(mutations) post-checkpoint append files; checkpointed
+    * files carry their status in the checkpoint itself. */
+  private def statDataFile(genPath: String, rel: String): (Long, Long) = {
+    val local = new java.io.File(genPath, rel)
+    if (local.isFile) (local.length(), local.lastModified())
+    else {
+      val hp = new HPath(genPath, rel)
+      val st = hadoopFs(genPath).getFileStatus(hp)
+      (st.getLen, st.getModificationTime)
     }
   }
 
@@ -1745,10 +1824,17 @@ object IndexedStore {
     * delete entries; without one (legacy store, pre-checkpoint
     * generation) both fall back to directory listing. */
   final class OpenStore private[IndexedStore] (spark: SparkSession, path: String,
-      view: Option[LogView]) {
+      view: Option[StoreView]) {
     private val props = loadProps(path)
     private val base = view match {
-      case Some(v) if v.dataFiles.nonEmpty =>
+      // distributed checkpoint read: the file inventory never
+      // collects to the driver — a CkptFileIndex-backed relation
+      // evaluates listing + zone pruning on executors, and bucket/
+      // zone predicates arrive through Catalyst's own pushdown
+      // (partitionFilters / dataFilters). Only the data SCHEMA is
+      // resolved eagerly, from one sample footer.
+      case Some(v: CkptView) => ckptIndexedBase(v)
+      case Some(v: LogView) if v.dataFiles.nonEmpty =>
         spark.read.option("basePath", path)
           .parquet(v.dataFiles.map(f => s"$path/$f"): _*)
       // a generation committed empty with no logged appends: serve an
@@ -1759,6 +1845,30 @@ object IndexedStore {
       // (a truly file-less directory fails the read, as it always did)
       case Some(_) => spark.read.parquet(path).filter(lit(false))
       case None => spark.read.parquet(path)
+    }
+
+    /** Build the [[CkptFileIndex]]-served base relation. Schema comes
+      from ONE leaf footer (appends share the layout schema by
+      construction — append() writes through the same frame shape);
+      an empty generation (no checkpointed files, no appends) keeps
+      the visible-iff-logged empty frame. */
+    private def ckptIndexedBase(v: CkptView): DataFrame = {
+      val fi = new CkptFileIndex(spark, path, v.ckptParquet, v.extras,
+        bucketed = true)
+      val sample = fi.samplePath.orElse(v.extras.headOption.map(_.rel))
+      sample match {
+        case None => spark.read.parquet(path).filter(lit(false))
+        case Some(rel) =>
+          val dataSchema = spark.read.parquet(s"$path/$rel").schema
+          val relation = org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation(fi, fi.partitionSchema, dataSchema, None,
+              new org.apache.spark.sql.execution.datasources.parquet
+                .ParquetFileFormat,
+              Map.empty[String, String])(spark)
+          org.apache.spark.sql.GraftRelationBridge.ofRows(spark,
+            org.apache.spark.sql.execution.datasources
+              .LogicalRelation(relation))
+      }
     }
     private def antiTs(df: DataFrame): DataFrame = view match {
       case Some(v) if v.tombstoneFiles.isEmpty => df
@@ -1798,7 +1908,10 @@ object IndexedStore {
       * `graft.store.zonemap=false` disables the tier. */
     private def zonePrunedBase(conds: Seq[graft.core.Condition]): DataFrame =
       view match {
-        case Some(v) if v.dataFiles.nonEmpty && v.zones.nonEmpty &&
+        // CkptView: the FileIndex already zone-prunes from the pushed
+        // dataFilters at plan time — nothing to rebuild here
+        case Some(_: CkptView) => base
+        case Some(v: LogView) if v.dataFiles.nonEmpty && v.zones.nonEmpty &&
             conds.nonEmpty && IndexedStore.zonemapEnabled(spark) =>
           val keep = v.dataFiles.filter(f =>
             zoneAdmits(v.zones.getOrElse(f, Map.empty), conds))

@@ -1536,6 +1536,84 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("d_span_scrub drops exactly the d_dup_spans words and keeps the rest in order") {
+    val spans = Dedup.dDupSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val docs = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.words(col("text")).as("w"))
+      .as[(Long, Seq[String])].collect().toMap
+    val got = Dedup.dSpanScrub(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == docs.keySet, "scrub must emit every document")
+    assert(spans.nonEmpty, "fixture has no duplicated spans — degenerate")
+    docs.foreach { case (id, w) =>
+      val sp = spans.getOrElse(id, Array.empty)
+      val keep = w.indices.filterNot(i =>
+        sp.exists { case (_, s, e) => i >= s && i < e })
+      val (text, nWords, nDropped) = got(id)
+      assert(nWords == w.length.toLong, s"doc $id n_words")
+      assert(nDropped == sp.map { case (_, s, e) => e - s }.sum, s"doc $id n_dropped")
+      assert(text == keep.map(w).mkString(" "), s"doc $id scrubbed text")
+    }
+    // the pass did real work somewhere AND never empties the corpus
+    assert(got.values.exists(_._3 > 0) && got.values.exists(_._3 == 0))
+  }
+
+  test("q_skew_audit matches a driver-side recompute of every column's heavy hitters") {
+    import graft.operators.Profiling
+    val got = Profiling.qSkewAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    val li = graft.core.Tables(spark, sf).lineitem
+      .selectExpr(Profiling.SkewCols.map(c => s"cast($c as bigint) as $c"): _*)
+      .collect()
+    Profiling.SkewCols.zipWithIndex.foreach { case (c, i) =>
+      val counts = li.map(_.getLong(i)).groupBy(identity)
+        .map { case (k, vs) => k -> vs.length.toLong }
+      val nRows = li.length.toLong
+      val ndv = counts.size.toLong
+      val want = counts.toSeq.sortBy { case (k, n) => (-n, k) }
+        .take(Profiling.SkewTopK)
+      val rows = got.filter(_._1 == c)
+      assert(rows.length == Profiling.SkewTopK)
+      rows.zip(want).foreach { case ((_, key, cnt, nr, nd, share, skew), (wk, wc)) =>
+        assert(key == wk && cnt == wc && nr == nRows && nd == ndv,
+          s"$c: got ($key,$cnt,$nr,$nd) want ($wk,$wc,$nRows,$ndv)")
+        assert(math.abs(share - cnt.toDouble / nRows) < 1e-6)
+        assert(math.abs(skew - cnt.toDouble * ndv / nRows) < 1e-4)
+        assert(skew >= 0.999, s"a top key cannot be below the uniform mean: $skew")
+      }
+    }
+  }
+
+  test("d_mix_plan realizes its targets: repeat factors invert the measured mix") {
+    import graft.operators.Curation
+    val rows = Curation.dMixPlan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6), r.getLong(7)))
+    val total = rows.map(_._2).sum
+    val named = Curation.MixPlanTargetsBps.toMap
+    rows.foreach { case (src, n, nat, tgt, raw, w, capped, exp) =>
+      assert(math.abs(nat - n.toDouble / total) < 1e-6, s"$src nat_share")
+      named.get(src).foreach(bps =>
+        assert(math.abs(tgt - bps / 10000.0) < 1e-6, s"$src target"))
+      // the factor inverts the mix: repeating n_tokens w times yields
+      // the target share of the ORIGINAL total (pre-cap)
+      assert(math.abs(raw - tgt * total / n) < 1e-3, s"$src repeat_raw")
+      assert(w == math.min(raw, Curation.MixPlanMaxRepeat), s"$src cap")
+      assert(capped == (raw > Curation.MixPlanMaxRepeat), s"$src capped flag")
+      assert(exp == math.floor(w * n + 0.5).toLong, s"$src expected_tokens")
+    }
+    // target shares are a partition of 1 (named + even remainder)
+    val tgtSum = rows.map(_._4).sum
+    assert(math.abs(tgtSum - 1.0) < 1e-4, s"target shares sum to $tgtSum")
+    assert(rows.exists(_._7) || rows.forall(!_._7),
+      "degenerate: flag column unreadable") // shape guard only
+  }
+
   test("m_phash: banding reproduces the exact hamming-ball pair set") {
     import graft.multimodal.Multimodal
     // independent driver reference: re-derive every signature from the

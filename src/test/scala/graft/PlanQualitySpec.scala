@@ -755,6 +755,29 @@ class PlanQualitySpec extends SparkSpec {
       s"pinned range-partitioned frame not materialized:\n${p.take(1500)}")
   }
 
+  test("skew audit: top-k per column is TakeOrdered heaps, never a rank window") {
+    val p = plan("q_skew_audit")
+    // a row_number window partitioned by col_name would single-reduce
+    // each column's ndv-sized count frame (3 columns = 3 reducers)
+    assert(!p.contains("Window"),
+      s"skew audit regressed to a rank window:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"per-column top-k is not a bounded heap:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.linesIterator.exists(l => l.contains("SortMergeJoin")),
+      s"totals attach must broadcast:\n${p.take(1500)}")
+  }
+
+  test("mix plan: one keyed aggregation, one-row broadcast total, no window") {
+    val p = plan("d_mix_plan")
+    assert(!p.contains("Window"), s"mix plan grew a window:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"1-row totals met a shuffle join:\n${p.take(1500)}")
+    // the only nested-loop join allowed is the 1-row totals crossJoin
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) / 2
+    assert(bnlj <= 1, s"expected at most the totals cross, got $bnlj")
+  }
+
   test("datacard streams the sub-group quality folds — no source-sized row") {
     val p = plan("d_datacard")
     assert(p.contains("MapPartitions"),
