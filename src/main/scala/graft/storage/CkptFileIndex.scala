@@ -145,8 +145,6 @@ private[graft] final class CkptFileIndex(
     // gated independently below — the zone-band fixture is exactly an
     // EMPTY base commit whose every file arrives by append
     val probed = conds.map(_.column).distinct.filter(zAvail.contains)
-    val probedB = probed
-    val condsB = conds
     // bucket prefilter, evaluated wherever the listing runs:
     // translatable partition predicates (eq / in / ranges — everything
     // find() emits) prune early, so a bucket-selective probe on a huge
@@ -160,7 +158,7 @@ private[graft] final class CkptFileIndex(
         // small-inventory tier: pure driver evaluation, no job
         rows.iterator.filter { case (rel, _, _, zones) =>
           (!prefilter ||
-            ((!zoneOn || IndexedStore.zoneAdmits(zones, condsB)) &&
+            ((!zoneOn || IndexedStore.zoneAdmits(zones, conds)) &&
               bucketOfOpt(rel).forall(b => bPredsB.forall(_.admits(b)))))
         }.map { case (rel, len, mtime, _) => (rel, len, mtime) }.toArray
       case None =>
@@ -173,14 +171,14 @@ private[graft] final class CkptFileIndex(
         val filtered =
           if (!prefilter) scan
           else scan.filter { (r: Row) =>
-            val zok = probedB.isEmpty || {
-              val zones = probedB.flatMap { c =>
+            val zok = probed.isEmpty || {
+              val zones = probed.flatMap { c =>
                 val lo = r.getAs[Any](s"__zmin_$c")
                 val hi = r.getAs[Any](s"__zmax_$c")
                 if (lo == null || hi == null) None
                 else Some(c -> IndexedStore.ZoneRange(lo, hi))
               }.toMap
-              IndexedStore.zoneAdmits(zones, condsB)
+              IndexedStore.zoneAdmits(zones, conds)
             }
             zok && bucketOfOpt(r.getString(0)).forall(b => bPredsB.forall(_.admits(b)))
           }
@@ -188,7 +186,7 @@ private[graft] final class CkptFileIndex(
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     }
     val extraSurvivors = extras
-      .filter(e => (!zoneOn || IndexedStore.zoneAdmits(e.zones, condsB)) &&
+      .filter(e => (!zoneOn || IndexedStore.zoneAdmits(e.zones, conds)) &&
         bucketOfOpt(e.rel).forall(b => bPredsB.forall(_.admits(b))))
       .map(e => (e.rel, e.len, e.mtime))
     val all = (ckptSurvivors ++ extraSurvivors)

@@ -587,12 +587,17 @@ object IndexedStore {
           !(legacyGrace && !n.startsWith("gen-"))
       }
       .foreach(s => f.delete(s.getPath, true))
-    // leased generations keep their LOG artifacts too: the directory
-    // filter above already retains their data, and a leased reader
-    // resolves its file set through the checkpoint — possibly lazily,
-    // per probe ([[CkptFileIndex]]) — so a checkpoint that dies before
-    // its lease leaves a pinned generation unreadable
-    pruneCommitLog(path, (gen +: kept).toSet ++ leased)
+    // leased generations keep their CHECKPOINT artifacts too: the
+    // directory filter above already retains their data, and a leased
+    // reader resolves its file set through the checkpoint — possibly
+    // lazily, per probe ([[CkptFileIndex]]) — so a checkpoint that
+    // dies before its lease leaves a pinned generation unreadable.
+    // Their log ENTRIES still die with the chain as before: the CDC
+    // snapshot republish anchors on the oldest COMMITTED-CHAIN entry,
+    // and retaining an out-of-chain leased entry would hand a
+    // late-attaching consumer a stale bootstrap while the next chain
+    // entry's prev pointer dangled at a swept generation.
+    pruneCommitLog(path, (gen +: kept).toSet, retainCkpt = leased)
   } finally {
     // Every exit frees the lock if still ours: after a successful
     // swap, after an IO failure mid-sweep (the manifest protocol is
@@ -621,9 +626,12 @@ object IndexedStore {
     * (Delta/Kafka-compacted) carries.
     * Idempotent: once the oldest entry's prev is null, re-pruning is
     * a no-op. */
-  private def pruneCommitLog(path: String, keptGens: Set[String]): Unit = {
+  private def pruneCommitLog(path: String, keptGens: Set[String],
+      retainCkpt: Set[String] = Set.empty): Unit = {
     val f = hadoopFs(path)
-    // checkpoints live and die with their generation's log entries
+    // checkpoints live and die with their generation's log entries —
+    // EXCEPT leased generations' (retainCkpt), whose data the sweep
+    // pinned and whose lazy readers re-read the checkpoint per probe
     val ck = new HPath(path, CkptDir)
     if (f.exists(ck)) {
       // main checkpoints and append zone sidecars alike — both are
@@ -631,7 +639,7 @@ object IndexedStore {
       val CkName = """(gen-\d+)(?:-append-[^.]+)?\.parquet""".r
       f.listStatus(ck).map(_.getPath)
         .filter(p => p.getName match {
-          case CkName(g) => !keptGens.contains(g)
+          case CkName(g) => !keptGens.contains(g) && !retainCkpt.contains(g)
           case _ => false
         })
         .foreach(p => f.delete(p, true): Unit)

@@ -32,7 +32,15 @@ def main(sfs):
         subprocess.run(
             [sys.executable, f"{repo}/tools/check_oracle.py",
              f"/root/testdata/sf{sf}", vdir, "--json", jp], check=False)
-        per_sf[f"sf{sf}"] = json.load(open(jp))
+        try:
+            per_sf[f"sf{sf}"] = json.load(open(jp))
+        except (FileNotFoundError, json.JSONDecodeError) as e:
+            # one SF's gate dying must not lose the others' results
+            print(f"[3sf] sf{sf}: no per-query record ({e}); recording the failure")
+            per_sf[f"sf{sf}"] = {"_gate": {
+                "rows_match": None, "schema_match": None, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"gate produced no correctness.json: {e}"}}
     summary = {}
     for sf, recs in per_sf.items():
         summary[sf] = {

@@ -129,8 +129,14 @@ def main(sf_dir, out_dir, json_path=None):
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--json"]
+    argv = sys.argv[1:]
     jp = None
-    if "--json" in sys.argv:
-        jp = args.pop(2) if len(args) > 2 else None
-    sys.exit(main(args[0], args[1], jp))
+    if "--json" in argv:
+        i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("--json requires a path argument")
+        jp = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    if len(argv) != 2:
+        sys.exit("usage: check_oracle.py <sfDir> <verifyOutDir> [--json path]")
+    sys.exit(main(argv[0], argv[1], jp))
