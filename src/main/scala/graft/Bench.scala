@@ -195,14 +195,43 @@ object Bench {
       .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
   }
 
-  /** Accumulates executor spill bytes per task; reset between queries so
-    * each timed window owns its number. local-mode tasks all report here. */
+  /** Accumulates per-task metrics between resets so each timed query
+    * window owns its numbers (local-mode tasks all report here):
+    * spill bytes, shuffle read/write bytes (EXCHANGE volume — the
+    * number that says which queries would move data at 100 TB),
+    * total executor run time (the parallel work the wall-clock
+    * amortizes), and per-stage run time so the heaviest single stage
+    * is attributable without re-profiling (a query whose top stage
+    * is most of its exec time is one serial bottleneck; an even
+    * split is scan-bound). */
   private final class SpillListener extends org.apache.spark.scheduler.SparkListener {
     val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shufRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong(0L)
+    val execMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val stageMs =
+      new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
     override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
-      if (m != null)
+      if (m != null) {
         spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled): Unit
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead): Unit
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+        execMs.addAndGet(m.executorRunTime): Unit
+        stageMs.computeIfAbsent(t.stageId,
+          _ => new java.util.concurrent.atomic.AtomicLong(0L))
+          .addAndGet(m.executorRunTime): Unit
+      }
+    }
+    def reset(): Unit = {
+      spilled.set(0L); shufRead.set(0L); shufWrite.set(0L); execMs.set(0L)
+      stageMs.clear()
+    }
+    /** Heaviest single stage's executor seconds in the window. */
+    def topStageSec: Double = {
+      var mx = 0L
+      stageMs.values().forEach(v => mx = math.max(mx, v.get()))
+      mx / 1e3
     }
   }
 
@@ -351,7 +380,7 @@ object Bench {
         // Settle GC debt from the previous query outside this window, so a
         // heap-heavy predecessor can't be billed to an innocent successor.
         System.gc()
-        spill.spilled.set(0L)
+        spill.reset()
         val load0 = loadAvg()
         val gc0 = gcMillis()
         val hits0 = graft.core.CacheStats.hits.get()
@@ -375,7 +404,9 @@ object Bench {
         if (!org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext))
           System.err.println(s"[bench] $name: listener bus drain timed out; " +
             "spill bytes may be undercounted")
-        (name, sec, (gcMillis() - gc0) / 1e3, spill.spilled.get(), load0, ok, warm)
+        (name, sec, (gcMillis() - gc0) / 1e3, spill.spilled.get(), load0, ok, warm,
+          spill.shufRead.get() + spill.shufWrite.get(),
+          spill.execMs.get() / 1e3, spill.topStageSec)
         }
         lastPassSec = (System.nanoTime() - passT0) / 1e9
         Some(rows)
@@ -396,16 +427,24 @@ object Bench {
     val passJson = selected.indices.map { i =>
       "\"" + selected(i)._1 + "\":[" + perPass.map(_(i)._2).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val qs = results.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { r => "\"" + r._1 + "\":" + r._2 }
       .mkString("{", ",", "}")
-    val gcJson = results.map { case (k, _, g, _, _, _, _) => "\"" + k + "\":" + g }
+    val gcJson = results.map { r => "\"" + r._1 + "\":" + r._3 }
       .mkString("{", ",", "}")
-    val spillJson = results.map { case (k, _, _, s, _, _, _) => "\"" + k + "\":" + s }
+    val spillJson = results.map { r => "\"" + r._1 + "\":" + r._4 }
       .mkString("{", ",", "}")
-    val loadJson = results.map { case (k, _, _, _, l, _, _) => "\"" + k + "\":" + l }
+    val loadJson = results.map { r => "\"" + r._1 + "\":" + r._5 }
       .mkString("{", ",", "}")
-    val warmJson = results.map { case (k, _, _, _, _, _, w) => "\"" + k + "\":" + w }
+    val warmJson = results.map { r => "\"" + r._1 + "\":" + r._7 }
       .mkString("{", ",", "}")
+    // provenance columns (same median pass as the wall time): total
+    // exchange bytes, total executor seconds, heaviest-stage seconds
+    val shufJson = results.map { r => "\"" + r._1 + "\":" + r._8 }
+      .mkString("{", ",", "}")
+    val execJson = results.map { r =>
+      "\"" + r._1 + "\":" + f"${r._9}%.3f" }.mkString("{", ",", "}")
+    val topStageJson = results.map { r =>
+      "\"" + r._1 + "\":" + f"${r._10}%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // A restricted run (SPARK_GRAFT_ONLY without "point_ops") skips the
     // store microbench — iteration on one query shouldn't pay for it.
@@ -452,7 +491,7 @@ object Bench {
     val pJson = points.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":${perPass.size},"query_sec_passes":$passJson,"query_gc_sec":$gcJson,"query_spill_bytes":$spillJson,"query_loadavg":$loadJson,"query_served_warm":$warmJson,"point_ops":$pJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":${perPass.size},"query_sec_passes":$passJson,"query_gc_sec":$gcJson,"query_spill_bytes":$spillJson,"query_loadavg":$loadJson,"query_served_warm":$warmJson,"query_shuffle_bytes":$shufJson,"query_exec_sec":$execJson,"query_top_stage_sec":$topStageJson,"point_ops":$pJson,"sf":"$sfDir"}"""
     // r3's driver capture kept only the output tail and sliced the head
     // off the (single, early) JSON line. Belt and braces: print first
     // (stdout is the contract — a file-write failure must not eat the
@@ -484,8 +523,8 @@ object Bench {
     // per-query data lives in the rich line above and BENCH_LOCAL.json.
     def d1(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
-    val qsCompact = results.map { case (k, v, _, _, _, _, _) =>
-      "\"" + k + "\":" + d1(v) }.mkString("{", ",", "}")
+    val qsCompact = results.map { r => "\"" + r._1 + "\":" + d1(r._2) }
+      .mkString("{", ",", "}")
     // Budget: the capture keeps the last 2000 chars of stdout; the
     // line reaches it as "[info] " + line + "\n" (sbt prefix), so the
     // line itself must stay ≤ 1992 chars to survive whole. The sf
@@ -505,7 +544,7 @@ object Bench {
     val byCost = results.sortBy(-_._2)
     def topLine(keep: Int): String = {
       val kept = byCost.take(keep)
-        .map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + d1(v) }
+        .map { r => "\"" + r._1 + "\":" + d1(r._2) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${d1(total)},"unit":"sec","queries":$kept,"note":"slowest $keep of ${results.size}; full record in BENCH_LOCAL.json","sf":"$sfTag"}"""
     }

@@ -1069,6 +1069,53 @@ object Dedup {
        |GROUP BY p.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** d_decontam_report — per-source CONTAMINATION report over
+    * [[dDecontaminate]]'s verdicts: how many of each source's train
+    * docs carry verbatim test-set n-grams, the flagged rate, and the
+    * worst doc's overlap count — the governance rollup that says
+    * WHICH ingestion sources leak benchmarks (a scraped QA site flags
+    * at 30%; a filtered crawl should flag near zero), read before
+    * deciding whether to drop the source or just the flagged docs.
+    * The d_datacard/t_retrieval_eval_seg segment-rollup discipline
+    * applied to decontamination.
+    *
+    * Shape: the decontaminate pipeline (bucketed, Σdf-bounded) + one
+    * LEFT join of the train corpus onto the (small — flagged docs
+    * only) verdict frame, + one source-keyed map-side-combined agg.
+    * Parity: counts are integers, pct is one rounded division. */
+  def dDecontamReport(spark: SparkSession, dir: String): DataFrame = {
+    val train = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"))
+      .filter(md5_32(col("doc_id").cast("string")) % 100 < 80)
+    val verdicts = dDecontaminate(spark, dir)
+      .select(col("doc_id"), col("n_overlap"), col("contaminated"))
+    train.join(verdicts, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_flagged"),
+        max(coalesce(col("n_overlap"), lit(0L))).as("max_overlap"))
+      .select(col("source"), col("n_train"), col("n_flagged"),
+        stableRound(col("n_flagged").cast("double") /
+          col("n_train").cast("double"), 6).as("pct_flagged"),
+        col("max_overlap"))
+      .orderBy("source")
+  }
+
+  lazy val dDecontamReportSql: String =
+    s"""WITH dc AS ($dDecontaminateSql),
+       |tr AS (
+       |  SELECT doc_id, source FROM documents
+       |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80)
+       |SELECT tr.source, count(*)::BIGINT AS n_train,
+       |  sum(CASE WHEN dc.contaminated THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+       |  ${graft.functions.Parity.stableRoundSql(
+            "sum(CASE WHEN dc.contaminated THEN 1 ELSE 0 END)::DOUBLE /\n" +
+            "       count(*)::DOUBLE", 6)} AS pct_flagged,
+       |  max(coalesce(dc.n_overlap, 0))::BIGINT AS max_overlap
+       |FROM tr LEFT JOIN dc USING (doc_id)
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   // ------------------------------------------------ chunk-level dedup
 
   /** Chunk width (words) for sub-document dedup: the unit real
@@ -1451,6 +1498,7 @@ object Dedup {
     "d_cluster_incr" -> dClusterIncr,
     "d_split" -> dSplit,
     "d_decontaminate" -> dDecontaminate,
+    "d_decontam_report" -> dDecontamReport,
     "d_source_overlap" -> dSourceOverlap,
   )
 
@@ -1473,6 +1521,7 @@ object Dedup {
     "d_cluster_incr" -> dClusterSql,
     "d_split" -> dSplitSql,
     "d_decontaminate" -> dDecontaminateSql,
+    "d_decontam_report" -> dDecontamReportSql,
     "d_source_overlap" -> dSourceOverlapSql,
   )
 }

@@ -134,6 +134,14 @@ private[graft] final class CkptFileIndex(
     case None => inv.select("path").limit(1).collect().headOption.map(_.getString(0))
   }
 
+  /** The relation's data schema from ONE leaf footer (appends share
+    * the layout schema by construction); None for an empty generation
+    * with no appends. Memoized with the instance so repeat opens of
+    * one store never re-read a footer ([[CkptFileIndex.cached]]). */
+  private[graft] lazy val dataSchemaOpt: Option[StructType] =
+    samplePath.orElse(extras.headOption.map(_.rel))
+      .map(rel => spark.read.parquet(s"$genPath/$rel").schema)
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val conds = zoneConds(dataFilters)
@@ -230,6 +238,36 @@ private[graft] object CkptFileIndex {
     * O(mutations since commit), the order a log reader already pays. */
   final case class ExtraFile(rel: String, len: Long, mtime: Long,
       zones: Map[String, IndexedStore.ZoneRange])
+
+  /** Signature-keyed instance memo (the [[IndexedStore.readCkptData]]
+    * ckptCache discipline): a checkpoint is immutable once its commit
+    * entry exists, so repeat opens of one store generation reuse the
+    * SAME index — the adaptive tier's limit-collect job, the schema
+    * footer read, and sizeInBytes all amortize to once per
+    * generation instead of once per open (the sc_* micro-lines open
+    * per query). The key carries the checkpoint's content signature
+    * (a recreated store at the same path misses), the extras
+    * fingerprint (an append between opens misses), the session
+    * identity (a cached index must never serve a stopped session),
+    * and the collect-threshold conf (the tier decision is baked into
+    * the instance — CkptIndexSpec's forced-distributed runs must not
+    * hit a driver-tier instance). Crudely bounded like ckptCache. */
+  private val fiCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CkptFileIndex]()
+
+  private[graft] def cached(spark: SparkSession, genPath: String,
+      ckptParquet: String, extras: Seq[ExtraFile],
+      bucketed: Boolean): CkptFileIndex = {
+    val sig = IndexedStore.ckptSignature(spark, ckptParquet)
+    val exFp = extras.map(e => s"${e.rel}:${e.len}:${e.mtime}:${e.zones.size}")
+      .mkString("|").hashCode
+    val thr = graft.core.Confs.intConf(spark,
+      "graft.store.ckptFileIndex.collectThreshold", 65536, min = 0)
+    val key = s"${System.identityHashCode(spark)}#$ckptParquet#$sig#$exFp#$thr#$bucketed"
+    if (fiCache.size > 256) fiCache.clear()
+    fiCache.computeIfAbsent(key,
+      _ => new CkptFileIndex(spark, genPath, ckptParquet, extras, bucketed))
+  }
 
   /** Bucket id from the checkpoint's gen-relative path form
     * (`__bucket=N/part-…`). Construction guarantees the prefix

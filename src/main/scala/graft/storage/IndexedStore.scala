@@ -1204,7 +1204,7 @@ object IndexedStore {
     * unstatable path yields a non-repeating token, so the entry can
     * never be served stale — the read below will surface the real
     * error. */
-  private def ckptSignature(spark: SparkSession, p: String): String =
+  private[graft] def ckptSignature(spark: SparkSession, p: String): String =
     try {
       val hp = new HPath(p)
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1861,13 +1861,13 @@ object IndexedStore {
       an empty generation (no checkpointed files, no appends) keeps
       the visible-iff-logged empty frame. */
     private def ckptIndexedBase(v: CkptView): DataFrame = {
-      val fi = new CkptFileIndex(spark, path, v.ckptParquet, v.extras,
+      // signature-keyed memo: repeat opens of one generation reuse
+      // the index (its collect-tier job, schema footer, sizeInBytes)
+      val fi = CkptFileIndex.cached(spark, path, v.ckptParquet, v.extras,
         bucketed = true)
-      val sample = fi.samplePath.orElse(v.extras.headOption.map(_.rel))
-      sample match {
+      fi.dataSchemaOpt match {
         case None => spark.read.parquet(path).filter(lit(false))
-        case Some(rel) =>
-          val dataSchema = spark.read.parquet(s"$path/$rel").schema
+        case Some(dataSchema) =>
           val relation = org.apache.spark.sql.execution.datasources
             .HadoopFsRelation(fi, fi.partitionSchema, dataSchema, None,
               new org.apache.spark.sql.execution.datasources.parquet

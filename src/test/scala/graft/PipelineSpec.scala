@@ -1536,6 +1536,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("d_decontam_report matches a driver rollup of the decontaminate verdicts") {
+    def md5Hex(str: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes("UTF-8")).map(x => f"${x & 0xff}%02x").mkString
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(md5Hex(id.toString).substring(0, 8), 16) % 100
+    val srcs = graft.core.Tables(spark, sf).documents
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val verdicts = Dedup.dDecontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val bySource = srcs.filter(p => bucket(p._1) < 80).groupBy(_._2)
+    val got = Dedup.dDecontamReport(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got.keySet == bySource.keySet, "one row per train source")
+    bySource.foreach { case (src, docs) =>
+      val (nTrain, nFlag, pct, maxOv) = got(src)
+      assert(nTrain == docs.length.toLong, s"$src n_train")
+      val flagged = docs.count(d => verdicts.get(d._1).exists(_._2))
+      assert(nFlag == flagged.toLong, s"$src n_flagged")
+      assert(math.abs(pct - flagged.toDouble / docs.length) < 1e-6, s"$src pct")
+      val wantMax = docs.map(d => verdicts.get(d._1).map(_._1).getOrElse(0L)).max
+      assert(maxOv == wantMax, s"$src max_overlap")
+    }
+    assert(got.values.exists(_._2 > 0), "no source flags anything — degenerate")
+  }
+
   test("d_span_scrub drops exactly the d_dup_spans words and keeps the rest in order") {
     val spans = Dedup.dDupSpans(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -184,6 +184,58 @@ class StoreStreamSpec extends SparkSpec {
     } finally data.unpersist(): Unit
   }
 
+  test("a lease held across sweeps keeps its reader live and never bends the CDC chain") {
+    // the round-16 regression class: retaining a LEASED generation's
+    // whole log footprint moved the snapshot republish anchor onto an
+    // out-of-chain entry and left the oldest chain entry's prev
+    // dangling. Correct scope: the lease pins data + CHECKPOINT
+    // artifacts (a lazy CkptFileIndex reader re-reads the checkpoint
+    // per probe), while log entries and the republish chain behave
+    // exactly as if the lease did not exist.
+    val path = freshRoot("lease")
+    val data = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey")).data
+      .cache()
+    try {
+      IndexedStore.write(data, path, HashIndex("c_mktsegment", 4))
+      val n1 = data.count()
+      val leased = IndexedStore.openLeased(spark, path, ttlMillis = 3600000L)
+      try {
+        // two more commits: with retention 1, gen 1 leaves the chain
+        IndexedStore.write(data.limit(40), path, HashIndex("c_mktsegment", 4))
+        IndexedStore.write(data.limit(20), path, HashIndex("c_mktsegment", 4))
+        // the leased reader still serves its full pinned snapshot —
+        // its checkpoint parquet must have survived both sweeps
+        assert(leased.find(Nil).count() == n1,
+          "leased reader lost rows after its generation left the chain")
+        // the chain is EXACTLY what a lease-free run produces: gen 1's
+        // entry checkpointed away, gen 2 republished as the prev-less
+        // snapshot base (the dangling-prev regression observable)
+        val logDir = new java.io.File(s"$path/_graft_log")
+        val names = logDir.listFiles().map(_.getName).filter(_.endsWith(".json"))
+        assert(!names.contains("gen-000001.json"),
+          "a leased generation's log entry must still die with the chain")
+        val g2 = scala.io.Source.fromFile(new java.io.File(logDir, "gen-000002.json"))
+        val body = try g2.mkString finally g2.close()
+        assert(body.contains("\"prev\":null"),
+          s"oldest CHAIN entry must republish prev-less despite the lease: $body")
+        // a consumer attaching DURING the lease bootstraps cleanly
+        val (q, r) = StoreStream.startCdc(spark, path)
+        val seen = try { q.processAllAvailable(); rows(r()) } finally q.stop()
+        assert(seen.nonEmpty && seen.map(_._1).min == 2L,
+          "mid-lease consumer must bootstrap from the chain snapshot, not the leased gen")
+        val net = seen.groupBy(_._4).view
+          .mapValues(_.map(t => if (t._3 == "added") 1 else -1).sum)
+          .filter(_._2 != 0)
+        assert(net.size == 20, s"bootstrap+replay net state: ${net.size} rows vs 20")
+      } finally leased.close()
+      // after release, the next commit's sweep reclaims the checkpoint
+      IndexedStore.write(data.limit(10), path, HashIndex("c_mktsegment", 4))
+      val ck = new java.io.File(s"$path/_graft_ckpt")
+      assert(!ck.listFiles().map(_.getName).exists(_.startsWith("gen-000001")),
+        "a released lease's checkpoint artifacts must be reclaimed")
+    } finally data.unpersist(): Unit
+  }
+
   test("a crash-orphaned mutation is caught up by the next commit's reconcile") {
     // the crash window: a mutation's data lands before its log entry
     // publishes — simulate by deleting the entries after the fact.
