@@ -197,8 +197,9 @@ object Bench {
 
   /** Accumulates per-task metrics between resets so each timed query
     * window owns its numbers (local-mode tasks all report here):
-    * spill bytes, shuffle read/write bytes (EXCHANGE volume — the
-    * number that says which queries would move data at 100 TB),
+    * spill bytes, shuffle WRITE bytes (exchange output volume — the
+    * number that says which queries would move data at 100 TB; write
+    * alone, so one exchange is never double-counted as read+write),
     * total executor run time (the parallel work the wall-clock
     * amortizes), and per-stage run time so the heaviest single stage
     * is attributable without re-profiling (a query whose top stage
@@ -206,7 +207,6 @@ object Bench {
     * split is scan-bound). */
   private final class SpillListener extends org.apache.spark.scheduler.SparkListener {
     val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
-    val shufRead = new java.util.concurrent.atomic.AtomicLong(0L)
     val shufWrite = new java.util.concurrent.atomic.AtomicLong(0L)
     val execMs = new java.util.concurrent.atomic.AtomicLong(0L)
     private val stageMs =
@@ -215,7 +215,6 @@ object Bench {
       val m = t.taskMetrics
       if (m != null) {
         spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled): Unit
-        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead): Unit
         shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
         execMs.addAndGet(m.executorRunTime): Unit
         stageMs.computeIfAbsent(t.stageId,
@@ -224,7 +223,7 @@ object Bench {
       }
     }
     def reset(): Unit = {
-      spilled.set(0L); shufRead.set(0L); shufWrite.set(0L); execMs.set(0L)
+      spilled.set(0L); shufWrite.set(0L); execMs.set(0L)
       stageMs.clear()
     }
     /** Heaviest single stage's executor seconds in the window. */
@@ -405,7 +404,7 @@ object Bench {
           System.err.println(s"[bench] $name: listener bus drain timed out; " +
             "spill bytes may be undercounted")
         (name, sec, (gcMillis() - gc0) / 1e3, spill.spilled.get(), load0, ok, warm,
-          spill.shufRead.get() + spill.shufWrite.get(),
+          spill.shufWrite.get(),
           spill.execMs.get() / 1e3, spill.topStageSec)
         }
         lastPassSec = (System.nanoTime() - passT0) / 1e9
@@ -441,10 +440,12 @@ object Bench {
     // exchange bytes, total executor seconds, heaviest-stage seconds
     val shufJson = results.map { r => "\"" + r._1 + "\":" + r._8 }
       .mkString("{", ",", "}")
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val execJson = results.map { r =>
-      "\"" + r._1 + "\":" + f"${r._9}%.3f" }.mkString("{", ",", "}")
+      "\"" + r._1 + "\":" + d3(r._9) }.mkString("{", ",", "}")
     val topStageJson = results.map { r =>
-      "\"" + r._1 + "\":" + f"${r._10}%.3f" }.mkString("{", ",", "}")
+      "\"" + r._1 + "\":" + d3(r._10) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // A restricted run (SPARK_GRAFT_ONLY without "point_ops") skips the
     // store microbench — iteration on one query shouldn't pay for it.
@@ -491,7 +492,7 @@ object Bench {
     val pJson = points.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":${perPass.size},"query_sec_passes":$passJson,"query_gc_sec":$gcJson,"query_spill_bytes":$spillJson,"query_loadavg":$loadJson,"query_served_warm":$warmJson,"query_shuffle_bytes":$shufJson,"query_exec_sec":$execJson,"query_top_stage_sec":$topStageJson,"point_ops":$pJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":${perPass.size},"query_sec_passes":$passJson,"query_gc_sec":$gcJson,"query_spill_bytes":$spillJson,"query_loadavg":$loadJson,"query_served_warm":$warmJson,"query_shuffle_write_bytes":$shufJson,"query_exec_sec":$execJson,"query_top_stage_sec":$topStageJson,"point_ops":$pJson,"sf":"$sfDir"}"""
     // r3's driver capture kept only the output tail and sliced the head
     // off the (single, early) JSON line. Belt and braces: print first
     // (stdout is the contract — a file-write failure must not eat the

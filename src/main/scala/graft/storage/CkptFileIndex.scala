@@ -245,27 +245,44 @@ private[graft] object CkptFileIndex {
     * SAME index — the adaptive tier's limit-collect job, the schema
     * footer read, and sizeInBytes all amortize to once per
     * generation instead of once per open (the sc_* micro-lines open
-    * per query). The key carries the checkpoint's content signature
-    * (a recreated store at the same path misses), the extras
-    * fingerprint (an append between opens misses), the session
-    * identity (a cached index must never serve a stopped session),
-    * and the collect-threshold conf (the tier decision is baked into
-    * the instance — CkptIndexSpec's forced-distributed runs must not
-    * hit a driver-tier instance). Crudely bounded like ckptCache. */
+    * per query). Keyed WEAKLY by session (a cached index pins its
+    * SparkSession, its checkpoint DataFrame, and up to a
+    * threshold-sized collected inventory — a stopped-and-dropped
+    * session must release all of it, and identity-hash keys are not
+    * unique across a session's lifetime); inside a session, the key
+    * carries the checkpoint's content signature (a recreated store
+    * at the same path misses), the extras fingerprint INCLUDING zone
+    * bounds (an append whose sidecar changed under an unchanged
+    * rel:len:mtime must miss), and the collect-threshold conf (the
+    * tier decision is baked into the instance — CkptIndexSpec's
+    * forced-distributed runs must not hit a driver-tier instance).
+    * Per-session maps are crudely bounded like ckptCache. */
   private val fiCache =
-    new java.util.concurrent.ConcurrentHashMap[String, CkptFileIndex]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, CkptFileIndex]]()
 
   private[graft] def cached(spark: SparkSession, genPath: String,
       ckptParquet: String, extras: Seq[ExtraFile],
       bucketed: Boolean): CkptFileIndex = {
     val sig = IndexedStore.ckptSignature(spark, ckptParquet)
-    val exFp = extras.map(e => s"${e.rel}:${e.len}:${e.mtime}:${e.zones.size}")
-      .mkString("|").hashCode
+    val exFp = extras.map { e =>
+      val zs = e.zones.toSeq.sortBy(_._1)
+        .map { case (c, z) => s"$c=${z.min}..${z.max}" }.mkString(",")
+      s"${e.rel}:${e.len}:${e.mtime}:[$zs]"
+    }.mkString("|")
     val thr = graft.core.Confs.intConf(spark,
       "graft.store.ckptFileIndex.collectThreshold", 65536, min = 0)
-    val key = s"${System.identityHashCode(spark)}#$ckptParquet#$sig#$exFp#$thr#$bucketed"
-    if (fiCache.size > 256) fiCache.clear()
-    fiCache.computeIfAbsent(key,
+    val key = s"$ckptParquet#$sig#$thr#$bucketed#$exFp"
+    val perSession = fiCache.synchronized {
+      var m = fiCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, CkptFileIndex]()
+        fiCache.put(spark, m)
+      }
+      m
+    }
+    if (perSession.size > 256) perSession.clear()
+    perSession.computeIfAbsent(key,
       _ => new CkptFileIndex(spark, genPath, ckptParquet, extras, bucketed))
   }
 

@@ -8,6 +8,12 @@ import graft.operators.{Curation, Dedup, Events, Similarity, TextAnalysis}
 class PipelineSpec extends SparkSpec {
   import SparkSpec.spark.implicits._
 
+  /** Driver-side md5 hex — the engines' md5() replayed for independent
+    * recomputes (shared by the lsh-gate, phash, and decontam tests). */
+  private def md5Hex(v: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+
   test("dedup_exact: keeper is min id of its group and never a dup") {
     val df = Dedup.dDedupExact(spark, sf).cache()
     assert(df.filter(col("doc_id") === col("keeper_id") && col("is_dup")).count() == 0)
@@ -1511,9 +1517,6 @@ class PipelineSpec extends SparkSpec {
     // the sampled run must equal the full pipeline restricted to
     // pairs whose BOTH endpoints pass the md5 gate — the property
     // that makes the per-pair expectation unbiased on retained pairs
-    def md5Hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map(x => f"${x & 0xff}%02x").mkString
     val n = 2
     def gated(id: Long): Boolean =
       java.lang.Long.parseLong(md5Hex(s"lshs:$id").substring(0, 8), 16) % n == 0
@@ -1537,9 +1540,6 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("d_decontam_report matches a driver rollup of the decontaminate verdicts") {
-    def md5Hex(str: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(str.getBytes("UTF-8")).map(x => f"${x & 0xff}%02x").mkString
     def bucket(id: Long): Long =
       java.lang.Long.parseLong(md5Hex(id.toString).substring(0, 8), 16) % 100
     val srcs = graft.core.Tables(spark, sf).documents
@@ -1644,9 +1644,6 @@ class PipelineSpec extends SparkSpec {
     // independent driver reference: re-derive every signature from the
     // raw text and brute-force ALL pairs — banding must be exactly the
     // hamming ≤ K ball (pigeonhole completeness) with exact distances
-    def md5Hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
     val docs = graft.core.Tables(spark, sf).documents
       .select("doc_id", "text").as[(Long, String)].collect()
     val sigs = docs.flatMap { case (id, text) =>
