@@ -1366,7 +1366,6 @@ object Dedup {
     * shared with [[dSpanScrub]], which consumes the spans instead of
     * reporting them. */
   private def dupSpanFrame(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val L = DupSpanWords
     val wins = TextAnalysis.docsSpread(spark, dir)
       .select(col("doc_id"),
@@ -1378,16 +1377,28 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= 2)
       .select("h")
+    mergeIslands(wins.join(dupFps, "h").select("doc_id", "i"), L)
+  }
+
+  /** Maximal-span island merge shared by [[dupSpanFrame]] and
+    * [[dDecontamScrub]]: flagged same-width windows chain while the
+    * gap to the previous start is ≤ the width (overlapping OR
+    * exactly abutting — the covered text stays contiguous), so no two
+    * emitted spans touch. Input: (doc_id, i) flagged window starts;
+    * output: (doc_id, span_start, span_end, n_windows), end exclusive
+    * in word positions. The window partitions by doc_id, whose
+    * cardinality scales with the corpus — never a single reducer. */
+  private def mergeIslands(hits: DataFrame, width: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    val flagged = wins.join(dupFps, "h")
-      .select("doc_id", "i")
+    hits
       .withColumn("nf", when(lag(col("i"), 1).over(w).isNull
-        || col("i") - lag(col("i"), 1).over(w) > L, 1L).otherwise(0L))
+        || col("i") - lag(col("i"), 1).over(w) > width, 1L).otherwise(0L))
       .withColumn("island", sum(col("nf")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    flagged.groupBy("doc_id", "island")
+      .groupBy("doc_id", "island")
       .agg(min(col("i")).as("span_start"),
-        (max(col("i")) + L).as("span_end"),
+        (max(col("i")) + width).as("span_end"),
         count(lit(1)).as("n_windows"))
       .select("doc_id", "span_start", "span_end", "n_windows")
   }
@@ -1412,13 +1423,26 @@ object Dedup {
     * Parity: pure string/integer arithmetic — 0-based word positions
     * on the same normalized split both engines use everywhere, no
     * floats anywhere. */
-  def dSpanScrub(spark: SparkSession, dir: String): DataFrame = {
-    val spanArr = dupSpanFrame(spark, dir)
+  def dSpanScrub(spark: SparkSession, dir: String): DataFrame =
+    scrubSpans(
+      TextAnalysis.docsSpread(spark, dir)
+        .select(col("doc_id"), words(col("text")).as("w")),
+      dupSpanFrame(spark, dir))
+
+  /** Span-rewrite reassembly shared by [[dSpanScrub]] and
+    * [[dDecontamScrub]]: each doc's spans gather into one array
+    * (bounded by the doc's own length / width — the d_boilerplate
+    * per-doc-row class), attach by ONE doc-keyed equi-join, and a
+    * narrow per-row HOF filter drops every word inside any span. Spans
+    * must be maximal and non-touching (the [[mergeIslands]] contract),
+    * so n_dropped = Σ(end − start) counts each dropped word exactly
+    * once. Input docs: (doc_id, w: array<string>). */
+  private def scrubSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val spanArr = spans
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(
         col("span_start").as("s"), col("span_end").as("e")))).as("spans"))
-    TextAnalysis.docsSpread(spark, dir)
-      .select(col("doc_id"), words(col("text")).as("w"))
+    docs
       .join(spanArr, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("spans").isNull, array_join(col("w"), " "))
@@ -1434,6 +1458,88 @@ object Dedup {
           lit(0L)).as("n_dropped"))
       .orderBy("doc_id")
   }
+
+  /** d_decontam_scrub — SPAN-LEVEL decontamination: the rewrite
+    * [[dDecontaminate]]'s verdicts imply, in the exact relationship
+    * [[dSpanScrub]] bears to [[dDupSpans]]. Instead of dropping every
+    * flagged train doc whole (the blunt instrument — at a 30%-flagged
+    * scraped source that's a third of the corpus gone), each verbatim
+    * test-set [[ContamNgram]]-gram occurrence in a TRAIN doc is
+    * located positionally, overlapping occurrences merge into maximal
+    * leaked spans ([[mergeIslands]]), and only those spans are
+    * scrubbed — the doc survives with the memorization-grade overlap
+    * removed. Output: every train-split doc (split = [[dSplit]]'s md5
+    * buckets) as (doc_id, clean_text, n_words, n_dropped).
+    *
+    * Scale shape: same as decontaminate — the test side collapses to
+    * its DISTINCT shingle-hash set before the probe, so the join is
+    * train postings against a hash set (linear, never doc pairs); the
+    * island merge windows over doc_id (corpus-cardinality partitions)
+    * and the reassembly is [[scrubSpans]]'s one doc-keyed join + HOF
+    * filter. Validation docs skip the pipeline entirely.
+    *
+    * Parity: pure string/integer arithmetic on the shared normalized
+    * split — 0-based word positions, md5-prefix hashes, no floats. */
+  def dDecontamScrub(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextAnalysis.docsSpread(spark, dir)
+      .withColumn("b", md5_32(col("doc_id").cast("string")) % 100)
+      .filter(col("b") < 80 || col("b") >= 90)
+    val wins = d.select(col("doc_id"), col("b"),
+        posexplode(graft.functions.expr.VectorExpressions
+          .wordWindows(words(col("text")), ContamNgram)))
+      .select(col("doc_id"), col("b"), col("pos").cast("long").as("i"),
+        md5_32(col("col")).as("h"))
+    val testSet = wins.filter(col("b") >= 90).select("h").distinct()
+    val hits = wins.filter(col("b") < 80)
+      .join(testSet, "h").select("doc_id", "i")
+    scrubSpans(
+      d.filter(col("b") < 80)
+        .select(col("doc_id"), words(col("text")).as("w")),
+      mergeIslands(hits, ContamNgram))
+  }
+
+  lazy val dDecontamScrubSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b,
+       |    string_split($normSql, ' ') AS w
+       |  FROM documents),
+       |wins AS (
+       |  SELECT doc_id, b, i,
+       |    ('0x' || substr(md5(
+       |       array_to_string(w[i + 1 : i + $ContamNgram], ' ')), 1, 8))::BIGINT AS h
+       |  FROM w, LATERAL (SELECT unnest(range(len(w) - $ContamNgram + 1)) AS i) t
+       |  WHERE len(w) >= $ContamNgram AND (b < 80 OR b >= 90)),
+       |test_sh AS (SELECT DISTINCT h FROM wins WHERE b >= 90),
+       |d AS (SELECT wins.doc_id, wins.i FROM wins
+       |      JOIN test_sh USING (h) WHERE b < 80),
+       |fl AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+       |           OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > $ContamNgram
+       |         THEN 1 ELSE 0 END AS nf
+       |  FROM d),
+       |isl AS (
+       |  SELECT doc_id, i, sum(nf) OVER (PARTITION BY doc_id ORDER BY i
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM fl),
+       |sp AS (SELECT doc_id, min(i) AS s, (max(i) + $ContamNgram) AS e
+       |       FROM isl GROUP BY doc_id, island),
+       |tr AS (SELECT doc_id, w FROM w WHERE b < 80),
+       |pos AS (
+       |  SELECT doc_id, i, w[i + 1] AS word
+       |  FROM tr, LATERAL (SELECT unnest(range(len(w))) AS i) t),
+       |keptw AS (
+       |  SELECT p.doc_id, p.i, p.word FROM pos p
+       |  WHERE NOT EXISTS (SELECT 1 FROM sp
+       |    WHERE sp.doc_id = p.doc_id AND p.i >= sp.s AND p.i < sp.e)),
+       |ka AS (SELECT doc_id, array_to_string(list(word ORDER BY i), ' ') AS clean_text
+       |       FROM keptw GROUP BY 1),
+       |dr AS (SELECT doc_id, sum(e - s)::BIGINT AS n_dropped FROM sp GROUP BY 1)
+       |SELECT tr.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+       |  len(tr.w)::BIGINT AS n_words, coalesce(dr.n_dropped, 0)::BIGINT AS n_dropped
+       |FROM tr LEFT JOIN ka USING (doc_id) LEFT JOIN dr USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   // lazy: embeds dDupSpansSql, which is declared below (object vals
   // initialize in declaration order — an eager val would embed null)
@@ -1499,6 +1605,7 @@ object Dedup {
     "d_split" -> dSplit,
     "d_decontaminate" -> dDecontaminate,
     "d_decontam_report" -> dDecontamReport,
+    "d_decontam_scrub" -> dDecontamScrub,
     "d_source_overlap" -> dSourceOverlap,
   )
 
@@ -1522,6 +1629,7 @@ object Dedup {
     "d_split" -> dSplitSql,
     "d_decontaminate" -> dDecontaminateSql,
     "d_decontam_report" -> dDecontamReportSql,
+    "d_decontam_scrub" -> dDecontamScrubSql,
     "d_source_overlap" -> dSourceOverlapSql,
   )
 }

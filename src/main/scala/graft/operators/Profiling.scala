@@ -164,13 +164,185 @@ object Profiling {
        |ORDER BY col_name, cnt DESC, key""".stripMargin
   }
 
+  /** Bucket count for [[qPartitionHist]] — mirrors this rig's
+    * `spark.sql.shuffle.partitions` so the histogram previews the
+    * actual exchange layout. */
+  val HistBuckets = 32
+
+  /** q_partition_hist — hash-PARTITION-SIZE histogram for each
+    * candidate shuffle key: what the reducer-side load of a
+    * `groupBy(key)` / shuffle-join exchange will look like BEFORE
+    * running it. For every audited key column, rows are assigned to
+    * [[HistBuckets]] buckets by a uniform hash of the key value and
+    * the per-bucket row counts come back with each bucket's share and
+    * `skew_x` = rows ÷ (n_rows/B) — the multiple of a perfectly
+    * balanced exchange the bucket carries. q_skew_audit names the hot
+    * VALUES; this shows the post-hash PARTITION imbalance those values
+    * actually induce (a hot key hurts only if its bucket exceeds the
+    * executor's memory/time budget — this is the number AQE's
+    * skew-join threshold compares against).
+    *
+    * The bucket hash is the repo's portable md5-prefix hash
+    * ([[graft.functions.TextFunctions.md5_32]]) rather than Spark's
+    * Murmur3 hashpartitioning — cross-engine reproducible, and an
+    * honest proxy: partition skew at scale is VALUE-frequency skew
+    * (hot keys land whole buckets), not a property of which uniform
+    * hash spreads the distinct values.
+    *
+    * Shape: one stack unpivot → ONE map-side-combined
+    * (col, bucket) count — the only corpus-sized exchange, and its key
+    * cardinality is cols×B (uniform by construction, no skew in the
+    * diagnostic itself); per-column totals attach as a 3-row
+    * broadcast. Buckets that received no rows are absent in both
+    * engines alike (at any realistic row count every bucket is hit;
+    * the diagnostic's consumer treats absence as zero).
+    *
+    * Parity: counts are integers; share and skew_x are single
+    * correctly-rounded double expressions spelled identically in both
+    * engines. */
+  def qPartitionHist(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.stableRound
+    import graft.functions.TextFunctions.md5_32
+    val li = Tables(spark, dir).lineitem
+    val stackArgs = SkewCols.map(c => s"'$c', cast($c as bigint)").mkString(", ")
+    val counts = li
+      .select(expr(s"stack(${SkewCols.length}, $stackArgs) as (col_name, k)"))
+      .select(col("col_name"),
+        (md5_32(col("k").cast("string")) % HistBuckets).as("bucket"))
+      .groupBy("col_name", "bucket").agg(count(lit(1)).as("bucket_rows"))
+    val totals = counts.groupBy("col_name")
+      .agg(sum("bucket_rows").cast("long").as("n_rows"))
+    counts.join(broadcast(totals), "col_name")
+      .select(col("col_name"), col("bucket"), col("bucket_rows"),
+        stableRound(col("bucket_rows").cast("double") /
+          col("n_rows").cast("double"), 6).as("share"),
+        stableRound(col("bucket_rows").cast("double") * lit(HistBuckets.toDouble) /
+          col("n_rows").cast("double"), 4).as("skew_x"))
+      .orderBy("col_name", "bucket")
+  }
+
+  val qPartitionHistSql: String = {
+    import graft.functions.Parity.stableRoundSql
+    val unions = SkewCols.map(c =>
+      s"SELECT '$c' AS col_name, $c::BIGINT AS k FROM lineitem")
+      .mkString("\nUNION ALL ")
+    s"""WITH c AS (
+       |  SELECT col_name,
+       |    ('0x' || substr(md5(k::VARCHAR), 1, 8))::BIGINT % $HistBuckets AS bucket,
+       |    count(*)::BIGINT AS bucket_rows
+       |  FROM ($unions) u GROUP BY 1, 2),
+       |t AS (SELECT col_name, sum(bucket_rows)::BIGINT AS n_rows FROM c GROUP BY 1)
+       |SELECT c.col_name, bucket, bucket_rows,
+       |  ${stableRoundSql("bucket_rows::DOUBLE / n_rows::DOUBLE", 6)} AS share,
+       |  ${stableRoundSql(
+            s"bucket_rows::DOUBLE * $HistBuckets / n_rows::DOUBLE", 4)} AS skew_x
+       |FROM c JOIN t USING (col_name)
+       |ORDER BY col_name, bucket""".stripMargin
+  }
+
+  /** Column-width kinds for [[qBroadcastAudit]]'s estimator. The map
+    * is STATIC (oracle SQL must be a fixed string); ProfilingSpec
+    * pins it against each parquet file's actual schema so a testdata
+    * regeneration that changes a type fails loudly instead of
+    * mis-estimating. Widths: fixed4/fixed8 = the in-memory numeric or
+    * timestamp width; string = 4 + chars (offset + data — a character
+    * count, exact for this ASCII fixture and the honest lower bound
+    * in general); floatlist = 4 + 4·len. */
+  val AuditTables: Seq[(String, Seq[(String, String)])] = Seq(
+    "region" -> Seq("r_regionkey" -> "fixed4", "r_name" -> "string"),
+    "nation" -> Seq("n_nationkey" -> "fixed4", "n_name" -> "string",
+      "n_regionkey" -> "fixed4"),
+    "customer" -> Seq("c_custkey" -> "fixed8", "c_name" -> "string",
+      "c_nationkey" -> "fixed4", "c_acctbal" -> "fixed8",
+      "c_mktsegment" -> "string"),
+    "supplier" -> Seq("s_suppkey" -> "fixed8", "s_name" -> "string",
+      "s_nationkey" -> "fixed4", "s_acctbal" -> "fixed8"),
+    "part" -> Seq("p_partkey" -> "fixed8", "p_name" -> "string",
+      "p_brand" -> "string", "p_type" -> "string", "p_size" -> "fixed4",
+      "p_retailprice" -> "fixed8"),
+    "orders" -> Seq("o_orderkey" -> "fixed8", "o_custkey" -> "fixed8",
+      "o_orderstatus" -> "string", "o_totalprice" -> "fixed8",
+      "o_orderdate" -> "fixed8", "o_orderpriority" -> "string"),
+    "documents" -> Seq("doc_id" -> "fixed8", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "fixed8"),
+  )
+
+  /** Spark's default `autoBroadcastJoinThreshold`. */
+  val BroadcastThreshold: Long = 10L * 1024 * 1024
+
+  /** q_broadcast_audit — per-table BROADCASTABILITY audit: estimated
+    * in-memory bytes of every join dimension vs Spark's 10 MB
+    * auto-broadcast threshold. The join-strategy pre-flight a 100 TB
+    * plan runs: a dimension under the threshold joins with ZERO
+    * exchange on the fact side (broadcast-hash), over it the join
+    * shuffles both sides — so this one number decides whether the
+    * biggest exchanges in the plan exist at all. Statistics-backed
+    * engines read it from ANALYZE; this computes it from the data the
+    * same way ([[AuditTables]] widths × actual string lengths), so it
+    * works on freshly-landed parquet with no catalog stats.
+    *
+    * Audits the six join dimensions plus `documents` (the pipeline's
+    * fact-side text table — always over threshold, the row that says
+    * "never broadcast this"); lineitem/events/embeddings are fact
+    * tables no planner would consider broadcasting.
+    *
+    * Shape: one full-scan aggregate per table (7 scans, each
+    * map-side-combined to a single row — at 100 TB these are the
+    * cheapest possible pass over each dimension, and the fact tables
+    * are never touched). No joins, no windows.
+    *
+    * Parity: byte sums are integers (char counts agree across engines
+    * on this fixture); avg_row_bytes is one rounded division. */
+  def qBroadcastAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.stableRound
+    val t = Tables(spark, dir)
+    AuditTables.map { case (name, cols) =>
+      val width = cols.map {
+        case (_, "fixed4") => lit(4L)
+        case (_, "fixed8") => lit(8L)
+        case (c, "string") => lit(4L) + coalesce(length(col(c)).cast("long"), lit(0L))
+        case (c, "floatlist") => lit(4L) + lit(4L) * coalesce(size(col(c)).cast("long"), lit(0L))
+        case (c, k) => throw new IllegalArgumentException(s"$name.$c: $k")
+      }.reduce(_ + _)
+      t.table(name)
+        .agg(count(lit(1)).as("n_rows"), sum(width).as("est_bytes"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("est_bytes"),
+          stableRound(col("est_bytes").cast("double") /
+            col("n_rows").cast("double"), 2).as("avg_row_bytes"),
+          (col("est_bytes") <= BroadcastThreshold).as("broadcast_ok"))
+    }.reduce(_ unionByName _).orderBy("table_name")
+  }
+
+  val qBroadcastAuditSql: String = {
+    import graft.functions.Parity.stableRoundSql
+    AuditTables.map { case (name, cols) =>
+      val width = cols.map {
+        case (_, "fixed4") => "4"
+        case (_, "fixed8") => "8"
+        case (c, "string") => s"(4 + coalesce(length($c), 0))"
+        case (c, "floatlist") => s"(4 + 4 * coalesce(len($c), 0))"
+        case (c, k) => throw new IllegalArgumentException(s"$name.$c: $k")
+      }.mkString(" + ")
+      s"""SELECT '$name' AS table_name, count(*)::BIGINT AS n_rows,
+         |  sum($width)::BIGINT AS est_bytes,
+         |  ${stableRoundSql(
+              s"sum($width)::DOUBLE / count(*)::DOUBLE", 2)} AS avg_row_bytes,
+         |  sum($width)::BIGINT <= $BroadcastThreshold AS broadcast_ok
+         |FROM $name""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> qProfile,
     "q_skew_audit" -> qSkewAudit,
+    "q_partition_hist" -> qPartitionHist,
+    "q_broadcast_audit" -> qBroadcastAudit,
   )
 
   def oracles: Map[String, String] = Map(
     "q_profile" -> qProfileSql,
     "q_skew_audit" -> qSkewAuditSql,
+    "q_partition_hist" -> qPartitionHistSql,
+    "q_broadcast_audit" -> qBroadcastAuditSql,
   )
 }

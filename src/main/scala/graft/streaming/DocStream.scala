@@ -186,13 +186,94 @@ object DocStream {
        |ORDER BY doc_id""".stripMargin
   }
 
+  final case class ContamOut(doc_id: Long, n_overlap: Long, contaminated: Boolean)
+
+  /** st_decontam — ingest-time benchmark DECONTAMINATION: the
+    * streaming twin of [[Dedup.dDecontaminate]], run at the door the
+    * way a continuously-fed training corpus needs it (a contaminated
+    * doc caught at ingest never pollutes a checkpoint; the batch
+    * operator can only catch it after the fact). Every arriving
+    * train-split document's distinct word-8-gram hashes probe the
+    * FROZEN benchmark fingerprint set, and any overlap emits
+    * (doc_id, n_overlap, contaminated) with the batch thresholds.
+    *
+    * The fingerprint side is STATIC by nature, not a stream:
+    * benchmark suites are small, versioned artifacts even when the
+    * corpus is 100 TB, so their distinct 8-gram hash set is a bounded
+    * sidecar read once per run ([[testShingleSet]] — here derived
+    * from the gate corpus's own md5 test split so the oracle is
+    * exactly [[Dedup.dDecontaminateSql]]; in production it ships with
+    * the eval suite). The stream–static inner join broadcasts that
+    * set — the arriving corpus never shuffles against anything
+    * corpus-sized, matching the batch operator's linear shape.
+    *
+    * State is one count per FLAGGED doc (clean docs never reach the
+    * stateful operator — the join drops them), accumulated across
+    * batches in case a doc's re-delivery splits; a doc row is atomic
+    * within a batch, so on the single-file gate corpus each flagged
+    * doc emits exactly once and the output equals the batch oracle.
+    * A cross-batch re-delivery re-emits the doc with its updated
+    * total (the [[stNearDup]] first-seen caveat class); production
+    * would age state out with a ProcessingTimeTimeout — NoTimeout
+    * keeps the gate deterministic. */
+  def stDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val stream = docStream(spark, dir).select(col("doc_id"), col("text"))
+    val testSet = testShingleSet(stream.sparkSession, dir)
+    EventStream.runToTable(decontamPipeline(stream, testSet).toDF(), "append")
+      .orderBy("doc_id")
+  }
+
+  /** The frozen benchmark fingerprints: distinct 8-gram hashes of the
+    * md5 test split, batch-read once per run on the stream's session.
+    * Identical hashing to the batch pipeline ([[Dedup.dDecontaminate]]
+    * — shared normText/wordShingles/md5_32), so stream and batch
+    * verdicts cannot diverge. */
+  private[graft] def testShingleSet(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{md5_32, words}
+    s.read.parquet(s"$dir/documents.parquet")
+      .filter(md5_32(col("doc_id").cast("string")) % 100 >= 90)
+      .select(explode(array_distinct(transform(
+        graft.functions.expr.VectorExpressions.wordShingles(
+          words(col("text")), Dedup.ContamNgram), x => md5_32(x)))).as("h"))
+      .distinct()
+  }
+
+  /** The probe + stateful rollup over any streaming (doc_id, text)
+    * frame — factored for the multi-batch spec. */
+  private[graft] def decontamPipeline(stream: DataFrame,
+      testSet: DataFrame): org.apache.spark.sql.Dataset[ContamOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.functions.TextFunctions.{md5_32, words}
+    val s = stream.sparkSession
+    import s.implicits._
+    stream
+      .filter(md5_32(col("doc_id").cast("string")) % 100 < 80)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        graft.functions.expr.VectorExpressions.wordShingles(
+          words(col("text")), Dedup.ContamNgram), x => md5_32(x)))).as("h"))
+      .join(testSet, "h")
+      .select(col("doc_id")).as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, ContamOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size.toLong
+          state.update(n)
+          Iterator.single(ContamOut(id, n, n >= Dedup.ContamMinHits))
+      }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_near_dup" -> stNearDup,
     "st_domain_budget" -> stDomainBudget,
+    "st_decontam" -> stDecontam,
   )
 
   def oracles: Map[String, String] = Map(
     "st_near_dup" -> stNearDupSql,
     "st_domain_budget" -> stDomainBudgetSql,
+    // the streaming gate's verdicts ARE the batch operator's — the
+    // oracle is shared verbatim
+    "st_decontam" -> Dedup.dDecontaminateSql,
   )
 }

@@ -63,6 +63,54 @@ class DocStreamSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("st_decontam equals the batch decontamination verdicts") {
+    val got = DocStream.stDecontam(spark, sf)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val expect = graft.operators.Dedup.dDecontaminate(spark, sf)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == expect,
+      s"stream vs batch diverged: extra=${got -- expect} missing=${expect -- got}")
+    assert(got.nonEmpty, "fixture has no contamination — degenerate")
+  }
+
+  test("st_decontam: cross-batch re-delivery accumulates and re-emits the updated total") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.{md5_32, words}
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def bucket(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.substring(0, 8), 16) % 100
+    val trainId = (1L to 200L).find(bucket(_) < 80).get
+    val leak = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val testSet = Seq((0L, leak)).toDF("doc_id", "text")
+      .select(explode(array_distinct(transform(
+        graft.functions.expr.VectorExpressions.wordShingles(
+          words(col("text")), graft.operators.Dedup.ContamNgram),
+        x => md5_32(x)))).as("h")).distinct()
+    val mem = MemoryStream[(Long, String)]
+    val out = DocStream.decontamPipeline(
+      mem.toDF.toDF("doc_id", "text"), testSet)
+    val name = "decontam_xbatch"
+    val q = out.toDF.writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    try {
+      mem.addData((trainId, s"intro words then $leak and a tail"))
+      q.processAllAvailable()
+      val first = spark.table(name).as[(Long, Long, Boolean)].collect().toSeq
+      assert(first == Seq((trainId, 1L, false)),
+        s"single shared 8-gram must flag once below threshold: $first")
+      // re-delivery with the same leaked span: the stored count grows
+      // and the doc re-emits its updated total (first-seen caveat class)
+      mem.addData((trainId, s"other framing $leak entirely"))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[(Long, Long, Boolean)].collect().toSet
+      assert(rows == Set((trainId, 1L, false), (trainId, 2L, false)),
+        s"re-delivery must accumulate: $rows")
+    } finally q.stop()
+  }
+
   test("st_domain_budget: the cap holds under any batch boundary, FCFS admission") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -1589,6 +1589,126 @@ class PipelineSpec extends SparkSpec {
     assert(got.values.exists(_._3 > 0) && got.values.exists(_._3 == 0))
   }
 
+  test("d_decontam_scrub scrubs exactly the maximal leaked test-set spans") {
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(md5Hex(id.toString).substring(0, 8), 16) % 100
+    def h32(s: String): Long =
+      java.lang.Long.parseLong(md5Hex(s).substring(0, 8), 16)
+    val L = Dedup.ContamNgram
+    val docs = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.words(col("text")).as("w"))
+      .as[(Long, Seq[String])].collect()
+    def wins(w: Seq[String]): Seq[(Int, Long)] =
+      if (w.length < L) Seq.empty
+      else (0 to w.length - L).map(i => i -> h32(w.slice(i, i + L).mkString(" ")))
+    val testSet = docs.filter(d => bucket(d._1) >= 90)
+      .flatMap(d => wins(d._2).map(_._2)).toSet
+    val train = docs.filter(d => bucket(d._1) < 80)
+    val got = Dedup.dDecontamScrub(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == train.map(_._1).toSet, "one row per train doc")
+    var anyDropped = false
+    train.foreach { case (id, w) =>
+      val hitIs = wins(w).filter(p => testSet(p._2)).map(_._1)
+      // island merge: a hit chains while its gap to the PREVIOUS hit
+      // start is <= L (overlapping or exactly abutting windows)
+      val islands = hitIs.foldLeft(List.empty[List[Int]]) {
+        case (cur :: rest, i) if i - cur.head <= L => (i :: cur) :: rest
+        case (acc, i) => List(i) :: acc
+      }
+      val spans = islands.map(isl => (isl.min, isl.max + L)).sortBy(_._1)
+      val keep = w.indices.filterNot(i =>
+        spans.exists(sp => i >= sp._1 && i < sp._2))
+      val (text, nWords, nDropped) = got(id)
+      assert(nWords == w.length.toLong, s"doc $id n_words")
+      assert(nDropped == spans.map(sp => sp._2 - sp._1).sum.toLong,
+        s"doc $id n_dropped")
+      assert(text == keep.map(w).mkString(" "), s"doc $id scrubbed text")
+      anyDropped ||= spans.nonEmpty
+    }
+    assert(anyDropped, "fixture has no train-test contamination — degenerate")
+  }
+
+  test("q_partition_hist matches a driver-side recompute of every bucket") {
+    import graft.operators.Profiling
+    val B = Profiling.HistBuckets
+    def h32(s: String): Long =
+      java.lang.Long.parseLong(md5Hex(s).substring(0, 8), 16)
+    val li = graft.core.Tables(spark, sf).lineitem
+      .selectExpr(Profiling.SkewCols.map(c => s"cast($c as bigint) as $c"): _*)
+      .collect()
+    val got = Profiling.qPartitionHist(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1).toSet == Profiling.SkewCols.toSet)
+    val n = li.length.toLong
+    Profiling.SkewCols.zipWithIndex.foreach { case (c, idx) =>
+      val counts = li.map(r => h32(r.getLong(idx).toString) % B)
+        .groupBy(identity).map { case (b, vs) => b -> vs.length.toLong }
+      val rows = got.filter(_._1 == c)
+      assert(rows.map(_._2).toSet == counts.keySet, s"$c bucket set")
+      rows.foreach { case (_, b, cnt, share, skew) =>
+        assert(cnt == counts(b), s"$c bucket $b rows")
+        assert(math.abs(share - cnt.toDouble / n) < 1e-6, s"$c bucket $b share")
+        assert(math.abs(skew - cnt.toDouble * B / n) < 1e-4, s"$c bucket $b skew")
+      }
+      // a uniform hash of a high-ndv key cannot starve a bucket (the
+      // low-ndv supplier key at sf0.001 legitimately leaves gaps)
+      if (li.map(_.getLong(idx)).distinct.length >= 8 * B)
+        assert(rows.length == B, s"$c: ${rows.length} of $B buckets hit")
+    }
+  }
+
+  test("q_broadcast_audit matches a driver recompute and its schema map is current") {
+    import graft.operators.Profiling
+    import org.apache.spark.sql.types._
+    val t = graft.core.Tables(spark, sf)
+    val got = Profiling.qBroadcastAudit(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got.keySet == Profiling.AuditTables.map(_._1).toSet)
+    Profiling.AuditTables.foreach { case (name, cols) =>
+      val df = t.table(name)
+      // drift guard: the STATIC kind map must match the file's actual
+      // schema — a testdata regeneration that shifts a type fails here
+      // instead of silently mis-estimating
+      val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      assert(byName.keySet == cols.map(_._1).toSet, s"$name columns drifted")
+      cols.foreach { case (c, kind) =>
+        val ok = (kind, byName(c)) match {
+          case ("fixed4", IntegerType) => true
+          case ("fixed8", LongType | DoubleType | TimestampType |
+                          TimestampNTZType) => true
+          case ("string", StringType) => true
+          case ("floatlist", ArrayType(FloatType, _)) => true
+          case _ => false
+        }
+        assert(ok, s"$name.$c: kind $kind vs actual ${byName(c)}")
+      }
+      val rows = df.collect()
+      val est = rows.map { r =>
+        cols.map {
+          case (_, "fixed4") => 4L
+          case (_, "fixed8") => 8L
+          case (c, "string") =>
+            4L + Option(r.getAs[String](c)).map(_.length.toLong).getOrElse(0L)
+          case (c, "floatlist") =>
+            4L + 4L * Option(r.getAs[Seq[Float]](c)).map(_.length.toLong).getOrElse(0L)
+        }.sum
+      }.sum
+      val (nr, bytes, avg, ok) = got(name)
+      assert(nr == rows.length.toLong, s"$name n_rows")
+      assert(bytes == est, s"$name est_bytes")
+      assert(math.abs(avg - est.toDouble / rows.length) <= 0.005 + 1e-9, s"$name avg")
+      assert(ok == (est <= Profiling.BroadcastThreshold), s"$name broadcast_ok")
+    }
+    // the audit must separate the classes on this fixture: every pure
+    // dimension broadcasts, the text fact table must not
+    assert(got("region")._4 && got("nation")._4, "small dims must broadcast")
+  }
+
   test("q_skew_audit matches a driver-side recompute of every column's heavy hitters") {
     import graft.operators.Profiling
     val got = Profiling.qSkewAudit(spark, sf).collect()

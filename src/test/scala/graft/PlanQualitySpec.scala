@@ -768,6 +768,29 @@ class PlanQualitySpec extends SparkSpec {
       s"totals attach must broadcast:\n${p.take(1500)}")
   }
 
+  test("partition hist: one keyed count, broadcast totals, no window") {
+    val p = plan("q_partition_hist")
+    // bucket counts group on (col, bucket) — cols×B keys, uniform by
+    // construction; per-column totals are a 3-row broadcast attach
+    assert(!p.contains("Window"),
+      s"partition hist grew a window:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"totals attach must broadcast:\n${p.take(1500)}")
+  }
+
+  test("broadcast audit: pure per-table single-row aggregates — no joins, no windows") {
+    val p = plan("q_broadcast_audit")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"broadcast audit must be scan+agg only:\n${p.take(1500)}")
+  }
+
+  test("decontam scrub: set-probe join + doc-keyed windows, no all-pairs") {
+    val p = plan("d_decontam_scrub")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"scrub regressed to an all-pairs shape:\n${p.take(1500)}")
+  }
+
   test("mix plan: one keyed aggregation, one-row broadcast total, no window") {
     val p = plan("d_mix_plan")
     assert(!p.contains("Window"), s"mix plan grew a window:\n${p.take(1500)}")
