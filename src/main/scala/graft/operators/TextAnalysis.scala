@@ -720,6 +720,76 @@ object TextAnalysis {
   def tDriftSeg(spark: SparkSession, dir: String): DataFrame =
     driftBySegments(spark, dir, Seq("source", "lang"))
 
+  /** t_novelty — per-doc NOVELTY of the incoming snapshot against the
+    * accumulated corpus: the fraction of an arriving doc's distinct
+    * word-8-grams ([[Dedup.ContamNgram]] — verbatim-reuse width, the
+    * memorization-grade unit, not the topical 3-gram) never seen in
+    * the base snapshot. The freshness signal mixture design reads
+    * next to [[tDrift]]'s distributional shift: drift says the BATCH
+    * moved, novelty says which DOCS actually carry new content vs
+    * re-crawled boilerplate (novelty ≈ 0 → the crawler is re-fetching;
+    * the d_dedup_incr convention supplies the snapshot split).
+    * Output: (doc_id, n_grams, n_seen, novelty) per delta doc with ≥1
+    * shingle.
+    *
+    * Shape: the [[Dedup.dDecontaminate]] skeleton with the snapshot
+    * split in place of the train/test split and a LEFT join in place
+    * of the inner probe (unseen grams must count): base collapses to
+    * its DISTINCT gram-hash set once, delta postings hash-join it on
+    * the gram key — linear, uniform (gram hashes), never doc×doc. At
+    * 100 TB the base set is corpus-sized but the join shuffles only
+    * (id, hash) pairs on a key with corpus-scale cardinality; the
+    * cheaper approximate tier (base grams in a bloom sidecar, narrow
+    * probe, no join) trades exactness the gate's hash compare can't.
+    *
+    * Parity: counts are integers; novelty is one correctly-rounded
+    * expression spelled identically in both engines. */
+  def tNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val n = Dedup.ContamNgram
+    val d = docsSpread(spark, dir)
+      .withColumn("b", md5_32(col("doc_id").cast("string")) % 100)
+    val sets = d.select(col("doc_id"), col("b"),
+        array_distinct(transform(graft.functions.expr.VectorExpressions
+          .wordShingles(words(col("text")), n), s => md5_32(s))).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val posts = sets.select(col("doc_id"), col("b"), explode(col("hs")).as("h"))
+    val base = posts.filter(col("b") < 90)
+      .select("h").distinct().withColumn("seen", lit(1L))
+    posts.filter(col("b") >= 90)
+      .join(base, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+      .select(col("doc_id"), col("n_grams"), col("n_seen"),
+        stableRound(lit(1.0) - col("n_seen").cast("double") /
+          col("n_grams").cast("double"), 6).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  lazy val tNoveltySql: String = {
+    val n = Dedup.ContamNgram
+    s"""WITH sets AS (
+       |  SELECT doc_id, b, list_distinct(list_transform(
+       |      [array_to_string(w[i:i+${n - 1}], ' ')
+       |       for i in range(1, len(w) - ${n - 2})],
+       |      s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS hs
+       |  FROM (SELECT doc_id,
+       |          ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b,
+       |          string_split($normSql, ' ') AS w
+       |        FROM documents) t
+       |  WHERE len(w) >= $n),
+       |posts AS (SELECT doc_id, b, unnest(hs) AS h FROM sets),
+       |base AS (SELECT DISTINCT h FROM posts WHERE b < 90)
+       |SELECT p.doc_id, count(*)::BIGINT AS n_grams,
+       |  count(base.h)::BIGINT AS n_seen,
+       |  ${stableRoundSql(
+            "1.0 - count(base.h)::DOUBLE / count(*)::DOUBLE", 6)} AS novelty
+       |FROM posts p LEFT JOIN base ON p.h = base.h
+       |WHERE p.b >= 90
+       |GROUP BY p.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** The shared two-snapshot drift skeleton ([[tDrift]] scaladoc):
     * ONE grouped aggregation carries BOTH snapshot counts as
     * conditional sums; per-segment totals broadcast back; segments
@@ -1210,6 +1280,7 @@ object TextAnalysis {
     "t_jsd_seg" -> tJsdSeg,
     "t_drift" -> tDrift,
     "t_drift_seg" -> tDriftSeg,
+    "t_novelty" -> tNovelty,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1232,5 +1303,6 @@ object TextAnalysis {
     "t_jsd_seg" -> tJsdSegSql,
     "t_drift" -> tDriftSql,
     "t_drift_seg" -> tDriftSegSql,
+    "t_novelty" -> tNoveltySql,
   )
 }

@@ -1631,6 +1631,41 @@ class PipelineSpec extends SparkSpec {
     assert(anyDropped, "fixture has no train-test contamination — degenerate")
   }
 
+  test("t_novelty matches a driver recompute of unseen-8-gram fractions") {
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(md5Hex(id.toString).substring(0, 8), 16) % 100
+    def h32(s: String): Long =
+      java.lang.Long.parseLong(md5Hex(s).substring(0, 8), 16)
+    val L = Dedup.ContamNgram
+    val docs = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.words(col("text")).as("w"))
+      .as[(Long, Seq[String])].collect()
+    def shs(w: Seq[String]): Set[Long] =
+      if (w.length < L) Set.empty
+      else (0 to w.length - L).map(i => h32(w.slice(i, i + L).mkString(" "))).toSet
+    val base = docs.filter(d => bucket(d._1) < 90).flatMap(d => shs(d._2)).toSet
+    val delta = docs.filter(d => bucket(d._1) >= 90)
+    val got = TextAnalysis.tNovelty(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == delta.filter(d => shs(d._2).nonEmpty).map(_._1).toSet,
+      "one row per delta doc with >=1 shingle")
+    delta.foreach { case (id, w) =>
+      val s = shs(w)
+      if (s.nonEmpty) {
+        val (nGrams, nSeen, novelty) = got(id)
+        assert(nGrams == s.size.toLong, s"doc $id n_grams")
+        assert(nSeen == s.count(base).toLong, s"doc $id n_seen")
+        assert(math.abs(novelty - (1.0 - nSeen.toDouble / nGrams)) < 1e-6,
+          s"doc $id novelty")
+      }
+    }
+    // the fixture must exercise both directions: some reuse, some new
+    assert(got.values.exists(_._2 > 0), "no delta doc reuses base grams")
+    assert(got.values.exists(_._3 > 0), "every delta doc is fully stale")
+  }
+
   test("q_partition_hist matches a driver-side recompute of every bucket") {
     import graft.operators.Profiling
     val B = Profiling.HistBuckets
