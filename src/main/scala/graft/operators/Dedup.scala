@@ -1015,6 +1015,16 @@ object Dedup {
     * flagged). */
   val ContamMinHits = 4
 
+  /** Distinct [[ContamNgram]]-gram hash set of a text column — THE
+    * shared fingerprint composition for the contamination family
+    * ([[dDecontaminate]], [[dDecontamScrub]]'s test side,
+    * [[TextAnalysis.tNovelty]], [[graft.streaming.DocStream]]'s
+    * stDecontam). One definition, so batch, stream, scrub, and
+    * novelty verdicts cannot diverge on what a fingerprint IS. */
+  def contamHashes(text: Column): Column =
+    array_distinct(transform(graft.functions.expr.VectorExpressions
+      .wordShingles(words(text), ContamNgram), s => md5_32(s)))
+
   /** Benchmark DECONTAMINATION — the check every training corpus needs
     * before the eval split means anything: find train-split docs that
     * share verbatim word-8-grams with any test-split doc (split =
@@ -1033,12 +1043,9 @@ object Dedup {
     val bucketed = d
       .withColumn("b", md5_32(col("doc_id").cast("string")) % 100)
       .filter(col("b") < 80 || col("b") >= 90)
-    val sets = bucketed.select(col("doc_id"), col("b"),
-        graft.functions.expr.VectorExpressions
-          .wordShingles(words(col("text")), ContamNgram).as("shing"))
-      .filter(size(col("shing")) > 0)
-      .select(col("doc_id"), col("b"),
-        array_distinct(transform(col("shing"), s => md5_32(s))).as("hs"))
+    val sets = bucketed
+      .select(col("doc_id"), col("b"), contamHashes(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0)
     val posts = sets.select(col("doc_id"), col("b"), explode(col("hs")).as("h"))
     val testShingles = posts.filter(col("b") >= 90).select("h").distinct()
     posts.filter(col("b") < 80)
@@ -1483,15 +1490,19 @@ object Dedup {
   def dDecontamScrub(spark: SparkSession, dir: String): DataFrame = {
     val d = TextAnalysis.docsSpread(spark, dir)
       .withColumn("b", md5_32(col("doc_id").cast("string")) % 100)
-      .filter(col("b") < 80 || col("b") >= 90)
-    val wins = d.select(col("doc_id"), col("b"),
+    // Only the TRAIN side needs positions; the test side needs just
+    // its distinct hash set, which [[contamHashes]] (per-doc distinct,
+    // no position column) produces more cheaply than positional
+    // windows — the same split dDecontaminate makes.
+    val trainWins = d.filter(col("b") < 80)
+      .select(col("doc_id"),
         posexplode(graft.functions.expr.VectorExpressions
           .wordWindows(words(col("text")), ContamNgram)))
-      .select(col("doc_id"), col("b"), col("pos").cast("long").as("i"),
+      .select(col("doc_id"), col("pos").cast("long").as("i"),
         md5_32(col("col")).as("h"))
-    val testSet = wins.filter(col("b") >= 90).select("h").distinct()
-    val hits = wins.filter(col("b") < 80)
-      .join(testSet, "h").select("doc_id", "i")
+    val testSet = d.filter(col("b") >= 90)
+      .select(explode(contamHashes(col("text"))).as("h")).distinct()
+    val hits = trainWins.join(testSet, "h").select("doc_id", "i")
     scrubSpans(
       d.filter(col("b") < 80)
         .select(col("doc_id"), words(col("text")).as("w")),

@@ -164,9 +164,11 @@ object Profiling {
        |ORDER BY col_name, cnt DESC, key""".stripMargin
   }
 
-  /** Bucket count for [[qPartitionHist]] — mirrors this rig's
-    * `spark.sql.shuffle.partitions` so the histogram previews the
-    * actual exchange layout. */
+  /** Bucket count for [[qPartitionHist]] — a FIXED cross-engine
+    * constant (the oracle SQL must be a static string, so it cannot
+    * track `spark.sql.shuffle.partitions` at runtime), chosen as a
+    * representative reducer count: the relative bucket imbalance it
+    * reveals is what matters and is stable under the bucket count. */
   val HistBuckets = 32
 
   /** q_partition_hist — hash-PARTITION-SIZE histogram for each
@@ -247,7 +249,7 @@ object Profiling {
     * mis-estimating. Widths: fixed4/fixed8 = the in-memory numeric or
     * timestamp width; string = 4 + chars (offset + data — a character
     * count, exact for this ASCII fixture and the honest lower bound
-    * in general); floatlist = 4 + 4·len. */
+    * in general). */
   val AuditTables: Seq[(String, Seq[(String, String)])] = Seq(
     "region" -> Seq("r_regionkey" -> "fixed4", "r_name" -> "string"),
     "nation" -> Seq("n_nationkey" -> "fixed4", "n_name" -> "string",
@@ -282,9 +284,13 @@ object Profiling {
     * works on freshly-landed parquet with no catalog stats.
     *
     * Audits the six join dimensions plus `documents` (the pipeline's
-    * fact-side text table — always over threshold, the row that says
-    * "never broadcast this"); lineitem/events/embeddings are fact
-    * tables no planner would consider broadcasting.
+    * text table — at the gate SFs everything here sits under 10 MB
+    * and broadcast_ok is uniformly true; the estimate COLUMNS are the
+    * substance the gate hash-checks, and the flag's false branch is
+    * exercised by the real corpus the operator is for, where
+    * documents is over threshold by orders of magnitude);
+    * lineitem/events/embeddings are fact tables no planner would
+    * consider broadcasting.
     *
     * Shape: one full-scan aggregate per table (7 scans, each
     * map-side-combined to a single row — at 100 TB these are the
@@ -301,7 +307,6 @@ object Profiling {
         case (_, "fixed4") => lit(4L)
         case (_, "fixed8") => lit(8L)
         case (c, "string") => lit(4L) + coalesce(length(col(c)).cast("long"), lit(0L))
-        case (c, "floatlist") => lit(4L) + lit(4L) * coalesce(size(col(c)).cast("long"), lit(0L))
         case (c, k) => throw new IllegalArgumentException(s"$name.$c: $k")
       }.reduce(_ + _)
       t.table(name)
@@ -320,7 +325,6 @@ object Profiling {
         case (_, "fixed4") => "4"
         case (_, "fixed8") => "8"
         case (c, "string") => s"(4 + coalesce(length($c), 0))"
-        case (c, "floatlist") => s"(4 + 4 * coalesce(len($c), 0))"
         case (c, k) => throw new IllegalArgumentException(s"$name.$c: $k")
       }.mkString(" + ")
       s"""SELECT '$name' AS table_name, count(*)::BIGINT AS n_rows,

@@ -748,9 +748,8 @@ object TextAnalysis {
     val n = Dedup.ContamNgram
     val d = docsSpread(spark, dir)
       .withColumn("b", md5_32(col("doc_id").cast("string")) % 100)
-    val sets = d.select(col("doc_id"), col("b"),
-        array_distinct(transform(graft.functions.expr.VectorExpressions
-          .wordShingles(words(col("text")), n), s => md5_32(s))).as("hs"))
+    val sets = d
+      .select(col("doc_id"), col("b"), Dedup.contamHashes(col("text")).as("hs"))
       .filter(size(col("hs")) > 0)
     val posts = sets.select(col("doc_id"), col("b"), explode(col("hs")).as("h"))
     val base = posts.filter(col("b") < 90)

@@ -229,12 +229,10 @@ object DocStream {
     * — shared normText/wordShingles/md5_32), so stream and batch
     * verdicts cannot diverge. */
   private[graft] def testShingleSet(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions.{md5_32, words}
+    import graft.functions.TextFunctions.md5_32
     s.read.parquet(s"$dir/documents.parquet")
       .filter(md5_32(col("doc_id").cast("string")) % 100 >= 90)
-      .select(explode(array_distinct(transform(
-        graft.functions.expr.VectorExpressions.wordShingles(
-          words(col("text")), Dedup.ContamNgram), x => md5_32(x)))).as("h"))
+      .select(explode(Dedup.contamHashes(col("text"))).as("h"))
       .distinct()
   }
 
@@ -243,15 +241,17 @@ object DocStream {
   private[graft] def decontamPipeline(stream: DataFrame,
       testSet: DataFrame): org.apache.spark.sql.Dataset[ContamOut] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    import graft.functions.TextFunctions.{md5_32, words}
+    import graft.functions.TextFunctions.md5_32
     val s = stream.sparkSession
     import s.implicits._
     stream
       .filter(md5_32(col("doc_id").cast("string")) % 100 < 80)
-      .select(col("doc_id"), explode(array_distinct(transform(
-        graft.functions.expr.VectorExpressions.wordShingles(
-          words(col("text")), Dedup.ContamNgram), x => md5_32(x)))).as("h"))
-      .join(testSet, "h")
+      .select(col("doc_id"), explode(Dedup.contamHashes(col("text"))).as("h"))
+      // explicit hint: the fingerprint side is benchmark-bounded BY
+      // CONTRACT — pin the broadcast rather than trusting the size
+      // estimate of a filter+explode+distinct over a scan (a shuffled
+      // stream-static join would shuffle every micro-batch)
+      .join(broadcast(testSet), "h")
       .select(col("doc_id")).as[Long]
       .groupByKey(identity)
       .flatMapGroupsWithState[Long, ContamOut](

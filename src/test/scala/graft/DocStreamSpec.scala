@@ -92,6 +92,10 @@ class DocStreamSpec extends SparkSpec {
     val mem = MemoryStream[(Long, String)]
     val out = DocStream.decontamPipeline(
       mem.toDF.toDF("doc_id", "text"), testSet)
+    // the fingerprint side must carry the explicit broadcast hint —
+    // without it a size misestimate would shuffle every micro-batch
+    assert(out.queryExecution.analyzed.toString.contains("broadcast"),
+      s"fingerprint join lost its broadcast hint:\n${out.queryExecution.analyzed}")
     val name = "decontam_xbatch"
     val q = out.toDF.writeStream.format("memory")
       .queryName(name).outputMode("append").start()
