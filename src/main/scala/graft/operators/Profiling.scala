@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -250,7 +250,7 @@ object Profiling {
     * timestamp width; string = 4 + chars (offset + data — a character
     * count, exact for this ASCII fixture and the honest lower bound
     * in general). */
-  val AuditTables: Seq[(String, Seq[(String, String)])] = Seq(
+  val TableWidths: Seq[(String, Seq[(String, String)])] = Seq(
     "region" -> Seq("r_regionkey" -> "fixed4", "r_name" -> "string"),
     "nation" -> Seq("n_nationkey" -> "fixed4", "n_name" -> "string",
       "n_regionkey" -> "fixed4"),
@@ -267,7 +267,61 @@ object Profiling {
       "o_orderdate" -> "fixed8", "o_orderpriority" -> "string"),
     "documents" -> Seq("doc_id" -> "fixed8", "text" -> "string",
       "lang" -> "string", "source" -> "string", "n_chars" -> "fixed8"),
+    "lineitem" -> Seq("l_orderkey" -> "fixed8", "l_partkey" -> "fixed8",
+      "l_suppkey" -> "fixed8", "l_linenumber" -> "fixed4",
+      "l_quantity" -> "fixed8", "l_extendedprice" -> "fixed8",
+      "l_discount" -> "fixed8", "l_tax" -> "fixed8",
+      "l_returnflag" -> "string", "l_linestatus" -> "string",
+      "l_shipdate" -> "fixed8"),
   )
+
+  /** Tables [[qBroadcastAudit]] audits: the join dimensions plus
+    * `documents`; lineitem (in [[TableWidths]] for [[qJoinPlan]]'s
+    * fact side) is a fact table no planner would broadcast. */
+  val AuditTables: Seq[(String, Seq[(String, String)])] =
+    TableWidths.filterNot(_._1 == "lineitem")
+
+  /** Estimated row width in bytes — the shared estimator
+    * ([[TableWidths]] kinds × actual string lengths). */
+  private def widthCol(name: String, cols: Seq[(String, String)]): Column =
+    cols.map {
+      case (_, "fixed4") => lit(4L)
+      case (_, "fixed8") => lit(8L)
+      case (c, "string") => lit(4L) + coalesce(length(col(c)).cast("long"), lit(0L))
+      case (c, k) => throw new IllegalArgumentException(s"$name.$c: $k")
+    }.reduce(_ + _)
+
+  /** SQL mirror of [[widthCol]]. */
+  private def widthSql(name: String, cols: Seq[(String, String)]): String =
+    cols.map {
+      case (_, "fixed4") => "4"
+      case (_, "fixed8") => "8"
+      case (c, "string") => s"(4 + coalesce(length($c), 0))"
+      case (c, k) => throw new IllegalArgumentException(s"$name.$c: $k")
+    }.mkString(" + ")
+
+  /** Per-table (n_rows, est_bytes) single-row aggregates, unioned —
+    * shared by [[qBroadcastAudit]] and [[qJoinPlan]]. */
+  private def tableStats(spark: SparkSession, dir: String,
+      names: Seq[String]): DataFrame = {
+    val t = Tables(spark, dir)
+    val widths = TableWidths.toMap
+    names.map { name =>
+      t.table(name)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(widthCol(name, widths(name))).as("est_bytes"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("est_bytes"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def tableStatsSql(names: Seq[String]): String = {
+    val widths = TableWidths.toMap
+    names.map { name =>
+      s"""SELECT '$name' AS table_name, count(*)::BIGINT AS n_rows,
+         |    sum(${widthSql(name, widths(name))})::BIGINT AS est_bytes
+         |  FROM $name""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+  }
 
   /** Spark's default `autoBroadcastJoinThreshold`. */
   val BroadcastThreshold: Long = 10L * 1024 * 1024
@@ -301,39 +355,83 @@ object Profiling {
     * on this fixture); avg_row_bytes is one rounded division. */
   def qBroadcastAudit(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Parity.stableRound
-    val t = Tables(spark, dir)
-    AuditTables.map { case (name, cols) =>
-      val width = cols.map {
-        case (_, "fixed4") => lit(4L)
-        case (_, "fixed8") => lit(8L)
-        case (c, "string") => lit(4L) + coalesce(length(col(c)).cast("long"), lit(0L))
-        case (c, k) => throw new IllegalArgumentException(s"$name.$c: $k")
-      }.reduce(_ + _)
-      t.table(name)
-        .agg(count(lit(1)).as("n_rows"), sum(width).as("est_bytes"))
-        .select(lit(name).as("table_name"), col("n_rows"), col("est_bytes"),
-          stableRound(col("est_bytes").cast("double") /
-            col("n_rows").cast("double"), 2).as("avg_row_bytes"),
-          (col("est_bytes") <= BroadcastThreshold).as("broadcast_ok"))
-    }.reduce(_ unionByName _).orderBy("table_name")
+    tableStats(spark, dir, AuditTables.map(_._1))
+      .select(col("table_name"), col("n_rows"), col("est_bytes"),
+        stableRound(col("est_bytes").cast("double") /
+          col("n_rows").cast("double"), 2).as("avg_row_bytes"),
+        (col("est_bytes") <= BroadcastThreshold).as("broadcast_ok"))
+      .orderBy("table_name")
   }
 
   val qBroadcastAuditSql: String = {
     import graft.functions.Parity.stableRoundSql
-    AuditTables.map { case (name, cols) =>
-      val width = cols.map {
-        case (_, "fixed4") => "4"
-        case (_, "fixed8") => "8"
-        case (c, "string") => s"(4 + coalesce(length($c), 0))"
-        case (c, k) => throw new IllegalArgumentException(s"$name.$c: $k")
-      }.mkString(" + ")
-      s"""SELECT '$name' AS table_name, count(*)::BIGINT AS n_rows,
-         |  sum($width)::BIGINT AS est_bytes,
-         |  ${stableRoundSql(
-              s"sum($width)::DOUBLE / count(*)::DOUBLE", 2)} AS avg_row_bytes,
-         |  sum($width)::BIGINT <= $BroadcastThreshold AS broadcast_ok
-         |FROM $name""".stripMargin
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+    s"""WITH stats AS (
+       |  ${tableStatsSql(AuditTables.map(_._1))})
+       |SELECT table_name, n_rows, est_bytes,
+       |  ${stableRoundSql(
+            "est_bytes::DOUBLE / n_rows::DOUBLE", 2)} AS avg_row_bytes,
+       |  est_bytes <= $BroadcastThreshold AS broadcast_ok
+       |FROM stats
+       |ORDER BY table_name""".stripMargin
+  }
+
+  /** Candidate star joins [[qJoinPlan]] audits: (name, fact, dim). */
+  val PlanJoins: Seq[(String, String, String)] = Seq(
+    ("lineitem_orders", "lineitem", "orders"),
+    ("lineitem_part", "lineitem", "part"),
+    ("lineitem_supplier", "lineitem", "supplier"),
+    ("orders_customer", "orders", "customer"))
+
+  /** q_join_plan — join-STRATEGY pre-flight for the star joins: for
+    * each candidate (fact ⋈ dim), both sides' measured sizes
+    * ([[tableStats]] — the q_broadcast_audit estimator), whether the
+    * dim fits Spark's broadcast threshold, and the exchange volume
+    * the choice implies: a broadcastable dim costs ZERO shuffle (the
+    * fact never moves — broadcast-hash); over threshold, a
+    * sort-merge/shuffle-hash join moves BOTH sides
+    * (fact_bytes + dim_bytes). At 100 TB this one table says where
+    * the plan's biggest exchanges are and which evaporate with a
+    * broadcast hint — the decision q_broadcast_audit's per-table rows
+    * feed, joined up per actual join.
+    *
+    * Shape: one single-row aggregate per distinct table (5 scans, the
+    * cheapest pass each), then two joins of a 4-row literal spec
+    * against the 5-row stats frame — trivially broadcast. Parity:
+    * integers end-to-end (sizes, flags, sums); no rounding needed. */
+  def qJoinPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val names = PlanJoins.flatMap(j => Seq(j._2, j._3)).distinct
+    val stats = tableStats(spark, dir, names)
+    val joins = PlanJoins.toDF("join_name", "fact", "dim")
+    joins
+      .join(stats.select(col("table_name").as("fact"),
+        col("n_rows").as("fact_rows"), col("est_bytes").as("fact_bytes")), "fact")
+      .join(stats.select(col("table_name").as("dim"),
+        col("n_rows").as("dim_rows"), col("est_bytes").as("dim_bytes")), "dim")
+      .select(col("join_name"), col("fact_rows"), col("fact_bytes"),
+        col("dim_rows"), col("dim_bytes"),
+        (col("dim_bytes") <= BroadcastThreshold).as("dim_broadcast_ok"),
+        when(col("dim_bytes") <= BroadcastThreshold, lit(0L))
+          .otherwise(col("fact_bytes") + col("dim_bytes")).as("shuffle_bytes"))
+      .orderBy("join_name")
+  }
+
+  val qJoinPlanSql: String = {
+    val names = PlanJoins.flatMap(j => Seq(j._2, j._3)).distinct
+    val values = PlanJoins.map { case (n, f, d) => s"('$n', '$f', '$d')" }
+      .mkString(", ")
+    s"""WITH stats AS (
+       |  ${tableStatsSql(names)}),
+       |j AS (SELECT * FROM (VALUES $values) v(join_name, fact, dim))
+       |SELECT join_name, f.n_rows AS fact_rows, f.est_bytes AS fact_bytes,
+       |  d.n_rows AS dim_rows, d.est_bytes AS dim_bytes,
+       |  d.est_bytes <= $BroadcastThreshold AS dim_broadcast_ok,
+       |  (CASE WHEN d.est_bytes <= $BroadcastThreshold THEN 0
+       |        ELSE f.est_bytes + d.est_bytes END)::BIGINT AS shuffle_bytes
+       |FROM j
+       |JOIN stats f ON f.table_name = j.fact
+       |JOIN stats d ON d.table_name = j.dim
+       |ORDER BY join_name""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -341,6 +439,7 @@ object Profiling {
     "q_skew_audit" -> qSkewAudit,
     "q_partition_hist" -> qPartitionHist,
     "q_broadcast_audit" -> qBroadcastAudit,
+    "q_join_plan" -> qJoinPlan,
   )
 
   def oracles: Map[String, String] = Map(
@@ -348,5 +447,6 @@ object Profiling {
     "q_skew_audit" -> qSkewAuditSql,
     "q_partition_hist" -> qPartitionHistSql,
     "q_broadcast_audit" -> qBroadcastAuditSql,
+    "q_join_plan" -> qJoinPlanSql,
   )
 }

@@ -1743,6 +1743,55 @@ class PipelineSpec extends SparkSpec {
     assert(got("region")._4 && got("nation")._4, "small dims must broadcast")
   }
 
+  test("q_join_plan derives its decisions from the shared size estimator") {
+    import graft.operators.Profiling
+    import org.apache.spark.sql.types._
+    val t = graft.core.Tables(spark, sf)
+    val widths = Profiling.TableWidths.toMap
+    // lineitem is the one TableWidths entry the audit test doesn't
+    // drift-guard — pin it here
+    val liCols = widths("lineitem")
+    val byName = t.table("lineitem").schema.fields
+      .map(f => f.name -> f.dataType).toMap
+    assert(byName.keySet == liCols.map(_._1).toSet, "lineitem columns drifted")
+    liCols.foreach { case (c, kind) =>
+      val ok = (kind, byName(c)) match {
+        case ("fixed4", IntegerType) => true
+        case ("fixed8", LongType | DoubleType | TimestampType |
+                        TimestampNTZType) => true
+        case ("string", StringType) => true
+        case _ => false
+      }
+      assert(ok, s"lineitem.$c: kind $kind vs actual ${byName(c)}")
+    }
+    def est(name: String): (Long, Long) = {
+      val cols = widths(name)
+      val rows = t.table(name).collect()
+      val bytes = rows.map { r =>
+        cols.map {
+          case (_, "fixed4") => 4L
+          case (_, "fixed8") => 8L
+          case (c, _) =>
+            4L + Option(r.getAs[String](c)).map(_.length.toLong).getOrElse(0L)
+        }.sum
+      }.sum
+      (rows.length.toLong, bytes)
+    }
+    val got = Profiling.qJoinPlan(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getLong(6))).toMap
+    assert(got.keySet == Profiling.PlanJoins.map(_._1).toSet)
+    Profiling.PlanJoins.foreach { case (n, f, d) =>
+      val (fr, fb) = est(f)
+      val (dr, db) = est(d)
+      val (gfr, gfb, gdr, gdb, ok, shuf) = got(n)
+      assert(gfr == fr && gfb == fb, s"$n fact stats")
+      assert(gdr == dr && gdb == db, s"$n dim stats")
+      assert(ok == (db <= Profiling.BroadcastThreshold), s"$n broadcast flag")
+      assert(shuf == (if (ok) 0L else fb + db), s"$n shuffle bytes")
+    }
+  }
+
   test("q_skew_audit matches a driver-side recompute of every column's heavy hitters") {
     import graft.operators.Profiling
     val got = Profiling.qSkewAudit(spark, sf).collect()

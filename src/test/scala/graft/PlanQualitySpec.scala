@@ -784,6 +784,13 @@ class PlanQualitySpec extends SparkSpec {
       s"broadcast audit must be scan+agg only:\n${p.take(1500)}")
   }
 
+  test("join plan: per-table single-row aggregates, tiny spec joins broadcast") {
+    val p = plan("q_join_plan")
+    assert(!p.contains("Window"), s"join plan grew a window:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the 4-row spec must meet the 5-row stats by broadcast:\n${p.take(1500)}")
+  }
+
   test("decontam scrub: set-probe join + doc-keyed windows, no all-pairs") {
     val p = plan("d_decontam_scrub")
     assert(!p.contains("CartesianProduct") &&
