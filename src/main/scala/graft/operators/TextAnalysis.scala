@@ -743,27 +743,74 @@ object TextAnalysis {
     * probe, no join) trades exactness the gate's hash compare can't.
     *
     * Parity: counts are integers; novelty is one correctly-rounded
-    * expression spelled identically in both engines. */
+    * expression spelled identically in both engines.
+    *
+    * `graft.text.noveltyProbe=bloom` swaps the exact base-set join for
+    * an IN-PLAN Bloom probe — the 100 TB tier BUILT, not documented:
+    * base gram hashes expand to [[NoveltyBloomK]] bit positions in a
+    * [[NoveltyBloomBits]]-slot space and collapse to the DISTINCT
+    * occupied-bit rows (bounded by the bit space, not the corpus —
+    * never collected, never broadcast whole, unlike a driver-built
+    * filter); a delta gram counts seen iff all K of its probe rows hit
+    * (no false negatives by construction, so bloom novelty is a LOWER
+    * bound on exact). Default stays exact so the gate keeps
+    * hash-comparing true values (the q_profile ndv=approx precedent);
+    * the spec pins no-false-negatives, per-doc n_grams identity, and a
+    * measured false-positive bound. */
   def tNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val n = Dedup.ContamNgram
+    val probe = graft.core.Confs.enumConf(spark, "graft.text.noveltyProbe",
+      "exact", "bloom")
     val d = docsSpread(spark, dir)
       .withColumn("b", md5_32(col("doc_id").cast("string")) % 100)
     val sets = d
       .select(col("doc_id"), col("b"), Dedup.contamHashes(col("text")).as("hs"))
       .filter(size(col("hs")) > 0)
     val posts = sets.select(col("doc_id"), col("b"), explode(col("hs")).as("h"))
-    val base = posts.filter(col("b") < 90)
-      .select("h").distinct().withColumn("seen", lit(1L))
-    posts.filter(col("b") >= 90)
-      .join(base, Seq("h"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+    val seenCounts = probe match {
+      case "bloom" =>
+        val bits = posts.filter(col("b") < 90)
+          .select(explode(bloomPositions(col("h"))).as("bit")).distinct()
+        posts.filter(col("b") >= 90)
+          .select(col("doc_id"), col("h"),
+            explode(bloomPositions(col("h"))).as("bit"))
+          .join(bits, "bit")
+          // a gram is (maybe-)seen iff every one of its K probe rows
+          // matched an occupied bit
+          .groupBy("doc_id", "h").agg(count(lit(1)).as("nb"))
+          .filter(col("nb") === NoveltyBloomK)
+          .groupBy("doc_id").agg(count(lit(1)).as("n_seen"))
+      case _ =>
+        val base = posts.filter(col("b") < 90)
+          .select("h").distinct().withColumn("seen", lit(1L))
+        posts.filter(col("b") >= 90)
+          .join(base, Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+    }
+    sets.filter(col("b") >= 90)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"))
+      .join(seenCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"))
       .select(col("doc_id"), col("n_grams"), col("n_seen"),
         stableRound(lit(1.0) - col("n_seen").cast("double") /
           col("n_grams").cast("double"), 6).as("novelty"))
       .orderBy("doc_id")
   }
+
+  /** Bloom geometry for the novelty probe: a prime slot count keeps
+    * the low-bit-only modulus well spread; K odd multipliers give
+    * near-independent positions. Fill at the gate SFs is far under 1%
+    * — the spec's measured-fpp bound has real slack. */
+  val NoveltyBloomBits = 4194301 // largest prime < 2^22
+  val NoveltyBloomK = 3
+  private val NoveltyBloomMults = Seq(1000000007L, 998244353L, 777767777L)
+
+  /** The K probe positions of a 32-bit gram hash (h·c mod M — h and c
+    * both bounded so the product stays well inside Long). */
+  private def bloomPositions(h: Column): Column =
+    array(NoveltyBloomMults.map(c =>
+      pmod(h.cast("long") * lit(c), lit(NoveltyBloomBits.toLong))): _*)
 
   lazy val tNoveltySql: String = {
     val n = Dedup.ContamNgram

@@ -1666,6 +1666,29 @@ class PipelineSpec extends SparkSpec {
     assert(got.values.exists(_._3 > 0), "every delta doc is fully stale")
   }
 
+  test("t_novelty bloom tier: n_grams identical, no false negatives, measured fpp") {
+    val exact = TextAnalysis.tNovelty(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    spark.conf.set("graft.text.noveltyProbe", "bloom")
+    val bloom = try TextAnalysis.tNovelty(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    finally spark.conf.unset("graft.text.noveltyProbe")
+    assert(bloom.keySet == exact.keySet, "bloom tier changed the doc set")
+    var extra = 0L
+    var unseen = 0L
+    exact.foreach { case (id, (ng, ns)) =>
+      val (bg, bs) = bloom(id)
+      assert(bg == ng, s"doc $id n_grams drifted in bloom mode")
+      assert(bs >= ns, s"doc $id: bloom LOST a seen gram (false negative)")
+      assert(bs <= ng, s"doc $id: seen exceeds grams")
+      extra += bs - ns
+      unseen += ng - ns
+    }
+    assert(unseen > 0, "fixture degenerate: no unseen grams to test fpp on")
+    assert(extra.toDouble / unseen < 0.01,
+      s"bloom false-positive rate out of bound: $extra of $unseen unseen grams")
+  }
+
   test("q_partition_hist matches a driver-side recompute of every bucket") {
     import graft.operators.Profiling
     val B = Profiling.HistBuckets
