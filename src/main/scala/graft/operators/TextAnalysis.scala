@@ -807,10 +807,19 @@ object TextAnalysis {
   private val NoveltyBloomMults = Seq(1000000007L, 998244353L, 777767777L)
 
   /** The K probe positions of a 32-bit gram hash (h·c mod M — h and c
-    * both bounded so the product stays well inside Long). */
-  private def bloomPositions(h: Column): Column =
+    * both bounded so the product stays well inside Long). Shared with
+    * the streaming gate ([[graft.streaming.DocStream]] stNovelty), so
+    * batch and stream bloom verdicts cannot diverge. */
+  private[graft] def bloomPositions(h: Column): Column =
     array(NoveltyBloomMults.map(c =>
       pmod(h.cast("long") * lit(c), lit(NoveltyBloomBits.toLong))): _*)
+
+  /** JVM twin of [[bloomPositions]] for typed streaming code — the
+    * same (h·c mod M) arithmetic on the same constants (h is a
+    * nonnegative 32-bit value, so % ≡ pmod and the product stays
+    * inside Long). */
+  private[graft] def bloomPositionsJvm(h: Long): Array[Long] =
+    NoveltyBloomMults.map(c => (h * c) % NoveltyBloomBits).toArray
 
   lazy val tNoveltySql: String = {
     val n = Dedup.ContamNgram

@@ -263,17 +263,144 @@ object DocStream {
       }
   }
 
+  final case class NovRow(doc_id: Long, n_grams: Long, seen: Long)
+  final case class NovOut(doc_id: Long, n_grams: Long, n_seen: Long)
+
+  /** st_novelty — ingest-time NOVELTY scoring: the streaming twin of
+    * [[graft.operators.TextAnalysis.tNovelty]], the fourth door gate
+    * next to dedup ([[stNearDup]]), quota ([[stDomainBudget]]), and
+    * decontamination ([[stDecontam]]): each arriving doc is scored for
+    * the fraction of its distinct word-8-grams unseen in the
+    * accumulated base corpus — the admit/downweight signal that stops
+    * paying storage for re-crawled boilerplate AT the door. Every
+    * arrival scores independently (a door decision is per-arrival; a
+    * re-delivered doc re-scores — unlike [[stDecontam]]'s accumulating
+    * rollup, nothing carries across batches, so no state at all).
+    *
+    * Probe tier follows `graft.text.noveltyProbe` exactly like the
+    * batch operator:
+    *  - `exact` (default, oracle = [[TextAnalysis.tNoveltySql]]
+    *    verbatim): arriving gram postings LEFT-join the base's
+    *    distinct gram-hash set — corpus-sized, the gate-exactness arm.
+    *  - `bloom` — the PRODUCTION door shape: the base collapses to a
+    *    [[TextAnalysis.NoveltyBloomBits]]-slot bit set (a fixed
+    *    ~512 KB java.util.BitSet built from the bounded occupied-bit
+    *    rows, never from corpus-sized data — the bounded-collect
+    *    class) broadcast to executors; each arrival then scores in a
+    *    NARROW stateless map — no join, no shuffle, nothing
+    *    corpus-sized anywhere near the stream. Spec-pinned ≡ the
+    *    batch bloom tier row-for-row. */
+  def stNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.stableRound
+    val stream = docStream(spark, dir).select(col("doc_id"), col("text"))
+    val s = stream.sparkSession
+    // conf reads on the ROOT session — streamSession is a fresh
+    // newSession() that does not see the caller's conf (the
+    // statePartitions knob reads the same way)
+    val probe = graft.core.Confs.enumConf(spark, "graft.text.noveltyProbe",
+      "exact", "bloom")
+    val scored = probe match {
+      case "bloom" => noveltyBloomPipeline(stream, baseBloomBits(s, dir)).toDF()
+      case _ => noveltyExactPipeline(stream, baseShingleSet(s, dir)).toDF()
+    }
+    EventStream.runToTable(scored, "append")
+      .select(col("doc_id"), col("n_grams"), col("n_seen"),
+        stableRound(lit(1.0) - col("n_seen").cast("double") /
+          col("n_grams").cast("double"), 6).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** The base snapshot's distinct gram hashes (buckets < 90 — the
+    * d_dedup_incr snapshot convention), batch-read once per run. */
+  private[graft] def baseShingleSet(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5_32
+    s.read.parquet(s"$dir/documents.parquet")
+      .filter(md5_32(col("doc_id").cast("string")) % 100 < 90)
+      .select(explode(Dedup.contamHashes(col("text"))).as("h"))
+      .distinct()
+  }
+
+  /** The base snapshot as a broadcast Bloom bit set: occupied-bit rows
+    * computed in-plan (distinct, bounded by the FIXED bit space — the
+    * collect is never corpus-sized), folded into one
+    * [[TextAnalysis.NoveltyBloomBits]]-bit BitSet. */
+  private[graft] def baseBloomBits(s: SparkSession, dir: String)
+      : org.apache.spark.broadcast.Broadcast[java.util.BitSet] = {
+    import graft.operators.TextAnalysis
+    val bits = new java.util.BitSet(TextAnalysis.NoveltyBloomBits)
+    baseShingleSet(s, dir)
+      .select(explode(TextAnalysis.bloomPositions(col("h"))).as("bit"))
+      .distinct().collect()
+      .foreach(r => bits.set(r.getLong(0).toInt))
+    s.sparkContext.broadcast(bits)
+  }
+
+  /** Exact tier: gram postings LEFT-join the base set, then a
+    * per-doc rollup (a doc's rows are atomic within its batch; no
+    * state is kept — each arrival scores independently). */
+  private[graft] def noveltyExactPipeline(stream: DataFrame,
+      base: DataFrame): org.apache.spark.sql.Dataset[NovOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.functions.TextFunctions.md5_32
+    val s = stream.sparkSession
+    import s.implicits._
+    stream
+      .filter(md5_32(col("doc_id").cast("string")) % 100 >= 90)
+      .select(col("doc_id"), Dedup.contamHashes(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"),
+        explode(col("hs")).as("h"))
+      .join(broadcast(base.withColumn("seen", lit(1L))), Seq("h"), "left_outer")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("seen"), lit(0L)).as("seen")).as[NovRow]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Long, NovOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, rows: Iterator[NovRow], _: GroupState[Long]) =>
+          var g = 0L
+          var ns = 0L
+          rows.foreach { r => g = r.n_grams; ns += r.seen }
+          Iterator.single(NovOut(id, g, ns))
+      }
+  }
+
+  /** Bloom tier: a narrow stateless per-row score against the
+    * broadcast bit set — no join, no shuffle. Position arithmetic is
+    * [[TextAnalysis.bloomPositionsJvm]], the JVM twin of the batch
+    * tier's column expression. */
+  private[graft] def noveltyBloomPipeline(stream: DataFrame,
+      bits: org.apache.spark.broadcast.Broadcast[java.util.BitSet])
+      : org.apache.spark.sql.Dataset[NovOut] = {
+    import graft.functions.TextFunctions.md5_32
+    import graft.operators.TextAnalysis
+    val s = stream.sparkSession
+    import s.implicits._
+    stream
+      .filter(md5_32(col("doc_id").cast("string")) % 100 >= 90)
+      .select(col("doc_id"), Dedup.contamHashes(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .as[(Long, Seq[Long])]
+      .map { case (id, hs) =>
+        val b = bits.value
+        val seen = hs.count(h =>
+          TextAnalysis.bloomPositionsJvm(h).forall(p => b.get(p.toInt)))
+        NovOut(id, hs.size.toLong, seen.toLong)
+      }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_near_dup" -> stNearDup,
     "st_domain_budget" -> stDomainBudget,
     "st_decontam" -> stDecontam,
+    "st_novelty" -> stNovelty,
   )
 
   def oracles: Map[String, String] = Map(
     "st_near_dup" -> stNearDupSql,
     "st_domain_budget" -> stDomainBudgetSql,
-    // the streaming gate's verdicts ARE the batch operator's — the
-    // oracle is shared verbatim
+    // the streaming gates' verdicts ARE the batch operators' — the
+    // oracles are shared verbatim
     "st_decontam" -> Dedup.dDecontaminateSql,
+    "st_novelty" -> graft.operators.TextAnalysis.tNoveltySql,
   )
 }

@@ -115,6 +115,29 @@ class DocStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st_novelty equals the batch novelty scores (exact tier)") {
+    val got = DocStream.stNovelty(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val expect = graft.operators.TextAnalysis.tNovelty(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expect,
+      s"stream vs batch diverged: extra=${got -- expect} missing=${expect -- got}")
+    assert(got.nonEmpty, "fixture has no delta docs — degenerate")
+  }
+
+  test("st_novelty bloom tier equals the batch bloom tier row-for-row") {
+    spark.conf.set("graft.text.noveltyProbe", "bloom")
+    try {
+      val got = DocStream.stNovelty(spark, sf)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val expect = graft.operators.TextAnalysis.tNovelty(spark, sf)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got == expect,
+        s"bloom stream vs batch: extra=${got -- expect} missing=${expect -- got}")
+      assert(got.nonEmpty)
+    } finally spark.conf.unset("graft.text.noveltyProbe")
+  }
+
   test("st_domain_budget: the cap holds under any batch boundary, FCFS admission") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
