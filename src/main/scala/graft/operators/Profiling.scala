@@ -401,7 +401,10 @@ object Profiling {
   def qJoinPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val names = PlanJoins.flatMap(j => Seq(j._2, j._3)).distinct
-    val stats = tableStats(spark, dir, names)
+    // lazy localCheckpoint: the stats frame is read once per join
+    // side — without it each reference re-runs all five table scans
+    // (the q_skew_audit frozen-counts discipline)
+    val stats = tableStats(spark, dir, names).localCheckpoint(false)
     val joins = PlanJoins.toDF("join_name", "fact", "dim")
     joins
       .join(stats.select(col("table_name").as("fact"),

@@ -766,32 +766,36 @@ object TextAnalysis {
       .select(col("doc_id"), col("b"), Dedup.contamHashes(col("text")).as("hs"))
       .filter(size(col("hs")) > 0)
     val posts = sets.select(col("doc_id"), col("b"), explode(col("hs")).as("h"))
-    val seenCounts = probe match {
+    // Both arms keep n_grams inside the per-doc aggregation (posts
+    // carry every distinct gram, seen or not) — no third corpus pass
+    // to re-derive set sizes.
+    val counts = probe match {
       case "bloom" =>
         val bits = posts.filter(col("b") < 90)
-          .select(explode(bloomPositions(col("h"))).as("bit")).distinct()
+          .select(explode(bloomPositions(col("h"))).as("bit"))
+          .distinct().withColumn("hit", lit(1L))
         posts.filter(col("b") >= 90)
           .select(col("doc_id"), col("h"),
             explode(bloomPositions(col("h"))).as("bit"))
-          .join(bits, "bit")
+          .join(bits, Seq("bit"), "left")
           // a gram is (maybe-)seen iff every one of its K probe rows
           // matched an occupied bit
-          .groupBy("doc_id", "h").agg(count(lit(1)).as("nb"))
-          .filter(col("nb") === NoveltyBloomK)
-          .groupBy("doc_id").agg(count(lit(1)).as("n_seen"))
+          .groupBy("doc_id", "h")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("nb"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("nb") === NoveltyBloomK, 1L).otherwise(0L))
+              .as("n_seen"))
       case _ =>
         val base = posts.filter(col("b") < 90)
           .select("h").distinct().withColumn("seen", lit(1L))
         posts.filter(col("b") >= 90)
           .join(base, Seq("h"), "left")
           .groupBy("doc_id")
-          .agg(sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
     }
-    sets.filter(col("b") >= 90)
-      .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"))
-      .join(seenCounts, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_seen"), lit(0L)).as("n_seen"))
+    counts
       .select(col("doc_id"), col("n_grams"), col("n_seen"),
         stableRound(lit(1.0) - col("n_seen").cast("double") /
           col("n_grams").cast("double"), 6).as("novelty"))

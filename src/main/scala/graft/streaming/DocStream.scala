@@ -350,7 +350,12 @@ object DocStream {
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"),
         explode(col("hs")).as("h"))
-      .join(broadcast(base.withColumn("seen", lit(1L))), Seq("h"), "left_outer")
+      // NO broadcast hint here, unlike stDecontam: the base gram set
+      // is corpus-sized (90% of all documents), so a forced broadcast
+      // would turn "big join" into a hard failure past the 8 GB
+      // broadcast limit — the planner picks per its size estimate,
+      // and the bloom tier is the shape that actually scales
+      .join(base.withColumn("seen", lit(1L)), Seq("h"), "left_outer")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("seen"), lit(0L)).as("seen")).as[NovRow]
       .groupByKey(_.doc_id)

@@ -138,6 +138,42 @@ class DocStreamSpec extends SparkSpec {
     } finally spark.conf.unset("graft.text.noveltyProbe")
   }
 
+  test("st_novelty re-scores independently on re-delivery — no cross-batch state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def bucket(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.substring(0, 8), 16) % 100
+    val deltaId = (1L to 200L).find(bucket(_) >= 90).get
+    val known = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val base = Seq((0L, known)).toDF("doc_id", "text")
+      .select(explode(graft.operators.Dedup.contamHashes(col("text"))).as("h"))
+      .distinct()
+    val mem = MemoryStream[(Long, String)]
+    val out = DocStream.noveltyExactPipeline(
+      mem.toDF.toDF("doc_id", "text"), base)
+    val name = "novelty_xbatch"
+    val q = out.toDF.writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    try {
+      val txt = s"fresh words here then $known closing"
+      mem.addData((deltaId, txt))
+      q.processAllAvailable()
+      val first = spark.table(name).as[(Long, Long, Long)].collect().toSeq
+      assert(first.length == 1 && first.head._1 == deltaId &&
+        first.head._3 == 1L, s"first arrival must score once: $first")
+      // identical re-delivery: the door re-scores from scratch — the
+      // same row again, never an accumulated count
+      mem.addData((deltaId, txt))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[(Long, Long, Long)].collect().toSeq
+      assert(rows.length == 2 && rows.toSet.size == 1,
+        s"re-delivery must emit the identical per-arrival score: $rows")
+    } finally q.stop()
+  }
+
   test("st_domain_budget: the cap holds under any batch boundary, FCFS admission") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext

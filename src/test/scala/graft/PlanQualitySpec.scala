@@ -784,11 +784,17 @@ class PlanQualitySpec extends SparkSpec {
       s"broadcast audit must be scan+agg only:\n${p.take(1500)}")
   }
 
-  test("join plan: per-table single-row aggregates, tiny spec joins broadcast") {
+  test("join plan: stats frozen once, tiny spec joins broadcast") {
     val p = plan("q_join_plan")
     assert(!p.contains("Window"), s"join plan grew a window:\n${p.take(1500)}")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"the 4-row spec must meet the 5-row stats by broadcast:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"spec-to-stats joins must be broadcast-hash:\n${p.take(1500)}")
+    // the stats frame is a frozen RDD read twice — the five table
+    // scans must not appear (re-run) once per join side
+    assert(p.contains("ExistingRDD") && !p.contains("Scan parquet"),
+      s"table stats re-scan instead of the frozen frame:\n${p.take(1500)}")
   }
 
   test("decontam scrub: set-probe join + doc-keyed windows, no all-pairs") {
