@@ -92,6 +92,55 @@ final class Store private (val data: DataFrame, orderCols: Seq[String]) {
   def deleteFilter(conds: Seq[Condition], f: Column): Store =
     new Store(data.filter(!(Condition.all(conds) && f)), orderCols)
 
+  /** Three-way MERGE keyed on the store's ordering key — the full
+    * lakehouse `MERGE INTO` clause set (Delta/Iceberg spell it the
+    * same way), which [[upsert]] deliberately does NOT provide:
+    *
+    *  - WHEN MATCHED AND `deleteWhen` THEN DELETE — matched target
+    *    rows satisfying the predicate (over `t.*`/`s.*`) are removed;
+    *    their rowids retire, never reused (src/lib.rs:140-142).
+    *  - WHEN MATCHED THEN UPDATE SET `updateSet` — remaining matched
+    *    rows update IN PLACE and KEEP their rowids (the semantic
+    *    difference from upsert, whose replace-rows re-number).
+    *    `updateSet` maps target columns to expressions over the
+    *    joined frame (`t.` = target, `s.` = source).
+    *  - WHEN NOT MATCHED THEN INSERT — source rows with no target
+    *    match insert with fresh ids after the current max
+    *    (src/lib.rs:178-187 numbering discipline).
+    *
+    * Scale shape: ONE left outer equi-join on the key (broadcast for
+    * a small source, co-shuffled hash join otherwise), one left-anti
+    * for the insert set, and the shared distributed numbering tail —
+    * no window, no collect. Duplicate source keys are rejected loudly
+    * (SQL MERGE's multiple-matched-rows error): silence would leave
+    * matched updates nondeterministic. */
+  def merge(source: DataFrame, updateSet: Map[String, Column],
+      deleteWhen: Option[Column] = None): Store = {
+    val keys = source.select(orderCols.map(col).toSeq: _*)
+    require(keys.count() == keys.distinct().count(),
+      s"merge source has duplicate ${orderCols.mkString("(", ",", ")")} keys")
+    val cols = data.columns.filter(_ != Store.RowId)
+    require(source.columns.sorted.sameElements(cols.sorted),
+      s"source columns ${source.columns.mkString(",")} != store columns ${cols.mkString(",")}")
+    // explicit matched marker: key columns may be nullable in general,
+    // so "source key is not null" is not a safe matched test
+    val joined = data.as("t")
+      .join(source.withColumn("__matched", lit(true)).as("s"),
+        orderCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
+        "left")
+    val matched = coalesce(col("s.__matched"), lit(false))
+    val del = deleteWhen.getOrElse(lit(false))
+    val survivors = joined.filter(!matched || !del)
+      .select(data.columns.map { c =>
+        if (c == Store.RowId) col(s"t.$c").as(c)
+        else when(matched, updateSet.getOrElse(c, col(s"t.$c")))
+          .otherwise(col(s"t.$c")).as(c)
+      }.toSeq: _*)
+    val inserts = source.join(
+      data.select(orderCols.map(col).toSeq: _*), orderCols, "left_anti")
+    new Store(survivors.unionByName(numberAfterMax(inserts)), orderCols)
+  }
+
   /** Row count, `find(&[]).count()` style. */
   def count(): Long = data.count()
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.Parity.{stableRound, stableRoundSql}
@@ -200,23 +200,29 @@ object Embeddings {
         col("n_vectors"))
   }
 
-  /** CTE chain ending in `cells(label, dim, n_vectors, total)` — the
-    * ONE SQL copy of the hierarchical centroid fold, shared by the
-    * e_centroid and e_silhouette oracles (the normSql single-copy
-    * discipline). */
-  val centroidCellsSql: String =
-    s"""v AS (
+  /** CTE chain ending in `cells$p(label, dim, n_vectors, total)` —
+    * the ONE SQL copy of the hierarchical centroid fold (the normSql
+    * single-copy discipline), parametrized with a CTE-name suffix and
+    * a row filter so [[eDriftSql]] can instantiate it once per
+    * snapshot half. */
+  private def centroidCellsSqlFor(p: String, where: String): String =
+    s"""v$p AS (
        |  SELECT label, vec_id % $CentroidSubs AS sub, i - 1 AS dim, x::DOUBLE AS v
        |  FROM (SELECT label, vec_id, unnest(embedding) AS x,
-       |        generate_subscripts(embedding, 1) AS i FROM embeddings) u),
-       |subs AS (
+       |        generate_subscripts(embedding, 1) AS i FROM embeddings
+       |        WHERE $where) u),
+       |subs$p AS (
        |  SELECT label, dim, sub, count(*) AS n,
        |    list_reduce(list_prepend(0.0, list(v ORDER BY v)), (a, b) -> a + b) AS s
-       |  FROM v GROUP BY 1, 2, 3),
-       |cells AS (
+       |  FROM v$p GROUP BY 1, 2, 3),
+       |cells$p AS (
        |  SELECT label, dim, sum(n)::BIGINT AS n_vectors,
        |    list_reduce(list_prepend(0.0, list(s ORDER BY sub)), (a, b) -> a + b) AS total
-       |  FROM subs GROUP BY 1, 2)""".stripMargin
+       |  FROM subs$p GROUP BY 1, 2)""".stripMargin
+
+  /** The unfiltered instantiation, shared by the e_centroid and
+    * e_silhouette oracles. */
+  val centroidCellsSql: String = centroidCellsSqlFor("", "true")
 
   val eCentroidSql: String =
     s"""WITH $centroidCellsSql
@@ -339,6 +345,89 @@ object Embeddings {
        |SELECT label, n_vectors,
        |  ${stableRoundSql("tot / n_vectors", 6)} AS silhouette
        |FROM agg ORDER BY label""".stripMargin
+
+  // --------------------------------------------------------- e_drift
+
+  /** e_drift — per-label embedding-space drift between two ingest
+    * snapshots: the exact centroid of each label in each snapshot
+    * (the [[centroidOf]] hierarchical fold, once per half), then the
+    * L2 shift and cosine similarity between the two prototypes. The
+    * embedding-side twin of [[TextAnalysis.tDrift]]'s token-JSD
+    * monitor: when a label's centroid moves (encoder refresh, source
+    * composition change, ingest bug), SemDeDup scoping, IVF routing,
+    * and classifier prototypes trained on the old geometry silently
+    * degrade — this is the gate that catches it BEFORE retraining.
+    * Snapshots are the vec_id parity halves (the data shim — a real
+    * pipeline passes two snapshot tables; everything from the join
+    * down is unchanged).
+    *
+    * Scale shape: two centroid pipelines (each: one keyed exchange,
+    * bounded partials — see [[eCentroid]]), an equi-join on (label,
+    * dim) over K·D rows (≪ corpus), and a D-bounded sorted fold per
+    * label. Nothing after the centroid exchanges scales with corpus
+    * size.
+    *
+    * Float parity: centroids are exact ([[centroidOf]]); the four
+    * drift sums fold dim-ascending from 0.0 over the D-bounded list
+    * with per-element products, sqrt/÷ correctly-rounded IEEE,
+    * rounded once at the output. Zero-norm prototypes (impossible on
+    * unit-norm inputs, routine on all-zero padding vectors) route the
+    * cosine through an explicit CASE to 0.0 in both engines. */
+  def eDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val a = centroidOf(spark, e.filter(pmod(col("vec_id"), lit(2L)) === 0))
+      .select(col("label"), col("dim"), col("centroid").as("ca"),
+        col("n_vectors").as("na"))
+    val b = centroidOf(spark, e.filter(pmod(col("vec_id"), lit(2L)) === 1))
+      .select(col("label"), col("dim"), col("centroid").as("cb"),
+        col("n_vectors").as("nb"))
+    def fold(f: Column => Column): Column =
+      aggregate(col("ds"), lit(0.0), (acc, x) => acc + f(x))
+    a.join(b, Seq("label", "dim"))
+      .groupBy("label")
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sort_array(collect_list(struct(col("dim"), col("ca"), col("cb"))))
+          .as("ds"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        fold(x => (x.getField("ca") - x.getField("cb")) *
+          (x.getField("ca") - x.getField("cb"))).as("dd"),
+        fold(x => x.getField("ca") * x.getField("cb")).as("dot"),
+        fold(x => x.getField("ca") * x.getField("ca")).as("sa2"),
+        fold(x => x.getField("cb") * x.getField("cb")).as("sb2"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        stableRound(sqrt(col("dd")), 6).as("l2_drift"),
+        when(col("sa2") > 0 && col("sb2") > 0,
+          stableRound(col("dot") / (sqrt(col("sa2")) * sqrt(col("sb2"))), 6))
+          .otherwise(lit(0.0)).as("cos_sim"))
+      .orderBy("label")
+  }
+
+  val eDriftSql: String =
+    s"""WITH ${centroidCellsSqlFor("a", "vec_id % 2 = 0")},
+       |${centroidCellsSqlFor("b", "vec_id % 2 = 1")},
+       |pa AS (SELECT label, dim, total / n_vectors AS c, n_vectors FROM cellsa),
+       |pb AS (SELECT label, dim, total / n_vectors AS c, n_vectors FROM cellsb),
+       |j AS (
+       |  SELECT pa.label, pa.dim, pa.c AS x, pb.c AS y,
+       |    pa.n_vectors AS na, pb.n_vectors AS nb
+       |  FROM pa JOIN pb USING (label, dim)),
+       |f AS (
+       |  SELECT label, max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+       |    list_reduce(list_prepend(0.0, list((x - y) * (x - y) ORDER BY dim)),
+       |      (a, b) -> a + b) AS dd,
+       |    list_reduce(list_prepend(0.0, list(x * y ORDER BY dim)),
+       |      (a, b) -> a + b) AS dot,
+       |    list_reduce(list_prepend(0.0, list(x * x ORDER BY dim)),
+       |      (a, b) -> a + b) AS sa2,
+       |    list_reduce(list_prepend(0.0, list(y * y ORDER BY dim)),
+       |      (a, b) -> a + b) AS sb2
+       |  FROM j GROUP BY label)
+       |SELECT label, n_a, n_b,
+       |  ${stableRoundSql("sqrt(dd)", 6)} AS l2_drift,
+       |  CASE WHEN sa2 > 0 AND sb2 > 0
+       |       THEN ${stableRoundSql("dot / (sqrt(sa2) * sqrt(sb2))", 6)}
+       |       ELSE 0.0 END AS cos_sim
+       |FROM f ORDER BY label""".stripMargin
 
   // ---------------------------------------------------------- e_gram
 
@@ -661,6 +750,7 @@ object Embeddings {
     "e_pca" -> ePca,
     "e_whiten" -> eWhiten,
     "e_silhouette" -> eSilhouette,
+    "e_drift" -> eDrift,
   )
 
   def oracles: Map[String, String] = Map(
@@ -670,6 +760,7 @@ object Embeddings {
     "e_gram" -> eGramSql,
     "e_rproject" -> eRprojectSql,
     "e_silhouette" -> eSilhouetteSql,
+    "e_drift" -> eDriftSql,
     // e_pca: no SQL eigensolver exists — rows-only at the gate;
     // PipelineSpec carries the correctness burden (see ePca scaladoc).
   )

@@ -739,6 +739,193 @@ object Graph {
        |FROM deg d LEFT JOIN cnt c ON c.v = d.v
        |ORDER BY domain""".stripMargin
 
+  // ----------------------------------------------- label propagation
+
+  /** Synchronous label-propagation rounds. LPA converges (oscillation
+    * aside) in a handful of sweeps on small-diameter web graphs; a
+    * FIXED count keeps the output a pure function of the input —
+    * same contract as [[Iterations]]. */
+  val LpRounds = 4
+
+  /** g_labelprop — community detection by synchronous label
+    * propagation (Raghavan/Albert/Kumara 2007) over the UNDIRECTED
+    * weighted domain graph: every node starts as its own label; each
+    * round every node adopts the label with the greatest incident
+    * edge weight among its neighbors, ties broken by the
+    * lexicographically least label (the determinism LPA famously
+    * lacks under random sweep order — synchronous sweeps + a total
+    * tie order make the fixture bit-reproducible). [[LpRounds]]
+    * rounds, then each node reports its community and the community
+    * size. Communities are the mixture-level grouping web curation
+    * feeds domain budgets and source-overlap audits with — link
+    * farms surface as tight same-label blocks the way they surface
+    * as triangle-dense neighborhoods in [[gTriangles]].
+    *
+    * Scale shape: each round is ONE hash join (labels onto the
+    * undirected adjacency by the far endpoint) and TWO keyed
+    * aggregations — vote weights by (node, label), then the argmax
+    * by node as `min(struct(-lw, label))`, which map-side combines
+    * to one struct per node per partition (never a collected
+    * neighborhood; a 10⁸-degree hub folds its votes partially on
+    * every mapper — the PageRank `free`-mode shape but exact here,
+    * because vote weights are INTEGER sums, immune to float order).
+    * Round lineage is cut per sweep with localCheckpoint, the
+    * [[gPagerank]] discipline. Oracle: the same rounds unrolled as
+    * CTEs with a window argmax — integer weights and string labels
+    * hash-gate exactly.
+    *
+    * Reference surface: none (shortcut has no graph ops) — 100 TB
+    * brief surface like the rest of [[Graph]]. */
+  def gLabelprop(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).localCheckpoint(false)
+    val und = e.select(col("src").as("a"), col("dst").as("b"), col("w"))
+      .unionByName(e.select(col("dst").as("a"), col("src").as("b"), col("w")))
+      .groupBy("a", "b").agg(sum(col("w")).as("w"))
+      .localCheckpoint(false)
+    var lab = nodes(e).select(col("domain").as("node"),
+        col("domain").as("label"))
+      .localCheckpoint(false)
+    for (_ <- 1 to LpRounds) {
+      val votes = und
+        .join(lab.select(col("node").as("b"), col("label")), Seq("b"))
+        .groupBy(col("a"), col("label"))
+        .agg(sum(col("w")).as("lw"))
+      val next = votes
+        .groupBy(col("a"))
+        .agg(min(struct((-col("lw")).as("nw"), col("label").as("l"))).as("m"))
+        .select(col("a").as("node"), col("m.l").as("next_label"))
+      // every edge-supported node appears as `a` in the undirected
+      // adjacency, so the join is total; the coalesce is the LPA
+      // keep-own-label rule for any future isolated-node source
+      lab = lab.join(next, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("next_label"), col("label")).as("label"))
+        .localCheckpoint(false)
+    }
+    val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("csize"))
+    lab.join(sizes, Seq("label"))
+      .select(col("node").as("domain"), col("label").as("community"),
+        col("csize"))
+      .orderBy("domain")
+  }
+
+  val gLabelpropSql: String = {
+    val rounds = (1 to LpRounds).map { i =>
+      s"""v$i AS (
+         |  SELECT und.a, l.label, sum(und.w)::BIGINT AS lw
+         |  FROM und JOIN l${i - 1} l ON und.b = l.node
+         |  GROUP BY und.a, l.label),
+         |l$i AS (
+         |  SELECT a AS node, label FROM (
+         |    SELECT a, label,
+         |      row_number() OVER (PARTITION BY a ORDER BY lw DESC, label) AS rn
+         |    FROM v$i) q
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH u AS ($withUrlSql),
+       |$edgesSql,
+       |$nodesSql,
+       |und AS (
+       |  SELECT a, b, sum(w)::BIGINT AS w FROM (
+       |    SELECT src AS a, dst AS b, w FROM edges
+       |    UNION ALL
+       |    SELECT dst AS a, src AS b, w FROM edges) t
+       |  GROUP BY a, b),
+       |l0 AS (SELECT domain AS node, domain AS label FROM nodes),
+       |$rounds,
+       |sz AS (SELECT label, count(*)::BIGINT AS csize
+       |       FROM l$LpRounds GROUP BY label)
+       |SELECT l.node AS domain, l.label AS community, sz.csize
+       |FROM l$LpRounds l JOIN sz ON sz.label = l.label
+       |ORDER BY domain""".stripMargin
+  }
+
+  // ------------------------------------------------- link prediction
+
+  /** Degree cap for [[gJaccard]] candidate generation: nodes above it
+    * are excluded as wedge CENTERS (their neighborhoods stay counted
+    * through lower-degree centers they share). Common-neighbor
+    * counting is intrinsically Σdeg(center)² work, so a mega-hub —
+    * every .com domain links to google-analytics — must not be
+    * allowed to fan out deg² candidate pairs; capping centers is the
+    * standard link-prediction discipline (a hub shared by everyone
+    * carries no similarity signal anyway). Enforced IN the plan and
+    * mirrored in the oracle; far above every degree in the synthetic
+    * fixture so the gate exercises the uncapped semantics. */
+  val LinkPredMaxDeg = 1000
+
+  /** g_jaccard — link prediction / domain similarity by
+    * common-neighbor Jaccard over the undirected domain graph:
+    * candidate pairs are generated through shared neighbors (the
+    * wedge join — only pairs with ≥1 common neighbor ever
+    * materialize, never all-pairs), scored |N(a)∩N(b)| /
+    * |N(a)∪N(b)|, and kept at ≥2 common neighbors. The classic
+    * missing-link / related-domain signal (Liben-Nowell & Kleinberg
+    * 2003) curation uses to spot mirror clusters and to expand seed
+    * lists.
+    *
+    * Scale shape: candidates come only from wedges — two hash joins
+    * on the shared-neighbor key with the [[LinkPredMaxDeg]] center
+    * cap bounding per-neighbor fanout (the Σdeg² term), then ONE
+    * keyed count per surviving pair and two broadcast-size degree
+    * attaches. Integer counts; the single float is one IEEE divide,
+    * stableRounded. Oracle: identical SQL over the same wedge
+    * construction. */
+  def gJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).localCheckpoint(false)
+    val und = e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val nbr = und.select(col("a").as("v"), col("b").as("n"))
+      .union(und.select(col("b").as("v"), col("a").as("n")))
+      .localCheckpoint(false)
+    val deg = nbr.groupBy("v").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
+    val centers = nbr
+      .join(deg.select(col("v").as("n"), col("deg").as("nd")), Seq("n"))
+      .filter(col("nd") <= LinkPredMaxDeg)
+    val common = centers.as("x").join(centers.as("y"),
+        col("x.n") === col("y.n") && col("x.v") < col("y.v"))
+      .select(col("x.v").as("a"), col("y.v").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+      .filter(col("common") >= 2)
+    common
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("common"), col("da"), col("db"),
+        stableRound(col("common").cast("double") /
+          (col("da") + col("db") - col("common")), 6).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  val gJaccardSql: String =
+    s"""WITH u AS ($withUrlSql),
+       |$edgesSql,
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges),
+       |nbr AS (
+       |  SELECT a AS v, b AS n FROM und
+       |  UNION ALL
+       |  SELECT b AS v, a AS n FROM und),
+       |deg AS (
+       |  SELECT v, count(*)::BIGINT AS deg FROM nbr GROUP BY v),
+       |ctr AS (
+       |  SELECT nbr.v, nbr.n FROM nbr
+       |  JOIN deg nd ON nd.v = nbr.n
+       |  WHERE nd.deg <= $LinkPredMaxDeg),
+       |com AS (
+       |  SELECT x.v AS a, y.v AS b, count(*)::BIGINT AS common
+       |  FROM ctr x JOIN ctr y ON x.n = y.n AND x.v < y.v
+       |  GROUP BY x.v, y.v
+       |  HAVING count(*) >= 2)
+       |SELECT c.a, c.b, c.common, da.deg AS da, db.deg AS db,
+       |  ${stableRoundSql("c.common::DOUBLE / (da.deg + db.deg - c.common)", 6)} AS jaccard
+       |FROM com c
+       |JOIN deg da ON da.v = c.a
+       |JOIN deg db ON db.v = c.b
+       |ORDER BY a, b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_degree" -> gDegree,
     "g_pagerank" -> gPagerank,
@@ -747,6 +934,8 @@ object Graph {
     "g_cc_stats" -> gCcStats,
     "g_cc_diameter" -> gCcDiameter,
     "g_triangles" -> gTriangles,
+    "g_labelprop" -> gLabelprop,
+    "g_jaccard" -> gJaccard,
   )
 
   def oracles: Map[String, String] = Map(
@@ -757,5 +946,7 @@ object Graph {
     "g_cc_stats" -> gCcStatsSql,
     "g_cc_diameter" -> gCcDiameterSql,
     "g_triangles" -> gTrianglesSql,
+    "g_labelprop" -> gLabelpropSql,
+    "g_jaccard" -> gJaccardSql,
   )
 }

@@ -157,6 +157,57 @@ object ShortcutOps {
        |  SELECT __rowid, c_custkey, c_acctbal, c_mktsegment FROM nb) t
        |ORDER BY __rowid""".stripMargin
 
+  /** Store.merge — the full three-clause MERGE INTO surface
+    * ([[graft.core.Store.merge]]) the lakehouse world layers on the
+    * reference's delete/insert primitives (src/lib.rs:140-187):
+    * BUILDING customers are the matched set — negative balances are
+    * dropped (WHEN MATCHED AND ... DELETE), the rest get +500.0 and a
+    * MERGED segment IN PLACE keeping their rowids (WHEN MATCHED
+    * UPDATE — the observable difference from [[scUpsert]], whose
+    * replaced rows renumber), and a synthetic-key batch inserts after
+    * the pre-merge max (WHEN NOT MATCHED INSERT). The +500.0 shift is
+    * one IEEE add — bit-identical in the oracle. */
+  def scMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir).customer
+    val source = cust.filter(col("c_mktsegment") === "BUILDING")
+      .unionByName(cust.filter(col("c_custkey") <= 30)
+        .withColumn("c_custkey", col("c_custkey") + lit(20000000L)))
+    customerStore(spark, dir)
+      .merge(source,
+        updateSet = Map(
+          "c_acctbal" -> (col("t.c_acctbal") + lit(500.0)),
+          "c_mktsegment" -> lit("MERGED")),
+        deleteWhen = Some(col("t.c_acctbal") < 0.0))
+      .data.select("__rowid", "c_custkey", "c_acctbal", "c_mktsegment")
+      .orderBy("__rowid")
+  }
+
+  val scMergeSql: String =
+    s"""WITH orig AS (SELECT *, $custRowid FROM customer),
+       |src AS (
+       |  SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'
+       |  UNION ALL
+       |  SELECT * REPLACE (c_custkey + 20000000 AS c_custkey)
+       |  FROM customer WHERE c_custkey <= 30),
+       |mx AS (SELECT max(__rowid) AS m FROM orig),
+       |kept AS (
+       |  SELECT __rowid, c_custkey, c_acctbal, c_mktsegment FROM orig
+       |  WHERE c_custkey NOT IN (SELECT c_custkey FROM src)),
+       |upd AS (
+       |  SELECT o.__rowid, o.c_custkey, o.c_acctbal + 500.0 AS c_acctbal,
+       |    'MERGED' AS c_mktsegment
+       |  FROM orig o JOIN src s ON o.c_custkey = s.c_custkey
+       |  WHERE NOT (o.c_acctbal < 0.0)),
+       |ins AS (
+       |  SELECT m + row_number() OVER (ORDER BY s.c_custkey) AS __rowid,
+       |    s.c_custkey, s.c_acctbal, s.c_mktsegment
+       |  FROM src s CROSS JOIN mx
+       |  WHERE s.c_custkey NOT IN (SELECT c_custkey FROM orig))
+       |SELECT __rowid, c_custkey, c_acctbal, c_mktsegment FROM (
+       |  SELECT * FROM kept UNION ALL SELECT * FROM upd
+       |  UNION ALL SELECT * FROM ins) t
+       |ORDER BY __rowid""".stripMargin
+
   /** Store.delete — src/lib.rs:140-142: matching rows go away,
     * survivors keep their rowids (deleted ids are never reused). */
   def scDelete(spark: SparkSession, dir: String): DataFrame =
@@ -192,6 +243,7 @@ object ShortcutOps {
     "sc_range_between" -> scRangeBetween,
     "sc_insert" -> scInsert,
     "sc_upsert" -> scUpsert,
+    "sc_merge" -> scMerge,
     "sc_delete" -> scDelete,
     "sc_delete_filter" -> scDeleteFilter,
   )
@@ -203,6 +255,7 @@ object ShortcutOps {
     "sc_range_between" -> scRangeBetweenSql,
     "sc_insert" -> scInsertSql,
     "sc_upsert" -> scUpsertSql,
+    "sc_merge" -> scMergeSql,
     "sc_delete" -> scDeleteSql,
     "sc_delete_filter" -> scDeleteFilterSql,
   )

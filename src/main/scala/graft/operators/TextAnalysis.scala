@@ -1319,8 +1319,116 @@ object TextAnalysis {
        |FROM cells c JOIN totals t USING (labeled_lang)
        |ORDER BY labeled_lang, pred_lang""".stripMargin
 
+  // ------------------------------------------------------------ zipf
+
+  /** Zipf fit depth: OLS over the top-K frequency ranks. Deep-tail
+    * ranks are hapax-dominated noise; the head is where the power law
+    * (and corpus pathology) shows. */
+  val ZipfTopK = 64
+
+  /** t_zipf — per-source Zipf law fit: OLS of ln(frequency) on
+    * ln(rank) over the top-[[ZipfTopK]] word ranks. A healthy natural
+    * corpus slopes ≈ −1 (Zipf 1949); machine-generated or template
+    * text flattens (repetitive head) or steepens (tiny effective
+    * vocabulary) — a corpus-level quality signal curation reads per
+    * SOURCE before mixing (the [[tCorpusStats]] report class), and a
+    * drift sentinel when a source's slope moves between snapshots.
+    *
+    * Scale shape: word frequencies are ONE map-side-combined count on
+    * (source, token) — the vocabulary-bounded [[tCollocations]]
+    * discipline; the rank window partitions by source over the
+    * VOCABULARY frame (≪ corpus; per-source vocab rows, not doc
+    * rows), and the OLS fold touches exactly K=[[ZipfTopK]] rows per
+    * source. Nothing downstream of the frequency count scales with
+    * corpus size.
+    *
+    * Float parity: ln is the [[tBigramLm]]-proven shared primitive;
+    * the four OLS sums fold rank-ascending from 0.0 over a K-bounded
+    * sorted list (bounded-fold class), products computed per element
+    * before the fold in BOTH engines; slope/intercept spell the
+    * identical op tree and round once at the output. */
+  def tZipf(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsSpread(spark, dir)
+    val freq = d.select(col("source"),
+        explode(split(normText(col("text")), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("f"))
+    val stats = freq.groupBy("source")
+      .agg(count(lit(1)).as("n_types"), sum(col("f")).as("n_tokens"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("f").desc, col("tok").asc)
+    val pts = freq.withColumn("r", row_number().over(w))
+      .filter(col("r") <= ZipfTopK)
+      .select(col("source"), col("r"),
+        log(col("r").cast("double")).as("lx"),
+        log(col("f").cast("double")).as("ly"))
+    def fold(f: Column => Column): Column =
+      aggregate(col("ps"), lit(0.0), (a, x) => a + f(x))
+    val folded = pts.groupBy("source")
+      .agg(count(lit(1)).as("k"),
+        sort_array(collect_list(struct(col("r"), col("lx"), col("ly"))))
+          .as("ps"))
+      .select(col("source"), col("k"),
+        fold(_.getField("lx")).as("sx"),
+        fold(_.getField("ly")).as("sy"),
+        fold(x => x.getField("lx") * x.getField("ly")).as("sxy"),
+        fold(x => x.getField("lx") * x.getField("lx")).as("sxx"))
+      .withColumn("slope",
+        (col("k").cast("double") * col("sxy") - col("sx") * col("sy")) /
+          (col("k").cast("double") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept",
+        (col("sy") - col("slope") * col("sx")) / col("k").cast("double"))
+    folded.join(stats, Seq("source"))
+      .select(col("source"), col("n_types"), col("n_tokens"),
+        col("k").as("k_ranks"),
+        stableRound(col("slope"), 6).as("zipf_slope"),
+        stableRound(col("intercept"), 6).as("zipf_intercept"))
+      .orderBy("source")
+  }
+
+  val tZipfSql: String =
+    s"""WITH freq AS (
+       |  SELECT source, tok, count(*)::BIGINT AS f
+       |  FROM (SELECT source, unnest(string_split($normSql, ' ')) AS tok
+       |        FROM documents) t
+       |  GROUP BY 1, 2),
+       |stats AS (
+       |  SELECT source, count(*)::BIGINT AS n_types, sum(f)::BIGINT AS n_tokens
+       |  FROM freq GROUP BY 1),
+       |pts AS (
+       |  SELECT source, r, ln(r::DOUBLE) AS lx, ln(f::DOUBLE) AS ly
+       |  FROM (SELECT source, f, tok,
+       |          row_number() OVER (PARTITION BY source
+       |            ORDER BY f DESC, tok ASC) AS r
+       |        FROM freq) q
+       |  WHERE r <= $ZipfTopK),
+       |folded AS (
+       |  SELECT source, count(*)::BIGINT AS k,
+       |    list_reduce(list_prepend(0.0, list(lx ORDER BY r)),
+       |      (a, b) -> a + b) AS sx,
+       |    list_reduce(list_prepend(0.0, list(ly ORDER BY r)),
+       |      (a, b) -> a + b) AS sy,
+       |    list_reduce(list_prepend(0.0, list(lx * ly ORDER BY r)),
+       |      (a, b) -> a + b) AS sxy,
+       |    list_reduce(list_prepend(0.0, list(lx * lx ORDER BY r)),
+       |      (a, b) -> a + b) AS sxx
+       |  FROM pts GROUP BY source),
+       |fit AS (
+       |  SELECT source, k, sx, sy,
+       |    (k::DOUBLE * sxy - sx * sy) / (k::DOUBLE * sxx - sx * sx) AS slope
+       |  FROM folded),
+       |fit2 AS (
+       |  SELECT source, k, slope,
+       |    (sy - slope * sx) / k::DOUBLE AS intercept
+       |  FROM fit)
+       |SELECT s.source, s.n_types, s.n_tokens, f.k AS k_ranks,
+       |  ${stableRoundSql("f.slope", 6)} AS zipf_slope,
+       |  ${stableRoundSql("f.intercept", 6)} AS zipf_intercept
+       |FROM fit2 f JOIN stats s USING (source)
+       |ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_heavy_hitters" -> tHeavyHitters,
+    "t_zipf" -> tZipf,
     "t_lang_eval" -> tLangEval,
     "t_token_count" -> tTokenCount,
     "t_quality" -> tQuality,
@@ -1344,6 +1452,7 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "t_heavy_hitters" -> tHeavyHittersSql,
+    "t_zipf" -> tZipfSql,
     "t_lang_eval" -> tLangEvalSql,
     "t_token_count" -> tTokenCountSql,
     "t_quality" -> tQualitySql,

@@ -317,11 +317,97 @@ object WebCuration {
        |     AND digit_frac <= $UrlDigitTau) AS keep
        |FROM f ORDER BY doc_id""".stripMargin
 
+  /** d_dedup_url — canonical-URL deduplication of fetch records: the
+    * crawl-side dedup that runs BEFORE any content hashing, because a
+    * page fetched under `www.`/apex, with and without tracking
+    * params, or with a trailing slash is the same page and refetching
+    * or double-counting it wastes the whole downstream pipeline.
+    * Canonicalization here: strip the query string (the derived
+    * corpus carries only tracking-class params — `ref=`/`utm_*`; a
+    * production rule set strips a param allowlist instead), collapse
+    * `www.` onto the apex, drop a trailing slash. One fetch per
+    * canonical URL survives (lowest fetch_id — first-crawled wins);
+    * every fetch row reports its canonical form, alias-group size,
+    * and keep flag so the drop is auditable.
+    *
+    * The fetch log is DERIVED deterministically (the [[Graph.edges]]
+    * data-shim discipline): every document's [[withUrl]] URL is one
+    * fetch, and docs whose md5 char 19 is 0-7 also surface a second
+    * fetch under the classic alias transform (www toggled + a
+    * `utm_source` param appended) — so alias groups are real and the
+    * collapse is measurable, bit-identically in both engines. On a
+    * real crawl the fetch log is the input table and everything from
+    * `canon_url` down is unchanged.
+    *
+    * Scale shape: canonicalization is a narrow per-row map (anchored
+    * regexes, no UDF); the group stats are ONE hash aggregation on
+    * canon_url (map-side combined count+min) joined back — the
+    * d_dedup_exact shape. Alias-group skew is bounded by the alias
+    * transform fanout, not the corpus. */
+  def dDedupUrl(spark: SparkSession, dir: String): DataFrame = {
+    val d = withUrl(
+      Tables(spark, dir).documents.select(col("doc_id"), col("source")))
+      .select(col("doc_id"), col("url"))
+    val wwwToggled = when(col("url").startsWith("https://www."),
+        regexp_replace(col("url"), "^https://www\\.", "https://"))
+      .otherwise(regexp_replace(col("url"), "^https://", "https://www."))
+    val variant = when(col("url").contains("?"),
+        concat(wwwToggled, lit("&utm_source=feed")))
+      .otherwise(concat(wwwToggled, lit("?utm_source=feed")))
+    val hasAlias = substring(md5(col("doc_id").cast("string")), 19, 1)
+      .isInCollection("01234567".map(_.toString))
+    val fetches = d
+      .select(col("doc_id"), (col("doc_id") * 2).as("fetch_id"), col("url"))
+      .unionByName(d.filter(hasAlias)
+        .select(col("doc_id"), (col("doc_id") * 2 + 1).as("fetch_id"),
+          variant.as("url")))
+    val canon = regexp_replace(regexp_replace(regexp_replace(
+      col("url"), "\\?.*$", ""), "^https://www\\.", "https://"), "/$", "")
+    val withCanon = fetches.withColumn("canon_url", canon)
+    val groups = withCanon.groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_aliases"), min(col("fetch_id")).as("first_id"))
+    withCanon.join(groups, Seq("canon_url"))
+      .select(col("fetch_id"), col("doc_id"), col("url"), col("canon_url"),
+        col("n_aliases"), (col("fetch_id") === col("first_id")).as("keep"))
+      .orderBy("canon_url", "fetch_id")
+  }
+
+  val dDedupUrlSql: String =
+    s"""WITH u AS ($withUrlSql),
+       |base AS (SELECT doc_id, url FROM u),
+       |fetches AS (
+       |  SELECT doc_id, (doc_id * 2)::BIGINT AS fetch_id, url FROM base
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id * 2 + 1)::BIGINT AS fetch_id,
+       |    (CASE WHEN url LIKE 'https://www.%'
+       |          THEN regexp_replace(url, '^https://www\\.', 'https://')
+       |          ELSE regexp_replace(url, '^https://', 'https://www.') END) ||
+       |    (CASE WHEN contains(url, '?') THEN '&utm_source=feed'
+       |          ELSE '?utm_source=feed' END) AS url
+       |  FROM base
+       |  WHERE substr(md5(doc_id::VARCHAR), 19, 1) IN
+       |    ('0','1','2','3','4','5','6','7')),
+       |wc AS (
+       |  SELECT fetch_id, doc_id, url,
+       |    regexp_replace(regexp_replace(regexp_replace(
+       |      url, '\\?.*$$', ''), '^https://www\\.', 'https://'),
+       |      '/$$', '') AS canon_url
+       |  FROM fetches),
+       |g AS (
+       |  SELECT canon_url, count(*)::BIGINT AS n_aliases,
+       |    min(fetch_id) AS first_id
+       |  FROM wc GROUP BY canon_url)
+       |SELECT wc.fetch_id, wc.doc_id, wc.url, wc.canon_url, g.n_aliases,
+       |  (wc.fetch_id = g.first_id) AS keep
+       |FROM wc JOIN g ON wc.canon_url = g.canon_url
+       |ORDER BY wc.canon_url, wc.fetch_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_url_extract" -> tUrlExtract,
     "t_url_quality" -> tUrlQuality,
     "d_domain_budget" -> dDomainBudget,
     "d_blocklist" -> dBlocklist,
+    "d_dedup_url" -> dDedupUrl,
   )
 
   def oracles: Map[String, String] = Map(
@@ -329,5 +415,6 @@ object WebCuration {
     "t_url_quality" -> tUrlQualitySql,
     "d_domain_budget" -> dDomainBudgetSql,
     "d_blocklist" -> dBlocklistSql,
+    "d_dedup_url" -> dDedupUrlSql,
   )
 }

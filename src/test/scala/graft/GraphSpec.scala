@@ -388,4 +388,66 @@ class GraphSpec extends SparkSpec {
     // global consistency: per-vertex counts sum to 3× the triangle count
     assert(got.map(_._3).sum % 3 == 0)
   }
+
+  test("g_labelprop: matches an independent synchronous LPA reference") {
+    // Reference: collect the weighted undirected adjacency and run
+    // the same synchronous sweeps in plain Scala — integer vote
+    // weights, (max weight, min label) tie order. Exact agreement.
+    val und = Graph.edges(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .flatMap { case (s, d, w) => Seq(((s, d), w), ((d, s), w)) }
+      .groupBy(_._1).map { case ((a, b), ws) => (a, b, ws.map(_._2).sum) }
+      .toSeq
+    val nodes = (und.map(_._1) ++ und.map(_._2)).distinct
+    var lab: Map[String, String] = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to Graph.LpRounds) {
+      val byNode = und.groupBy(_._1)
+      lab = nodes.map { n =>
+        val votes = byNode.getOrElse(n, Seq.empty)
+          .groupBy { case (_, b, _) => lab(b) }
+          .map { case (l, es) => (l, es.map(_._3).sum) }
+        val (best, _) = votes.minBy { case (l, w) => (-w, l) }
+        n -> best
+      }.toMap
+    }
+    val sizes = lab.values.groupBy(identity).map { case (l, v) => l -> v.size.toLong }
+    val got = Graph.gLabelprop(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.map(_._1).toSet == nodes.toSet)
+    got.foreach { case (n, c, sz) =>
+      assert(c == lab(n), s"$n community: got $c want ${lab(n)}")
+      assert(sz == sizes(c), s"$n community size")
+    }
+    // the fixture must actually coalesce: fewer communities than nodes
+    assert(sizes.size < nodes.size, "LPA degenerate: nothing propagated")
+    assert(sizes.size > 1, "LPA degenerate: one giant community")
+  }
+
+  test("g_jaccard: matches brute-force common-neighbor Jaccard; cap binds wedges") {
+    val adj = Graph.edges(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .flatMap { case (s, d) => Seq((s, d), (d, s)) }
+      .groupBy(_._1)
+      .map { case (v, arr) => v -> (arr.map(_._2).toSet - v) }
+    // brute force over all pairs (the operator must agree while
+    // generating candidates only through wedges)
+    val vs = adj.keys.toSeq.sorted
+    val want = (for {
+      a <- vs; b <- vs if a < b
+      common = (adj(a) & adj(b)).count(n => adj(n).size <= Graph.LinkPredMaxDeg)
+      if common >= 2
+    } yield {
+      val union = adj(a).size + adj(b).size - common
+      ((a, b), (common.toLong, adj(a).size.toLong, adj(b).size.toLong,
+        math.floor(common.toDouble / union * 1e6 + 0.5) / 1e6))
+    }).toMap
+    val got = Graph.gJaccard(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "fixture degenerate: no similar pairs")
+    // cap semantics: with a cap of 0 no wedge centers survive
+    val capped = adj.count { case (_, ns) => ns.size > Graph.LinkPredMaxDeg }
+    assert(capped == 0, "fixture should exercise the UNCAPPED semantics")
+  }
 }

@@ -2076,4 +2076,34 @@ class PipelineSpec extends SparkSpec {
       assert(again.toSet == got.toSet, "buckets changed with partition count")
     } finally spark.conf.set("spark.sql.shuffle.partitions", old)
   }
+
+  test("d_dedup_url: aliases collapse onto their base fetch; keeps are exact") {
+    val rows = graft.operators.WebCuration.dDedupUrl(spark, sf)
+      .select("fetch_id", "doc_id", "url", "canon_url", "n_aliases", "keep")
+      .as[(Long, Long, String, String, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    // canonicalization recomputed driver-side from the raw url
+    rows.foreach { case (_, _, url, canon, _, _) =>
+      val want = url.replaceAll("\\?.*$", "")
+        .replaceAll("^https://www\\.", "https://").replaceAll("/$", "")
+      assert(canon == want, s"canon of $url")
+      assert(!canon.contains("?") && !canon.contains("www."))
+    }
+    // exactly one keep per canonical group; keep is the min fetch_id;
+    // n_aliases is the true group size
+    rows.groupBy(_._4).foreach { case (canon, g) =>
+      assert(g.count(_._6) == 1, s"$canon keeps")
+      assert(g.filter(_._6).head._1 == g.map(_._1).min, s"$canon keeper")
+      assert(g.forall(_._5 == g.length.toLong), s"$canon group size")
+    }
+    // the alias shim must generate real dup groups (~half the docs),
+    // and every alias variant carries the tracking param it collapses
+    val aliases = rows.filter(r => r._1 % 2 == 1)
+    assert(aliases.nonEmpty && aliases.forall(_._3.contains("utm_source=feed")))
+    val groupSize = rows.groupBy(_._4).map { case (c, g) => c -> g.length }
+    assert(aliases.forall(a => groupSize(a._4) >= 2),
+      "every alias must land in a multi-fetch canonical group")
+    // and an alias never outranks its base fetch (base id is smaller)
+    assert(aliases.forall(!_._6), "alias fetches must never be the keeper")
+  }
 }

@@ -78,6 +78,31 @@ class StoreSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("merge: matched updates keep rowids, matched deletes retire, unmatched insert") {
+    val s = Store.fromData(
+      Seq(("a", 1L), ("b", -5L), ("c", 3L), ("d", 4L)).toDF("k", "v"), Seq("k"))
+    // source matches a (update), b (delete: v<0), misses e (insert)
+    val m = s.merge(
+      Seq(("a", 100L), ("b", 200L), ("e", 300L)).toDF("k", "v"),
+      updateSet = Map("v" -> (col("t.v") + col("s.v"))),
+      deleteWhen = Some(col("t.v") < 0L))
+    val rows = m.data.select("k", "v", "__rowid").as[(String, Long, Long)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // WHEN MATCHED UPDATE: in place, rowid KEPT (0 = a's build position)
+    assert(rows("a") == (101L, 0L), s"update in place: ${rows("a")}")
+    // WHEN MATCHED AND t.v < 0 DELETE: gone, id never reused
+    assert(!rows.contains("b"))
+    // untouched rows unchanged
+    assert(rows("c") == (3L, 2L) && rows("d") == (4L, 3L))
+    // WHEN NOT MATCHED INSERT: numbered after the PRE-merge max (3)
+    assert(rows("e") == (300L, 4L), s"insert numbering: ${rows("e")}")
+    // duplicate source keys fail loudly, as in SQL MERGE
+    val ex = intercept[IllegalArgumentException] {
+      s.merge(Seq(("a", 1L), ("a", 2L)).toDF("k", "v"), Map.empty)
+    }
+    assert(ex.getMessage.contains("duplicate"))
+  }
+
   test("mutations on an EMPTY store number from 0; duplicate upsert keys fail loudly") {
     val empty = Store.fromData(Seq.empty[(String, String)].toDF("k", "v"), Seq("k"))
     // the 'initialize empty, merge batches' path: max(__rowid) is null
