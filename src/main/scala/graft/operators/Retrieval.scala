@@ -640,8 +640,117 @@ object Retrieval {
   val tRetrievalEvalSql: String = retrievalEvalSqlBy(byLang = false)
   val tRetrievalEvalSegSql: String = retrievalEvalSqlBy(byLang = true)
 
+  // ------------------------------------------------------------ nDCG
+
+  /** t_ndcg — rank-position-aware retrieval eval: nDCG@k of each
+    * arm's rank list per query, under the same weak source-match
+    * relevance the hit-rate evals use. Hit rate ([[tRetrievalEval]])
+    * says how MANY of the top-k are relevant; nDCG says WHERE they
+    * rank (a relevant doc at rank 1 vs rank 10 is the difference a
+    * reranker is paid for), which is the number a cascade tunes its
+    * second stage against. DCG = Σ_hits ln2/ln(rank+1); IDCG places
+    * the query's min(k, n_rel) relevant docs at the top ranks
+    * (n_rel = same-source docs excluding the query; both arms exclude
+    * the seed, so nDCG ≤ 1 structurally).
+    *
+    * Scale shape: the late-fusion evaluation rule again — everything
+    * runs on the |Q|·k rank lists joined to a broadcast (doc_id,
+    * source) dimension plus a per-source count; the corpus is never
+    * rescanned. Float parity: gain terms use the t_bigram_lm-proven
+    * ln on integer ranks, the per-query DCG folds rank-ascending over
+    * a ≤k-element sorted list, IDCG is a FIXED sum of k rank-guarded
+    * terms spelled identically in both engines, and outputs round
+    * once. */
+  def tNdcg(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.core.Tables(spark, dir).documents
+    val src = docs.select(col("doc_id"), col("source"))
+    val srcCnt = src.groupBy("source").agg(count(lit(1)).as("scnt"))
+    val relq = src.join(srcCnt, "source")
+      .filter(col("doc_id") % Bm25QueryMod === 0)
+      .select(col("doc_id").as("qid"), (col("scnt") - 1L).as("n_rel"))
+    def armDcg(arm: DataFrame, rankCol: String, name: String): DataFrame =
+      arm
+        .join(broadcast(src.select(col("doc_id").as("qid"),
+          col("source").as("qsrc"))), "qid")
+        .join(broadcast(src.select(col("doc_id"),
+          col("source").as("dsrc"))), "doc_id")
+        .select(col("qid"), col(rankCol).as("r"),
+          when(col("qsrc") === col("dsrc"),
+            log(lit(2.0)) / log((col(rankCol) + 1L).cast("double")))
+            .otherwise(lit(0.0)).as("term"))
+        .groupBy("qid")
+        .agg(sort_array(collect_list(struct(col("r"), col("term"))))
+          .as("ts"))
+        .select(lit(name).as("arm"), col("qid"),
+          aggregate(col("ts"), lit(0.0),
+            (a, x) => a + x.getField("term")).as("dcg"))
+    // IDCG: k fixed rank-guarded terms summed left-to-right — the
+    // engine-mirrorable spelling of Σ_{i=1..min(k,n_rel)} ln2/ln(i+1)
+    val idcgExpr = (1 to Bm25TopK).map(i =>
+        when(col("m") >= i, log(lit(2.0)) / log(lit((i + 1).toDouble)))
+          .otherwise(lit(0.0)))
+      .reduceLeft(_ + _)
+    val idcg = relq
+      .withColumn("m", least(lit(Bm25TopK.toLong), col("n_rel")))
+      .select(col("qid"), col("n_rel"), idcgExpr.as("idcg"))
+    armDcg(lexArm(spark, dir), "rl", "lex")
+      .unionByName(armDcg(vecArm(spark, dir), "rv", "vec"))
+      .join(broadcast(idcg), Seq("qid"))
+      .select(col("arm"), col("qid"), col("n_rel"),
+        stableRound(col("dcg"), 6).as("dcg"),
+        stableRound(col("idcg"), 6).as("idcg"),
+        when(col("idcg") > 0, stableRound(col("dcg") / col("idcg"), 6))
+          .otherwise(lit(0.0)).as("ndcg"))
+      .orderBy("arm", "qid")
+  }
+
+  val tNdcgSql: String = {
+    val idcgTerms = (1 to Bm25TopK).map(i =>
+      s"(CASE WHEN m >= $i THEN ln(2.0) / ln(${i + 1}.0) ELSE 0.0 END)")
+      .mkString(" + ")
+    s"""WITH lex AS (
+       |$tBm25Sql
+       |),
+       |vec AS (
+       |$vecArmSql),
+       |src AS (SELECT doc_id, source FROM documents),
+       |sc AS (SELECT source, count(*)::BIGINT AS scnt FROM src GROUP BY 1),
+       |relq AS (
+       |  SELECT src.doc_id AS qid, sc.scnt - 1 AS n_rel
+       |  FROM src JOIN sc USING (source)
+       |  WHERE src.doc_id % $Bm25QueryMod = 0),
+       |terms AS (
+       |  SELECT 'lex' AS arm, lex.qid, lex.rk AS r,
+       |    CASE WHEN q.source = d.source
+       |         THEN ln(2.0) / ln((lex.rk + 1)::DOUBLE) ELSE 0.0 END AS term
+       |  FROM lex JOIN src q ON lex.qid = q.doc_id
+       |           JOIN src d ON lex.doc_id = d.doc_id
+       |  UNION ALL
+       |  SELECT 'vec' AS arm, vec.qid, vec.rv AS r,
+       |    CASE WHEN q.source = d.source
+       |         THEN ln(2.0) / ln((vec.rv + 1)::DOUBLE) ELSE 0.0 END AS term
+       |  FROM vec JOIN src q ON vec.qid = q.doc_id
+       |           JOIN src d ON vec.doc_id = d.doc_id),
+       |dcg AS (
+       |  SELECT arm, qid,
+       |    list_reduce(list_prepend(0.0, list(term ORDER BY r)),
+       |      (a, b) -> a + b) AS dcg
+       |  FROM terms GROUP BY arm, qid),
+       |idcg AS (
+       |  SELECT qid, n_rel, $idcgTerms AS idcg
+       |  FROM (SELECT qid, n_rel, least($Bm25TopK, n_rel) AS m FROM relq) t)
+       |SELECT d.arm, d.qid, i.n_rel,
+       |  ${stableRoundSql("d.dcg", 6)} AS dcg,
+       |  ${stableRoundSql("i.idcg", 6)} AS idcg,
+       |  CASE WHEN i.idcg > 0 THEN ${stableRoundSql("d.dcg / i.idcg", 6)}
+       |       ELSE 0.0 END AS ndcg
+       |FROM dcg d JOIN idcg i USING (qid)
+       |ORDER BY arm, qid""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_bm25" -> tBm25,
+    "t_ndcg" -> tNdcg,
     "t_bm25_maxscore" -> tBm25MaxScore,
     "t_hybrid_rrf" -> tHybridRrf,
     "t_hybrid_wrrf" -> tHybridWrrf,
@@ -653,6 +762,7 @@ object Retrieval {
 
   def oracles: Map[String, String] = Map(
     "t_bm25" -> tBm25Sql,
+    "t_ndcg" -> tNdcgSql,
     // the MaxScore path must produce the identical exact top-k — the
     // shared oracle is the point (pruning that changed results would
     // hash-mismatch at the gate)

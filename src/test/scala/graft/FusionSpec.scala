@@ -116,4 +116,38 @@ class FusionSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"),
       s"arm rank lists not cached — arms would run twice:\n${p.take(2000)}")
   }
+
+  test("t_ndcg matches an independent driver recompute; bounded by 1") {
+    val docs = Tables(spark, sf).documents
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val srcSize = docs.values.groupBy(identity).map { case (s, v) => s -> v.size }
+    val ln2 = math.log(2.0)
+    def refNdcg(arm: Map[(Long, Long), Long]): Map[(String, Long), (Long, Double, Double, Double)] =
+      arm.groupBy(_._1._1).map { case (q, rs) =>
+        val nRel = srcSize(docs(q)) - 1L
+        // DCG folds rank-ascending, matching the operator's sorted fold
+        val dcg = rs.toSeq.sortBy(_._2).foldLeft(0.0) { case (a, ((_, d), r)) =>
+          a + (if (docs(d) == docs(q)) ln2 / math.log((r + 1).toDouble) else 0.0)
+        }
+        val m = math.min(Retrieval.Bm25TopK.toLong, nRel).toInt
+        val idcg = (1 to Retrieval.Bm25TopK).foldLeft(0.0) { (a, i) =>
+          a + (if (i <= m) ln2 / math.log((i + 1).toDouble) else 0.0)
+        }
+        val ndcg = if (idcg > 0) stable6(dcg / idcg) else 0.0
+        (docs(q), q) -> (nRel, stable6(dcg), stable6(idcg), ndcg)
+      }.map { case ((_, q), v) => ("", q) -> v } // arm name filled by caller
+    val want = refNdcg(lex).map { case ((_, q), v) => ("lex", q) -> v } ++
+      refNdcg(vec).map { case ((_, q), v) => ("vec", q) -> v }
+    val got = Retrieval.tNdcg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) =>
+      assert(v == want(k), s"$k: got $v want ${want(k)}")
+      assert(v._4 >= 0.0 && v._4 <= 1.0, s"$k ndcg out of [0,1]")
+    }
+    // the fixture must exercise actual relevance (not all-zero DCG)
+    assert(got.values.exists(_._2 > 0.0), "degenerate: no relevant hits at all")
+  }
 }

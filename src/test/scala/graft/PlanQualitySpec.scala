@@ -845,4 +845,41 @@ class PlanQualitySpec extends SparkSpec {
       assert(!p.contains("Window"), "tuner must not plan a window")
     } finally spark.conf.unset("graft.dedup.lshTuneFold")
   }
+
+  test("label propagation: hash joins + partial-agg argmax, no neighborhood row") {
+    val p = plan("g_labelprop")
+    // votes must combine map-side (min over structs) — a collected
+    // neighborhood per node is the hub-killer LPA exists to avoid
+    assert(!p.contains("collect_list") && !p.contains("sort_array"),
+      s"LPA gathered a neighborhood into a row:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"LPA degenerated to all-pairs:\n${p.take(2000)}")
+    assert(!p.contains("Window"), "LPA must not plan a window")
+  }
+
+  test("jaccard link prediction: wedge equi-joins only, no all-pairs") {
+    val p = plan("g_jaccard")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"candidate generation degenerated to all-pairs:\n${p.take(2000)}")
+    assert(!p.contains("Window") && !p.contains("collect_list"),
+      s"pair scoring grew a window/neighborhood row:\n${p.take(2000)}")
+  }
+
+  test("url dedup: narrow canonicalization + one keyed group stat, no window") {
+    val p = plan("d_dedup_url")
+    assert(!p.contains("Window"), s"url dedup planned a window:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"group-stat attach degenerated:\n${p.take(2000)}")
+  }
+
+  test("ndcg runs on rank lists: dimension joins broadcast, folds stay k-bounded") {
+    val p = plan("t_ndcg")
+    // the (doc_id, source) dimension and the per-query IDCG frame
+    // must broadcast — a shuffled corpus-side join would mean the
+    // eval left the rank-list tier
+    assert(p.contains("BroadcastHashJoin"),
+      s"weak-label dimension join not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"ndcg planned a cartesian:\n${p.take(2000)}")
+  }
 }
