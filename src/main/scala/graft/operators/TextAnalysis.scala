@@ -58,8 +58,13 @@ object TextAnalysis {
 
   /** Unordered quality metrics — the composable form ([[Curation]]
     * filters on `quality` without paying a presentation sort). */
-  def qualityMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val d = docsSpread(spark, dir)
+  def qualityMetrics(spark: SparkSession, dir: String): DataFrame =
+    qualityMetricsOf(docsSpread(spark, dir))
+
+  /** The metric map over any (doc_id, text) frame — shared with the
+    * streaming admission gate ([[graft.streaming.DocStream]]), so the
+    * batch and door quality verdicts cannot diverge. */
+  def qualityMetricsOf(d: DataFrame): DataFrame = {
     val norm = normText(col("text"))
     val w = split(norm, " ")
     val nWords = size(w).cast("long")

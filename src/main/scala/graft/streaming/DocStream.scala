@@ -393,11 +393,47 @@ object DocStream {
       }
   }
 
+  /** Admission threshold for [[stQuality]]: sits at the gate corpus's
+    * quality median (scores span 0.62–0.89), so both verdicts are
+    * genuinely exercised. The compare runs on the stableRound(4)
+    * score — identical in both engines, so the boundary is safe. */
+  val QualityTau = 0.70
+
+  /** st_quality — ingest-time QUALITY admission: the fifth door gate
+    * next to dedup ([[stNearDup]]), quota ([[stDomainBudget]]),
+    * decontamination ([[stDecontam]]), and novelty ([[stNovelty]]):
+    * every arriving document is scored with the SAME metric map the
+    * batch operator uses ([[graft.operators.TextAnalysis
+    * .qualityMetricsOf]] — shared code, verdicts cannot diverge) and
+    * admitted iff quality ≥ [[QualityTau]] — the cheapest content
+    * filter in the stack, run BEFORE paying dedup/banding/storage for
+    * documents that would be cut anyway. STATELESS by nature (a
+    * quality verdict is per-document; nothing accumulates), so the
+    * stream stays a narrow per-row map — no join, no shuffle, no
+    * state store, at any corpus size. Verdict column kept (not
+    * filtered) so the gate checks both classes — `.filter(admit)` is
+    * the production tail. */
+  def stQuality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val stream = docStream(spark, dir).select(col("doc_id"), col("text"))
+    val scored = TextAnalysis.qualityMetricsOf(stream)
+      .select(col("doc_id"), col("n_chars"), col("n_words"), col("quality"),
+        (col("quality") >= QualityTau).as("admit"))
+    EventStream.runToTable(scored, "append").orderBy("doc_id")
+  }
+
+  val stQualitySql: String =
+    s"""SELECT doc_id, n_chars, n_words, quality,
+       |  (quality >= $QualityTau) AS admit
+       |FROM (${graft.operators.TextAnalysis.tQualitySql}) q
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_near_dup" -> stNearDup,
     "st_domain_budget" -> stDomainBudget,
     "st_decontam" -> stDecontam,
     "st_novelty" -> stNovelty,
+    "st_quality" -> stQuality,
   )
 
   def oracles: Map[String, String] = Map(
@@ -407,5 +443,6 @@ object DocStream {
     // oracles are shared verbatim
     "st_decontam" -> Dedup.dDecontaminateSql,
     "st_novelty" -> graft.operators.TextAnalysis.tNoveltySql,
+    "st_quality" -> stQualitySql,
   )
 }

@@ -224,4 +224,20 @@ class DocStreamSpec extends SparkSpec {
       s"stream vs batch rank diverged: extra=${got -- expect} missing=${expect -- got}")
     assert(got.nonEmpty)
   }
+
+  test("st_quality equals the batch quality verdicts; both classes exercised") {
+    import org.apache.spark.sql.functions._
+    val got = DocStream.stQuality(spark, sf)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    val expect = graft.operators.TextAnalysis.qualityMetrics(spark, sf)
+      .select(col("doc_id"), col("n_chars"), col("n_words"), col("quality"),
+        (col("quality") >= DocStream.QualityTau).as("admit"))
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(got.toSet == expect.toSet,
+      "door quality verdicts diverged from the batch operator")
+    assert(got.length == expect.length)
+    // the threshold must sit INSIDE the score distribution
+    assert(got.exists(_._5) && got.exists(!_._5),
+      "degenerate threshold: one verdict class only")
+  }
 }
