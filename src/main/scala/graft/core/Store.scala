@@ -75,14 +75,20 @@ final class Store private (val data: DataFrame, orderCols: Seq[String]) {
     * column stats serve the max at rest, and counting from the full
     * store preserves the never-reuse discipline even when the current
     * max is itself being replaced. */
-  def upsert(batch: DataFrame): Store = {
-    // SQL MERGE rejects duplicate source matches; silence here would
-    // leave two live rows per duplicated key and make their relative
-    // numbering nondeterministic. One count-vs-distinct action on the
-    // (small) batch buys the loud failure.
+  /** SQL MERGE rejects duplicate source matches; silence here would
+    * leave two live rows per duplicated key and make their relative
+    * numbering nondeterministic. One count-vs-distinct action on the
+    * (small) batch buys the loud failure — shared by [[upsert]] and
+    * [[merge]]. Returns the key projection for reuse. */
+  private def requireUniqueKeys(batch: DataFrame, op: String): DataFrame = {
     val keys = batch.select(orderCols.map(col).toSeq: _*)
     require(keys.count() == keys.distinct().count(),
-      s"upsert batch has duplicate ${orderCols.mkString("(", ",", ")")} keys")
+      s"$op source has duplicate ${orderCols.mkString("(", ",", ")")} keys")
+    keys
+  }
+
+  def upsert(batch: DataFrame): Store = {
+    val keys = requireUniqueKeys(batch, "upsert")
     val survivors = data.join(keys, orderCols, "left_anti")
     new Store(survivors.unionByName(numberAfterMax(batch)), orderCols)
   }
@@ -116,12 +122,15 @@ final class Store private (val data: DataFrame, orderCols: Seq[String]) {
     * matched updates nondeterministic. */
   def merge(source: DataFrame, updateSet: Map[String, Column],
       deleteWhen: Option[Column] = None): Store = {
-    val keys = source.select(orderCols.map(col).toSeq: _*)
-    require(keys.count() == keys.distinct().count(),
-      s"merge source has duplicate ${orderCols.mkString("(", ",", ")")} keys")
-    val cols = data.columns.filter(_ != Store.RowId)
-    require(source.columns.sorted.sameElements(cols.sorted),
-      s"source columns ${source.columns.mkString(",")} != store columns ${cols.mkString(",")}")
+    requireUniqueKeys(source, "merge")
+    // (source column compatibility is enforced by numberAfterMax on
+    // the insert branch — the shared check, not a duplicate here)
+    val cols = data.columns.filter(_ != Store.RowId).toSet
+    // a SET column that names nothing in the store is a typo that
+    // would otherwise no-op silently — SQL MERGE rejects it, so do we
+    val unknown = updateSet.keySet.diff(cols)
+    require(unknown.isEmpty,
+      s"merge updateSet names non-store columns: ${unknown.mkString(",")}")
     // explicit matched marker: key columns may be nullable in general,
     // so "source key is not null" is not a safe matched test
     val joined = data.as("t")
@@ -129,7 +138,10 @@ final class Store private (val data: DataFrame, orderCols: Seq[String]) {
         orderCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
         "left")
     val matched = coalesce(col("s.__matched"), lit(false))
-    val del = deleteWhen.getOrElse(lit(false))
+    // SQL MERGE treats a NULL clause condition as NOT satisfied: the
+    // row falls through to the UPDATE clause — coalesce, or Spark's
+    // filter would silently DROP the row on NULL
+    val del = coalesce(deleteWhen.getOrElse(lit(false)), lit(false))
     val survivors = joined.filter(!matched || !del)
       .select(data.columns.map { c =>
         if (c == Store.RowId) col(s"t.$c").as(c)

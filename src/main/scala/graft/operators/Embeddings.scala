@@ -373,8 +373,19 @@ object Embeddings {
     * rounded once at the output. Zero-norm prototypes (impossible on
     * unit-norm inputs, routine on all-zero padding vectors) route the
     * cosine through an explicit CASE to 0.0 in both engines. */
-  def eDrift(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddings
+  def eDrift(spark: SparkSession, dir: String): DataFrame =
+    eDriftOf(spark, Tables(spark, dir).embeddings)
+
+  /** The drift computation over any embeddings frame — factored so
+    * the spec can drive the one-sided-label case the gate fixture
+    * never produces. The snapshot join is FULL OUTER with the missing
+    * side's prototype coalesced to the zero vector: a label present
+    * in only one snapshot — the most drastic composition change the
+    * monitor exists to catch — reports loudly (n = 0 on the missing
+    * side, l2_drift = the present prototype's norm, cos_sim = 0 via
+    * the zero-norm guard) instead of silently vanishing from the
+    * report. */
+  private[graft] def eDriftOf(spark: SparkSession, e: DataFrame): DataFrame = {
     val a = centroidOf(spark, e.filter(pmod(col("vec_id"), lit(2L)) === 0))
       .select(col("label"), col("dim"), col("centroid").as("ca"),
         col("n_vectors").as("na"))
@@ -383,9 +394,14 @@ object Embeddings {
         col("n_vectors").as("nb"))
     def fold(f: Column => Column): Column =
       aggregate(col("ds"), lit(0.0), (acc, x) => acc + f(x))
-    a.join(b, Seq("label", "dim"))
+    a.join(b, Seq("label", "dim"), "full_outer")
+      .select(col("label"), col("dim"),
+        coalesce(col("ca"), lit(0.0)).as("ca"),
+        coalesce(col("cb"), lit(0.0)).as("cb"),
+        col("na"), col("nb"))
       .groupBy("label")
-      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+      .agg(coalesce(max(col("na")), lit(0L)).as("n_a"),
+        coalesce(max(col("nb")), lit(0L)).as("n_b"),
         sort_array(collect_list(struct(col("dim"), col("ca"), col("cb"))))
           .as("ds"))
       .select(col("label"), col("n_a"), col("n_b"),
@@ -408,11 +424,14 @@ object Embeddings {
        |pa AS (SELECT label, dim, total / n_vectors AS c, n_vectors FROM cellsa),
        |pb AS (SELECT label, dim, total / n_vectors AS c, n_vectors FROM cellsb),
        |j AS (
-       |  SELECT pa.label, pa.dim, pa.c AS x, pb.c AS y,
+       |  SELECT COALESCE(pa.label, pb.label) AS label,
+       |    COALESCE(pa.dim, pb.dim) AS dim,
+       |    COALESCE(pa.c, 0.0) AS x, COALESCE(pb.c, 0.0) AS y,
        |    pa.n_vectors AS na, pb.n_vectors AS nb
-       |  FROM pa JOIN pb USING (label, dim)),
+       |  FROM pa FULL JOIN pb ON pa.label = pb.label AND pa.dim = pb.dim),
        |f AS (
-       |  SELECT label, max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+       |  SELECT label, COALESCE(max(na), 0)::BIGINT AS n_a,
+       |    COALESCE(max(nb), 0)::BIGINT AS n_b,
        |    list_reduce(list_prepend(0.0, list((x - y) * (x - y) ORDER BY dim)),
        |      (a, b) -> a + b) AS dd,
        |    list_reduce(list_prepend(0.0, list(x * y ORDER BY dim)),

@@ -815,17 +815,20 @@ object Graph {
          |  SELECT und.a, l.label, sum(und.w)::BIGINT AS lw
          |  FROM und JOIN l${i - 1} l ON und.b = l.node
          |  GROUP BY und.a, l.label),
-         |l$i AS (
+         |l$i AS MATERIALIZED (
          |  SELECT a AS node, label FROM (
          |    SELECT a, label,
          |      row_number() OVER (PARTITION BY a ORDER BY lw DESC, label) AS rn
          |    FROM v$i) q
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
+    // und is referenced once per round and l$LpRounds twice (sizes +
+    // final select); DuckDB inlines multiply-referenced CTEs (the
+    // g_hits lesson), so both are pinned MATERIALIZED
     s"""WITH u AS ($withUrlSql),
        |$edgesSql,
        |$nodesSql,
-       |und AS (
+       |und AS MATERIALIZED (
        |  SELECT a, b, sum(w)::BIGINT AS w FROM (
        |    SELECT src AS a, dst AS b, w FROM edges
        |    UNION ALL
@@ -904,13 +907,13 @@ object Graph {
        |und AS (
        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
        |  FROM edges),
-       |nbr AS (
+       |nbr AS MATERIALIZED (
        |  SELECT a AS v, b AS n FROM und
        |  UNION ALL
        |  SELECT b AS v, a AS n FROM und),
-       |deg AS (
+       |deg AS MATERIALIZED (
        |  SELECT v, count(*)::BIGINT AS deg FROM nbr GROUP BY v),
-       |ctr AS (
+       |ctr AS MATERIALIZED (
        |  SELECT nbr.v, nbr.n FROM nbr
        |  JOIN deg nd ON nd.v = nbr.n
        |  WHERE nd.deg <= $LinkPredMaxDeg),

@@ -1391,7 +1391,7 @@ object TextAnalysis {
   }
 
   val tZipfSql: String =
-    s"""WITH freq AS (
+    s"""WITH freq AS MATERIALIZED (
        |  SELECT source, tok, count(*)::BIGINT AS f
        |  FROM (SELECT source, unnest(string_split($normSql, ' ')) AS tok
        |        FROM documents) t

@@ -387,7 +387,7 @@ object WebCuration {
        |  FROM base
        |  WHERE substr(md5(doc_id::VARCHAR), 19, 1) IN
        |    ('0','1','2','3','4','5','6','7')),
-       |wc AS (
+       |wc AS MATERIALIZED (
        |  SELECT fetch_id, doc_id, url,
        |    regexp_replace(regexp_replace(regexp_replace(
        |      url, '\\?.*$$', ''), '^https://www\\.', 'https://'),

@@ -123,7 +123,7 @@ class FusionSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val srcSize = docs.values.groupBy(identity).map { case (s, v) => s -> v.size }
     val ln2 = math.log(2.0)
-    def refNdcg(arm: Map[(Long, Long), Long]): Map[(String, Long), (Long, Double, Double, Double)] =
+    def refNdcg(arm: Map[(Long, Long), Long]): Map[Long, (Long, Double, Double, Double)] =
       arm.groupBy(_._1._1).map { case (q, rs) =>
         val nRel = srcSize(docs(q)) - 1L
         // DCG folds rank-ascending, matching the operator's sorted fold
@@ -135,10 +135,10 @@ class FusionSpec extends SparkSpec {
           a + (if (i <= m) ln2 / math.log((i + 1).toDouble) else 0.0)
         }
         val ndcg = if (idcg > 0) stable6(dcg / idcg) else 0.0
-        (docs(q), q) -> (nRel, stable6(dcg), stable6(idcg), ndcg)
-      }.map { case ((_, q), v) => ("", q) -> v } // arm name filled by caller
-    val want = refNdcg(lex).map { case ((_, q), v) => ("lex", q) -> v } ++
-      refNdcg(vec).map { case ((_, q), v) => ("vec", q) -> v }
+        q -> (nRel, stable6(dcg), stable6(idcg), ndcg)
+      }
+    val want = refNdcg(lex).map { case (q, v) => ("lex", q) -> v } ++
+      refNdcg(vec).map { case (q, v) => ("vec", q) -> v }
     val got = Retrieval.tNdcg(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
         (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap

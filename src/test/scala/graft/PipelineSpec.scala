@@ -2077,6 +2077,26 @@ class PipelineSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", old)
   }
 
+  test("e_drift: a one-sided label reports loudly, never silently drops") {
+    // label 1 lives in both vec_id-parity snapshots; label 2 only in
+    // the even half — the appearance/disappearance event the monitor
+    // exists to catch must surface as a row, not vanish in the join
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f), 1), (1L, Seq(0.0f, 1.0f), 1),
+      (2L, Seq(3.0f, 4.0f), 2), (4L, Seq(3.0f, 4.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Embeddings.eDriftOf(spark, e)
+      .as[(Int, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got.keySet == Set(1, 2), s"labels missing from the report: $got")
+    // label 2: present only in snapshot A — n_b = 0, drift = the
+    // prototype's own norm (5.0), cosine 0 via the zero-norm guard
+    assert(got(2) == ((2L, 0L, 5.0, 0.0)), s"one-sided label row: ${got(2)}")
+    // label 1: one unit vector per half — l2 = sqrt(2), cos = 0
+    assert(got(1)._1 == 1L && got(1)._2 == 1L)
+    assert(math.abs(got(1)._3 - math.sqrt(2.0)) < 1e-6)
+  }
+
   test("d_dedup_url: aliases collapse onto their base fetch; keeps are exact") {
     val rows = graft.operators.WebCuration.dDedupUrl(spark, sf)
       .select("fetch_id", "doc_id", "url", "canon_url", "n_aliases", "keep")

@@ -101,6 +101,28 @@ class StoreSpec extends SparkSpec {
       s.merge(Seq(("a", 1L), ("a", 2L)).toDF("k", "v"), Map.empty)
     }
     assert(ex.getMessage.contains("duplicate"))
+    // an updateSet column that names nothing in the store is a typo —
+    // reject it loudly instead of silently no-opping the update
+    val ex2 = intercept[IllegalArgumentException] {
+      s.merge(Seq(("a", 1L)).toDF("k", "v"), Map("vv" -> lit(0L)))
+    }
+    assert(ex2.getMessage.contains("non-store"))
+  }
+
+  test("merge: a NULL delete predicate means NOT deleted — the row updates") {
+    // SQL MERGE semantics: a NULL clause condition is not satisfied,
+    // so the matched row falls through to the UPDATE clause. An
+    // unguarded filter would silently DROP it (filter drops NULL).
+    val s = Store.fromData(
+      Seq(("a", Some(1L)), ("b", None)).toDF("k", "v"), Seq("k"))
+    val m = s.merge(
+      Seq(("a", 10L), ("b", 20L)).toDF("k", "v"),
+      updateSet = Map("v" -> col("s.v")),
+      deleteWhen = Some(col("t.v") < 0L)) // NULL for b's null v
+    val rows = m.data.select("k", "v").as[(String, Long)].collect().toMap
+    assert(rows.keySet == Set("a", "b"),
+      s"NULL delete predicate dropped a matched row: $rows")
+    assert(rows("b") == 20L, "the NULL-predicate row must take the UPDATE")
   }
 
   test("mutations on an EMPTY store number from 0; duplicate upsert keys fail loudly") {
