@@ -423,6 +423,48 @@ class GraphSpec extends SparkSpec {
     assert(sizes.size > 1, "LPA degenerate: one giant community")
   }
 
+  test("g_modularity: matches a driver recompute; grades the labelprop clustering") {
+    // independent recompute: LPA labels (reusing the labelprop
+    // reference from the test above via the operator itself — the
+    // label assignment is already pinned there), then Newman Q per
+    // community from the raw undirected adjacency
+    val und = Graph.edges(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .flatMap { case (s, d, w) => Seq(((s, d), w), ((d, s), w)) }
+      .groupBy(_._1).map { case ((a, b), ws) => (a, b, ws.map(_._2).sum) }
+      .toSeq
+    val lab = Graph.gLabelprop(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val twoM = und.map(_._3).sum
+    val int2 = und.filter { case (a, b, _) => lab(a) == lab(b) }
+      .groupBy(t => lab(t._1)).map { case (c, es) => c -> es.map(_._3).sum }
+    val wdeg = und.groupBy(_._1).map { case (a, es) => a -> es.map(_._3).sum }
+    val want = lab.values.toSeq.distinct.map { c =>
+      val members = lab.collect { case (n, l) if l == c => n }
+      val dsum = members.map(wdeg).sum
+      val i2 = int2.getOrElse(c, 0L)
+      val q = i2.toDouble / twoM -
+        (dsum.toDouble / twoM) * (dsum.toDouble / twoM)
+      c -> (members.size.toLong, i2, dsum, math.floor(q * 1e6 + 0.5) / 1e6)
+    }.toMap
+    val got = Graph.gModularity(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got == want)
+    // Newman bound: ΣQ_c ∈ [-1, 1]. On the derived fixture the LPA
+    // labeling honestly scores slightly BELOW chance (≈ -0.05): the
+    // src→dst link derivation is near-bipartite, so LPA's blocks have
+    // low internal density — the e_silhouette-style negative
+    // diagnostic ("don't curate by these communities here"), which is
+    // exactly what the report exists to say. Pin the bound and that
+    // the structure columns carry signal, not a sign the fixture
+    // cannot justify.
+    val total = got.values.map(_._4).sum
+    assert(total >= -1.0 && total <= 1.0, s"global modularity $total")
+    assert(got.values.exists(_._2 > 0L), "no community has internal edges")
+    assert(got.size > 1, "degenerate: one community")
+  }
+
   test("g_jaccard: matches brute-force common-neighbor Jaccard; cap binds wedges") {
     val adj = Graph.edges(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)))
