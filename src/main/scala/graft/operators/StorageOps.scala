@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, floor, lit, sum}
 import graft.core.{Condition, Store, Tables}
 import graft.storage.{HashIndex, HilbertIndex, IndexedStore, RangeIndex, ZOrderIndex, ZOrderNIndex}
 
@@ -590,7 +591,70 @@ object StorageOps {
   private val liRowid =
     "row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS __rowid"
 
+  // -------------------------------------------------------- q_mv_rewrite
+
+  /** The materialized-aggregate sidecar: customer pre-aggregated at
+    * (c_mktsegment, c_nationkey) granularity with the two
+    * self-maintainable aggregates (Gupta & Mumick's IVM class — the
+    * same count/cents pair [[graft.streaming.StoreStream.stMview]]
+    * maintains off the CDC). Built once per (sf, testdata generation)
+    * under the scratch discipline; ~segments×nations rows. */
+  private def mviewPath(spark: SparkSession, dir: String): String = {
+    val path = scratch("mview", dir)
+    buildOnce(path) {
+      val cents = floor(col("c_acctbal") * 100 + 0.5).cast("long")
+      Tables(spark, dir).customer
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n_rows"), sum(cents).as("bal_cents"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** The rewrite rule: a grouped query whose keys are a SUBSET of the
+    * view's dimensions and whose aggregates are self-maintainable
+    * (count → Σ n_rows, Σ cents → Σ bal_cents) is answered by
+    * RE-AGGREGATING the view — the classic rollup-from-MV rewrite
+    * every warehouse optimizer ships. Returns the rolled-up frame;
+    * the base table is never touched (spec-asserted on inputFiles). */
+  private[graft] def mvRollup(spark: SparkSession, dir: String,
+      groupCols: Seq[String]): DataFrame = {
+    val dims = Seq("c_mktsegment", "c_nationkey")
+    require(groupCols.forall(dims.contains),
+      s"query keys ${groupCols.mkString(",")} not answerable from MV dims ${dims.mkString(",")}")
+    spark.read.parquet(mviewPath(spark, dir))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("bal_cents")).as("bal_cents"))
+  }
+
+  /** q_mv_rewrite — MATERIALIZED-VIEW query answering, the batch
+    * complement of [[graft.streaming.StoreStream.stMview]]'s
+    * incremental maintenance: a per-segment count/balance aggregate
+    * over customer is answered from the (segment, nation) MV sidecar
+    * by re-aggregation — the view's ~125 rows replace a corpus scan.
+    * This is the rewrite that makes maintained views PAY at 100 TB:
+    * maintenance cost ∝ change volume (st_mview), answer cost ∝ view
+    * size, and the base table is read by NEITHER (the spec asserts
+    * the plan's inputFiles are the MV files only). The aggregates are
+    * integer (count + fixed-point cents — SURVEY §6), so rollup vs
+    * direct compute is exact equality and the DuckDB oracle computes
+    * straight from customer: the hash-match proves the rewrite
+    * answers the query, not an approximation of it. */
+  def qMvRewrite(spark: SparkSession, dir: String): DataFrame =
+    mvRollup(spark, dir, Seq("c_mktsegment"))
+      .orderBy("c_mktsegment")
+
+  val qMvRewriteSql: String =
+    """SELECT c_mktsegment,
+      |  count(*)::BIGINT AS n_rows,
+      |  CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
+      |FROM customer
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mv_rewrite" -> qMvRewrite,
     "sc_index_hash" -> scIndexHash,
     "sc_index_btree" -> scIndexBtree,
     "sc_index_select" -> scIndexSelect,
@@ -612,6 +676,7 @@ object StorageOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_mv_rewrite" -> qMvRewriteSql,
     "sc_index_hash" ->
       s"""SELECT __rowid, c_custkey, c_name, c_mktsegment
          |FROM (SELECT *, $custRowid FROM customer) t

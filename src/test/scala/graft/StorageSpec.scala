@@ -709,4 +709,34 @@ class StorageSpec extends SparkSpec {
     assert(after != before,
       "a rewritten source must invalidate the scratch store (its _done marker outlives the data)")
   }
+
+  test("mv rewrite answers from the view's files — the base table is never read") {
+    import graft.operators.StorageOps
+    val q = StorageOps.qMvRewrite(spark, sf)
+    // the rewrite's whole point: inputFiles are the MV sidecar only
+    val files = q.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("graft_store_v5_mview")),
+      s"rewrite read beyond the MV: ${files.filterNot(_.contains("mview")).take(3).mkString(", ")}")
+    assert(!files.exists(_.contains("customer.parquet")),
+      "rewrite scanned the base table")
+    // rollup-from-MV is exact: equals the direct base-table aggregate
+    val direct = Tables(spark, sf).customer
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(col("c_acctbal") * 100 + 0.5).cast("long")).as("bal_cents"))
+    assert(q.collect().toSet == direct.collect().toSet)
+    // a finer rollup (nation level) is answerable from the same view
+    val fine = StorageOps.mvRollup(spark, sf, Seq("c_mktsegment", "c_nationkey"))
+    val fineDirect = Tables(spark, sf).customer
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(col("c_acctbal") * 100 + 0.5).cast("long")).as("bal_cents"))
+    assert(fine.collect().toSet == fineDirect.collect().toSet)
+    // and a non-answerable key fails loudly instead of silently wrong
+    val ex = intercept[IllegalArgumentException] {
+      StorageOps.mvRollup(spark, sf, Seq("c_name"))
+    }
+    assert(ex.getMessage.contains("not answerable"))
+  }
 }
