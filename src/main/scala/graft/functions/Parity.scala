@@ -56,4 +56,18 @@ object Parity {
     require(s >= 0 && s <= 15, s"stableRoundSql scale $s outside the lossless range")
     s"floor(($e) * 1e$s + 0.5) / 1e$s"
   }
+
+  /** Fixed-point integer cents — ⌊x·100 + ½⌋ as LONG: the SURVEY §6
+    * discipline that makes money aggregates order-free and hash-exact
+    * (integer sums commute; float sums do not). ONE definition shared
+    * by the streaming view maintenance and the batch MV rewrite so
+    * the two sides can never drift apart. */
+  def cents(c: Column): Column =
+    floor(c * lit(100) + lit(0.5)).cast("long")
+
+  /** The DuckDB twin of [[cents]] over `e`. DuckDB's sum over BIGINT
+    * returns HUGEINT — callers cast the SUM back (`::BIGINT`), not
+    * the per-row value. */
+  def centsSql(e: String): String =
+    s"CAST(floor(($e) * 100 + 0.5) AS BIGINT)"
 }

@@ -747,35 +747,6 @@ object Graph {
     * same contract as [[Iterations]]. */
   val LpRounds = 4
 
-  /** g_labelprop — community detection by synchronous label
-    * propagation (Raghavan/Albert/Kumara 2007) over the UNDIRECTED
-    * weighted domain graph: every node starts as its own label; each
-    * round every node adopts the label with the greatest incident
-    * edge weight among its neighbors, ties broken by the
-    * lexicographically least label (the determinism LPA famously
-    * lacks under random sweep order — synchronous sweeps + a total
-    * tie order make the fixture bit-reproducible). [[LpRounds]]
-    * rounds, then each node reports its community and the community
-    * size. Communities are the mixture-level grouping web curation
-    * feeds domain budgets and source-overlap audits with — link
-    * farms surface as tight same-label blocks the way they surface
-    * as triangle-dense neighborhoods in [[gTriangles]].
-    *
-    * Scale shape: each round is ONE hash join (labels onto the
-    * undirected adjacency by the far endpoint) and TWO keyed
-    * aggregations — vote weights by (node, label), then the argmax
-    * by node as `min(struct(-lw, label))`, which map-side combines
-    * to one struct per node per partition (never a collected
-    * neighborhood; a 10⁸-degree hub folds its votes partially on
-    * every mapper — the PageRank `free`-mode shape but exact here,
-    * because vote weights are INTEGER sums, immune to float order).
-    * Round lineage is cut per sweep with localCheckpoint, the
-    * [[gPagerank]] discipline. Oracle: the same rounds unrolled as
-    * CTEs with a window argmax — integer weights and string labels
-    * hash-gate exactly.
-    *
-    * Reference surface: none (shortcut has no graph ops) — 100 TB
-    * brief surface like the rest of [[Graph]]. */
   /** The weighted undirected adjacency (both directions, parallel
     * edges merged) — shared by [[gLabelprop]] and [[gModularity]]. */
   private def undirected(e: DataFrame): DataFrame =
@@ -812,6 +783,35 @@ object Graph {
     lab
   }
 
+  /** g_labelprop — community detection by synchronous label
+    * propagation (Raghavan/Albert/Kumara 2007) over the UNDIRECTED
+    * weighted domain graph: every node starts as its own label; each
+    * round every node adopts the label with the greatest incident
+    * edge weight among its neighbors, ties broken by the
+    * lexicographically least label (the determinism LPA famously
+    * lacks under random sweep order — synchronous sweeps + a total
+    * tie order make the fixture bit-reproducible). [[LpRounds]]
+    * rounds, then each node reports its community and the community
+    * size. Communities are the mixture-level grouping web curation
+    * feeds domain budgets and source-overlap audits with — link
+    * farms surface as tight same-label blocks the way they surface
+    * as triangle-dense neighborhoods in [[gTriangles]].
+    *
+    * Scale shape: each round is ONE hash join (labels onto the
+    * undirected adjacency by the far endpoint) and TWO keyed
+    * aggregations — vote weights by (node, label), then the argmax
+    * by node as `min(struct(-lw, label))`, which map-side combines
+    * to one struct per node per partition (never a collected
+    * neighborhood; a 10⁸-degree hub folds its votes partially on
+    * every mapper — the PageRank `free`-mode shape but exact here,
+    * because vote weights are INTEGER sums, immune to float order).
+    * Round lineage is cut per sweep with localCheckpoint, the
+    * [[gPagerank]] discipline. Oracle: the same rounds unrolled as
+    * CTEs with a window argmax — integer weights and string labels
+    * hash-gate exactly.
+    *
+    * Reference surface: none (shortcut has no graph ops) — 100 TB
+    * brief surface like the rest of [[Graph]]. */
   def gLabelprop(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir).localCheckpoint(false)
     val lab = lpaLabels(e, undirected(e))
@@ -893,7 +893,7 @@ object Graph {
   def gModularity(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir).localCheckpoint(false)
     val und = undirected(e)
-    val lab = lpaLabels(e, und).localCheckpoint(false)
+    val lab = lpaLabels(e, und)
     val twoM = broadcast(und.agg(sum(col("w")).as("two_m")))
     val wdeg = und.groupBy(col("a")).agg(sum(col("w")).as("wd"))
     val ints = und

@@ -110,6 +110,9 @@ object StorageOps {
       "sc_gen_diff", "sc_log_read", "sc_zonemap", "sc_bucketed_join",
       "sc_schema_evolution")
       .foreach(q => queries(q)(spark, dir).write.format("noop").mode("overwrite").save())
+    // the MV sidecar is a one-time build cost, not probe cost — same
+    // rationale as the store fixtures above
+    mviewPath(spark, dir): Unit
   }
 
   /** Equality probe through the hash-bucket layout
@@ -602,10 +605,10 @@ object StorageOps {
   private def mviewPath(spark: SparkSession, dir: String): String = {
     val path = scratch("mview", dir)
     buildOnce(path) {
-      val cents = floor(col("c_acctbal") * 100 + 0.5).cast("long")
       Tables(spark, dir).customer
         .groupBy(col("c_mktsegment"), col("c_nationkey"))
-        .agg(count(lit(1)).as("n_rows"), sum(cents).as("bal_cents"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(graft.functions.Parity.cents(col("c_acctbal"))).as("bal_cents"))
         .coalesce(1)
         .write.mode("overwrite").parquet(path)
     }
@@ -647,11 +650,11 @@ object StorageOps {
       .orderBy("c_mktsegment")
 
   val qMvRewriteSql: String =
-    """SELECT c_mktsegment,
-      |  count(*)::BIGINT AS n_rows,
-      |  CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
-      |FROM customer
-      |GROUP BY 1 ORDER BY 1""".stripMargin
+    s"""SELECT c_mktsegment,
+       |  count(*)::BIGINT AS n_rows,
+       |  CAST(sum(${graft.functions.Parity.centsSql("c_acctbal")}) AS BIGINT) AS bal_cents
+       |FROM customer
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mv_rewrite" -> qMvRewrite,

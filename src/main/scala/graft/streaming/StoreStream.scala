@@ -384,7 +384,7 @@ object StoreStream {
     * maintaining the view off the CDC rather than recomputing it. */
   def stMview(spark: SparkSession, dir: String): DataFrame = {
     val sign = when(col("change") === "added", 1L).otherwise(-1L)
-    val cents = floor(col("c_acctbal") * 100 + 0.5).cast("long")
+    val cents = graft.functions.Parity.cents(col("c_acctbal"))
     tailToEnd(spark, ingestMutStore(spark, dir))
       .groupBy("c_mktsegment")
       .agg(sum(sign).as("n_rows"), sum(sign * cents).as("bal_cents"))
@@ -410,11 +410,11 @@ object StoreStream {
     * deleted MACHINERY segment (base sans BUILDING + appended
     * BUILDING − MACHINERY). */
   val stMviewSql: String =
-    """SELECT c_mktsegment,
-      |  count(*)::BIGINT AS n_rows,
-      |  CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
-      |FROM customer WHERE c_mktsegment <> 'MACHINERY'
-      |GROUP BY 1 ORDER BY 1""".stripMargin
+    s"""SELECT c_mktsegment,
+       |  count(*)::BIGINT AS n_rows,
+       |  CAST(sum(${graft.functions.Parity.centsSql("c_acctbal")}) AS BIGINT) AS bal_cents
+       |FROM customer WHERE c_mktsegment <> 'MACHINERY'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_ingest" -> stIngest,

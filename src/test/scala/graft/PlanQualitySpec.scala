@@ -857,6 +857,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), "LPA must not plan a window")
   }
 
+  test("modularity: keyed integer aggs + 1-row broadcast total, no neighborhood row") {
+    val p = plan("g_modularity")
+    // the label attaches and intra-edge sum are hash equi-joins with
+    // map-side-combined integer aggregation — never a collected
+    // neighborhood; the only nested loop is the 1-row two_m attach
+    assert(!p.contains("collect_list") && !p.contains("sort_array"),
+      s"modularity gathered a neighborhood into a row:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"modularity degenerated:\n${p.take(2000)}")
+    val bnlj = p.linesIterator.count(_.contains("- BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"only the 1-row two_m attach may nest-loop ($bnlj)")
+    assert(!p.contains("Window"), "modularity must not plan a window")
+  }
+
   test("jaccard link prediction: wedge equi-joins only, no all-pairs") {
     val p = plan("g_jaccard")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
