@@ -411,9 +411,15 @@ object Bench {
         Some(rows)
       }
     }
-    // Per query: the tuple whose time is the (upper) median of its
+    // Per query: the tuple whose time is the LOWER median of its
     // SUCCESSFUL passes — time, gc, spill, and load all describe that
-    // one run. A failed pass's duration is the time-to-throw, not a
+    // one run. Lower (not upper) median matters on even pass counts:
+    // with SPARK_GRAFT_PASSES=2 the upper median is the SLOWER pass,
+    // which is systematically the JIT-cold first one — a 2-pass run
+    // once published 2-3× cold-compile numbers (15.7s recorded while
+    // the same run's warm pass ran 6.5s) with identical shuffle bytes.
+    // Lower median picks the warm pass for n=2 and the true median for
+    // odd n. A failed pass's duration is the time-to-throw, not a
     // measurement; letting it into the pool would publish a plausible
     // fabricated number (the run still exits 1 below). If every pass
     // failed there is nothing to choose from — fall back to the last
@@ -421,7 +427,7 @@ object Bench {
     val results = selected.indices.map { i =>
       val attempts = perPass.map(_(i))
       val runs = attempts.filter(_._6).sortBy(_._2)
-      if (runs.nonEmpty) runs(runs.size / 2) else attempts.last
+      if (runs.nonEmpty) runs((runs.size - 1) / 2) else attempts.last
     }
     val passJson = selected.indices.map { i =>
       "\"" + selected(i)._1 + "\":[" + perPass.map(_(i)._2).mkString(",") + "]"

@@ -131,6 +131,13 @@ final class Store private (val data: DataFrame, orderCols: Seq[String]) {
     val unknown = updateSet.keySet.diff(cols)
     require(unknown.isEmpty,
       s"merge updateSet names non-store columns: ${unknown.mkString(",")}")
+    // SET on the merge key itself would rewrite a key in place and
+    // silently break the unique-key invariant that withRowIds /
+    // numberAfterMax determinism and upsert's key discipline depend
+    // on — SQL MERGE engines commonly reject updating the merge key
+    val keyed = updateSet.keySet.intersect(orderCols.toSet)
+    require(keyed.isEmpty,
+      s"merge updateSet may not SET the merge key columns: ${keyed.mkString(",")}")
     // explicit matched marker: key columns may be nullable in general,
     // so "source key is not null" is not a safe matched test
     val joined = data.as("t")

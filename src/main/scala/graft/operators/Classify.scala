@@ -395,6 +395,53 @@ object Classify {
   /** Probability bins for the reliability diagram. */
   val CalibBins = 10
 
+  /** Sub-group fan-out of the per-decile probability mean: each bin's
+    * p values split into this many deterministic sub-groups
+    * (doc_id mod CalibSubs), folded independently, combined in sub
+    * order — the [[Embeddings]] e_centroid hierarchical-fold
+    * discipline, so no row ever holds a decile's document list. */
+  val CalibSubs = 32
+
+  /** The hierarchical pinned fold's streaming stage for the
+    * reliability diagram: (bin, y, p, doc_id) rows hash-shuffle once
+    * on (bin, sub = doc_id mod [[CalibSubs]]), sort within partitions
+    * by p, and each contiguous (bin, sub) group streams to
+    * (n, n_pos, Σp) inside mapPartitions — no row ever materializes a
+    * decile's value list; only the ≤ CalibBins×CalibSubs partial rows
+    * do. Value-order ties are harmless: equal addends produce the
+    * same partial-sum sequence regardless of relative order, and the
+    * DuckDB oracle mirrors the exact two-level structure. */
+  private def calibSubFold(spark: SparkSession, binned: DataFrame): DataFrame = {
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    binned
+      .select(col("bin").cast("int").as("bin"),
+        pmod(col("doc_id"), lit(CalibSubs.toLong)).cast("int").as("sub"),
+        col("y").cast("long").as("y"), col("p"))
+      .repartition(parts, col("bin"), col("sub"))
+      .sortWithinPartitions(col("bin"), col("sub"), col("p"))
+      .as[(Int, Int, Long, Double)]
+      .mapPartitions { rows =>
+        // groups are contiguous after the sort; stream one fold each
+        val out = Seq.newBuilder[(Int, Int, Long, Long, Double)]
+        var cur: (Int, Int) = null
+        var n = 0L
+        var npos = 0L
+        var s = 0.0
+        def flush(): Unit = if (cur != null) out += ((cur._1, cur._2, n, npos, s))
+        rows.foreach { case (b, sub, y, p) =>
+          val k = (b, sub)
+          if (k != cur) { flush(); cur = k; n = 0L; npos = 0L; s = 0.0 }
+          n += 1L
+          npos += y
+          s += p
+        }
+        flush()
+        out.result().iterator
+      }
+      .toDF("bin", "sub", "n", "npos", "s")
+  }
+
   /** The closed-form Naive-Bayes member of the hashed-feature scorer
     * family, scored over the corpus and assigned to its probability
     * decile — the shared front half of [[dClassifyCalib]] and
@@ -460,22 +507,26 @@ object Classify {
     * by a driver-side recompute instead). Float parity: smoothed
     * ratios are exact integer-over-integer doubles, ln rides the
     * [[TextAnalysis.tLogprob]] cross-engine discipline, per-doc
-    * evidence folds sorted by bucket, per-bin probability means fold
-    * sorted by doc_id, presentation rounding only.
+    * evidence folds sorted by bucket, per-bin probability means ride
+    * the [[calibSubFold]] hierarchical pinned fold (per-sub p-sorted
+    * streams, sub-ordered combine — mirrored exactly in the oracle),
+    * presentation rounding only.
     *
     * Scale shape: training is two keyed aggregations (Dim×2 and 2
     * rows out), scoring is one broadcast join + doc-keyed fold, the
-    * diagram is a [[CalibBins]]-key aggregation — one corpus scan
-    * end-to-end, nothing corpus-sized ever collects. */
+    * diagram streams through [[calibSubFold]] into a
+    * [[CalibBins]]-key combine of ≤ [[CalibSubs]] partials per bin —
+    * one corpus scan end-to-end, nothing corpus-sized ever collects
+    * and no row ever holds a decile's document list. */
   def dClassifyCalib(spark: SparkSession, dir: String): DataFrame =
-    nbBinned(spark, dir)
+    calibSubFold(spark, nbBinned(spark, dir))
       .groupBy("bin")
-      .agg(count(lit(1)).as("n_docs"), sum(col("y")).cast("long").as("n_pos"),
-        sort_array(collect_list(struct(col("doc_id").as("d"),
-          col("p").as("p")))).as("ps"))
-      .select(col("bin"), col("n_docs"), col("n_pos"),
-        stableRound(aggregate(col("ps"), lit(0.0),
-          (a, x) => a + x.getField("p")) / col("n_docs"), 6).as("avg_p"),
+      .agg(sum(col("n")).cast("long").as("n_docs"),
+        sum(col("npos")).cast("long").as("n_pos"),
+        sort_array(collect_list(struct(col("sub"), col("s")))).as("ss"))
+      .select(col("bin").cast("long").as("bin"), col("n_docs"), col("n_pos"),
+        stableRound(aggregate(col("ss"), lit(0.0),
+          (a, x) => a + x.getField("s")) / col("n_docs"), 6).as("avg_p"),
         stableRound(col("n_pos") / col("n_docs").cast("double"), 6)
           .as("frac_pos"))
       .orderBy("bin")
@@ -584,15 +635,26 @@ object Classify {
        |  GROUP BY f.doc_id, cls.d1, cls.d0)""".stripMargin
   }
 
+  /** Mirrors [[calibSubFold]]'s two-level structure exactly: per-sub
+    * p-sorted list_reduce, then a sub-ordered combine — every double
+    * bit-identical to the Spark stream fold. */
   val dClassifyCalibSql: String =
-    s"""$nbScoredCtes
-       |SELECT least(floor(p * $CalibBins), ${CalibBins - 1})::BIGINT AS bin,
-       |  count(*)::BIGINT AS n_docs,
-       |  sum(y)::BIGINT AS n_pos,
-       |  floor((list_reduce(list_prepend(0.0, list(p ORDER BY doc_id)),
-       |    (a, b) -> a + b) / count(*)) * 1e6 + 0.5) / 1e6 AS avg_p,
-       |  floor((sum(y) / count(*)::DOUBLE) * 1e6 + 0.5) / 1e6 AS frac_pos
-       |FROM scored
+    s"""$nbScoredCtes,
+       |binned AS (
+       |  SELECT least(floor(p * $CalibBins), ${CalibBins - 1})::BIGINT AS bin,
+       |    doc_id % $CalibSubs AS sub, y, p
+       |  FROM scored),
+       |subs AS (
+       |  SELECT bin, sub, count(*)::BIGINT AS n, sum(y)::BIGINT AS npos,
+       |    list_reduce(list_prepend(0.0, list(p ORDER BY p)), (a, b) -> a + b) AS s
+       |  FROM binned GROUP BY 1, 2)
+       |SELECT bin,
+       |  sum(n)::BIGINT AS n_docs,
+       |  sum(npos)::BIGINT AS n_pos,
+       |  floor((list_reduce(list_prepend(0.0, list(s ORDER BY sub)),
+       |    (a, b) -> a + b) / sum(n)) * 1e6 + 0.5) / 1e6 AS avg_p,
+       |  floor((sum(npos) / sum(n)::DOUBLE) * 1e6 + 0.5) / 1e6 AS frac_pos
+       |FROM subs
        |GROUP BY bin
        |ORDER BY bin""".stripMargin
 

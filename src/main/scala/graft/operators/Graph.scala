@@ -947,8 +947,9 @@ object Graph {
   // ------------------------------------------------- link prediction
 
   /** Degree cap for [[gJaccard]] candidate generation: nodes above it
-    * are excluded as wedge CENTERS (their neighborhoods stay counted
-    * through lower-degree centers they share). Common-neighbor
+    * are excluded as wedge CENTERS and from the capped neighborhoods
+    * the denominator counts (see the gJaccard scaladoc — numerator
+    * and denominator share one universe). Common-neighbor
     * counting is intrinsically Σdeg(center)² work, so a mega-hub —
     * every .com domain links to google-analytics — must not be
     * allowed to fan out deg² candidate pairs; capping centers is the
@@ -974,9 +975,22 @@ object Graph {
     * keyed count per surviving pair and two broadcast-size degree
     * attaches. Integer counts; the single float is one IEEE divide,
     * stableRounded. Oracle: identical SQL over the same wedge
-    * construction. */
-  def gJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir).localCheckpoint(false)
+    * construction.
+    *
+    * Capped semantics are SELF-CONSISTENT: numerator AND denominator
+    * both come from the hub-excluded neighborhood (da/db count only
+    * neighbors with deg ≤ cap), so the score is the exact Jaccard of
+    * the capped neighborhoods |N'(a)∩N'(b)| / |N'(a)∪N'(b)| — never
+    * a mixed capped-intersection/full-union ratio, which would not be
+    * a Jaccard of anything. When the cap does not bind (every degree
+    * ≤ cap, as in the synthetic fixture) this is plain Jaccard;
+    * GraphSpec pins the capped mode on a small-cap hub fixture. */
+  def gJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardOf(spark, edges(spark, dir), LinkPredMaxDeg)
+
+  private[graft] def jaccardOf(spark: SparkSession, e0: DataFrame,
+      maxDeg: Int): DataFrame = {
+    val e = e0.localCheckpoint(false)
     val und = e.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
@@ -985,17 +999,22 @@ object Graph {
       .localCheckpoint(false)
     val deg = nbr.groupBy("v").agg(count(lit(1)).as("deg"))
       .localCheckpoint(false)
+    // feeds the wedge join twice AND the capped-degree count
     val centers = nbr
       .join(deg.select(col("v").as("n"), col("deg").as("nd")), Seq("n"))
-      .filter(col("nd") <= LinkPredMaxDeg)
+      .filter(col("nd") <= maxDeg)
+      .localCheckpoint(false)
+    // capped-neighborhood size: |{n ∈ N(v) : deg(n) ≤ cap}| — the
+    // denominator lives in the same universe as the wedge numerator
+    val cdeg = centers.groupBy("v").agg(count(lit(1)).as("deg"))
     val common = centers.as("x").join(centers.as("y"),
         col("x.n") === col("y.n") && col("x.v") < col("y.v"))
       .select(col("x.v").as("a"), col("y.v").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("common"))
       .filter(col("common") >= 2)
     common
-      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
-      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+      .join(cdeg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(cdeg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
       .select(col("a"), col("b"), col("common"), col("da"), col("db"),
         stableRound(col("common").cast("double") /
           (col("da") + col("db") - col("common")), 6).as("jaccard"))
@@ -1018,6 +1037,8 @@ object Graph {
        |  SELECT nbr.v, nbr.n FROM nbr
        |  JOIN deg nd ON nd.v = nbr.n
        |  WHERE nd.deg <= $LinkPredMaxDeg),
+       |cdeg AS MATERIALIZED (
+       |  SELECT v, count(*)::BIGINT AS deg FROM ctr GROUP BY v),
        |com AS (
        |  SELECT x.v AS a, y.v AS b, count(*)::BIGINT AS common
        |  FROM ctr x JOIN ctr y ON x.n = y.n AND x.v < y.v
@@ -1026,8 +1047,8 @@ object Graph {
        |SELECT c.a, c.b, c.common, da.deg AS da, db.deg AS db,
        |  ${stableRoundSql("c.common::DOUBLE / (da.deg + db.deg - c.common)", 6)} AS jaccard
        |FROM com c
-       |JOIN deg da ON da.v = c.a
-       |JOIN deg db ON db.v = c.b
+       |JOIN cdeg da ON da.v = c.a
+       |JOIN cdeg db ON db.v = c.b
        |ORDER BY a, b""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -121,15 +121,22 @@ object ShortcutOps {
   /** Store.upsert — MERGE semantics as the delete∘insert composition
     * the reference surface implies (src/lib.rs:140-142 + 178-187):
     * BUILDING customers re-enter with adjusted balances (their old
-    * rowids retire, never reused), and a synthetic-key batch inserts
+    * rowids retire, never reused), and a synthetic-key batch (keys
+    * shifted past max(c_custkey) — collision-free at any SF) inserts
     * alongside; ids continue from the pre-upsert max. The +1000.0
     * balance shift is one IEEE add — bit-identical in the oracle. */
   def scUpsert(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables(spark, dir).customer
     val updates = cust.filter(col("c_mktsegment") === "BUILDING")
       .withColumn("c_acctbal", col("c_acctbal") + lit(1000.0))
+    // synthetic keys shift past max(c_custkey) — the scMerge
+    // any-scale-factor discipline (a fixed constant collides once
+    // real keys reach it)
+    val mx = cust.agg(max(col("c_custkey")).as("mxk"))
     val inserts = cust.filter(col("c_custkey") <= 50)
-      .withColumn("c_custkey", col("c_custkey") + lit(10000000L))
+      .crossJoin(broadcast(mx))
+      .withColumn("c_custkey", col("c_custkey") + col("mxk") + lit(1L))
+      .drop("mxk")
     // probe the memoized handle: upsert returns a NEW store, the
     // shared fixture is untouched — and the query times the merge,
     // not a from-scratch rowid numbering
@@ -146,7 +153,8 @@ object ShortcutOps {
        |  SELECT * REPLACE (c_acctbal + 1000.0 AS c_acctbal)
        |  FROM customer WHERE c_mktsegment = 'BUILDING'
        |  UNION ALL
-       |  SELECT * REPLACE (c_custkey + 10000000 AS c_custkey)
+       |  SELECT * REPLACE (c_custkey + (SELECT max(c_custkey) + 1 FROM customer)
+       |    AS c_custkey)
        |  FROM customer WHERE c_custkey <= 50),
        |nb AS (SELECT *, m + row_number() OVER (ORDER BY c_custkey) AS __rowid
        |       FROM batch CROSS JOIN mx)
@@ -166,12 +174,18 @@ object ShortcutOps {
     * UPDATE — the observable difference from [[scUpsert]], whose
     * replaced rows renumber), and a synthetic-key batch inserts after
     * the pre-merge max (WHEN NOT MATCHED INSERT). The +500.0 shift is
-    * one IEEE add — bit-identical in the oracle. */
+    * one IEEE add — bit-identical in the oracle. The insert batch's
+    * synthetic keys shift by max(c_custkey)+1 — never a fixed constant,
+    * which would collide with real keys once the scale factor pushes
+    * customer keys past it (a +20M shift broke at SF ≳ 133). */
   def scMerge(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables(spark, dir).customer
+    val mx = cust.agg(max(col("c_custkey")).as("mxk"))
     val source = cust.filter(col("c_mktsegment") === "BUILDING")
       .unionByName(cust.filter(col("c_custkey") <= 30)
-        .withColumn("c_custkey", col("c_custkey") + lit(20000000L)))
+        .crossJoin(broadcast(mx))
+        .withColumn("c_custkey", col("c_custkey") + col("mxk") + lit(1L))
+        .drop("mxk"))
     customerStore(spark, dir)
       .merge(source,
         updateSet = Map(
@@ -187,7 +201,8 @@ object ShortcutOps {
        |src AS (
        |  SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'
        |  UNION ALL
-       |  SELECT * REPLACE (c_custkey + 20000000 AS c_custkey)
+       |  SELECT * REPLACE (c_custkey + (SELECT max(c_custkey) + 1 FROM customer)
+       |    AS c_custkey)
        |  FROM customer WHERE c_custkey <= 30),
        |mx AS (SELECT max(__rowid) AS m FROM orig),
        |kept AS (

@@ -1377,11 +1377,13 @@ object TextAnalysis {
         fold(_.getField("ly")).as("sy"),
         fold(x => x.getField("lx") * x.getField("ly")).as("sxy"),
         fold(x => x.getField("lx") * x.getField("lx")).as("sxx"))
-      .withColumn("slope",
+      // a single-rank source (k=1 ⇒ lx=0 ⇒ zero OLS denominator) has
+      // no fittable slope — report NULL loudly, never NaN
+      .withColumn("slope", when(col("k") >= 2,
         (col("k").cast("double") * col("sxy") - col("sx") * col("sy")) /
-          (col("k").cast("double") * col("sxx") - col("sx") * col("sx")))
-      .withColumn("intercept",
-        (col("sy") - col("slope") * col("sx")) / col("k").cast("double"))
+          (col("k").cast("double") * col("sxx") - col("sx") * col("sx"))))
+      .withColumn("intercept", when(col("k") >= 2,
+        (col("sy") - col("slope") * col("sx")) / col("k").cast("double")))
     folded.join(stats, Seq("source"))
       .select(col("source"), col("n_types"), col("n_tokens"),
         col("k").as("k_ranks"),
@@ -1419,11 +1421,13 @@ object TextAnalysis {
        |  FROM pts GROUP BY source),
        |fit AS (
        |  SELECT source, k, sx, sy,
-       |    (k::DOUBLE * sxy - sx * sy) / (k::DOUBLE * sxx - sx * sx) AS slope
+       |    CASE WHEN k >= 2 THEN
+       |      (k::DOUBLE * sxy - sx * sy) / (k::DOUBLE * sxx - sx * sx)
+       |    END AS slope
        |  FROM folded),
        |fit2 AS (
        |  SELECT source, k, slope,
-       |    (sy - slope * sx) / k::DOUBLE AS intercept
+       |    CASE WHEN k >= 2 THEN (sy - slope * sx) / k::DOUBLE END AS intercept
        |  FROM fit)
        |SELECT s.source, s.n_types, s.n_tokens, f.k AS k_ranks,
        |  ${stableRoundSql("f.slope", 6)} AS zipf_slope,

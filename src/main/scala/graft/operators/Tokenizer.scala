@@ -222,7 +222,17 @@ object Tokenizer {
     * accounting packing/budget steps downstream want. The merge list
     * is a bounded driver pull (the IVF-centroid class); per-doc work
     * is one narrow pass + one broadcast join + one keyed sum. */
-  def tBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+  def tBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpePerDoc(spark, dir)
+      .select(col("doc_id"), col("n_words"), col("n_tokens"), col("n_chars"),
+        stableRound(col("n_chars") / col("n_tokens").cast("double"), 4)
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+
+  /** The shared per-doc token-accounting frame behind [[tBpeEncode]]
+    * and [[tBpeFertility]]: (doc_id, n_words, n_tokens, n_chars) with
+    * token counts from the learned [[BpeMerges]]-merge tokenizer. */
+  private[operators] def bpePerDoc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val wc = wordCounts(spark, dir).localCheckpoint(false)
     val merges = bpeTrainFromCounts(spark, wc, BpeMerges)
@@ -239,16 +249,48 @@ object Tokenizer {
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_toks")).as("n_tokens"),
         sum(col("wlen")).as("n_chars"))
-      .select(col("doc_id"), col("n_words"), col("n_tokens"), col("n_chars"),
-        stableRound(col("n_chars") / col("n_tokens").cast("double"), 4)
+  }
+
+  /** t_bpe_fertility — per-(lang, source) FERTILITY rollup of the
+    * learned tokenizer: tokens/word (fertility) and chars/token
+    * (compression) with the doc/word/token/char sums behind them —
+    * the standard multilingual-tokenizer health report (a language
+    * whose fertility runs 2× another's pays 2× the context budget
+    * per word; fertility drift across sources flags tokenizer/corpus
+    * mismatch before a training run pays for it). The d_datacard
+    * per-segment discipline applied to [[tBpeEncode]]'s accounting.
+    *
+    * Scale shape: one broadcast-joined metadata attach on the per-doc
+    * frame, then a segments-sized keyed aggregation of INTEGER sums —
+    * order-free and exact; the two ratios are one IEEE divide each,
+    * rounded at the output. Rows-only at the gate like the whole
+    * tokenizer family (the merge list is iteratively learned — no SQL
+    * replay); TokenizerSpec pins the rollup bit-identical to an
+    * independent recompute from the per-doc frame. */
+  def tBpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val meta = TextAnalysis.docsSpread(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+    bpePerDoc(spark, dir)
+      .join(meta, "doc_id")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_words"),
+        col("n_tokens"), col("n_chars"),
+        stableRound(col("n_tokens") / col("n_words").cast("double"), 6)
+          .as("fertility"),
+        stableRound(col("n_chars") / col("n_tokens").cast("double"), 6)
           .as("chars_per_token"))
-      .orderBy("doc_id")
+      .orderBy("lang", "source")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_bpe_train" -> tBpeTrain,
     "t_bpe_incr" -> tBpeIncr,
     "t_bpe_encode" -> tBpeEncode,
+    "t_bpe_fertility" -> tBpeFertility,
   )
 
   /** No SQL oracle: the learned merge table is iterative (each

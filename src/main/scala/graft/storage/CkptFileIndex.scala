@@ -81,10 +81,28 @@ private[graft] final class CkptFileIndex(
 
   /** Full inventory as qualified URIs — spec/diagnostic surface
     * (LogViewSpec pins the exact inventory through it); the QUERY
-    * path never calls this. */
-  override def inputFiles: Array[String] =
-    (inv.select("path").collect().map(r => s"$qualifiedGen/${r.getString(0)}") ++
+    * path never calls this. Served from the small-inventory tier when
+    * it is live (no extra collect); otherwise the collect is BOUNDED
+    * by `graft.store.ckptFileIndex.inputFilesMax` (default 10⁶ paths
+    * ≈ tens of MB) — a 10⁷-file generation fails LOUDLY pointing at
+    * the checkpoint parquet rather than silently ballooning driver
+    * heap or truncating a diagnostic that callers treat as exact. */
+  override def inputFiles: Array[String] = {
+    val rels: Array[String] = collected match {
+      case Some(rows) => rows.map(_._1)
+      case None =>
+        val cap = graft.core.Confs.intConf(spark,
+          "graft.store.ckptFileIndex.inputFilesMax", 1000000, min = 1)
+        val rows = inv.select("path").limit(cap + 1).collect()
+        if (rows.length > cap) throw new IllegalStateException(
+          s"inputFiles would collect more than $cap checkpointed paths " +
+            s"(raise graft.store.ckptFileIndex.inputFilesMax, or query the " +
+            s"inventory frame directly: $ckptParquet)")
+        rows.map(_.getString(0))
+    }
+    (rels.map(rel => s"$qualifiedGen/$rel") ++
       extras.map(e => s"$qualifiedGen/${e.rel}")).distinct.sorted
+  }
 
   /** Rows collected by the most recent listFiles call — the
     * driver-heap-independence observable CkptIndexSpec pins (a pruned

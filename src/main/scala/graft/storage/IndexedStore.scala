@@ -2137,10 +2137,40 @@ object IndexedStore {
     * count stats are refreshed; NDV goes stale until compact — the
     * reference's estimate is a heuristic, staleness only affects
     * index *choice*, never results. */
+  /** Layout-schema memo for the append-time widening guard: a
+    * generation's data schema is immutable (append itself enforces
+    * it), so one footer read per generation suffices. Keyed by the
+    * resolved generation path (generation dirs are create-once). */
+  private val appendSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
   def append(df: DataFrame, rootPath: String): Unit = {
     val path = resolve(rootPath)
     val props = loadProps(path)
     val layout = props.getProperty("layout").split(":", 3)
+    // In-generation schema widening is UNSUPPORTED by construction:
+    // the checkpoint-served relation samples ONE leaf footer for its
+    // data schema ([[CkptFileIndex.dataSchemaOpt]]), so a widened
+    // append would silently lose its new columns on read and a
+    // narrowed one would NULL-pad. Enforce the contract loudly at
+    // write time — one footer read per generation, memoized. An
+    // empty generation has no footer yet; its first append DEFINES
+    // the schema and the guard engages from the next one.
+    val expectedOpt =
+      try Some(appendSchemaCache.computeIfAbsent(path, p =>
+        df.sparkSession.read.parquet(p).schema.fieldNames
+          .filterNot(_ == BucketCol).toSet))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    expectedOpt.foreach { expected =>
+      val incoming = df.schema.fieldNames.toSet
+      require(incoming == expected,
+        s"append schema must match the generation's layout schema " +
+          s"(extra: ${(incoming -- expected).toSeq.sorted.mkString(",")}; " +
+          s"missing: ${(expected -- incoming).toSeq.sorted.mkString(",")}) — " +
+          "in-generation schema widening is unsupported (the relation's " +
+          "data schema comes from a single leaf footer)")
+    }
+    if (appendSchemaCache.size > 256) appendSchemaCache.clear()
     // one pass for the stats refresh AND the CDC entry's rowid range
     // (an appended batch is a contiguous rowid run — Store numbers
     // inserts after the current max); computed from the INPUT, before

@@ -113,4 +113,47 @@ class CkptIndexSpec extends SparkSpec {
       finally spark.conf.unset("graft.store.ckptFileIndex")
     }
   }
+
+  test("inputFiles is bounded — a huge inventory fails loudly, never collects") {
+    val path = tmp("inpbound")
+    val store = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey"))
+    IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
+    distributedTier {
+      val probe = IndexedStore.open(spark, path).find(Nil)
+      probe.collect()
+      val fi = fileIndexOf(probe)
+      // default cap: full diagnostic inventory still served
+      assert(fi.inputFiles.length > 1, "multi-file fixture expected")
+      // a cap smaller than the inventory must refuse — a silent
+      // truncation would corrupt a diagnostic callers treat as exact,
+      // and an unbounded collect is the 10⁷-file driver-heap hazard
+      spark.conf.set("graft.store.ckptFileIndex.inputFilesMax", "1")
+      try {
+        val ex = intercept[IllegalStateException] { fi.inputFiles }
+        assert(ex.getMessage.contains("inputFilesMax"))
+      } finally spark.conf.unset("graft.store.ckptFileIndex.inputFilesMax")
+    }
+  }
+
+  test("in-generation schema widening is rejected loudly at append time") {
+    import org.apache.spark.sql.functions.lit
+    val path = tmp("widen")
+    val store = Store.fromData(Tables(spark, sf).customer, Seq("c_custkey"))
+    IndexedStore.write(store.data, path, HashIndex("c_mktsegment", 8))
+    // the relation samples ONE leaf footer for its schema, so a
+    // widened append would silently DROP its new column on read —
+    // the guard must fail the write instead
+    val widened = store.data.limit(5).withColumn("extra_col", lit(1))
+    val ex = intercept[IllegalArgumentException] {
+      IndexedStore.append(widened, path)
+    }
+    assert(ex.getMessage.contains("schema widening is unsupported") &&
+      ex.getMessage.contains("extra_col"), ex.getMessage)
+    // narrowing (a dropped column) is the same contract violation
+    val narrowed = store.data.limit(5).drop("c_name")
+    val ex2 = intercept[IllegalArgumentException] {
+      IndexedStore.append(narrowed, path)
+    }
+    assert(ex2.getMessage.contains("c_name"), ex2.getMessage)
+  }
 }

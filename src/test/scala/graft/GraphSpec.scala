@@ -474,13 +474,18 @@ class GraphSpec extends SparkSpec {
     // brute force over all pairs (the operator must agree while
     // generating candidates only through wedges)
     val vs = adj.keys.toSeq.sorted
+    // capped-neighborhood Jaccard: numerator AND denominator over
+    // N'(v) = {n ∈ N(v) : deg(n) ≤ cap} — the operator's documented
+    // semantics (plain Jaccard when the cap doesn't bind, as here)
+    def cadj(v: String): Set[String] =
+      adj(v).filter(n => adj(n).size <= Graph.LinkPredMaxDeg)
     val want = (for {
       a <- vs; b <- vs if a < b
-      common = (adj(a) & adj(b)).count(n => adj(n).size <= Graph.LinkPredMaxDeg)
+      common = (cadj(a) & cadj(b)).size
       if common >= 2
     } yield {
-      val union = adj(a).size + adj(b).size - common
-      ((a, b), (common.toLong, adj(a).size.toLong, adj(b).size.toLong,
+      val union = cadj(a).size + cadj(b).size - common
+      ((a, b), (common.toLong, cadj(a).size.toLong, cadj(b).size.toLong,
         math.floor(common.toDouble / union * 1e6 + 0.5) / 1e6))
     }).toMap
     val got = Graph.gJaccard(spark, sf).collect()
@@ -491,5 +496,24 @@ class GraphSpec extends SparkSpec {
     // cap semantics: with a cap of 0 no wedge centers survive
     val capped = adj.count { case (_, ns) => ns.size > Graph.LinkPredMaxDeg }
     assert(capped == 0, "fixture should exercise the UNCAPPED semantics")
+  }
+
+  test("g_jaccard capped mode: hub excluded from numerator AND denominator") {
+    import SparkSpec.spark.implicits._
+    // hub h neighbors everyone; a and b share non-hub neighbors c1,c2.
+    // With cap=3 the hub (deg 4) is excluded: N'(a)=N'(b)={c1,c2},
+    // jaccard(a,b) = 2/2 = 1.0 — a mixed capped-numerator/full-
+    // denominator ratio would report 2/(3+3-2) = 0.5 instead.
+    val e = Seq(
+      ("h", "a"), ("h", "b"), ("h", "c1"), ("h", "c2"),
+      ("a", "c1"), ("a", "c2"), ("b", "c1"), ("b", "c2"))
+      .toDF("src", "dst")
+    val got = Graph.jaccardOf(spark, e, maxDeg = 3).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got(("a", "b")) == ((2L, 2L, 2L, 1.0)),
+      s"capped Jaccard must score over hub-excluded neighborhoods: $got")
+    // c1/c2 see each other through centers a and b (both deg 3 ≤ cap)
+    assert(got(("c1", "c2"))._1 == 2L, s"wedges through non-hubs survive: $got")
   }
 }

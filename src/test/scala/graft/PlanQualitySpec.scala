@@ -264,6 +264,21 @@ class PlanQualitySpec extends SparkSpec {
       s"collect_list must only gather sub partials:\n$clLines")
   }
 
+  test("calibration diagram streams the sub-group folds — no decile-sized row") {
+    val p = plan("d_classify_calib")
+    assert(p.contains("MapPartitions"),
+      s"streaming per-sub fold stage missing:\n${p.take(2000)}")
+    // permitted collect_lists: the per-doc evidence fold (bounded by
+    // Dim buckets per doc) and the ≤ CalibSubs (sub, s) partials — a
+    // collect_list of (doc_id, p) structs per bin is the corpus/10-
+    // sized giant row this plan exists to avoid. Inspect the struct
+    // PAYLOAD, not the whole plan line (projections alongside the
+    // legal folds legitimately mention doc_id).
+    val cls = "collect_list\\(struct\\([^)]*".r.findAllIn(p).toList
+    assert(cls.nonEmpty && cls.forall(!_.contains("doc_id")),
+      s"per-bin collect over doc rows is back:\n${cls.mkString("\n")}")
+  }
+
   test("collocations: equi-joins on words, one-row totals only, top-k is TakeOrdered") {
     val p = plan("t_collocations")
     assert(!p.contains("CartesianProduct"),

@@ -107,6 +107,12 @@ class StoreSpec extends SparkSpec {
       s.merge(Seq(("a", 1L)).toDF("k", "v"), Map("vv" -> lit(0L)))
     }
     assert(ex2.getMessage.contains("non-store"))
+    // SET on the merge key would rewrite a key in place and break the
+    // unique-key invariant — rejected like SQL MERGE engines do
+    val ex3 = intercept[IllegalArgumentException] {
+      s.merge(Seq(("a", 1L)).toDF("k", "v"), Map("k" -> lit("z")))
+    }
+    assert(ex3.getMessage.contains("merge key"))
   }
 
   test("merge: a NULL delete predicate means NOT deleted — the row updates") {

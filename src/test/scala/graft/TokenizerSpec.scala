@@ -108,6 +108,35 @@ class TokenizerSpec extends SparkSpec {
     assert(expectTokens < wc.map { case (w, c) => c * w.length }.sum)
   }
 
+  test("fertility rollup is bit-identical to an independent per-doc recompute") {
+    // Independent recompute: collect the per-doc accounting from
+    // t_bpe_encode's OUTPUT (integer columns only), attach lang/source
+    // driver-side, and roll up with plain Scala arithmetic — shares
+    // the tokenizer but none of the rollup plan (join/groupBy/round).
+    val meta = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id"), col("lang"), col("source"))
+      .as[(Long, String, String)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val perDoc = Tokenizer.tBpeEncode(spark, sf)
+      .select("doc_id", "n_words", "n_tokens", "n_chars")
+      .as[(Long, Long, Long, Long)].collect()
+    val want = perDoc.groupBy(d => meta(d._1)).map { case ((lang, src), ds) =>
+      val (nw, nt, nc) = (ds.map(_._2).sum, ds.map(_._3).sum, ds.map(_._4).sum)
+      def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+      (lang, src) -> ((ds.length.toLong, nw, nt, nc,
+        r6(nt.toDouble / nw), r6(nc.toDouble / nt)))
+    }
+    val got = Tokenizer.tBpeFertility(spark, sf)
+      .as[(String, String, Long, Long, Long, Long, Double, Double)]
+      .collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5, t._6, t._7, t._8))).toMap
+    assert(got == want, s"rollup diverged:\n got=$got\nwant=$want")
+    // every (lang, source) segment present and docs conserved
+    assert(got.values.map(_._1).sum == perDoc.length.toLong)
+    // fertility is a real signal: ≥ 1 token per word everywhere
+    got.values.foreach { v => assert(v._5 >= 1.0, s"fertility < 1: $v") }
+  }
+
   test("corpus training is deterministic and structurally sound") {
     val a = Tokenizer.tBpeTrain(spark, sf)
       .as[(Long, String, String, String, Long)].collect().toSeq
