@@ -406,41 +406,20 @@ object Classify {
     * reliability diagram: (bin, y, p, doc_id) rows hash-shuffle once
     * on (bin, sub = doc_id mod [[CalibSubs]]), sort within partitions
     * by p, and each contiguous (bin, sub) group streams to
-    * (n, n_pos, Σp) inside mapPartitions — no row ever materializes a
-    * decile's value list; only the ≤ CalibBins×CalibSubs partial rows
-    * do. Value-order ties are harmless: equal addends produce the
-    * same partial-sum sequence regardless of relative order, and the
-    * DuckDB oracle mirrors the exact two-level structure. */
-  private def calibSubFold(spark: SparkSession, binned: DataFrame): DataFrame = {
-    import spark.implicits._
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    binned
-      .select(col("bin").cast("int").as("bin"),
+    * (n, n_pos, Σp) — no row ever materializes a decile's value list;
+    * only the ≤ CalibBins×CalibSubs partial rows do. Value-order ties
+    * are harmless (equal addends), and the DuckDB oracle mirrors the
+    * exact two-level structure. The fold itself is the SHARED
+    * [[Embeddings.streamSubFold2]] streaming stage — one
+    * implementation for every hierarchical pinned fold. */
+  private def calibSubFold(spark: SparkSession, binned: DataFrame): DataFrame =
+    Embeddings.streamSubFold2(spark,
+      binned.select(col("bin").cast("int").as("bin"),
+        lit(0).as("zero"),
         pmod(col("doc_id"), lit(CalibSubs.toLong)).cast("int").as("sub"),
-        col("y").cast("long").as("y"), col("p"))
-      .repartition(parts, col("bin"), col("sub"))
-      .sortWithinPartitions(col("bin"), col("sub"), col("p"))
-      .as[(Int, Int, Long, Double)]
-      .mapPartitions { rows =>
-        // groups are contiguous after the sort; stream one fold each
-        val out = Seq.newBuilder[(Int, Int, Long, Long, Double)]
-        var cur: (Int, Int) = null
-        var n = 0L
-        var npos = 0L
-        var s = 0.0
-        def flush(): Unit = if (cur != null) out += ((cur._1, cur._2, n, npos, s))
-        rows.foreach { case (b, sub, y, p) =>
-          val k = (b, sub)
-          if (k != cur) { flush(); cur = k; n = 0L; npos = 0L; s = 0.0 }
-          n += 1L
-          npos += y
-          s += p
-        }
-        flush()
-        out.result().iterator
-      }
-      .toDF("bin", "sub", "n", "npos", "s")
-  }
+        col("y").cast("long").as("w"), col("p").as("v")),
+      "bin", "zero")
+      .select(col("bin"), col("sub"), col("n"), col("wsum").as("npos"), col("s"))
 
   /** The closed-form Naive-Bayes member of the hashed-feature scorer
     * family, scored over the corpus and assigned to its probability

@@ -147,30 +147,46 @@ object Embeddings {
     * each contiguous (k1, k2, sub) group folds to (n, partial-sum)
     * without ever materializing a value list in a row. */
   private def streamSubFold(spark: SparkSession, values: DataFrame,
+      k1: String, k2: String): DataFrame =
+    streamSubFold2(spark,
+      values.select(col(k1), col(k2), col("sub"),
+        lit(0L).as("w"), col("v")), k1, k2)
+      .drop("wsum")
+
+  /** The general form, shared with [[Classify]]'s calibration fold:
+    * values arrive as (k1, k2, sub, w, v) with an extra LONG weight
+    * summed order-free alongside the pinned double fold — output
+    * (k1, k2, sub, n, wsum, s). The sort key stays (k1, k2, sub, v):
+    * w is integer, so its sum needs no order pin, and v-ties reorder
+    * only equal addends. */
+  private[operators] def streamSubFold2(spark: SparkSession, values: DataFrame,
       k1: String, k2: String): DataFrame = {
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     values
       .repartition(parts, col(k1), col(k2), col("sub"))
       .sortWithinPartitions(col(k1), col(k2), col("sub"), col("v"))
-      .as[(Int, Int, Int, Double)]
+      .as[(Int, Int, Int, Long, Double)]
       .mapPartitions { rows =>
         // groups are contiguous after the sort; stream one fold each
-        val out = Seq.newBuilder[(Int, Int, Int, Long, Double)]
+        val out = Seq.newBuilder[(Int, Int, Int, Long, Long, Double)]
         var cur: (Int, Int, Int) = null
         var n = 0L
+        var w = 0L
         var s = 0.0
-        def flush(): Unit = if (cur != null) out += ((cur._1, cur._2, cur._3, n, s))
-        rows.foreach { case (a, b, sub, v) =>
+        def flush(): Unit =
+          if (cur != null) out += ((cur._1, cur._2, cur._3, n, w, s))
+        rows.foreach { case (a, b, sub, wi, v) =>
           val k = (a, b, sub)
-          if (k != cur) { flush(); cur = k; n = 0L; s = 0.0 }
+          if (k != cur) { flush(); cur = k; n = 0L; w = 0L; s = 0.0 }
           n += 1L
+          w += wi
           s += v
         }
         flush()
         out.result().iterator
       }
-      .toDF(k1, k2, "sub", "n", "s")
+      .toDF(k1, k2, "sub", "n", "wsum", "s")
   }
 
   def eCentroid(spark: SparkSession, dir: String): DataFrame =

@@ -131,12 +131,10 @@ object ShortcutOps {
       .withColumn("c_acctbal", col("c_acctbal") + lit(1000.0))
     // synthetic keys shift past max(c_custkey) — the scMerge
     // any-scale-factor discipline (a fixed constant collides once
-    // real keys reach it)
-    val mx = cust.agg(max(col("c_custkey")).as("mxk"))
+    // real keys reach it); one bounded 1-row pull, plan stays narrow
+    val mxk = cust.agg(max(col("c_custkey"))).head().getLong(0)
     val inserts = cust.filter(col("c_custkey") <= 50)
-      .crossJoin(broadcast(mx))
-      .withColumn("c_custkey", col("c_custkey") + col("mxk") + lit(1L))
-      .drop("mxk")
+      .withColumn("c_custkey", col("c_custkey") + lit(mxk + 1L))
     // probe the memoized handle: upsert returns a NEW store, the
     // shared fixture is untouched — and the query times the merge,
     // not a from-scratch rowid numbering
@@ -180,12 +178,10 @@ object ShortcutOps {
     * customer keys past it (a +20M shift broke at SF ≳ 133). */
   def scMerge(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables(spark, dir).customer
-    val mx = cust.agg(max(col("c_custkey")).as("mxk"))
+    val mxk = cust.agg(max(col("c_custkey"))).head().getLong(0)
     val source = cust.filter(col("c_mktsegment") === "BUILDING")
       .unionByName(cust.filter(col("c_custkey") <= 30)
-        .crossJoin(broadcast(mx))
-        .withColumn("c_custkey", col("c_custkey") + col("mxk") + lit(1L))
-        .drop("mxk"))
+        .withColumn("c_custkey", col("c_custkey") + lit(mxk + 1L)))
     customerStore(spark, dir)
       .merge(source,
         updateSet = Map(

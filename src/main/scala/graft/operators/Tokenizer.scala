@@ -230,8 +230,11 @@ object Tokenizer {
       .orderBy("doc_id")
 
   /** The shared per-doc token-accounting frame behind [[tBpeEncode]]
-    * and [[tBpeFertility]]: (doc_id, n_words, n_tokens, n_chars) with
-    * token counts from the learned [[BpeMerges]]-merge tokenizer. */
+    * and [[tBpeFertility]]: (doc_id, lang, source, n_words, n_tokens,
+    * n_chars) with token counts from the learned [[BpeMerges]]-merge
+    * tokenizer. lang/source ride the grouping key (functionally
+    * dependent on doc_id — no extra shuffle, and the fertility rollup
+    * needs NO metadata join). */
   private[operators] def bpePerDoc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val wc = wordCounts(spark, dir).localCheckpoint(false)
@@ -242,10 +245,11 @@ object Tokenizer {
       .select(col("word"), col("n_toks"),
         length(col("word")).cast("long").as("wlen"))
     val perDocWords = TextAnalysis.docsSpread(spark, dir)
-      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(words(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
     perDocWords.join(broadcast(encoded), "word")
-      .groupBy("doc_id")
+      .groupBy("doc_id", "lang", "source")
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_toks")).as("n_tokens"),
         sum(col("wlen")).as("n_chars"))
@@ -260,18 +264,16 @@ object Tokenizer {
     * mismatch before a training run pays for it). The d_datacard
     * per-segment discipline applied to [[tBpeEncode]]'s accounting.
     *
-    * Scale shape: one broadcast-joined metadata attach on the per-doc
-    * frame, then a segments-sized keyed aggregation of INTEGER sums —
-    * order-free and exact; the two ratios are one IEEE divide each,
-    * rounded at the output. Rows-only at the gate like the whole
-    * tokenizer family (the merge list is iteratively learned — no SQL
-    * replay); TokenizerSpec pins the rollup bit-identical to an
-    * independent recompute from the per-doc frame. */
-  def tBpeFertility(spark: SparkSession, dir: String): DataFrame = {
-    val meta = TextAnalysis.docsSpread(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"))
+    * Scale shape: lang/source already ride [[bpePerDoc]]'s grouping
+    * key (no metadata join at all), so this is ONE segments-sized
+    * keyed aggregation of INTEGER sums — order-free and exact; the
+    * two ratios are one IEEE divide each, rounded at the output.
+    * Rows-only at the gate like the whole tokenizer family (the merge
+    * list is iteratively learned — no SQL replay); TokenizerSpec pins
+    * the rollup bit-identical to an independent recompute from the
+    * per-doc frame. */
+  def tBpeFertility(spark: SparkSession, dir: String): DataFrame =
     bpePerDoc(spark, dir)
-      .join(meta, "doc_id")
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("n_words"),
@@ -284,7 +286,6 @@ object Tokenizer {
         stableRound(col("n_chars") / col("n_tokens").cast("double"), 6)
           .as("chars_per_token"))
       .orderBy("lang", "source")
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_bpe_train" -> tBpeTrain,

@@ -1403,6 +1403,11 @@ object IndexedStore {
       bloom: Seq[String]): Unit = {
     require(df.columns.contains(RowId), s"IndexedStore requires a $RowId column")
     val props = new Properties()
+    // the generation's layout schema, recorded at write time so the
+    // append-time widening guard needs no directory listing and no
+    // footer read — and survives store re-creation at the same path
+    // (props are rewritten per generation)
+    props.setProperty("schema.cols", schemaSpecOf(df))
     val primaryCols = primary match {
       case ZOrderIndex(a, b, _) => Seq(a, b)
       case HilbertIndex(a, b, _) => Seq(a, b)
@@ -2137,12 +2142,11 @@ object IndexedStore {
     * count stats are refreshed; NDV goes stale until compact — the
     * reference's estimate is a heuristic, staleness only affects
     * index *choice*, never results. */
-  /** Layout-schema memo for the append-time widening guard: a
-    * generation's data schema is immutable (append itself enforces
-    * it), so one footer read per generation suffices. Keyed by the
-    * resolved generation path (generation dirs are create-once). */
-  private val appendSchemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+  /** `name:type` entries for the schema-identity contract between a
+    * generation's layout write and its appends. */
+  private def schemaSpecOf(df: DataFrame): String =
+    df.schema.fields.map(f => s"${f.name}:${f.dataType.catalogString}")
+      .mkString("|")
 
   def append(df: DataFrame, rootPath: String): Unit = {
     val path = resolve(rootPath)
@@ -2151,18 +2155,15 @@ object IndexedStore {
     // In-generation schema widening is UNSUPPORTED by construction:
     // the checkpoint-served relation samples ONE leaf footer for its
     // data schema ([[CkptFileIndex.dataSchemaOpt]]), so a widened
-    // append would silently lose its new columns on read and a
-    // narrowed one would NULL-pad. Enforce the contract loudly at
-    // write time — one footer read per generation, memoized. An
-    // empty generation has no footer yet; its first append DEFINES
-    // the schema and the guard engages from the next one.
-    val expectedOpt =
-      try Some(appendSchemaCache.computeIfAbsent(path, p =>
-        df.sparkSession.read.parquet(p).schema.fieldNames
-          .filterNot(_ == BucketCol).toSet))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
-    expectedOpt.foreach { expected =>
-      val incoming = df.schema.fieldNames.toSet
+    // append would silently lose its new columns on read, a narrowed
+    // one would NULL-pad, and a re-typed column would poison half the
+    // footers. Enforce the contract loudly at write time against the
+    // schema recorded in the generation's props (zero extra I/O;
+    // name AND type). A legacy generation without the recorded
+    // property keeps the pre-guard behavior.
+    Option(props.getProperty("schema.cols")).foreach { spec =>
+      val expected = spec.split("\\|").filter(_.nonEmpty).toSet
+      val incoming = schemaSpecOf(df).split("\\|").filter(_.nonEmpty).toSet
       require(incoming == expected,
         s"append schema must match the generation's layout schema " +
           s"(extra: ${(incoming -- expected).toSeq.sorted.mkString(",")}; " +
@@ -2170,7 +2171,6 @@ object IndexedStore {
           "in-generation schema widening is unsupported (the relation's " +
           "data schema comes from a single leaf footer)")
     }
-    if (appendSchemaCache.size > 256) appendSchemaCache.clear()
     // one pass for the stats refresh AND the CDC entry's rowid range
     // (an appended batch is a contiguous rowid run — Store numbers
     // inserts after the current max); computed from the INPUT, before

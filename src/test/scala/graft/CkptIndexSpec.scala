@@ -155,5 +155,14 @@ class CkptIndexSpec extends SparkSpec {
       IndexedStore.append(narrowed, path)
     }
     assert(ex2.getMessage.contains("c_name"), ex2.getMessage)
+    // a same-NAME column with a changed TYPE would poison half the
+    // generation's footers — the guard compares name:type, not names
+    val retyped = store.data.limit(5)
+      .withColumn("c_acctbal",
+        org.apache.spark.sql.functions.col("c_acctbal").cast("string"))
+    val ex3 = intercept[IllegalArgumentException] {
+      IndexedStore.append(retyped, path)
+    }
+    assert(ex3.getMessage.contains("c_acctbal"), ex3.getMessage)
   }
 }
