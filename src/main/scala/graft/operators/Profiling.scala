@@ -437,12 +437,90 @@ object Profiling {
        |ORDER BY join_name""".stripMargin
   }
 
+  /** Candidate aggregations [[qAggPlan]] audits: (name, table, key) —
+    * a near-unique fact key (combine useless), a tiny-domain flag key
+    * (combine collapses the exchange), a mid-cardinality foreign key,
+    * and a small-domain dimension attribute. */
+  val PlanAggs: Seq[(String, String, String)] = Seq(
+    ("customer_by_mktsegment", "customer", "c_mktsegment"),
+    ("lineitem_by_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem_by_returnflag", "lineitem", "l_returnflag"),
+    ("orders_by_custkey", "orders", "o_custkey"))
+
+  /** The combine model's map-task count — a fixed model parameter
+    * (NOT the session's shuffle-partition conf: the report must be
+    * reproducible across sessions and mirrored by the oracle). */
+  val CombineModelTasks = 32
+
+  /** q_agg_plan — partial-AGGREGATION pre-flight, the groupBy
+    * counterpart of [[qJoinPlan]]: for each candidate aggregation,
+    * how many rows actually cross the wire. Spark's hash aggregate
+    * always combines map-side, so the exchange carries at most
+    * min(input_rows, n_keys × map_tasks) rows — a tiny-domain key
+    * (l_returnflag: 3 values) collapses a fact-table groupBy to a
+    * few hundred shuffled rows however big the scan, while a
+    * near-unique key (l_orderkey) combines almost nothing and the
+    * exchange carries the full input (the case where two-phase
+    * tricks — pre-projection, partial distinct, or skipping the
+    * partial agg entirely — pay off). `combine_gain` is that ratio;
+    * `combine_effective` flags keys where the partial agg at least
+    * quarters the exchange. With [[qSkewAudit]] (hot keys) and
+    * [[qJoinPlan]] (join exchanges) this completes the pre-flight a
+    * 100 TB plan review reads before submitting.
+    *
+    * Shape: one single-row (count, count-distinct) aggregate per
+    * candidate — each itself map-side combined; the distinct is exact
+    * here (the q_profile `ndv=exact` tier; at production scale the
+    * HLL tier estimates the same number in one pass). Parity: all
+    * integers except one rounded division. */
+  def qAggPlan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.stableRound
+    val t = Tables(spark, dir)
+    PlanAggs.map { case (name, tbl, key) =>
+      t.table(tbl)
+        .agg(count(lit(1)).as("input_rows"),
+          countDistinct(col(key)).as("n_keys"))
+        .select(lit(name).as("agg_name"), col("input_rows"), col("n_keys"))
+    }.reduce(_ unionByName _)
+      .select(col("agg_name"), col("input_rows"), col("n_keys"),
+        least(col("input_rows"), col("n_keys") * CombineModelTasks)
+          .as("combine_out_rows"))
+      .select(col("agg_name"), col("input_rows"), col("n_keys"),
+        col("combine_out_rows"),
+        stableRound(col("input_rows").cast("double") /
+          col("combine_out_rows").cast("double"), 2).as("combine_gain"),
+        (col("combine_out_rows") * 4 <= col("input_rows"))
+          .as("combine_effective"))
+      .orderBy("agg_name")
+  }
+
+  val qAggPlanSql: String = {
+    import graft.functions.Parity.stableRoundSql
+    val stats = PlanAggs.map { case (name, tbl, key) =>
+      s"""SELECT '$name' AS agg_name, count(*)::BIGINT AS input_rows,
+         |    count(DISTINCT $key)::BIGINT AS n_keys
+         |  FROM $tbl""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH stats AS (
+       |  $stats),
+       |m AS (SELECT agg_name, input_rows, n_keys,
+       |        least(input_rows, n_keys * $CombineModelTasks) AS combine_out_rows
+       |      FROM stats)
+       |SELECT agg_name, input_rows, n_keys, combine_out_rows,
+       |  ${stableRoundSql(
+            "input_rows::DOUBLE / combine_out_rows::DOUBLE", 2)} AS combine_gain,
+       |  combine_out_rows * 4 <= input_rows AS combine_effective
+       |FROM m
+       |ORDER BY agg_name""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> qProfile,
     "q_skew_audit" -> qSkewAudit,
     "q_partition_hist" -> qPartitionHist,
     "q_broadcast_audit" -> qBroadcastAudit,
     "q_join_plan" -> qJoinPlan,
+    "q_agg_plan" -> qAggPlan,
   )
 
   def oracles: Map[String, String] = Map(
@@ -451,5 +529,6 @@ object Profiling {
     "q_partition_hist" -> qPartitionHistSql,
     "q_broadcast_audit" -> qBroadcastAuditSql,
     "q_join_plan" -> qJoinPlanSql,
+    "q_agg_plan" -> qAggPlanSql,
   )
 }

@@ -1815,6 +1815,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q_agg_plan: combine model matches a driver-side recompute per candidate key") {
+    import graft.operators.Profiling
+    val t = graft.core.Tables(spark, sf)
+    val got = Profiling.qAggPlan(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5))).toMap
+    assert(got.keySet == Profiling.PlanAggs.map(_._1).toSet)
+    Profiling.PlanAggs.foreach { case (name, tbl, key) =>
+      val rows = t.table(tbl).select(key).collect().map(_.get(0))
+      val (n, ndv) = (rows.length.toLong, rows.distinct.length.toLong)
+      val out = math.min(n, ndv * Profiling.CombineModelTasks)
+      val (gn, gndv, gout, gGain, gEff) = got(name)
+      assert(gn == n && gndv == ndv, s"$name stats: got ($gn,$gndv) want ($n,$ndv)")
+      assert(gout == out, s"$name combine_out_rows")
+      assert(gGain == math.floor(n.toDouble / out * 100 + 0.5) / 100, s"$name gain")
+      assert(gEff == (out * 4 <= n), s"$name effective flag")
+    }
+    // the candidate set spans the regimes the report exists to show:
+    // a collapsing key (combine effective) AND a near-unique one (not)
+    assert(got.values.exists(_._5) && got.values.exists(!_._5),
+      s"fixture must exercise both combine regimes: $got")
+  }
+
   test("q_skew_audit matches a driver-side recompute of every column's heavy hitters") {
     import graft.operators.Profiling
     val got = Profiling.qSkewAudit(spark, sf).collect()
