@@ -166,13 +166,80 @@ object Pii {
        |FROM q JOIN cls USING (c_nationkey, c_mktsegment, bal_band)
        |ORDER BY c_custkey""".stripMargin
 
+  /** l-diversity threshold: a class whose members span fewer than
+    * this many sensitive values is open to the homogeneity attack. */
+  val LDiv = 3
+
+  /** d_ldiv — l-DIVERSITY audit, the attribute-disclosure complement
+    * of [[dKanon]] (Machanavajjhala et al. 2007): k-anonymity bounds
+    * RE-IDENTIFICATION by class size, but a class of 50 records that
+    * all share one sensitive value still discloses that value to
+    * anyone who can place a person in the class (the homogeneity
+    * attack). Per quasi-identifier class (nation, balance band):
+    * size, the number of DISTINCT sensitive values (market segment
+    * here), the dominant value's share, and the two flags a privacy
+    * gate reads — `l_diverse` (≥ [[LDiv]] distinct values) and
+    * `homogeneous` (one value — the worst case). Suppress or
+    * generalize the failing classes before person-linked attributes
+    * feed a mixture, exactly as with d_kanon's small classes.
+    *
+    * Scale shape: one (class, value)-keyed count, then a class-keyed
+    * roll-up — both map-side combined, both bounded by class-table
+    * cardinality ≪ records; no joins. Parity: integers plus one
+    * rounded share division. */
+  def dLdiv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.stableRound
+    val q = Tables(spark, dir).customer
+      .select(col("c_nationkey").cast("long").as("nation"),
+        floor(col("c_acctbal") / BalBand).cast("long").as("bal_band"),
+        col("c_mktsegment").as("segment"))
+    q.groupBy("nation", "bal_band", "segment")
+      .agg(count(lit(1)).as("vc"))
+      .groupBy("nation", "bal_band")
+      .agg(sum(col("vc")).as("class_size"),
+        count(lit(1)).as("n_sensitive"),
+        max(col("vc")).as("top_count"))
+      .select(col("nation"), col("bal_band"),
+        col("class_size").cast("long").as("class_size"),
+        col("n_sensitive").cast("long").as("n_sensitive"),
+        stableRound(col("top_count").cast("double") /
+          col("class_size").cast("double"), 4).as("top_share"),
+        (col("n_sensitive") >= LDiv).as("l_diverse"),
+        (col("n_sensitive") === 1).as("homogeneous"))
+      .orderBy("nation", "bal_band")
+  }
+
+  val dLdivSql: String = {
+    import graft.functions.Parity.stableRoundSql
+    s"""WITH q AS (
+       |  SELECT c_nationkey::BIGINT AS nation,
+       |    floor(c_acctbal / $BalBand)::BIGINT AS bal_band,
+       |    c_mktsegment AS segment
+       |  FROM customer),
+       |vc AS (
+       |  SELECT nation, bal_band, segment, count(*)::BIGINT AS vc
+       |  FROM q GROUP BY 1, 2, 3)
+       |SELECT nation, bal_band,
+       |  sum(vc)::BIGINT AS class_size,
+       |  count(*)::BIGINT AS n_sensitive,
+       |  ${stableRoundSql(
+            "max(vc)::DOUBLE / sum(vc)::DOUBLE", 4)} AS top_share,
+       |  count(*) >= $LDiv AS l_diverse,
+       |  count(*) = 1 AS homogeneous
+       |FROM vc
+       |GROUP BY nation, bal_band
+       |ORDER BY nation, bal_band""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_pii" -> tPii,
     "d_kanon" -> dKanon,
+    "d_ldiv" -> dLdiv,
   )
 
   def oracles: Map[String, String] = Map(
     "t_pii" -> tPiiSql,
     "d_kanon" -> dKanonSql,
+    "d_ldiv" -> dLdivSql,
   )
 }

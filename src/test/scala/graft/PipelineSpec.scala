@@ -1838,6 +1838,22 @@ class PipelineSpec extends SparkSpec {
       s"fixture must exercise both combine regimes: $got")
   }
 
+  test("d_ldiv: internally consistent and the fixture spans both diversity regimes") {
+    import graft.operators.Pii
+    val rows = Pii.dLdiv(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getBoolean(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (size, ns, share, ldiv, homog) =>
+      assert(ns >= 1 && ns <= size, s"distinct count out of range: ($size,$ns)")
+      // the dominant value's share is at least the uniform share and ≤ 1
+      assert(share >= 1.0 / ns - 1e-9 && share <= 1.0, s"share $share of $ns")
+      assert(ldiv == (ns >= Pii.LDiv) && homog == (ns == 1L), "flag consistency")
+    }
+    assert(rows.exists(_._4) && rows.exists(!_._4),
+      "fixture must exercise BOTH l-diverse and failing classes")
+  }
+
   test("q_skew_audit matches a driver-side recompute of every column's heavy hitters") {
     import graft.operators.Profiling
     val got = Profiling.qSkewAudit(spark, sf).collect()
