@@ -776,6 +776,107 @@ object Embeddings {
       .orderBy("vec_id", "comp")
   }
 
+  // ------------------------------------------------------ e_outliers
+
+  /** Outlier threshold: a vector whose squared distance to its label
+    * centroid exceeds this multiple of the label's mean squared
+    * distance is flagged. */
+  val OutlierFactor = 4.0
+
+  /** e_outliers — per-vector EMBEDDING OUTLIER audit against the
+    * label centroid: squared distance to the own-label exact
+    * centroid, the label's mean squared distance, their ratio, and
+    * the ≥ [[OutlierFactor]]× flag. The embedding-space quality
+    * filter curation runs beside SemDeDup: far-from-centroid vectors
+    * are mislabeled, OCR-garbled, or off-distribution documents —
+    * prune or re-route them before they anchor an IVF cell or leak
+    * through label-scoped dedup (d_semdedup's scoping assumes labels
+    * cohere; e_silhouette says whether they do on average, this names
+    * the individual offenders).
+    *
+    * Scale shape: centroids ride the exact hierarchical fold
+    * ([[centroidOf]]); per-vector distance is a narrow explode + one
+    * broadcast centroid attach + a per-vector (≤ dims) bounded fold;
+    * the label means ride [[streamSubFold2]] (never a label-sized
+    * row); the mean frame is labels-sized and broadcasts back. Two
+    * corpus-linear passes, no corpus-keyed join. Float parity: x and
+    * c are exact-chain doubles, (x−c)² spelled identically, per-
+    * vector fold ORDER BY dim, label mean via the mirrored two-level
+    * fold; ratio rounded, the flag compares identical doubles. */
+  def eOutliers(spark: SparkSession, dir: String): DataFrame =
+    outliersOf(spark, Tables(spark, dir).embeddings)
+
+  /** The [[eOutliers]] core over any (vec_id, embedding, label)
+    * frame — spec entry point for planted-outlier fixtures (the
+    * synthetic corpus's unit-norm clustered embeddings keep every
+    * ratio inside [0.9, 1.13], so the ≥4× flag is uniformly false at
+    * the gate SFs — the ratio COLUMNS are the hash-checked substance,
+    * and the flag's true branch is pinned in PipelineSpec on a
+    * planted far vector, the q_broadcast_audit discipline). */
+  private[graft] def outliersOf(spark: SparkSession, e: DataFrame): DataFrame = {
+    val cents = centroidOf(spark, e)
+      .select(col("label"), col("dim"), col("centroid"))
+    val terms = e.select(col("label"), col("vec_id"), posexplode(col("embedding")))
+      .select(col("label"), col("vec_id"), col("pos").cast("long").as("dim"),
+        col("col").cast("double").as("x"))
+      .join(broadcast(cents), Seq("label", "dim"))
+      .select(col("label"), col("vec_id"), col("dim"),
+        ((col("x") - col("centroid")) * (col("x") - col("centroid"))).as("t"))
+    val d2 = terms.groupBy("label", "vec_id")
+      .agg(sort_array(collect_list(struct(col("dim"), col("t")))).as("ts"))
+      .select(col("label"), col("vec_id"),
+        aggregate(col("ts"), lit(0.0), (a, x) => a + x.getField("t")).as("d2"))
+      .localCheckpoint(false) // feeds the label means AND the final attach
+    val means = streamSubFold2(spark,
+        d2.select(col("label").cast("int").as("label"), lit(0).as("zero"),
+          pmod(col("vec_id"), lit(CentroidSubs.toLong)).cast("int").as("sub"),
+          lit(0L).as("w"), col("d2").as("v")), "label", "zero")
+      .groupBy("label")
+      .agg(sum(col("n")).cast("long").as("nv"),
+        sort_array(collect_list(struct(col("sub"), col("s")))).as("ss"))
+      .select(col("label"),
+        (aggregate(col("ss"), lit(0.0), (a, x) => a + x.getField("s"))
+          / col("nv")).as("mean_d2"))
+    d2.join(broadcast(means), Seq("label"))
+      .select(col("label").cast("long").as("label"), col("vec_id"),
+        stableRound(col("d2"), 6).as("dist2"),
+        stableRound(col("mean_d2"), 6).as("mean_dist2"),
+        stableRound(col("d2") / col("mean_d2"), 4).as("ratio"),
+        (col("d2") > col("mean_d2") * lit(OutlierFactor)).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
+  val eOutliersSql: String =
+    s"""WITH $centroidCellsSql,
+       |cent AS (SELECT label, dim, total / n_vectors AS c FROM cells),
+       |vv AS (
+       |  SELECT label, vec_id, i - 1 AS dim, x::DOUBLE AS x
+       |  FROM (SELECT label, vec_id, unnest(embedding) AS x,
+       |        generate_subscripts(embedding, 1) AS i FROM embeddings) u),
+       |term AS (
+       |  SELECT vv.label, vv.vec_id, vv.dim, (vv.x - cent.c) * (vv.x - cent.c) AS t
+       |  FROM vv JOIN cent USING (label, dim)),
+       |d2 AS (
+       |  SELECT label, vec_id,
+       |    list_reduce(list_prepend(0.0, list(t ORDER BY dim)), (a, b) -> a + b) AS d2
+       |  FROM term GROUP BY 1, 2),
+       |msub AS (
+       |  SELECT label, vec_id % $CentroidSubs AS sub, count(*)::BIGINT AS n,
+       |    list_reduce(list_prepend(0.0, list(d2 ORDER BY d2)), (a, b) -> a + b) AS s
+       |  FROM d2 GROUP BY 1, 2),
+       |m AS (
+       |  SELECT label, sum(n)::BIGINT AS nv,
+       |    list_reduce(list_prepend(0.0, list(s ORDER BY sub)), (a, b) -> a + b) AS tot
+       |  FROM msub GROUP BY label),
+       |mm AS (SELECT label, tot / nv AS mean_d2 FROM m)
+       |SELECT d2.label::BIGINT AS label, d2.vec_id,
+       |  ${stableRoundSql("d2.d2", 6)} AS dist2,
+       |  ${stableRoundSql("mm.mean_d2", 6)} AS mean_dist2,
+       |  ${stableRoundSql("d2.d2 / mm.mean_d2", 4)} AS ratio,
+       |  d2.d2 > mm.mean_d2 * $OutlierFactor AS is_outlier
+       |FROM d2 JOIN mm USING (label)
+       |ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_normalize" -> eNormalize,
     "e_quantize" -> eQuantize,
@@ -786,6 +887,7 @@ object Embeddings {
     "e_whiten" -> eWhiten,
     "e_silhouette" -> eSilhouette,
     "e_drift" -> eDrift,
+    "e_outliers" -> eOutliers,
   )
 
   def oracles: Map[String, String] = Map(
@@ -796,6 +898,7 @@ object Embeddings {
     "e_rproject" -> eRprojectSql,
     "e_silhouette" -> eSilhouetteSql,
     "e_drift" -> eDriftSql,
+    "e_outliers" -> eOutliersSql,
     // e_pca: no SQL eigensolver exists — rows-only at the gate;
     // PipelineSpec carries the correctness burden (see ePca scaladoc).
   )

@@ -1838,6 +1838,39 @@ class PipelineSpec extends SparkSpec {
       s"fixture must exercise both combine regimes: $got")
   }
 
+  test("e_outliers: planted far vector flags; corpus run matches driver recompute") {
+    import SparkSpec.spark.implicits._
+    import graft.operators.Embeddings
+    // 9 clustered vectors near (1,0) + 1 planted far vector: the far
+    // one must flag, the cluster must not, and every number matches a
+    // hand recompute of dist²/mean/ratio
+    val vecs = (0 until 9).map(i =>
+      (i.toLong, Seq(1.0f + i * 0.01f, 0.0f), 0)) :+ (9L, Seq(10.0f, 10.0f), 0)
+    val e = vecs.toDF("vec_id", "embedding", "label")
+    val got = Embeddings.outliersOf(spark, e).collect()
+      .map(r => r.getLong(1) -> (r.getDouble(2), r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    // driver recompute (plain doubles; rounding matches stableRound)
+    val xs = vecs.map(_._2.map(_.toDouble))
+    val c = Seq(0, 1).map(d => xs.map(_(d)).sum / xs.size)
+    val d2 = xs.map(x => x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val mean = d2.sum / d2.size
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    vecs.indices.foreach { i =>
+      val (gd2, gratio, gflag) = got(i.toLong)
+      assert(math.abs(gd2 - r6(d2(i))) < 1e-9, s"vec $i dist2: $gd2 vs ${d2(i)}")
+      assert(math.abs(gratio - math.floor(d2(i) / mean * 1e4 + 0.5) / 1e4) < 1e-9)
+      assert(gflag == (d2(i) > mean * Embeddings.OutlierFactor), s"vec $i flag")
+    }
+    assert(got(9L)._3 && !got(0L)._3,
+      "planted outlier must flag and the cluster must not")
+    // the corpus run stays flag-false but ratio-substantive (the
+    // documented gate-SF regime) — guard that assumption visibly
+    val corpus = Embeddings.eOutliers(spark, sf).collect()
+    assert(corpus.nonEmpty && corpus.forall(!_.getBoolean(5)))
+    assert(corpus.map(_.getDouble(4)).max > 1.0, "ratio column degenerate")
+  }
+
   test("d_ldiv: internally consistent and the fixture spans both diversity regimes") {
     import graft.operators.Pii
     val rows = Pii.dLdiv(spark, sf).collect()
