@@ -1051,6 +1051,91 @@ object Graph {
        |JOIN cdeg db ON db.v = c.b
        |ORDER BY a, b""".stripMargin
 
+  // -------------------------------------------------- g_assortativity
+
+  /** g_assortativity — DEGREE ASSORTATIVITY of the undirected domain
+    * graph (Newman 2002): the Pearson correlation of the endpoint
+    * degrees over every edge. Positive = hubs link hubs (social-graph
+    * shape), negative = hubs link leaves (the typical web/crawl
+    * shape: portals → long-tail pages), ≈0 = neutral wiring. The
+    * one-number structural fingerprint a crawl monitor tracks per
+    * snapshot: a sign flip or a big move says the link structure
+    * changed class (link-farm injection, a scraper looping a hub),
+    * before any per-node metric moves.
+    *
+    * Every moment (M, Σx, Σy, Σxy, Σx², Σy²) is an INTEGER sum over
+    * the symmetric edge list (degrees are integers; symmetry makes
+    * Σx = Σy) — order-free, map-side combined, exact in both engines;
+    * the final r spells one identical op tree with a guarded zero
+    * denominator (a degree-regular graph has no variance → NULL).
+    * Scale: degree table = one keyed count; degrees attach to edges
+    * by two hash joins on the endpoint (broadcast when the node table
+    * fits); one single-row aggregation. Int64 moments overflow only
+    * past ~10¹⁸ (Σ dx·dy at web scale wants DECIMAL(38) — same
+    * shape, wider type). */
+  def gAssortativity(spark: SparkSession, dir: String): DataFrame =
+    assortativityOf(spark, edges(spark, dir))
+
+  private[graft] def assortativityOf(spark: SparkSession, e0: DataFrame): DataFrame = {
+    val e = e0.localCheckpoint(false)
+    val und = e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val sym = und.select(col("a").as("v"), col("b").as("n"))
+      .union(und.select(col("b").as("v"), col("a").as("n")))
+      .localCheckpoint(false)
+    val deg = sym.groupBy("v").agg(count(lit(1)).as("deg"))
+    val pairs = sym
+      .join(deg.select(col("v"), col("deg").as("dx")), Seq("v"))
+      .join(deg.select(col("v").as("n"), col("deg").as("dy")), Seq("n"))
+    val m = pairs.agg(count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+    // degree-regular graph ⇒ zero variance ⇒ no defined correlation:
+    // report NULL loudly (integer variance test — exact), never NaN
+    m.select(col("m").cast("long").as("n_edge_ends"),
+        stableRound(when(
+          col("m") * col("sxx") - col("sx") * col("sx") > 0 &&
+            col("m") * col("syy") - col("sy") * col("sy") > 0,
+          (col("m").cast("double") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("m").cast("double") * col("sxx") - col("sx") * col("sx")) *
+              (col("m").cast("double") * col("syy") - col("sy") * col("sy")))),
+          6).as("assortativity"))
+  }
+
+  val gAssortativitySql: String =
+    s"""WITH u AS ($withUrlSql),
+       |$edgesSql,
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges),
+       |sym AS MATERIALIZED (
+       |  SELECT a AS v, b AS n FROM und
+       |  UNION ALL
+       |  SELECT b AS v, a AS n FROM und),
+       |deg AS MATERIALIZED (
+       |  SELECT v, count(*)::BIGINT AS deg FROM sym GROUP BY v),
+       |p AS (
+       |  SELECT dx.deg AS dx, dy.deg AS dy
+       |  FROM sym JOIN deg dx ON dx.v = sym.v
+       |  JOIN deg dy ON dy.v = sym.n),
+       |mo AS (
+       |  SELECT count(*)::BIGINT AS m,
+       |    sum(dx)::BIGINT AS sx, sum(dy)::BIGINT AS sy,
+       |    sum(dx * dy)::BIGINT AS sxy,
+       |    sum(dx * dx)::BIGINT AS sxx,
+       |    sum(dy * dy)::BIGINT AS syy
+       |  FROM p)
+       |SELECT m AS n_edge_ends,
+       |  ${stableRoundSql(
+            "CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0 THEN " +
+            "(m::DOUBLE * sxy - sx * sy) / " +
+            "sqrt((m::DOUBLE * sxx - sx * sx) * (m::DOUBLE * syy - sy * sy)) END", 6)}
+       |    AS assortativity
+       |FROM mo""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_degree" -> gDegree,
     "g_pagerank" -> gPagerank,
@@ -1062,6 +1147,7 @@ object Graph {
     "g_labelprop" -> gLabelprop,
     "g_jaccard" -> gJaccard,
     "g_modularity" -> gModularity,
+    "g_assortativity" -> gAssortativity,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1075,5 +1161,6 @@ object Graph {
     "g_labelprop" -> gLabelpropSql,
     "g_jaccard" -> gJaccardSql,
     "g_modularity" -> gModularitySql,
+    "g_assortativity" -> gAssortativitySql,
   )
 }

@@ -498,6 +498,38 @@ class GraphSpec extends SparkSpec {
     assert(capped == 0, "fixture should exercise the UNCAPPED semantics")
   }
 
+  test("g_assortativity matches a driver Pearson recompute; regular graph is NULL") {
+    import SparkSpec.spark.implicits._
+    // driver recompute over the same symmetric endpoint-degree pairs
+    val adj = Graph.edges(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .map { case (s, d) => if (s < d) (s, d) else (d, s) }.distinct
+    val deg = (adj.map(_._1) ++ adj.map(_._2)).groupBy(identity)
+      .map { case (v, vs) => v -> vs.length.toLong }
+    val pairs = adj.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val m = pairs.length.toLong
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val (sxx, syy) = (pairs.map(p => p._1 * p._1).sum, pairs.map(p => p._2 * p._2).sum)
+    // mirror the operator's op tree exactly: integer products stay
+    // exact longs until the subtraction promotes them
+    val want = math.floor((m.toDouble * sxy - (sx * sy)) /
+      math.sqrt((m.toDouble * sxx - (sx * sx)) *
+        (m.toDouble * syy - (sy * sy))) * 1e6 + 0.5) / 1e6
+    val row = Graph.gAssortativity(spark, sf).head()
+    assert(row.getLong(0) == m, s"edge-end count ${row.getLong(0)} != $m")
+    assert(row.getDouble(1) == want, s"r ${row.getDouble(1)} != $want")
+    // the derived crawl graph must read DISassortative (hubs → leaves)
+    assert(row.getDouble(1) < 0.0, "crawl-shaped fixture should be disassortative")
+    // degree-regular graph (a 4-cycle: every degree 2) → zero variance
+    // → NULL, never NaN
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val reg = Graph.assortativityOf(spark, cyc).head()
+    assert(reg.isNullAt(1), s"regular graph must report NULL, got $reg")
+  }
+
   test("g_jaccard capped mode: hub excluded from numerator AND denominator") {
     import SparkSpec.spark.implicits._
     // hub h neighbors everyone; a and b share non-hub neighbors c1,c2.
