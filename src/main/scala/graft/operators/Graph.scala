@@ -1136,6 +1136,50 @@ object Graph {
        |    AS assortativity
        |FROM mo""".stripMargin
 
+  // ---------------------------------------------------- g_reciprocity
+
+  /** g_reciprocity — fraction of directed domain links that are
+    * RECIPROCATED (an edge a→b whose mirror b→a also exists): the
+    * companion one-number monitor to [[gAssortativity]]. Organic
+    * cross-linking reciprocates at a characteristic low rate; a jump
+    * says link-exchange rings / mirror farms entered the crawl, a
+    * collapse says the frontier went one-way (scraper stuck on feed
+    * pages). Per-snapshot trend input to the same curation gates the
+    * degree stats feed.
+    *
+    * One LeftSemi self-join of the edge table on the flipped key +
+    * two single-row counts — edge-table-linear, no corpus touch;
+    * integer counts, one rounded divide (an empty edge table reports
+    * NULL — guarded identically in both engines). */
+  def gReciprocity(spark: SparkSession, dir: String): DataFrame =
+    reciprocityOf(spark, edges(spark, dir))
+
+  private[graft] def reciprocityOf(spark: SparkSession, e0: DataFrame): DataFrame = {
+    val e = e0.select(col("src"), col("dst")).localCheckpoint(false)
+    val recip = e.join(e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(recip.agg(count(lit(1)).as("n_reciprocated")))
+      .select(col("n_edges"), col("n_reciprocated"),
+        stableRound(when(col("n_edges") > 0,
+          col("n_reciprocated").cast("double") / col("n_edges")), 6)
+          .as("reciprocity"))
+  }
+
+  val gReciprocitySql: String =
+    s"""WITH u AS ($withUrlSql),
+       |$edgesSql,
+       |e AS MATERIALIZED (SELECT src, dst FROM edges),
+       |r AS (SELECT count(*)::BIGINT AS n_reciprocated
+       |      FROM e WHERE EXISTS (
+       |        SELECT 1 FROM e m WHERE m.src = e.dst AND m.dst = e.src)),
+       |n AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+       |SELECT n.n_edges, r.n_reciprocated,
+       |  ${stableRoundSql(
+            "CASE WHEN n.n_edges > 0 THEN " +
+            "r.n_reciprocated::DOUBLE / n.n_edges END", 6)} AS reciprocity
+       |FROM n CROSS JOIN r""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_degree" -> gDegree,
     "g_pagerank" -> gPagerank,
@@ -1148,6 +1192,7 @@ object Graph {
     "g_jaccard" -> gJaccard,
     "g_modularity" -> gModularity,
     "g_assortativity" -> gAssortativity,
+    "g_reciprocity" -> gReciprocity,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1162,5 +1207,6 @@ object Graph {
     "g_jaccard" -> gJaccardSql,
     "g_modularity" -> gModularitySql,
     "g_assortativity" -> gAssortativitySql,
+    "g_reciprocity" -> gReciprocitySql,
   )
 }

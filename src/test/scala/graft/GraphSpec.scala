@@ -530,6 +530,25 @@ class GraphSpec extends SparkSpec {
     assert(reg.isNullAt(1), s"regular graph must report NULL, got $reg")
   }
 
+  test("g_reciprocity matches a driver recompute; mutual and empty fixtures pin the edges") {
+    import SparkSpec.spark.implicits._
+    val es = Graph.edges(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val set = es.toSet
+    val wantR = es.count { case (a, b) => set.contains((b, a)) }.toLong
+    val row = Graph.gReciprocity(spark, sf).head()
+    assert(row.getLong(0) == es.length.toLong && row.getLong(1) == wantR,
+      s"counts: $row vs (${es.length}, $wantR)")
+    assert(row.getDouble(2) ==
+      math.floor(wantR.toDouble / es.length * 1e6 + 0.5) / 1e6)
+    assert(wantR > 0, "fixture should contain SOME mutual links")
+    // fully-mutual pair → 1.0; empty edge table → NULL (never NaN)
+    val mutual = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    assert(Graph.reciprocityOf(spark, mutual).head().getDouble(2) == 1.0)
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(Graph.reciprocityOf(spark, empty).head().isNullAt(2))
+  }
+
   test("g_jaccard capped mode: hub excluded from numerator AND denominator") {
     import SparkSpec.spark.implicits._
     // hub h neighbors everyone; a and b share non-hub neighbors c1,c2.
