@@ -243,6 +243,24 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // JVM (not ICU) case mapping for UTF8_BINARY lower()/upper():
+      // sampled profiles showed CollationSupport.Lower.execBinaryICU as
+      // 38% of executor CPU across the text suite (normText lowercases
+      // every document); the corpus is pure ASCII at every SF (verified
+      // across all string columns), where the two paths are
+      // byte-identical — and the Verify gate re-proves every query
+      // against the DuckDB oracle under this same conf. Scale-free: the
+      // ICU/JVM choice is per-row CPU, not a local[32] artifact.
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      // The 200-query suite compiles ~1k distinct codegen units per
+      // pass; the default 100-entry generated-class cache thrashes, so
+      // every pass re-pays Janino compilation AND every task of a
+      // first-run stage blocks on the compile lock (measured: a stage
+      // with 12s of real CPU spent 93 executor-seconds, mostly
+      // compile-wait). 4096 entries lets passes 2+ (and shared
+      // subplans across queries) reuse compiled classes. Static conf —
+      // must be set before the first session is created.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_CONF=k=v[,k=v...] sets session confs before any query

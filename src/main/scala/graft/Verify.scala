@@ -26,6 +26,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Same session confs as Bench (see its scaladoc): the gate must
+      // hash-prove the exact configuration the bench runs under.
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

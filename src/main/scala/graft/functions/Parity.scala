@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{abs, floor, isnan, lit, when}
+import org.apache.spark.sql.functions.{floor, lit}
 
 /** Cross-engine float-parity helpers shared by the operators and
   * their DuckDB oracle SQL (SURVEY §6).
@@ -40,9 +40,18 @@ object Parity {
     * preserve them on both sides). */
   def stableRound(c: Column, s: Int): Column = {
     require(s >= 0 && s <= 15, s"stableRound scale $s outside the lossless range")
-    val p = math.pow(10, s)
-    when(isnan(c) || abs(c) === lit(Double.PositiveInfinity), c)
-      .otherwise(floor(c * lit(p) + lit(0.5)) / lit(p))
+    // Built as ONE custom expression instead of the equivalent
+    // when(isnan(c) || abs(c) = Inf, c).otherwise(floor(c·10^s + ½)/10^s)
+    // chain: that spelling evaluates `c` four times per row (isnan,
+    // abs, pass-through, floor), which quadruples the cost wherever
+    // `c` is an expensive argument — the sorted-fold aggregate() in
+    // the BM25/logprob/JSD family is the worst case (measured 4
+    // interpreted fold evaluations per output row in t_bm25's score
+    // projection). RoundHalfUp runs the identical IEEE op sequence
+    // once; ParitySpec pins chain ≡ expression across the double
+    // range including NaN/±Inf/ties.
+    import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+    column(graft.functions.expr.RoundHalfUp(expression(c.cast("double")), s))
   }
 
   /** The DuckDB twin of [[stableRound]], as SQL text over `e`. This

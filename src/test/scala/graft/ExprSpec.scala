@@ -71,4 +71,34 @@ class ExprSpec extends SparkSpec {
       .filter(col("k") =!= col("e"))
     assert(badLen.count() == 0)
   }
+
+  test("RoundHalfUp ≡ the when/isnan/floor chain, bit for bit incl. non-finite") {
+    import graft.functions.Parity
+    // the chain stableRound used to build inline — kept here as the
+    // reference the expression is pinned against
+    def chain(c: org.apache.spark.sql.Column, s: Int): org.apache.spark.sql.Column = {
+      val p = math.pow(10, s)
+      when(isnan(c) || abs(c) === lit(Double.PositiveInfinity), c)
+        .otherwise(floor(c * lit(p) + lit(0.5)) / lit(p))
+    }
+    val vals = Seq(0.0, -0.0, 1.0 / 3, -1.0 / 3, 0.005, -0.005, 0.015,
+      52724.244999999995, -52724.244999999995, 1e15, -1e15, 1e18, -1e18,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      Double.MinPositiveValue, 4.9e-300, 123456.789012345) ++
+      (1 to 400).map(i => math.sin(i.toDouble) * math.pow(10, i % 12))
+    val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(vals.map(org.apache.spark.sql.Row(_)), 2),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.DoubleType))))
+      .localCheckpoint()
+    for (s <- Seq(0, 2, 4, 6, 15)) {
+      val diff = df.select(Parity.stableRound(col("v"), s).as("a"),
+          chain(col("v"), s).as("b"))
+        // NaN = NaN must count as equal: compare raw bits
+        .filter(expr("""
+          CASE WHEN isnan(a) AND isnan(b) THEN false ELSE a <=> b = false END"""))
+      assert(diff.count() == 0, s"scale $s diverged")
+    }
+  }
 }
