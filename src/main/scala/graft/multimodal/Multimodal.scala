@@ -415,10 +415,18 @@ object Multimodal {
       .orderBy("id1", "id2")
   }
 
-  /** Distinct band-collision pairs carrying both signatures, BEFORE
-    * the exact hamming verify — [[mPhashEval]]'s candidate set. */
+  /** Distinct band-collision pairs with their exact hamming distance —
+    * [[mPhashEval]]'s candidate set. Hamming is computed BEFORE the
+    * pair dedup: it is per-row arithmetic over the carried signatures
+    * (identical for every duplicate of a pair, so dedup∘compute ≡
+    * compute∘dedup exactly), and folding it first lets the distinct
+    * shuffle carry 3 narrow columns instead of the 8 signature bands —
+    * the suite's largest exchange (94 MB) shrank to ids+hamming. */
   private def phashCand(spark: SparkSession, dir: String): DataFrame =
-    phashCandRaw(spark, dir).dropDuplicates("id1", "id2")
+    phashCandRaw(spark, dir)
+      .withColumn("hamming", hammingCol)
+      .select("id1", "id2", "hamming")
+      .dropDuplicates("id1", "id2")
 
   /** The signature + banding pipeline shared by [[mPhash]] and
     * [[mPhashEval]]: band-collision pair rows (up to one per matching
@@ -482,7 +490,7 @@ object Multimodal {
     * two counts — no extra corpus pass. */
   def mPhashEval(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup.HammingK
-    val cand = phashCand(spark, dir).withColumn("hamming", hammingCol)
+    val cand = phashCand(spark, dir)
     // coalesce: sum over ZERO candidate rows is NULL in both engines —
     // an empty banding must read 0 pairs / 0 fp / vacuous precision 1,
     // not NULLs the hash gate can't distinguish from the oracle's own

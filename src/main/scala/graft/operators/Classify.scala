@@ -305,8 +305,26 @@ object Classify {
         (fh, n)
       case _ => (feats, nDocs)
     }
-    val fa = hFeats.select(col("doc_id"), col("bucket").as("ba"), col("x").as("xa"))
+    val fa = hFeats.select(col("doc_id"), col("bucket").as("ba"), col("x").as("xa"),
+      col("y"))
     val fb = hFeats.select(col("doc_id"), col("bucket").as("bb"), col("x").as("xb"))
+    // Exact mode: the nnz² feature-pair frame is EPOCH-INVARIANT (only
+    // the scored frame changes), so it is built and checkpointed once
+    // instead of re-joining every epoch; and because its diagonal
+    // (ba = bb) carries each (doc, bucket, x) row exactly once, the
+    // gradient rides the same pass as the Hessian — one keyed
+    // aggregation and ONE driver collect per epoch instead of two
+    // joins + two collects. The quantized per-row terms are spelled
+    // with the identical op order as the two-pass form, so the
+    // collected integer sums — and therefore the trained model — are
+    // bit-identical. Sampled mode keeps the two-pass shape (its
+    // Hessian subset differs from the gradient's full corpus).
+    val pairsExact =
+      if (mode == "exact")
+        fa.join(fb, "doc_id")
+          .select(col("doc_id"), col("ba"), col("bb"), col("xa"), col("xb"),
+            col("y"))
+      else null
     // L-BFGS state: correction pairs (oldest-first) and the previous
     // accepted point/gradient — driver-side, LbfgsMem·Dim doubles
     var hist = Vector.empty[(Array[Double], Array[Double])]
@@ -314,12 +332,35 @@ object Classify {
     var prevG: Array[Double] = null
     val nEpochs = if (mode == "lbfgs") LbfgsEpochs else Epochs
     for (_ <- 1 to nEpochs) {
-      val gradQ = feats.join(scored.select(col("doc_id"), col("p")), "doc_id")
-        .select(col("bucket"),
-          floor((col("p") - col("y")) * col("x") * Q + 0.5)
-            .cast("long").as("gq"))
-        .groupBy("bucket").agg(sum(col("gq")).as("g"))
-        .as[(Long, Long)].collect().toMap
+      // exact mode: one combined (gradient ⊕ Hessian) pass — gq is
+      // summed over the diagonal rows only, where xa IS the (doc,
+      // bucket) row's x and the term matches the standalone gradient's
+      // floor((p − y)·x·Q + ½) bit for bit
+      val combined: Map[(Long, Long), (Long, Long)] =
+        if (mode == "exact")
+          pairsExact
+            .join(scored.select(col("doc_id"), col("p")), "doc_id")
+            .select(col("ba"), col("bb"),
+              floor((col("p") * (lit(1.0) - col("p"))) * col("xa") * col("xb") * Q + 0.5)
+                .cast("long").as("hq"),
+              when(col("ba") === col("bb"),
+                floor((col("p") - col("y")) * col("xa") * Q + 0.5).cast("long"))
+                .as("gq"))
+            .groupBy("ba", "bb")
+            .agg(sum(col("hq")).as("h"), sum(col("gq")).as("g"))
+            .as[(Long, Long, Long, Option[Long])].collect()
+            .map { case (i, j, h, gq) => (i, j) -> (h, gq.getOrElse(0L)) }.toMap
+        else null
+      val gradQ: Map[Long, Long] =
+        if (mode == "exact")
+          combined.collect { case ((i, j), (_, gq)) if i == j => i -> gq }
+        else
+          feats.join(scored.select(col("doc_id"), col("p")), "doc_id")
+            .select(col("bucket"),
+              floor((col("p") - col("y")) * col("x") * Q + 0.5)
+                .cast("long").as("gq"))
+            .groupBy("bucket").agg(sum(col("gq")).as("g"))
+            .as[(Long, Long)].collect().toMap
       val g = Array.tabulate(Dim)(b =>
         gradQ.getOrElse(b.toLong, 0L) / Q / nDocs + Ridge * w(b))
       val delta = if (mode == "lbfgs") {
@@ -337,16 +378,20 @@ object Classify {
         twoLoop(g, hist)
       } else {
         // the Dim²-keyed curvature pass — the one superlinear term,
-        // absent entirely in lbfgs mode
-        val hessQ = fa.join(fb, "doc_id")
-          .join(scored.select(col("doc_id"),
-            (col("p") * (lit(1.0) - col("p"))).as("s")), "doc_id")
-          .select(col("ba"), col("bb"),
-            floor(col("s") * col("xa") * col("xb") * Q + 0.5)
-              .cast("long").as("hq"))
-          .groupBy("ba", "bb").agg(sum(col("hq")).as("h"))
-          .as[(Long, Long, Long)].collect()
-          .map { case (i, j, v) => (i, j) -> v }.toMap
+        // absent entirely in lbfgs mode. Exact mode already collected
+        // it in the combined pass above; sampled mode runs its own
+        // subset join (the Hessian subset ≠ the gradient's full corpus).
+        val hessQ: Map[(Long, Long), Long] =
+          if (mode == "exact") combined.map { case (k, (h, _)) => k -> h }
+          else fa.join(fb, "doc_id")
+            .join(scored.select(col("doc_id"),
+              (col("p") * (lit(1.0) - col("p"))).as("s")), "doc_id")
+            .select(col("ba"), col("bb"),
+              floor(col("s") * col("xa") * col("xb") * Q + 0.5)
+                .cast("long").as("hq"))
+            .groupBy("ba", "bb").agg(sum(col("hq")).as("h"))
+            .as[(Long, Long, Long)].collect()
+            .map { case (i, j, v) => (i, j) -> v }.toMap
         val h = Array.tabulate(Dim, Dim)((i, j) =>
           hessQ.getOrElse((i.toLong, j.toLong), 0L) / Q / nHess +
             (if (i == j) Ridge else 0.0))

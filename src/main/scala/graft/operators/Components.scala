@@ -93,10 +93,16 @@ object Components {
       // larger neighbors re-link to it. m ≤ u < v ⇒ (m, v) canonical.
       val lsMin = sym.groupBy("u").agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
-      // (m, v) is never a self-pair here: m ≤ u and v > u force m < v
+      // (m, v) is never a self-pair here: m ≤ u and v > u force m < v.
+      // Deliberately NOT checkpointed: both consumers below (ssMin and
+      // the ss join) contain the identical ls subtree ending in this
+      // distinct's exchange, which ReuseExchange dedupes inside the one
+      // ss materialization job — a checkpoint here cost one extra job
+      // per round for no recompute saving (per-round wall at gate scale
+      // is fixed job overhead, not data).
       val ls = sym.join(lsMin, "u").filter(col("v") > col("u"))
         .select(col("m").as("a"), col("v").as("b"))
-        .distinct().localCheckpoint(false)
+        .distinct()
       // small-star on the (a < b) orientation: b's smaller neighbors
       // and b itself re-link to b's min smaller neighbor.
       val ssMin = ls.groupBy("b").agg(min(col("a")).as("m"))

@@ -360,21 +360,27 @@ object Curation {
     * the full pipeline adds exactly one shuffle beyond its parts. */
   def dCurate(spark: SparkSession, dir: String): DataFrame = {
     val d = TextAnalysis.docsSpread(spark, dir)
-    // The checkpoints are BARRIERS, not caches-for-reuse: without
-    // them Catalyst pushes the quality/lang filters below the join
-    // and inlines the full regex-heavy score expressions into both
-    // the Filter and the output Project — every score evaluates
-    // twice (measured 4.8s → 1.3s at sf0.1). The materialized
-    // artifact is the narrow (id, score) frame, linear in the corpus.
-    val quality = TextAnalysis.qualityMetrics(spark, dir)
-      .select("doc_id", "quality").localCheckpoint()
-    val lang = TextAnalysis.langPredictions(spark, dir)
-      .select("doc_id", "pred_lang").localCheckpoint()
+    // The checkpoint is a BARRIER, not a cache-for-reuse: without it
+    // Catalyst pushes the quality/lang filters below the join and
+    // inlines the full regex-heavy score expressions into both the
+    // Filter and the output Project — every score evaluates twice
+    // (measured 4.8s → 1.3s at sf0.1). ONE corpus pass computes the
+    // three narrow rules (quality score, predicted language, content
+    // fingerprint — each the identical expression its standalone
+    // operator evaluates; the d_audit one-pass discipline), so the
+    // materialized artifact is one narrow per-doc frame instead of a
+    // checkpointed scan per rule.
+    val perDoc = d.select(col("doc_id"),
+        TextAnalysis.qualityScoreCol,
+        graft.functions.TextFunctions.langId(col("text")).as("pred_lang"),
+        md5(normText(col("text"))).as("content_fp"))
+      .localCheckpoint()
     val clusterDups = Dedup.clusterLabels(spark, dir)
       .filter(!col("is_keeper")).select("doc_id")
-    quality.join(lang, "doc_id")
+    perDoc
       .filter(col("quality") >= QualityTau && col("pred_lang") =!= "und")
-      .join(exactDupIds(d), Seq("doc_id"), "left_anti")
+      .join(exactDupIdsFromFp(perDoc.select("doc_id", "content_fp")),
+        Seq("doc_id"), "left_anti")
       .join(clusterDups, Seq("doc_id"), "left_anti")
       .select("doc_id", "pred_lang", "quality")
       .orderBy("doc_id")
@@ -402,8 +408,14 @@ object Curation {
     * rule shared by [[dCurate]] (as an anti-join) and [[dAudit]] (as
     * a flag) — the two operators' dedup decisions, and the
     * PipelineSpec invariant tying them, cannot drift apart. */
-  private def exactDupIds(d: DataFrame): DataFrame = {
-    val fp = d.select(col("doc_id"), md5(normText(col("text"))).as("content_fp"))
+  private def exactDupIds(d: DataFrame): DataFrame =
+    exactDupIdsFromFp(
+      d.select(col("doc_id"), md5(normText(col("text"))).as("content_fp")))
+
+  /** The keeper rule over an already-computed (doc_id, content_fp)
+    * frame — [[auditWithInputs]] feeds it from the one-pass rule
+    * frame's fingerprint column instead of re-scanning the corpus. */
+  private def exactDupIdsFromFp(fp: DataFrame): DataFrame = {
     val rep = fp.groupBy("content_fp").agg(min("doc_id").as("rep_id"))
     fp.join(rep, "content_fp")
       .filter(col("doc_id") > col("rep_id"))
@@ -428,17 +440,35 @@ object Curation {
   private def auditWithInputs(spark: SparkSession,
       dir: String): (DataFrame, DataFrame, DataFrame) = {
     val d = TextAnalysis.docsSpread(spark, dir)
-    val quality = TextAnalysis.qualityMetrics(spark, dir)
-      .select("doc_id", "n_words", "quality").localCheckpoint()
-    val lang = TextAnalysis.langPredictions(spark, dir)
-      .select("doc_id", "pred_lang").localCheckpoint()
-    val exactDup = exactDupIds(d).withColumn("x_dup", lit(true))
+    // ONE corpus pass for every narrow per-doc rule: quality metrics,
+    // language prediction, the pii flag (over the injected text) and
+    // the exact-dup content fingerprint are each the IDENTICAL column
+    // expression their standalone operator evaluates, but computed in
+    // a single projection over a single scan (whole-stage codegen
+    // CSE shares the normText regex chain between them) and
+    // checkpointed once. The previous shape ran one checkpointed
+    // corpus scan PER RULE — 4 scans, 4 normText evaluations, 4 jobs.
+    // Only the rules that genuinely shuffle (near-dup clustering, the
+    // fingerprint keeper groupBy) or read other columns (blocklist)
+    // stay separate pipelines.
+    val perDoc = d.select(
+        col("doc_id") +: TextAnalysis.qualityCols ++: Seq(
+          graft.functions.TextFunctions.langId(col("text")).as("pred_lang"),
+          Pii.hasPiiCol(Pii.injectedText(col("doc_id"), col("text")))
+            .as("has_pii"),
+          md5(normText(col("text"))).as("content_fp")): _*)
+      .localCheckpoint()
+    val quality = perDoc.select("doc_id", "n_words", "quality")
+    val lang = perDoc.select("doc_id", "pred_lang")
+    val exactDup = exactDupIdsFromFp(
+        perDoc.select(col("doc_id"), col("content_fp")))
+      .withColumn("x_dup", lit(true))
     val nearDup = Dedup.clusterLabels(spark, dir)
       .filter(!col("is_keeper"))
       .select(col("doc_id"), lit(true).as("n_dup"))
     val blocked = WebCuration.dBlocklist(spark, dir)
       .select(col("doc_id"), col("blocked"))
-    val pii = Pii.tPii(spark, dir).select(col("doc_id"), col("has_pii"))
+    val pii = perDoc.select(col("doc_id"), col("has_pii"))
     val droppedBy = when(col("x_dup").isNotNull, "exact_dup")
       .when(col("n_dup").isNotNull, "near_dup")
       .when(col("quality") < QualityTau, "low_quality")
@@ -877,6 +907,12 @@ object Curation {
     * the [[TextAnalysis.tLogprob]] residual-risk discipline), and the
     * per-doc terms fold in sorted order. */
   def dDsir(spark: SparkSession, dir: String): DataFrame = {
+    // Deliberately ONE aggregation with md5 per token instance: a
+    // two-level (doc, word)-then-(doc, f) shape was tried to amortize
+    // the md5 over distinct words and measured 2.6× SLOWER (4.2 →
+    // 10.9 s) — the second aggregation turns the cached frame into a
+    // multi-stage AQE subtree whose consumers re-pay its stages, and
+    // the md5 itself is cheap next to that.
     val feats = TextAnalysis.docsSpread(spark, dir)
       .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("word"))
       .select(col("doc_id"), col("lang"), (md5_32(col("word")) % DsirBuckets).as("f"))

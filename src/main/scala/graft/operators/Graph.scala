@@ -537,14 +537,22 @@ object Graph {
       // r−1, r, or r+1 — so excluding the last TWO frontiers is a
       // complete visited-set exclusion. Anti-joining the FULL visited
       // set instead would be O(V) per round → O(V·rounds) total; this
-      // keeps the whole traversal O(E).
+      // keeps the whole traversal O(E). The two frontiers are excluded
+      // by ONE anti join against their union (both are already
+      // materialized checkpoints): at gate scale each level's wall is
+      // almost entirely fixed per-job/per-broadcast overhead, and one
+      // union-anti saves a broadcast build per level without changing
+      // the O(E) shape.
       val next = frontier.join(sym, col("node") === col("x"))
         .select(col("comp"), col("y").as("node"))
         .distinct()
-        .join(frontier, Seq("comp", "node"), "left_anti")
-        .join(prev, Seq("comp", "node"), "left_anti")
+        .join(frontier.unionByName(prev), Seq("comp", "node"), "left_anti")
         .localCheckpoint(false)
-      if (next.isEmpty) done = true
+      // count(), not isEmpty: one job that BOTH materializes the
+      // checkpoint fully and answers the fixpoint question (isEmpty's
+      // take(1) needs multiple incremental job launches to prove an
+      // empty frame — the exact case every BFS ends on).
+      if (next.count() == 0L) done = true
       else {
         levels += next.withColumn("d", lit(rounds.toLong))
         prev = frontier

@@ -41,8 +41,14 @@ object Pii {
   /** Deterministic PII injection: ~50% of docs gain an email, 25% a
     * 555-prefixed phone, 25% an IPv4 in 10/8 (phone and IP disjoint —
     * both keyed on the same hex digit). */
-  def withPii(docs: DataFrame): DataFrame = {
-    val h = md5(concat(col("doc_id").cast("string"), lit("pii")))
+  def withPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text", injectedText(col("doc_id"), col("text")))
+
+  /** The injection as a COLUMN over (doc_id, text) — the ONE copy,
+    * exposed so [[Curation]]'s one-pass audit rule frame can evaluate
+    * the pii flag in the same projection as the other rules. */
+  private[operators] def injectedText(docId: Column, text: Column): Column = {
+    val h = md5(concat(docId.cast("string"), lit("pii")))
     def hexIn(pos: Int, chars: String): Column =
       substring(h, pos, 1).isInCollection(chars.map(_.toString))
     def digits(pos: Int, len: Int): Column =
@@ -56,8 +62,17 @@ object Pii {
     val ip = when(hexIn(2, "89ab"),
       concat(lit(" from 10."), digits(16, 2), lit("."), digits(18, 2),
         lit("."), digits(20, 2))).otherwise("")
-    docs.withColumn("text", concat(col("text"), email, phone, ip))
+    concat(text, email, phone, ip)
   }
+
+  /** `has_pii` over an (already injected) text column — the exact
+    * predicate [[tPii]] reports, WITHOUT the redaction replace chain
+    * (the audit only needs the flag; the three regexp_replace passes
+    * are the scrub operator's cost, not the flag's). */
+  private[operators] def hasPiiCol(text: Column): Column =
+    (regexp_count(text, lit(EmailPattern)) +
+      regexp_count(text, lit(PhonePattern)) +
+      regexp_count(text, lit(IpPattern))) > 0
 
   /** The same injection as an oracle CTE body over `documents`
     * (rewrites the `text` column). Interpolated into stripMargin

@@ -94,8 +94,25 @@ object Retrieval {
     // (TextAnalysis.tfIdfRank — one copy of the scoring chain),
     // restricted to the seed docs before ranking; df rides along for
     // the idf computation downstream
+    // The query-term frame is tiny (|Q|·QTerms rows) but EXPLODES ~df×
+    // through the postings join downstream — and AQE, which coalesces
+    // post-shuffle partitions by BYTE size, sees only the tiny frame
+    // and collapses the whole candidate-generation stage to ONE task
+    // (measured: t_bm25's 2M-row score+aggregate+rank tail ran single-
+    // threaded, 4.7 s of serial CPU). The fix pins the fan-out width
+    // at the SEED-SLICE exchange: an explicit numbered repartition on
+    // doc_id (= qid downstream) is exempt from both AQE coalescing and
+    // redundant-repartition removal (the cached tf frame is hash(doc,
+    // word)-partitioned, so this one is not redundant), it satisfies
+    // the keyword-rank window's clustering directly (no ENSURE
+    // exchange is inserted for the optimizer to coalesce), and every
+    // downstream stage — postings join, (qid, doc) aggregation, rank
+    // windows — inherits the width through broadcast joins with no
+    // further shuffle.
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val qterms = TextAnalysis.tfIdfRank(
-        tf.filter(col("doc_id") % Bm25QueryMod === 0), dfw, n)
+        tf.filter(col("doc_id") % Bm25QueryMod === 0)
+          .repartition(parts, col("doc_id")), dfw, n)
       .filter(col("rk") <= Bm25QTerms)
       .select(col("doc_id").as("qid"), col("word"), col("df"))
     Bm25Parts(n, tf, dfw, dl, avgdlV, qterms)

@@ -64,7 +64,15 @@ object TextAnalysis {
   /** The metric map over any (doc_id, text) frame — shared with the
     * streaming admission gate ([[graft.streaming.DocStream]]), so the
     * batch and door quality verdicts cannot diverge. */
-  def qualityMetricsOf(d: DataFrame): DataFrame = {
+  def qualityMetricsOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id") +: qualityCols: _*)
+
+  /** The quality metric COLUMNS over a `text` attribute — the ONE copy
+    * of the scoring expressions, exposed so the curation composites
+    * ([[Curation.dAudit]]'s one-pass rule frame) can evaluate them in
+    * the same projection as the other per-doc rules instead of paying
+    * a separate corpus scan per rule. */
+  private[operators] def qualityCols: Seq[Column] = {
     val norm = normText(col("text"))
     val w = split(norm, " ")
     val nWords = size(w).cast("long")
@@ -79,10 +87,14 @@ object TextAnalysis {
       least(alphaRatio, lit(1.0)) * 0.4 +
         least(stopRatio * 4, lit(1.0)) * 0.3 +
         when(meanWordLen.between(3.0, 10.0), 0.3).otherwise(0.0), 4)
-    d.select(col("doc_id"), nChars.as("n_chars"), nWords.as("n_words"),
-        alphaRatio.as("alpha_ratio"), stopRatio.as("stop_ratio"),
-        meanWordLen.as("mean_word_len"), score.as("quality"))
+    Seq(nChars.as("n_chars"), nWords.as("n_words"),
+      alphaRatio.as("alpha_ratio"), stopRatio.as("stop_ratio"),
+      meanWordLen.as("mean_word_len"), score.as("quality"))
   }
+
+  /** Just the blended `quality` score column (the last of
+    * [[qualityCols]] — kept here so callers never index positionally). */
+  private[operators] def qualityScoreCol: Column = qualityCols.last
 
   val tQualitySql: String = {
     val stop = Seq("the", "a", "and", "of", "to", "is")

@@ -161,13 +161,19 @@ object Tokenizer {
         val n: Long = top(0).getLong(2)
         val m = l + r
         merges += ((rank, l, r, m, n))
+        // ONE checkpoint carries both the pre-fuse and post-fuse token
+        // sequences of the affected slice (the fuse is evaluated once,
+        // in the same projection as the filter): the before/after pair
+        // recounts and the vocabulary rebuild all read this frame —
+        // previously two separate checkpoints (and their jobs) per
+        // round for the same rows.
         val affected = vocab.filter(hasPair(col("toks"), l, r))
+          .select(col("toks"),
+            fuseExpr(col("toks"), l, r, m).as("fused"), col("count"))
           .localCheckpoint(false)
-        val rewritten = affected
-          .select(fuseExpr(col("toks"), l, r, m).as("toks"), col("count"))
-          .localCheckpoint(false)
+        val rewritten = affected.select(col("fused").as("toks"), col("count"))
         val delta = pairCounts(rewritten)
-          .union(pairCounts(affected)
+          .union(pairCounts(affected.select(col("toks"), col("count")))
             .select(col("l"), col("r"), (-col("n")).as("n")))
         pairs = pairs.union(delta)
           .groupBy("l", "r").agg(sum(col("n")).as("n"))
