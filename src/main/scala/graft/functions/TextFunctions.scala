@@ -14,9 +14,18 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Normalize: lowercase, non-alphanumerics → space, collapse runs,
-    * trim. Identical semantics in DuckDB with the 'g' flag. */
-  def normText(c: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+    * trim. Identical semantics in DuckDB with the 'g' flag.
+    *
+    * Implemented as the single-pass [[graft.functions.expr.NormText]]
+    * expression: on ASCII input (the entire corpus) one byte scan
+    * replaces the lower + two-regex-pass + trim chain — the hottest
+    * expression in the text suite — and non-ASCII input routes through
+    * an embedded instance of the original chain itself, so the output
+    * is identical for every input by construction (ExprSpec pins it). */
+  def normText(c: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+    column(graft.functions.expr.NormText(expression(c)))
+  }
 
   /** SQL mirror of [[normText]] over a `text` column — the ONE copy
     * every oracle references. Fingerprints, shingles, and the curation

@@ -171,9 +171,19 @@ object Dedup {
     // one prefix frame referenced on BOTH join sides — the df order's
     // localCheckpoint barrier then materializes its aggregation once
     val prefix = ngramPrefix(spark, sets)
+    // The candidate id-pairs are narrow (16 B) so AQE coalesces their
+    // dedup exchange by BYTE size to a handful of tasks — but the stage
+    // DOWNSTREAM of that exchange does the expensive part (both shingle
+    // sets join back and array_intersect verifies every pair): measured
+    // 10-15 s of exact-verify CPU squeezed onto 5 tasks. A numbered
+    // repartition on the pair key pins the verify width (exempt from
+    // AQE coalescing) and satisfies the dedup's clustering, adding no
+    // extra exchange.
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val cand = prefix.as("a").join(prefix.as("b"), "h")
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .repartition(parts, col("id1"), col("id2"))
       .dropDuplicates("id1", "id2")
     verifyPairs(cand, sets)
   }
@@ -295,6 +305,10 @@ object Dedup {
     val cand = prefixIn.as("a").join(posts.as("b"), "h")
       .filter(col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("id_in"), col("b.doc_id").as("id_of"))
+      // pin the exact-verify width against AQE's byte-blind coalesce of
+      // the narrow pair exchange — the [[ngramPairsOf]] rationale
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("id_in"), col("id_of"))
       .dropDuplicates("id_in", "id_of")
     cand
       .join(sets.select(col("doc_id").as("id_in"), col("hs").as("s1")), "id_in")

@@ -60,7 +60,11 @@ object Profiling {
       case "approx" => approx_count_distinct(col("v"), 0.05)
       case _ => countDistinct(col("v"))
     }
-    val li = Tables(spark, dir).lineitem
+    // lineitem is one parquet row group at gate scale, so the scan is
+    // ONE task while the unpivot fans out md5/cast work per (row, col):
+    // spread it across the session width first (no-op at real scale —
+    // Tables.spread only repartitions a layout-starved input).
+    val li = Tables.spread(Tables(spark, dir).lineitem)
     val stackArgs = ProfileCols
       .map(c => s"'$c', cast($c as double)").mkString(", ")
     li.select(expr(
@@ -118,7 +122,11 @@ object Profiling {
     * order, deterministic in both engines. */
   def qSkewAudit(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Parity.stableRound
-    val li = Tables(spark, dir).lineitem
+    // lineitem is one parquet row group at gate scale, so the scan is
+    // ONE task while the unpivot fans out md5/cast work per (row, col):
+    // spread it across the session width first (no-op at real scale —
+    // Tables.spread only repartitions a layout-starved input).
+    val li = Tables.spread(Tables(spark, dir).lineitem)
     val stackArgs = SkewCols.map(c => s"'$c', cast($c as bigint)").mkString(", ")
     // lazy localCheckpoint: the counts frame is read by the totals agg
     // and one top-K arm per column — the ngramPrefix barrier
@@ -205,7 +213,11 @@ object Profiling {
   def qPartitionHist(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Parity.stableRound
     import graft.functions.TextFunctions.md5_32
-    val li = Tables(spark, dir).lineitem
+    // lineitem is one parquet row group at gate scale, so the scan is
+    // ONE task while the unpivot fans out md5/cast work per (row, col):
+    // spread it across the session width first (no-op at real scale —
+    // Tables.spread only repartitions a layout-starved input).
+    val li = Tables.spread(Tables(spark, dir).lineitem)
     val stackArgs = SkewCols.map(c => s"'$c', cast($c as bigint)").mkString(", ")
     val counts = li
       .select(expr(s"stack(${SkewCols.length}, $stackArgs) as (col_name, k)"))

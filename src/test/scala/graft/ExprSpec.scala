@@ -72,6 +72,33 @@ class ExprSpec extends SparkSpec {
     assert(badLen.count() == 0)
   }
 
+  test("NormText ≡ the lower/regex/trim chain on ASCII, Unicode, and edge strings") {
+    // the chain normText used to build inline — the reference
+    def chain(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+    val rng = new scala.util.Random(7)
+    val ascii = (1 to 300).map { _ =>
+      (1 to rng.nextInt(80)).map(_ => rng.nextPrintableChar()).mkString
+    }
+    val edge = Seq("", " ", "   ", "a", "A", "  a  b  ", "a!b@c#1$2%3",
+      "ALL CAPS", "tabs\tand\nnewlines", "mixedÜnicodé", "ünicode only",
+      "Kelvin K sign", "emoji 😀 mid", "trailing space ",
+      " leading", "1234567890", "!@#$%^&*()")
+    val uni = (1 to 100).map { _ =>
+      (1 to rng.nextInt(30)).map(_ => (rng.nextInt(0xCFFF) + 1).toChar).mkString
+    }
+    val rows = (ascii ++ edge ++ uni).map(s => org.apache.spark.sql.Row(s))
+    val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+      .localCheckpoint()
+    val diff = df.select(normText(col("text")).as("a"), chain(col("text")).as("b"))
+      .filter(!(col("a") <=> col("b")))
+    assert(diff.count() == 0)
+  }
+
   test("RoundHalfUp ≡ the when/isnan/floor chain, bit for bit incl. non-finite") {
     import graft.functions.Parity
     // the chain stableRound used to build inline — kept here as the
