@@ -209,8 +209,16 @@ object Bench {
     val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
     val shufWrite = new java.util.concurrent.atomic.AtomicLong(0L)
     val execMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // Job launches in the window: each is one driver round-trip
+    // (plan → schedule → await), the fixed cost the sub-second tail
+    // is floor-bound by — the column that says which queries pay for
+    // loops/materializations rather than data.
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0L)
     private val stageMs =
       new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+    override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      jobs.incrementAndGet(): Unit
+    }
     override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
@@ -223,7 +231,7 @@ object Bench {
       }
     }
     def reset(): Unit = {
-      spilled.set(0L); shufWrite.set(0L); execMs.set(0L)
+      spilled.set(0L); shufWrite.set(0L); execMs.set(0L); jobs.set(0L)
       stageMs.clear()
     }
     /** Heaviest single stage's executor seconds in the window. */
@@ -237,46 +245,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // JVM (not ICU) case mapping for UTF8_BINARY lower()/upper():
-      // sampled profiles showed CollationSupport.Lower.execBinaryICU as
-      // 38% of executor CPU across the text suite (normText lowercases
-      // every document); the corpus is pure ASCII at every SF (verified
-      // across all string columns), where the two paths are
-      // byte-identical — and the Verify gate re-proves every query
-      // against the DuckDB oracle under this same conf. Scale-free: the
-      // ICU/JVM choice is per-row CPU, not a local[32] artifact.
-      .config("spark.sql.icu.caseMappings.enabled", "false")
-      // The 200-query suite compiles ~1k distinct codegen units per
-      // pass; the default 100-entry generated-class cache thrashes, so
-      // every pass re-pays Janino compilation AND every task of a
-      // first-run stage blocks on the compile lock (measured: a stage
-      // with 12s of real CPU spent 93 executor-seconds, mostly
-      // compile-wait). 4096 entries lets passes 2+ (and shared
-      // subplans across queries) reuse compiled classes. Static conf —
-      // must be set before the first session is created.
-      .config("spark.sql.codegen.cache.maxEntries", "4096")
-      .getOrCreate()
+    // ONE shared builder for every entry point (Bench/Verify/PlanDump/
+    // StageProfile) — see graft.core.Sessions for each conf's rationale
+    // and scale-dependence statement; the Verify gate hash-proves this
+    // exact configuration because the copies cannot drift.
+    val spark = graft.core.Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_CONF=k=v[,k=v...] sets session confs before any query
     // runs — e.g. graft.ngram.prefixOrder=df to bench an alternate plan
     // without a code edit.
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
-      kv.split("=", 2) match {
-        case Array(k, v) if k.trim.nonEmpty =>
-          System.err.println(s"[bench] conf ${k.trim}=${v.trim}")
-          spark.conf.set(k.trim, v.trim)
-        case _ =>
-          // A silently dropped override would attribute the run to a
-          // plan that never executed.
-          sys.error(s"SPARK_GRAFT_CONF entry '$kv' is not k=v")
-      }
-    })
+    graft.core.Sessions.applyEnvConf(spark)
     // SPARK_GRAFT_ONLY=a,b,c restricts the run (iteration/debugging).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -423,7 +401,7 @@ object Bench {
             "spill bytes may be undercounted")
         (name, sec, (gcMillis() - gc0) / 1e3, spill.spilled.get(), load0, ok, warm,
           spill.shufWrite.get(),
-          spill.execMs.get() / 1e3, spill.topStageSec)
+          spill.execMs.get() / 1e3, spill.topStageSec, spill.jobs.get())
         }
         lastPassSec = (System.nanoTime() - passT0) / 1e9
         Some(rows)
@@ -470,6 +448,8 @@ object Bench {
       "\"" + r._1 + "\":" + d3(r._9) }.mkString("{", ",", "}")
     val topStageJson = results.map { r =>
       "\"" + r._1 + "\":" + d3(r._10) }.mkString("{", ",", "}")
+    val jobsJson = results.map { r =>
+      "\"" + r._1 + "\":" + r._11 }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // A restricted run (SPARK_GRAFT_ONLY without "point_ops") skips the
     // store microbench — iteration on one query shouldn't pay for it.
@@ -516,7 +496,7 @@ object Bench {
     val pJson = points.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":${perPass.size},"query_sec_passes":$passJson,"query_gc_sec":$gcJson,"query_spill_bytes":$spillJson,"query_loadavg":$loadJson,"query_served_warm":$warmJson,"query_shuffle_write_bytes":$shufJson,"query_exec_sec":$execJson,"query_top_stage_sec":$topStageJson,"point_ops":$pJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":${perPass.size},"query_sec_passes":$passJson,"query_gc_sec":$gcJson,"query_spill_bytes":$spillJson,"query_loadavg":$loadJson,"query_served_warm":$warmJson,"query_shuffle_write_bytes":$shufJson,"query_exec_sec":$execJson,"query_top_stage_sec":$topStageJson,"query_jobs":$jobsJson,"point_ops":$pJson,"sf":"$sfDir"}"""
     // r3's driver capture kept only the output tail and sliced the head
     // off the (single, early) JSON line. Belt and braces: print first
     // (stdout is the contract — a file-write failure must not eat the
@@ -551,12 +531,15 @@ object Bench {
     val qsCompact = results.map { r => "\"" + r._1 + "\":" + d1(r._2) }
       .mkString("{", ",", "}")
     // Budget: the capture keeps the last 2000 chars of stdout; the
-    // line reaches it as "[info] " + line + "\n" (sbt prefix), so the
-    // line itself must stay ≤ 1992 chars to survive whole. The sf
-    // string is the basename (the full dir is in the rich line) to
-    // buy headroom. Guard the fit instead of assuming it: past the
-    // budget, a total-only line that parses whole beats a full line
-    // that gets sliced to nothing (per-query detail is in
+    // line reaches it as "[info] " + line + "\n" (sbt prefix) AND sbt
+    // prints a ~75-char "[success] Total time: …" epilogue AFTER it —
+    // which is exactly how all ten round records came back
+    // parsed:null (the epilogue pushed the line's head off the tail).
+    // Budget ≤1800: 2000 − 7 prefix − ~80 epilogue+newlines − margin.
+    // The sf string is the basename (the full dir is in the rich
+    // line) to buy headroom. Guard the fit instead of assuming it:
+    // past the budget, a total-only line that parses whole beats a
+    // full line that gets sliced to nothing (per-query detail is in
     // BENCH_LOCAL.json either way).
     val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
     // Preference chain, first line that fits wins: full per-query map
@@ -573,13 +556,13 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${d1(total)},"unit":"sec","queries":$kept,"note":"slowest $keep of ${results.size}; full record in BENCH_LOCAL.json","sf":"$sfTag"}"""
     }
-    val topFit = (results.size to 1 by -1).view.map(topLine).find(_.length <= 1992)
+    val topFit = (results.size to 1 by -1).view.map(topLine).find(_.length <= 1800)
     val candidates = Seq(
       s"""{"metric":"total","value":${d1(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfTag"}""",
       s"""{"metric":"total","value":${d1(total)},"unit":"sec","queries":$qsCompact}""") ++
       topFit ++ Seq(
       s"""{"metric":"total","value":${d1(total)},"unit":"sec","queries":{},"note":"${results.size} per-query seconds exceed the capture tail; see BENCH_LOCAL.json","sf":"$sfTag"}""")
-    println(candidates.find(_.length <= 1992).getOrElse(candidates.last))
+    println(candidates.find(_.length <= 1800).getOrElse(candidates.last))
     // A failed query must fail the bench — a timed failure is not a result.
     val failed = failures.result().distinct
     if (failed.nonEmpty) {

@@ -24,22 +24,9 @@ object PlanDump {
     val Array(outDir, suffix, qlist) = args
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.icu.caseMappings.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "4096")
-      .getOrCreate()
+    val spark = graft.core.Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
-      kv.split("=", 2) match {
-        case Array(k, v) if k.trim.nonEmpty => spark.conf.set(k.trim, v.trim)
-        case _ => sys.error(s"SPARK_GRAFT_CONF entry '$kv' is not k=v")
-      }
-    })
+    graft.core.Sessions.applyEnvConf(spark)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val names = qlist.split(",").map(_.trim).filter(_.nonEmpty)
     names.foreach { name =>

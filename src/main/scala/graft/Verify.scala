@@ -21,17 +21,14 @@ object Verify {
       require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // Same session confs as Bench (see its scaladoc): the gate must
-      // hash-prove the exact configuration the bench runs under.
-      .config("spark.sql.icu.caseMappings.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "4096")
-      .getOrCreate()
+    // Same session confs as Bench via the ONE shared builder (see
+    // graft.core.Sessions): the gate must hash-prove the exact
+    // configuration the bench runs under, so the copies cannot drift.
+    val spark = graft.core.Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The ICU-off conf above is only result-preserving on an all-ASCII
+    // corpus; enforce that contract loudly before verifying anything.
+    graft.core.Sessions.assertAsciiCorpus(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // A throwing query must be LOUD: round 5 lost 11 operators from the
     // correctness gate as silent holes (stderr-only, rc 0, no output

@@ -32,9 +32,14 @@ case class NormText(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
-  /** The original chain over a bound input slot — built ONCE at plan
-    * time (so conf-dependent pieces like Lower's case-mapping mode are
-    * captured exactly when the Column chain would capture them). */
+  /** The original chain over a bound input slot. @transient lazy: it
+    * is (re)built at FIRST EVAL on each executor/task, so
+    * conf-dependent pieces (e.g. Lower's ICU mode) come from the
+    * task-propagated SQLConf — the same conf a task evaluating the
+    * equivalent Column chain would see, which is what equality needs.
+    * (All graft entry points pin the ICU conf session-wide and the
+    * corpus is ASCII-asserted, so in practice the fallback never fires
+    * with a conf that differs from plan time.) */
   @transient private lazy val fallback: Expression =
     StringTrim(
       RegExpReplace(

@@ -445,10 +445,14 @@ object Multimodal {
     val bins = payloads.select(col("doc_id"),
       transform(words(decode(col("payload"), "UTF-8")),
         w => pmod(md5_32(w), lit(PhashBins.toLong))).as("bins"))
+    // one-pass histogram expression: the HOF spelling
+    //   transform(sequence(0, 63), i => size(filter(bins, b => b === i)))
+    // scanned the bin array 64 TIMES per row through interpreted
+    // lambdas (ExprSpec pins HistogramBins ≡ that spelling)
     val hist = bins.select(col("doc_id"),
       size(col("bins")).cast("long").as("tot"),
-      transform(sequence(lit(0), lit(PhashBins - 1)),
-        i => size(filter(col("bins"), b => b === i)).cast("long")).as("h"))
+      graft.functions.expr.FoldExpressions.histogramBins(
+        col("bins"), PhashBins).as("h"))
     val sig = hist.filter(col("tot") >= PhashMinFeatures)
       .select(col("doc_id") +: (0 until 4).map { b =>
         (0 until 16).map { i =>

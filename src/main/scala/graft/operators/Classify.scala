@@ -158,8 +158,8 @@ object Classify {
           (col("x") * col("w")).as("t")))).as("ts"),
         first(col("y")).as("y"))
       .select(col("doc_id"), col("y"),
-        (lit(1.0) / (lit(1.0) + exp(-aggregate(col("ts"), lit(0.0),
-          (a, t) => a + t.getField("t"))))).as("p"))
+        (lit(1.0) / (lit(1.0) + exp(-graft.functions.expr.FoldExpressions
+          .sumArrayField(col("ts"), "t")))).as("p"))
   }
 
   /** Ridge-regularized mean log-loss of a scored frame (data term via
@@ -309,16 +309,24 @@ object Classify {
       col("y"))
     val fb = hFeats.select(col("doc_id"), col("bucket").as("bb"), col("x").as("xb"))
     // Exact mode: the nnz² feature-pair frame is EPOCH-INVARIANT (only
-    // the scored frame changes), so it is built and checkpointed once
-    // instead of re-joining every epoch; and because its diagonal
-    // (ba = bb) carries each (doc, bucket, x) row exactly once, the
-    // gradient rides the same pass as the Hessian — one keyed
-    // aggregation and ONE driver collect per epoch instead of two
-    // joins + two collects. The quantized per-row terms are spelled
-    // with the identical op order as the two-pass form, so the
-    // collected integer sums — and therefore the trained model — are
-    // bit-identical. Sampled mode keeps the two-pass shape (its
-    // Hessian subset differs from the gradient's full corpus).
+    // the scored frame changes) and its diagonal (ba = bb) carries
+    // each (doc, bucket, x) row exactly once, so the gradient rides
+    // the same pass as the Hessian — one keyed aggregation and ONE
+    // driver collect per epoch instead of two joins + two collects.
+    // The quantized per-row terms are spelled with the identical op
+    // order as the two-pass form, so the collected integer sums — and
+    // therefore the trained model — are bit-identical. Sampled mode
+    // keeps the two-pass shape (its Hessian subset differs from the
+    // gradient's full corpus).
+    //
+    // Deliberately NOT checkpointed: the frame is REBUILT from the
+    // checkpointed feats every epoch. Persisting it was measured 1.4×
+    // SLOWER end-to-end (d_classify 5.8 → 8.6 s at sf0.1): the nnz²
+    // explode is ~30× wider than its input (4.8M rows, ~230 MB in
+    // storage blocks), and scanning those persisted blocks each epoch
+    // costs more than re-running the cheap 150k-row self-join the
+    // blocks replace — recompute-vs-cache favors recompute exactly as
+    // §5 of the optimization guide warns.
     val pairsExact =
       if (mode == "exact")
         fa.join(fb, "doc_id")
@@ -506,8 +514,8 @@ object Classify {
           (col("c") * col("wb")).as("t")))).as("ts"),
         first(col("y")).as("y"))
       .select(col("y"),
-        (lit(1.0) / (lit(1.0) + exp(-(lit(prior) + aggregate(col("ts"),
-          lit(0.0), (a, t) => a + t.getField("t")))))).as("p"),
+        (lit(1.0) / (lit(1.0) + exp(-(lit(prior) + graft.functions.expr
+          .FoldExpressions.sumArrayField(col("ts"), "t"))))).as("p"),
         col("doc_id"))
       .select(least(floor(col("p") * CalibBins), lit(CalibBins - 1))
           .cast("long").as("bin"),
@@ -549,8 +557,8 @@ object Classify {
         sum(col("npos")).cast("long").as("n_pos"),
         sort_array(collect_list(struct(col("sub"), col("s")))).as("ss"))
       .select(col("bin").cast("long").as("bin"), col("n_docs"), col("n_pos"),
-        stableRound(aggregate(col("ss"), lit(0.0),
-          (a, x) => a + x.getField("s")) / col("n_docs"), 6).as("avg_p"),
+        stableRound(graft.functions.expr.FoldExpressions
+          .sumArrayField(col("ss"), "s") / col("n_docs"), 6).as("avg_p"),
         stableRound(col("n_pos") / col("n_docs").cast("double"), 6)
           .as("frac_pos"))
       .orderBy("bin")

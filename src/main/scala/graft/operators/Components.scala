@@ -79,16 +79,11 @@ object Components {
       .distinct().localCheckpoint(false)
     val maxRounds = graft.core.Confs.intConf(
       pairsIn.sparkSession, "graft.cc.maxRounds", MaxRounds)
-    var rounds = 0
-    var prevCount = pairs.count()
-    var changed = true
-    while (changed) {
-      rounds += 1
-      if (rounds > maxRounds) throw new IllegalStateException(
-        s"star contraction not converged after $maxRounds rounds " +
-          "(raise graft.cc.maxRounds if the graph is legitimately this deep)")
-      val sym = pairs.select(col("a").as("u"), col("b").as("v"))
-        .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
+    // ONE alternating large-star/small-star contraction round, LAZY
+    // (no checkpoint): the caller decides where to materialize.
+    def contract(p: DataFrame): DataFrame = {
+      val sym = p.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(p.select(col("b").as("u"), col("a").as("v")))
       // large-star: min over each symmetric neighborhood (and self),
       // larger neighbors re-link to it. m ≤ u < v ⇒ (m, v) canonical.
       val lsMin = sym.groupBy("u").agg(min(col("v")).as("mv"))
@@ -97,21 +92,44 @@ object Components {
       // Deliberately NOT checkpointed: both consumers below (ssMin and
       // the ss join) contain the identical ls subtree ending in this
       // distinct's exchange, which ReuseExchange dedupes inside the one
-      // ss materialization job — a checkpoint here cost one extra job
-      // per round for no recompute saving (per-round wall at gate scale
-      // is fixed job overhead, not data).
+      // materialization job — a checkpoint here cost one extra job per
+      // round for no recompute saving (per-round wall at gate scale is
+      // fixed job overhead, not data).
       val ls = sym.join(lsMin, "u").filter(col("v") > col("u"))
         .select(col("m").as("a"), col("v").as("b"))
         .distinct()
       // small-star on the (a < b) orientation: b's smaller neighbors
       // and b itself re-link to b's min smaller neighbor.
       val ssMin = ls.groupBy("b").agg(min(col("a")).as("m"))
-      val ss = ls.join(ssMin, "b")
+      ls.join(ssMin, "b")
         .select(col("m"), col("a").as("v"))
         .unionByName(ssMin.select(col("m"), col("b").as("v")))
         .filter(col("m") =!= col("v"))
         .select(col("m").as("a"), col("v").as("b"))
-        .distinct().localCheckpoint(false)
+        .distinct()
+    }
+    var rounds = 0
+    var prevCount = pairs.count()
+    var changed = true
+    // ONE contraction round per materialization/fixpoint check.
+    // Batching TWO rounds per count was tried for round 11 (halve the
+    // driver round-trips — the obvious loop-overhead lever) and
+    // measured SLOWER both ways at gate scale: a raw
+    // contract(contract(pairs)) plan re-executes round 1 ~4× inside
+    // the one job (sym references its input twice and ls twice more;
+    // g_cc 3.3 → 5.9 s), and lazily checkpointing the inner round
+    // still lost (g_cc 3.1 → 5.4 s ONLY-subset medians) — each job
+    // then carries two rounds of exchanges through AQE's per-stage
+    // re-optimization plus concurrent-stage duplicate computes of the
+    // not-yet-persisted inner blocks, which costs more than the one
+    // count() round-trip it saves. Kept single-round; the fixpoint
+    // check below already runs in the checkpoint's own job.
+    while (changed) {
+      rounds += 1
+      if (rounds > maxRounds) throw new IllegalStateException(
+        s"star contraction not converged after $maxRounds rounds " +
+          "(raise graft.cc.maxRounds if the graph is legitimately this deep)")
+      val ss = contract(pairs).localCheckpoint(false)
       // Fixpoint check in as few jobs as the round allows: both sets
       // are distinct, so equal counts + empty one-direction exceptAll
       // ⟺ set equality. The ss.count() doubles as the checkpoint

@@ -591,7 +591,7 @@ object Curation {
     val qsum = subsums.groupBy("source")
       .agg(sort_array(collect_list(struct(col("sub"), col("s")))).as("ss"))
       .select(col("source"),
-        aggregate(col("ss"), lit(0.0), (a, x) => a + x.getField("s")).as("qsum"))
+        graft.functions.expr.FoldExpressions.sumArrayField(col("ss"), "s").as("qsum"))
     base.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_words").cast("long").as("n_tokens"),
@@ -934,14 +934,14 @@ object Curation {
       .select(((col("cr") / col("tr")) * col("lr")).as("bterm"))
       .agg(sort_array(collect_list(col("bterm"))).as("bs"))
       .select(stableRound(
-        aggregate(col("bs"), lit(0.0), (acc, t) => acc + t), 4).as("baseline"))
+        graft.functions.expr.FoldExpressions.sumArray(col("bs")), 4).as("baseline"))
     feats.join(broadcast(lr), "f")
       .select(col("doc_id"), col("n"), (col("n") * col("lr")).as("term"))
       .groupBy("doc_id")
       .agg(sum("n").cast("long").as("n_words"),
         sort_array(collect_list(col("term"))).as("ts"))
       .select(col("doc_id"), col("n_words"),
-        stableRound(aggregate(col("ts"), lit(0.0), (acc, t) => acc + t)
+        stableRound(graft.functions.expr.FoldExpressions.sumArray(col("ts"))
           / col("n_words"), 4).as("dsir_weight"))
       .crossJoin(broadcast(base))
       .withColumn("selected", col("dsir_weight") > col("baseline"))

@@ -142,10 +142,17 @@ object Dedup {
     * inside the rounding gap), and emit the rounded jaccard as a
     * DISPLAY column, never the decision. */
   private def verifyPairs(cand: DataFrame, sets: DataFrame): DataFrame =
+    // each side's set is SORTED once per document row; the per-PAIR
+    // intersection count is then a codegen'd merge scan instead of
+    // array_intersect's per-pair hash-set build + discarded result
+    // array (size() was the only consumer). Equal counts by
+    // construction — ExprSpec pins IntersectCountSorted ≡
+    // size(array_intersect) — so inter/un/jaccard are bit-identical.
     cand
-      .join(sets.select(col("doc_id").as("id1"), col("hs").as("s1")), "id1")
-      .join(sets.select(col("doc_id").as("id2"), col("hs").as("s2")), "id2")
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .join(sets.select(col("doc_id").as("id1"), array_sort(col("hs")).as("s1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), array_sort(col("hs")).as("s2")), "id2")
+      .withColumn("inter", graft.functions.expr.FoldExpressions
+        .intersectCountSorted(col("s1"), col("s2")).cast("long"))
       .withColumn("un",
         (size(col("s1")) + size(col("s2"))).cast("long") - col("inter"))
       .filter(col("inter") * 10 >= col("un") * JaccardTauNum)
@@ -311,9 +318,12 @@ object Dedup {
         col("id_in"), col("id_of"))
       .dropDuplicates("id_in", "id_of")
     cand
-      .join(sets.select(col("doc_id").as("id_in"), col("hs").as("s1")), "id_in")
-      .join(sets.select(col("doc_id").as("id_of"), col("hs").as("s2")), "id_of")
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .join(sets.select(col("doc_id").as("id_in"), array_sort(col("hs")).as("s1")), "id_in")
+      .join(sets.select(col("doc_id").as("id_of"), array_sort(col("hs")).as("s2")), "id_of")
+      // merge-scan count over per-doc-sorted sets — the verifyPairs
+      // rationale (ExprSpec pins ≡ size(array_intersect))
+      .withColumn("inter", graft.functions.expr.FoldExpressions
+        .intersectCountSorted(col("s1"), col("s2")).cast("long"))
       .filter(col("inter") * 10 >= size(col("s1")).cast("long") * ContainTauNum)
       .withColumn("containment", stableRound(col("inter") / size(col("s1")), 6))
       .select("id_in", "id_of", "inter", "containment")
@@ -466,10 +476,14 @@ object Dedup {
     * un·3 — same rationale as [[dDedupNgram]]: the decision must not
     * ride on float rounding). */
   private def verifyJaccard(cand: DataFrame, sets: DataFrame): DataFrame =
+    // per-doc array_sort + per-pair merge-scan count — the verifyPairs
+    // rationale, on the STRING shingle sets (ExprSpec pins ≡
+    // size(array_intersect) for string elements too)
     cand
-      .join(sets.select(col("doc_id").as("id1"), col("shing").as("s1")), "id1")
-      .join(sets.select(col("doc_id").as("id2"), col("shing").as("s2")), "id2")
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+      .join(sets.select(col("doc_id").as("id1"), array_sort(col("shing")).as("s1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), array_sort(col("shing")).as("s2")), "id2")
+      .withColumn("inter", graft.functions.expr.FoldExpressions
+        .intersectCountSorted(col("s1"), col("s2")))
       .withColumn("un", size(col("s1")) + size(col("s2")) - col("inter"))
       .filter(col("inter") * 10 >= col("un") * JaccardTauNum)
       .withColumn("jaccard", stableRound(col("inter") / col("un"), 6))
@@ -625,7 +639,7 @@ object Dedup {
             .agg(sort_array(collect_list(col("s"))).as("ps"),
               count(lit(1)).as("n"))
             .select(col("n"),
-              (aggregate(col("ps"), lit(0.0), (a, x) => a + x.getField("p")) /
+              (graft.functions.expr.FoldExpressions.sumArrayField(col("ps"), "p") /
                 col("n").cast("double")).as("mean"))
       folded.select(lit(b).as("bands"), lit(r).as("rows_per_band"),
         lit(b == Bands).as("is_current"),

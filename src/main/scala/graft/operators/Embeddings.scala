@@ -79,9 +79,7 @@ object Embeddings {
     * pinned explicitly). */
   def eQuantize(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
-    val amax = aggregate(
-      transform(col("embedding"), x => abs(x.cast("double"))),
-      lit(0.0), (a, x) => greatest(a, x))
+    val amax = graft.functions.expr.FoldExpressions.absMaxArray(col("embedding"))
     // Exploded scalar rows (vec_id, dim, q8, abs_max) — same
     // driver-checkable shape as eNormalize/eCentroid.
     e.withColumn("abs_max", amax)
@@ -211,7 +209,7 @@ object Embeddings {
       .agg(sum("n").cast("long").as("n_vectors"),
         sort_array(collect_list(struct(col("sub"), col("s")))).as("ss"))
       .select(col("label"), col("dim").cast("long").as("dim"),
-        (aggregate(col("ss"), lit(0.0), (acc, x) => acc + x.getField("s"))
+        (graft.functions.expr.FoldExpressions.sumArrayField(col("ss"), "s")
           / col("n_vectors")).as("centroid"),
         col("n_vectors"))
   }
@@ -295,8 +293,8 @@ object Embeddings {
       .select(col("vec_id"), col("label"),
         transform(col("cents"), c => struct(
           c.getField("clabel").as("cl"),
-          sqrt(aggregate(zip_with(col("embedding"), c.getField("cvec"),
-            (x, cc) => (x - cc) * (x - cc)), lit(0.0), (acc, t) => acc + t))
+          sqrt(graft.functions.expr.FoldExpressions.squaredL2(
+            col("embedding"), c.getField("cvec")))
             .as("d"))).as("dists"))
     val sv = withD
       .select(col("vec_id"), col("label"),
@@ -319,8 +317,8 @@ object Embeddings {
       .agg(sum("n").cast("long").as("n_vectors"),
         sort_array(collect_list(struct(col("sub"), col("s")))).as("ss"))
       .select(col("label"), col("n_vectors"),
-        stableRound(aggregate(col("ss"), lit(0.0),
-          (acc, x) => acc + x.getField("s")) / col("n_vectors"), 6)
+        stableRound(graft.functions.expr.FoldExpressions
+          .sumArrayField(col("ss"), "s") / col("n_vectors"), 6)
           .as("silhouette"))
       .orderBy("label")
   }
@@ -510,7 +508,7 @@ object Embeddings {
       .agg(sum("n").cast("long").as("n_vectors"),
         sort_array(collect_list(struct(col("sub"), col("s")))).as("ss"))
       .select(col("di").cast("long").as("dim_i"), col("dj").cast("long").as("dim_j"),
-        aggregate(col("ss"), lit(0.0), (acc, x) => acc + x.getField("s"))
+        graft.functions.expr.FoldExpressions.sumArrayField(col("ss"), "s")
           .as("gram"),
         col("n_vectors"))
       .orderBy("dim_i", "dim_j")
@@ -578,9 +576,8 @@ object Embeddings {
     val comps = (0 until RProjDims).map { r =>
       val signs = array((0 until d).map(i => lit(rpSign(r, i))): _*)
       struct(lit(r.toLong).as("comp"),
-        (aggregate(
-          zip_with(col("embedding"), signs, (x, s) => x.cast("double") * s),
-          lit(0.0), (a, t) => a + t) / sqrt(lit(RProjDims.toDouble))).as("coord"))
+        (graft.functions.expr.VectorExpressions.dotProduct(col("embedding"),
+          signs) / sqrt(lit(RProjDims.toDouble))).as("coord"))
     }
     e.select(col("vec_id"), explode(array(comps: _*)).as("c"))
       .select(col("vec_id"), col("c.comp").as("comp"), col("c.coord").as("coord"))
@@ -825,7 +822,7 @@ object Embeddings {
     val d2 = terms.groupBy("label", "vec_id")
       .agg(sort_array(collect_list(struct(col("dim"), col("t")))).as("ts"))
       .select(col("label"), col("vec_id"),
-        aggregate(col("ts"), lit(0.0), (a, x) => a + x.getField("t")).as("d2"))
+        graft.functions.expr.FoldExpressions.sumArrayField(col("ts"), "t").as("d2"))
       .localCheckpoint(false) // feeds the label means AND the final attach
     val means = streamSubFold2(spark,
         d2.select(col("label").cast("int").as("label"), lit(0).as("zero"),
@@ -835,7 +832,7 @@ object Embeddings {
       .agg(sum(col("n")).cast("long").as("nv"),
         sort_array(collect_list(struct(col("sub"), col("s")))).as("ss"))
       .select(col("label"),
-        (aggregate(col("ss"), lit(0.0), (a, x) => a + x.getField("s"))
+        (graft.functions.expr.FoldExpressions.sumArrayField(col("ss"), "s")
           / col("nv")).as("mean_d2"))
     d2.join(broadcast(means), Seq("label"))
       .select(col("label").cast("long").as("label"), col("vec_id"),

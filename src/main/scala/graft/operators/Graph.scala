@@ -88,7 +88,7 @@ object Graph {
       .agg(sort_array(collect_list(struct(far.as("k"), contrib.as("v"))))
         .as("cs"))
       .select(col(group),
-        aggregate(col("cs"), lit(0.0), (a, x) => a + x.getField("v")).as(out))
+        graft.functions.expr.FoldExpressions.sumArrayField(col("cs"), "v").as(out))
 
   /** Whole-frame float total of `v` (one row, named `out`): parity
     * mode folds sorted by `key`; free mode sums. Empty input yields
@@ -98,7 +98,7 @@ object Graph {
     if (free) df.agg(coalesce(sum(v), lit(0.0)).as(out))
     else df.agg(sort_array(collect_list(struct(key.as("k"), v.as("v"))))
         .as("ts"))
-      .select(aggregate(col("ts"), lit(0.0), (a, x) => a + x.getField("v"))
+      .select(graft.functions.expr.FoldExpressions.sumArrayField(col("ts"), "v")
         .as(out))
 
   /** The derived weighted edge table: (src, dst, w) with self-loops
@@ -528,36 +528,51 @@ object Graph {
     levels += frontier.withColumn("d", lit(0L))
     var rounds = 0
     var done = false
-    while (!done) {
-      rounds += 1
-      if (rounds > maxRounds) throw new IllegalStateException(
-        s"BFS not converged after $maxRounds rounds (raise " +
-          "graft.graph.bfsMaxRounds if the graph is legitimately this deep)")
-      // BFS level property: a frontier node's neighbor sits at level
-      // r−1, r, or r+1 — so excluding the last TWO frontiers is a
-      // complete visited-set exclusion. Anti-joining the FULL visited
-      // set instead would be O(V) per round → O(V·rounds) total; this
-      // keeps the whole traversal O(E). The two frontiers are excluded
-      // by ONE anti join against their union (both are already
-      // materialized checkpoints): at gate scale each level's wall is
-      // almost entirely fixed per-job/per-broadcast overhead, and one
-      // union-anti saves a broadcast build per level without changing
-      // the O(E) shape.
-      val next = frontier.join(sym, col("node") === col("x"))
+    // BFS level property: a frontier node's neighbor sits at level
+    // r−1, r, or r+1 — so excluding the last TWO frontiers is a
+    // complete visited-set exclusion. Anti-joining the FULL visited
+    // set instead would be O(V) per round → O(V·rounds) total; this
+    // keeps the whole traversal O(E). The two frontiers are excluded
+    // by ONE anti join against their union: at gate scale each
+    // level's wall is almost entirely fixed per-job/per-broadcast
+    // overhead, so one union-anti per level saves a broadcast build.
+    def expand(fr: DataFrame, pr: DataFrame): DataFrame =
+      fr.join(sym, col("node") === col("x"))
         .select(col("comp"), col("y").as("node"))
         .distinct()
-        .join(frontier.unionByName(prev), Seq("comp", "node"), "left_anti")
-        .localCheckpoint(false)
+        .join(fr.unionByName(pr), Seq("comp", "node"), "left_anti")
+    while (!done) {
+      if (rounds + 2 > maxRounds) throw new IllegalStateException(
+        s"BFS not converged after $maxRounds rounds (raise " +
+          "graft.graph.bfsMaxRounds if the graph is legitimately this deep)")
+      // TWO frontier expansions per materialization/count cycle: each
+      // level's wall is dominated by the driver round-trip, so
+      // batching halves the loop's job count without changing the
+      // O(E) traversal — level r+2 anti-joins (level r+1 ∪ level r),
+      // the same complete visited exclusion, it just rides level
+      // r+1's lineage inside one job. next1's lazy localCheckpoint
+      // persists when next2's count computes it as next2's input, so
+      // later levels still read stored blocks, not a recompute.
+      val next1 = expand(frontier, prev).localCheckpoint(false)
+      val next2 = expand(next1, frontier).localCheckpoint(false)
       // count(), not isEmpty: one job that BOTH materializes the
-      // checkpoint fully and answers the fixpoint question (isEmpty's
+      // checkpoints fully and answers the fixpoint question (isEmpty's
       // take(1) needs multiple incremental job launches to prove an
       // empty frame — the exact case every BFS ends on).
-      if (next.count() == 0L) done = true
-      else {
-        levels += next.withColumn("d", lit(rounds.toLong))
-        prev = frontier
-        frontier = next
+      if (next2.count() == 0L) {
+        // next2 empty ⟹ done after this batch; next1 may still carry
+        // the final level (its count is a cheap read of the
+        // just-materialized blocks)
+        if (next1.count() > 0L)
+          levels += next1.withColumn("d", lit((rounds + 1).toLong))
+        done = true
+      } else {
+        levels += next1.withColumn("d", lit((rounds + 1).toLong))
+        levels += next2.withColumn("d", lit((rounds + 2).toLong))
+        prev = next1
+        frontier = next2
       }
+      rounds += 2
     }
     levels.reduce(_.unionByName(_))
   }

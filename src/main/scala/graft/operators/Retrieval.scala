@@ -138,7 +138,7 @@ object Retrieval {
       .groupBy("qid", "doc_id")
       .agg(sort_array(collect_list(col("term"))).as("ts"))
       .select(col("qid"), col("doc_id"),
-        stableRound(aggregate(col("ts"), lit(0.0), (acc, t) => acc + t), 6)
+        stableRound(graft.functions.expr.FoldExpressions.sumArray(col("ts")), 6)
           .as("score"))
       .withColumn("rk", row_number().over(rkWin).cast("long"))
       .filter(col("rk") <= Bm25TopK)
@@ -298,7 +298,7 @@ object Retrieval {
     maxScoreAgg(spark, p)
       .filter(maxScoreKeep)
       .select(col("qid"), col("doc_id"),
-        stableRound(aggregate(col("ts"), lit(0.0), (acc, t) => acc + t), 6)
+        stableRound(graft.functions.expr.FoldExpressions.sumArray(col("ts")), 6)
           .as("score"))
       .withColumn("rk", row_number().over(rkWin).cast("long"))
       .filter(col("rk") <= Bm25TopK)
@@ -699,8 +699,7 @@ object Retrieval {
         .agg(sort_array(collect_list(struct(col("r"), col("term"))))
           .as("ts"))
         .select(lit(name).as("arm"), col("qid"),
-          aggregate(col("ts"), lit(0.0),
-            (a, x) => a + x.getField("term")).as("dcg"))
+          graft.functions.expr.FoldExpressions.sumArrayField(col("ts"), "term").as("dcg"))
     // IDCG: k fixed rank-guarded terms summed left-to-right — the
     // engine-mirrorable spelling of Σ_{i=1..min(k,n_rel)} ln2/ln(i+1)
     val idcgExpr = (1 to Bm25TopK).map(i =>

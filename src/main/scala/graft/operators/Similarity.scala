@@ -456,9 +456,7 @@ object Similarity {
     * rescore tier touches Q×C rows only. */
   def sAnnSq8(spark: SparkSession, dir: String): DataFrame = {
     val e = embSpread(spark, dir)
-    val amax = aggregate(
-      transform(col("embedding"), x => abs(x.cast("double"))),
-      lit(0.0), (a, x) => greatest(a, x))
+    val amax = graft.functions.expr.FoldExpressions.absMaxArray(col("embedding"))
     val coded = e.withColumn("abs_max", amax)
       .select(col("vec_id"),
         transform(col("embedding"), x =>
@@ -470,8 +468,8 @@ object Similarity {
     val scored = coded.select(col("vec_id").as("neighbor_id"), col("q8"))
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        aggregate(zip_with(col("qq"), col("q8"), (x, y) => (x * y).cast("long")),
-          lit(0L), (a, x) => a + x).cast("double").as("coarse"))
+        graft.functions.expr.FoldExpressions.dotProductLong(col("qq"), col("q8"))
+          .cast("double").as("coarse"))
     rescoreTopK(withUnit(e, "embedding", "u"),
       heapPartials(scored, Sq8Candidates, "coarse"), Sq8Candidates)
   }

@@ -67,12 +67,13 @@ object TextAnalysis {
   def qualityMetricsOf(d: DataFrame): DataFrame =
     d.select(col("doc_id") +: qualityCols: _*)
 
-  /** The quality metric COLUMNS over a `text` attribute — the ONE copy
-    * of the scoring expressions, exposed so the curation composites
-    * ([[Curation.dAudit]]'s one-pass rule frame) can evaluate them in
-    * the same projection as the other per-doc rules instead of paying
-    * a separate corpus scan per rule. */
-  private[operators] def qualityCols: Seq[Column] = {
+  /** The ONE construction of every quality metric expression — the
+    * named columns in output order, with the blended score LAST.
+    * [[qualityCols]] and [[qualityScoreCol]] are both views of this
+    * seq, so the score callers filter on can never drift from the
+    * score qualityCols emits (the ADVICE-flagged hazard of a
+    * positional `.last`). */
+  private def qualityColsBuilt: Seq[Column] = {
     val norm = normText(col("text"))
     val w = split(norm, " ")
     val nWords = size(w).cast("long")
@@ -92,9 +93,24 @@ object TextAnalysis {
       meanWordLen.as("mean_word_len"), score.as("quality"))
   }
 
-  /** Just the blended `quality` score column (the last of
-    * [[qualityCols]] — kept here so callers never index positionally). */
-  private[operators] def qualityScoreCol: Column = qualityCols.last
+  /** The quality metric COLUMNS over a `text` attribute — the ONE copy
+    * of the scoring expressions, exposed so the curation composites
+    * ([[Curation.dAudit]]'s one-pass rule frame) can evaluate them in
+    * the same projection as the other per-doc rules instead of paying
+    * a separate corpus scan per rule. */
+  private[operators] def qualityCols: Seq[Column] = qualityColsBuilt
+
+  /** Just the blended `quality` score column — the SAME constructed
+    * object qualityCols emits last, asserted by position AND intent:
+    * [[qualityColsBuilt]] defines the score as its final element, so
+    * this accessor and qualityCols cannot diverge (they read one
+    * construction), and the assertion here catches a future reorder. */
+  private[operators] def qualityScoreCol: Column = {
+    val c = qualityColsBuilt.last
+    require(c.toString.contains("AS quality"),
+      s"qualityColsBuilt must end with the 'quality' alias, got $c")
+    c
+  }
 
   val tQualitySql: String = {
     val stop = Seq("the", "a", "and", "of", "to", "is")
@@ -393,8 +409,8 @@ object TextAnalysis {
         sort_array(collect_list(col("c"))).as("cs"))
       .select(col("doc_id"), col("n").cast("long").as("n_words"),
         col("nd").cast("long").as("n_distinct_words"),
-        stableRound(aggregate(col("cs"), lit(0.0),
-          (acc, c) => acc - (c / col("n")) * log(c / col("n"))) / log(lit(2.0)), 4)
+        stableRound(graft.functions.expr.FoldExpressions.entropyFold(col("cs"),
+          col("n")) / log(lit(2.0)), 4)
           .as("entropy_bits"))
       .withColumn("low_diversity", col("entropy_bits") < EntropyTau)
       .orderBy("doc_id")
@@ -473,7 +489,7 @@ object TextAnalysis {
       .agg(sum("n").cast("long").as("n_words"),
         sort_array(collect_list(col("term"))).as("ts"))
       .select(col("doc_id"), col("n_words"),
-        stableRound(aggregate(col("ts"), lit(0.0), (acc, t) => acc + t)
+        stableRound(graft.functions.expr.FoldExpressions.sumArray(col("ts"))
           / col("n_words") / log(lit(10.0)), 4).as("logprob10"))
       .withColumn("low_prob", col("logprob10") < LogprobTau)
   }
@@ -545,7 +561,7 @@ object TextAnalysis {
     else terms.groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(col("term"))).as("ts"))
       .select(keys.map(col) :+
-        aggregate(col("ts"), lit(0.0), (a, t) => a + t).as("s"): _*)
+        graft.functions.expr.FoldExpressions.sumArray(col("ts")).as("s"): _*)
 
   /** t_jsd — per-source DISTRIBUTION DRIFT: the Jensen–Shannon
     * divergence (bits) between each source's unigram word
@@ -1214,7 +1230,7 @@ object TextAnalysis {
       .agg(sum("n").cast("long").as("n_bigrams"),
         sort_array(collect_list(col("term"))).as("ts"))
       .select(col("doc_id"), col("n_bigrams"),
-        stableRound(aggregate(col("ts"), lit(0.0), (acc, t) => acc + t)
+        stableRound(graft.functions.expr.FoldExpressions.sumArray(col("ts"))
           / col("n_bigrams") / log(lit(10.0)), 4).as("bigram_lp10"))
       .withColumn("low_fluency", col("bigram_lp10") < BigramLpTau)
       .orderBy("doc_id")

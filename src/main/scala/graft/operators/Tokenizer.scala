@@ -53,32 +53,28 @@ object Tokenizer {
     * prevents it, matching reference BPE). Shared by training (one
     * pass per learned rank) and encoding (the rank-order replay). */
   def fuseExpr(toks: Column, l: String, r: String, m: String): Column =
-    aggregate(toks, array().cast("array<string>"),
-      (acc, t) => when(
-        size(acc) > 0 && element_at(acc, -1) === lit(l) && t === lit(r),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
-        .otherwise(concat(acc, array(t))))
+    // single-pass codegen'd form of the historical fold
+    //   aggregate(toks, array(), (acc, t) => when(size(acc) > 0 &&
+    //     element_at(acc, -1) === l && t === r, replace-tail-with-m)
+    //     .otherwise(append t))
+    // — the fold's concat(slice(...)) rebuilt the accumulator array at
+    // every token (O(len²) copies per word per merge) in interpreted
+    // lambda calls; FuseBpeAll runs the identical greedy fuse in one
+    // buffer pass (ExprSpec pins ≡; TokenizerSpec re-pins the tables)
+    graft.functions.expr.BpeExpressions.fuse(toks, l, r, m)
 
   /** Adjacent-pair counts of a (toks, count) vocabulary frame:
     * (l, r, n) weighted by word count. */
   private def pairCounts(vocab: DataFrame): DataFrame =
     vocab.filter(size(col("toks")) >= 2)
       .select(col("count"), explode(
-        zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
-          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        graft.functions.expr.BpeExpressions.adjacentPairs(col("toks"))).as("p"))
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("count")).as("n"))
 
   /** True iff the token sequence contains adjacent (l, r). */
   private def hasPair(toks: Column, l: String, r: String): Column =
-    exists(
-      zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
-        (a, b) => a === lit(l) && b === lit(r)),
-      x => x)
+    graft.functions.expr.BpeExpressions.hasAdjacentPair(toks, l, r)
 
   /** Learn [[BpeMerges]] merges from a (word, count) frequency table.
     * `wc` must carry columns (word: string, count: long). Returns the
@@ -198,9 +194,12 @@ object Tokenizer {
     * the DISTINCT word table — vocabulary-sized work however large
     * the corpus, the same scale argument as training itself. */
   def encodeWords(vocab: DataFrame, merges: Seq[(String, String, String)]): DataFrame = {
-    val toks = merges.foldLeft(split(col("word"), ""): Column) {
-      case (acc, (l, r, m)) => fuseExpr(acc, l, r, m)
-    }
+    // ONE expression applies the whole rank-ordered replay (each merge
+    // is still a full left-to-right pass, in rank order — identical to
+    // the chained per-merge folds it replaces, without 12 nested
+    // array-rebuild evaluations per word)
+    val toks = graft.functions.expr.BpeExpressions.fuseAll(
+      split(col("word"), ""), merges)
     vocab.select(col("word"), col("count"), toks.as("toks"))
       .withColumn("n_toks", size(col("toks")).cast("long"))
   }
