@@ -42,9 +42,14 @@ object TextFunctions {
   def tokenCountWs(c: Column): Column = size(split(trim(c), "\\s+"))
 
   /** 32-bit hash (as long) from the md5 hex prefix — the portable
-    * cross-engine hash primitive. */
+    * cross-engine hash primitive. Implemented as the single-digest
+    * [[graft.functions.expr.Md5_32]] expression: the historical
+    * `conv(substring(md5(c), 1, 8), 16, 10).cast("long")` chain
+    * hex-encodes the digest, substrings it, and string-parses base 16
+    * per call — the expression reads the same 4 digest bytes directly
+    * (ExprSpec pins ≡, and every hash-consuming oracle re-proves it). */
   def md5_32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    graft.functions.expr.FoldExpressions.md5_32(c)
 
   /** Count non-overlapping occurrences of a literal marker via the
     * replace trick — no regex involved, so engine-proof (DuckDB

@@ -506,6 +506,44 @@ case class HistogramBins(child: Expression, nBins: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** The 32-bit md5-prefix hash as ONE digest call — exactly
+  * `conv(substring(md5(c), 1, 8), 16, 10).cast("long")`: the first 8
+  * lowercase-hex chars of the MD5 are the digest's first 4 bytes, and
+  * base-16 parsing them yields those bytes as an unsigned 32-bit value
+  * — so the chain's hex-encode → substring → string-parse round trip
+  * collapses to reading 4 bytes off the digest. Null input → null.
+  * MessageDigest instances are not thread-safe and not free to
+  * construct: one per thread, reset between rows. */
+case class Md5_32(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val digest =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Shared by eval and the generated code. */
+  def hash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    hash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("md532", this, classOf[Md5_32].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.hash($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object FoldExpressions {
   /** Column wrappers — drop-in for the HOF spellings they replace. */
   def sumArray(xs: Column): Column = column(SumArray(expression(xs)))
@@ -520,6 +558,7 @@ object FoldExpressions {
     column(IntersectCountSorted(expression(a), expression(b)))
   def histogramBins(xs: Column, nBins: Int): Column =
     column(HistogramBins(expression(xs), nBins))
+  def md5_32(c: Column): Column = column(Md5_32(expression(c)))
   def entropyFold(cs: Column, n: Column): Column =
     column(EntropyFold(expression(cs), expression(n)))
 }

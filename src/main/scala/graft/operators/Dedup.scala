@@ -186,11 +186,11 @@ object Dedup {
     // repartition on the pair key pins the verify width (exempt from
     // AQE coalescing) and satisfies the dedup's clustering, adding no
     // extra exchange.
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val cand = prefix.as("a").join(prefix.as("b"), "h")
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .repartition(parts, col("id1"), col("id2"))
+    val cand = graft.core.Tables.pinWidth(
+        prefix.as("a").join(prefix.as("b"), "h")
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")),
+        col("id1"), col("id2"))
       .dropDuplicates("id1", "id2")
     verifyPairs(cand, sets)
   }
@@ -309,12 +309,12 @@ object Dedup {
     val prefixIn = sets.select(col("doc_id"), explode(expr(
       s"slice(array_sort(hs), 1, size(hs) - (($ContainTauNum * size(hs) + 9) div 10) + 1)")).as("h"))
     val posts = sets.select(col("doc_id"), explode(col("hs")).as("h"))
-    val cand = prefixIn.as("a").join(posts.as("b"), "h")
-      .filter(col("a.doc_id") =!= col("b.doc_id"))
-      .select(col("a.doc_id").as("id_in"), col("b.doc_id").as("id_of"))
-      // pin the exact-verify width against AQE's byte-blind coalesce of
-      // the narrow pair exchange — the [[ngramPairsOf]] rationale
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+    // pin the exact-verify width against AQE's byte-blind coalesce of
+    // the narrow pair exchange — the [[ngramPairsOf]] rationale
+    val cand = graft.core.Tables.pinWidth(
+        prefixIn.as("a").join(posts.as("b"), "h")
+          .filter(col("a.doc_id") =!= col("b.doc_id"))
+          .select(col("a.doc_id").as("id_in"), col("b.doc_id").as("id_of")),
         col("id_in"), col("id_of"))
       .dropDuplicates("id_in", "id_of")
     cand

@@ -109,10 +109,9 @@ object Retrieval {
     // downstream stage — postings join, (qid, doc) aggregation, rank
     // windows — inherits the width through broadcast joins with no
     // further shuffle.
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val qterms = TextAnalysis.tfIdfRank(
-        tf.filter(col("doc_id") % Bm25QueryMod === 0)
-          .repartition(parts, col("doc_id")), dfw, n)
+        Tables.pinWidth(tf.filter(col("doc_id") % Bm25QueryMod === 0),
+          col("doc_id")), dfw, n)
       .filter(col("rk") <= Bm25QTerms)
       .select(col("doc_id").as("qid"), col("word"), col("df"))
     Bm25Parts(n, tf, dfw, dl, avgdlV, qterms)
@@ -128,13 +127,12 @@ object Retrieval {
   /** Exact scoring + top-k tail over a (qid, word, df, tf, doc_id)
     * candidate stream — shared by the full and MaxScore paths. */
   private def scoreTail(spark: SparkSession, p: Bm25Parts, cand: DataFrame): DataFrame = {
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val rkWin = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("doc_id"))
-    cand
+    Tables.pinWidth(cand
       .join(p.dl, "doc_id")
-      .select(col("qid"), col("doc_id"), termExpr(p.n, p.avgdl).as("term"))
-      .repartition(parts, col("qid"))
+      .select(col("qid"), col("doc_id"), termExpr(p.n, p.avgdl).as("term")),
+      col("qid"))
       .groupBy("qid", "doc_id")
       .agg(sort_array(collect_list(col("term"))).as("ts"))
       .select(col("qid"), col("doc_id"),
@@ -238,13 +236,12 @@ object Retrieval {
     * integers, so the ±1-quantum tie closes; pruning never rides on
     * float summation order. */
   private[graft] def maxScoreAgg(spark: SparkSession, p: Bm25Parts): DataFrame = {
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val scored = p.qterms.join(p.tf, "word")
+    val scored = Tables.pinWidth(p.qterms.join(p.tf, "word")
       .filter(col("doc_id") =!= col("qid"))
       .join(p.dl, "doc_id")
       .select(col("qid"), col("word"), col("doc_id"),
-        termExpr(p.n, p.avgdl).as("term"))
-      .repartition(parts, col("qid"))
+        termExpr(p.n, p.avgdl).as("term")),
+      col("qid"))
       .cache()
     val impacts = scored.groupBy("word")
       .agg(ceil(max(col("term")) * lit(UbQ)).cast("long").as("uq"))

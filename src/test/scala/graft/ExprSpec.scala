@@ -334,6 +334,19 @@ class ExprSpec extends SparkSpec {
     assert(hasDiff.count() == 0)
   }
 
+  test("Md5_32 ≡ conv(substring(md5,1,8),16,10) chain on corpus words and edge strings") {
+    val words_ = Tables(spark, sf).documents.limit(300)
+      .select(explode(words(col("text"))).as("w"))
+      .unionByName(spark.range(1).select(lit("").as("w")))
+      .unionByName(spark.range(1).select(lit("ünicode π").as("w")))
+      .localCheckpoint()
+    val diff = words_.select(
+        md5_32(col("w")).as("a"),
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("b"))
+      .filter(!(col("a") <=> col("b")))
+    assert(diff.count() == 0)
+  }
+
   test("HistogramBins ≡ transform(sequence, size∘filter) incl. out-of-range and null elems") {
     import graft.functions.expr.FoldExpressions
     val rng = new scala.util.Random(23)
