@@ -141,15 +141,18 @@ object Retrieval {
       .withColumn("rk", row_number().over(rkWin).cast("long"))
       .filter(col("rk") <= Bm25TopK)
       .select(col("qid"), col("rk"), col("doc_id"), col("score"))
-      // Presentation FENCE before the final sort: orderBy shuffles by
-      // RANGE, and the range partitioner runs a SAMPLING job over its
-      // child first — with the width pin the whole score/agg/rank
-      // chain is exchange-free, so the sampling pass re-executed all
-      // of it (measured at 6× gate data: the 200-executor-second
-      // scoring stage ran TWICE, t_bm25 25.8 vs 16.7 s unpinned).
-      // Materializing the |Q|·k-row result once fences the recompute
-      // for the cost of one tiny job; row content is untouched.
-      .localCheckpoint(false)
+      // No explicit fence here: orderBy's RANGE partitioner runs a
+      // SAMPLING job over its child, and an exchange-free child chain
+      // would be re-executed by it (measured at 6× gate data: the
+      // 200-executor-second scoring stage ran twice under the old
+      // hash(qid) pin, t_bm25 25.8 s vs 16.7 unpinned). The (qid,
+      // doc_id) pin already fences it: the rank window inserts its own
+      // hash(qid) exchange of the WindowGroupLimit-pruned rows, so the
+      // sampling pass re-reads that tiny materialized stage instead of
+      // recomputing the aggregation (6×: 12.7 s). A localCheckpoint
+      // fence was tried and REVERTED: it cut the lex arm out of
+      // ReuseExchange for the hybrid/ndcg consumers that embed this
+      // frame more than once (t_hybrid_rrf 1.3 → 3.0 s at the gate).
       .orderBy("qid", "rk")
   }
 
